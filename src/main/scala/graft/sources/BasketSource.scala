@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Basket
+
+/** Basket ingestion (reference operators O1–O3, SURVEY.md §2).
+  *
+  * The reference reads whitespace-delimited text lines — token 0 is the
+  * customer name (always skipped, `src/CrystalBallPair.java:42`), tokens 1..n
+  * are product ids in purchase order (`/root/reference/input/input:1-2`).
+  * We keep product ids as StringType: the reference's comparisons are
+  * lexicographic (`src/CrystalBallPair.java:218,222`).
+  *
+  * For scale testing, baskets are derived from the TPC-H-ish tables: one
+  * basket per order, products = partkeys ordered by linenumber (FIXTURES.md §2).
+  */
+object BasketSource {
+
+  /** O1+O2+O3: text file → typed baskets. Tolerates empty lines, extra
+    * whitespace (split on `\s+`), and non-numeric ids (the reference's
+    * partitioner would crash on those; we must not — SURVEY.md §7 phase 1).
+    */
+  def fromText(spark: SparkSession, path: String): Dataset[Basket] = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap(parseLine _)
+  }
+
+  /** In-memory lines → baskets (test fixtures / golden parity). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): Dataset[Basket] = {
+    import spark.implicits._
+    spark.createDataset(lines).flatMap(parseLine _)
+  }
+
+  private[graft] def parseLine(line: String): Option[Basket] = {
+    val toks = line.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else Some(Basket(toks.head, toks.tail.toSeq))
+  }
+
+  /** Parquet-native basket builder: `lineitem` grouped by order key.
+    * One shuffle (the groupBy); `sort_array` over (linenumber, partkey)
+    * structs gives a deterministic purchase order without a global sort.
+    * At 100 TB this is a single hash-partitioned aggregation over the
+    * basket key — no skew risk (order sizes are bounded).
+    */
+  def fromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("string").as("pk"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("pk"))))
+        .as("seq"))
+      .select(col("l_orderkey").cast("string").as("customer"),
+        col("seq.pk").as("products"))
+  }
+
+  /** Typed view of [[fromLineitem]] for the flatMap-based window operator. */
+  def basketsFromLineitem(spark: SparkSession, sfDir: String): Dataset[Basket] = {
+    import spark.implicits._
+    fromLineitem(spark, sfDir).as[Basket]
+  }
+}
