@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic windows + sessionization over the `events` stream table —
+  * the time-series operator family the reference lacks (SURVEY.md §2.1).
+  * Batch forms here (oracle-checkable); the Structured Streaming forms
+  * live in graft.streaming (same dataflow over readStream).
+  *
+  * All window specs tie-break on `event_id` so results are deterministic
+  * under parallel execution; all epoch math is integer microseconds
+  * (`unix_micros`) so the DuckDB oracle computes identical values.
+  */
+object Events {
+
+  private val byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Ranking + analytic functions per user: row_number, rank by value,
+    * lag/lead. One exchange on user_id; at scale user_id is high-cardinality
+    * so partitions balance (skewed hot users would need AQE/salting).
+    */
+  def userWindows(events: DataFrame): DataFrame =
+    events.select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        row_number().over(byUser).as("rn"),
+        rank().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))).as("value_rank"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Gap-based sessionization (30-minute inactivity gap): the classic
+    * lag → new-session flag → running-sum session id, then per-session
+    * aggregates. Two window passes + one groupBy, all partitioned by
+    * user_id — a single exchange reused across all three (Catalyst reuses
+    * the hash partitioning).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val withGap = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull || (col("us") - col("prev_us")) > gapMicros)
+          .cast("long"))
+    withGap
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("double")
+          .as("duration_sec"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Tumbling-window aggregation (hourly): batch twin of the streaming
+    * windowed count. date_trunc keeps the group key computable inside the
+    * scan's codegen stage; one low-cardinality shuffle.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth surface (SURVEY.md §2.1 / §7 phase 2): the operator
+  * categories the reference lacks entirely — joins (broadcast / sort-merge /
+  * semi / anti), grouped + grouping-set aggregation, distinct aggregation,
+  * set operations, top-k, scalar function projection. All pure Catalyst
+  * built-ins: predicate pushdown, column pruning, partial aggregation and
+  * join-strategy selection (incl. AQE) come for free.
+  *
+  * Float-parity discipline for the DuckDB oracle: every `sum` over monetary
+  * doubles goes through DECIMAL(18,2) (exact, order-independent — Spark's
+  * partial-aggregation order is nondeterministic) and is only cast to
+  * DOUBLE at the end, so both engines divide/compare identical IEEE
+  * operands.
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: single-shuffle grouped aggregation
+    * with map-side combine; the shipdate filter is pushed to the parquet
+    * scan. At 100 TB: 4-6 groups — the classic low-cardinality agg, shuffle
+    * volume is O(partitions × groups).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped join + top-k: customer is the small side — at any
+    * scale customer ≪ lineitem, so we broadcast it explicitly; orders ⋈
+    * lineitem is the big sort-merge/shuffled-hash join on the order key.
+    * Top-k is a global `orderBy + limit` → Spark plans TakeOrderedAndProject
+    * (per-partition heaps, no full sort).
+    */
+  def revenueTopK(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      k: Int = 10): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .join(orders.filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+
+  /** Star-schema rollup through two broadcast dimension joins:
+    * customer ⋈ nation ⋈ region. nation/region are tiny at every scale —
+    * broadcast both; zero shuffles besides the final aggregation.
+    */
+  def customersPerRegion(customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec("c_acctbal")).cast("double").as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** ROLLUP over (returnflag, linestatus). Grouping-set null markers are
+    * coalesced to a sentinel so ordering semantics (NULLS FIRST vs LAST)
+    * can't differ between engines.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over (orderstatus, orderpriority) on orders. */
+  def cubeSummary(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** Distinct aggregation: Catalyst plans the expand + two-phase agg. */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations in one relation: INTERSECT / EXCEPT / UNION branches
+    * tagged and unioned. Spark plans these as semi/anti aggregate joins.
+    */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val ordered = orders.select(col("o_custkey").as("custkey")).distinct()
+    val rich = customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey")).distinct()
+    val i = ordered.intersect(rich).withColumn("tag", lit("both"))
+    val e = rich.except(ordered).withColumn("tag", lit("rich_no_orders"))
+    i.union(e).orderBy(col("tag"), col("custkey"))
+  }
+
+  /** Global top-k via TakeOrderedAndProject (no full sort at scale). */
+  def topOrders(orders: DataFrame, k: Int = 15): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Scalar function library projection (string/math/date) — whole-stage
+    * codegen'd row-level expressions, no shuffle at all.
+    */
+  def scalarFunctions(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_brand"), 1, 5).as("brand_prefix"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      abs(col("p_size") - lit(25)).as("size_dist"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      (col("p_size") % 7).as("size_mod"),
+      when(col("p_size") >= 25, "big").otherwise("small").as("size_class"))
+      .orderBy(col("p_partkey"))
+}
