@@ -89,6 +89,25 @@ object SparkEntry {
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    // ---- text analysis (LLM-data-pipeline surface) -----------------------
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
+    "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // ---- deduplication ---------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    // ---- similarity search over embeddings -------------------------------
+    "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
+    "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"))),
+    // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
+    "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
+    // ---- multimodal column plumbing (stubbed decode) ---------------------
+    "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
   )
 
   /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
@@ -120,6 +139,73 @@ object SparkEntry {
       |), counts AS (
       |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
       |)""".stripMargin
+
+  /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
+  private val shinglesCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Generated SQL for the 64-bit SimHash fingerprint (mirrors
+    * Dedup.simhash's ascii-decoded md5 nibble bits exactly).
+    */
+  private val simhashFpCte: String = {
+    val hvs = (1 to 16).map { nib =>
+      s"(ascii(substr(m, $nib, 1)) - CASE WHEN ascii(substr(m, $nib, 1)) >= 97 THEN 87 ELSE 48 END) AS hv$nib"
+    }.mkString(",\n    ")
+    val votes = (0 until 64).map { b =>
+      s"sum(CASE WHEN ((hv${b / 4 + 1} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val chunks = (0 until 4).map { c =>
+      val bits = (0 until 16)
+        .map(i => s"(CASE WHEN v${c * 16 + i} > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($bits AS BIGINT) AS c$c"
+    }.mkString(",\n    ")
+    s"""WITH tokens AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), h AS (
+       |  SELECT doc_id, md5(tok) AS m FROM tokens
+       |), hx AS (
+       |  SELECT doc_id,
+       |    $hvs
+       |  FROM h
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hx GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id,
+       |    $chunks
+       |  FROM votes
+       |)""".stripMargin
+  }
+
+  /** Generated SQL for the 8-plane sign-random-projection bucket (mirrors
+    * Similarity.bucketOf: md5-derived weights, 0-based dims).
+    */
+  private val lshBucketExpr: String =
+    (0 until Similarity.NumPlanes).map { p =>
+      val w = s"((ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - " +
+        s"CASE WHEN ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) - 7.5)"
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $w)) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val embedCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+      |)""".stripMargin
+
+  private val dotExpr =
+    "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
 
   def oracleSql: Map[String, String] = Map(
     "baskets" ->
@@ -218,8 +304,8 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "window_rank" ->
       """SELECT event_id, user_id, event_type, value,
-        |  row_number() OVER w AS rn,
-        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
         |  lag(value, 1) OVER w AS prev_value,
         |  lead(event_type, 1) OVER w AS next_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
@@ -244,5 +330,166 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "text_stats" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS BIGINT) AS n_stopwords
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, n_chars, n_tokens, n_distinct_tokens, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(0.4 AS DOUBLE) * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |    + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
+        |    + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang AS lang_label,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','and','of','to','is'], x))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['el','la','de','los','que','y'], x))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['de5','shi4','zai4'], x))) AS BIGINT) AS score_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang_label, score_en, score_es, score_zh,
+        |  CASE WHEN score_es > score_en AND score_es > score_zh THEN 'es'
+        |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
+        |       ELSE 'en' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "token_freq" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "fingerprints" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
+    "ngram_jaccard" ->
+      (shinglesCte +
+        """, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "minhash_lsh" ->
+      (shinglesCte +
+        """, ks AS (SELECT unnest(range(0, 16)) AS k),
+        |mh AS (
+        |  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+        |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band, md5(string_agg(mh, '' ORDER BY k)) AS sig
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+        |FROM cand
+        |JOIN mh ma ON ma.doc_id = doc_a
+        |JOIN mh mb ON mb.doc_id = doc_b AND mb.k = ma.k
+        |GROUP BY doc_a, doc_b
+        |HAVING CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "simhash" ->
+      (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
+    "simhash_pairs" ->
+      (simhashFpCte +
+        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
+        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
+        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3))
+        |SELECT doc_id AS doc_a, doc_b,
+        |  CAST(bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+        |     + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+        |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "cosine_pairs" ->
+      (embedCte +
+        s""", p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_id, other_id, cos_e6 FROM p
+        |WHERE cos_e6 >= 400000 ORDER BY vec_id, other_id""".stripMargin),
+    "ann_topk" ->
+      (embedCte +
+        s""", p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_lsh_topk" ->
+      (s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), wb AS (
+        |  SELECT vec_id, v, $lshBucketExpr AS bucket FROM e
+        |), n AS (
+        |  SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM wb
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS other_id,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, bucket, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n FROM items),
+        |supp AS (SELECT item, count(*) AS supp FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |j AS (
+        |  SELECT p.item_a, p.item_b, p.pair_cnt, sa.supp AS supp_a, sb.supp AS supp_b,
+        |         (SELECT n FROM nb) AS n
+        |  FROM pairs p JOIN supp sa ON p.item_a = sa.item JOIN supp sb ON p.item_b = sb.item)
+        |SELECT * FROM (
+        |  SELECT item_a AS antecedent, item_b AS consequent, pair_cnt,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence,
+        |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(supp_a * supp_b AS DOUBLE) AS lift
+        |  FROM j
+        |  UNION ALL
+        |  SELECT item_b AS antecedent, item_a AS consequent, pair_cnt,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE) AS confidence,
+        |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(supp_a * supp_b AS DOUBLE) AS lift
+        |  FROM j)
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(1 + length(text) % 64 AS INTEGER) AS width,
+        |  CAST(1 + (length(text) // 64) % 64 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  CAST(len(list_filter(range(1, CAST(len(string_split(text, ' ')) AS BIGINT) + 1),
+        |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
+        |  md5(substr(text, 1, 64)) AS head_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

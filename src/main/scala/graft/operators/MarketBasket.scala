@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unordered market-basket association rules (support / confidence / lift)
+  * — the MLlib-FPGrowth-shaped capability from the north star
+  * (/root/repo/BASELINE.json), restricted to 2-itemsets so it has an exact
+  * SQL oracle. The windowed crystal-ball semantics (CoOccurrence) are the
+  * *ordered* complement; this is the order-free classic.
+  *
+  * The MLlib `FPGrowth` cross-check lives in the test suite
+  * (AssocRulesSpec): same minSupport over the same baskets must yield the
+  * same 2-itemset rules.
+  */
+object MarketBasket {
+
+  /** Distinct (basket, item) pairs from lineitem. */
+  private[graft] def basketItems(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("basket"),
+      col("l_partkey").cast("string").as("item")).distinct()
+
+  /** Association rules a→b over item pairs co-occurring in ≥ minPairCount
+    * baskets. Both directions emitted. The pair join is a self-equi-join
+    * on the basket key (shuffle on basket, never a cross product);
+    * support/confidence/lift divide exact integer counts.
+    */
+  def rules(lineitem: DataFrame, minPairCount: Long = 2): DataFrame = {
+    val items = basketItems(lineitem).cache()
+    val nBaskets = items.select(col("basket")).distinct().count()
+    val itemSupp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairSupp = items.as("a")
+      .join(items.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    val joined = pairSupp
+      .join(itemSupp.select(col("item").as("item_a"), col("supp").as("supp_a")), "item_a")
+      .join(itemSupp.select(col("item").as("item_b"), col("supp").as("supp_b")), "item_b")
+    val ab = joined.select(
+      col("item_a").as("antecedent"), col("item_b").as("consequent"),
+      col("pair_cnt"),
+      (col("pair_cnt").cast("double") / lit(nBaskets.toDouble)).as("support"),
+      (col("pair_cnt").cast("double") / col("supp_a").cast("double")).as("confidence"),
+      (col("pair_cnt").cast("double") * lit(nBaskets.toDouble) /
+        (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+    val ba = joined.select(
+      col("item_b").as("antecedent"), col("item_a").as("consequent"),
+      col("pair_cnt"),
+      (col("pair_cnt").cast("double") / lit(nBaskets.toDouble)).as("support"),
+      (col("pair_cnt").cast("double") / col("supp_b").cast("double")).as("confidence"),
+      (col("pair_cnt").cast("double") * lit(nBaskets.toDouble) /
+        (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+    ab.union(ba).orderBy(col("antecedent"), col("consequent"))
+  }
+}

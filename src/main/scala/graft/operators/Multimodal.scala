@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (shape derived from byte length; see
+  * [[StubCodec]]). Everything around it — binary column handling, schema,
+  * partition-preserving mapPartitions batching, sampling stride — is real
+  * Spark plumbing a production codec would drop into.
+  */
+object Multimodal {
+
+  /** A decoded media frame's metadata (what a real codec would return). */
+  final case class MediaMeta(docId: Long, nBytes: Long, width: Int,
+      height: Int, channels: Int)
+
+  /** STUB codec: a real implementation would wrap an image/audio library
+    * here (the only non-Spark piece). Deterministic fake: dimensions are
+    * derived from the byte length so tests and oracles can predict them.
+    */
+  object StubCodec {
+    def decodeMeta(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      // ??? <- real codec goes here; deterministic fake below
+      val n = bytes.length.toLong
+      MediaMeta(docId, n, (1 + n % 64).toInt, (1 + (n / 64) % 64).toInt, 3)
+    }
+  }
+
+  /** documents.text → opaque binary "media" column + metadata. In a real
+    * pipeline this is the raw image/audio payload column.
+    */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("media"))
+
+  /** Batched decode via mapPartitions over the typed Dataset — the shape a
+    * vectorized decode UDF takes (one codec init per partition, row-batch
+    * loop inside). Partitioning is preserved; no shuffle.
+    */
+  def decodeMeta(documents: DataFrame): Dataset[MediaMeta] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaTable(documents).as[(Long, Array[Byte])].mapPartitions { it =>
+      // per-partition codec init would happen here
+      it.map { case (id, bytes) => StubCodec.decodeMeta(id, bytes) }
+    }
+  }
+
+  /** Pure-Catalyst twin of the stub decode + frame sampling — the
+    * oracle-checkable surface. n_frames samples every `stride`-th token
+    * ("frame") of the payload; head_sig fingerprints the first 64 bytes.
+    */
+  def mediaMeta(documents: DataFrame, stride: Int = 4): DataFrame = {
+    val n = length(col("text")).cast("long")
+    val toks = split(col("text"), " ")
+    documents.select(
+        col("doc_id"),
+        n.as("n_bytes"),
+        (lit(1) + n % 64).cast("int").as("width"),
+        (lit(1) + (n / 64).cast("long") % 64).cast("int").as("height"),
+        lit(3).as("channels"),
+        size(filter(sequence(lit(1), size(toks)),
+          i => (i - 1) % stride === 0)).as("n_frames"),
+        md5(substring(col("text"), 1, 64).cast("binary")).as("head_sig"))
+      .orderBy(col("doc_id"))
+  }
+}

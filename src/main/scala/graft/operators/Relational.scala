@@ -142,7 +142,7 @@ object Relational {
     part.select(
       col("p_partkey"),
       upper(col("p_name")).as("name_upper"),
-      length(col("p_name")).as("name_len"),
+      length(col("p_name")).cast("long").as("name_len"),
       substring(col("p_brand"), 1, 5).as("brand_prefix"),
       concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
       abs(col("p_size") - lit(25)).as("size_dist"),

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim).
+  *
+  * Baseline: brute-force cosine top-k — an O(n²) block nested-loop that is
+  * correct at any scale but only affordable for small n; the scale path is
+  * [[lshTopK]], which buckets vectors by deterministic random-hyperplane
+  * signs (md5-derived weights, no RNG) and only scores within buckets.
+  *
+  * All vector math is done in double precision with a left-to-right
+  * sequential fold (`aggregate`), and scores are emitted as
+  * floor(cos·1e6) BIGINTs — floor of identical doubles is identical, so
+  * the DuckDB oracle (same fold, same scaling) produces identical ranks
+  * with no cross-engine round() ULP ambiguity. Ties rank by neighbor id.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  private[graft] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Pairwise cosine scores above `minCos` for vec_id < other_id pairs. */
+  def cosinePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("other_id"), asDouble(col("embedding")).as("vb"))
+    a.join(b, col("vec_id") < col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))) * lit(1000000.0)))
+      .filter(col("cos_e6") >= (minCos * 1000000).toLong)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"))
+      .orderBy(col("vec_id"), col("other_id"))
+  }
+
+  /** Brute-force cosine top-k per query vector (the correctness baseline
+    * every ANN variant is judged against).
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val a = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("other_id"), asDouble(col("embedding")).as("vb"))
+    val scored = a.join(b, col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))) * lit(1000000.0)))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * hex nibble of md5("p_i") mapped to [−7.5, 7.5]. Portable to SQL.
+    */
+  private def weight(plane: Int, i: Column): Column = {
+    val d = ascii(substring(md5(concat(lit(s"$plane" + "_"), i.cast("string"))
+      .cast("binary")), 1, 1))
+    (d - when(d >= 97, 87).otherwise(48)).cast("double") - lit(7.5)
+  }
+
+  /** Sign-random-projection bucket signature: bit per hyperplane. */
+  private[graft] def bucketOf(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(63)), i => weight(p, i)),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only pairs whose bucket signatures match —
+    * the 100 TB path (bucket join instead of cross product; recall traded
+    * for a ~2^planes reduction in comparisons).
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val withBucket = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val b = withBucket.select(col("vec_id").as("other_id"),
+      col("v").as("vb"), col("bucket").as("bucket_b"))
+    withBucket.join(b,
+        col("bucket") === col("bucket_b") && col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (norm(col("v")) * norm(col("vb"))) * lit(1000000.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("bucket"), col("other_id"), col("cos_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+}

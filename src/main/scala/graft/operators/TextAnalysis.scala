@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north star in
+  * /root/repo/BASELINE.json): per-document statistics + quality scoring,
+  * heuristic language id, corpus token frequencies, and content
+  * fingerprinting. All row-level expressions stay inside whole-stage
+  * codegen (no UDFs); the only shuffles are the corpus-level groupBys.
+  *
+  * Parity discipline: tokenization is a literal single-space split (or an
+  * explicit `[a-z0-9]+` regex), ratios divide exact integer operands, and
+  * fingerprints are md5 — all reproducible verbatim in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private[graft] val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-document statistics + a composite quality score.
+    * quality = 0.4·stopword_ratio + 0.3·min(n_tokens/300, 1)
+    *         + 0.3·distinct_ratio, computed in this exact operand order on
+    * both engines so the doubles are bit-identical.
+    */
+  def textStats(documents: DataFrame): DataFrame = {
+    val nTok = size(toks)
+    val nStop = countIn(stopwords)
+    val nDistinct = size(array_distinct(toks))
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val lenScore = least(nTok.cast("double") / lit(300.0), lit(1.0))
+    val distinctRatio = nDistinct.cast("double") / nTok.cast("double")
+    documents.select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        nDistinct.cast("long").as("n_distinct_tokens"),
+        nStop.cast("long").as("n_stopwords"),
+        stopRatio.as("stopword_ratio"),
+        (lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * distinctRatio)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val enMarkers = Seq("the", "a", "and", "of", "to", "is")
+  private val esMarkers = Seq("el", "la", "de", "los", "que", "y")
+  private val zhMarkers = Seq("de5", "shi4", "zai4") // pinyin-ish markers
+
+  /** Heuristic language id: marker-token counts per language, argmax with
+    * a fixed deterministic tie-break (es > zh > en precedence on strict
+    * inequality). Corpus text is synthetic so this mostly predicts 'en' —
+    * the operator contract (deterministic scoring + argmax) is the point.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val sEn = countIn(enMarkers)
+    val sEs = countIn(esMarkers)
+    val sZh = countIn(zhMarkers)
+    documents.select(
+        col("doc_id"), col("lang").as("lang_label"),
+        sEn.cast("long").as("score_en"), sEs.cast("long").as("score_es"),
+        sZh.cast("long").as("score_zh"),
+        when(sEs > sEn && sEs > sZh, "es")
+          .when(sZh > sEn && sZh >= sEs, "zh")
+          .otherwise("en").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token frequencies via the BPE-ish regex tokenizer, top-k.
+    * explode → single low-cardinality groupBy with map-side combine;
+    * top-k is TakeOrderedAndProject.
+    */
+  def tokenFrequencies(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** Content fingerprints: exact (md5 of text) and order-invariant
+    * (md5 of the sorted distinct token list) — the latter is the cheap
+    * "same bag of words" near-dup key.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
+          .as("bag_md5"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Cross-validation for the LLM-pipeline operators: each custom
+  * implementation is checked against an independent formulation (MLlib
+  * FPGrowth for association rules, brute force for LSH-based candidates).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Specs.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tbl(name: String) = spark.read.parquet(s"$sf/$name.parquet")
+
+  test("assoc_rules matches MLlib FPGrowth 2-itemset rules") {
+    import org.apache.spark.ml.fpm.FPGrowth
+    import org.apache.spark.sql.functions._
+    val items = MarketBasket.basketItems(tbl("lineitem"))
+    val nBaskets = items.select("basket").distinct().count()
+    val baskets = items.groupBy("basket")
+      .agg(collect_list(col("item")).as("items"))
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(2.0 / nBaskets).setMinConfidence(0.0).fit(baskets)
+    // MLlib rules with 1-item antecedent+consequent, keyed for compare
+    val mllib = model.associationRules
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .select(col("antecedent")(0).as("a"), col("consequent")(0).as("c"),
+        col("confidence"), col("lift"), col("support"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ours = MarketBasket.rules(tbl("lineitem")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(3)))
+      .toMap
+    assert(ours.nonEmpty, "no rules produced")
+    assert(ours.keySet == mllib.keySet,
+      s"rule sets differ: ours=${ours.size} mllib=${mllib.size}")
+    ours.foreach { case (k, (conf, lift, supp)) =>
+      val (mc, ml, ms) = mllib(k)
+      assert(math.abs(conf - mc) < 1e-12 && math.abs(lift - ml) < 1e-9 &&
+        math.abs(supp - ms) < 1e-12, s"rule $k metrics differ")
+    }
+  }
+
+  test("minhash LSH finds every strong ngram-jaccard near-dup pair") {
+    val docs = tbl("documents")
+    val strong = Dedup.ngramJaccard(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "fixture has no strong near-dups")
+    assert(strong.subsetOf(found),
+      s"LSH missed ${strong.diff(found).size} of ${strong.size} strong pairs")
+  }
+
+  test("simhash pairs include exact-bag duplicates and are well-formed") {
+    val pairs = Dedup.simhashPairs(tbl("documents")).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 12)
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force scoring") {
+    val emb = tbl("embeddings")
+    val brute = Similarity.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Similarity.lshTopK(emb).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && brute(key) == r.getLong(3),
+        s"LSH pair $key score mismatch vs brute force")
+    }
+  }
+
+  test("multimodal stub decode (mapPartitions) agrees with its SQL twin") {
+    val docs = tbl("documents")
+    val typed = Multimodal.decodeMeta(docs).collect()
+      .map(m => m.docId -> ((m.nBytes, m.width, m.height))).toMap
+    val sql = Multimodal.mediaMeta(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(typed == sql)
+  }
+
+  test("text stats quality is in [0, 1] and stopword counts bounded") {
+    TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
+      val q = r.getDouble(8)
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
+      assert(r.getLong(6) <= r.getLong(4), "more stopwords than tokens")
+    }
+  }
+}
