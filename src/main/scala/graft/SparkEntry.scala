@@ -62,6 +62,14 @@ object SparkEntry {
       CoOccurrence.pairsSql(BasketSource.fromLineitem(s, dir))
         .groupBy(col("product"), col("neighbor")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("product"), col("neighbor"))),
+    // O4 as a registered Catalyst Generator (UDTF) — SQL-first surface
+    "cooccur_counts_gen" -> ((s, dir) => {
+      graft.functions.CoOccurFunctions.register(s)
+      BasketSource.fromLineitem(s, dir)
+        .selectExpr("co_occur_pairs(products)")
+        .groupBy(col("product"), col("neighbor")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("product"), col("neighbor"))
+    }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
     // O8/O14: stripe shape (sorted struct array for deterministic compare)
@@ -213,6 +221,8 @@ object SparkEntry {
     "cooccur_counts" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_sql" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->
       (cooccurCte +

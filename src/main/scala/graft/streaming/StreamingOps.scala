@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.1 — absent from the
+  * reference): the batch event operators re-expressed over `readStream`,
+  * plus a stateful per-user session tracker via mapGroupsWithState.
+  *
+  * Batch/stream parity is the design invariant: each streaming transform
+  * reuses the same dataflow as its batch twin in graft.operators.Events,
+  * so a pipeline can be developed against parquet batches and deployed on
+  * a stream unchanged (tested in StreamingSpec against the batch results).
+  */
+object StreamingOps {
+
+  /** On-disk events schema as read with nanosAsLong (ts = long nanos). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a DIRECTORY of events parquet files
+    * (Spark's file stream source monitors directories, not single files);
+    * µs-aligned nanos → ts.
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked hourly tumbling counts — streaming twin of
+    * Events.hourlyCounts (same group keys and aggregates; the watermark
+    * bounds state for continuous operation).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user running state maintained across micro-batches. */
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserState(n: Long, sumValue: Double, lastTs: Long)
+  final case class UserSummary(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful per-user aggregation via mapGroupsWithState — the custom-
+    * state extension point (reference O7's in-mapper accumulator,
+    * generalized to unbounded streams with managed state).
+    */
+  def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserSummary] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserState(s.n + 1, s.sumValue + e.value,
+              math.max(s.lastTs, e.ts.getTime))
+          }
+          state.update(next)
+          UserSummary(userId, next.n, next.sumValue)
+      }
+  }
+}

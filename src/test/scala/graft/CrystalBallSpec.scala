@@ -93,6 +93,26 @@ class CrystalBallSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("co_occur_pairs Generator (SQL UDTF) equals flatMap window") {
+    graft.functions.CoOccurFunctions.register(spark)
+    val ds = BasketSource.fromLines(spark, fixtureLines)
+    val viaGen = ds.toDF().selectExpr("co_occur_pairs(products)")
+      .groupBy("product", "neighbor").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaFlatMap = CoOccurrence.pairs(ds).groupBy("product", "neighbor").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaGen == viaFlatMap)
+    // and through a SQL LATERAL VIEW
+    ds.toDF().createOrReplaceTempView("fixture_baskets")
+    val viaSql = spark.sql(
+      """SELECT c.product, c.neighbor, count(*) AS cnt
+        |FROM fixture_baskets
+        |LATERAL VIEW co_occur_pairs(products) c AS product, neighbor
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaSql == viaFlatMap)
+  }
+
   // -- edge-case micro-fixtures (FIXTURES.md §1) --------------------------
 
   private def pairsOf(line: String): Seq[(String, String)] =

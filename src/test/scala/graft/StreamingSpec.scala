@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Batch/stream parity: each streaming operator must reproduce its batch
+  * twin's result when fed the same parquet as a finite stream.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Specs.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** File stream sources monitor directories: stage the single events
+    * parquet into a temp dir once per suite.
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def batchEvents = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val q = StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = graft.operators.Events.hourlyCounts(batchEvents).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful mapGroupsWithState user totals equal batch groupBy") {
+    val q = StreamingOps.userTotals(spark, StreamingOps.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("user_totals_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("user_totals_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = batchEvents.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("s")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.nonEmpty && streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, (n, s)) =>
+        assert(n == batch(u)._1, s"user $u count")
+        assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum")
+      }
+    } finally q.stop()
+  }
+}
