@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CoOccurrence, CrystalBall}
+import graft.sources.{BasketSource, GoldenSink}
+
+/** Reference-format output + UDAF stripe equivalence (SURVEY.md §2
+  * O8/O11/O15/O16/O17).
+  */
+class GoldenSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Specs.spark
+
+  private val fixtureLines = Seq(
+    "Mary 34 56 29 12 34 56 92 29 34 12",
+    "Kelly 92 29 12 34 79 29 56 12 34 18")
+
+  private def pairs = CrystalBall.pairProbabilities(
+    BasketSource.fromLines(spark, fixtureLines))
+
+  test("pair text lines byte-match the golden Pairs output") {
+    import scala.jdk.CollectionConverters._
+    val got = GoldenSink.pairLines(pairs).collect().map(_.getString(0)).toSet
+    val golden = java.nio.file.Files.list(
+        java.nio.file.Paths.get("/root/reference/output/CrystalBallPair"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .toSet
+    assert(got == golden)
+  }
+
+  test("stripe text lines parse back to the golden probabilities") {
+    val stripes = CrystalBall.stripeProbabilities(
+      BasketSource.fromLines(spark, fixtureLines))
+    val lines = GoldenSink.stripeLines(stripes).collect().map(_.getString(0))
+    assert(lines.forall(l => l.contains("\t{") && l.endsWith("), }")))
+    assert(lines.length == 6) // product 18 is only ever last -> empty window, no stripe
+  }
+
+  test("range partitioning reproduces the reference 3-way file split") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val parts = GoldenSink.rangePartitioned(pairs, 3)
+      .select(col("product").cast("int").as("p"), spark_partition_id().as("pid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // range partitioning: partition id must be monotone in the product id
+    val byPid = parts.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byPid.size == 3)
+    val ranges = byPid.toSeq.sortBy(_._1).map { case (_, ps) => (ps.min, ps.max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("writeText overwrites (O17) and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("golden_sink").toString
+    GoldenSink.writeText(GoldenSink.pairLines(pairs), s"$dir/out")
+    GoldenSink.writeText(GoldenSink.pairLines(pairs), s"$dir/out") // overwrite
+    val back = spark.read.text(s"$dir/out").count()
+    assert(back == 34)
+  }
+
+  test("StripeAggregator UDAF equals groupBy+map_from_entries composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val counts = CoOccurrence.counts(BasketSource.fromLines(spark, fixtureLines))
+    val viaUdaf = counts.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.StripeAggregator.toColumn.name("stripe"))
+      .collect().toMap
+    val viaComposition = CrystalBall.stripeMap(
+        BasketSource.fromLines(spark, fixtureLines))
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, Double](1))
+      .toMap
+    assert(viaUdaf.keySet == viaComposition.keySet)
+    viaUdaf.foreach { case (product, stripe) =>
+      val total = stripe.values.sum.toDouble
+      val probs = stripe.map { case (k, v) => k -> v / total }
+      assert(probs == viaComposition(product).toMap.map {
+        case (k, v) => k -> v }, s"stripe for $product")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{CoOccurrence, CrystalBall}
+import graft.sources.BasketSource
+
+/** Property suite for the window semantics (SURVEY.md §5): invariants that
+  * must hold for arbitrary baskets, not just the golden fixture. Uses
+  * ScalaCheck generators with a fixed seed (deterministic, no extra
+  * scalatestplus bridge needed); pure-function level so hundreds of cases
+  * run without Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val productGen = Gen.chooseNum(1, 20).map(_.toString)
+  private val basketGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, productGen))
+
+  private def samples(n: Int): Seq[List[String]] =
+    (0 until n).flatMap(i => basketGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** Independent re-derivation of the expected window size at position i:
+    * distance to the next repeat of products(i) (or end of basket).
+    */
+  private def expectedWindow(arr: Vector[String], i: Int): Int = {
+    val stop = arr.indexWhere(_ == arr(i), i + 1) match {
+      case -1 => arr.length
+      case r  => r
+    }
+    stop - i - 1
+  }
+
+  test("no self-pairs ever emitted (500 random baskets)") {
+    samples(500).foreach { products =>
+      CoOccurrence.windowPairs(products).foreach(p =>
+        assert(p.product != p.neighbor, s"self-pair in $products"))
+    }
+  }
+
+  test("pair count equals sum of repeat-truncated window sizes") {
+    samples(500).foreach { products =>
+      val arr = products.toVector
+      val total = CoOccurrence.windowPairs(products).size
+      val expected =
+        if (arr.isEmpty) 0
+        else arr.indices.dropRight(1).map(expectedWindow(arr, _)).sum
+      assert(total == expected, s"basket $products")
+    }
+  }
+
+  test("emitted neighbors are exactly the window slice at each position") {
+    samples(300).foreach { products =>
+      val arr = products.toVector
+      val got = CoOccurrence.windowPairs(products).toList
+      val expected = arr.indices.dropRight(1).flatMap { i =>
+        arr.slice(i + 1, i + 1 + expectedWindow(arr, i))
+          .map(nb => CoPair(arr(i), nb))
+      }.toList
+      assert(got == expected, s"basket $products")
+    }
+  }
+
+  test("maxWindow cap yields a subset of the uncapped relation") {
+    samples(300).foreach { products =>
+      (1 to 4).foreach { cap =>
+        val capped = CoOccurrence.windowPairs(products, cap).toSeq
+        val full = CoOccurrence.windowPairs(products).toSeq
+        assert(capped.size <= full.size)
+        assert(capped.toSet.subsetOf(full.toSet), s"cap $cap basket $products")
+      }
+    }
+  }
+
+  test("probabilities sum to 1 per product on adversarial baskets (Spark)") {
+    val lines = Seq(
+      "u1 3 1 4 1 5 9 2 6 5 3 5",
+      "u2 8 9 7 9 3 2 3 8 4 6 2",
+      "u3 1 1 1 1", "u4 7", "u5")
+    val probs = CrystalBall.pairProbabilities(
+        BasketSource.fromLines(Specs.spark, lines)).collect()
+    assert(probs.nonEmpty)
+    probs.groupBy(_.getString(0)).foreach { case (p, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"product $p sums to $s")
+    }
+  }
+}
