@@ -26,6 +26,21 @@ object CrystalBall {
     counts.withColumn("prob",
       col("cnt") / sum(col("cnt")).over(Window.partitionBy(col("product"))))
 
+  /** Skew-safe alternative to the window: aggregate per-product totals
+    * (map-side combined, no sort) and join them back. At 100 TB a hot
+    * product makes the window's per-partition sort skew; the totals
+    * relation has one row per distinct product — broadcastable when the
+    * catalog is small, AQE-skew-handled otherwise. Same arithmetic, same
+    * result (tested equal to [[normalize]]).
+    */
+  def normalizeViaTotalsJoin(counts: DataFrame): DataFrame = {
+    val totals = counts.groupBy(col("product"))
+      .agg(sum(col("cnt")).as("total"))
+    counts.join(totals, "product")
+      .withColumn("prob", col("cnt") / col("total"))
+      .drop("total")
+  }
+
   /** Pair-shaped flagship result (reference Pairs variant output,
     * `output/CrystalBallPair/part-r-*`): (product, neighbor, cnt, prob),
     * deterministically ordered (string sort, matching the reference's
