@@ -27,7 +27,9 @@ object MarketBasket {
     */
   def rules(lineitem: DataFrame, minPairCount: Long = 2): DataFrame = {
     val items = basketItems(lineitem).cache()
-    val nBaskets = items.select(col("basket")).distinct().count()
+    // basket count as a broadcast 1-row aggregate — keeps the whole rule
+    // derivation a single lazy plan (no driver-side count action/extra scan)
+    val nb = items.agg(countDistinct(col("basket")).cast("double").as("n_baskets"))
     val itemSupp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val pairSupp = items.as("a")
       .join(items.as("b"),
@@ -38,19 +40,20 @@ object MarketBasket {
     val joined = pairSupp
       .join(itemSupp.select(col("item").as("item_a"), col("supp").as("supp_a")), "item_a")
       .join(itemSupp.select(col("item").as("item_b"), col("supp").as("supp_b")), "item_b")
+      .crossJoin(broadcast(nb))
     val ab = joined.select(
       col("item_a").as("antecedent"), col("item_b").as("consequent"),
       col("pair_cnt"),
-      (col("pair_cnt").cast("double") / lit(nBaskets.toDouble)).as("support"),
+      (col("pair_cnt").cast("double") / col("n_baskets")).as("support"),
       (col("pair_cnt").cast("double") / col("supp_a").cast("double")).as("confidence"),
-      (col("pair_cnt").cast("double") * lit(nBaskets.toDouble) /
+      (col("pair_cnt").cast("double") * col("n_baskets") /
         (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
     val ba = joined.select(
       col("item_b").as("antecedent"), col("item_a").as("consequent"),
       col("pair_cnt"),
-      (col("pair_cnt").cast("double") / lit(nBaskets.toDouble)).as("support"),
+      (col("pair_cnt").cast("double") / col("n_baskets")).as("support"),
       (col("pair_cnt").cast("double") / col("supp_b").cast("double")).as("confidence"),
-      (col("pair_cnt").cast("double") * lit(nBaskets.toDouble) /
+      (col("pair_cnt").cast("double") * col("n_baskets") /
         (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
     ab.union(ba).orderBy(col("antecedent"), col("consequent"))
   }
