@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB design point (SURVEY.md §7
+  * "what's hard": hot products make any single `groupBy`/`join` key
+  * partition-bound). AQE handles most runtime skew; these are the explicit
+  * forms for when a key's cardinality is pathological enough that even one
+  * reducer's share of ONE key doesn't fit.
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: count in (key, salt) sub-groups, then
+    * re-aggregate per key. The salt is derived deterministically from the
+    * full row hash, so results are stable across runs; Catalyst's partial
+    * aggregation already bounds per-task state — salting additionally
+    * bounds the per-key share of any single REDUCER, which matters when
+    * one key dominates the dataset.
+    */
+  def saltedCounts(df: DataFrame, keys: Seq[String], nSalts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+  }
+
+  /** Skewed equi-join: replicate the SMALL side `nSalts` times and salt
+    * the big side's key deterministically, so a hot key's rows spread over
+    * `nSalts` tasks instead of one. Semantically identical to
+    * `big.join(small, bigKey === smallKey)` for inner joins.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, nSalts: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until nSalts).map(lit(_)): _*)))
+    saltedBig.join(replicated,
+        saltedBig("_salt") === replicated("_salt") &&
+          col(bigKey) === col(smallKey))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality guards: the physical plans the engine relies on at scale
+  * must not silently regress (pushdown, pruning, broadcast, top-k).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Specs.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+  }
+
+  test("q1_pricing prunes the scan to the 6 referenced columns") {
+    val p = planOf("q1_pricing")
+    val readSchema = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q3_topk broadcasts the customer dimension and plans top-k") {
+    val p = planOf("q3_topk")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("join_bcast_region is broadcast-only (no shuffle joins)") {
+    val p = planOf("join_bcast_region")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled:\n$p")
+  }
+
+  test("topk_orders avoids a global sort") {
+    val p = planOf("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort planned:\n$p")
+  }
+
+  test("crystalball_pairs has exactly the expected exchanges") {
+    val p = planOf("crystalball_pairs")
+    // basket build (orderkey), pair count (product,neighbor), window
+    // (product), final sort — anything more means a lost partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 4, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("salted counts equal plain groupBy counts") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew.saltedCounts(li, Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    val salted = graft.operators.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey").count()
+    assert(salted == plain)
+  }
+}
