@@ -112,6 +112,10 @@ object SparkEntry {
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"))),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
+    // O4 over token sequences + the end-to-end cleaning pipeline
+    "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
+    "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
     // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
     "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
     // ---- multimodal column plumbing (stubbed decode) ---------------------
@@ -466,6 +470,76 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
         |  FROM p)
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_ivf_topk" ->
+      (embedCte +
+        s""", cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+        |), scored AS (
+        |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+        |  FROM n a CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+        |    FROM scored) WHERE crk = 1
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, a.cluster AS cluster, b.vec_id AS other_id,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "text_cooccur" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS products FROM documents
+        |), exploded AS (
+        |  SELECT doc_id AS bid, unnest(products) AS product,
+        |         generate_subscripts(products, 1) AS pos
+        |  FROM toks
+        |), currents AS (
+        |  SELECT bid, product, pos,
+        |         lead(pos) OVER (PARTITION BY bid, product ORDER BY pos) AS next_same
+        |  FROM exploded
+        |), pairs AS (
+        |  SELECT a.product, b.product AS neighbor
+        |  FROM currents a JOIN exploded b
+        |    ON a.bid = b.bid AND b.pos > a.pos
+        |   AND (a.next_same IS NULL OR b.pos < a.next_same)
+        |), counts AS (
+        |  SELECT product AS term, neighbor AS coterm, count(*) AS cnt
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT term, coterm, cnt FROM counts
+        |ORDER BY cnt DESC, term, coterm LIMIT 50""".stripMargin,
+    "pipeline_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS BIGINT) AS n_stopwords
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(0.4 AS DOUBLE) * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
+        |      + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+        |  FROM c
+        |), f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
+        |  FROM documents
+        |), s AS (
+        |  SELECT q.doc_id, q.lang, q.quality, f.bag_md5
+        |  FROM q JOIN f USING (doc_id) WHERE q.quality >= 0.22
+        |), d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bag_md5 ORDER BY doc_id) AS rk FROM s
+        |)
+        |SELECT lang, count(*) AS n_docs, min(quality) AS min_quality,
+        |  max(quality) AS max_quality
+        |FROM d WHERE rk = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),

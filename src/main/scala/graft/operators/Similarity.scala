@@ -99,6 +99,46 @@ object Similarity {
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  val NumCentroids = 16
+
+  /** IVF-style ANN: assign every vector to its nearest centroid, then
+    * search only within the assigned cell. The serving path (assignment
+    * join + in-cell top-k) is the real IVF dataflow; the *training* step
+    * is stubbed deterministically — centroids are the vectors with
+    * vec_id < NumCentroids rather than k-means output, so the whole
+    * operator stays oracle-checkable (a production build would swap in
+    * `MLlib KMeans.fit` centroids, changing nothing downstream).
+    * At scale: centroids broadcast, assignment is a map-side cross with
+    * NumCentroids rows, the cell search shuffles on cluster id.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", floor(dot(col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")) * lit(1000000.0)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+    val other = assigned.select(col("vec_id").as("other_id"),
+      col("v").as("vb"), col("nrm").as("nrm_b"), col("cluster").as("cluster_b"))
+    assigned.join(other,
+        col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("cluster"), col("other_id"), col("cos_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** LSH-bucketed ANN: score only pairs whose bucket signatures match —
     * the 100 TB path (bucket join instead of cross product; recall traded
     * for a ~2^planes reduction in comparisons).

@@ -82,6 +82,46 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** O4 generalized to token windows (SURVEY.md §7 phase 2): the
+    * repeat-terminated co-occurrence window applied to document token
+    * sequences instead of purchase sequences — top co-occurring term
+    * pairs across the corpus.
+    */
+  def tokenCoOccurrence(documents: DataFrame, k: Int = 50): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val baskets = documents
+      .select(col("doc_id").cast("string").as("customer"),
+        split(col("text"), " ").as("products"))
+      .as[graft.Basket]
+    CoOccurrence.counts(baskets)
+      .select(col("product").as("term"), col("neighbor").as("coterm"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"), col("coterm"))
+      .limit(k)
+  }
+
+  /** End-to-end training-data cleaning pipeline: quality-score → filter →
+    * bag-fingerprint dedup (keep lowest doc_id) → per-language corpus
+    * summary. The composition every stage was built for; aggregates are
+    * order-independent (counts + min/max) so the summary oracle-matches.
+    */
+  def cleanCorpus(documents: DataFrame, minQuality: Double = 0.22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = textStats(documents)
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val fp = fingerprints(documents).select(col("doc_id"), col("bag_md5"))
+    stats.filter(col("quality") >= minQuality)
+      .join(fp, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bag_md5")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** Content fingerprints: exact (md5 of text) and order-invariant
     * (md5 of the sorted distinct token list) — the latter is the cheap
     * "same bag of words" near-dup key.
