@@ -92,6 +92,12 @@ object SparkEntry {
     "set_ops" -> ((s, dir) => Relational.setOps(
       t(s, dir, "customer"), t(s, dir, "orders"))),
     "topk_orders" -> ((s, dir) => Relational.topOrders(t(s, dir, "orders"))),
+    "outer_join_agg" -> ((s, dir) => Relational.customerOrderStats(
+      t(s, dir, "customer"), t(s, dir, "orders"))),
+    "full_outer_presence" -> ((s, dir) => Relational.orderPresence(t(s, dir, "orders"))),
+    "above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(t(s, dir, "orders"))),
+    "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
+    "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
     // ---- analytic windows + sessionization over events ------------------
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
@@ -305,6 +311,47 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), CAST(0 AS DOUBLE)) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "full_outer_presence" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT coalesce(a.k, b.k) AS custkey,
+        |  CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS early,
+        |  CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS late
+        |FROM a FULL JOIN b ON a.k = b.k ORDER BY custkey""".stripMargin,
+    "above_avg_orders" ->
+      """WITH g AS (
+        |  SELECT o_custkey AS k, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN g ON o_custkey = g.k
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > total
+        |ORDER BY o_orderkey""".stripMargin,
+    "pivot_status" ->
+      ("""SELECT o_orderstatus,""" +
+        Relational.OrderPriorities.map(p =>
+          s"""\n  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+          .mkString(",") +
+        "\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         |  length(p_name) AS name_len,

@@ -135,6 +135,82 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 
+  /** Left outer join + aggregation: per-customer order stats where
+    * customers without orders keep a zero row (count(col) ignores nulls;
+    * the sum coalesces). Shuffle on the customer key only.
+    */
+  def customerOrderStats(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")).cast("double"), lit(0).cast("double"))
+          .as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Full outer join: presence flags for customers ordering before vs
+    * after a date split — exercises null-producing sides on both ends.
+    */
+  def orderPresence(orders: DataFrame): DataFrame = {
+    val split = lit("1996-01-01").cast("timestamp")
+    val early = orders.filter(col("o_orderdate") < split)
+      .select(col("o_custkey").as("k_early")).distinct()
+    val late = orders.filter(col("o_orderdate") >= split)
+      .select(col("o_custkey").as("k_late")).distinct()
+    early.join(late, col("k_early") === col("k_late"), "full_outer")
+      .select(coalesce(col("k_early"), col("k_late")).as("custkey"),
+        when(col("k_early").isNull, 0).otherwise(1).as("early"),
+        when(col("k_late").isNull, 0).otherwise(1).as("late"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Orders strictly above their customer's average price. Expressed with
+    * window aggregates here and a grouped-subquery join in the oracle —
+    * different plans, same relation. The comparison is decimal-exact
+    * (price·n > total) so no float average can diverge between engines.
+    */
+  def aboveAvgOrders(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    orders
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("total", sum(dec("o_totalprice")).over(w))
+      .filter(dec("o_totalprice") * col("n") > col("total"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val OrderPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts by priority, one column per priority value
+    * (explicit value list keeps the schema static; absent combinations
+    * are zero-filled to match the oracle's sum(CASE ...)).
+    */
+  def priorityPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", OrderPriorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus"))
+
+  /** Date/time function breadth over orders (year/month/day/dow,
+    * truncation, arithmetic) — engine-portable variants only (day-of-week
+    * aligned to Spark's 1=Sunday convention on both sides).
+    */
+  def dateFunctions(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      quarter(col("o_orderdate")).as("q"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_1999"))
+      .orderBy(col("o_orderkey"))
+
   /** Scalar function library projection (string/math/date) — whole-stage
     * codegen'd row-level expressions, no shuffle at all.
     */
