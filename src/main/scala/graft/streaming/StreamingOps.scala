@@ -47,6 +47,22 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** The flagship crystal-ball dataflow over a text stream of basket
+    * lines: parse → repeat-terminated window flatMap → running pair
+    * counts. Normalization happens at read time (probabilities need the
+    * per-product total, which keeps updating on a stream — emit counts,
+    * derive P(b|a) in the sink query, exactly as the batch
+    * CrystalBall.normalize does over the final counts).
+    */
+  def coOccurrenceCounts(spark: SparkSession, textDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.textFile(textDir)
+      .flatMap(line => graft.sources.BasketSource.parseLine(line).iterator
+        .flatMap(b => graft.operators.CoOccurrence.windowPairs(b.products)))
+      .groupBy(col("product"), col("neighbor"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
