@@ -54,13 +54,12 @@ object StreamingOps {
     * derive P(b|a) in the sink query, exactly as the batch
     * CrystalBall.normalize does over the final counts).
     */
-  def coOccurrenceCounts(spark: SparkSession, textDir: String): DataFrame = {
+  def coOccurrenceCounts(spark: SparkSession, textDir: String,
+      maxWindow: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    spark.readStream.textFile(textDir)
-      .flatMap(line => graft.sources.BasketSource.parseLine(line).iterator
-        .flatMap(b => graft.operators.CoOccurrence.windowPairs(b.products)))
-      .groupBy(col("product"), col("neighbor"))
-      .agg(count(lit(1)).as("cnt"))
+    val baskets = spark.readStream.textFile(textDir)
+      .flatMap(graft.sources.BasketSource.parseLine _)
+    graft.operators.CoOccurrence.counts(baskets, maxWindow)
   }
 
   /** Per-user running state maintained across micro-batches. */

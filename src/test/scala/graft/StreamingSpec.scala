@@ -46,11 +46,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming crystal-ball counts equal the batch flagship") {
+    val fixture = Seq(
+      "Mary 34 56 29 12 34 56 92 29 34 12",
+      "Kelly 92 29 12 34 79 29 56 12 34 18")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_baskets")
     java.nio.file.Files.write(dir.resolve("baskets.txt"),
-      java.util.List.of(
-        "Mary 34 56 29 12 34 56 92 29 34 12",
-        "Kelly 92 29 12 34 79 29 56 12 34 18"))
+      scala.jdk.CollectionConverters.SeqHasAsJava(fixture).asJava)
     val q = StreamingOps.coOccurrenceCounts(spark, dir.toString)
       .writeStream.format("memory").queryName("cb_stream")
       .outputMode("complete").start()
@@ -59,9 +60,7 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("cb_stream").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val batch = graft.operators.CoOccurrence.counts(
-          graft.sources.BasketSource.fromLines(spark, Seq(
-            "Mary 34 56 29 12 34 56 92 29 34 12",
-            "Kelly 92 29 12 34 79 29 56 12 34 18")))
+          graft.sources.BasketSource.fromLines(spark, fixture))
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
