@@ -614,9 +614,9 @@ object SparkEntry {
         |  FROM j)
         |ORDER BY antecedent, consequent""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(1 + length(text) % 64 AS INTEGER) AS width,
-        |  CAST(1 + (length(text) // 64) % 64 AS INTEGER) AS height,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
         |  3 AS channels,
         |  CAST(len(list_filter(range(1, CAST(len(string_split(text, ' ')) AS BIGINT) + 1),
         |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,

@@ -48,20 +48,19 @@ case class CoOccurGenerator(child: Expression)
         items(x) = if (u == null) null else u.clone()
         x += 1
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      var i = 0
-      while (i < n - 1) {
+      // lazy emission: a pathological w-wide basket must not buffer
+      // O(w^2) rows — mirror the flatMap twin's streaming iterators
+      (0 until n - 1).iterator.flatMap { i =>
         val cur = items(i)
-        var j = i + 1
-        var open = true
-        while (open && j < n) {
-          val nb = items(j)
-          if (cur == nb || (cur != null && cur.equals(nb))) open = false
-          else { out += InternalRow(cur, nb); j += 1 }
+        new Iterator[InternalRow] {
+          private var j = i + 1
+          def hasNext: Boolean = j < n && {
+            val nb = items(j)
+            !(cur == nb || (cur != null && cur.equals(nb)))
+          }
+          def next(): InternalRow = { val r = InternalRow(cur, items(j)); j += 1; r }
         }
-        i += 1
       }
-      out
     }
   }
 
@@ -70,13 +69,15 @@ case class CoOccurGenerator(child: Expression)
 }
 
 object CoOccurFunctions {
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys: the guard must not pin sessions for the driver's lifetime
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   /** Idempotently register `co_occur_pairs` for SQL use. */
-  def register(spark: SparkSession): Unit =
-    if (!registered.contains(spark)) synchronized {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "co_occur_pairs", exprs => CoOccurGenerator(exprs.head), "scala_udf")
-      registered += spark
     }
+  }
 }

@@ -23,6 +23,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        // getDouble on non-double array data would silently misread bytes
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_d requires two array<double> arguments, got ${l.catalogString} and ${r.catalogString}")
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -53,17 +66,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys: the guard must not pin sessions for the driver's lifetime
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   /** Idempotently register the engine's custom expressions with the
     * session's FunctionRegistry (usable from SQL and via call_function).
     */
-  def register(spark: SparkSession): Unit =
-    if (!registered.contains(spark)) synchronized {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_d", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-      registered += spark
     }
+  }
 
   /** Column API for [[DotProduct]]. Requires register(spark) first. */
   def dotD(a: Column, b: Column): Column = call_function("dot_d", a, b)

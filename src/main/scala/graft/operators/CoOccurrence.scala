@@ -42,11 +42,11 @@ object CoOccurrence {
     val n = arr.length
     (0 until n - 1).iterator.flatMap { i =>
       val cur = arr(i)
-      val bound = math.min(n, if (maxWindow == Int.MaxValue) n else i + 1 + maxWindow)
+      // long arithmetic: i + 1 + maxWindow must not wrap for large caps
+      val bound = math.min(n.toLong, i + 1L + maxWindow.toLong).toInt
       new Iterator[CoPair] {
         private var j = i + 1
-        private var done = false
-        def hasNext: Boolean = !done && j < bound && arr(j) != cur
+        def hasNext: Boolean = j < bound && arr(j) != cur
         def next(): CoPair = { val p = CoPair(cur, arr(j)); j += 1; p }
       }
     }

@@ -54,7 +54,9 @@ object Multimodal {
     * ("frame") of the payload; head_sig fingerprints the first 64 bytes.
     */
   def mediaMeta(documents: DataFrame, stride: Int = 4): DataFrame = {
-    val n = length(col("text")).cast("long")
+    // BYTE length (matches StubCodec's bytes.length on non-ASCII text),
+    // not character length
+    val n = length(col("text").cast("binary")).cast("long")
     val toks = split(col("text"), " ")
     documents.select(
         col("doc_id"),

@@ -38,9 +38,10 @@ object Skew {
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until nSalts).map(lit(_)): _*)))
+    // dataframe-qualified refs: bigKey/smallKey may share a name
     saltedBig.join(replicated,
         saltedBig("_salt") === replicated("_salt") &&
-          col(bigKey) === col(smallKey))
+          saltedBig(bigKey) === replicated(smallKey))
       .drop("_salt")
   }
 }
