@@ -88,6 +88,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(typed == sql)
   }
 
+  test("multimodal decode uses BYTE length on non-ASCII payloads") {
+    import spark.implicits._
+    // 'café' = 4 chars, 5 UTF-8 bytes — both paths must report 5
+    val docs = Seq((1L, "café")).toDF("doc_id", "text")
+    val typed = Multimodal.decodeMeta(docs).collect().head
+    val sql = Multimodal.mediaMeta(docs).collect().head
+    assert(typed.nBytes == 5L && sql.getLong(1) == 5L)
+    assert(typed.width == sql.getInt(2) && typed.height == sql.getInt(3))
+  }
+
   test("text stats quality is in [0, 1] and stopword counts bounded") {
     TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
       val q = r.getDouble(8)

@@ -72,6 +72,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("near-Int.MaxValue maxWindow equals unlimited (no overflow)") {
+    val products = Seq("1", "2", "3", "4", "5")
+    val unlimited = CoOccurrence.windowPairs(products).toList
+    for (cap <- Seq(Int.MaxValue - 1, Int.MaxValue - 5, 1000000000)) {
+      assert(CoOccurrence.windowPairs(products, cap).toList == unlimited,
+        s"cap $cap diverged")
+    }
+  }
+
   test("probabilities sum to 1 per product on adversarial baskets (Spark)") {
     val lines = Seq(
       "u1 3 1 4 1 5 9 2 6 5 3 5",
