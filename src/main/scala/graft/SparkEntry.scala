@@ -446,27 +446,37 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "minhash_lsh" ->
-      (shinglesCte +
-        """, ks AS (SELECT unnest(range(0, 16)) AS k),
-        |mh AS (
-        |  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
-        |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
-        |bands AS (
-        |  SELECT doc_id, k // 4 AS band, md5(string_agg(mh, '' ORDER BY k)) AS sig
-        |  FROM mh GROUP BY doc_id, band),
-        |cand AS (
+    "minhash_lsh" -> {
+      val mins = (0 until Dedup.NumHashes).map(k =>
+        s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
+        .mkString(",\n    ")
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r} AS b$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $cols FROM mh"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until Dedup.NumHashes)
+        .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      shinglesCte +
+        s""", hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
+        |), mh AS (
+        |  SELECT doc_id,
+        |    $mins
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  $bandRows
+        |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1
+        |   AND x.b2 = y.b2 AND x.b3 = y.b3 AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b,
-        |  CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
-        |FROM cand
-        |JOIN mh ma ON ma.doc_id = doc_a
-        |JOIN mh mb ON mb.doc_id = doc_b AND mb.k = ma.k
-        |GROUP BY doc_a, doc_b
-        |HAVING CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.25
-        |ORDER BY doc_a, doc_b""".stripMargin),
+        |  CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+        |FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
+        |WHERE CAST($agree AS DOUBLE) / 16.0 >= 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->
