@@ -101,6 +101,7 @@ object SparkEntry {
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
     // ---- analytic windows + sessionization over events ------------------
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
+    "window_frames" -> ((s, dir) => Events.userFrames(eventsTable(s, dir))),
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
@@ -370,6 +371,16 @@ object SparkEntry {
         |  lag(value, 1) OVER w AS prev_value,
         |  lead(event_type, 1) OVER w AS next_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "window_frames" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum4,
+        |  count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_n,
+        |  first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+        |  last_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_type,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
     "sessionize" ->

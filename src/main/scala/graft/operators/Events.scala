@@ -62,6 +62,24 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Window frames + distribution functions per user: moving sum over a
+    * ROWS frame, first/last value over a running frame, ntile quartiles.
+    * Decimal-exact moving sums; frame bounds identical on both engines.
+    */
+  def userFrames(events: DataFrame): DataFrame = {
+    val frame3 = byUser.rowsBetween(-3, 0)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    events.select(
+        col("event_id"), col("user_id"), col("value"),
+        sum(col("value").cast("decimal(18,2)")).over(frame3)
+          .cast("double").as("moving_sum4"),
+        count(lit(1)).over(frame3).as("moving_n"),
+        first(col("event_type")).over(running).as("first_type"),
+        last(col("event_type")).over(running).as("latest_type"),
+        ntile(4).over(byUser).as("quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Tumbling-window aggregation (hourly): batch twin of the streaming
     * windowed count. date_trunc keeps the group key computable inside the
     * scan's codegen stage; one low-cardinality shuffle.

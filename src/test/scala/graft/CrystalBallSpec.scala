@@ -139,6 +139,10 @@ class CrystalBallSpec extends AnyFunSuite {
     assert(BasketSource.parseLine("Bob  1\t2").get.products == Seq("1", "2"))
   }
 
+  test("driver entry point returns rows (smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("per-product probabilities sum to 1") {
     val byProduct = computedPairs.groupBy(_._1._1).view.mapValues(_.values.sum)
     byProduct.foreach { case (p, s) =>
