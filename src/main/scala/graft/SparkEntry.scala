@@ -125,6 +125,9 @@ object SparkEntry {
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
     // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
     "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
+    "fpgrowth_rules" -> ((s, dir) => MarketBasket.fpgrowthRules(t(s, dir, "lineitem"))),
+    "rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     // ---- multimodal column plumbing (stubbed decode) ---------------------
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
   )
@@ -634,6 +637,52 @@ object SparkEntry {
         |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(supp_a * supp_b AS DOUBLE) AS lift
         |  FROM j)
         |ORDER BY antecedent, consequent""".stripMargin,
+    "fpgrowth_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n FROM items),
+        |supp AS (SELECT item, count(*) AS supp FROM items GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |j AS (
+        |  SELECT p.item_a, p.item_b, p.pair_cnt, sa.supp AS supp_a, sb.supp AS supp_b,
+        |         (SELECT n FROM nb) AS n
+        |  FROM pairs p JOIN supp sa ON p.item_a = sa.item JOIN supp sb ON p.item_b = sb.item)
+        |SELECT * FROM (
+        |  SELECT item_a AS antecedent, item_b AS consequent,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence,
+        |    (CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE)) / (CAST(supp_b AS DOUBLE) / CAST(n AS DOUBLE)) AS lift,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
+        |  FROM j
+        |  UNION ALL
+        |  SELECT item_b AS antecedent, item_a AS consequent,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE) AS confidence,
+        |    (CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE)) / (CAST(supp_a AS DOUBLE) / CAST(n AS DOUBLE)) AS lift,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
+        |  FROM j)
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "rolling_fingerprint" -> {
+      val horner = (0 until TextAnalysis.RollWindow).foldLeft("0")((acc, k) =>
+        s"(($acc * ${TextAnalysis.RollB} + vals[i + $k]) % ${TextAnalysis.RollP})")
+      s"""WITH v AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      tok -> ('0x' || substr(md5(tok), 1, 14))::BIGINT % ${TextAnalysis.RollP}) AS vals
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(vals) >= ${TextAnalysis.RollWindow}
+        |         THEN list_transform(range(1, len(vals) - ${TextAnalysis.RollWindow - 2}), i -> $horner)
+        |         ELSE [] END AS wh
+        |  FROM v
+        |)
+        |SELECT doc_id, CAST(len(wh) AS BIGINT) AS n_windows,
+        |  CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows,
+        |  list_min(wh) AS min_window_hash
+        |FROM w ORDER BY doc_id""".stripMargin
+    },
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,

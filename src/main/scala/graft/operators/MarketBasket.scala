@@ -20,6 +20,29 @@ object MarketBasket {
     lineitem.select(col("l_orderkey").as("basket"),
       col("l_partkey").cast("string").as("item")).distinct()
 
+  /** MLlib FPGrowth as a first-class query (the north-star's association-
+    * rule engine): fit on the basket lists, emit the 1→1 rules with
+    * MLlib's own metric arithmetic (confidence = pair/suppA, lift =
+    * confidence / (suppB/N), support = pair/N — the oracle twin replicates
+    * these operand orders exactly). minSupport is set safely below 2/N so
+    * MLlib's ceil(minSupport·N) lands on a count of exactly 2.
+    */
+  def fpgrowthRules(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val items = basketItems(lineitem).cache()
+    val baskets = items.groupBy(col("basket"))
+      .agg(collect_list(col("item")).as("items"))
+    val n = baskets.count()
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(1.5 / n).setMinConfidence(0.0).fit(baskets)
+    model.associationRules
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .select(col("antecedent")(0).as("antecedent"),
+        col("consequent")(0).as("consequent"),
+        col("confidence"), col("lift"), col("support"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Association rules a→b over item pairs co-occurring in ≥ minPairCount
     * baskets. Both directions emitted. The pair join is a self-equi-join
     * on the basket key (shuffle on basket, never a cross product);

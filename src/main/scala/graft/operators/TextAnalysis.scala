@@ -82,6 +82,39 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  val RollP = 1000000007L
+  val RollB = 31L
+  val RollWindow = 8
+
+  /** Rolling-hash document fingerprinting (Karp-Rabin over the token
+    * stream, winnowing-style summary): token value = md5-prefix integer
+    * mod P; each 8-token window hashes by Horner's rule (mod-step
+    * accumulation keeps every operand < 4e10, exact in long/BIGINT on
+    * both engines). Per doc: window count, distinct window hashes, and
+    * the minimum window hash — the content-defined fingerprint that
+    * survives insertions outside the matching window.
+    */
+  def rollingFingerprint(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val vals = transform(t, tok =>
+      conv(substring(md5(tok.cast("binary")), 1, 14), 16, 10).cast("long") % RollP)
+    val horner = (i: Column) => (0 until RollWindow)
+      .foldLeft(lit(0L)) { (acc, k) =>
+        (acc * RollB + element_at(col("_vals"), i + k)) % RollP
+      }
+    documents
+      .withColumn("_vals", vals)
+      .withColumn("_wh",
+        when(size(col("_vals")) >= RollWindow,
+          transform(sequence(lit(1), size(col("_vals")) - (RollWindow - 1)), horner))
+          .otherwise(array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(col("_wh")).cast("long").as("n_windows"),
+        size(array_distinct(col("_wh"))).cast("long").as("n_distinct_windows"),
+        array_min(col("_wh")).as("min_window_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** O4 generalized to token windows (SURVEY.md §7 phase 2): the
     * repeat-terminated co-occurrence window applied to document token
     * sequences instead of purchase sequences — top co-occurring term
