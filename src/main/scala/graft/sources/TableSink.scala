@@ -24,12 +24,24 @@ object TableSink {
   /** Bucketed + sorted table (requires the session catalog — bucket
     * metadata lives in the metastore). `nBuckets` must match across
     * tables intended for co-located joins.
+    *
+    * A fresh in-memory catalog doesn't know about managed-table
+    * directories a previous session left in the warehouse, and refuses to
+    * create over them (LOCATION_ALREADY_EXISTS) — drop both the catalog
+    * entry and any orphaned location first.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
