@@ -99,10 +99,22 @@ object SparkEntry {
     "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
+    "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
+      t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
+      t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // approx sketches (HLL / KLL): rows-only driver check — sketch
+    // estimates are engine-specific, so no DuckDB oracle twin; accuracy
+    // is asserted against exact counts in PipelineSpec instead.
+    "approx_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"))
+        .orderBy(col("l_returnflag"))),
     // ---- analytic windows + sessionization over events ------------------
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
     "window_frames" -> ((s, dir) => Events.userFrames(eventsTable(s, dir))),
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
+    "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -401,6 +413,32 @@ object SparkEntry {
         |  CAST((max(us) - min(us)) / 1000000 AS DOUBLE) AS duration_sec,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, count(*) AS n_lineitems,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
+        |), sid AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

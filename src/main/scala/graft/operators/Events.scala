@@ -35,6 +35,22 @@ object Events {
           .cast("double").as("running_value"))
       .orderBy(col("user_id"), col("event_id"))
 
+  /** Sessionization via Spark's native `session_window` (merging gap
+    * windows inside the aggregation operator — the built-in twin of the
+    * lag/cumsum formulation in [[sessionize]]; window end = last event +
+    * gap by definition).
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Gap-based sessionization (30-minute inactivity gap): the classic
     * lag → new-session flag → running-sum session id, then per-session
     * aggregates. Two window passes + one groupBy, all partitioned by

@@ -135,6 +135,30 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 
+  /** TPC-H Q5-shaped 6-way join: local-supplier revenue by nation. The
+    * join graph mixes two broadcastable dimensions (nation, region), a
+    * mid-size dimension (supplier — broadcast at test scale, shuffled at
+    * 100 TB where AQE decides), and the orders⋈lineitem fact-fact join.
+    * Grouped by name for a deterministic ordering (revenue ties can't
+    * reorder output).
+    */
+  def localSupplierRevenue(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+
   /** Left outer join + aggregation: per-customer order stats where
     * customers without orders keep a zero row (count(col) ignores nulls;
     * the sum coalesces). Shuffle on the customer key only.

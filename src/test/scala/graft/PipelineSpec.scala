@@ -98,6 +98,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(typed.width == sql.getInt(2) && typed.height == sql.getInt(3))
   }
 
+  test("approx sketches land within tolerance of exact aggregates") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val approx = SparkEntry.queries("approx_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("text stats quality is in [0, 1] and stopword counts bounded") {
     TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
       val q = r.getDouble(8)
