@@ -20,7 +20,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // some builders (ML estimators) run eagerly and can fail — keep
+      // dumping the remaining plans
+      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"(failed to build: ${e.getMessage})") }
     }
     spark.stop()
   }

@@ -502,10 +502,14 @@ object SparkEntry {
       val mins = (0 until Dedup.NumHashes).map(k =>
         s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
         .mkString(",\n    ")
+      val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
       val bandRows = (0 until Dedup.NumBands).map { b =>
-        val cols = (0 until 4).map(r => s"mh${b * 4 + r} AS b$r").mkString(", ")
+        val cols = (0 until rowsPerBand)
+          .map(r => s"mh${b * rowsPerBand + r} AS b$r").mkString(", ")
         s"SELECT doc_id, $b AS band, $cols FROM mh"
       }.mkString("\n  UNION ALL ")
+      val bandJoin = (0 until rowsPerBand)
+        .map(r => s"x.b$r = y.b$r").mkString(" AND ")
       val agree = (0 until Dedup.NumHashes)
         .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
         .mkString(" + ")
@@ -521,12 +525,11 @@ object SparkEntry {
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.b0 = y.b0 AND x.b1 = y.b1
-        |   AND x.b2 = y.b2 AND x.b3 = y.b3 AND x.doc_id < y.doc_id)
+        |    ON x.band = y.band AND $bandJoin AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b,
-        |  CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+        |  CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
         |FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
-        |WHERE CAST($agree AS DOUBLE) / 16.0 >= 0.25
+        |WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25
         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "simhash" ->

@@ -29,10 +29,23 @@ object MarketBasket {
     */
   def fpgrowthRules(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.ml.fpm.FPGrowth
+    val spark = lineitem.sparkSession
     val items = basketItems(lineitem).cache()
     val baskets = items.groupBy(col("basket"))
       .agg(collect_list(col("item")).as("items"))
+    // ML estimator boundary: fit() is an eager action by nature, so this
+    // query builder is not lazy like the others (Verify/Bench tolerate it)
     val n = baskets.count()
+    if (n == 0) {
+      // degenerate input: match assoc_rules/oracle (empty result), don't
+      // hand MLlib minSupport = 1.5/0 = Infinity
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("antecedent", StringType), StructField("consequent", StringType),
+          StructField("confidence", DoubleType), StructField("lift", DoubleType),
+          StructField("support", DoubleType))))
+    }
     val model = new FPGrowth().setItemsCol("items")
       .setMinSupport(1.5 / n).setMinConfidence(0.0).fit(baskets)
     model.associationRules

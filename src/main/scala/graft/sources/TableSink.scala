@@ -33,9 +33,17 @@ object TableSink {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // support both bare and db-qualified names: quote each part, and probe
+    // the managed location under <warehouse>[/<db>.db]/<table>
+    val parts = table.split('.')
+    val quoted = parts.map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val relative = parts match {
+      case Array(db, tbl) => s"${db.toLowerCase}.db/${tbl.toLowerCase}"
+      case _              => parts.last.toLowerCase
+    }
+    val loc = new org.apache.hadoop.fs.Path(warehouse, relative)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -110,6 +110,16 @@ class PipelineSpec extends AnyFunSuite {
       val a = approx(k)
       assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
     }
+    // and the percentile sketch vs the exact median per group
+    val approxMed = SparkEntry.queries("approx_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    li.select(col("l_returnflag"), col("l_quantity")).collect()
+      .groupBy(_.getString(0)).foreach { case (k, rows) =>
+        val sorted = rows.map(_.getDouble(1)).sorted
+        val exactMedian = sorted(sorted.length / 2)
+        assert(math.abs(approxMed(k) - exactMedian) / exactMedian < 0.05,
+          s"$k: approx median ${approxMed(k)} vs exact $exactMedian")
+      }
   }
 
   test("text stats quality is in [0, 1] and stopword counts bounded") {

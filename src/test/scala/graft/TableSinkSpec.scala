@@ -34,12 +34,19 @@ class TableSinkSpec extends AnyFunSuite {
       .select("o_orderkey", "o_custkey")
     TableSink.writeBucketed(li, "li_bkt", "l_orderkey", 4)
     TableSink.writeBucketed(o, "o_bkt", "o_orderkey", 4)
-    val joined = spark.table("li_bkt")
-      .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join still shuffles:\n$plan")
-    assert(joined.count() ==
-      li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    // disable auto-broadcast: at test scale the join would otherwise plan
+    // BroadcastHashJoin and the assertion would hold vacuously
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
