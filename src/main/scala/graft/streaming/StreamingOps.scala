@@ -62,6 +62,15 @@ object StreamingOps {
     graft.operators.CoOccurrence.counts(baskets, maxWindow)
   }
 
+  /** Streaming exact deduplication: drop rows whose key columns were
+    * already seen anywhere earlier in the stream (state kept per key —
+    * bound it with a watermark column in the key list for production
+    * retention). The training-data ingest case: exactly-once document
+    * admission over a continuously arriving corpus.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

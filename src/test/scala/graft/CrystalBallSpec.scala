@@ -139,6 +139,22 @@ class CrystalBallSpec extends AnyFunSuite {
     assert(BasketSource.parseLine("Bob  1\t2").get.products == Seq("1", "2"))
   }
 
+  test("Generator equals flatMap on random baskets (Spark end-to-end)") {
+    graft.functions.CoOccurFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val lines = (0 until 25).map { i =>
+      val w = rnd.nextInt(12)
+      s"u$i " + Seq.fill(w)(rnd.nextInt(9) + 1).mkString(" ")
+    }
+    val ds = BasketSource.fromLines(spark, lines)
+    val viaGen = ds.toDF().selectExpr("co_occur_pairs(products)")
+      .groupBy("product", "neighbor").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaFlatMap = CoOccurrence.pairs(ds).groupBy("product", "neighbor").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaGen == viaFlatMap)
+  }
+
   test("driver entry point returns rows (smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -65,6 +65,23 @@ class PlanSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join works when both keys share a name") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("orderkey"), col("l_partkey"))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey"))
+    val plain = li.join(o.withColumnRenamed("orderkey", "ok2"),
+      col("orderkey") === col("ok2")).count()
+    val salted = graft.operators.Skew
+      .saltedJoin(li, o.withColumnRenamed("orderkey", "ok2"), "orderkey", "ok2")
+      .count()
+    // and the literally-same-name shape that used to be ambiguous:
+    val sameName = graft.operators.Skew
+      .saltedJoin(li, o, "orderkey", "orderkey").count()
+    assert(salted == plain && sameName == plain)
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey")

@@ -66,6 +66,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup admits each key exactly once across files") {
+    // two copies of the same events file: every event_id arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve(name))
+    val q = StreamingOps.dedupStream(
+        StreamingOps.eventsStream(spark, dir.toString), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_stream").count()
+      val distinct = spark.read.parquet(s"$sf/events.parquet").count()
+      assert(n == distinct, s"streamed $n rows, expected $distinct")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState user totals equal batch groupBy") {
     val q = StreamingOps.userTotals(spark, StreamingOps.eventsStream(spark, streamDir))
       .writeStream.format("memory").queryName("user_totals_stream")
