@@ -99,6 +99,8 @@ object SparkEntry {
     "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
+    "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
+    "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
@@ -377,8 +379,23 @@ object SparkEntry {
         |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
         |  p_size % 7 AS size_mod,
-        |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class
+        |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
+        |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "exact_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     "window_rank" ->
       """SELECT event_id, user_id, event_type, value,
         |  CAST(row_number() OVER w AS INTEGER) AS rn,

@@ -235,6 +235,34 @@ object Relational {
         .as("days_to_1999"))
       .orderBy(col("o_orderkey"))
 
+  /** Exact per-group median via rank windowing (lower median: the row at
+    * rank ⌊(n+1)/2⌋ under a fully deterministic ordering). The exact-
+    * quantile-at-scale pattern: one window pass, no sketch error — the
+    * deterministic complement of percentile_approx in `approx_stats`.
+    */
+  def exactMedian(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"),
+        col("n").as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Fixed-width value histogram over events: integer bucketing keeps the
+    * group key exact on both engines.
+    */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("bucket"))
+
   /** Scalar function library projection (string/math/date) — whole-stage
     * codegen'd row-level expressions, no shuffle at all.
     */
@@ -249,6 +277,7 @@ object Relational {
       floor(col("p_retailprice")).as("price_floor"),
       ceil(col("p_retailprice")).as("price_ceil"),
       (col("p_size") % 7).as("size_mod"),
-      when(col("p_size") >= 25, "big").otherwise("small").as("size_class"))
+      when(col("p_size") >= 25, "big").otherwise("small").as("size_class"),
+      levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("brand_dist"))
       .orderBy(col("p_partkey"))
 }
