@@ -16,7 +16,8 @@ object Bench {
     // session startup (classloading, codegen compiler init).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -27,7 +28,13 @@ object Bench {
       // the remaining queries
       spark.catalog.clearCache()
       // a failing query must be visible in the JSON, not look like a fast run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // the host shows ±30% run-to-run noise: report the min of two runs
+    // per query (second run skipped once a query fails)
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      name -> (if (first < 0) first else math.min(first, timeOnce(name, fn)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
