@@ -99,6 +99,8 @@ object SparkEntry {
     "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
+    "set_ops_all" -> ((s, dir) => Relational.setOpsAll(t(s, dir, "orders"))),
+    "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
@@ -382,6 +384,25 @@ object SparkEntry {
         |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
         |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH early AS (SELECT o_orderpriority AS priority FROM orders
+        |               WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |late AS (SELECT o_orderpriority AS priority FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        |i AS (SELECT priority FROM early INTERSECT ALL SELECT priority FROM late),
+        |e AS (SELECT priority FROM early EXCEPT ALL SELECT priority FROM late)
+        |SELECT priority, count(*) AS n, 'intersect_all' AS op FROM i GROUP BY priority
+        |UNION ALL
+        |SELECT priority, count(*) AS n, 'except_all' AS op FROM e GROUP BY priority
+        |ORDER BY op, priority""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "exact_median" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,

@@ -129,6 +129,41 @@ object Relational {
     i.union(e).orderBy(col("tag"), col("custkey"))
   }
 
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): bag semantics
+    * over order priorities in two date ranges — Spark plans these as
+    * count-tracking aggregate joins.
+    */
+  def setOpsAll(orders: DataFrame): DataFrame = {
+    val split = lit("1996-01-01").cast("timestamp")
+    val early = orders.filter(col("o_orderdate") < split)
+      .select(col("o_orderpriority").as("priority"))
+    val late = orders.filter(col("o_orderdate") >= split)
+      .select(col("o_orderpriority").as("priority"))
+    val i = early.intersectAll(late).groupBy(col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val e = early.exceptAll(late).groupBy(col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    i.union(e).orderBy(col("op"), col("priority"))
+  }
+
+  /** Explicit GROUPING SETS (the grouping-set form rollup/cube can't
+    * express: two independent single-column groupings in one pass) with
+    * grouping_id disambiguation.
+    */
+  def groupingSets(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** Global top-k via TakeOrderedAndProject (no full sort at scale). */
   def topOrders(orders: DataFrame, k: Int = 15): DataFrame =
     orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
