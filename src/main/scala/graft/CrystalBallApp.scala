@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import graft.operators.CrystalBall
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, collect_list, sort_array, struct}
+import graft.operators.{CoOccurrence, CrystalBall}
 import graft.sources.{BasketSource, GoldenSink}
 
 /** Drop-in replacement for the reference's three jobs (`run.sh:7-13`):
@@ -22,6 +23,10 @@ import graft.sources.{BasketSource, GoldenSink}
   */
 object CrystalBallApp {
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.CrystalBallApp <inputPath> <outputDir>")
+      sys.exit(2)
+    }
     val Array(input, output) = args
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
@@ -31,19 +36,27 @@ object CrystalBallApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val baskets = BasketSource.fromText(spark, input)
-    val pairs = CrystalBall.pairProbabilities(baskets)
-    val stripes = CrystalBall.stripeProbabilities(baskets)
-    // range-partition on the product id first (reference file layout),
-    // then format — formatting is narrow and keeps the partitioning
+    // compute the normalized relation ONCE; the three writes reuse it
+    // (no per-write recomputation of the scan + window + aggregation)
+    val probs = CrystalBall.normalize(CoOccurrence.counts(baskets)).persist()
+    val stripes = probs
+      .groupBy(col("product"))
+      .agg(sort_array(collect_list(struct(col("neighbor"), col("prob"))))
+        .as("stripe"))
+    // range-partition to the reference file layout, sort within each
+    // partition (the reference's in-file order), then format
+    def layout(df: DataFrame, n: Int) =
+      GoldenSink.rangePartitioned(df, n)
+        .sortWithinPartitions("product")
     GoldenSink.writeText(
-      GoldenSink.pairLines(GoldenSink.rangePartitioned(pairs, 3)),
+      GoldenSink.pairLines(GoldenSink.rangePartitioned(probs, 3)
+        .sortWithinPartitions("product", "neighbor")),
       s"$output/CrystalBallPair")
-    GoldenSink.writeText(
-      GoldenSink.stripeLines(GoldenSink.rangePartitioned(stripes, 3)),
+    GoldenSink.writeText(GoldenSink.stripeLines(layout(stripes, 3)),
       s"$output/CrystalBallStripe")
-    GoldenSink.writeText(
-      GoldenSink.stripeLines(GoldenSink.rangePartitioned(stripes, 2)),
+    GoldenSink.writeText(GoldenSink.stripeLines(layout(stripes, 2)),
       s"$output/CrystalBallHybrid")
+    probs.unpersist()
     spark.stop()
   }
 }

@@ -148,21 +148,21 @@ object Relational {
 
   /** Explicit GROUPING SETS (the grouping-set form rollup/cube can't
     * express: two independent single-column groupings in one pass) with
-    * grouping_id disambiguation.
+    * grouping_id disambiguation — via the native Dataset API (no temp
+    * view, no session-catalog side effects).
     */
-  def groupingSets(lineitem: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("gs_lineitem")
-    spark.sql(
-      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-        |  coalesce(l_linestatus, '(all)') AS linestatus,
-        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM gs_lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY returnflag, linestatus""".stripMargin)
-  }
+  def groupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
 
   /** Global top-k via TakeOrderedAndProject (no full sort at scale). */
   def topOrders(orders: DataFrame, k: Int = 15): DataFrame =
