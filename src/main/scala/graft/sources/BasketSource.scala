@@ -38,6 +38,26 @@ object BasketSource {
     else Some(Basket(toks.head, toks.tail.toSeq))
   }
 
+  /** CSV ingestion: `customer,products` rows where products is a
+    * space-delimited id list (the text format with an explicit header —
+    * what a reference user exporting from a spreadsheet/warehouse has).
+    */
+  def fromCsv(spark: SparkSession, path: String): Dataset[Basket] = {
+    import spark.implicits._
+    spark.read.option("header", "true").csv(path)
+      .select(col("customer"), split(col("products"), " ").as("products"))
+      .as[Basket]
+  }
+
+  /** JSON-lines ingestion: {"customer": ..., "products": [...]} — the
+    * schema-explicit form (products already an array).
+    */
+  def fromJson(spark: SparkSession, path: String): Dataset[Basket] = {
+    import spark.implicits._
+    spark.read.schema("customer STRING, products ARRAY<STRING>").json(path)
+      .as[Basket]
+  }
+
   /** Parquet-native basket builder: `lineitem` grouped by order key.
     * One shuffle (the groupBy); `sort_array` over (linenumber, partkey)
     * structs gives a deterministic purchase order without a global sort.
