@@ -24,11 +24,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+      // measure before cache teardown so clearCache cost isn't charged
+      // to the query
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // operator caches (dedup/assoc) must not occupy storage memory for
       // the remaining queries
       spark.catalog.clearCache()
       // a failing query must be visible in the JSON, not look like a fast run
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) elapsed else -1.0
     }
     // the host shows ±30% run-to-run noise: report the min of two runs
     // per query (second run skipped once a query fails)

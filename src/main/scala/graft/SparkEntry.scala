@@ -49,9 +49,14 @@ object SparkEntry {
   // ---- driver surface ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // O1–O3: basket source (lineitem-derived, FIXTURES.md §2)
+    // O1–O3: basket source (lineitem-derived, FIXTURES.md §2). The engine
+    // API keeps `products` as array<string>; the driver-facing projection
+    // serializes it (space-joined, matching the reference's own text
+    // format) because the driver's pandas compare cannot hash array cells.
     "baskets" -> ((s, dir) =>
-      BasketSource.fromLineitem(s, dir).orderBy(col("customer"))),
+      BasketSource.fromLineitem(s, dir)
+        .select(col("customer"), array_join(col("products"), " ").as("products"))
+        .orderBy(col("customer"))),
     // O4/O5 + O7/O12: repeat-terminated co-occurrence window + counts
     "cooccur_counts" -> ((s, dir) =>
       CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
@@ -72,10 +77,20 @@ object SparkEntry {
     }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
-    // O8/O14: stripe shape (sorted struct array for deterministic compare)
+    // O8/O14: stripe shape. The stripe aggregation (sorted struct array)
+    // stays in the plan; the driver projection posexplodes it back to
+    // scalar rows — `pos` pins the within-stripe sort and `n_neighbors`
+    // the stripe size, so the array semantics are still fully checked
+    // without array-typed output columns (driver compare limitation).
     "crystalball_stripes" -> ((s, dir) =>
       CrystalBall.stripeProbabilities(
-        BasketSource.basketsFromLineitem(s, dir))),
+          BasketSource.basketsFromLineitem(s, dir))
+        .select(col("product"), size(col("stripe")).cast("long").as("n_neighbors"),
+          posexplode(col("stripe")))
+        .select(col("product"), col("n_neighbors"),
+          col("pos").cast("long").as("pos"),
+          col("col.neighbor").as("neighbor"), col("col.prob").as("prob"))
+        .orderBy(col("product"), col("pos"))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -106,13 +121,25 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
-    // approx sketches (HLL / KLL): rows-only driver check — sketch
-    // estimates are engine-specific, so no DuckDB oracle twin; accuracy
-    // is asserted against exact counts in PipelineSpec instead.
+    // approx sketches (HLL / KLL): the sketches stay in the plan, but the
+    // driver-facing columns are oracle-checkable — exact count_distinct
+    // plus accuracy-contract booleans (sketch within tolerance of the
+    // exact value). The oracle emits the exact counts and literal TRUE;
+    // a sketch drifting out of tolerance flips the boolean and fails the
+    // hash compare. Numeric sketch accuracy is additionally asserted in
+    // PipelineSpec.
     "approx_stats" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"))
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("am"),
+          expr("percentile(l_quantity, array(0.45, 0.55))").as("p"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("approx_parts_within_5pct"),
+          (col("am") >= element_at(col("p"), 1) &&
+            col("am") <= element_at(col("p"), 2)).as("approx_median_within_decile"))
         .orderBy(col("l_returnflag"))),
     // ---- analytic windows + sessionization over events ------------------
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
@@ -247,7 +274,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "baskets" ->
-      (basketsCte + "\nSELECT customer, products FROM baskets ORDER BY customer"),
+      (basketsCte +
+        "\nSELECT customer, array_to_string(products, ' ') AS products" +
+        "\nFROM baskets ORDER BY customer"),
     "cooccur_counts" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_sql" ->
@@ -268,8 +297,10 @@ object SparkEntry {
         |  FROM counts
         |)
         |SELECT product,
-        |       list(struct_pack(neighbor := neighbor, prob := prob) ORDER BY neighbor) AS stripe
-        |FROM probs GROUP BY product ORDER BY product""".stripMargin),
+        |       count(*) OVER (PARTITION BY product) AS n_neighbors,
+        |       row_number() OVER (PARTITION BY product ORDER BY neighbor) - 1 AS pos,
+        |       neighbor, prob
+        |FROM probs ORDER BY product, pos""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -315,6 +346,12 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "approx_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS approx_parts_within_5pct,
+        |  TRUE AS approx_median_within_decile
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
@@ -526,10 +563,13 @@ object SparkEntry {
         |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
     "ngram_jaccard" ->
       (shinglesCte +
-        """, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
+        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
+        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_common,
         |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
@@ -588,18 +628,22 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "cosine_pairs" ->
       (embedCte +
-        s""", p AS (
+        s""", s AS (
+        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
+        |), p AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
         |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |SELECT vec_id, other_id, cos_e6 FROM p
         |WHERE cos_e6 >= 400000 ORDER BY vec_id, other_id""".stripMargin),
     "ann_topk" ->
       (embedCte +
-        s""", p AS (
+        s""", q AS (
+        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
+        |), p AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
         |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |  FROM q a JOIN n b ON a.vec_id <> b.vec_id)
         |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
         |  FROM p)

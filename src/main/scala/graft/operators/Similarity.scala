@@ -48,10 +48,26 @@ object Similarity {
       .withColumn(nrm, norm(col(v)))
   }
 
-  /** Pairwise cosine scores above `minCos` for vec_id < other_id pairs. */
-  def cosinePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = sideWithNorm(embeddings, "vec_id", "va", "nrm_a")
-    val b = sideWithNorm(embeddings, "other_id", "vb", "nrm_b")
+  /** Bound on the brute-force exact baselines' query side. The non-equi
+    * cosine joins plan a nested-loop; unbounded they are O(n²) and cannot
+    * be a registered query at 100 TB. Capping the query side to the first
+    * `MaxBruteForceQueries` vec_ids keeps the work O(q·n) with a
+    * broadcastable q-row side — the exactness contract (true scores,
+    * true ranks against the FULL corpus) is preserved for the sampled
+    * queries. The unbounded exact scan is deliberately not registered;
+    * [[lshTopK]] / [[ivfTopK]] are the full-corpus-query paths.
+    */
+  val MaxBruteForceQueries = 1000
+
+  /** Pairwise cosine scores above `minCos` for vec_id < other_id pairs,
+    * both sides drawn from the first `maxVectors` vec_ids (exact baseline
+    * over a bounded, deterministic sample — see [[MaxBruteForceQueries]]).
+    */
+  def cosinePairs(embeddings: DataFrame, minCos: Double,
+      maxVectors: Int = MaxBruteForceQueries): DataFrame = {
+    val sample = embeddings.orderBy(col("vec_id")).limit(maxVectors)
+    val a = sideWithNorm(sample, "vec_id", "va", "nrm_a")
+    val b = sideWithNorm(sample, "other_id", "vb", "nrm_b")
     a.join(b, col("vec_id") < col("other_id"))
       .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
         (col("nrm_a") * col("nrm_b")) * lit(1000000.0)))
@@ -60,13 +76,17 @@ object Similarity {
       .orderBy(col("vec_id"), col("other_id"))
   }
 
-  /** Brute-force cosine top-k per query vector (the correctness baseline
-    * every ANN variant is judged against).
+  /** Brute-force cosine top-k (the correctness baseline every ANN variant
+    * is judged against): exact scores against the FULL corpus, for a query
+    * side bounded to the first `maxQueries` vec_ids (broadcast, so the
+    * nested-loop streams the corpus once — O(q·n), never O(n²)).
     */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val a = sideWithNorm(embeddings, "vec_id", "va", "nrm_a")
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
+      maxQueries: Int = MaxBruteForceQueries): DataFrame = {
+    val a = sideWithNorm(embeddings.orderBy(col("vec_id")).limit(maxQueries),
+      "vec_id", "va", "nrm_a")
     val b = sideWithNorm(embeddings, "other_id", "vb", "nrm_b")
-    val scored = a.join(b, col("vec_id") =!= col("other_id"))
+    val scored = broadcast(a).join(b, col("vec_id") =!= col("other_id"))
       .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
         (col("nrm_a") * col("nrm_b")) * lit(1000000.0)))
     scored

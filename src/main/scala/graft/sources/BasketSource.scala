@@ -44,8 +44,13 @@ object BasketSource {
     */
   def fromCsv(spark: SparkSession, path: String): Dataset[Basket] = {
     import spark.implicits._
+    // same tokenizer discipline as parseLine: \s+ split, empty tokens
+    // dropped, NULL/empty products → empty basket, NULL customer skipped
     spark.read.option("header", "true").csv(path)
-      .select(col("customer"), split(col("products"), " ").as("products"))
+      .filter(col("customer").isNotNull)
+      .select(col("customer"),
+        coalesce(filter(split(col("products"), "\\s+"), x => x =!= ""),
+          array().cast("array<string>")).as("products"))
       .as[Basket]
   }
 

@@ -38,11 +38,46 @@ object GoldenSink {
     lines.write.mode("overwrite").text(path)
 
   /** O11: the reference's numeric range partitioning over the product id
-    * (Pairs/Stripes: 3 reducers at <30/<60/≥60). `repartitionByRange` with
-    * an explicit numeric cast reproduces the file layout; non-numeric ids
-    * go to a null-first partition instead of crashing (the reference's
-    * `Integer.parseInt` would throw, SURVEY.md §7 phase 1).
+    * with its FIXED cuts (`src/CrystalBallPair.java:97-104`: 3 reducers at
+    * <30/<60/≥60; Hybrid: 2 reducers at <50). Delegates to
+    * [[rangePartitionedAt]] — `repartitionByRange` would sample split
+    * points and cannot guarantee the reference's cuts.
     */
   def rangePartitioned(pairs: DataFrame, partitions: Int = 3): DataFrame =
-    pairs.repartitionByRange(partitions, col("product").cast("int"))
+    rangePartitionedAt(pairs, partitions match {
+      case 3 => Seq(30, 60)
+      case 2 => Seq(50)
+      case n => throw new IllegalArgumentException(
+        s"no reference cuts for $n partitions; use rangePartitionedAt")
+    })
+
+  /** Exact fixed-cut range layout: row goes to partition i iff its numeric
+    * product id is < cuts(i) (last partition takes the rest). A custom RDD
+    * `Partitioner` is the one place sampling-free fixed cuts are
+    * expressible — a justified RDD seam for a test/compat-only sink.
+    * Non-numeric ids go to partition 0 instead of crashing (the
+    * reference's `Integer.parseInt` would throw, SURVEY.md §7 phase 1).
+    */
+  def rangePartitionedAt(pairs: DataFrame, cuts: Seq[Int]): DataFrame = {
+    val spark = pairs.sparkSession
+    val schema = pairs.schema
+    val idx = schema.fieldIndex("product")
+    val sortedCuts = cuts.sorted.toArray
+    val nParts = sortedCuts.length + 1
+    val rdd = pairs.rdd
+      .map { r =>
+        val p = scala.util.Try(r.getString(idx).trim.toInt).getOrElse(Int.MinValue)
+        val b = sortedCuts.indexWhere(p < _) match {
+          case -1 => nParts - 1
+          case i  => i
+        }
+        (b, r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(rdd, schema)
+  }
 }

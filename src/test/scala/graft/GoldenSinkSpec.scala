@@ -39,18 +39,24 @@ class GoldenSinkSpec extends AnyFunSuite {
     assert(lines.length == 6) // product 18 is only ever last -> empty window, no stripe
   }
 
-  test("range partitioning reproduces the reference 3-way file split") {
+  test("range partitioning reproduces the reference fixed cuts exactly") {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
-    val parts = GoldenSink.rangePartitioned(pairs, 3)
+    // 3-way (Pairs/Stripes): partition 0 iff id < 30, 1 iff < 60, else 2
+    val parts3 = GoldenSink.rangePartitioned(pairs, 3)
       .select(col("product").cast("int").as("p"), spark_partition_id().as("pid"))
       .collect().map(r => (r.getInt(0), r.getInt(1)))
-    // range partitioning: partition id must be monotone in the product id
-    val byPid = parts.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
-    assert(byPid.size == 3)
-    val ranges = byPid.toSeq.sortBy(_._1).map { case (_, ps) => (ps.min, ps.max) }
-    ranges.sliding(2).foreach {
-      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
-      case _ =>
+    assert(parts3.nonEmpty)
+    parts3.foreach { case (p, pid) =>
+      val want = if (p < 30) 0 else if (p < 60) 1 else 2
+      assert(pid == want, s"product $p landed in partition $pid, want $want")
+    }
+    assert(parts3.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // 2-way (Hybrid): partition 0 iff id < 50, else 1
+    val parts2 = GoldenSink.rangePartitioned(pairs, 2)
+      .select(col("product").cast("int").as("p"), spark_partition_id().as("pid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    parts2.foreach { case (p, pid) =>
+      assert(pid == (if (p < 50) 0 else 1))
     }
   }
 

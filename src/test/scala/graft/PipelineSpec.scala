@@ -101,18 +101,18 @@ class PipelineSpec extends AnyFunSuite {
   test("approx sketches land within tolerance of exact aggregates") {
     import org.apache.spark.sql.functions._
     val li = tbl("lineitem")
-    val approx = SparkEntry.queries("approx_stats")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("am"))
+      .collect()
+    agg.foreach { r =>
+      val (n, a) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - n).toDouble / n < 0.1,
+        s"${r.getString(0)}: approx $a vs exact $n")
     }
-    // and the percentile sketch vs the exact median per group
-    val approxMed = SparkEntry.queries("approx_stats")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // the percentile sketch vs the exact median per group
+    val approxMed = agg.map(r => r.getString(0) -> r.getDouble(3)).toMap
     li.select(col("l_returnflag"), col("l_quantity")).collect()
       .groupBy(_.getString(0)).foreach { case (k, rows) =>
         val sorted = rows.map(_.getDouble(1)).sorted
@@ -120,6 +120,55 @@ class PipelineSpec extends AnyFunSuite {
         assert(math.abs(approxMed(k) - exactMedian) / exactMedian < 0.05,
           s"$k: approx median ${approxMed(k)} vs exact $exactMedian")
       }
+    // the driver-facing accuracy-contract booleans must all hold (the
+    // oracle emits literal TRUE — a drifting sketch fails the hash gate)
+    SparkEntry.queries("approx_stats")(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"${r.getString(0)}: sketch accuracy contract violated")
+    }
+  }
+
+  test("session_window merges an event at exactly the 30-minute gap") {
+    // Spark's session_window keeps an event arriving exactly gap after the
+    // previous one IN the same session (new session only when the gap is
+    // strictly greater) — the same `>` semantics as Events.sessionize and
+    // the DuckDB oracle's `us - prev_us > gap` test. Pinned here because
+    // the driver testdata has no exact-gap row.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def plusMin(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val events = Seq(
+      (1L, "u1", "view", 1.0, base),
+      (2L, "u1", "view", 1.0, plusMin(30)),      // exactly the gap: merges
+      (3L, "u1", "view", 1.0, plusMin(120)),
+      (4L, "u1", "view", 1.0, plusMin(150) /* 30:00.000 after #3 */ ),
+      (5L, "u1", "view", 1.0, plusMin(181))      // 31 min after #4: splits
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val native = Events.sessionWindowAgg(events).collect()
+    assert(native.length == 3, s"expected 3 sessions, got ${native.length}")
+    assert(native.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L, 1L))
+    val lagged = Events.sessionize(events)
+      .orderBy(col("user_id"), col("session_id")).collect()
+    assert(lagged.map(_.getAs[Long]("n_events")).toSeq ==
+      native.map(_.getAs[Long]("n_events")).toSeq,
+      "lag/cumsum sessionize disagrees with native session_window at the boundary")
+  }
+
+  test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
+    import spark.implicits._
+    val docs = tbl("documents")
+    val capped = Dedup.ngramJaccard(docs).collect().toSeq
+    val uncapped = Dedup.ngramJaccard(docs, maxDocFreq = Int.MaxValue).collect().toSeq
+    assert(capped == uncapped,
+      "cap changed results on the sparse fixture — threshold too low")
+    // synthetic hot shingle: 'a b c' in every doc would fan out n² in the
+    // match join; with the cap it is dropped and no pair survives
+    val hot = (1L to 50L).map(i => (i, s"a b c unique$i tail$i")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(hot, maxDocFreq = 10).collect().isEmpty)
+    val hotUncapped = Dedup.ngramJaccard(hot, maxDocFreq = Int.MaxValue)
+    assert(hotUncapped.count() == 50L * 49 / 2,
+      "uncapped hot shingle should produce all pairs")
   }
 
   test("text stats quality is in [0, 1] and stopword counts bounded") {
