@@ -21,6 +21,8 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Sequential-fold dot product of two equal-length double arrays.
@@ -65,6 +67,15 @@ object Similarity {
     */
   def cosinePairs(embeddings: DataFrame, minCos: Double,
       maxVectors: Int = MaxBruteForceQueries): DataFrame = {
+    // The truncation must be audible, not just documented: pairs among
+    // vectors beyond maxVectors are NOT returned. limit(n+1).count() is a
+    // bounded probe (scan stops at n+1 rows), so the check stays O(n) of
+    // the cap, not of the corpus.
+    if (embeddings.limit(maxVectors + 1).count() > maxVectors)
+      log.warn(s"cosinePairs: input exceeds maxVectors=$maxVectors; " +
+        "scoring only the first " + maxVectors + " vec_ids on BOTH sides " +
+        "— pairs among later vectors are omitted (use lshTopK for the " +
+        "full corpus)")
     val sample = embeddings.orderBy(col("vec_id")).limit(maxVectors)
     val a = sideWithNorm(sample, "vec_id", "va", "nrm_a")
     val b = sideWithNorm(sample, "other_id", "vb", "nrm_b")

@@ -66,7 +66,11 @@ object GoldenSink {
     val nParts = sortedCuts.length + 1
     val rdd = pairs.rdd
       .map { r =>
-        val p = scala.util.Try(r.getString(idx).trim.toInt).getOrElse(Int.MinValue)
+        // String.valueOf(r.get(idx)) rather than getString: a numeric-typed
+        // product column must range-partition by its value, not throw a
+        // ClassCastException that Try would silently turn into partition 0
+        val p = scala.util.Try(String.valueOf(r.get(idx)).trim.toInt)
+          .getOrElse(Int.MinValue)
         val b = sortedCuts.indexWhere(p < _) match {
           case -1 => nParts - 1
           case i  => i
