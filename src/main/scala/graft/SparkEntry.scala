@@ -77,6 +77,13 @@ object SparkEntry {
     }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
+    // O13 via the skew-safe totals-join normalization (the hot-product
+    // path): same result as the window formulation, benched side-by-side
+    "crystalball_totals" -> ((s, dir) =>
+      CrystalBall.normalizeViaTotalsJoin(
+          CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)))
+        .select(col("product"), col("neighbor"), col("cnt"), col("prob"))
+        .orderBy(col("product"), col("neighbor"))),
     // O8/O14: stripe shape. The stripe aggregation (sorted struct array)
     // stays in the plan; the driver projection posexplodes it back to
     // scalar rows — `pos` pins the within-stripe sort and `n_neighbors`
@@ -144,6 +151,8 @@ object SparkEntry {
     // ---- analytic windows + sessionization over events ------------------
     "window_rank" -> ((s, dir) => Events.userWindows(eventsTable(s, dir))),
     "window_frames" -> ((s, dir) => Events.userFrames(eventsTable(s, dir))),
+    "window_distributions" -> ((s, dir) =>
+      Events.userDistributions(eventsTable(s, dir))),
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
@@ -173,6 +182,10 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     // ---- multimodal column plumbing (stubbed decode) ---------------------
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
+    // ---- deterministic sampling / splits (training-data pipeline) --------
+    "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"))),
   )
 
   /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
@@ -284,6 +297,12 @@ object SparkEntry {
     "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->
+      (cooccurCte +
+        """
+        |SELECT product, neighbor, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
+        |FROM counts ORDER BY product, neighbor""".stripMargin),
+    "crystalball_totals" ->
       (cooccurCte +
         """
         |SELECT product, neighbor, cnt,
@@ -473,6 +492,16 @@ object SparkEntry {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "window_distributions" ->
+      """SELECT event_id, user_id, value,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cume,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum_10min,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS range_n_10min
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
@@ -815,5 +844,24 @@ object SparkEntry {
         |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
         |  md5(substr(text, 1, 64)) AS head_sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(bucket % 8 AS INTEGER) AS shard
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, n_stratum FROM r
+        |WHERE rn <= CAST(ceil(0.2 * n_stratum) AS BIGINT)
+        |ORDER BY lang, rn""".stripMargin,
   )
 }

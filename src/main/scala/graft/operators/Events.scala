@@ -96,6 +96,30 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Distribution functions + a time-RANGE frame per user (the window
+    * shapes [[userFrames]] doesn't cover): percent_rank / cume_dist over
+    * the value ordering (peer semantics — ties receive identical values,
+    * so no tie-break column is needed for determinism), and a trailing
+    * 10-minute RANGE frame over event time (frame membership by value
+    * distance on the integer-µs order key, not row position; same
+    * single exchange on user_id as every other per-user window).
+    */
+  def userDistributions(events: DataFrame): DataFrame = {
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val timeRange = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600L * 1000000L, 0)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        percent_rank().over(byValue).as("pct_rank"),
+        cume_dist().over(byValue).as("cume"),
+        sum(col("value").cast("decimal(18,2)")).over(timeRange)
+          .cast("double").as("range_sum_10min"),
+        count(lit(1)).over(timeRange).as("range_n_10min"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Tumbling-window aggregation (hourly): batch twin of the streaming
     * windowed count. date_trunc keeps the group key computable inside the
     * scan's codegen stage; one low-cardinality shuffle.

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for the training-data pipeline
+  * surface: reproducible train/val/test assignment and stratified
+  * sampling without RNG state.
+  *
+  * Every assignment derives from md5 of a stable row key, so the split is
+  * (a) reproducible across runs, engines, and partitionings, (b) stable
+  * under appends — a document keeps its split when the corpus grows (the
+  * property per-partition RNG sampling like `df.sample` lacks), and
+  * (c) computable inside the scan's codegen stage — no shuffle, no
+  * driver-side state, embarrassingly parallel at 100 TB.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 100) from the md5 of a stable key: first 8 hex
+    * chars → 32-bit integer → mod 100. Portable to the DuckDB oracle via
+    * the '0x' cast.
+    */
+  private[graft] def bucket100(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic 90/5/5 train/val/test split plus an 8-way output-shard
+    * assignment per document. Pure row-local projection — the plan is a
+    * single codegen'd scan+project at any scale.
+    */
+  def datasetSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket", bucket100(col("doc_id")))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"),
+        (col("bucket") % 8).cast("int").as("shard"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sample: the first ceil(fraction·|stratum|) documents of
+    * each stratum in doc_id order. Exact per-stratum allocation (unlike
+    * Bernoulli sampling, which only hits the fraction in expectation) and
+    * fully deterministic. One exchange on the stratum key; at scale the
+    * window sort is per-stratum and AQE splits skewed strata.
+    */
+  def stratifiedSample(documents: DataFrame, stratum: String = "lang",
+      fraction: Double = 0.2): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratum))
+    documents
+      .withColumn("rn", row_number().over(byStratum.orderBy(col("doc_id")))
+        .cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(byStratum))
+      .filter(col("rn") <= ceil(lit(fraction) * col("n_stratum")))
+      .select(col("doc_id"), col(stratum), col("rn"), col("n_stratum"))
+      .orderBy(col(stratum), col("rn"))
+  }
+}

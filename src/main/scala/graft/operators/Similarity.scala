@@ -137,17 +137,55 @@ object Similarity {
     * join + in-cell top-k) is the real IVF dataflow; the *training* step
     * is stubbed deterministically — centroids are the vectors with
     * vec_id < NumCentroids rather than k-means output, so the whole
-    * operator stays oracle-checkable (a production build would swap in
-    * `MLlib KMeans.fit` centroids, changing nothing downstream).
+    * operator stays oracle-checkable ([[ivfTopKTrained]] swaps in MLlib
+    * KMeans centroids, changing nothing downstream).
     * At scale: centroids broadcast, assignment is a map-side cross with
     * NumCentroids rows, the cell search shuffles on cluster id.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    val e = vectorsWithNorm(embeddings)
     val cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfServe(e, cents, k)
+  }
+
+  /** IVF with REAL training: centroids from MLlib KMeans (fixed seed, so
+    * the operator stays deterministic for a given corpus), served through
+    * the exact same dataflow as [[ivfTopK]]. Not oracle-checkable (Lloyd's
+    * iterations aren't SQL-expressible) — recall vs [[bruteForceTopK]] is
+    * asserted in PipelineSpec instead. The `.fit` is a driver-side
+    * estimator boundary like MLlib FPGrowth (MarketBasket.fpgrowthRules);
+    * at scale KMeans trains on a sample and the serving join is unchanged.
+    */
+  def ivfTopKTrained(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = vectorsWithNorm(embeddings).cache()
+    val feats = e.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCentroids).setSeed(seed).setMaxIter(10).fit(feats)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("cent_id", "cv")
+      .withColumn("cnrm", norm(col("cv")))
+    ivfServe(e, cents, k)
+  }
+
+  private def vectorsWithNorm(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
+
+  /** The IVF serving dataflow shared by the stub-trained and
+    * KMeans-trained variants: broadcast the centroid table, assign every
+    * vector to its nearest centroid by cosine (a map-side cross with
+    * numCentroids rows), then top-k search only within the assigned cell
+    * (one shuffle on cluster id).
+    */
+  private def ivfServe(e: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cscore", floor(dot(col("v"), col("cv")) /
         (col("nrm") * col("cnrm")) * lit(1000000.0)))

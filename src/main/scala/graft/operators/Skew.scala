@@ -18,13 +18,22 @@ object Skew {
     * bounds the per-key share of any single REDUCER, which matters when
     * one key dominates the dataset.
     */
-  def saltedCounts(df: DataFrame, keys: Seq[String], nSalts: Int = 16): DataFrame = {
+  def saltedCounts(df: DataFrame, keys: Seq[String], nSalts: Int = 16): DataFrame =
+    saltedPartials(df, keys, nSalts)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+
+  /** First phase of [[saltedCounts]]: per-(key, salt) sub-group counts.
+    * Exposed so tests can assert the balance property directly — a hot
+    * key's rows must spread across ~nSalts sub-groups, each a bounded
+    * share of the key's total.
+    */
+  private[graft] def saltedPartials(df: DataFrame, keys: Seq[String],
+      nSalts: Int): DataFrame = {
     val salted = df.withColumn("_salt",
       pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
     salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("_partial")).as("cnt"))
   }
 
   /** Skewed equi-join: replicate the SMALL side `nSalts` times and salt

@@ -178,4 +178,70 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(6) <= r.getLong(4), "more stopwords than tokens")
     }
   }
+
+  test("KMeans-trained IVF: exact in-cell scores, recall at least the stub's") {
+    val emb = tbl("embeddings")
+    val k = 5
+    // full brute-force scoring (all pairs) for score cross-checks
+    val allScores = Similarity.bruteForceTopK(emb, k = emb.count().toInt,
+        maxQueries = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trueTopK = Similarity.bruteForceTopK(emb, k, maxQueries = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val found = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      trueTopK.intersect(found).size.toDouble / trueTopK.size
+    }
+    val trained = Similarity.ivfTopKTrained(emb, k).collect()
+    trained.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(allScores(key) == r.getLong(3),
+        s"trained IVF pair $key score mismatch vs brute force")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= k)
+    }
+    val trainedRecall = recallOf(trained)
+    val stubRecall = recallOf(Similarity.ivfTopK(emb, k).collect())
+    // absolute floor is modest: 16 cells on the ~250-vector sf0.001 corpus
+    // caps in-cell recall; the meaningful check is the relative one below
+    assert(trainedRecall >= 0.2, f"trained IVF recall $trainedRecall%.3f < 0.2")
+    // real centroids must not be materially worse than the arbitrary-vector
+    // stub (small slack: cell boundaries shift, recall is not monotone)
+    assert(trainedRecall >= stubRecall - 0.05,
+      f"trained recall $trainedRecall%.3f below stub recall $stubRecall%.3f")
+  }
+
+  test("dataset split is stable under appends and near the 90/5/5 contract") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val full = Sampling.datasetSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // append-stability: on a prefix of the corpus every doc keeps its split
+    val prefix = Sampling.datasetSplit(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    prefix.foreach { case (id, split) =>
+      assert(full(id) == split, s"doc $id changed split when corpus grew")
+    }
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(trainFrac > 0.84 && trainFrac < 0.96,
+      f"train fraction $trainFrac%.3f far from 0.90")
+    assert(full.values.forall(Set("train", "val", "test")))
+  }
+
+  test("stratified sample takes exactly ceil(f*n) docs per stratum") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val perStratum = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedSample(docs, "lang", 0.2).collect()
+    val got = sampled.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    assert(got.keySet == perStratum.keySet.filter(perStratum(_) > 0))
+    got.foreach { case (lang, cnt) =>
+      assert(cnt == math.ceil(0.2 * perStratum(lang)).toLong,
+        s"$lang: sampled $cnt of ${perStratum(lang)}")
+    }
+    // determinism: same call yields the same ids
+    val again = Sampling.stratifiedSample(docs, "lang", 0.2).collect()
+    assert(sampled.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
