@@ -156,6 +156,31 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    // as-of join (backward): latest purchase at-or-before each click.
+    // The right side is deduped per (user_id, ts) so the at-tie winner is
+    // deterministic on both engines (DuckDB ASOF's tie choice is
+    // unspecified).
+    "asof_join" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      TemporalJoin.asOf(clicks, purchases, "user_id", "ts",
+          Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("_asof.p_event_id").as("purchase_event_id"),
+          col("_asof.p_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+    "proximity_pairs" -> ((s, dir) =>
+      TemporalJoin.proximityPairs(eventsTable(s, dir))),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -547,6 +572,29 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        |)
+        |SELECT c.event_id, c.user_id, c.value,
+        |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "proximity_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+        |)
+        |SELECT a.user_id, a.event_id AS event_a, a.event_type AS type_a,
+        |  b.event_id AS event_b, b.event_type AS type_b, b.us - a.us AS delta_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us >= a.us AND b.us - a.us <= 300000000
+        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |  AND a.event_id <> b.event_id
+        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
     "text_stats" ->
       """WITH c AS (
         |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,

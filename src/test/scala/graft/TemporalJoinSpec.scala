@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TemporalJoin
+
+/** The temporal joins checked against independent formulations: asOf
+  * against a hand-computed fixture (including the at-tie and no-match
+  * edges), proximityPairs against the naive theta join it replaces.
+  */
+class TemporalJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Specs.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2020-01-01 10:00:00"), 5.0),
+      (2L, "u1", ts("2020-01-01 12:00:00"), 6.0),
+      (3L, "u1", ts("2020-01-01 09:00:00"), 7.0), // before any right row
+      (4L, "u2", ts("2020-01-01 10:30:00"), 8.0)  // other key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      ("u1", ts("2020-01-01 09:30:00"), 100L, 1.5),
+      ("u1", ts("2020-01-01 10:00:00"), 101L, 2.5), // exactly left #1: matches
+      ("u1", ts("2020-01-01 11:00:00"), 102L, 3.5),
+      ("u2", ts("2020-01-01 10:00:00"), 103L, 4.5)
+    ).toDF("user_id", "ts", "p_event_id", "p_value")
+    val got = TemporalJoin.asOf(left, right, "user_id", "ts",
+        Seq("p_event_id", "p_value"))
+      .select(col("event_id"), col("_asof.p_event_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> 101L, 2L -> 102L, 3L -> -1L, 4L -> 103L))
+  }
+
+  test("proximity pairs equal the naive theta join on real data") {
+    val ev = SparkEntry.queries("proximity_pairs")(spark, sf)
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") >= col("a.us") &&
+          col("b.us") - col("a.us") <= 300000000L &&
+          (col("a.us") < col("b.us") ||
+            (col("a.us") === col("b.us") &&
+              col("a.event_id") < col("b.event_id"))) &&
+          col("a.event_id") =!= col("b.event_id"))
+      .select(col("a.event_id").as("ea"), col("b.event_id").as("eb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketized = ev.collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(bucketized == naive,
+      s"bucketized ${bucketized.size} pairs vs naive ${naive.size}")
+    assert(naive.nonEmpty, "fixture produced no proximity pairs")
+  }
+
+  test("proximity pairs plan an equi-join, not a nested-loop") {
+    val plan = TemporalJoin
+      .proximityPairs(spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"proximity join fell back to a nested loop:\n$plan")
+  }
+}
