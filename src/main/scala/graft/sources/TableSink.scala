@@ -16,10 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableSink {
 
-  /** Hive-style partitioned parquet: one directory per partition value. */
+  /** Hive-style partitioned layout: one directory per partition value.
+    * `format` is any batch file format Spark ships (parquet default; orc
+    * for ORC-consuming downstreams — same pruning behavior, asserted for
+    * both in TableSinkSpec).
+    */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      partitionCols: Seq[String], format: String = "parquet"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .format(format).save(path)
 
   /** Bucketed + sorted table (requires the session catalog — bucket
     * metadata lives in the metastore). `nBuckets` must match across

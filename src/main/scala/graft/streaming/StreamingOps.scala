@@ -71,6 +71,16 @@ object StreamingOps {
   def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.dropDuplicates(keyCols)
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (small) static dimension, broadcast so the stream never shuffles —
+    * the standard ingest-time enrichment (user → segment, doc → license,
+    * …). The dim is re-resolvable per batch, so a catalog-backed dim
+    * picks up slow dimension changes without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

@@ -82,6 +82,18 @@ class PlanSpec extends AnyFunSuite {
     assert(salted == plain && sameName == plain)
   }
 
+  test("per-key top-k queries get WindowGroupLimit pushdown") {
+    // Spark's InferWindowGroupLimit turns rank<=k filters into partial
+    // per-partition top-k heaps before the shuffle — the reason no custom
+    // top-k operator is needed (preference (a) of the custom-op ladder).
+    // Pinned so a window-spec change doesn't silently lose it.
+    for (q <- Seq("ann_topk", "ann_lsh_topk")) {
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost WindowGroupLimit pushdown:\n$p")
+    }
+  }
+
   test("salting preserves results and spreads a hot key at realistic skew") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -102,4 +102,30 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("stream-static enrichment join equals the batch join, broadcast") {
+    import spark.implicits._
+    val dim = batchEvents.select("user_id").distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val enriched = StreamingOps.enrichStream(
+      StreamingOps.eventsStream(spark, streamDir), dim, "user_id")
+    val q = enriched.select("event_id", "segment")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = batchEvents.join(dim, Seq("user_id"), "left")
+        .select("event_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.nonEmpty && streamed == batch)
+      // the whole point: the dim must broadcast, never shuffle the stream
+      val plan = enriched.queryExecution.analyzed.toString
+      assert(plan.contains("ResolvedHint") || enriched.queryExecution
+        .optimizedPlan.toString.contains("broadcast"),
+        "enrichment join lost the broadcast hint")
+    } finally q.stop()
+  }
 }

@@ -27,6 +27,21 @@ class TableSinkSpec extends AnyFunSuite {
       li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("ORC partitioned layout round-trips and prunes like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    TableSink.writePartitioned(li, s"$dir/li_orc", Seq("l_returnflag"), "orc")
+    val back = spark.read.orc(s"$dir/li_orc")
+    assert(back.count() == li.count())
+    val pruned = back.filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), s"no ORC partition filters:\n$plan")
+    // value-preserving across the format change, not just row counts
+    val a = back.agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0).get(0)
+    val b = li.agg(sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0).get(0)
+    assert(a == b)
+  }
+
   test("same-bucket tables sort-merge-join without exchanges") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
