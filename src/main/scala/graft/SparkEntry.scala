@@ -119,6 +119,21 @@ object SparkEntry {
     "full_outer_presence" -> ((s, dir) => Relational.orderPresence(t(s, dir, "orders"))),
     "above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(t(s, dir, "orders"))),
     "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
+    // correlated scalar subqueries through the SQL front end — Catalyst
+    // decorrelates both into aggregate+join (no per-row re-execution);
+    // sum·count comparison in exact decimals avoids cross-engine avg()
+    // double drift
+    "above_nation_avg" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT count(*) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
     "set_ops_all" -> ((s, dir) => Relational.setOpsAll(t(s, dir, "orders"))),
@@ -441,6 +456,14 @@ object SparkEntry {
           s"""\n  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
           .mkString(",") +
         "\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -109,4 +109,56 @@ object StreamingOps {
           UserSummary(userId, next.n, next.sumValue)
       }
   }
+
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long,
+      sumValue: Double)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Streaming gap sessionization via flatMapGroupsWithState (append
+    * mode): a session CLOSES — and is emitted — when an event arrives more
+    * than `gapMinutes` after the previous one (the same strict-`>` µs
+    * semantics as the batch Events.sessionize); the trailing open session
+    * stays in state awaiting more data. Zero-or-many emissions per group
+    * per batch is exactly what flatMap (vs map) GroupsWithState buys.
+    *
+    * Within a micro-batch the group iterator is unordered — events are
+    * sorted by (time, event_id) before folding. Cross-batch late data is
+    * out of scope here (production would pair this with a watermark and
+    * event-time timeout to also flush the final session).
+    */
+  def sessionizeStream(events: DataFrame,
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.Buffer[ClosedSession]()
+          var cur = state.getOption
+          for (e <- evs) {
+            val us = micros(e.ts)
+            cur match {
+              case Some(s) if us - s.lastUs > gapUs =>
+                closed += ClosedSession(userId, s.startUs, s.lastUs, s.n, s.sumValue)
+                cur = Some(SessionState(us, us, 1L, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.startUs, us, s.n + 1, s.sumValue + e.value))
+              case None =>
+                cur = Some(SessionState(us, us, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

@@ -103,6 +103,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits exactly the closed batch sessions") {
+    val q = StreamingOps.sessionizeStream(
+        StreamingOps.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4))))
+        .toMap
+      // batch sessions minus each user's trailing (still-open) session
+      val batchAll = graft.operators.Events.sessionize(batchEvents).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(3), r.getLong(2), r.getDouble(6)))
+      val closedBatch = batchAll.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+        ss.sortBy(_._2).dropRight(1).toSeq
+      }.map(s => (s._1, unixMicros(s._3)) -> ((s._4, s._5))).toMap
+      assert(streamed.keySet == closedBatch.keySet,
+        s"closed-session keys differ: streamed ${streamed.size} vs batch ${closedBatch.size}")
+      streamed.foreach { case (k, (n, sum)) =>
+        assert(n == closedBatch(k)._1, s"session $k count")
+        assert(math.abs(sum - closedBatch(k)._2) < 1e-6, s"session $k sum")
+      }
+    } finally q.stop()
+  }
+
+  private def unixMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   test("stream-static enrichment join equals the batch join, broadcast") {
     import spark.implicits._
     val dim = batchEvents.select("user_id").distinct()
