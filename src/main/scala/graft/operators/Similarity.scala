@@ -112,22 +112,25 @@ object Similarity {
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * hex nibble of md5("p_i") mapped to [−7.5, 7.5]. Portable to SQL.
+    * hex nibble of md5("p_i") mapped to [−7.5, 7.5] — computed ONCE in
+    * Scala (identical arithmetic to the SQL oracle's ascii-decode, which
+    * derives the same values expression-side) instead of 8×64 md5 calls
+    * per row. The projection then runs through the codegen'd DotProduct
+    * with the weight vector as an array literal; fold order is unchanged,
+    * so the signs (and the oracle hash) are bit-identical.
     */
-  private def weight(plane: Int, i: Column): Column = {
-    val d = ascii(substring(md5(concat(lit(s"$plane" + "_"), i.cast("string"))
-      .cast("binary")), 1, 1))
-    (d - when(d >= 97, 87).otherwise(48)).cast("double") - lit(7.5)
+  private[graft] def weightOf(plane: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$i".getBytes("UTF-8"))
+    val d = f"${digest(0) & 0xff}%02x".charAt(0).toInt
+    (d - (if (d >= 97) 87 else 48)).toDouble - 7.5
   }
 
   /** Sign-random-projection bucket signature: bit per hyperplane. */
   private[graft] def bucketOf(v: Column): Column =
     (0 until NumPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(63)), i => weight(p, i)),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      val w = typedLit((0 until 64).map(i => weightOf(p, i)))
+      when(dot(v, w) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   val NumCentroids = 16
