@@ -171,6 +171,19 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    // semi-structured column breadth: the same JSON field through BOTH
+    // parse paths (path extraction and schema'd from_json) — emitting the
+    // two must-agree columns makes the hash gate also a parser
+    // cross-check; per-type aggregation exercises JSON values in keys
+    "json_funcs" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      ev.select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), "k BIGINT", new java.util.HashMap[String, String]())
+            .getField("k").as("k_struct"))
+        .withColumn("k_mod", col("k_path") % 7)
+        .orderBy(col("event_id"))
+    }),
     // as-of join (backward): latest purchase at-or-before each click.
     // The right side is deduped per (user_id, ts) so the at-tie winner is
     // deterministic on both engines (DuckDB ASOF's tie choice is
@@ -595,6 +608,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "json_funcs" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
     "asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'

@@ -62,6 +62,39 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "fixture produced no proximity pairs")
   }
 
+  test("asOf equals a per-row max scan on randomized fixtures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1L to 200L).map { id =>
+      (id, s"u${rnd.nextInt(5)}",
+        new java.sql.Timestamp(1577836800000L + rnd.nextInt(100000) * 1000L))
+    }
+    // unique per (user, ts) — the operator's contract (at-tie right rows
+    // are peers in the window sort; the registered query dedupes them)
+    val rightRows = (1000L to 1100L).map { id =>
+      (s"u${rnd.nextInt(5)}",
+        new java.sql.Timestamp(1577836800000L + rnd.nextInt(100000) * 1000L),
+        id)
+    }.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("user_id", "ts", "r_id")
+    val got = TemporalJoin.asOf(left, right, "user_id", "ts", Seq("r_id"))
+      .select(col("event_id"), col("_asof.r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // oracle: per left row, scan all right rows for the max (ts, r_id)
+    // at-or-before — ties on ts resolved by the larger r_id, matching the
+    // operator's right-side ordering (later right rows overwrite earlier
+    // ones at the same timestamp via the (ts, _src, r_id) sort)
+    leftRows.foreach { case (id, u, ts) =>
+      val naive = rightRows.filter(r => r._1 == u && !r._2.after(ts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+      assert(got(id) == naive, s"event $id user $u")
+    }
+    assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty),
+      "fixture should exercise both matched and unmatched rows")
+  }
+
   test("proximity pairs plan an equi-join, not a nested-loop") {
     val plan = TemporalJoin
       .proximityPairs(spark.read.parquet(s"$sf/events.parquet")
