@@ -213,6 +213,7 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -672,6 +673,16 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "token_counts" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_ws_tokens, n_subword_tokens, n_chars,
+        |  CAST(n_chars AS DOUBLE) / CAST(n_subword_tokens AS DOUBLE) AS chars_per_subword
+        |FROM c ORDER BY doc_id""".stripMargin,
     "fingerprints" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5

@@ -74,6 +74,25 @@ object TextAnalysis {
     * explode → single low-cardinality groupBy with map-side combine;
     * top-k is TakeOrderedAndProject.
     */
+  /** Token counting under two tokenizers per document: whitespace words
+    * and a BPE-ish subword regex (letter runs | digit runs | single
+    * punctuation — the pre-tokenization split BPE vocabularies are trained
+    * over), plus the chars-per-subword ratio, the usual proxy for how many
+    * real BPE tokens a document will cost. Row-local codegen'd projection;
+    * no shuffle.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val nWs = size(split(col("text"), " ")).cast("long")
+    val nSub = size(regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    documents.select(col("doc_id"),
+        nWs.as("n_ws_tokens"), nSub.as("n_subword_tokens"),
+        nChars.as("n_chars"),
+        (nChars.cast("double") / nSub.cast("double")).as("chars_per_subword"))
+      .orderBy(col("doc_id"))
+  }
+
   def tokenFrequencies(documents: DataFrame, k: Int = 50): DataFrame =
     documents
       .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))

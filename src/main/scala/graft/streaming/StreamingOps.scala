@@ -110,6 +110,31 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the clicks that
+    * preceded them by at most `windowMinutes` for the same user. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance in BOTH directions, so Spark can expire buffered state —
+    * the requirement that separates a runnable stream-stream join from an
+    * unbounded-state one.
+    */
+  def joinStreams(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 5): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+        c("user_id") === p("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(c("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long,
       sumValue: Double)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,

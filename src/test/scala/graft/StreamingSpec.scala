@@ -132,6 +132,36 @@ class StreamingSpec extends AnyFunSuite {
   private def unixMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = StreamingOps.eventsStream(spark, streamDir)
+    val joined = StreamingOps.joinStreams(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("ssjoin_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val c = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val p = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val batch = c.join(p,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "fixture has no click->purchase pairs in window")
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join, broadcast") {
     import spark.implicits._
     val dim = batchEvents.select("user_id").distinct()
