@@ -219,6 +219,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    // pair detection → canonical cluster assignment (connected components)
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.nearDupClusters(pairs)
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // ---- similarity search over embeddings -------------------------------
@@ -706,7 +716,29 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "minhash_lsh" -> {
+    "minhash_lsh" -> minhashLshSql,
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM cl ORDER BY doc_id""".stripMargin),
+  ) ++ oracleSqlRest
+
+  /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the
+    * edge relation for the clustering oracle's recursive CTE.
+    */
+  private lazy val minhashLshSql: String = {
       val mins = (0 until Dedup.NumHashes).map(k =>
         s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
         .mkString(",\n    ")
@@ -739,7 +771,9 @@ object SparkEntry {
         |FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
         |WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25
         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+  }
+
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->

@@ -60,6 +60,18 @@ class GoldenSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("range partitioning handles a numeric-typed product column") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    import Specs.spark.implicits._
+    // regression: getString on an int column threw ClassCastException,
+    // which the Try swallowed — silently routing every row to partition 0
+    val numeric = Seq((10, "a"), (45, "b"), (90, "c")).toDF("product", "neighbor")
+    val got = GoldenSink.rangePartitionedAt(numeric, Seq(30, 60))
+      .select(col("product"), spark_partition_id().as("pid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(got == Map(10 -> 0, 45 -> 1, 90 -> 2), s"got $got")
+  }
+
   test("writeText overwrites (O17) and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("golden_sink").toString
     GoldenSink.writeText(GoldenSink.pairLines(pairs), s"$dir/out")

@@ -179,6 +179,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters equal a union-find over the same pairs") {
+    import spark.implicits._
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    // real pairs from the LSH detector
+    val pairsDf = Dedup.minhashLsh(tbl("documents")).select("doc_a", "doc_b")
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val got = Dedup.nearDupClusters(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(pairs))
+    // a 6-node chain (diameter 5) — propagation must walk the whole chain
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    val chainDf = chain.toDF("doc_a", "doc_b")
+    val chainGot = Dedup.nearDupClusters(chainDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
   test("KMeans-trained IVF: exact in-cell scores, recall at least the stub's") {
     val emb = tbl("embeddings")
     val k = 5
