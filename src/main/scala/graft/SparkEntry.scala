@@ -246,6 +246,7 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     // ---- multimodal column plumbing (stubbed decode) ---------------------
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
+    "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
@@ -979,6 +980,19 @@ object SparkEntry {
         |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
         |  md5(substr(text, 1, 64)) AS head_sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      list_transform(range(1, len(toks) + 1),
+        |        i -> {'idx': CAST(i - 1 AS BIGINT), 'frame': toks[i]}),
+        |      s -> s.idx % 4 = 0)) AS fr
+        |  FROM t)
+        |SELECT doc_id, fr.idx AS frame_idx, md5(fr.frame) AS frame_sig,
+        |  CAST(1 + length(fr.frame) % 16 AS INTEGER) AS thumb_w
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id,

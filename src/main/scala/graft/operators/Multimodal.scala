@@ -49,6 +49,29 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling as row explosion: one output row per sampled "frame"
+    * (every `stride`-th token of the payload stands in for a decoded
+    * video frame), carrying the original frame index, a content
+    * signature, and a stub thumbnail width (where a resize kernel would
+    * run). This is the fan-out shape a real frame sampler produces —
+    * per-row generation, no shuffle, output partitioning inherited from
+    * the scan.
+    */
+  def sampleFrames(documents: DataFrame, stride: Int = 4): DataFrame = {
+    val toks = split(col("text"), " ")
+    val frames = filter(
+      transform(sequence(lit(1), size(toks)),
+        i => struct((i - 1).cast("long").as("idx"),
+          element_at(toks, i).as("frame"))),
+      s => s.getField("idx") % stride === 0)
+    documents.select(col("doc_id"), explode(frames).as("fr"))
+      .select(col("doc_id"),
+        col("fr.idx").as("frame_idx"),
+        md5(col("fr.frame").cast("binary")).as("frame_sig"),
+        (lit(1) + length(col("fr.frame")) % 16).cast("int").as("thumb_w"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Pure-Catalyst twin of the stub decode + frame sampling — the
     * oracle-checkable surface. n_frames samples every `stride`-th token
     * ("frame") of the payload; head_sig fingerprints the first 64 bytes.
