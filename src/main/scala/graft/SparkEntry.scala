@@ -119,6 +119,9 @@ object SparkEntry {
     "full_outer_presence" -> ((s, dir) => Relational.orderPresence(t(s, dir, "orders"))),
     "above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(t(s, dir, "orders"))),
     "pivot_status" -> ((s, dir) => Relational.priorityPivot(t(s, dir, "orders"))),
+    "unpivot_status" -> ((s, dir) => Relational.priorityUnpivot(t(s, dir, "orders"))),
+    "array_funcs" -> ((s, dir) =>
+      Relational.arrayFunctions(BasketSource.fromLineitem(s, dir))),
     // correlated scalar subqueries through the SQL front end — Catalyst
     // decorrelates both into aggregate+join (no per-row re-execution);
     // sum·count comparison in exact decimals avoids cross-engine avg()
@@ -481,6 +484,27 @@ object SparkEntry {
           s"""\n  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
           .mkString(",") +
         "\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "unpivot_status" ->
+      (s"""WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |pr AS (SELECT unnest([${Relational.OrderPriorities.map(p => s"'$p'").mkString(", ")}]) AS priority),
+        |c AS (SELECT o_orderstatus, o_orderpriority AS priority, count(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT s.o_orderstatus, pr.priority, coalesce(c.n, 0) AS n
+        |FROM s CROSS JOIN pr
+        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.priority = pr.priority
+        |ORDER BY s.o_orderstatus, pr.priority""".stripMargin),
+    "array_funcs" ->
+      (basketsCte +
+        """
+        |SELECT customer,
+        |  CAST(len(products) AS BIGINT) AS n_products,
+        |  array_to_string(products[1:3], ' ') AS first3,
+        |  array_to_string(list_sort(products), ' ') AS sorted_products,
+        |  CAST(len(list_distinct(products)) AS BIGINT) AS n_distinct,
+        |  list_contains(products, '34') AS has_34,
+        |  len(list_filter(products, p -> regexp_matches(p, '^[0-9]+$'))) = len(products) AS all_numeric,
+        |  CAST(coalesce(list_sum(list_transform(products, p -> length(p))), 0) AS BIGINT) AS total_chars
+        |FROM baskets ORDER BY customer""".stripMargin),
     "above_nation_avg" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *

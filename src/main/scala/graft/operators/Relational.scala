@@ -251,6 +251,37 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("o_orderstatus"))
 
+  /** Unpivot (melt): the wide per-status priority counts back to long
+    * (status, priority, n) rows — the inverse of [[priorityPivot]] and
+    * the standard wide→long reshape. Uses Spark's native `unpivot`
+    * operator; n stays a count (never null) because the pivot filled
+    * absent combinations with 0.
+    */
+  def priorityUnpivot(orders: DataFrame): DataFrame =
+    priorityPivot(orders)
+      .unpivot(Array(col("o_orderstatus")),
+        OrderPriorities.map(col).toArray, "priority", "n")
+      .orderBy(col("o_orderstatus"), col("priority"))
+
+  /** Higher-order array-function breadth over the basket relation:
+    * slice, sort, element membership (exists), predicate-over-all
+    * (forall), flatten-free distinct count, and a fold (aggregate) —
+    * each codegen-free lambda evaluated per row, no shuffle beyond the
+    * basket build.
+    */
+  def arrayFunctions(baskets: DataFrame): DataFrame =
+    baskets.select(
+        col("customer"),
+        size(col("products")).cast("long").as("n_products"),
+        array_join(slice(col("products"), 1, 3), " ").as("first3"),
+        array_join(array_sort(col("products")), " ").as("sorted_products"),
+        size(array_distinct(col("products"))).cast("long").as("n_distinct"),
+        exists(col("products"), p => p === "34").as("has_34"),
+        forall(col("products"), p => p.rlike("^[0-9]+$")).as("all_numeric"),
+        aggregate(col("products"), lit(0L),
+          (acc, p) => acc + length(p)).as("total_chars"))
+      .orderBy(col("customer"))
+
   /** Date/time function breadth over orders (year/month/day/dow,
     * truncation, arithmetic) — engine-portable variants only (day-of-week
     * aligned to Spark's 1=Sunday convention on both sides).

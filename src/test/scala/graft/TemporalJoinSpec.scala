@@ -95,6 +95,20 @@ class TemporalJoinSpec extends AnyFunSuite {
       "fixture should exercise both matched and unmatched rows")
   }
 
+  test("degenerate inputs: empty right side, empty pair relation") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val emptyRight = Seq.empty[(String, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "r_id")
+    val asof = TemporalJoin.asOf(left, emptyRight, "user_id", "ts", Seq("r_id"))
+      .select(col("event_id"), col("_asof.r_id")).collect()
+    assert(asof.length == 1 && asof.head.isNullAt(1),
+      "empty right side must keep left rows with null as-of payload")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.nearDupClusters(emptyPairs).collect().isEmpty)
+  }
+
   test("proximity pairs plan an equi-join, not a nested-loop") {
     val plan = TemporalJoin
       .proximityPairs(spark.read.parquet(s"$sf/events.parquet")
