@@ -98,6 +98,15 @@ object SparkEntry {
           col("pos").cast("long").as("pos"),
           col("col.neighbor").as("neighbor"), col("col.prob").as("prob"))
         .orderBy(col("product"), col("pos"))),
+    // O8 in its engine-native MapType presentation: per-product stripe as
+    // a map, driver-checked through scalar projections (map lookup via
+    // element_at — null when the neighbor is absent — plus map_keys size)
+    "stripe_lookup" -> ((s, dir) =>
+      CrystalBall.stripeMap(BasketSource.basketsFromLineitem(s, dir))
+        .select(col("product"),
+          size(map_keys(col("stripe"))).cast("long").as("n_neighbors"),
+          element_at(col("stripe"), "34").as("p34"))
+        .orderBy(col("product"))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -388,6 +397,20 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY product ORDER BY neighbor) - 1 AS pos,
         |       neighbor, prob
         |FROM probs ORDER BY product, pos""".stripMargin),
+    "stripe_lookup" ->
+      (cooccurCte +
+        """, probs AS (
+        |  SELECT product, neighbor,
+        |         CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
+        |  FROM counts
+        |), agg AS (
+        |  SELECT product, count(*) AS n_neighbors FROM probs GROUP BY product
+        |), p34 AS (
+        |  SELECT product, prob AS p34 FROM probs WHERE neighbor = '34'
+        |)
+        |SELECT agg.product, agg.n_neighbors, p34.p34
+        |FROM agg LEFT JOIN p34 ON agg.product = p34.product
+        |ORDER BY agg.product""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
