@@ -183,6 +183,7 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    "sliding_counts" -> ((s, dir) => Events.slidingCounts(eventsTable(s, dir))),
     // semi-structured column breadth: the same JSON field through BOTH
     // parse paths (path extraction and schema'd from_json) — emitting the
     // two must-agree columns makes the hash gate also a parser
@@ -667,6 +668,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "sliding_counts" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest([to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800 - 1800),
+        |            to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800)]) AS win_start
+        |  FROM events)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "json_funcs" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,

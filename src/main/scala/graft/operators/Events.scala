@@ -120,6 +120,21 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes, so each
+    * event lands in exactly length/slide = 2 windows. Spark's `window`
+    * generates the per-event window replicas inside the scan stage; the
+    * aggregation shuffles (window, type) — 2x the tumbling shuffle volume,
+    * same plan shape.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Tumbling-window aggregation (hourly): batch twin of the streaming
     * windowed count. date_trunc keeps the group key computable inside the
     * scan's codegen stage; one low-cardinality shuffle.
