@@ -71,6 +71,19 @@ object StreamingOps {
   def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.dropDuplicates(keyCols)
 
+  /** Watermarked sliding-window counts — streaming twin of
+    * Events.slidingCounts (1-hour windows every 30 minutes; each event
+    * contributes to its two windows).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (small) static dimension, broadcast so the stream never shuffles —
     * the standard ingest-time enrichment (user → segment, doc → license,

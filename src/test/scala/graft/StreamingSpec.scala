@@ -45,6 +45,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts equal the batch sliding aggregation") {
+    val q = StreamingOps.slidingCounts(StreamingOps.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = graft.operators.Events.slidingCounts(batchEvents).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming crystal-ball counts equal the batch flagship") {
     val fixture = Seq(
       "Mary 34 56 29 12 34 56 92 29 34 12",
