@@ -94,6 +94,21 @@ object StreamingOps {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** foreachBatch sink: append each micro-batch into a Hive-partitioned
+    * parquet layout via the batch TableSink path — the standard way to
+    * reuse batch writers (partitioning, ORC, bucketing) from a stream.
+    * Batch-id based dedup is the usual exactly-once upgrade; append mode
+    * here keeps the example minimal.
+    */
+  def writePartitionedStream(stream: DataFrame, path: String,
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy(partitionCols: _*).parquet(path)
+      }
+      .start()
+
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

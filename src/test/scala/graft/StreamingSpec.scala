@@ -178,6 +178,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes a partitioned layout equal to the input") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString + "/ev"
+    val q = StreamingOps.writePartitionedStream(
+      StreamingOps.eventsStream(spark, streamDir), out, Seq("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == batchEvents.count())
+    // partition pruning works on the streamed layout too
+    val pruned = written.filter(col("event_type") === "click")
+    assert(pruned.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("PartitionFilters"))
+    assert(pruned.count() ==
+      batchEvents.filter(col("event_type") === "click").count())
+  }
+
   test("stream-static enrichment join equals the batch join, broadcast") {
     import spark.implicits._
     val dim = batchEvents.select("user_id").distinct()
