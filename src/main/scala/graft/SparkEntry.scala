@@ -260,6 +260,7 @@ object SparkEntry {
     // ---- multimodal column plumbing (stubbed decode) ---------------------
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
     "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
+    "media_embedding" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
@@ -1051,6 +1052,15 @@ object SparkEntry {
         |SELECT doc_id, fr.idx AS frame_idx, md5(fr.frame) AS frame_sig,
         |  CAST(1 + length(fr.frame) % 16 AS INTEGER) AS thumb_w
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "media_embedding" -> {
+      val dims = (0 until Multimodal.EmbedDims).map { i =>
+        val a = s"ascii(substr(md5(substr(text, ${1 + i * 7}, 7)), 1, 1))"
+        s"CAST(floor(((CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS DOUBLE)) / 15.0 - 0.5) * 1000000.0) AS BIGINT) AS e$i"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $dims
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id,

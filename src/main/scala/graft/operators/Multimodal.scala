@@ -30,6 +30,51 @@ object Multimodal {
     }
   }
 
+  val EmbedDims = 8
+
+  /** STUB feature extractor: a real build would run an image/audio
+    * encoder here and return a unit-scale embedding. Deterministic fake:
+    * dim i hashes the i-th 7-char window of the payload (md5 nibble →
+    * [−0.5, 0.5]), so the SQL twin reproduces it bit-for-bit.
+    */
+  private[graft] def embedStub(text: String): Array[Double] =
+    Array.tabulate(EmbedDims) { i =>
+      val window = text.drop(i * 7).take(7)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(window.getBytes("UTF-8"))
+      val d = f"${digest(0) & 0xff}%02x".charAt(0).toInt
+      (d - (if (d >= 97) 87 else 48)).toDouble / 15.0 - 0.5
+    }
+
+  final case class MediaEmbedding(docId: Long, embedding: Array[Double])
+
+  /** Batched feature extraction via mapPartitions — same seam as
+    * [[decodeMeta]] (encoder init once per partition, row batches
+    * inside); output feeds the Similarity ANN operators directly.
+    */
+  def extractFeatures(documents: DataFrame): Dataset[MediaEmbedding] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition encoder init would happen here
+        it.map { case (id, text) => MediaEmbedding(id, embedStub(text)) }
+      }
+  }
+
+  /** Pure-Catalyst twin of the stub feature extraction — scalar columns
+    * (floor-scaled BIGINTs) so the driver compare can hash them.
+    */
+  def mediaEmbedding(documents: DataFrame): DataFrame = {
+    val dims = (0 until EmbedDims).map { i =>
+      val d = ascii(substring(md5(
+        substring(col("text"), 1 + i * 7, 7).cast("binary")), 1, 1))
+      floor(((d - when(d >= 97, 87).otherwise(48)).cast("double") / 15.0
+        - 0.5) * 1000000.0).as(s"e$i")
+    }
+    documents.select(col("doc_id") +: dims: _*).orderBy(col("doc_id"))
+  }
+
   /** documents.text → opaque binary "media" column + metadata. In a real
     * pipeline this is the raw image/audio payload column.
     */

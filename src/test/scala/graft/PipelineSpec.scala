@@ -88,6 +88,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(typed == sql)
   }
 
+  test("multimodal stub feature extraction agrees with its SQL twin") {
+    val docs = tbl("documents")
+    val typed = Multimodal.extractFeatures(docs).collect()
+      .map(m => m.docId ->
+        m.embedding.map(v => math.floor(v * 1000000.0).toLong).toSeq)
+      .toMap
+    val sql = Multimodal.mediaEmbedding(docs).collect()
+      .map(r => r.getLong(0) ->
+        (1 to Multimodal.EmbedDims).map(r.getLong).toSeq)
+      .toMap
+    assert(typed.nonEmpty && typed == sql)
+  }
+
   test("multimodal decode uses BYTE length on non-ASCII payloads") {
     import spark.implicits._
     // 'café' = 4 chars, 5 UTF-8 bytes — both paths must report 5
