@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     assert(salted == plain && sameName == plain)
   }
 
+  test("asof_join stays within its exchange budget") {
+    // dedup window (user,ts) + as-of window (user) + final sort = 3; a
+    // fourth exchange means the union-tag formulation lost its single
+    // key partitioning
+    val p = planOf("asof_join")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"asof_join exchange count $exchanges:\n$p")
+  }
+
   test("per-key top-k queries get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns rank<=k filters into partial
     // per-partition top-k heaps before the shuffle — the reason no custom
