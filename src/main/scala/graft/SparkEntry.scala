@@ -227,6 +227,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -753,6 +755,22 @@ object SparkEntry {
         |SELECT doc_id, n_ws_tokens, n_subword_tokens, n_chars,
         |  CAST(n_chars AS DOUBLE) / CAST(n_subword_tokens AS DOUBLE) AS chars_per_subword
         |FROM c ORDER BY doc_id""".stripMargin,
+    "quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), tri AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+        |  FROM toks WHERE len(t) >= 3
+        |), c AS (
+        |  SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |  CAST(max(c) AS BIGINT) AS max_trigram,
+        |  count(*) AS n_distinct_trigrams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "fingerprints" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5

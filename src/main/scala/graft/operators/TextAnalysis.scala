@@ -74,6 +74,32 @@ object TextAnalysis {
     * explode → single low-cardinality groupBy with map-side combine;
     * top-k is TakeOrderedAndProject.
     */
+  /** Repeated-trigram quality signal (the Gopher-rules repetition
+    * heuristic): fraction of a document's trigram occurrences taken by
+    * its single most repeated trigram. High ratio = template/boilerplate
+    * text a pretraining pipeline filters out. NON-distinct trigrams here,
+    * unlike Dedup.shingles — repetition is the signal. Two hash
+    * aggregations keyed by doc; documents shorter than 3 tokens emit no
+    * row (no trigrams to judge).
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val tri = documents.select(col("doc_id"),
+      explode(when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("tri"))
+    tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        max(col("c")).as("max_trigram"),
+        count(lit(1)).as("n_distinct_trigrams"))
+      .withColumn("rep_ratio",
+        col("max_trigram").cast("double") / col("n_trigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting under two tokenizers per document: whitespace words
     * and a BPE-ish subword regex (letter runs | digit runs | single
     * punctuation — the pre-tokenization split BPE vocabularies are trained

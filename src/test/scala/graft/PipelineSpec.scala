@@ -184,6 +184,21 @@ class PipelineSpec extends AnyFunSuite {
       "uncapped hot shingle should produce all pairs")
   }
 
+  test("repetition signal separates boilerplate from diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("buy now click").mkString(" ")), // pure template
+      (2L, (1 to 150).map(i => s"w$i").mkString(" ")),   // no repeats
+      (3L, "a b")                                        // too short: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(!got.contains(3L), "sub-trigram doc must emit no row")
+    assert(got(1L) > 0.3, s"template doc ratio ${got(1L)} should be high")
+    assert(got(2L) < 0.05, s"diverse doc ratio ${got(2L)} should be low")
+    assert(got(1L) > got(2L) * 10)
+  }
+
   test("text stats quality is in [0, 1] and stopword counts bounded") {
     TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
       val q = r.getDouble(8)
