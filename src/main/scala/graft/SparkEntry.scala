@@ -244,6 +244,16 @@ object SparkEntry {
             .partitionBy(col("cluster_id"))))
         .orderBy(col("doc_id"))
     }),
+    // the dedup endpoint: corpus minus non-canonical near-dup members
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepCanonical(docs,
+          Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // ---- similarity search over embeddings -------------------------------
@@ -811,6 +821,25 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM cl ORDER BY doc_id""".stripMargin),
+    "dedup_keep" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |kept AS (
+        |  SELECT d.* FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id))
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
   ) ++ oracleSqlRest
 
   /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the
