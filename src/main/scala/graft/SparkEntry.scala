@@ -148,6 +148,19 @@ object SparkEntry {
     }),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
+    // regexp family: replace-all (DuckDB needs the 'g' flag to match
+    // Spark's replace-all default), group-0 extract ('' on no match on
+    // both engines), boolean match, digit-count via negated-class strip
+    "regex_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          col("p_name").rlike("[0-9]").as("name_has_digits"),
+          length(regexp_replace(col("p_brand"), "[^0-9]", "")).cast("long")
+            .as("n_digit_chars"),
+          split(col("p_type"), " ").getItem(0).as("type_head"))
+        .orderBy(col("p_partkey"))),
     "set_ops_all" -> ((s, dir) => Relational.setOpsAll(t(s, dir, "orders"))),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
@@ -573,6 +586,14 @@ object SparkEntry {
         |  p_size % 7 AS size_mod,
         |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
         |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+        |  regexp_extract(p_brand, '[0-9]+') AS brand_num,
+        |  regexp_matches(p_name, '[0-9]') AS name_has_digits,
+        |  CAST(length(regexp_replace(p_brand, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars,
+        |  string_split(p_type, ' ')[1] AS type_head
         |FROM part ORDER BY p_partkey""".stripMargin,
     "set_ops_all" ->
       """WITH early AS (SELECT o_orderpriority AS priority FROM orders
