@@ -50,7 +50,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver's tail capture can truncate the HEAD of long output — the
+    // full line above lost its `total` in round 3. Repeat the totals as a
+    // compact per-query-map-free line LAST so the summary always survives.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

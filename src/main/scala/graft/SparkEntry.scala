@@ -211,19 +211,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     // as-of join (backward): latest purchase at-or-before each click.
-    // The right side is deduped per (user_id, ts) so the at-tie winner is
-    // deterministic on both engines (DuckDB ASOF's tie choice is
-    // unspecified).
+    // Duplicate-(user_id, ts) purchases resolve INSIDE asOf (max payload
+    // struct — p_event_id is the first payload field, so the max-event_id
+    // row wins, matching the oracle's ORDER BY event_id DESC dedupe);
+    // DuckDB ASOF's own tie choice is unspecified, hence the QUALIFY twin.
     "asof_join" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id"), col("ts"))
-            .orderBy(col("event_id").desc)))
-        .filter(col("rn") === 1)
         .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
           col("value").as("p_value"))
       TemporalJoin.asOf(clicks, purchases, "user_id", "ts",

@@ -36,15 +36,24 @@ object Multimodal {
     * encoder here and return a unit-scale embedding. Deterministic fake:
     * dim i hashes the i-th 7-char window of the payload (md5 nibble →
     * [−0.5, 0.5]), so the SQL twin reproduces it bit-for-bit.
+    *
+    * Windows are taken by Unicode CODE POINTS, not UTF-16 code units —
+    * Spark's `substring` and DuckDB's `substr` both count code points, so
+    * the bit-for-bit parity with [[mediaEmbedding]] holds on astral-plane
+    * text too (String.drop/take would split surrogate pairs).
     */
-  private[graft] def embedStub(text: String): Array[Double] =
+  private[graft] def embedStub(text: String): Array[Double] = {
+    val cps = text.codePoints().toArray
     Array.tabulate(EmbedDims) { i =>
-      val window = text.drop(i * 7).take(7)
+      val from = math.min(i * 7, cps.length)
+      val until = math.min(from + 7, cps.length)
+      val window = new String(cps, from, until - from)
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(window.getBytes("UTF-8"))
       val d = f"${digest(0) & 0xff}%02x".charAt(0).toInt
       (d - (if (d >= 97) 87 else 48)).toDouble / 15.0 - 0.5
     }
+  }
 
   final case class MediaEmbedding(docId: Long, embedding: Array[Double])
 

@@ -61,6 +61,41 @@ object Similarity {
     */
   val MaxBruteForceQueries = 1000
 
+  private val TruncationMetric = "graft.cosine_pairs.input_probe"
+
+  /** Sessions that already carry the truncation listener (weak keys so a
+    * stopped session does not leak through this registry).
+    */
+  private val truncListenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** One listener per session: watches for the cosinePairs probe metric in
+    * any completed query and logs the truncation warning iff the probe saw
+    * more rows than the cap. Runs on the listener bus — no extra job, and
+    * the warning fires exactly when a truncated query actually executes.
+    */
+  private def registerTruncationListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (truncListenerSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(TruncationMetric).foreach { row =>
+              val cap = row.getLong(row.fieldIndex("cap"))
+              if (row.getLong(row.fieldIndex("n_probe")) > cap)
+                log.warn(s"cosinePairs: input exceeds maxVectors=$cap; " +
+                  s"scoring only the first $cap vec_ids on BOTH sides " +
+                  "— pairs among later vectors are omitted (use lshTopK for " +
+                  "the full corpus)")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+
   /** Pairwise cosine scores above `minCos` for vec_id < other_id pairs,
     * both sides drawn from the first `maxVectors` vec_ids (exact baseline
     * over a bounded, deterministic sample — see [[MaxBruteForceQueries]]).
@@ -68,15 +103,15 @@ object Similarity {
   def cosinePairs(embeddings: DataFrame, minCos: Double,
       maxVectors: Int = MaxBruteForceQueries): DataFrame = {
     // The truncation must be audible, not just documented: pairs among
-    // vectors beyond maxVectors are NOT returned. limit(n+1).count() is a
-    // bounded probe (scan stops at n+1 rows), so the check stays O(n) of
-    // the cap, not of the corpus.
-    if (embeddings.limit(maxVectors + 1).count() > maxVectors)
-      log.warn(s"cosinePairs: input exceeds maxVectors=$maxVectors; " +
-        "scoring only the first " + maxVectors + " vec_ids on BOTH sides " +
-        "— pairs among later vectors are omitted (use lshTopK for the " +
-        "full corpus)")
-    val sample = embeddings.orderBy(col("vec_id")).limit(maxVectors)
+    // vectors beyond maxVectors are NOT returned. An `observe` metric on a
+    // limit(n+1) probe folds the check into the query's own execution —
+    // zero extra Spark jobs — and a session listener logs the warning when
+    // the query actually materializes (n+1 rows observed ⇒ input over cap).
+    registerTruncationListener(embeddings.sparkSession)
+    val sample = embeddings.orderBy(col("vec_id")).limit(maxVectors + 1)
+      .observe(TruncationMetric, count(lit(1)).as("n_probe"),
+        max(lit(maxVectors.toLong)).as("cap"))
+      .orderBy(col("vec_id")).limit(maxVectors)
     val a = sideWithNorm(sample, "vec_id", "va", "nrm_a")
     val b = sideWithNorm(sample, "other_id", "vb", "nrm_b")
     a.join(b, col("vec_id") < col("other_id"))
@@ -163,17 +198,24 @@ object Similarity {
   def ivfTopKTrained(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
+    // cache spans ONLY the KMeans iterations (each Lloyd's round rescans
+    // the vectors); it is released before returning so executor storage
+    // isn't held for the session lifetime — the serving plan recomputes the
+    // projection from the source in its single pass (ADVICE r03).
     val e = vectorsWithNorm(embeddings).cache()
-    val feats = e.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCentroids).setSeed(seed).setMaxIter(10).fit(feats)
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray) }
-      .toDF("cent_id", "cv")
-      .withColumn("cnrm", norm(col("cv")))
-    ivfServe(e, cents, k)
+    val cents =
+      try {
+        val feats = e.select(col("vec_id"),
+          org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(numCentroids).setSeed(seed).setMaxIter(10).fit(feats)
+        import spark.implicits._
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i.toLong, c.toArray) }
+          .toDF("cent_id", "cv")
+          .withColumn("cnrm", norm(col("cv")))
+      } finally e.unpersist(blocking = false)
+    ivfServe(vectorsWithNorm(embeddings), cents, k)
   }
 
   private def vectorsWithNorm(embeddings: DataFrame): DataFrame = {

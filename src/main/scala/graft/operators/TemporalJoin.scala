@@ -27,9 +27,17 @@ object TemporalJoin {
     * semantics). Right rows at exactly the left timestamp DO match
     * (`_src` tie-break sorts right before left at equal time).
     *
-    * Plan shape: unionByName (no shuffle) → one exchange on `key` → a
-    * single running-frame window. Scales linearly; a hot key shares the
-    * fate of any per-key window (AQE/salting if pathological).
+    * Deterministic by construction: duplicate right rows at the same
+    * (key, ts) are reduced to the one with the LARGEST payload struct
+    * (field-by-field struct ordering, first payload column decides) before
+    * the as-of window, so the picked peer never depends on partial order.
+    * Payload columns must be orderable (no map type) — true of every
+    * registered caller.
+    *
+    * Plan shape: right dedupe window on (key, ts) → unionByName (no
+    * shuffle) → one exchange on `key` → a single running-frame window.
+    * Scales linearly; a hot key shares the fate of any per-key window
+    * (AQE/salting if pathological).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
@@ -39,6 +47,9 @@ object TemporalJoin {
       Seq(col(key), col(tsCol)) ++
         extras.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         payStruct.as("_pay"): _*)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key), col(tsCol)).orderBy(col("_pay").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
       .withColumn("_src", lit(0))
     val lNorm = left.select(Seq(col(key), col(tsCol)) ++ extras.map(col): _*)
       .withColumn("_pay", lit(null).cast(rNorm.schema("_pay").dataType))

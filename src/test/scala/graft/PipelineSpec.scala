@@ -111,6 +111,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(typed.width == sql.getInt(2) && typed.height == sql.getInt(3))
   }
 
+  test("stub feature extraction windows by code points (astral-plane parity)") {
+    import spark.implicits._
+    // '𝕏' (U+1D54F) is 2 UTF-16 code units but 1 code point — a code-unit
+    // windowing (String.drop/take) would shear the 7-char windows and
+    // break bit-for-bit parity with the substring-based Catalyst twin
+    val astral = "𝕏a𝕏b𝕏c𝕏d𝕏e𝕏f𝕏g𝕏h𝕏i𝕏j𝕏k𝕏l𝕏m𝕏n𝕏o𝕏p𝕏q𝕏r𝕏s𝕏t𝕏u𝕏v𝕏w𝕏x"
+    val docs = Seq((1L, astral), (2L, "plain ascii text goes here ok")).toDF("doc_id", "text")
+    val typed = Multimodal.extractFeatures(docs).collect()
+      .map(m => m.docId ->
+        m.embedding.map(v => math.floor(v * 1000000.0).toLong).toSeq).toMap
+    val sql = Multimodal.mediaEmbedding(docs).collect()
+      .map(r => r.getLong(0) ->
+        (1 to Multimodal.EmbedDims).map(r.getLong).toSeq).toMap
+    assert(typed == sql, "embedStub diverged from the Catalyst twin on astral text")
+  }
+
   test("approx sketches land within tolerance of exact aggregates") {
     import org.apache.spark.sql.functions._
     val li = tbl("lineitem")

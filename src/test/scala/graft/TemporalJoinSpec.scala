@@ -69,13 +69,15 @@ class TemporalJoinSpec extends AnyFunSuite {
       (id, s"u${rnd.nextInt(5)}",
         new java.sql.Timestamp(1577836800000L + rnd.nextInt(100000) * 1000L))
     }
-    // unique per (user, ts) — the operator's contract (at-tie right rows
-    // are peers in the window sort; the registered query dedupes them)
+    // duplicates per (user, ts) are LEFT IN on purpose: the operator now
+    // dedupes internally (max payload struct wins), so the naive oracle
+    // below — max (ts, r_id) at-or-before — must agree without any
+    // caller-side dedupe
     val rightRows = (1000L to 1100L).map { id =>
       (s"u${rnd.nextInt(5)}",
-        new java.sql.Timestamp(1577836800000L + rnd.nextInt(100000) * 1000L),
+        new java.sql.Timestamp(1577836800000L + rnd.nextInt(100) * 1000000L),
         id)
-    }.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    }
     val left = leftRows.toDF("event_id", "user_id", "ts")
     val right = rightRows.toDF("user_id", "ts", "r_id")
     val got = TemporalJoin.asOf(left, right, "user_id", "ts", Seq("r_id"))
