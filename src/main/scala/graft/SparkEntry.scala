@@ -269,6 +269,11 @@ object SparkEntry {
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"))),
+    // OR-construction: 2 independent 8-plane tables — the scale knob pair
+    // (planes up with log2(corpus) to cap bucket volume, tables up to buy
+    // the recall back)
+    "ann_lsh_multi" -> ((s, dir) =>
+      Similarity.lshTopKMulti(t(s, dir, "embeddings"), numTables = 2)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
     // O4 over token sequences + the end-to-end cleaning pipeline
     "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
@@ -365,14 +370,19 @@ object SparkEntry {
   }
 
   /** Generated SQL for the 8-plane sign-random-projection bucket (mirrors
-    * Similarity.bucketOf: md5-derived weights, 0-based dims).
+    * Similarity.bucketOf: md5-derived weights, 0-based dims). `table`
+    * selects the independent hash table (globally-numbered planes, same
+    * as the engine's OR-construction).
     */
-  private val lshBucketExpr: String =
+  private def lshBucketExprFor(table: Int): String =
     (0 until Similarity.NumPlanes).map { p =>
-      val w = s"((ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - " +
-        s"CASE WHEN ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) - 7.5)"
+      val plane = table * Similarity.NumPlanes + p
+      val w = s"((ascii(substr(md5('${plane}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - " +
+        s"CASE WHEN ascii(substr(md5('${plane}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) - 7.5)"
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $w)) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  private val lshBucketExpr: String = lshBucketExprFor(0)
 
   private val embedCte =
     """WITH e AS (
@@ -949,6 +959,29 @@ object SparkEntry {
         |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
         |SELECT vec_id, bucket, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_lsh_multi" ->
+      (s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), wb AS (
+        |  SELECT vec_id, v, ${lshBucketExprFor(0)} AS bt0,
+        |    ${lshBucketExprFor(1)} AS bt1 FROM e
+        |), n AS (
+        |  SELECT vec_id, v, bt0, bt1,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM wb
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS other_id
+        |  FROM n a JOIN n b
+        |    ON (a.bt0 = b.bt0 OR a.bt1 = b.bt1) AND a.vec_id <> b.vec_id
+        |), p AS (
+        |  SELECT c.vec_id, c.other_id,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM cand c JOIN n a ON a.vec_id = c.vec_id
+        |  JOIN n b ON b.vec_id = c.other_id)
+        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
         |  FROM p)
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),

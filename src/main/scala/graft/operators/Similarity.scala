@@ -161,10 +161,16 @@ object Similarity {
     (d - (if (d >= 97) 87 else 48)).toDouble - 7.5
   }
 
-  /** Sign-random-projection bucket signature: bit per hyperplane. */
-  private[graft] def bucketOf(v: Column): Column =
-    (0 until NumPlanes).map { p =>
-      val w = typedLit((0 until 64).map(i => weightOf(p, i)))
+  /** Sign-random-projection bucket signature: bit per hyperplane.
+    * `table` selects an independent hash table for the OR-construction
+    * ([[lshTopKMulti]]): table t uses the globally-numbered planes
+    * t·numPlanes … t·numPlanes+numPlanes−1, so table 0 with the default
+    * plane count is bit-identical to the original single-table signature.
+    */
+  private[graft] def bucketOf(v: Column, numPlanes: Int = NumPlanes,
+      table: Int = 0): Column =
+    (0 until numPlanes).map { p =>
+      val w = typedLit((0 until 64).map(i => weightOf(table * numPlanes + p, i)))
       when(dot(v, w) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -180,9 +186,10 @@ object Similarity {
     * At scale: centroids broadcast, assignment is a map-side cross with
     * NumCentroids rows, the cell search shuffles on cluster id.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids): DataFrame = {
     val e = vectorsWithNorm(embeddings)
-    val cents = e.filter(col("vec_id") < NumCentroids)
+    val cents = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     ivfServe(e, cents, k)
   }
@@ -256,12 +263,19 @@ object Similarity {
   /** LSH-bucketed ANN: score only pairs whose bucket signatures match —
     * the 100 TB path (bucket join instead of cross product; recall traded
     * for a ~2^planes reduction in comparisons).
+    *
+    * `numPlanes` is the scale knob: bucket count is 2^numPlanes, so the
+    * expected in-bucket population — and with it the quadratic in-bucket
+    * self-join — is held constant by growing numPlanes with log2(corpus).
+    * More planes cost recall; [[lshTopKMulti]] buys it back with
+    * independent hash tables (OR-construction) instead of wider buckets.
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def lshTopK(embeddings: DataFrame, k: Int = 5,
+      numPlanes: Int = NumPlanes): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val withBucket = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOf(col("v"), numPlanes))
       .withColumn("nrm", norm(col("v")))
     val b = withBucket.select(col("vec_id").as("other_id"),
       col("v").as("vb"), col("bucket").as("bucket_b"), col("nrm").as("nrm_b"))
@@ -274,6 +288,49 @@ object Similarity {
           .orderBy(col("cos_e6").desc, col("other_id"))))
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("bucket"), col("other_id"), col("cos_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Multi-table LSH ANN (OR-construction): `numTables` independent
+    * sign-random-projection signatures; candidates are pairs colliding in
+    * ANY table, deduplicated, then exactly scored and top-k'd.
+    *
+    * This is the 100×-scale formulation: per-table bucket volume is held
+    * constant by raising `numPlanes` with corpus size (quadratic in-bucket
+    * work stays flat), and the recall that narrower buckets cost is bought
+    * back with more tables — P(miss) = (1 − p^planes)^tables falls
+    * geometrically in `numTables`. The candidate build stays ONE
+    * equi-shuffle join on (table, bucket) (tables are exploded rows, not
+    * separate joins), so the plan shape is corpus-size-independent.
+    */
+  def lshTopKMulti(embeddings: DataFrame, k: Int = 5,
+      numPlanes: Int = NumPlanes, numTables: Int = 2): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
+    VectorFunctions.register(embeddings.sparkSession)
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val withBuckets = base.select(col("vec_id"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("tbl"),
+            bucketOf(col("v"), numPlanes, t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = withBuckets.as("x").join(withBuckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("other_id"))
+      .distinct()
+    val q = base.select(col("vec_id"), col("v"), col("nrm"))
+    val o = base.select(col("vec_id").as("other_id"), col("v").as("vb"),
+      col("nrm").as("nrm_b"))
+    cand.join(q, Seq("vec_id")).join(o, Seq("other_id"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
       .orderBy(col("vec_id"), col("rk"))
   }
 }

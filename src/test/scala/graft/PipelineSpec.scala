@@ -79,6 +79,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH: exact scores, recall non-decreasing in table count") {
+    val emb = tbl("embeddings")
+    val k = 5
+    val allScores = Similarity.bruteForceTopK(emb, k = emb.count().toInt,
+        maxQueries = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trueTopK = Similarity.bruteForceTopK(emb, k, maxQueries = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(found: Set[(Long, Long)]): Double =
+      trueTopK.intersect(found).size.toDouble / trueTopK.size
+    val t1 = Similarity.lshTopKMulti(emb, k, numTables = 1).collect()
+    val t2 = Similarity.lshTopKMulti(emb, k, numTables = 2).collect()
+    // table 0 is the single-table signature: numTables=1 must reproduce the
+    // registered lshTopK rows exactly (modulo its bucket column)
+    val single = Similarity.lshTopK(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(t1.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      == single, "numTables=1 diverged from single-table lshTopK")
+    // candidates are only ever scored exactly — every emitted score must
+    // equal the brute-force score for that pair
+    (t1 ++ t2).foreach { r =>
+      assert(allScores((r.getLong(0), r.getLong(1))) == r.getLong(2),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) score drifted from brute force")
+    }
+    // the OR-construction's whole point: more tables ⇒ recall can only grow
+    // (candidate sets are nested and ties break identically)
+    val r1 = recallOf(t1.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val r2 = recallOf(t2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(r2 >= r1, f"2-table recall $r2%.3f below 1-table recall $r1%.3f")
+    assert(r2 > 0.0, "2-table OR-construction found nothing")
+  }
+
   test("multimodal stub decode (mapPartitions) agrees with its SQL twin") {
     val docs = tbl("documents")
     val typed = Multimodal.decodeMeta(docs).collect()

@@ -91,6 +91,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"asof_join exchange count $exchanges:\n$p")
   }
 
+  test("ann_lsh_multi keeps an equi-shaped candidate join and top-k pushdown") {
+    // the OR-construction must stay one equi-join on exploded (table,
+    // bucket) rows — an OR in the join condition would plan a nested loop
+    // and quietly reintroduce the O(n²) the LSH exists to avoid
+    val p = planOf("ann_lsh_multi")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"multi-table candidate join fell back to a nested loop:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
+  }
+
   test("per-key top-k queries get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns rank<=k filters into partial
     // per-partition top-k heaps before the shuffle — the reason no custom
