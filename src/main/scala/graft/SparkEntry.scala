@@ -231,6 +231,23 @@ object SparkEntry {
     }),
     "proximity_pairs" -> ((s, dir) =>
       TemporalJoin.proximityPairs(eventsTable(s, dir))),
+    // the two-sided (stream-stream-shaped) interval join in batch form:
+    // purchases within 5 minutes AFTER each click, heterogeneous sides —
+    // the batch-parity twin of StreamingOps.joinStreams
+    "interval_join" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      TemporalJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", 300)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("delta_us"), col("purchase_value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -275,6 +292,33 @@ object SparkEntry {
     "ann_lsh_multi" -> ((s, dir) =>
       Similarity.lshTopKMulti(t(s, dir, "embeddings"), numTables = 2)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
+    // KMeans-trained IVF through the same serving dataflow. Lloyd's
+    // iterations aren't SQL-expressible, so the driver-facing columns are
+    // structural accuracy-contract booleans (approx_stats precedent): the
+    // oracle emits literal TRUE and a malformed/low-recall index flips a
+    // boolean and fails the hash gate. Score-exactness and tighter recall
+    // are asserted in PipelineSpec.
+    "ann_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = Similarity.ivfTopKTrained(emb, 5)
+      val perQ = res.groupBy(col("vec_id")).agg(
+        max(col("rk")).as("max_rk"), count(lit(1)).as("n"),
+        countDistinct(col("cluster")).as("n_cl"))
+      val structural = perQ.agg(
+        (max(when(col("max_rk") === col("n") && col("n") <= 5, 0)
+          .otherwise(1)) === 0).as("rk_contiguous"),
+        (max(when(col("n_cl") === 1, 0).otherwise(1)) === 0)
+          .as("one_cluster_per_query"))
+      val trueTopK = Similarity.bruteForceTopK(emb, 5)
+        .select(col("vec_id"), col("other_id"))
+      val nTrue = trueTopK.agg(count(lit(1)).as("n_true"))
+      val nHit = res.select(col("vec_id"), col("other_id"))
+        .join(trueTopK, Seq("vec_id", "other_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      structural.crossJoin(nHit).crossJoin(nTrue)
+        .select(col("rk_contiguous"), col("one_cluster_per_query"),
+          (col("n_hit") >= col("n_true") * 0.1).as("recall_ge_10pct"))
+    }),
     // O4 over token sequences + the end-to-end cleaning pipeline
     "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
@@ -747,6 +791,20 @@ object SparkEntry {
         |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
         |  AND a.event_id <> b.event_id
         |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    "interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  p.rus - c.lus AS delta_us, p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "text_stats" ->
       """WITH c AS (
         |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1006,6 +1064,9 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
         |  FROM p)
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_ivf_trained" ->
+      """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
+        |  TRUE AS recall_ge_10pct""".stripMargin,
     "text_cooccur" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS products FROM documents

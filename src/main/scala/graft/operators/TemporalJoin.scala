@@ -63,6 +63,34 @@ object TemporalJoin {
       .drop("_pay", "_src")
   }
 
+  /** Two-sided interval join — the BATCH twin of the stream-stream
+    * interval join (streaming.StreamingOps.joinStreams): every left row
+    * pairs with the right rows on the same key whose timestamp lies in
+    * [left.ts, left.ts + gapSec]. Heterogeneous sides (unlike
+    * [[proximityPairs]]' self-join), same bucketization: the left side
+    * explodes into its own and the next gap-width bucket, the right side
+    * keeps its own, so the plan is a plain equi-join on (key, bucket)
+    * with the exact time predicate applied after — bounded fan-out, no
+    * per-key cartesian. Emits left ++ right columns plus `delta_us`
+    * (right.ts − left.ts in microseconds); both inputs must already have
+    * disjoint column names apart from `key`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, gapSec: Long): DataFrame = {
+    val gapMicros = gapSec * 1000000L
+    val l = left.withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_b", floor(col("_lus") / gapMicros))
+      .withColumn("_jb", explode(array(col("_b"), col("_b") + 1)))
+      .drop("_b")
+    val r = right.withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_jb", floor(col("_rus") / gapMicros))
+    l.join(r, Seq(key, "_jb"))
+      .filter(col("_rus") >= col("_lus") &&
+        col("_rus") - col("_lus") <= gapMicros)
+      .withColumn("delta_us", col("_rus") - col("_lus"))
+      .drop("_jb", "_lus", "_rus")
+  }
+
   /** Self-pairs of events on the same key within `gapSec` seconds:
     * (a, b) with a.us <= b.us <= a.us + gap, canonically ordered
     * (time, then event_id at ties) so each pair appears exactly once.

@@ -66,6 +66,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banding contract: complete at Hamming <=3, best-effort above") {
+    import spark.implicits._
+    // synthetic fingerprints pin the documented recall contract of the
+    // 4x16-bit banding (see Dedup.simhashPairs): a shared chunk is
+    // guaranteed only at distance <=3; clustered flips above that still
+    // collide, spread flips do not
+    val (a, b, c, d) = (0x1234L, 0x00FFL, 0x0F0FL, 0x5555L)
+    val fp = Seq(
+      (1L, a, b, c, d),
+      (2L, a ^ 0x7L, b, c, d),              // distance 3, all in chunk 0
+      (3L, a ^ 1L, b ^ 1L, c ^ 1L, d ^ 1L), // distance 4 spread over all chunks
+      (4L, a ^ 0x1FL, b, c, d)              // distance 5 clustered in chunk 0
+    ).toDF("doc_id", "c0", "c1", "c2", "c3")
+    val pairs = Dedup.pairsFromSimhash(fp, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(3), "distance-3 pair must always be found")
+    assert(!pairs.contains((1L, 3L)),
+      "distance-4 flips spread across all 4 chunks escape banding (documented)")
+    assert(pairs.get((1L, 4L)).contains(5),
+      "clustered distance-5 pair shares chunks 1-3 and must be found")
+  }
+
   test("LSH ANN results are a subset of brute-force scoring") {
     val emb = tbl("embeddings")
     val brute = Similarity.bruteForceTopK(emb, k = emb.count().toInt).collect()

@@ -55,6 +55,33 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"unexpected exchange count $exchanges:\n$p")
   }
 
+  test("ngram_jaccard applies the stop-shingle cap before the intersection join") {
+    // the df-frequency cap is semantics-bearing AND the scale guard (an
+    // uncapped hot shingle fans out d² candidate rows) — a refactor must
+    // not be able to silently reorder it after the self-join. The capped
+    // relation is the one that gets cached, so the guard is: (a) the
+    // cached plan contains the window + df filter, (b) the shingle
+    // self-join reads the cached relation on both sides.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.operators.Dedup.ngramJaccard(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val plan = df.queryExecution.optimizedPlan
+    val cached = plan.collect { case m: InMemoryRelation => m }
+    assert(cached.nonEmpty, s"shingle relation not cached:\n$plan")
+    val cachedStr = cached.head.cachedPlan.toString
+    assert(cachedStr.contains("Window") && cachedStr.contains("<= 100"),
+      s"stop-shingle df cap missing from the cached shingle relation:\n$cachedStr")
+    val joins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "shingle")) => j
+    }
+    assert(joins.nonEmpty, s"no shingle self-join in the plan:\n$plan")
+    Seq(joins.head.left, joins.head.right).foreach { side =>
+      assert(side.collect { case m: InMemoryRelation => m }.nonEmpty,
+        s"intersection join side bypasses the capped cached relation:\n$side")
+    }
+  }
+
   test("salted counts equal plain groupBy counts") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -165,11 +165,11 @@ class StreamingSpec extends AnyFunSuite {
           col("ts").as("click_ts"))
       val p = batchEvents.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      val batch = c.join(p,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+          col("user_id"), col("ts").as("purchase_ts"))
+      // the BATCH side is the registered operator itself — streaming and
+      // batch must agree on the same two-sided interval semantics
+      val batch = graft.operators.TemporalJoin
+        .intervalJoin(c, p, "user_id", "click_ts", "purchase_ts", 300)
         .select("click_id", "purchase_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(batch.nonEmpty, "fixture has no click->purchase pairs in window")

@@ -111,6 +111,36 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.nearDupClusters(emptyPairs).collect().isEmpty)
   }
 
+  test("interval join equals the naive theta join and stays equi-shaped") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val bucketized = TemporalJoin.intervalJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", 300)
+    val got = bucketized.collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("delta_us"))).toSet
+    val naive = clicks.join(
+        purchases.withColumnRenamed("user_id", "p_user_id"),
+        col("user_id") === col("p_user_id") &&
+          unix_micros(col("purchase_ts")) >= unix_micros(col("click_ts")) &&
+          unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")) <= 300000000L)
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty, "fixture has no click->purchase pairs in the window")
+    assert(got == naive, s"bucketized ${got.size} pairs vs naive ${naive.size}")
+    val plan = bucketized.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
+
   test("proximity pairs plan an equi-join, not a nested-loop") {
     val plan = TemporalJoin
       .proximityPairs(spark.read.parquet(s"$sf/events.parquet")
