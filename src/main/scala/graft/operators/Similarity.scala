@@ -203,13 +203,20 @@ object Similarity {
     * at scale KMeans trains on a sample and the serving join is unchanged.
     */
   def ivfTopKTrained(embeddings: DataFrame, k: Int = 5,
-      numCentroids: Int = NumCentroids, seed: Long = 42L): DataFrame = {
+      numCentroids: Int = NumCentroids, seed: Long = 42L,
+      maxTrainVectors: Int = 100000): DataFrame = {
     val spark = embeddings.sparkSession
-    // cache spans ONLY the KMeans iterations (each Lloyd's round rescans
-    // the vectors); it is released before returning so executor storage
-    // isn't held for the session lifetime — the serving plan recomputes the
-    // projection from the source in its single pass (ADVICE r03).
-    val e = vectorsWithNorm(embeddings).cache()
+    // Train on a BOUNDED deterministic sample (first maxTrainVectors by
+    // vec_id — no RNG, so the centroids and therefore the whole operator
+    // are reproducible for a given corpus): centroid quality converges
+    // long before the sample stops growing, and at 100 TB fitting Lloyd's
+    // on the full corpus would dominate the pipeline. Serving still
+    // assigns and searches EVERY vector. The cache spans only the KMeans
+    // iterations (each Lloyd's round rescans the sample) and is released
+    // before returning so executor storage isn't held for the session
+    // lifetime — the serving plan recomputes its projection in one pass.
+    val e = vectorsWithNorm(embeddings)
+      .orderBy(col("vec_id")).limit(maxTrainVectors).cache()
     val cents =
       try {
         val feats = e.select(col("vec_id"),
@@ -289,6 +296,23 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("vec_id"), col("bucket"), col("other_id"), col("cos_e6"), col("rk"))
       .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** The scale rule for [[lshTopK]]/[[lshTopKMulti]] granularity, made
+    * executable: planes needed so the EXPECTED bucket population stays at
+    * `targetBucketPop` for a corpus of `corpusSize` vectors — i.e.
+    * ceil(log2(n / target)). In-bucket self-join work per bucket is
+    * O(pop²), so holding pop constant holds total candidate volume
+    * linear in n: at 100× corpus this returns ~7 more planes instead of
+    * letting each bucket grow 100× (and the join 10,000×). Pair with more
+    * tables ([[lshTopKMulti]]) to buy back the recall narrower buckets
+    * cost.
+    */
+  def planesFor(corpusSize: Long, targetBucketPop: Int = 100): Int = {
+    require(corpusSize > 0 && targetBucketPop > 0)
+    val planes = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketPop) / math.log(2.0)).toInt
+    math.max(1, math.min(planes, 30))
   }
 
   /** Multi-table LSH ANN (OR-construction): `numTables` independent

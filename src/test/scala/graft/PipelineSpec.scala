@@ -133,6 +133,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 > 0.0, "2-table OR-construction found nothing")
   }
 
+  test("planesFor holds expected bucket population flat across corpus scales") {
+    // the 100x rule: growing the corpus grows planes logarithmically so
+    // per-bucket population (and the quadratic in-bucket join) stays flat
+    assert(Similarity.planesFor(25600, 100) == 8)
+    assert(Similarity.planesFor(2560000, 100) == 15)   // 100x corpus: +7 planes
+    assert(Similarity.planesFor(256000000, 100) == 22) // another 100x: +7
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val planes = Similarity.planesFor(n, 100)
+      val expectedPop = n.toDouble / (1L << planes)
+      assert(expectedPop <= 100.0 + 1e-9,
+        s"n=$n planes=$planes leaves expected bucket pop $expectedPop > 100")
+      assert(expectedPop > 25.0 || planes == 1,
+        s"n=$n planes=$planes over-fragments (pop $expectedPop)")
+    }
+    assert(Similarity.planesFor(1, 100) == 1, "floor at 1 plane")
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 30, "cap at 30 planes")
+  }
+
   test("multimodal stub decode (mapPartitions) agrees with its SQL twin") {
     val docs = tbl("documents")
     val typed = Multimodal.decodeMeta(docs).collect()
