@@ -256,6 +256,8 @@ object SparkEntry {
     "quality_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
+    "contamination" -> ((s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
@@ -870,6 +872,42 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scrub_pii" -> {
+      val (e, i, n) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re,
+        TextAnalysis.LongNumRe)
+      s"""WITH m AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS em
+        |  FROM documents
+        |), m2 AS (
+        |  SELECT doc_id, text, em,
+        |    regexp_replace(em, '$i', '<IP>', 'g') AS ipm
+        |  FROM m
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(em, '$i')) AS BIGINT) AS n_ips,
+        |    CAST(len(regexp_extract_all(ipm, '$n')) AS BIGINT) AS n_long_numbers,
+        |    md5(regexp_replace(ipm, '$n', '<NUM>', 'g')) AS masked_md5
+        |  FROM m2
+        |)
+        |SELECT doc_id, n_emails, n_ips, n_long_numbers, masked_md5,
+        |  n_emails + n_ips + n_long_numbers = 0 AS clean
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "contamination" ->
+      (shinglesCte +
+        """, bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_contaminated
+        |  FROM sh s JOIN bench USING (shingle) GROUP BY s.doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination,
+        |  t.doc_id % 97 = 0 AS is_benchmark
+        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id

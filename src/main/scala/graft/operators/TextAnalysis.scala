@@ -200,6 +200,63 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** PII patterns shared verbatim with the DuckDB oracle (subset of regex
+    * syntax on which Java regex and RE2 agree: literal classes, bounded
+    * repetition, \b, \d).
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{7,}"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything else sees the text: mask emails, then IPv4 addresses,
+    * then long digit runs (ids/phones), each stage scanning the previous
+    * stage's masked text so an IP's octets are never double-counted as a
+    * long number. Emits per-doc detection counts, the md5 of the fully
+    * masked text (scalar stand-in for the masked payload so the driver can
+    * hash it), and a `clean` flag. Pure row-local codegen'd projection —
+    * no shuffle, scales embarrassingly.
+    */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val emailMasked = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val ipMasked = regexp_replace(emailMasked, Ipv4Re, "<IP>")
+    val allMasked = regexp_replace(ipMasked, LongNumRe, "<NUM>")
+    val nEmails = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+    val nIps = size(regexp_extract_all(emailMasked, lit(Ipv4Re), lit(0))).cast("long")
+    val nNums = size(regexp_extract_all(ipMasked, lit(LongNumRe), lit(0))).cast("long")
+    documents.select(col("doc_id"),
+        nEmails.as("n_emails"), nIps.as("n_ips"), nNums.as("n_long_numbers"),
+        md5(allMasked.cast("binary")).as("masked_md5"),
+        (nEmails + nIps + nNums === 0).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination check: fraction of each document's distinct
+    * token trigrams that appear in a benchmark/eval set — the standard
+    * n-gram-overlap test for pretraining-set contamination. The benchmark
+    * here is the deterministic doc_id % `benchmarkMod` == 0 slice of the
+    * corpus (a stand-in for an external eval suite; swap in any shingle
+    * relation). The benchmark shingle set is tiny relative to the corpus,
+    * so it is broadcast — the contamination scan is one map-side join over
+    * the exploded shingles plus a doc-keyed count, linear at 100 TB.
+    * Documents under 3 tokens have no trigrams and emit no row.
+    */
+  def contamination(documents: DataFrame, benchmarkMod: Long = 97): DataFrame = {
+    val sh = Dedup.shingles(documents).cache()
+    val bench = sh.filter(col("doc_id") % benchmarkMod === 0)
+      .select(col("shingle")).distinct()
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"),
+        (col("doc_id") % benchmarkMod === 0).as("is_benchmark"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: exact (md5 of text) and order-invariant
     * (md5 of the sorted distinct token list) — the latter is the cheap
     * "same bag of words" near-dup key.

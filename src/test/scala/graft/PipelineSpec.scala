@@ -287,6 +287,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) * 10)
   }
 
+  test("PII scrub masks emails, IPs, and long numbers in stage order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val docs = Seq(
+      (1L, "contact John.Doe+x@Example.COM or 192.168.0.1 ref 123456789 ok"),
+      (2L, "plain text with no identifiers at all"),
+      (3L, "short num 123456 stays but 1234567 goes")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, false)))
+    assert(got(2L) == ((0L, 0L, 0L, true)))
+    assert(got(3L) == ((0L, 0L, 1L, false)), "7+ digit runs masked, 6 kept")
+    // the masked payload itself must carry the placeholders, not the PII
+    val masked = docs.filter(col("doc_id") === 1L).select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.Ipv4Re, "<IP>"),
+        TextAnalysis.LongNumRe, "<NUM>")).head.getString(0)
+    assert(masked == "contact <EMAIL> or <IP> ref <NUM> ok")
+  }
+
+  test("contamination flags planted benchmark overlap and nothing else") {
+    import spark.implicits._
+    // doc 0 is "benchmark" (0 % 97 == 0); doc 5 copies a 5-token span of
+    // it (3 shared trigrams); doc 7 shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "own words then beta gamma delta epsilon zeta"),
+      (7L, "completely unrelated tokens only here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(got(0L) == ((4L, 4L, true)), "benchmark doc overlaps itself fully")
+    val (n5, c5, b5) = got(5L)
+    assert(!b5 && n5 == 6L && c5 == 3L,
+      s"planted overlap misdetected: $n5 shingles, $c5 contaminated")
+    assert(got(7L) == ((3L, 0L, false)), "clean doc must report zero overlap")
+  }
+
   test("text stats quality is in [0, 1] and stopword counts bounded") {
     TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
       val q = r.getDouble(8)
