@@ -302,7 +302,9 @@ object SparkEntry {
     // are asserted in PipelineSpec.
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val res = Similarity.ivfTopKTrained(emb, 5)
+      // trains on (at most) the first 2000 vectors — deterministic, and at
+      // any sf below that the full corpus, so the sf0.01 gate is unchanged
+      val res = Similarity.ivfTopKTrained(emb, 5, maxTrainVectors = 2000)
       val perQ = res.groupBy(col("vec_id")).agg(
         max(col("rk")).as("max_rk"), count(lit(1)).as("n"),
         countDistinct(col("cluster")).as("n_cl"))

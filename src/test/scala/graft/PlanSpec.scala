@@ -129,6 +129,15 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("contamination broadcasts the benchmark shingle set") {
+    // the benchmark side is small by construction — if it ever shuffles
+    // instead of broadcasting, the decontamination scan stops being the
+    // map-side linear pass the operator promises at 100 TB
+    val p = planOf("contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark join not broadcast:\n$p")
+  }
+
   test("per-key top-k queries get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns rank<=k filters into partial
     // per-partition top-k heaps before the shuffle — the reason no custom
