@@ -339,6 +339,8 @@ object SparkEntry {
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(t(s, dir, "documents"))),
   )
 
   /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
@@ -1269,6 +1271,22 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before
+        |  FROM d
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  tokens_before // 512 AS chunk,
+        |  tokens_before % 512 AS chunk_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

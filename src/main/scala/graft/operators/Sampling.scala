@@ -39,6 +39,31 @@ object Sampling {
         (col("bucket") % 8).cast("int").as("shard"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget sequence packing — how pretraining batches are actually
+    * laid out: per shard, documents are concatenated in doc_id order into
+    * one token stream and chunked into fixed `budget`-token sequences; a
+    * document is identified by the chunk it STARTS in and its token offset
+    * inside that chunk (documents may straddle chunk boundaries, exactly
+    * like concat-and-chunk pretraining packing). All arithmetic is a
+    * running sum over a per-shard window: one exchange on the shard key,
+    * deterministic, no driver state — at 100 TB the shard count is the
+    * parallelism knob and each shard's window is an independent sort.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 512,
+      numShards: Int = 8): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val shard = (col("doc_id") % numShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), nTok.as("n_tokens"), shard.as("shard"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("tokens_before") / budget).as("chunk"),
+        (col("tokens_before") % budget).as("chunk_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stratified sample: the first ceil(fraction·|stratum|) documents of
     * each stratum in doc_id order. Exact per-stratum allocation (unlike
     * Bernoulli sampling, which only hits the fraction in expectation) and

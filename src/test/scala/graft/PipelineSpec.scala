@@ -416,6 +416,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.values.forall(Set("train", "val", "test")))
   }
 
+  test("sequence packing is a consistent concat-and-chunk layout") {
+    val docs = tbl("documents")
+    val got = Sampling.packSequences(docs, budget = 512, numShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // replaying the concat per shard must reproduce every (chunk, offset):
+    // the layout is exactly "sum of earlier docs' tokens, chunked by 512"
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      var before = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, chunk, off) =>
+        assert(chunk == before / 512 && off == before % 512,
+          s"doc $id in shard $shard: chunk/offset inconsistent with replay")
+        before += n
+      }
+    }
+    // at least one document must straddle a chunk boundary for the fixture
+    // to actually exercise the concat-and-chunk (not one-doc-per-chunk) path
+    assert(got.exists { case (_, _, n, _, off) => off + n > 512 },
+      "fixture never crosses a chunk boundary")
+  }
+
   test("stratified sample takes exactly ceil(f*n) docs per stratum") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
