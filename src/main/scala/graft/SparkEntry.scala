@@ -257,6 +257,7 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
+    "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
     "contamination" -> ((s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -899,6 +900,24 @@ object SparkEntry {
         |  n_emails + n_ips + n_long_numbers = 0 AS clean
         |FROM c ORDER BY doc_id""".stripMargin
     },
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(range(1, len(toks) + 1, 24),
+        |      x -> x = 1 OR x + 8 <= len(toks)) AS starts
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, toks, unnest(starts) AS start,
+        |    generate_subscripts(starts, 1) - 1 AS chunk_idx
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_token,
+        |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "contamination" ->
       (shinglesCte +
         """, bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

@@ -257,6 +257,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping document chunking — the RAG/embedding-prep staple: split
+    * each document's token stream into `chunkTokens`-token windows that
+    * step by `chunkTokens − overlap`, so consecutive chunks share
+    * `overlap` tokens of context. A trailing start is emitted only when
+    * its chunk contributes tokens the previous chunk did not already
+    * cover (start == 1 or start + overlap <= n), so coverage is total and
+    * no chunk is fully redundant. Row-local explode — fan-out inherits
+    * the scan's partitioning, no shuffle; chunk content is reported as an
+    * md5 (scalar stand-in for the chunk payload an embedding stage would
+    * consume).
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val starts = filter(sequence(lit(1), n, lit(stride)),
+      s => s === 1 || s + overlap <= n)
+    val chunks = transform(starts, s =>
+      struct(s.cast("long").as("start"),
+        slice(t, s, lit(chunkTokens)).as("chunk")))
+    documents.select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.start").as("start_token"),
+        size(col("col.chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("col.chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Content fingerprints: exact (md5 of text) and order-invariant
     * (md5 of the sorted distinct token list) — the latter is the cheap
     * "same bag of words" near-dup key.

@@ -310,6 +310,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(masked == "contact <EMAIL> or <IP> ref <NUM> ok")
   }
 
+  test("document chunking steps by stride and skips redundant trailing starts") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, words(40)), (2L, words(20)), (3L, words(25)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // 40 tokens: chunk at 1 (full 32) and at 25 (tokens 25..40) — the two
+    // share exactly the 8-token overlap 25..32
+    assert(got(1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq((1L, 32L), (25L, 16L)))
+    // 20 tokens: one partial chunk
+    assert(got(2L).map(t => (t._3, t._4)).toSeq == Seq((1L, 20L)))
+    // 25 tokens: a start at 25 would only repeat tokens chunk 0 already
+    // covers (25 + overlap > n) — must be suppressed
+    assert(got(3L).map(t => (t._3, t._4)).toSeq == Seq((1L, 25L)))
+  }
+
   test("contamination flags planted benchmark overlap and nothing else") {
     import spark.implicits._
     // doc 0 is "benchmark" (0 % 97 == 0); doc 5 copies a 5-token span of
