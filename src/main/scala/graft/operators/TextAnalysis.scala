@@ -78,25 +78,40 @@ object TextAnalysis {
     * heuristic): fraction of a document's trigram occurrences taken by
     * its single most repeated trigram. High ratio = template/boilerplate
     * text a pretraining pipeline filters out. NON-distinct trigrams here,
-    * unlike Dedup.shingles — repetition is the signal. Two hash
-    * aggregations keyed by doc; documents shorter than 3 tokens emit no
-    * row (no trigrams to judge).
+    * unlike Dedup.shingles — repetition is the signal. Documents shorter
+    * than 3 tokens emit no row (no trigrams to judge).
+    *
+    * Computed entirely ROW-LOCALLY: sort the document's trigram array and
+    * count runs (run starts = positions whose trigram differs from the
+    * previous), so distinct count = number of starts and the max repeat =
+    * longest run. The earlier explode → (doc, trigram) groupBy → doc
+    * groupBy formulation shuffled one row per trigram occurrence
+    * (corpus-token-order cardinality!) twice; this plan shuffles NOTHING
+    * — per-doc work rides the scan, embarrassingly parallel at 100 TB.
+    * The DuckDB oracle keeps the aggregation formulation, so the driver
+    * hash gate also proves the two formulations equivalent.
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
-    val tri = documents.select(col("doc_id"),
-      explode(when(size(t) >= 3,
-          transform(sequence(lit(1), size(t) - 2),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-              element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>"))).as("tri"))
-    tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_trigrams"),
-        max(col("c")).as("max_trigram"),
-        count(lit(1)).as("n_distinct_trigrams"))
-      .withColumn("rep_ratio",
-        col("max_trigram").cast("double") / col("n_trigrams").cast("double"))
+    val tris = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    documents.filter(size(t) >= 3)
+      .withColumn("_sorted", array_sort(tris))
+      .withColumn("_n", size(col("_sorted")).cast("long"))
+      .withColumn("_starts", filter(sequence(lit(1), size(col("_sorted"))),
+        i => i === 1 ||
+          element_at(col("_sorted"), i) =!= element_at(col("_sorted"), i - 1)))
+      .withColumn("_runs", transform(sequence(lit(1), size(col("_starts"))),
+        j => when(j < size(col("_starts")),
+            element_at(col("_starts"), j + 1)).otherwise(col("_n") + 1)
+          - element_at(col("_starts"), j)))
+      .select(col("doc_id"),
+        col("_n").as("n_trigrams"),
+        array_max(col("_runs")).cast("long").as("max_trigram"),
+        size(col("_starts")).cast("long").as("n_distinct_trigrams"),
+        (array_max(col("_runs")).cast("double") / col("_n").cast("double"))
+          .as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 
