@@ -295,6 +295,8 @@ object SparkEntry {
     "ann_lsh_multi" -> ((s, dir) =>
       Similarity.lshTopKMulti(t(s, dir, "embeddings"), numTables = 2)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
+    "quantize_embeddings" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
     // KMeans-trained IVF through the same serving dataflow. Lloyd's
     // iterations aren't SQL-expressible, so the driver-facing columns are
     // structural accuracy-contract booleans (approx_stats precedent): the
@@ -1128,6 +1130,21 @@ object SparkEntry {
     "ann_ivf_trained" ->
       """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
         |  TRUE AS recall_ge_10pct""".stripMargin,
+    "quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
+        |), q AS (
+        |  SELECT vec_id, mx,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS BIGINT)) AS qv
+        |  FROM m
+        |)
+        |SELECT vec_id, CAST(floor(mx * 1000000.0) AS BIGINT) AS maxabs_e6,
+        |  list_max(list_transform(qv, x -> abs(x))) AS max_abs_q,
+        |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ' ')) AS q_md5
+        |FROM q ORDER BY vec_id""".stripMargin,
     "text_cooccur" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS products FROM documents

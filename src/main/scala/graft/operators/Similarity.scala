@@ -298,6 +298,30 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× index-compression step before ANN serving at scale: per vector,
+    * scale by 127 / max|x| and floor (floor, not round: floor of
+    * identical doubles is engine-portable, round's ULP behavior is not).
+    * Emits the scale (floor-scaled to e6), the max quantized magnitude
+    * (≤ 127 by construction — a violated bound fails the driver hash
+    * gate), and the md5 of the quantized vector as the scalar stand-in
+    * for the int8 payload. Row-local projection, no shuffle.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val m = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x => floor(x * lit(127.0) / col("_m")).cast("long"))
+    embeddings
+      .withColumn("_m", m)
+      .withColumn("_q", q)
+      .select(col("vec_id"),
+        floor(col("_m") * lit(1000000.0)).as("maxabs_e6"),
+        array_max(transform(col("_q"), x => abs(x))).as("max_abs_q"),
+        md5(array_join(transform(col("_q"), _.cast("string")), " ")
+          .cast("binary")).as("q_md5"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The scale rule for [[lshTopK]]/[[lshTopKMulti]] granularity, made
     * executable: planes needed so the EXPECTED bucket population stays at
     * `targetBucketPop` for a corpus of `corpusSize` vectors — i.e.

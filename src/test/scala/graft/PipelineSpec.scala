@@ -133,6 +133,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 > 0.0, "2-table OR-construction found nothing")
   }
 
+  test("int8 quantization bounds magnitude and reconstruction error") {
+    val emb = tbl("embeddings")
+    val rows = Similarity.quantizeEmbeddings(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 127L, s"vec ${r.getLong(0)} |q| ${r.getLong(2)} > 127")
+      assert(r.getLong(1) > 0L, "zero scale on a random embedding")
+    }
+    // the math contract: dequantization error is at most one quant step
+    emb.collect().foreach { r =>
+      val d = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+      val m = d.map(math.abs).max
+      val err = d.map(x =>
+        math.abs(x - math.floor(x * 127.0 / m) * m / 127.0)).max
+      assert(err <= m / 127.0 + 1e-12,
+        s"vec ${r.getLong(0)}: reconstruction error $err exceeds a quant step")
+    }
+  }
+
   test("planesFor holds expected bucket population flat across corpus scales") {
     // the 100x rule: growing the corpus grows planes logarithmically so
     // per-bucket population (and the quadratic in-bucket join) stays flat
