@@ -297,6 +297,11 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
     "quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
+    // the IVF recall knob: queries probe their top-2 cells (index side
+    // unchanged) — pairs with ann_lsh_multi's OR-construction as the two
+    // standard ways to buy ANN recall without growing the index
+    "ann_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.ivfTopKMultiprobe(t(s, dir, "embeddings"))),
     // KMeans-trained IVF through the same serving dataflow. Lloyd's
     // iterations aren't SQL-expressible, so the driver-facing columns are
     // structural accuracy-contract booleans (approx_stats precedent): the
@@ -1145,6 +1150,31 @@ object SparkEntry {
         |  list_max(list_transform(qv, x -> abs(x))) AS max_abs_q,
         |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ' ')) AS q_md5
         |FROM q ORDER BY vec_id""".stripMargin,
+    "ann_ivf_multiprobe" ->
+      (embedCte +
+        s""", cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+        |), scored AS (
+        |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+        |  FROM n a CROSS JOIN cents c
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+        |  FROM scored
+        |), assigned AS (
+        |  SELECT vec_id AS other_id, v AS vb, nrm AS nrm_b, cent_id AS cell
+        |  FROM ranked WHERE crk = 1
+        |), probes AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE crk <= 2
+        |), p AS (
+        |  SELECT q.vec_id AS vec_id, a.other_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.vb[i])) / (q.nrm * a.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM probes q JOIN assigned a
+        |    ON q.cell = a.cell AND q.vec_id <> a.other_id)
+        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
     "text_cooccur" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS products FROM documents

@@ -232,6 +232,44 @@ object Similarity {
     ivfServe(vectorsWithNorm(embeddings), cents, k)
   }
 
+  /** IVF with MULTIPROBE: every vector is indexed in its single nearest
+    * cell (the corpus side is unchanged), but each QUERY probes its
+    * `numProbes` nearest cells — the standard IVF recall knob that
+    * recovers neighbors stranded just across a cell boundary without
+    * growing the index. Candidates are the union of the probed cells'
+    * members, so candidate volume grows linearly in `numProbes` while the
+    * join stays a plain equi-shuffle on the cell id. numProbes = 1 is
+    * exactly [[ivfTopK]].
+    */
+  def ivfTopKMultiprobe(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, numProbes: Int = 2): DataFrame = {
+    require(numProbes >= 1, "numProbes must be >= 1")
+    val e = vectorsWithNorm(embeddings)
+    val cents = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", floor(dot(col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")) * lit(1000000.0)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))))
+    val assigned = scored.filter(col("crk") === 1)
+      .select(col("vec_id").as("other_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cent_id").as("cell"))
+    val probes = scored.filter(col("crk") <= numProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    probes.join(assigned,
+        probes("cell") === assigned("cell") && col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   private def vectorsWithNorm(embeddings: DataFrame): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))

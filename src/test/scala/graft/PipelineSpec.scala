@@ -170,6 +170,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.planesFor(Long.MaxValue, 1) == 30, "cap at 30 planes")
   }
 
+  test("IVF multiprobe: exact scores, recall non-decreasing in probe count") {
+    val emb = tbl("embeddings")
+    val k = 5
+    val allScores = Similarity.bruteForceTopK(emb, k = emb.count().toInt,
+        maxQueries = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trueTopK = Similarity.bruteForceTopK(emb, k, maxQueries = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(found: Set[(Long, Long)]): Double =
+      trueTopK.intersect(found).size.toDouble / trueTopK.size
+    val single = Similarity.ivfTopK(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.ivfTopKMultiprobe(emb, k, numProbes = 2).collect()
+    multi.foreach { r =>
+      assert(allScores((r.getLong(0), r.getLong(1))) == r.getLong(2),
+        s"multiprobe pair (${r.getLong(0)}, ${r.getLong(1)}) score drifted")
+    }
+    val rMulti = recallOf(multi.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val rSingle = recallOf(single)
+    assert(rMulti >= rSingle,
+      f"2-probe recall $rMulti%.3f below 1-probe recall $rSingle%.3f")
+    assert(rMulti > 0.0)
+  }
+
   test("multimodal stub decode (mapPartitions) agrees with its SQL twin") {
     val docs = tbl("documents")
     val typed = Multimodal.decodeMeta(docs).collect()

@@ -143,7 +143,7 @@ class PlanSpec extends AnyFunSuite {
     // per-partition top-k heaps before the shuffle — the reason no custom
     // top-k operator is needed (preference (a) of the custom-op ladder).
     // Pinned so a window-spec change doesn't silently lose it.
-    for (q <- Seq("ann_topk", "ann_lsh_topk")) {
+    for (q <- Seq("ann_topk", "ann_lsh_topk", "ann_ivf_multiprobe")) {
       val p = planOf(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost WindowGroupLimit pushdown:\n$p")
