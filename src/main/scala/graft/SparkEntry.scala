@@ -146,6 +146,20 @@ object SparkEntry {
                WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")
     }),
+    // correlated LATERAL subquery (SQL:2016 lateral derived table) with
+    // per-row ORDER BY + LIMIT — the "top-N per group" SQL surface;
+    // Catalyst decorrelates it into a ranked window join
+    "lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
     "date_funcs" -> ((s, dir) => Relational.dateFunctions(t(s, dir, "orders"))),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFunctions(t(s, dir, "part"))),
     // regexp family: replace-all (DuckDB needs the 'g' flag to match
@@ -627,6 +641,13 @@ object SparkEntry {
         |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
         |       WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,

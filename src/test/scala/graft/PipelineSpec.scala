@@ -373,6 +373,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L).map(t => (t._3, t._4)).toSeq == Seq((1L, 25L)))
   }
 
+  test("document chunking covers every token exactly for all lengths 1..200") {
+    import spark.implicits._
+    // one doc per length: the start-generation rule must cover all tokens
+    // with no fully-redundant chunk at ANY length, not just the fixtures
+    val docs = (1 to 200)
+      .map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    (1 to 200).foreach { n =>
+      val chunks = got(n.toLong).map(c => (c._2, c._3)).toSeq.sortBy(_._1)
+      // coverage: chunk spans [start, start + len - 1] must union to [1, n]
+      var covered = 0L
+      chunks.foreach { case (start, len) =>
+        assert(start <= covered + 1, s"n=$n: gap before chunk at $start")
+        covered = math.max(covered, start + len - 1)
+      }
+      assert(covered == n, s"n=$n: covered only $covered tokens")
+      // non-redundancy: each chunk after the first must extend coverage
+      chunks.sliding(2).foreach {
+        case Seq((s1, l1), (s2, l2)) =>
+          assert(s2 + l2 - 1 > s1 + l1 - 1,
+            s"n=$n: chunk at $s2 adds no new tokens")
+        case _ =>
+      }
+    }
+  }
+
   test("contamination flags planted benchmark overlap and nothing else") {
     import spark.implicits._
     // doc 0 is "benchmark" (0 % 97 == 0); doc 5 copies a 5-token span of
