@@ -129,6 +129,20 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("row-local operators shuffle only for their output ordering") {
+    // these operators' whole value at 100 TB is that per-document work
+    // rides the scan: the only permissible exchange is the final orderBy
+    // (pack_sequences also gets its per-shard window exchange). A new
+    // aggregate or join sneaking in shows up as an extra Exchange here.
+    for ((q, maxEx) <- Seq("quality_repetition" -> 1, "scrub_pii" -> 1,
+        "chunk_docs" -> 1, "pack_sequences" -> 2, "quantize_embeddings" -> 1)) {
+      val p = planOf(q)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= maxEx,
+        s"$q planned $exchanges exchanges (max $maxEx):\n$p")
+    }
+  }
+
   test("contamination broadcasts the benchmark shingle set") {
     // the benchmark side is small by construction — if it ever shuffles
     // instead of broadcasting, the decontamination scan stops being the
