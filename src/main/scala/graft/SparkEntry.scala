@@ -948,7 +948,8 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "contamination" ->
       (shinglesCte +
-        """, bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        s""", bench AS (SELECT DISTINCT shingle FROM sh
+        |  WHERE doc_id % 97 = 0 AND doc_id <= ${TextAnalysis.MaxBenchmarkDocId}),
         |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
         |hits AS (
         |  SELECT s.doc_id, count(*) AS n_contaminated
@@ -956,7 +957,7 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_shingles,
         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
         |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination,
-        |  t.doc_id % 97 = 0 AS is_benchmark
+        |  t.doc_id % 97 = 0 AND t.doc_id <= ${TextAnalysis.MaxBenchmarkDocId} AS is_benchmark
         |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin),
     "dedup_exact" ->
@@ -1165,7 +1166,7 @@ object SparkEntry {
         |), q AS (
         |  SELECT vec_id, mx,
         |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS BIGINT)) AS qv
-        |  FROM m
+        |  FROM m WHERE mx > 0
         |)
         |SELECT vec_id, CAST(floor(mx * 1000000.0) AS BIGINT) AS maxabs_e6,
         |  list_max(list_transform(qv, x -> abs(x))) AS max_abs_q,

@@ -84,12 +84,18 @@ object Similarity {
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
             qe.observedMetrics.get(TruncationMetric).foreach { row =>
-              val cap = row.getLong(row.fieldIndex("cap"))
-              if (row.getLong(row.fieldIndex("n_probe")) > cap)
-                log.warn(s"cosinePairs: input exceeds maxVectors=$cap; " +
-                  s"scoring only the first $cap vec_ids on BOTH sides " +
-                  "— pairs among later vectors are omitted (use lshTopK for " +
-                  "the full corpus)")
+              // over zero input rows the max() aggregate yields a NULL cap
+              // (and count yields 0) — nothing to warn about, and getLong
+              // on the null would throw inside the listener bus
+              val capIdx = row.fieldIndex("cap")
+              if (!row.isNullAt(capIdx)) {
+                val cap = row.getLong(capIdx)
+                if (row.getLong(row.fieldIndex("n_probe")) > cap)
+                  log.warn(s"cosinePairs: input exceeds maxVectors=$cap; " +
+                    s"scoring only the first $cap vec_ids on BOTH sides " +
+                    "— pairs among later vectors are omitted (use lshTopK " +
+                    "for the full corpus)")
+              }
             }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
@@ -135,14 +141,25 @@ object Similarity {
     val scored = broadcast(a).join(b, col("vec_id") =!= col("other_id"))
       .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
         (col("nrm_a") * col("nrm_b")) * lit(1000000.0)))
+    rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
+  }
+
+  /** The exact-scoring rank tail every ANN variant and the brute-force
+    * baseline share: per-query top-k by (cos_e6 desc, other_id). ONE
+    * definition of the tie-break, so a ranking change cannot silently
+    * drift between variants (all their oracle twins encode this same
+    * ordering, and the PipelineSpec recall-monotonicity tests rely on
+    * identical tie-breaks across variants).
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+      outCols: Seq[String]): DataFrame =
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_e6").desc, col("other_id"))))
       .filter(col("rk") <= k)
-      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
+      .select(outCols.map(col): _*)
       .orderBy(col("vec_id"), col("rk"))
-  }
 
   val NumPlanes = 8
 
@@ -247,27 +264,11 @@ object Similarity {
     val e = vectorsWithNorm(embeddings)
     val cents = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val scored = e.crossJoin(broadcast(cents))
-      .withColumn("cscore", floor(dot(col("v"), col("cv")) /
-        (col("nrm") * col("cnrm")) * lit(1000000.0)))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cscore").desc, col("cent_id"))))
-    val assigned = scored.filter(col("crk") === 1)
-      .select(col("vec_id").as("other_id"), col("v").as("vb"),
-        col("nrm").as("nrm_b"), col("cent_id").as("cell"))
-    val probes = scored.filter(col("crk") <= numProbes)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-    probes.join(assigned,
-        probes("cell") === assigned("cell") && col("vec_id") =!= col("other_id"))
-      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
-        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_e6").desc, col("other_id"))))
-      .filter(col("rk") <= k)
+    // the query's probed cells are a detail of candidate generation, not
+    // part of the result (a pair can only arrive via the other vector's
+    // single indexed cell, so rows are already unique)
+    ivfServe(e, cents, k, numProbes)
       .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
-      .orderBy(col("vec_id"), col("rk"))
   }
 
   private def vectorsWithNorm(embeddings: DataFrame): DataFrame = {
@@ -276,33 +277,31 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
   }
 
-  /** The IVF serving dataflow shared by the stub-trained and
-    * KMeans-trained variants: broadcast the centroid table, assign every
-    * vector to its nearest centroid by cosine (a map-side cross with
-    * numCentroids rows), then top-k search only within the assigned cell
-    * (one shuffle on cluster id).
+  /** The IVF serving dataflow shared by the stub-trained, KMeans-trained,
+    * and multiprobe variants: broadcast the centroid table, rank every
+    * vector's cells by cosine (a map-side cross with numCentroids rows),
+    * index each vector in its single nearest cell, then top-k search the
+    * query's `numProbes` nearest cells (one shuffle on the cell id;
+    * candidate volume linear in numProbes). numProbes = 1 is classic IVF.
     */
-  private def ivfServe(e: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val assigned = e.crossJoin(broadcast(cents))
+  private def ivfServe(e: DataFrame, cents: DataFrame, k: Int,
+      numProbes: Int = 1): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
       .withColumn("cscore", floor(dot(col("v"), col("cv")) /
         (col("nrm") * col("cnrm")) * lit(1000000.0)))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cscore").desc, col("cent_id"))))
-      .filter(col("crk") === 1)
+    val probes = scored.filter(col("crk") <= numProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
-    val other = assigned.select(col("vec_id").as("other_id"),
-      col("v").as("vb"), col("nrm").as("nrm_b"), col("cluster").as("cluster_b"))
-    assigned.join(other,
+    val indexed = scored.filter(col("crk") === 1)
+      .select(col("vec_id").as("other_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cent_id").as("cluster_b"))
+    val cand = probes.join(indexed,
         col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
       .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
         (col("nrm") * col("nrm_b")) * lit(1000000.0)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_e6").desc, col("other_id"))))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("cluster"), col("other_id"), col("cos_e6"), col("rk"))
-      .orderBy(col("vec_id"), col("rk"))
+    rankTopK(cand, k, Seq("vec_id", "cluster", "other_id", "cos_e6", "rk"))
   }
 
   /** LSH-bucketed ANN: score only pairs whose bucket signatures match —
@@ -324,16 +323,11 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val b = withBucket.select(col("vec_id").as("other_id"),
       col("v").as("vb"), col("bucket").as("bucket_b"), col("nrm").as("nrm_b"))
-    withBucket.join(b,
+    val scored = withBucket.join(b,
         col("bucket") === col("bucket_b") && col("vec_id") =!= col("other_id"))
       .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
         (col("nrm") * col("nrm_b")) * lit(1000000.0)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_e6").desc, col("other_id"))))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("bucket"), col("other_id"), col("cos_e6"), col("rk"))
-      .orderBy(col("vec_id"), col("rk"))
+    rankTopK(scored, k, Seq("vec_id", "bucket", "other_id", "cos_e6", "rk"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the standard
@@ -343,7 +337,10 @@ object Similarity {
     * Emits the scale (floor-scaled to e6), the max quantized magnitude
     * (≤ 127 by construction — a violated bound fails the driver hash
     * gate), and the md5 of the quantized vector as the scalar stand-in
-    * for the int8 payload. Row-local projection, no shuffle.
+    * for the int8 payload. Row-local projection, no shuffle. All-zero
+    * vectors have no defined scale (x·127/0 is NaN, and NaN handling
+    * diverges across engines) — they carry no information for similarity
+    * anyway, so they emit no row on either side.
     */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
     val v = asDouble(col("embedding"))
@@ -351,6 +348,7 @@ object Similarity {
     val q = transform(v, x => floor(x * lit(127.0) / col("_m")).cast("long"))
     embeddings
       .withColumn("_m", m)
+      .filter(col("_m") > 0)
       .withColumn("_q", q)
       .select(col("vec_id"),
         floor(col("_m") * lit(1000000.0)).as("maxabs_e6"),
@@ -409,14 +407,9 @@ object Similarity {
     val q = base.select(col("vec_id"), col("v"), col("nrm"))
     val o = base.select(col("vec_id").as("other_id"), col("v").as("vb"),
       col("nrm").as("nrm_b"))
-    cand.join(q, Seq("vec_id")).join(o, Seq("other_id"))
+    val scored = cand.join(q, Seq("vec_id")).join(o, Seq("other_id"))
       .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
         (col("nrm") * col("nrm_b")) * lit(1000000.0)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_e6").desc, col("other_id"))))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
-      .orderBy(col("vec_id"), col("rk"))
+    rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
   }
 }

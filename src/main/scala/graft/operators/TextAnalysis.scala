@@ -246,20 +246,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cap on the benchmark slice's doc ids: real decontamination
+    * benchmarks (held-out eval suites) are CONSTANT-size, so the
+    * corpus-derived stand-in must be too — without the id horizon the
+    * slice would grow linearly with the corpus and the broadcast below
+    * would stop being a broadcast at scale.
+    */
+  val MaxBenchmarkDocId = 1000000L
+
   /** Benchmark decontamination check: fraction of each document's distinct
     * token trigrams that appear in a benchmark/eval set — the standard
     * n-gram-overlap test for pretraining-set contamination. The benchmark
-    * here is the deterministic doc_id % `benchmarkMod` == 0 slice of the
-    * corpus (a stand-in for an external eval suite; swap in any shingle
-    * relation). The benchmark shingle set is tiny relative to the corpus,
-    * so it is broadcast — the contamination scan is one map-side join over
-    * the exploded shingles plus a doc-keyed count, linear at 100 TB.
-    * Documents under 3 tokens have no trigrams and emit no row.
+    * here is a BOUNDED deterministic slice of the corpus (doc_id %
+    * `benchmarkMod` == 0 up to [[MaxBenchmarkDocId]] — a stand-in for an
+    * external eval suite; swap in any fixed shingle relation). Because
+    * the benchmark is constant-size by construction, broadcasting it is
+    * sound at any corpus scale and the contamination scan stays one
+    * map-side join over the exploded shingles plus a doc-keyed count —
+    * linear at 100 TB. Documents under 3 tokens have no trigrams and
+    * emit no row.
     */
-  def contamination(documents: DataFrame, benchmarkMod: Long = 97): DataFrame = {
+  def contamination(documents: DataFrame, benchmarkMod: Long = 97,
+      maxBenchmarkDocId: Long = MaxBenchmarkDocId): DataFrame = {
+    val isBench = col("doc_id") % benchmarkMod === 0 &&
+      col("doc_id") <= maxBenchmarkDocId
+    // cached because three branches (bench/totals/hits) consume it and
+    // the returned plan is lazy, so the operator cannot unpersist it
+    // itself; callers release it via spark.catalog.clearCache() when the
+    // result is consumed — the same discipline as ngramJaccard's shingle
+    // cache (Bench does exactly this between queries)
     val sh = Dedup.shingles(documents).cache()
-    val bench = sh.filter(col("doc_id") % benchmarkMod === 0)
-      .select(col("shingle")).distinct()
+    val bench = sh.filter(isBench).select(col("shingle")).distinct()
     val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
@@ -268,7 +285,7 @@ object TextAnalysis {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("contamination"),
-        (col("doc_id") % benchmarkMod === 0).as("is_benchmark"))
+        isBench.as("is_benchmark"))
       .orderBy(col("doc_id"))
   }
 
