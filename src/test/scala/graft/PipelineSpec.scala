@@ -152,6 +152,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate similarity inputs: empty table, all-zero vector") {
+    import spark.implicits._
+    // empty input: the observe-metric cap aggregates to NULL — the
+    // truncation listener must stay silent, not throw on the listener bus
+    // (regression: ROW_VALUE_IS_NULL on getLong of the null cap)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairs(empty, 0.4).collect().isEmpty)
+    // give the async listener bus a beat; a throwing listener surfaces as
+    // an ERROR log + dead listener on subsequent queries, which the later
+    // cosine/ANN tests in this suite would then trip over
+    Thread.sleep(200)
+    // an all-zero vector has no quantization scale (x*127/0 is NaN, and
+    // NaN handling diverges across engines) — it must emit NO row while
+    // normal vectors still quantize
+    val mixed = Seq(
+      (1L, Array.fill(64)(0.0f)),
+      (2L, Array.tabulate(64)(i => (i - 31.5f) / 32f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(mixed).collect()
+    assert(q.map(_.getLong(0)).toSeq == Seq(2L),
+      "zero vector must be dropped, non-zero kept")
+  }
+
   test("planesFor holds expected bucket population flat across corpus scales") {
     // the 100x rule: growing the corpus grows planes logarithmically so
     // per-bucket population (and the quadratic in-bucket join) stays flat
