@@ -221,7 +221,7 @@ object Similarity {
     */
   def ivfTopKTrained(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, seed: Long = 42L,
-      maxTrainVectors: Int = 100000): DataFrame = {
+      maxTrainVectors: Int = 100000, numProbes: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     // Train on a BOUNDED deterministic sample (first maxTrainVectors by
     // vec_id — no RNG, so the centroids and therefore the whole operator
@@ -246,7 +246,7 @@ object Similarity {
           .toDF("cent_id", "cv")
           .withColumn("cnrm", norm(col("cv")))
       } finally e.unpersist(blocking = false)
-    ivfServe(vectorsWithNorm(embeddings), cents, k)
+    ivfServe(vectorsWithNorm(embeddings), cents, k, numProbes)
   }
 
   /** IVF with MULTIPROBE: every vector is indexed in its single nearest

@@ -504,6 +504,12 @@ class PipelineSpec extends AnyFunSuite {
     }
     val trainedRecall = recallOf(trained)
     val stubRecall = recallOf(Similarity.ivfTopK(emb, k).collect())
+    // trained + multiprobe: the two recall knobs compose — probing a
+    // second cell can only widen the (exactly scored) candidate set
+    val trainedMulti = recallOf(
+      Similarity.ivfTopKTrained(emb, k, numProbes = 2).collect())
+    assert(trainedMulti >= trainedRecall,
+      f"trained 2-probe recall $trainedMulti%.3f below 1-probe $trainedRecall%.3f")
     // absolute floor is modest: 16 cells on the ~250-vector sf0.001 corpus
     // caps in-cell recall; the meaningful check is the relative one below
     assert(trainedRecall >= 0.2, f"trained IVF recall $trainedRecall%.3f < 0.2")
