@@ -1165,7 +1165,7 @@ object SparkEntry {
         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
         |), q AS (
         |  SELECT vec_id, mx,
-        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS BIGINT)) AS qv
+        |    list_transform(v, x -> greatest(least(CAST(floor(x * 127.0 / mx) AS BIGINT), 127), -127)) AS qv
         |  FROM m WHERE mx > 0
         |)
         |SELECT vec_id, CAST(floor(mx * 1000000.0) AS BIGINT) AS maxabs_e6,

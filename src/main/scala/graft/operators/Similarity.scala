@@ -61,7 +61,15 @@ object Similarity {
     */
   val MaxBruteForceQueries = 1000
 
-  private val TruncationMetric = "graft.cosine_pairs.input_probe"
+  /** Prefix of the truncation-probe metric; each [[cosinePairs]] call
+    * derives a UNIQUE name (`prefix.<seq>`) so two cosinePairs frames can
+    * be composed into one query — Spark rejects a plan that defines the
+    * same observed-metric name twice ("multiple definitions of observed
+    * metrics"). The listener matches by prefix.
+    */
+  private val TruncationMetricPrefix = "graft.cosine_pairs.input_probe"
+
+  private val truncMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Sessions that already carry the truncation listener (weak keys so a
     * stopped session does not leak through this registry).
@@ -83,18 +91,20 @@ object Similarity {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            qe.observedMetrics.get(TruncationMetric).foreach { row =>
-              // over zero input rows the max() aggregate yields a NULL cap
-              // (and count yields 0) — nothing to warn about, and getLong
-              // on the null would throw inside the listener bus
-              val capIdx = row.fieldIndex("cap")
-              if (!row.isNullAt(capIdx)) {
-                val cap = row.getLong(capIdx)
-                if (row.getLong(row.fieldIndex("n_probe")) > cap)
-                  log.warn(s"cosinePairs: input exceeds maxVectors=$cap; " +
-                    s"scoring only the first $cap vec_ids on BOTH sides " +
-                    "— pairs among later vectors are omitted (use lshTopK " +
-                    "for the full corpus)")
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(TruncationMetricPrefix)) {
+                // over zero input rows the max() aggregate yields a NULL
+                // cap (and count yields 0) — nothing to warn about, and
+                // getLong on the null would throw inside the listener bus
+                val capIdx = row.fieldIndex("cap")
+                if (!row.isNullAt(capIdx)) {
+                  val cap = row.getLong(capIdx)
+                  if (row.getLong(row.fieldIndex("n_probe")) > cap)
+                    log.warn(s"cosinePairs: input exceeds maxVectors=$cap; " +
+                      s"scoring only the first $cap vec_ids on BOTH sides " +
+                      "— pairs among later vectors are omitted (use lshTopK " +
+                      "for the full corpus)")
+                }
               }
             }
           override def onFailure(funcName: String,
@@ -115,7 +125,8 @@ object Similarity {
     // the query actually materializes (n+1 rows observed ⇒ input over cap).
     registerTruncationListener(embeddings.sparkSession)
     val sample = embeddings.orderBy(col("vec_id")).limit(maxVectors + 1)
-      .observe(TruncationMetric, count(lit(1)).as("n_probe"),
+      .observe(s"$TruncationMetricPrefix.${truncMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("n_probe"),
         max(lit(maxVectors.toLong)).as("cap"))
       .orderBy(col("vec_id")).limit(maxVectors)
     val a = sideWithNorm(sample, "vec_id", "va", "nrm_a")
@@ -335,9 +346,13 @@ object Similarity {
     * scale by 127 / max|x| and floor (floor, not round: floor of
     * identical doubles is engine-portable, round's ULP behavior is not).
     * Emits the scale (floor-scaled to e6), the max quantized magnitude
-    * (≤ 127 by construction — a violated bound fails the driver hash
-    * gate), and the md5 of the quantized vector as the scalar stand-in
-    * for the int8 payload. Row-local projection, no shuffle. All-zero
+    * (≤ 127, enforced by an explicit least/greatest clamp: for
+    * float-sourced data m·127 is exactly representable and the clamp is a
+    * no-op, but for arbitrary doubles floor((-m·127)/m) can round to
+    * −128 — the clamp makes the int8 bound hold by construction, and the
+    * oracle applies the identical clamp), and the md5 of the quantized
+    * vector as the scalar stand-in for the int8 payload. Row-local
+    * projection, no shuffle. All-zero
     * vectors have no defined scale (x·127/0 is NaN, and NaN handling
     * diverges across engines) — they carry no information for similarity
     * anyway, so they emit no row on either side.
@@ -345,7 +360,8 @@ object Similarity {
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
     val v = asDouble(col("embedding"))
     val m = array_max(transform(v, x => abs(x)))
-    val q = transform(v, x => floor(x * lit(127.0) / col("_m")).cast("long"))
+    val q = transform(v, x => greatest(least(
+      floor(x * lit(127.0) / col("_m")).cast("long"), lit(127L)), lit(-127L)))
     embeddings
       .withColumn("_m", m)
       .filter(col("_m") > 0)

@@ -77,6 +77,10 @@ object TemporalJoin {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, gapSec: Long): DataFrame = {
+    // gapSec = 0 would make the bucket divisor 0: floor(x/0) is NULL, the
+    // equi-join keys go NULL, and the join silently returns empty instead
+    // of "same instant" — reject rather than mis-answer
+    require(gapSec > 0, s"intervalJoin requires gapSec > 0, got $gapSec")
     val gapMicros = gapSec * 1000000L
     val l = left.withColumn("_lus", unix_micros(col(leftTs)))
       .withColumn("_b", floor(col("_lus") / gapMicros))

@@ -174,6 +174,31 @@ class PipelineSpec extends AnyFunSuite {
       "zero vector must be dropped, non-zero kept")
   }
 
+  test("quantization clamps the double-rounding -128 edge to -127") {
+    import spark.implicits._
+    // for double inputs (-m*127.0)/m can round to just below -127 and
+    // floor to -128 (m = 0.3 does exactly that); the least/greatest clamp
+    // must hold the int8 bound regardless of source dtype
+    val doubles = Seq((1L, Array(-0.3, 0.3, 0.15)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeEmbeddings(doubles).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) == 127L,
+      s"|q| bound violated or over-clamped: ${r.head.getLong(2)}")
+  }
+
+  test("two cosinePairs frames compose into one query") {
+    // regression: a fixed observe-metric name made Spark reject any plan
+    // containing two cosinePairs calls ("multiple definitions of observed
+    // metrics"); per-call unique names restore composability
+    val emb = tbl("embeddings")
+    val loose = Similarity.cosinePairs(emb, 0.2, maxVectors = 50)
+    val tight = Similarity.cosinePairs(emb, 0.9, maxVectors = 50)
+    val both = loose.unionByName(tight).collect()
+    assert(both.length >= loose.collect().length,
+      "union of two cosinePairs frames lost rows")
+  }
+
   test("planesFor holds expected bucket population flat across corpus scales") {
     // the 100x rule: growing the corpus grows planes logarithmically so
     // per-bucket population (and the quadratic in-bucket join) stays flat

@@ -111,6 +111,27 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.nearDupClusters(emptyPairs).collect().isEmpty)
   }
 
+  test("invalid arguments are rejected eagerly, not answered wrongly") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00")))
+      .toDF("l_id", "user_id", "l_ts")
+    val right = Seq(("u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 2L))
+      .toDF("user_id", "r_ts", "r_id")
+    // gapSec = 0 would zero the bucket divisor -> NULL join keys -> a
+    // silently empty result for a semantically meaningful request
+    intercept[IllegalArgumentException] {
+      TemporalJoin.intervalJoin(left, right, "user_id", "l_ts", "r_ts", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.intervalJoin(left, right, "user_id", "l_ts", "r_ts", -5L)
+    }
+    // maxRounds <= 0 used to NPE in the convergence re-check
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.nearDupClusters(pairs, maxRounds = 0)
+    }
+  }
+
   test("interval join equals the naive theta join and stays equi-shaped") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
