@@ -273,6 +273,11 @@ object SparkEntry {
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
     "contamination" -> ((s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))),
+    "contamination_bloom" -> ((s, dir) =>
+      TextAnalysis.contaminationBloom(t(s, dir, "documents"))),
+    "passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(t(s, dir, "documents"))),
+    "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
+    "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
@@ -359,6 +364,8 @@ object SparkEntry {
     "media_embedding" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
@@ -405,6 +412,24 @@ object SparkEntry {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks
       |)""".stripMargin
+
+  /** Contamination oracle, shared by the broadcast-join and Bloom-filter
+    * engine paths (both produce the identical exact result).
+    */
+  private val contaminationSql =
+    shinglesCte +
+      s""", bench AS (SELECT DISTINCT shingle FROM sh
+      |  WHERE doc_id % 97 = 0 AND doc_id <= ${TextAnalysis.MaxBenchmarkDocId}),
+      |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |hits AS (
+      |  SELECT s.doc_id, count(*) AS n_contaminated
+      |  FROM sh s JOIN bench USING (shingle) GROUP BY s.doc_id)
+      |SELECT t.doc_id, t.n_shingles,
+      |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination,
+      |  t.doc_id % 97 = 0 AND t.doc_id <= ${TextAnalysis.MaxBenchmarkDocId} AS is_benchmark
+      |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Generated SQL for the 64-bit SimHash fingerprint (mirrors
     * Dedup.simhash's ascii-decoded md5 nibble bits exactly).
@@ -946,20 +971,88 @@ object SparkEntry {
         |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "contamination" ->
-      (shinglesCte +
-        s""", bench AS (SELECT DISTINCT shingle FROM sh
-        |  WHERE doc_id % 97 = 0 AND doc_id <= ${TextAnalysis.MaxBenchmarkDocId}),
-        |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |hits AS (
-        |  SELECT s.doc_id, count(*) AS n_contaminated
-        |  FROM sh s JOIN bench USING (shingle) GROUP BY s.doc_id)
-        |SELECT t.doc_id, t.n_shingles,
-        |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-        |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination,
-        |  t.doc_id % 97 = 0 AND t.doc_id <= ${TextAnalysis.MaxBenchmarkDocId} AS is_benchmark
-        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |ORDER BY t.doc_id""".stripMargin),
+    "contamination" -> contaminationSql,
+    // the Bloom pre-filter has no false negatives and the exact join
+    // removes false positives, so the result is bit-identical to the
+    // plain contamination check — ONE oracle for both engine paths
+    "contamination_bloom" -> contaminationSql,
+    "passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(starts) AS s,
+        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
+        |  FROM st
+        |), p AS (
+        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
+        |), fo AS (
+        |  SELECT doc_id, pos, passage,
+        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(passage, ' ' ORDER BY pos) AS clean_text
+        |  FROM fo WHERE rn = 1 GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_passages,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY doc_id, tok
+        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    CAST(floor(CAST(t.tf AS DOUBLE) *
+        |      ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) *
+        |      1000000.0) AS BIGINT) AS tfidf_e6
+        |  FROM tf t JOIN df d USING (tok) CROSS JOIN nd n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_e6 DESC, tok) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf_e6
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "bm25_rank" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
+        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
+        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT count(*) FROM tokens) AS total_tok
+        |), per AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                / (CAST(d.df AS DOUBLE) + 0.5)))
+        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |            + 0.75 * (CAST(l.dl AS DOUBLE)
+        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_e6
+        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
+        |), scored AS (
+        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6,
+        |    count(*) AS n_terms_matched
+        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rk,
+        |  doc_id, n_terms_matched, bm25_e6
+        |FROM scored ORDER BY rk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
@@ -1359,6 +1452,20 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    least(CAST(100 AS BIGINT),
+        |      CAST(floor(n_tokens * 100.0 / 64.0) AS BIGINT)) AS keep_thr
+        |  FROM b
+        |)
+        |SELECT doc_id, n_tokens, bucket, keep_thr
+        |FROM t WHERE bucket < keep_thr ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,

@@ -81,4 +81,29 @@ object Sampling {
       .select(col("doc_id"), col(stratum), col("rn"), col("n_stratum"))
       .orderBy(col(stratum), col("rn"))
   }
+
+  /** Deterministic weighted sampling — the data-mixing step that keeps a
+    * document with probability proportional to a per-row weight (here:
+    * length-proportional, capped at 1 — longer documents carry more
+    * training signal). A document is kept iff its md5 bucket falls below
+    * weight·100, so inclusion is reproducible, append-stable, and
+    * engine-portable; all arithmetic (tokens·100/64 is exact in doubles:
+    * ×100 is exact for small ints, /64 is a power of two) happens in the
+    * scan's codegen stage. Shuffle-free at any scale, like
+    * [[datasetSplit]].
+    */
+  def weightedSample(documents: DataFrame,
+      fullWeightTokens: Int = 64): DataFrame = {
+    require(fullWeightTokens >= 1, "fullWeightTokens must be >= 1")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    documents
+      .withColumn("n_tokens", nTok)
+      .withColumn("bucket", bucket100(col("doc_id")))
+      .withColumn("keep_thr", least(lit(100L),
+        floor(col("n_tokens") * lit(100.0) / lit(fullWeightTokens.toDouble))
+          .cast("long")))
+      .filter(col("bucket") < col("keep_thr"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("keep_thr"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -332,4 +332,171 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(toks)), " ").cast("binary"))
           .as("bag_md5"))
       .orderBy(col("doc_id"))
+
+  /** Repeated-passage removal (the C4/RefinedWeb sub-document dedup step):
+    * documents are cut into consecutive `spanTokens`-token passages, a
+    * passage duplicated ANYWHERE in the corpus keeps only its globally
+    * first occurrence (ordered by doc_id, then position), and each
+    * document is reassembled from its surviving passages in order. Unlike
+    * [[graft.operators.Dedup.exact]] (whole-document) this removes
+    * boilerplate passages repeated ACROSS otherwise-distinct documents.
+    *
+    * Plan shape: one explode (row-local fan-out, inherits the scan's
+    * partitioning), ONE shuffle on the passage text (the dedup key —
+    * identical to exact dedup's shape, so it scales the same way), and a
+    * doc-keyed aggregation to rebuild the text. Passage text, not its
+    * hash, is the shuffle key here for oracle portability; at 100 TB the
+    * key would be xxhash64(passage) to shrink shuffle width — same plan.
+    */
+  def passageDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val t = toks
+    val passages = documents.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(t), lit(spanTokens)),
+          s => array_join(slice(t, s, lit(spanTokens)), " "))))
+      .toDF("doc_id", "pos", "passage")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
+    val kept = passages.withColumn("rn", row_number().over(firstOcc))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("passage")))),
+        s => s.getField("passage")), " ").as("clean_text"))
+    val totals = passages.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"))
+    // every document survives (possibly with empty text) so the operator
+    // composes with downstream stages that expect the full corpus
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-`k` terms per document — the classic relevance/keyword
+    * signal over the corpus. tfidf = tf · ln((N+1)/(df+1)), floor-scaled
+    * to e6 so the double is engine-portable.
+    *
+    * Plan shape: a doc-keyed tf aggregation (one shuffle), a vocab-sized
+    * df aggregation derived from it, and a BROADCAST of the df relation
+    * back onto tf — the vocabulary is sublinear in the corpus (new
+    * documents mostly repeat old words), so the broadcast stays sound at
+    * 100 TB while the big side never reshuffles. The per-doc top-k is a
+    * doc-partitioned window over already-aggregated rows.
+    */
+  def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val tf = tokens.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(docFreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_e6", floor(col("tf").cast("double") *
+        log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) * lit(1000000.0)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e6").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        col("tfidf_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Query terms for the registered BM25 row — drawn from the synthetic
+    * vocabulary so the fixture exercises real tf/df variation.
+    */
+  val DefaultBm25Query = Seq("spark", "query", "join")
+
+  /** Okapi BM25 document ranking against a fixed term set: per matching
+    * term, idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), each term's contribution
+    * floor-scaled to e6 BEFORE summing so the cross-engine sum is an
+    * order-independent integer sum (double summation order is not
+    * reproducible across engines). Top `topN` documents by score.
+    *
+    * Plan shape: the tf aggregation only ever sees rows matching the
+    * (tiny) query-term set — the filter lands in the scan's codegen
+    * stage — and doc length comes from one corpus-wide doc-keyed count;
+    * the final ranking is a TakeOrderedAndProject at `topN`, never a
+    * global sort.
+    */
+  def bm25(documents: DataFrame, queryTerms: Seq[String] = DefaultBm25Query,
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tokens = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = tokens.filter(col("tok").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tokens.agg(count(lit(1)).as("total_tok")))
+    val avgdl = col("total_tok").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) + ((col("n_docs").cast("double") -
+      col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))))
+    val tfD = col("tf").cast("double")
+    val num = tfD * lit(k1 + 1.0)
+    val den = tfD + lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val perTerm = tf.join(broadcast(docFreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e6", floor(idf * (num / den) * lit(1000000.0))
+        .cast("long"))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("term_e6")).as("bm25_e6"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("bm25_e6").desc, col("doc_id")).limit(topN)
+    // rank assigned AFTER the top-N cut: the window only ever sees topN
+    // rows, so no global single-partition sort at scale
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_terms_matched"),
+        col("bm25_e6"))
+      .orderBy(col("rk"))
+  }
+
+  /** [[contamination]] with a Bloom-filter runtime pre-filter — the shape
+    * the check takes when the benchmark shingle set outgrows a broadcast
+    * HASH relation: a Bloom filter over the benchmark shingles is orders
+    * of magnitude smaller than the exact set (~10 bits/element at 1% fpp
+    * vs the full strings), so the corpus-side scan drops non-candidate
+    * shingles BEFORE the verification join and only the (tiny) candidate
+    * subset ever reaches a shuffle. No false negatives, and the exact
+    * join removes false positives — the result is bit-identical to
+    * [[contamination]] (the oracle is the same SQL). The filter build is
+    * a bounded driver-side action over the constant-size benchmark slice,
+    * same estimator discipline as KMeans/FPGrowth.
+    */
+  def contaminationBloom(documents: DataFrame, benchmarkMod: Long = 97,
+      maxBenchmarkDocId: Long = MaxBenchmarkDocId,
+      expectedBenchShingles: Long = 200000L,
+      fpp: Double = 0.01): DataFrame = {
+    val isBench = col("doc_id") % benchmarkMod === 0 &&
+      col("doc_id") <= maxBenchmarkDocId
+    // cached: bench/totals/hits all consume it (same discipline and
+    // caller-release contract as contamination)
+    val sh = Dedup.shingles(documents).cache()
+    val bench = sh.filter(isBench).select(col("shingle")).distinct()
+    val bloom = bench.stat.bloomFilter("shingle", expectedBenchShingles, fpp)
+    val mightContain =
+      udf((s: String) => s != null && bloom.mightContain(s))
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.filter(mightContain(col("shingle")))
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"),
+        isBench.as("is_benchmark"))
+      .orderBy(col("doc_id"))
+  }
 }

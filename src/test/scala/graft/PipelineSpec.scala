@@ -469,6 +469,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(7L) == ((3L, 0L, false)), "clean doc must report zero overlap")
   }
 
+  test("bloom-prefiltered contamination is bit-identical to the exact path") {
+    val docs = tbl("documents")
+    val exact = TextAnalysis.contamination(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val bloom = TextAnalysis.contaminationBloom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    spark.catalog.clearCache()
+    assert(exact.nonEmpty && exact.toSeq == bloom.toSeq,
+      "bloom pre-filter changed the contamination result")
+  }
+
+  test("passage dedup keeps first occurrence and reassembles in order") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler one two three"), // first occurrence of the passage
+      (2L, s"$boiler four five six"), // duplicated passage -> dropped
+      (3L, "no shared passages at all here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.passageDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, s"$boiler one two three")),
+      "first occurrence must keep everything")
+    assert(got(2L) == ((2L, 1L, "four five six")),
+      s"duplicated passage must drop, tail must survive: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, "no shared passages at all here")))
+    // a doc that is ENTIRELY duplicated passages still emits a row
+    val wiped = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val w = TextAnalysis.passageDedup(wiped).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(w(1L) == ((1L, boiler)) && w(2L) == ((0L, "")),
+      s"fully-deduped doc must survive with empty text: $w")
+  }
+
+  test("tfidf ranks a distinctive rare term above corpus-wide boilerplate") {
+    import spark.implicits._
+    // 'everywhere' appears in all docs (df=4 -> idf ~ 0); 'rare' only in
+    // doc 1; doc 1's top term must be 'rare' despite equal tf
+    val docs = Seq(
+      (1L, "everywhere rare rare everywhere"),
+      (2L, "everywhere common common"),
+      (3L, "everywhere common other"),
+      (4L, "everywhere something else")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top(1L) == "rare", s"doc 1 top term ${top(1L)} != rare")
+    // scores are anti-monotone in df at fixed tf
+    val all = TextAnalysis.tfidfTopK(docs, k = 10)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(5)))
+    val rare = all.find(_._1 == "rare").get
+    val ever = all.filter(_._1 == "everywhere").maxBy(_._3)
+    assert(rare._3 > ever._3, "rare term must out-score ubiquitous term")
+  }
+
+  test("bm25 rewards matching more query terms and higher tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query join extra words here"), // all 3 terms
+      (2L, "spark spark spark other words here"), // one term, high tf
+      (3L, "spark alone amid filler filler filler"), // one term, tf 1
+      (4L, "nothing relevant in this one at all")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSet == Set(1L, 2L, 3L), "doc 4 must not match")
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq,
+      "ranks must be contiguous from 1")
+    val byDoc = rows.map(r => r._2 -> r._4).toMap
+    assert(byDoc(1L) > byDoc(3L), "3-term match must beat 1-term tf=1")
+    assert(byDoc(2L) > byDoc(3L), "tf=3 must beat tf=1 on the same term")
+  }
+
+  test("weighted sample keeps all full-weight docs and thins short ones") {
+    import spark.implicits._
+    val long = (1 to 64).map(i => s"t$i").mkString(" ")
+    val docs = (0L until 200L).map { id =>
+      (id, if (id % 2 == 0) long else "short doc few tokens")
+    }.toDF("doc_id", "text")
+    val kept = Sampling.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val longIds = kept.filter(_._2 == 64L).map(_._1).toSet
+    assert(longIds == (0L until 200L by 2).toSet,
+      "every >=64-token doc must be kept (weight capped at 1)")
+    val shortKept = kept.filter(_._2 == 4L)
+    // 4 tokens -> thr = floor(400/64) = 6 of 100 buckets
+    assert(shortKept.forall(r => r._4 == 6L && r._3 < 6L))
+    assert(shortKept.length < 20,
+      s"short docs should be heavily thinned, kept ${shortKept.length}/100")
+  }
+
   test("text stats quality is in [0, 1] and stopword counts bounded") {
     TextAnalysis.textStats(tbl("documents")).collect().foreach { r =>
       val q = r.getDouble(8)
