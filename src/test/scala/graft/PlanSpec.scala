@@ -152,6 +152,39 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark join not broadcast:\n$p")
   }
 
+  test("tfidf broadcasts the vocab-sized df relation onto the tf side") {
+    // the df relation is |vocab|-sized (sublinear in the corpus) — the
+    // operator's promise is that the doc-keyed tf aggregation is the ONLY
+    // big shuffle and df comes back via broadcast, never a re-shuffle of
+    // the tf relation on the token key
+    val p = planOf("tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
+  test("bm25 plans a bounded top-N, never a global sort") {
+    val p = planOf("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 ranking lost its top-N pushdown:\n$p")
+  }
+
+  test("weighted_sample stays shuffle-free apart from output ordering") {
+    val p = planOf("weighted_sample")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1,
+      s"weighted_sample planned $exchanges exchanges (max 1):\n$p")
+  }
+
+  test("passage_dedup shuffles on the passage key and doc key only") {
+    // explode (row-local) -> first-occurrence window on passage (one
+    // exchange) -> doc-keyed rebuild + totals (doc exchanges) -> output
+    // sort; more exchanges means the dedup key or the rebuild lost its
+    // partitioning
+    val p = planOf("passage_dedup")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 5,
+      s"passage_dedup planned $exchanges exchanges (max 5):\n$p")
+  }
+
   test("per-key top-k queries get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns rank<=k filters into partial
     // per-partition top-k heaps before the shuffle — the reason no custom
