@@ -306,6 +306,19 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // ---- similarity search over embeddings -------------------------------
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
+    // embedding-cosine near-dup, end-to-end: pair detection by cosine
+    // similarity -> connected-component clustering (the same
+    // pointer-jumping engine as dedup_clusters, fed by a different
+    // candidate generator — the dedup family is generator-agnostic)
+    "cosine_clusters" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)
+        .select(col("vec_id").as("doc_a"), col("other_id").as("doc_b"))
+      Dedup.nearDupClusters(pairs)
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"))),
     // OR-construction: 2 independent 8-plane tables — the scale knob pair
@@ -1180,6 +1193,28 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |SELECT vec_id, other_id, cos_e6 FROM p
         |WHERE cos_e6 >= 400000 ORDER BY vec_id, other_id""".stripMargin),
+    "cosine_clusters" ->
+      ("WITH RECURSIVE" + embedCte.stripPrefix("WITH") +
+        s""", s AS (
+        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
+        |), p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p WHERE cos_e6 >= 400000),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM cl ORDER BY doc_id""".stripMargin),
     "ann_topk" ->
       (embedCte +
         s""", q AS (
