@@ -268,8 +268,7 @@ object TextAnalysis {
     */
   def contamination(documents: DataFrame, benchmarkMod: Long = 97,
       maxBenchmarkDocId: Long = MaxBenchmarkDocId): DataFrame = {
-    val isBench = col("doc_id") % benchmarkMod === 0 &&
-      col("doc_id") <= maxBenchmarkDocId
+    val isBench = benchPredicate(benchmarkMod, maxBenchmarkDocId)
     // cached because three branches (bench/totals/hits) consume it and
     // the returned plan is lazy, so the operator cannot unpersist it
     // itself; callers release it via spark.catalog.clearCache() when the
@@ -277,9 +276,23 @@ object TextAnalysis {
     // cache (Bench does exactly this between queries)
     val sh = Dedup.shingles(documents).cache()
     val bench = sh.filter(isBench).select(col("shingle")).distinct()
-    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    contaminationResult(sh, hits, isBench)
+  }
+
+  private def benchPredicate(benchmarkMod: Long,
+      maxBenchmarkDocId: Long): Column =
+    col("doc_id") % benchmarkMod === 0 && col("doc_id") <= maxBenchmarkDocId
+
+  /** The contamination report tail shared by the broadcast-join and
+    * Bloom-filter paths: per-doc shingle totals left-joined with the hit
+    * counts. ONE definition, so the two paths cannot drift apart — their
+    * bit-identity is part of the contract (they share an oracle).
+    */
+  private def contaminationResult(sh: DataFrame, hits: DataFrame,
+      isBench: Column): DataFrame = {
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
@@ -357,27 +370,33 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "passage")
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
-    val kept = passages.withColumn("rn", row_number().over(firstOcc))
-      .filter(col("rn") === 1)
-    val rebuilt = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("passage")))),
-        s => s.getField("passage")), " ").as("clean_text"))
-    val totals = passages.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_passages"))
-    // every document survives (possibly with empty text) so the operator
-    // composes with downstream stages that expect the full corpus
-    totals.join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_passages"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // ONE pass over the windowed relation: totals and the kept-passage
+    // rebuild are conditional aggregates of the same rows
+    // (collect_list skips the nulls the when() leaves for dropped
+    // passages), so the explode is never evaluated twice and no
+    // totals-join is needed — every document survives (possibly with
+    // empty text), keeping the operator composable with downstream
+    // stages that expect the full corpus
+    passages.withColumn("rn", row_number().over(firstOcc))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("passage"))))),
+          s => s.getField("passage")), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
   /** TF-IDF top-`k` terms per document — the classic relevance/keyword
     * signal over the corpus. tfidf = tf · ln((N+1)/(df+1)), floor-scaled
     * to e6 so the double is engine-portable.
+    *
+    * Portability note: unlike +,·,/,sqrt (IEEE correctly-rounded and thus
+    * bit-identical across engines), ln() is only specified to ~1 ulp, so
+    * floor(x·1e6) could in principle disagree when x·1e6 lands within an
+    * ulp of an integer (probability ≈ 1e-10 per value — none observed at
+    * any tested sf; [[bm25]] shares this contract).
     *
     * Plan shape: a doc-keyed tf aggregation (one shuffle), a vocab-sized
     * df aggregation derived from it, and a BROADCAST of the df relation
@@ -443,9 +462,12 @@ object TextAnalysis {
     val num = tfD * lit(k1 + 1.0)
     val den = tfD + lit(k1) * ((lit(1.0) - lit(b)) +
       lit(b) * (col("dl").cast("double") / avgdl))
-    val perTerm = tf.join(broadcast(docFreq), Seq("tok"))
-      .join(dl, Seq("doc_id"))
+    // tf (docs matching the tiny term set) is the small side — broadcast
+    // it onto the corpus-wide doc-length aggregate so dl's rows never
+    // reshuffle for the join and non-matching docs drop map-side
+    val matched = tf.join(broadcast(docFreq), Seq("tok"))
       .crossJoin(broadcast(stats))
+    val perTerm = dl.join(broadcast(matched), Seq("doc_id"))
       .withColumn("term_e6", floor(idf * (num / den) * lit(1000000.0))
         .cast("long"))
     val scored = perTerm.groupBy(col("doc_id"))
@@ -478,25 +500,19 @@ object TextAnalysis {
       maxBenchmarkDocId: Long = MaxBenchmarkDocId,
       expectedBenchShingles: Long = 200000L,
       fpp: Double = 0.01): DataFrame = {
-    val isBench = col("doc_id") % benchmarkMod === 0 &&
-      col("doc_id") <= maxBenchmarkDocId
+    val isBench = benchPredicate(benchmarkMod, maxBenchmarkDocId)
     // cached: bench/totals/hits all consume it (same discipline and
-    // caller-release contract as contamination)
+    // caller-release contract as contamination); bench itself is cached
+    // too — the bloomFilter action and the exact verification join each
+    // evaluate it
     val sh = Dedup.shingles(documents).cache()
-    val bench = sh.filter(isBench).select(col("shingle")).distinct()
+    val bench = sh.filter(isBench).select(col("shingle")).distinct().cache()
     val bloom = bench.stat.bloomFilter("shingle", expectedBenchShingles, fpp)
     val mightContain =
       udf((s: String) => s != null && bloom.mightContain(s))
-    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = sh.filter(mightContain(col("shingle")))
       .join(bench, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("contamination"),
-        isBench.as("is_benchmark"))
-      .orderBy(col("doc_id"))
+    contaminationResult(sh, hits, isBench)
   }
 }

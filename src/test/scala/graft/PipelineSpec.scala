@@ -469,6 +469,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(7L) == ((3L, 0L, false)), "clean doc must report zero overlap")
   }
 
+  test("shingle tokenization keeps trailing empties and tolerates null text") {
+    import spark.implicits._
+    // the oracle's string_split and Catalyst's split both KEEP trailing
+    // empty tokens — the flatMap must split with limit -1 to agree
+    // (regression: Java's 1-arg split drops them), and null text must
+    // emit nothing rather than NPE (Catalyst null-propagation behavior)
+    val docs = Seq((1L, "a b "), (2L, null: String), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a b "), (3L, "x y z")), s"got $got")
+  }
+
   test("bloom-prefiltered contamination is bit-identical to the exact path") {
     val docs = tbl("documents")
     val exact = TextAnalysis.contamination(docs).collect()
