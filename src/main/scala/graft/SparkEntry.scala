@@ -380,6 +380,7 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
     "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
     "media_embedding" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
+    "media_resize" -> ((s, dir) => Multimodal.resizeMedia(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "weighted_sample" -> ((s, dir) =>
@@ -1459,6 +1460,14 @@ object SparkEntry {
         |  CAST(len(list_filter(range(1, CAST(len(string_split(text, ' ')) AS BIGINT) + 1),
         |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
         |  md5(substr(text, 1, 64)) AS head_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) AS BIGINT) AS n_units,
+        |  CAST(least(64, length(text)) AS BIGINT) AS out_units,
+        |  CAST(octet_length(encode(substring(text, 1, 64))) AS BIGINT) AS out_bytes,
+        |  md5(substring(text, 1, 64)) AS thumb_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "media_frames" ->
       """WITH t AS (

@@ -103,6 +103,40 @@ object Multimodal {
     }
   }
 
+  /** Thumbnail "resize" through the same stub-codec seam as
+    * [[decodeMeta]]: binary payload in, resized binary payload out (here
+    * reported as byte counts + an md5 of the output payload — the scalar
+    * stand-in convention for binary results). A real resize kernel slots
+    * into the marked line; the deterministic stub keeps the first
+    * `maxUnits` Unicode code points of the payload (code points, not
+    * UTF-16 units, so parity with the DuckDB twin holds on astral-plane
+    * content — the [[embedStub]] contract). The plumbing is the real
+    * part: per-partition kernel init, row-batch loop, binary in/out,
+    * partitioning preserved, no shuffle.
+    */
+  def resizeMedia(documents: DataFrame, maxUnits: Int = 64): DataFrame = {
+    require(maxUnits >= 1, "maxUnits must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaTable(documents).as[(Long, Array[Byte])].mapPartitions { it =>
+      // per-partition resize-kernel init would happen here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        // ??? <- real resize kernel goes here; deterministic stub below
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val nUnits = s.codePointCount(0, s.length)
+        val keep = math.min(maxUnits, nUnits)
+        val thumb = s.substring(0, s.offsetByCodePoints(0, keep))
+        val tb = thumb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val hex = md.digest(tb).map(b => f"$b%02x").mkString
+        (id, bytes.length.toLong, nUnits.toLong, keep.toLong,
+          tb.length.toLong, hex)
+      }
+    }.toDF("doc_id", "n_bytes", "n_units", "out_units", "out_bytes",
+        "thumb_md5")
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling as row explosion: one output row per sampled "frame"
     * (every `stride`-th token of the payload stands in for a decoded
     * video frame), carrying the original frame index, a content

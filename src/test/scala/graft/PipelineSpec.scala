@@ -289,6 +289,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(typed == sql, "embedStub diverged from the Catalyst twin on astral text")
   }
 
+  test("resize stub keeps code points and reports byte-accurate output") {
+    import spark.implicits._
+    val clef = new String(Character.toChars(0x1D11E)) // 2 UTF-16 units, 4 UTF-8 bytes
+    val docs = Seq(
+      (1L, "a" * 70),     // ASCII: 70 units, 70 bytes
+      (2L, clef * 70),    // astral: 70 code points, 280 bytes
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val got = operators.Multimodal.resizeMedia(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((70L, 70L, 64L, 64L)))
+    // code-point truncation: 64 clefs = 256 bytes out (a UTF-16-unit or
+    // byte-based cut would split a surrogate pair / UTF-8 sequence)
+    assert(got(2L) == ((280L, 70L, 64L, 256L)), s"astral resize: ${got(2L)}")
+    assert(got(3L) == ((5L, 5L, 5L, 5L)), "short payload must pass through")
+  }
+
   test("approx sketches land within tolerance of exact aggregates") {
     import org.apache.spark.sql.functions._
     val li = tbl("lineitem")
