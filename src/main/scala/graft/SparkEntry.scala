@@ -385,6 +385,16 @@ object SparkEntry {
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(t(s, dir, "documents"))),
+    // the full pretraining-prep chain in ONE lazy plan: sub-document
+    // dedup -> length-weighted corpus mixing -> token-budget packing.
+    // Each stage is individually oracle-checked; this row checks their
+    // COMPOSITION (column contracts between stages hold end-to-end)
+    "pipeline_pretrain" -> ((s, dir) => {
+      val cleaned = TextAnalysis.passageDedup(t(s, dir, "documents"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val kept = Sampling.weightedSample(cleaned).select(col("doc_id"))
+      Sampling.packSequences(cleaned.join(kept, Seq("doc_id")))
+    }),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
@@ -1501,6 +1511,49 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    "pipeline_pretrain" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(starts) AS s,
+        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
+        |  FROM st
+        |), pg AS (
+        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
+        |), fo AS (
+        |  SELECT doc_id, pos, passage,
+        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+        |  FROM pg
+        |), cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS text
+        |  FROM fo GROUP BY doc_id
+        |), w AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM cleaned
+        |), kept AS (
+        |  SELECT doc_id FROM w
+        |  WHERE bucket < least(CAST(100 AS BIGINT),
+        |    CAST(floor(n_tokens * 100.0 / 64.0) AS BIGINT))
+        |), d AS (
+        |  SELECT c.doc_id, CAST(c.doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM cleaned c JOIN kept k ON c.doc_id = k.doc_id
+        |), pk AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before
+        |  FROM d
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  tokens_before // 512 AS chunk,
+        |  tokens_before % 512 AS chunk_offset
+        |FROM pk ORDER BY doc_id""".stripMargin,
     "weighted_sample" ->
       """WITH b AS (
         |  SELECT doc_id,
