@@ -535,6 +535,64 @@ class PipelineSpec extends AnyFunSuite {
       s"fully-deduped doc must survive with empty text: $w")
   }
 
+  test("passage dedup is the identity on a corpus with no shared passages") {
+    import spark.implicits._
+    // every passage unique -> nothing may be dropped and reassembly must
+    // reproduce the text byte-for-byte, across lengths that exercise
+    // every span-boundary case (empty tail, exact multiple, short doc)
+    val docs = (1 to 40).map { n =>
+      (n.toLong, (1 to n).map(i => s"d${n}t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.passageDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    (1 to 40).foreach { n =>
+      val (nP, nK, txt) = got(n.toLong)
+      assert(nP == nK, s"doc $n dropped a unique passage")
+      assert(nP == (n + 9) / 10, s"doc $n wrong passage count $nP")
+      assert(txt == (1 to n).map(i => s"d${n}t$i").mkString(" "),
+        s"doc $n reassembly mismatch")
+    }
+  }
+
+  test("localKMeans is deterministic, covers k centroids, and converges") {
+    val rnd = new scala.util.Random(7)
+    val pts = Array.tabulate(300) { i =>
+      // 3 well-separated blobs in 4-d
+      val c = i % 3
+      Array.tabulate(4)(d => c * 10.0 + rnd.nextGaussian() * 0.1 + d)
+    }
+    val a = Similarity.localKMeans(pts, 3, seed = 42L)
+    val b = Similarity.localKMeans(pts, 3, seed = 42L)
+    assert(a.length == 3 && a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "same seed must reproduce identical centroids")
+    // each blob center (c*10+d per dim) must be hit within the blob's noise
+    val found = (0 until 3).map { c =>
+      a.exists(ct => (0 until 4).forall(d => math.abs(ct(d) - (c * 10.0 + d)) < 1.0))
+    }
+    assert(found.forall(identity), s"missed a blob: ${a.map(_.mkString(",")).mkString(" | ")}")
+    // k > distinct points: centers array is bounded by the sample size
+    val tiny = Array(Array(1.0, 1.0), Array(2.0, 2.0))
+    assert(Similarity.localKMeans(tiny, 5, 1L).length == 2)
+  }
+
+  test("LSH banding knobs follow the S-curve") {
+    // 4x4 default: threshold ~ (1/4)^(1/4) ~ 0.707
+    assert(math.abs(Dedup.lshThreshold() - 0.7071) < 0.001)
+    // more bands -> lower threshold (higher recall)
+    assert(Dedup.lshThreshold(bands = 8, rows = 4) < Dedup.lshThreshold(bands = 4, rows = 4))
+    // bandsFor returns a banding whose threshold is at or below target
+    // (within the 64-band clamp; low targets need fewer rows per band)
+    for (target <- Seq(0.9, 0.7, 0.5)) {
+      val b = Dedup.bandsFor(target, rows = 4)
+      assert(Dedup.lshThreshold(b, 4) <= target + 1e-9,
+        s"bandsFor($target) = $b has threshold ${Dedup.lshThreshold(b, 4)}")
+    }
+    // below the 4-row clamp horizon, shorten the bands instead
+    assert(Dedup.bandsFor(0.3, rows = 4) == 64, "clamp must engage")
+    assert(Dedup.lshThreshold(Dedup.bandsFor(0.3, rows = 2), 2) <= 0.3 + 1e-9)
+  }
+
   test("tfidf ranks a distinctive rare term above corpus-wide boilerplate") {
     import spark.implicits._
     // 'everywhere' appears in all docs (df=4 -> idf ~ 0); 'rare' only in
