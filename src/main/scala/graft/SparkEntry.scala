@@ -211,6 +211,11 @@ object SparkEntry {
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
     "sliding_counts" -> ((s, dir) => Events.slidingCounts(eventsTable(s, dir))),
+    // ordered funnel: earliest per-stage timestamps with stage-order
+    // constraints (view → click → purchase), per user
+    "funnel_steps" -> ((s, dir) => Events.funnelSteps(eventsTable(s, dir))),
+    // first-order Markov transition matrix over per-user event streams
+    "event_transitions" -> ((s, dir) => Events.transitionMatrix(eventsTable(s, dir))),
     // semi-structured column breadth: the same JSON field through BOTH
     // parse paths (path extraction and schema'd from_json) — emitting the
     // two must-agree columns makes the hash gate also a parser
@@ -851,6 +856,44 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "funnel_steps" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.view_ts
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.click_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |), u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, s0.view_ts, s1.click_ts, s2.purchase_ts,
+        |  CAST(CASE WHEN s0.view_ts IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s1.click_ts IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s2.purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_stages,
+        |  CASE WHEN s2.purchase_ts IS NOT NULL THEN 'purchase'
+        |       WHEN s1.click_ts IS NOT NULL THEN 'click'
+        |       WHEN s0.view_ts IS NOT NULL THEN 'view'
+        |       ELSE 'none' END AS furthest
+        |FROM u
+        |LEFT JOIN s0 ON u.user_id = s0.user_id
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "event_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "json_funcs" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,

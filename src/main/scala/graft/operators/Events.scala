@@ -135,6 +135,73 @@ object Events {
         col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** Ordered event funnel: for each user, the earliest time each stage
+    * was reached GIVEN the previous stage had already been reached (stage
+    * k's timestamp must be >= stage k-1's). Computed as a fold of
+    * conditional min-aggregations joined on user_id — every aggregation
+    * and join shares the same hash partitioning, so Catalyst plans ONE
+    * exchange per stage frame and reuses the partitioning for the joins;
+    * stage frames shrink monotonically (funnel users only). `>=` admits
+    * same-instant progressions, and min() makes the pick deterministic
+    * under ties.
+    */
+  def funnelSteps(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnelSteps needs at least one stage")
+    val users = events.select(col("user_id")).distinct()
+    // stageTs(i) = per-user min ts of stages(i) at-or-after stageTs(i-1)
+    val stageTs: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(List.empty[DataFrame]) { case (acc, (stage, i)) =>
+        val cur = acc.headOption match {
+          case None =>
+            events.filter(col("event_type") === stage)
+              .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts_$i"))
+          case Some(prev) =>
+            events.filter(col("event_type") === stage)
+              .join(prev, "user_id")
+              .filter(col("ts") >= col(s"ts_${i - 1}"))
+              .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts_$i"))
+        }
+        cur :: acc
+      }.reverse
+    val joined = stageTs.zipWithIndex.foldLeft(users) { case (df, (st, i)) =>
+      df.join(st.select(col("user_id"), col(s"ts_$i")), Seq("user_id"), "left")
+    }
+    val nStages = stages.indices
+      .map(i => when(col(s"ts_$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    // fold forward so the LAST reached stage ends up as the outermost
+    // condition: when(ts_n) … otherwise(when(ts_0) … otherwise('none'))
+    val furthest = stages.zipWithIndex
+      .foldLeft(lit("none")) { case (els, (stage, i)) =>
+        when(col(s"ts_$i").isNotNull, stage).otherwise(els)
+      }
+    joined.select(
+        col("user_id") +:
+          stages.zipWithIndex.map { case (s, i) => col(s"ts_$i").as(s"${s}_ts") } :+
+          nStages.as("n_stages") :+ furthest.as("furthest"): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** First-order Markov transition matrix over the per-user event stream:
+    * counts of (event_type → next event_type) adjacencies plus the row-
+    * normalized transition probability. One exchange for the per-user
+    * lead() window, then a low-cardinality (|types|²) groupBy — the
+    * probability divides the two exact counts, so it is bit-identical
+    * across engines.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val counts = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("prob", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Tumbling-window aggregation (hourly): batch twin of the streaming
     * windowed count. date_trunc keeps the group key computable inside the
     * scan's codegen stage; one low-cardinality shuffle.

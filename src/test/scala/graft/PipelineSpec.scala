@@ -364,6 +364,43 @@ class PipelineSpec extends AnyFunSuite {
       "lag/cumsum sessionize disagrees with native session_window at the boundary")
   }
 
+  test("funnel enforces stage order; transitions row-normalize per from_type") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def plusMin(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val events = Seq(
+      // u1: full funnel, in order
+      (1L, 1L, "view", 1.0, base),
+      (2L, 1L, "click", 1.0, plusMin(1)),
+      (3L, 1L, "purchase", 1.0, plusMin(2)),
+      // u2: purchase BEFORE any click — funnel must stop at 'view'
+      (4L, 2L, "purchase", 1.0, base),
+      (5L, 2L, "view", 1.0, plusMin(1)),
+      (6L, 2L, "click", 1.0, plusMin(2)),
+      // u3: never viewed
+      (7L, 3L, "error", 1.0, base)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val funnel = Events.funnelSteps(events).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_stages"), r.getAs[String]("furthest")))
+      .toMap
+    assert(funnel(1L) == (3L, "purchase"))
+    // u2's only purchase precedes its first ordered click → 2 stages: the
+    // funnel's >= constraint, the exact semantics the oracle replicates
+    assert(funnel(2L) == (2L, "click"))
+    assert(funnel(3L) == (0L, "none"))
+    val trans = Events.transitionMatrix(events).collect()
+    // per-from probabilities sum to exactly 1.0 (division of exact counts)
+    trans.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"$from probabilities sum to $s")
+    }
+    // u1 contributes view→click and click→purchase; u2 purchase→view etc.
+    val keys = trans.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys.contains(("view", "click")) && keys.contains(("click", "purchase"))
+      && keys.contains(("purchase", "view")))
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")

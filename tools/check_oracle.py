@@ -27,7 +27,7 @@ def table(rel):
     rows = rel.fetchall()
     return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in rows]
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -35,6 +35,8 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING RESULT  {name}"); n_bad += 1; continue
@@ -57,4 +59,4 @@ def main(out_dir, sf_dir):
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
