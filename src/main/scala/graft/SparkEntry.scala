@@ -400,6 +400,10 @@ object SparkEntry {
       val kept = Sampling.weightedSample(cleaned).select(col("doc_id"))
       Sampling.packSequences(cleaned.join(kept, Seq("doc_id")))
     }),
+    // per-domain contribution cap (uniform deterministic within-domain pick)
+    "domain_cap" -> ((s, dir) => Sampling.domainCap(t(s, dir, "documents"))),
+    // sqrt-temperature domain rebalancing (multilingual mixing)
+    "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
@@ -1627,6 +1631,30 @@ object SparkEntry {
         |  tokens_before // 512 AS chunk,
         |  tokens_before % 512 AS chunk_offset
         |FROM p ORDER BY doc_id""".stripMargin,
+    "domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang
+        |), m AS (
+        |  SELECT lang, CAST(n_stratum AS BIGINT) AS n_stratum,
+        |    CAST(floor(100.0 * sqrt(CAST(n_stratum AS DOUBLE) /
+        |      CAST(max(n_stratum) OVER () AS DOUBLE))) AS BIGINT) AS thr
+        |  FROM c
+        |), b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.lang, m.n_stratum, m.thr, b.bucket
+        |FROM b JOIN m ON b.lang = m.lang
+        |WHERE b.bucket < m.thr ORDER BY b.doc_id""".stripMargin,
     "stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -82,6 +82,60 @@ object Sampling {
       .orderBy(col(stratum), col("rn"))
   }
 
+  /** Per-domain document cap — the curation step that bounds any single
+    * domain's (here: `source`'s) contribution to the corpus. Documents
+    * rank within their domain by md5 order (a uniform deterministic
+    * shuffle, so the kept subset is an unbiased per-domain sample, not
+    * "first N by id"), tie-broken by doc_id; ranks above the cap drop.
+    * One exchange on the domain key; per-domain window sorts are
+    * independent, and AQE splits skewed domains. NOT append-stable by
+    * design (a cap is relative to the domain's current population —
+    * adding documents must be able to displace old ones).
+    */
+  def domainCap(documents: DataFrame, domain: String = "source",
+      maxPerDomain: Int = 10): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
+    documents
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(domain))
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+            col("doc_id"))).cast("long"))
+      .filter(col("rn") <= maxPerDomain)
+      .select(col("doc_id"), col(domain), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-based domain mixing at α = 1/2: each stratum keeps
+    * documents with probability sqrt(n_c / n_max), flattening the domain
+    * distribution toward uniform (the multilingual-pretraining rebalance;
+    * the largest stratum keeps everything, a 4×-smaller one keeps ~50%
+    * MORE than its proportional share). α is fixed at 1/2 because sqrt is
+    * the one power IEEE requires correctly rounded — both engines produce
+    * bit-identical thresholds, which `pow()` cannot promise.
+    *
+    * Plan: one tiny aggregation for stratum counts, a global-max window
+    * over that |strata|-row relation, then a broadcast join back onto the
+    * corpus with a salted-md5 bucket filter — the corpus-side work is a
+    * single codegen'd scan+filter at any scale.
+    */
+  def temperatureMix(documents: DataFrame, stratum: String = "lang"): DataFrame = {
+    val counts = documents.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("thr", floor(lit(100.0) *
+        sqrt(col("n_stratum").cast("double") /
+          max(col("n_stratum")).over(Window.partitionBy()).cast("double")))
+        .cast("long"))
+    documents
+      // salt the hash key so inclusion is independent of datasetSplit /
+      // weightedSample, which bucket the bare doc_id
+      .withColumn("bucket", bucket100(concat(lit("mix_"), col("doc_id").cast("string"))))
+      .join(broadcast(counts), stratum)
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col(stratum), col("n_stratum"), col("thr"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic weighted sampling — the data-mixing step that keeps a
     * document with probability proportional to a per-row weight (here:
     * length-proportional, capped at 1 — longer documents carry more

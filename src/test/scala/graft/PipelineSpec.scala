@@ -364,6 +364,32 @@ class PipelineSpec extends AnyFunSuite {
       "lag/cumsum sessionize disagrees with native session_window at the boundary")
   }
 
+  test("domain_cap bounds every domain; temperature_mix flattens toward uniform") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val cap = 3
+    val capped = Sampling.domainCap(docs, "source", cap)
+    val perDomain = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (d, n) =>
+      assert(perDomain.getOrElse(d, 0L) == math.min(n, cap.toLong),
+        s"domain $d: ${perDomain.getOrElse(d, 0L)} kept of $n (cap $cap)")
+    }
+    val mix = Sampling.temperatureMix(docs, "lang")
+    val thr = mix.select("lang", "n_stratum", "thr").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nMax = thr.values.map(_._1).max
+    thr.foreach { case (lang, (n, t)) =>
+      assert(t == math.floor(100.0 * math.sqrt(n.toDouble / nMax.toDouble)).toLong,
+        s"$lang threshold $t drifted from sqrt-temperature formula")
+    }
+    // the largest stratum must keep everything
+    val maxLang = thr.collectFirst { case (l, (n, _)) if n == nMax => l }.get
+    assert(thr(maxLang)._2 == 100L, s"largest stratum $maxLang capped below 100")
+  }
+
   test("funnel enforces stage order; transitions row-normalize per from_type") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -186,6 +186,15 @@ class PlanSpec extends AnyFunSuite {
       s"passage_dedup planned $exchanges exchanges (max 5):\n$p")
   }
 
+  test("temperature_mix broadcasts the stratum-count relation") {
+    // the corpus side must stay a single scan+filter; the |strata|-row
+    // threshold relation comes to it via broadcast, never by shuffling
+    // the corpus on the stratum key
+    val p = planOf("temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"stratum join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on stratum:\n$p")
+  }
+
   test("per-key top-k queries get WindowGroupLimit pushdown") {
     // Spark's InferWindowGroupLimit turns rank<=k filters into partial
     // per-partition top-k heaps before the shuffle — the reason no custom
