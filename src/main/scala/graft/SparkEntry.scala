@@ -281,6 +281,10 @@ object SparkEntry {
     "contamination_bloom" -> ((s, dir) =>
       TextAnalysis.contaminationBloom(t(s, dir, "documents"))),
     "passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(t(s, dir, "documents"))),
+    // global frequent-passage (boilerplate) removal: frequent spans drop
+    // from EVERY document, not just after the first occurrence
+    "boilerplate_filter" -> ((s, dir) =>
+      TextAnalysis.boilerplateFilter(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
@@ -1079,6 +1083,25 @@ object SparkEntry {
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "boilerplate_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(starts) AS s,
+        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
+        |  FROM st
+        |), p AS (
+        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
+        |), df AS (
+        |  SELECT passage, count(DISTINCT doc_id) AS df FROM p GROUP BY passage
+        |)
+        |SELECT p.doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN d.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN d.df <= 1 THEN p.passage END, ' ' ORDER BY p.pos), '') AS clean_text
+        |FROM p JOIN df d ON p.passage = d.passage
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "tfidf_topk" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -388,6 +388,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Global boilerplate removal — the CCNet/RefinedWeb-style filter that
+    * drops any `spanTokens`-token passage appearing in MORE than
+    * `maxDocFreq` distinct documents, from EVERY document (unlike
+    * [[passageDedup]], which keeps the first occurrence: a navigation
+    * header repeated across a site should survive nowhere). Same
+    * fixed-stride segmentation as passageDedup so the two compose.
+    *
+    * The per-passage document frequency is computed with two window
+    * passes over ONE passage-keyed exchange (new-doc flags via lag, then
+    * a whole-partition sum — both partition on the passage key alone), so
+    * the exploded relation is never materialized twice; the doc rebuild
+    * is the same conditional aggregation as passageDedup. Scale shape:
+    * explode rides the scan, one shuffle on passage, one on doc_id.
+    */
+  def boilerplateFilter(documents: DataFrame, spanTokens: Int = 10,
+      maxDocFreq: Int = 1): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val t = toks
+    val passages = documents.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(t), lit(spanTokens)),
+          s => array_join(slice(t, s, lit(spanTokens)), " "))))
+      .toDF("doc_id", "pos", "passage")
+    val byPassage = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage"))
+    val ordered = byPassage.orderBy(col("doc_id"), col("pos"))
+    passages
+      .withColumn("new_doc",
+        when(lag(col("doc_id"), 1).over(ordered).isNull ||
+          lag(col("doc_id"), 1).over(ordered) =!= col("doc_id"), 1L)
+          .otherwise(0L))
+      .withColumn("df", sum(col("new_doc")).over(byPassage))
+      .withColumn("keep", col("df") <= maxDocFreq)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("passage"))))),
+          s => s.getField("passage")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-`k` terms per document — the classic relevance/keyword
     * signal over the corpus. tfidf = tf · ln((N+1)/(df+1)), floor-scaled
     * to e6 so the double is engine-portable.

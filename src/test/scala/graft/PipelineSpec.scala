@@ -364,6 +364,29 @@ class PipelineSpec extends AnyFunSuite {
       "lag/cumsum sessionize disagrees with native session_window at the boundary")
   }
 
+  test("boilerplate_filter drops a cross-doc passage everywhere; passageDedup keeps its first occurrence") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")   // one exact passage
+    val docs = Seq(
+      (1L, span + " " + "tail1 " * 9 + "tailx"),          // span + unique passage
+      (2L, span + " " + "tail2 " * 9 + "taily"),          // same span, other tail
+      (3L, "solo " * 9 + "soloz")                         // no shared passage
+    ).map { case (id, text) => (id, text.trim) }.toDF("doc_id", "text")
+    val boiler = TextAnalysis.boilerplateFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // the shared span is boilerplate: dropped from BOTH docs
+    assert(boiler(1L)._1 == 1L && !boiler(1L)._2.contains("w1"),
+      s"doc 1 kept the boilerplate span: ${boiler(1L)}")
+    assert(boiler(2L)._1 == 1L && !boiler(2L)._2.contains("w1"),
+      s"doc 2 kept the boilerplate span: ${boiler(2L)}")
+    assert(boiler(3L)._1 == 1L, "untouched doc lost a passage")
+    // contrast: passageDedup keeps the FIRST occurrence (doc 1)
+    val dedup = TextAnalysis.passageDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(dedup(1L).contains("w1") && !dedup(2L).contains("w1"),
+      "passageDedup first-occurrence semantics drifted")
+  }
+
   test("domain_cap bounds every domain; temperature_mix flattens toward uniform") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
