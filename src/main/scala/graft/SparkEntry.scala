@@ -277,6 +277,8 @@ object SparkEntry {
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
+    // content-defined chunking (Rabin-style md5 boundary trigger)
+    "cdc_chunks" -> ((s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"))),
     "contamination" -> ((s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))),
     "contamination_bloom" -> ((s, dir) =>
       TextAnalysis.contaminationBloom(t(s, dir, "documents"))),
@@ -1083,6 +1085,28 @@ object SparkEntry {
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    CAST(generate_subscripts(t, 1) AS INTEGER) AS pos
+        |  FROM toks
+        |), h AS (
+        |  SELECT doc_id, tok, pos,
+        |    CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 = 0
+        |         THEN 1 ELSE 0 END AS bnd
+        |  FROM ex
+        |), c AS (
+        |  SELECT doc_id, tok, pos,
+        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+        |  count(*) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""".stripMargin,
     "boilerplate_filter" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

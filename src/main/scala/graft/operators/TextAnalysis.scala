@@ -334,6 +334,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Content-defined chunking: chunk boundaries cut AFTER any token whose
+    * md5-derived hash is ≡ 0 (mod `modulus`) — the Rabin/rsync trick that
+    * makes chunk boundaries a function of CONTENT, not position, so an
+    * insertion near a document's head shifts only its own chunk while
+    * every later chunk re-aligns (fixed-stride [[chunkDocuments]] would
+    * re-cut everything downstream). Expected chunk length = `modulus`
+    * tokens. The dedup-friendly complement to chunkDocuments for
+    * incremental corpus re-ingestion.
+    *
+    * DOC-LOCAL, so computed as a mapPartitions loop (one reused
+    * MessageDigest, no token explode, no pre-output shuffle — the same
+    * discipline as Dedup.simhash); the oracle recomputes it as the
+    * explode + prefix-sum-of-boundaries formulation, so the driver gate
+    * also proves the two equivalent. Hash = first 8 md5 hex chars as an
+    * unsigned 32-bit integer, identical to the oracle's '0x' decode;
+    * tokenization is split(" ", -1) (trailing-empty parity contract).
+    */
+  def cdcChunks(documents: DataFrame, modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, "modulus must be >= 2")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, String)]
+            val sb = new java.lang.StringBuilder
+            var chunkId = 0L
+            var n = 0L
+            text.split(" ", -1).foreach { tok =>
+              if (n > 0) sb.append(' ')
+              sb.append(tok)
+              n += 1
+              val d = md.digest(
+                tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+                ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+              if (h % modulus == 0) {
+                out += ((id, chunkId, n, sb.toString))
+                chunkId += 1; n = 0; sb.setLength(0)
+              }
+            }
+            if (n > 0) out += ((id, chunkId, n, sb.toString))
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Content fingerprints: exact (md5 of text) and order-invariant
     * (md5 of the sorted distinct token list) — the latter is the cheap
     * "same bag of words" near-dup key.

@@ -364,6 +364,26 @@ class PipelineSpec extends AnyFunSuite {
       "lag/cumsum sessionize disagrees with native session_window at the boundary")
   }
 
+  test("cdc chunk boundaries survive a head insertion; coverage is exact") {
+    import spark.implicits._
+    val tokens = (1 to 200).map(i => s"tok$i")
+    val original = (1L, tokens.mkString(" "))
+    val shifted = (2L, ("inserted" +: tokens).mkString(" "))
+    val chunks = TextAnalysis.cdcChunks(Seq(original, shifted).toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).toSeq).toMap
+    // exact coverage: concatenating chunks reconstructs each document
+    assert(chunks(1L).mkString(" ") == original._2, "doc 1 chunks lost tokens")
+    assert(chunks(2L).mkString(" ") == shifted._2, "doc 2 chunks lost tokens")
+    assert(chunks(1L).length > 2, "fixture produced too few chunks to test stability")
+    // content-defined stability: the insertion only perturbs the first
+    // chunk — every chunk after the first boundary is byte-identical
+    // (fixed-stride chunking would shift every downstream chunk)
+    assert(chunks(1L).tail.toSet.subsetOf(chunks(2L).toSet),
+      s"downstream chunks re-cut after a head insertion:\n${chunks(1L).tail.diff(chunks(2L))}")
+  }
+
   test("boilerplate_filter drops a cross-doc passage everywhere; passageDedup keeps its first occurrence") {
     import spark.implicits._
     val span = (1 to 10).map(i => s"w$i").mkString(" ")   // one exact passage
