@@ -272,6 +272,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // unigram entropy quality signal (row-local runs, e6 integer contract)
+    "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
@@ -1085,6 +1087,20 @@ object SparkEntry {
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "token_entropy" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY doc_id, tok
+        |), n AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, max(n.n) AS n_tokens, count(*) AS n_distinct,
+        |  CAST(sum(CAST(floor(-1000000.0 *
+        |    (CAST(t.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |    ln(CAST(t.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS entropy_e6
+        |FROM tf t JOIN n ON t.doc_id = n.doc_id
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "cdc_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -115,6 +115,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram Shannon entropy per document — the information-density
+    * quality signal (near-zero entropy = degenerate/repeated text a
+    * pretraining pipeline filters; ~log(n) = diverse vocabulary). Each
+    * distinct token contributes floor(−1e6·p·ln p) with p = c/n, and the
+    * document entropy is the INTEGER sum of those contributions — per-term
+    * flooring makes the cross-engine sum order-independent (the [[bm25]]
+    * discipline, including its documented ~1-ulp ln() portability note).
+    *
+    * Computed ROW-LOCALLY via the sorted-array run-length machinery of
+    * [[repetitionStats]] (runs of the sorted token array = per-distinct-
+    * token counts): no explode, no shuffle before the output sort. The
+    * oracle recomputes it as the explode + two-level aggregation, so the
+    * driver gate again proves both formulations equivalent.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val t = toks
+    val p = (c: Column, n: Column) => c.cast("double") / n.cast("double")
+    documents
+      .withColumn("_sorted", array_sort(t))
+      .withColumn("_n", size(col("_sorted")).cast("long"))
+      .withColumn("_starts", filter(sequence(lit(1), size(col("_sorted"))),
+        i => i === 1 ||
+          element_at(col("_sorted"), i) =!= element_at(col("_sorted"), i - 1)))
+      .withColumn("_runs", transform(sequence(lit(1), size(col("_starts"))),
+        j => when(j < size(col("_starts")),
+            element_at(col("_starts"), j + 1)).otherwise(col("_n") + 1)
+          - element_at(col("_starts"), j)))
+      .select(col("doc_id"),
+        col("_n").as("n_tokens"),
+        size(col("_starts")).cast("long").as("n_distinct"),
+        aggregate(col("_runs"), lit(0L), (acc, c) => acc +
+          floor(lit(-1000000.0) * p(c, col("_n")) * log(p(c, col("_n")))))
+          .as("entropy_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting under two tokenizers per document: whitespace words
     * and a BPE-ish subword regex (letter runs | digit runs | single
     * punctuation — the pre-tokenization split BPE vocabularies are trained

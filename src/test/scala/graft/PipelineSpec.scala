@@ -364,6 +364,24 @@ class PipelineSpec extends AnyFunSuite {
       "lag/cumsum sessionize disagrees with native session_window at the boundary")
   }
 
+  test("token entropy: zero for degenerate text, ln(n) for uniform text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a"),                  // one distinct token: H = 0
+      (2L, "a b c d"),                          // uniform over 4: H = ln 4
+      (3L, "a a a b")                           // skewed: 0 < H < ln 2 + eps
+    ).toDF("doc_id", "text")
+    val h = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h(1L) == 0L, s"degenerate doc entropy ${h(1L)} != 0")
+    val ln4e6 = (1e6 * math.log(4)).toLong
+    // per-term flooring loses at most 1 per distinct token
+    assert(h(2L) <= ln4e6 && h(2L) >= ln4e6 - 4,
+      s"uniform-4 entropy ${h(2L)} not within floor slack of $ln4e6")
+    assert(h(3L) > 0L && h(3L) < h(2L),
+      s"skewed entropy ${h(3L)} not between 0 and uniform ${h(2L)}")
+  }
+
   test("cdc chunk boundaries survive a head insertion; coverage is exact") {
     import spark.implicits._
     val tokens = (1 to 200).map(i => s"tok$i")
