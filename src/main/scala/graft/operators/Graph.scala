@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the second graph
+  * operator family beside Dedup's connected components. First use: product
+  * centrality over the reference's co-occurrence graph (which products
+  * anchor the most baskets — the "crystal ball" graph itself).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in EXACT integer fixed-point: ranks are
+    * BIGINT multiples of 1e-9 (`scale`), per-edge contributions are
+    * integer divisions `rank div out_degree`, and the damping update is
+    * `base + (dampingPct · Σcontrib) div 100`. Every operation is exact
+    * integer arithmetic, so the result is bit-identical on any engine and
+    * independent of aggregation order — which is what lets the DuckDB
+    * oracle unroll the same iterations and hash-match (a float PageRank
+    * could never cross the driver's hash gate). Dangling nodes leak their
+    * mass (the standard simplification); sinks still receive the base
+    * (1−d)·scale term.
+    *
+    * Scale shape: per iteration, one equi-join of edges onto the rank
+    * relation (both sides partitioned on the source key — the edge
+    * relation is persisted WITH its degree column so it shuffles once for
+    * the whole run, not once per iteration) and one aggregation on the
+    * destination key. Iteration count is a fixed small constant, so plain
+    * lineage suffices — an open-ended fixpoint would reuse the
+    * localCheckpoint discipline of Dedup.nearDupClusters.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1, 20] — beyond that use a checkpointed fixpoint")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct is an integer percentage")
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // one shuffle on src for the whole run; every iteration rejoins this
+    val withDeg = e.join(outDeg, "src").cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val base = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.withColumn("rank_e9", lit(scale))
+    for (_ <- 1 to iterations) {
+      val sums = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_e9 div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+          .as("rank_e9"))
+    }
+    ranks.select(col("node"), col("rank_e9")).orderBy(col("node"))
+  }
+}
