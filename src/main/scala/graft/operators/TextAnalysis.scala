@@ -444,11 +444,18 @@ object TextAnalysis {
     * boilerplate passages repeated ACROSS otherwise-distinct documents.
     *
     * Plan shape: one explode (row-local fan-out, inherits the scan's
-    * partitioning), ONE shuffle on the passage text (the dedup key —
-    * identical to exact dedup's shape, so it scales the same way), and a
-    * doc-keyed aggregation to rebuild the text. Passage text, not its
-    * hash, is the shuffle key here for oracle portability; at 100 TB the
-    * key would be xxhash64(passage) to shrink shuffle width — same plan.
+    * partitioning), a PARTIAL-AGGREGATED groupBy on the passage text that
+    * reduces each passage to its single first occurrence
+    * (`min(struct(doc_id, pos))` — lexicographic struct min ==
+    * first-by-(doc_id, pos), combined map-side so a passage repeated in
+    * 10⁸ documents shrinks to one row per map task BEFORE the exchange),
+    * an equi-join of that one-row-per-passage relation back onto the
+    * exploded rows (AQE skew-join splits a hot passage's probe partition
+    * — something no window formulation allows, since a window must
+    * colocate a key's every row in ONE task), and a doc-keyed aggregation
+    * to rebuild the text. Passage text, not its hash, is the shuffle key
+    * here for oracle portability; at 100 TB the key would be
+    * xxhash64(passage) to shrink shuffle width — same plan.
     */
   def passageDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
@@ -457,22 +464,24 @@ object TextAnalysis {
         posexplode(transform(sequence(lit(1), size(t), lit(spanTokens)),
           s => array_join(slice(t, s, lit(spanTokens)), " "))))
       .toDF("doc_id", "pos", "passage")
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
-    // ONE pass over the windowed relation: totals and the kept-passage
-    // rebuild are conditional aggregates of the same rows
-    // (collect_list skips the nulls the when() leaves for dropped
-    // passages), so the explode is never evaluated twice and no
-    // totals-join is needed — every document survives (possibly with
-    // empty text), keeping the operator composable with downstream
-    // stages that expect the full corpus
-    passages.withColumn("rn", row_number().over(firstOcc))
+    // one row per distinct passage: its global first occurrence — a
+    // hash aggregate with map-side combining, never a hot-key window
+    val firstOcc = passages.groupBy(col("passage"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // totals and the kept-passage rebuild are conditional aggregates of
+    // the same joined rows (collect_list skips the nulls the when()
+    // leaves for dropped passages), so no totals-join is needed — every
+    // document survives (possibly with empty text), keeping the operator
+    // composable with downstream stages that expect the full corpus
+    passages.join(firstOcc, Seq("passage"))
+      .withColumn("keep", col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos"))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_passages"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(
-            when(col("rn") === 1, struct(col("pos"), col("passage"))))),
+            when(col("keep"), struct(col("pos"), col("passage"))))),
           s => s.getField("passage")), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
@@ -484,12 +493,19 @@ object TextAnalysis {
     * header repeated across a site should survive nowhere). Same
     * fixed-stride segmentation as passageDedup so the two compose.
     *
-    * The per-passage document frequency is computed with two window
-    * passes over ONE passage-keyed exchange (new-doc flags via lag, then
-    * a whole-partition sum — both partition on the passage key alone), so
-    * the exploded relation is never materialized twice; the doc rebuild
-    * is the same conditional aggregation as passageDedup. Scale shape:
-    * explode rides the scan, one shuffle on passage, one on doc_id.
+    * The per-passage document frequency is a `count(DISTINCT doc_id)`
+    * aggregation on the passage key — Catalyst plans it as two cascaded
+    * hash aggregates (distinct-expand on (passage, doc_id), then the
+    * count), BOTH with map-side partial combining, joined back onto the
+    * exploded rows. The hot passage is this operator's raison d'être (a
+    * navigation header in 10⁸ documents), so the aggregate-then-join
+    * shape matters here more than anywhere: the hot key collapses
+    * map-side to one row per task, and the join-back probe partition is
+    * AQE-skew-splittable — a window on the passage key would pin all
+    * 10⁸ occurrences into a single task. The doc rebuild is the same
+    * conditional aggregation as passageDedup. Scale shape: explode rides
+    * the scan; shuffles on passage (partial-agg'd df + join probe) and
+    * doc_id.
     */
   def boilerplateFilter(documents: DataFrame, spanTokens: Int = 10,
       maxDocFreq: Int = 1): DataFrame = {
@@ -500,15 +516,9 @@ object TextAnalysis {
         posexplode(transform(sequence(lit(1), size(t), lit(spanTokens)),
           s => array_join(slice(t, s, lit(spanTokens)), " "))))
       .toDF("doc_id", "pos", "passage")
-    val byPassage = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("passage"))
-    val ordered = byPassage.orderBy(col("doc_id"), col("pos"))
-    passages
-      .withColumn("new_doc",
-        when(lag(col("doc_id"), 1).over(ordered).isNull ||
-          lag(col("doc_id"), 1).over(ordered) =!= col("doc_id"), 1L)
-          .otherwise(0L))
-      .withColumn("df", sum(col("new_doc")).over(byPassage))
+    val docFreq = passages.groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    passages.join(docFreq, Seq("passage"))
       .withColumn("keep", col("df") <= maxDocFreq)
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_passages"),

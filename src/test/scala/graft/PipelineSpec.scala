@@ -425,6 +425,36 @@ class PipelineSpec extends AnyFunSuite {
       "passageDedup first-occurrence semantics drifted")
   }
 
+  test("passage operators survive a hot passage present in 50% of documents") {
+    // the 100-TB failure mode in miniature: ONE passage (a site
+    // navigation header) appears in half the corpus. The aggregate-then-
+    // join formulation must still produce exact first-occurrence /
+    // document-frequency semantics — this fixture pins the semantics so
+    // the PlanSpec hot-key pins can't be satisfied by a wrong rewrite.
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val docs = (1L to 200L).map { id =>
+      val tail = (1 to 10).map(i => s"u${id}t$i").mkString(" ")
+      if (id % 2 == 0) (id, s"$header $tail") else (id, tail)
+    }.toDF("doc_id", "text")
+    val dedup = TextAnalysis.passageDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(dedup.length == 200, "a document vanished")
+    // first occurrence of the header is doc 2; every later even doc drops it
+    val kept = dedup.filter(_._4.contains("nav1")).map(_._1)
+    assert(kept.toSeq == Seq(2L), s"first-occurrence drifted: ${kept.toSeq}")
+    dedup.filter(_._1 % 2 == 0).foreach { case (id, n, k, _) =>
+      assert(n == 2 && k == (if (id == 2L) 2L else 1L),
+        s"doc $id kept $k of $n passages")
+    }
+    val boiler = TextAnalysis.boilerplateFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(boiler.forall(!_._2.contains("nav1")),
+      "hot passage survived boilerplate removal somewhere")
+    assert(boiler.count(_._2.nonEmpty) == 200,
+      "every doc keeps its unique tail passage")
+  }
+
   test("domain_cap bounds every domain; temperature_mix flattens toward uniform") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")

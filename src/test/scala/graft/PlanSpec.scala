@@ -175,15 +175,29 @@ class PlanSpec extends AnyFunSuite {
       s"weighted_sample planned $exchanges exchanges (max 1):\n$p")
   }
 
-  test("passage_dedup shuffles on the passage key and doc key only") {
-    // explode (row-local) -> first-occurrence window on passage (one
-    // exchange) -> doc-keyed rebuild + totals (doc exchanges) -> output
-    // sort; more exchanges means the dedup key or the rebuild lost its
-    // partitioning
+  test("passage_dedup aggregates the passage key map-side — never a hot-key window") {
+    // explode (row-local) -> partial-agg'd groupBy(passage) min(struct)
+    // -> join-back (AQE-skew-splittable) -> doc-keyed rebuild -> output
+    // sort. A Window on the passage key would pin a passage repeated in
+    // 10^8 documents into ONE task; the partial_min must appear (hot key
+    // collapses per map task before the exchange).
     val p = planOf("passage_dedup")
+    assert(!p.contains("Window"), s"passage key windowed (hot-key ceiling):\n$p")
+    assert(p.contains("partial_min"),
+      s"first-occurrence aggregate lost its map-side partial phase:\n$p")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 5,
       s"passage_dedup planned $exchanges exchanges (max 5):\n$p")
+  }
+
+  test("boilerplate_filter computes document frequency via partial aggregates, not a window") {
+    // the hot passage is this operator's TARGET input: df must come from
+    // cascaded hash aggregates (map-side combined) joined back, so no
+    // single task ever owns every occurrence of a navigation header
+    val p = planOf("boilerplate_filter")
+    assert(!p.contains("Window"), s"passage key windowed (hot-key ceiling):\n$p")
+    assert(p.contains("partial_count"),
+      s"df aggregate lost its map-side partial phase:\n$p")
   }
 
   test("temperature_mix broadcasts the stratum-count relation") {
