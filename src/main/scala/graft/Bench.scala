@@ -52,9 +52,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver's tail capture can truncate the HEAD of long output — the
-    // full line above lost its `total` in round 3. Repeat the totals as a
-    // compact per-query-map-free line LAST so the summary always survives.
+    // The driver's tail capture can truncate the HEAD of long output (the
+    // full line above lost its `total` in round 3, and its per-query map
+    // head hid ~30 queries in round 5). Emit one compact line PER QUERY,
+    // sorted by name, so truncation can never hide a regression...
+    results.toSeq.sortBy(_._1).foreach { case (name, sec) =>
+      println(s"""{"q":"$name","sec":$sec}""")
+    }
+    // ...and repeat the totals as a compact map-free line LAST so the
+    // summary always survives.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -107,6 +107,13 @@ object SparkEntry {
           size(map_keys(col("stripe"))).cast("long").as("n_neighbors"),
           element_at(col("stripe"), "34").as("p34"))
         .orderBy(col("product"))),
+    // product centrality over the co-occurrence graph itself: fixed-point
+    // integer PageRank (exact BIGINT arithmetic — the oracle unrolls the
+    // same iterations and hash-matches, which float ranks never could)
+    "page_rank" -> ((s, dir) =>
+      Graph.pageRank(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -448,6 +455,32 @@ object SparkEntry {
       |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
       |)""".stripMargin
 
+  /** Unrolled fixed-point PageRank oracle over the co-occurrence graph
+    * (mirrors Graph.pageRank: integer e9 ranks, `div` per-edge splits,
+    * dangling mass leaks). DuckDB sums BIGINT into HUGEINT and its `//`
+    * is floor division — all ranks are non-negative, so CASTs back to
+    * BIGINT keep it value- and dtype-identical to Spark's `div` on LONG.
+    */
+  private def pageRankSql(iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000L): String = {
+    val base = (100L - dampingPct) * scale / 100L
+    val head = cooccurCte +
+      s""", edges AS (SELECT product AS src, neighbor AS dst FROM counts),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_e9 FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+      |s$i AS (SELECT wd.dst, CAST(sum(rank_e9 // deg) AS BIGINT) AS s
+      |  FROM wd JOIN r${i - 1} ON wd.src = r${i - 1}.node GROUP BY wd.dst),
+      |r$i AS (SELECT node, CAST($base AS BIGINT) +
+      |  CAST(($dampingPct * coalesce(s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank_e9
+      |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
+    }.mkString
+    head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
+  }
+
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
   private val shinglesCte =
     """WITH toks AS (
@@ -587,6 +620,7 @@ object SparkEntry {
         |SELECT agg.product, agg.n_neighbors, p34.p34
         |FROM agg LEFT JOIN p34 ON agg.product = p34.product
         |ORDER BY agg.product""".stripMargin),
+    "page_rank" -> pageRankSql(3),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

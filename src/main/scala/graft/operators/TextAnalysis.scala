@@ -301,30 +301,45 @@ object TextAnalysis {
     * map-side join over the exploded shingles plus a doc-keyed count —
     * linear at 100 TB. Documents under 3 tokens have no trigrams and
     * emit no row.
+    *
+    * Holds NO cache: the benchmark side shingles its own doc_id-pruned
+    * scan (bounded by construction), and totals + hits come from ONE
+    * left broadcast join over a single corpus pass — `count(bench_hit)`
+    * skips nulls, so unmatched shingles count toward the denominator
+    * only. The old shape cached a corpus-sized shingle relation and
+    * required callers to `clearCache()` after consuming the lazy result;
+    * at 100 TB that pin is executor-storage-sized, while the pruned
+    * bench rescan costs 1/mod of one scan.
     */
   def contamination(documents: DataFrame, benchmarkMod: Long = 97,
       maxBenchmarkDocId: Long = MaxBenchmarkDocId): DataFrame = {
     val isBench = benchPredicate(benchmarkMod, maxBenchmarkDocId)
-    // cached because three branches (bench/totals/hits) consume it and
-    // the returned plan is lazy, so the operator cannot unpersist it
-    // itself; callers release it via spark.catalog.clearCache() when the
-    // result is consumed — the same discipline as ngramJaccard's shingle
-    // cache (Bench does exactly this between queries)
-    val sh = Dedup.shingles(documents).cache()
-    val bench = sh.filter(isBench).select(col("shingle")).distinct()
-    val hits = sh.join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    contaminationResult(sh, hits, isBench)
+    val bench = Dedup.shingles(documents.filter(isBench))
+      .select(col("shingle")).distinct()
+      .withColumn("bench_hit", lit(1))
+    Dedup.shingles(documents)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("bench_hit")).as("n_contaminated"))
+      // column contract shared with contaminationResult (one oracle for
+      // both engine paths — bit-identity pinned in PipelineSpec)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double")).as("contamination"),
+        isBench.as("is_benchmark"))
+      .orderBy(col("doc_id"))
   }
 
   private def benchPredicate(benchmarkMod: Long,
       maxBenchmarkDocId: Long): Column =
     col("doc_id") % benchmarkMod === 0 && col("doc_id") <= maxBenchmarkDocId
 
-  /** The contamination report tail shared by the broadcast-join and
-    * Bloom-filter paths: per-doc shingle totals left-joined with the hit
-    * counts. ONE definition, so the two paths cannot drift apart — their
-    * bit-identity is part of the contract (they share an oracle).
+  /** The contamination report tail for the Bloom-filter path: per-doc
+    * shingle totals left-joined with the hit counts. Must stay
+    * column-for-column aligned with [[contamination]]'s single-pass
+    * projection — the two paths share one oracle and their bit-identity
+    * is pinned in PipelineSpec.
     */
   private def contaminationResult(sh: DataFrame, hits: DataFrame,
       isBench: Column): DataFrame = {
@@ -637,21 +652,27 @@ object TextAnalysis {
     * [[contamination]] (the oracle is the same SQL). The filter build is
     * a bounded driver-side action over the constant-size benchmark slice,
     * same estimator discipline as KMeans/FPGrowth.
+    *
+    * Holds NO cache. The bounded bench slice is evaluated twice (once
+    * eagerly by the bloomFilter action, once lazily by the verification
+    * join) and the corpus shingle relation twice (totals + candidate
+    * hits — two different output partitionings, doc_id vs shingle, so a
+    * second pass is inherent to the shape): recomputing a flatMap over
+    * the scan beats pinning a corpus-sized relation in executor storage
+    * memory for the unknowable lifetime of a lazy result, which is what
+    * the old cache + caller-clearCache contract did.
     */
   def contaminationBloom(documents: DataFrame, benchmarkMod: Long = 97,
       maxBenchmarkDocId: Long = MaxBenchmarkDocId,
       expectedBenchShingles: Long = 200000L,
       fpp: Double = 0.01): DataFrame = {
     val isBench = benchPredicate(benchmarkMod, maxBenchmarkDocId)
-    // cached: bench/totals/hits all consume it (same discipline and
-    // caller-release contract as contamination); bench itself is cached
-    // too — the bloomFilter action and the exact verification join each
-    // evaluate it
-    val sh = Dedup.shingles(documents).cache()
-    val bench = sh.filter(isBench).select(col("shingle")).distinct().cache()
+    def bench = Dedup.shingles(documents.filter(isBench))
+      .select(col("shingle")).distinct()
     val bloom = bench.stat.bloomFilter("shingle", expectedBenchShingles, fpp)
     val mightContain =
       udf((s: String) => s != null && bloom.mightContain(s))
+    val sh = Dedup.shingles(documents)
     val hits = sh.filter(mightContain(col("shingle")))
       .join(bench, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))

@@ -935,4 +935,21 @@ class PipelineSpec extends AnyFunSuite {
     val again = Sampling.stratifiedSample(docs, "lang", 0.2).collect()
     assert(sampled.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
+
+  test("pageRank matches the hand-computed integer fixed point") {
+    import spark.implicits._
+    // a -> {b, c}, b -> c, c -> a: deg(a)=2 splits its rank integrally;
+    // expected values are the exact BIGINT arithmetic unrolled by hand
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "a" -> 1361250000L, "b" -> 575000000L, "c" -> 1063750000L))
+    // one full cycle at uniform init is stationary: every node keeps scale
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val stat = Graph.pageRank(cyc, iterations = 3).collect()
+      .map(_.getLong(1)).toSet
+    assert(stat == Set(1000000000L))
+  }
 }

@@ -263,4 +263,18 @@ class PlanSpec extends AnyFunSuite {
     val salted = graft.operators.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey").count()
     assert(salted == plain)
   }
+
+  test("page_rank reuses the cached degree-annotated edge relation") {
+    // the edge+degree relation must shuffle once for the whole run and be
+    // re-read from the cache by every iteration's join — without the cache
+    // each of the 3 iterations would rebuild baskets + pairs from parquet
+    val p = planOf("page_rank")
+    val cachedScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cachedScans >= 3,
+      s"expected every iteration to read the cached edge relation:\n$p")
+    val parquetScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(parquetScans <= 1,
+      s"iterations recompute the edge relation from parquet:\n$p")
+  }
 }
