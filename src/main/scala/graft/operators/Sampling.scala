@@ -67,18 +67,59 @@ object Sampling {
   /** Stratified sample: the first ceil(fraction·|stratum|) documents of
     * each stratum in doc_id order. Exact per-stratum allocation (unlike
     * Bernoulli sampling, which only hits the fraction in expectation) and
-    * fully deterministic. One exchange on the stratum key; at scale the
-    * window sort is per-stratum and AQE splits skewed strata.
+    * fully deterministic.
+    *
+    * A `row_number over Window.partitionBy(stratum)` would pin every row
+    * of one stratum into a single task (window partitions get no map-side
+    * combining and are NOT AQE-splittable) — with `stratum = lang`,
+    * parallelism would be ~#languages forever. Since the selected subset
+    * is O(fraction·n) per stratum, the exact rank genuinely needs a
+    * per-stratum total order, so this uses the scalable global-rank
+    * shape instead: range-partition on (stratum, doc_id) — which spreads
+    * a hot stratum across MANY contiguous partitions — then assign ranks
+    * as partition-local counters plus per-(partition, stratum) offsets.
+    * The offsets come from a bounded first pass (one row per partition ×
+    * stratum, collected to the driver — same bounded-action discipline as
+    * Dedup.nearDupClusters); the second pass reuses the first's shuffle
+    * files, so the relation shuffles once. Stratum totals fall out of the
+    * same counts, no extra aggregation.
     */
   def stratifiedSample(documents: DataFrame, stratum: String = "lang",
       fraction: Double = 0.2): DataFrame = {
-    val byStratum = Window.partitionBy(col(stratum))
-    documents
-      .withColumn("rn", row_number().over(byStratum.orderBy(col("doc_id")))
-        .cast("long"))
-      .withColumn("n_stratum", count(lit(1)).over(byStratum))
-      .filter(col("rn") <= ceil(lit(fraction) * col("n_stratum")))
-      .select(col("doc_id"), col(stratum), col("rn"), col("n_stratum"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sorted = documents
+      .select(col("doc_id").cast("long"), col(stratum).cast("string"))
+      .repartitionByRange(col(stratum), col("doc_id"))
+      .sortWithinPartitions(col(stratum), col("doc_id"))
+      .as[(Long, String)]
+    val rdd = sorted.rdd // bind once: pass 2 reuses pass 1's shuffle output
+    val partCounts: Array[(Int, Seq[(String, Long)])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (_, s) => m.update(s, m.getOrElse(s, 0L) + 1L) }
+        Iterator.single((pid, m.toSeq))
+      }.collect()
+    val offsets = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    partCounts.sortBy(_._1).foreach { case (pid, counts) =>
+      counts.foreach { case (s, n) =>
+        offsets.update((pid, s), totals.getOrElse(s, 0L))
+        totals.update(s, totals.getOrElse(s, 0L) + n)
+      }
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      it.flatMap { case (id, s) =>
+        val rn = bcOff.value((pid, s)) + seen.getOrElse(s, 0L) + 1L
+        seen.update(s, rn - bcOff.value((pid, s)))
+        val n = bcTot.value(s)
+        if (rn <= math.ceil(fraction * n).toLong) Iterator.single((id, s, rn, n))
+        else Iterator.empty
+      }
+    }.toDF("doc_id", stratum, "rn", "n_stratum")
       .orderBy(col(stratum), col("rn"))
   }
 
@@ -87,23 +128,45 @@ object Sampling {
     * rank within their domain by md5 order (a uniform deterministic
     * shuffle, so the kept subset is an unbiased per-domain sample, not
     * "first N by id"), tie-broken by doc_id; ranks above the cap drop.
-    * One exchange on the domain key; per-domain window sorts are
-    * independent, and AQE splits skewed domains. NOT append-stable by
-    * design (a cap is relative to the domain's current population —
-    * adding documents must be able to displace old ones).
+    * NOT append-stable by design (a cap is relative to the domain's
+    * current population — adding documents must be able to displace old
+    * ones).
+    *
+    * Skew shape: a single `Window.partitionBy(domain)` would put ALL of
+    * a hot domain's rows in one task (window partitions are not
+    * AQE-splittable). Because the cap is a small constant, the rank is
+    * computed in two phases: rows first rank inside (domain, salt)
+    * sub-groups — [[CapSalts]]-way parallel for a hot domain — and only
+    * sub-group survivors (≤ cap · CapSalts rows per domain, a bounded
+    * relation) reach the per-domain window. A row below the global cap
+    * always survives phase 1 (everything ahead of it globally includes
+    * everything ahead of it in its own sub-group), and a row cut by
+    * phase 1 has ≥ cap sub-group-mates ahead of it globally, so the
+    * survivor ranks equal the global ranks — identical output, no
+    * single-task ceiling.
     */
   def domainCap(documents: DataFrame, domain: String = "source",
       maxPerDomain: Int = 10): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
+    val ord = Seq(md5(col("doc_id").cast("string").cast("binary")),
+      col("doc_id"))
     documents
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(CapSalts)))
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy(col(domain), col("salt")).orderBy(ord: _*)))
+      .filter(col("local_rn") <= maxPerDomain)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col(domain))
-          .orderBy(md5(col("doc_id").cast("string").cast("binary")),
-            col("doc_id"))).cast("long"))
+        Window.partitionBy(col(domain)).orderBy(ord: _*)).cast("long"))
       .filter(col("rn") <= maxPerDomain)
       .select(col("doc_id"), col(domain), col("rn"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sub-group fan-out for [[domainCap]]'s two-phase rank: a hot domain's
+    * phase-1 rank runs CapSalts-way parallel and its phase-2 input is at
+    * most CapSalts · cap rows.
+    */
+  val CapSalts = 64
 
   /** Temperature-based domain mixing at α = 1/2: each stratum keeps
     * documents with probability sqrt(n_c / n_max), flattening the domain

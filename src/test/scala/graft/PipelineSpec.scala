@@ -936,6 +936,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("de-skewed samplers match the single-window formulation under a hot key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one stratum/domain holds 50% of 2000 docs — the shape whose exact
+    // rank a naive Window.partitionBy(key) would compute in ONE task
+    val docs = (0L until 2000L)
+      .map(i => (i, if (i % 2 == 0) "hot" else s"cold${i % 7}"))
+      .toDF("doc_id", "source").withColumn("lang", col("source"))
+    val capRef = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 10).select("doc_id", "source", "rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val capGot = Sampling.domainCap(docs, "source", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(capGot == capRef, "two-phase domain cap diverged from the window form")
+    val stratRef = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") <= ceil(lit(0.2) * col("n_stratum")))
+      .select("doc_id", "lang", "rn", "n_stratum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val stratGot = Sampling.stratifiedSample(docs, "lang", 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stratGot == stratRef, "range-partitioned rank diverged from the window form")
+  }
+
   test("pageRank matches the hand-computed integer fixed point") {
     import spark.implicits._
     // a -> {b, c}, b -> c, c -> a: deg(a)=2 splits its rank integrally;
