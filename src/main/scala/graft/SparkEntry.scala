@@ -296,6 +296,8 @@ object SparkEntry {
     // from EVERY document, not just after the first occurrence
     "boilerplate_filter" -> ((s, dir) =>
       TextAnalysis.boilerplateFilter(t(s, dir, "documents"))),
+    // subword cost accounting: bounded-merge-table BPE, doc-local
+    "bpe_tokens" -> ((s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
@@ -480,6 +482,21 @@ object SparkEntry {
     }.mkString
     head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
   }
+
+  /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
+    * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
+    * separators — the representation in which ONE SQL replace of
+    * `' a  b '` by `' ab '` is exactly one left-to-right greedy merge
+    * pass (the consumed trailing space regenerates as the replacement's
+    * trailing space, so chains like `aaaa` → `aa aa` fall out of plain
+    * scan-order replacement). Merges fold in rank order — the same
+    * sequential semantics the engine's token-array loop implements.
+    */
+  private val bpeEncodedExpr: String =
+    graft.operators.TextAnalysis.DefaultMerges
+      .foldLeft("regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+      }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
   private val shinglesCte =
@@ -1089,6 +1106,24 @@ object SparkEntry {
         |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "bpe_tokens" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), enc AS (
+        |  SELECT doc_id, length(w) AS nc,
+        |         len(string_split($bpeEncodedExpr, '  ')) AS nb
+        |  FROM words WHERE w <> ''
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         CAST(sum(nc) AS BIGINT) AS n_char_tokens,
+        |         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+        |  FROM enc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |  coalesce(a.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
+        |  coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "contamination" -> contaminationSql,
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so the result is bit-identical to the

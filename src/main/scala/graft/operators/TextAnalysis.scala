@@ -678,4 +678,72 @@ object TextAnalysis {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     contaminationResult(sh, hits, isBench)
   }
+
+  /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary
+    * over common English digraphs, rank = position. Includes a two-level
+    * chain ((t,h) then (th,e)) so the table exercises merges whose left
+    * side is itself a merged token.
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "th" -> "e", "a" -> "n", "e" -> "r",
+    "o" -> "n", "an" -> "d", "e" -> "n", "s" -> "t", "o" -> "r")
+
+  /** Subword (BPE) tokenization cost accounting: encodes every
+    * whitespace word with a bounded merge table and reports per-document
+    * character-token and BPE-token counts — the real subword budget that
+    * [[tokenCounts]]' regex pre-tokenization only proxies.
+    *
+    * Encode semantics (identical on both engines, and what the oracle's
+    * chained `replace` implements): a word starts as its Unicode
+    * code-point sequence; merges apply strictly in rank order, and one
+    * merge rewrites the token sequence in a single left-to-right greedy
+    * pass (after a merge the scan resumes AFTER the merged token, so
+    * `aaaa` under (a,a) becomes `aa aa`, not `aa a a`). This equals
+    * canonical lowest-rank-first BPE whenever the table introduces no
+    * rank inversion (a merged token consumed by a LOWER-ranked merge);
+    * rank-sequential is the definition here because it is what a SQL
+    * engine can replay exactly.
+    *
+    * Scale shape: doc-local mapPartitions (the cdcChunks discipline) —
+    * the merge table rides the task closure as a bounded literal, the
+    * scan's partitioning is preserved, and the only exchange is the
+    * presentation sort. Code points, not UTF-16 units, so counts agree
+    * with the oracle's character semantics beyond the BMP.
+    */
+  def bpeEncode(documents: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, 0L)
+          else {
+            var nWords = 0L; var nChar = 0L; var nBpe = 0L
+            text.split(" ", -1).foreach { w =>
+              if (w.nonEmpty) {
+                nWords += 1L
+                var toks: Array[String] = w.codePoints().toArray
+                  .map(cp => new String(Character.toChars(cp)))
+                nChar += toks.length
+                mergeArr.foreach { case (a, b) =>
+                  val out = Array.newBuilder[String]
+                  var i = 0
+                  while (i < toks.length) {
+                    if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                      out += a + b; i += 2
+                    } else { out += toks(i); i += 1 }
+                  }
+                  toks = out.result()
+                }
+                nBpe += toks.length
+              }
+            }
+            (id, nWords, nChar, nBpe)
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_char_tokens", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -966,6 +966,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(stratGot == stratRef, "range-partitioned rank diverged from the window form")
   }
 
+  test("bpeEncode applies merges in rank order, left-to-right greedy") {
+    import spark.implicits._
+    // DefaultMerges: (t,h) (i,n) (th,e) (a,n) (e,r) (o,n) (an,d) (e,n) (s,t) (o,r)
+    //   the   -> [the]                                  1 token
+    //   then  -> [the, n]  ((e,n) ranks AFTER (th,e))   2 tokens
+    //   and   -> [and]                                  1 token
+    //   in    -> [in]                                   1 token
+    //   stand -> [st, and]                              2 tokens
+    val docs = Seq((1L, "the then and in stand"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((5L, 17L, 7L)), s"got ${got(1L)}")
+    // empty / all-separator docs still emit a zero row
+    assert(got(2L) == ((0L, 0L, 0L)) && got(3L) == ((0L, 0L, 0L)))
+    // self-chaining merge is left-to-right greedy: aaaa -> [aa, aa],
+    // aaaaa -> [aa, aa, a]
+    val chain = TextAnalysis.bpeEncode(
+        Seq((1L, "aaaa aaaaa")).toDF("doc_id", "text"),
+        merges = Seq("a" -> "a")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(chain == ((2L, 9L, 5L)), s"got $chain")
+  }
+
   test("pageRank matches the hand-computed integer fixed point") {
     import spark.implicits._
     // a -> {b, c}, b -> c, c -> a: deg(a)=2 splits its rank integrally;
