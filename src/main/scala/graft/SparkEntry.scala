@@ -298,6 +298,10 @@ object SparkEntry {
       TextAnalysis.boilerplateFilter(t(s, dir, "documents"))),
     // subword cost accounting: bounded-merge-table BPE, doc-local
     "bpe_tokens" -> ((s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"))),
+    // corpus-statistics quality: unigram-LM surprisal (join-formulated —
+    // a count-over-token window would single-task the stop words)
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
@@ -425,6 +429,9 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(t(s, dir, "documents"))),
+    // exact global shuffle order via uniform md5 buckets (lazy, no hot key)
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.corpusShuffle(t(s, dir, "documents"))),
   )
 
   /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
@@ -1124,6 +1131,32 @@ object SparkEntry {
         |  coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
+        |  CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_surprisal_e6
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, CAST((pos - 1) % 8 AS INTEGER) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
     "contamination" -> contaminationSql,
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so the result is bit-identical to the

@@ -199,6 +199,45 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global training-order shuffle: every document gets its
+    * exact position in the md5-of-doc_id total order — the corpus-wide
+    * shuffled epoch order a training run consumes — plus its output
+    * shard. A bare `row_number() OVER (ORDER BY md5)` would be a
+    * single-task global sort; here the md5 keyspace's own uniformity
+    * supplies the parallelism instead: the first `bucketChars` hex chars
+    * define 16^bucketChars contiguous key ranges of near-equal volume
+    * (uniform by construction — no data-dependent skew is possible),
+    * rows rank inside their bucket, and a 16^bucketChars-row prefix-sum
+    * relation joined back (broadcast) lifts bucket ranks to exact global
+    * positions. Fully lazy — one exchange on the bucket key plus a tiny
+    * aggregate; no driver action, no hot key. The third scalable-rank
+    * shape in this file, complementing [[domainCap]]'s two-phase cap
+    * rank and [[stratifiedSample]]'s range-partitioned rank: when the
+    * order key is a uniform hash, bucketing beats both.
+    */
+  def corpusShuffle(documents: DataFrame, numShards: Int = 8,
+      bucketChars: Int = 3): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      "bucketChars must be in [1, 8]")
+    val keyed = documents
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("k"))
+      .withColumn("bkt", substring(col("k"), 1, bucketChars))
+    val counts = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val offsets = counts.select(col("bkt"),
+      coalesce(sum(col("n")).over(Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    keyed
+      .withColumn("rn_b", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), (col("off") + col("rn_b")).as("pos"),
+        ((col("off") + col("rn_b") - 1) % numShards).cast("int").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic weighted sampling — the data-mixing step that keeps a
     * document with probability proportional to a per-row weight (here:
     * length-proportional, capped at 1 — longer documents carry more

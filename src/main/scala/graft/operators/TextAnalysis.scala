@@ -679,6 +679,43 @@ object TextAnalysis {
     contaminationResult(sh, hits, isBench)
   }
 
+  /** Unigram-LM surprisal scoring — the corpus-statistics quality signal
+    * that catches what row-local heuristics can't: a document whose
+    * tokens are globally rare (gibberish, binary spill, wrong-corpus
+    * text) scores high average surprisal −ln P(tok), while formulaic
+    * boilerplate scores abnormally low. The LM is the corpus's own
+    * unigram distribution; per-token surprisals are floored to e6
+    * integers before the per-doc sum (the BM25/tfidf discipline: integer
+    * contributions make the cross-engine sum order-independent; the
+    * ln() 1-ulp caveat documented at [[tfidfTopK]] applies).
+    *
+    * Scale shape: the frequency relation is VOCAB-sized, so the plan
+    * must not depend on broadcasting it — tokens rejoin it by equi-join,
+    * which Catalyst broadcasts only while stats allow and which degrades
+    * to an AQE-skew-handled shuffle join at corpus scale (a stop-word
+    * hot key sits on the probe side only — one build row per key). The
+    * join formulation is what makes this safe where a count-over-token
+    * window would single-task "the". One-row corpus total broadcast; the
+    * token explode recomputes for the probe side rather than caching
+    * (the contamination discipline).
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(-log(col("cnt").cast("double") / col("n_total").cast("double"))
+          * lit(1000000.0)).cast("long").as("s_e6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_e6")).as("surprisal_e6"))
+      .withColumn("avg_surprisal_e6",
+        col("surprisal_e6").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary
     * over common English digraphs, rank = position. Includes a two-level
     * chain ((t,h) then (th,e)) so the table exercises merges whose left

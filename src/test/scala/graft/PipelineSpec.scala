@@ -990,6 +990,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(chain == ((2L, 9L, 5L)), s"got $chain")
   }
 
+  test("corpusShuffle positions equal the naive global md5 rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val naive = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(
+          md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+          .cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sampling.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._2).sorted.toSeq == (1L to 500L),
+      "positions are not a permutation of 1..n")
+    got.foreach { case (id, pos, shard) =>
+      assert(pos == naive(id), s"doc $id: bucketed rank $pos != naive ${naive(id)}")
+      assert(shard == ((pos - 1) % 8).toInt)
+    }
+  }
+
+  test("unigramLogProb matches hand-computed integer surprisals") {
+    import spark.implicits._
+    // corpus: a:2 b:2 c:1 of 5 -> s(a)=s(b)=floor(-ln(0.4)e6)=916290,
+    // s(c)=floor(-ln(0.2)e6)=1609437
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 2748870L, 916290.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2525727L, 1262863.5)), s"got ${got(2L)}")
+  }
+
   test("pageRank matches the hand-computed integer fixed point") {
     import spark.implicits._
     // a -> {b, c}, b -> c, c -> a: deg(a)=2 splits its rank integrally;

@@ -265,6 +265,28 @@ class PlanSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("corpus_shuffle broadcasts the bucket-offset relation") {
+    // the prefix-sum relation is 16^bucketChars rows; if it ever shuffles
+    // the corpus side instead of broadcasting, the global rank stops
+    // being one exchange on the bucket key
+    val p = planOf("corpus_shuffle")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side reshuffled:\n$p")
+  }
+
+  test("unigram_logprob joins the vocab-sized frequency relation (no token window)") {
+    // freq must NOT be a count-over-token window (a stop word would pin
+    // its whole partition in one task); the equi-join formulation lets
+    // Catalyst broadcast while stats allow (as here, tiny SF) and
+    // degrade to an AQE-skew-handled shuffle join at corpus scale
+    val p = planOf("unigram_logprob")
+    assert(!p.contains("Window"), s"token window sneaked in:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins >= 1, s"frequency relation not equi-joined:\n$p")
+  }
+
   test("page_rank reuses the cached degree-annotated edge relation") {
     // the edge+degree relation must shuffle once for the whole run and be
     // re-read from the cache by every iteration's join — without the cache
