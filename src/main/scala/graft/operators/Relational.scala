@@ -301,20 +301,41 @@ object Relational {
         .as("days_to_1999"))
       .orderBy(col("o_orderkey"))
 
-  /** Exact per-group median via rank windowing (lower median: the row at
-    * rank ⌊(n+1)/2⌋ under a fully deterministic ordering). The exact-
-    * quantile-at-scale pattern: one window pass, no sketch error — the
-    * deterministic complement of percentile_approx in `approx_stats`.
+  /** Exact per-group median (lower median: the row at rank ⌊(n+1)/2⌋ under
+    * a fully deterministic ordering) — the deterministic complement of
+    * percentile_approx in `approx_stats`.
+    *
+    * l_returnflag has THREE distinct values, so a
+    * `row_number over Window.partitionBy(l_returnflag)` would sort the
+    * entire table in 3 tasks at any cluster size. Instead this uses the
+    * [[ExactRank]] range-partitioned counter+offset shape: range-partition
+    * on (flag, quantity, orderkey, linenumber) — which spreads each flag's
+    * rows across MANY contiguous partitions — then exact ranks fall out of
+    * partition-local counters plus per-(partition, flag) offsets from a
+    * bounded driver pass. Full parallelism on a 3-value key; (orderkey,
+    * linenumber) uniqueness makes the total order (and thus the picked
+    * median row) deterministic.
+    *
+    * Eager like [[Sampling.stratifiedSample]]: the offset pass runs at
+    * call time (bounded collect — one row per partition × flag).
     */
   def exactMedian(lineitem: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    lineitem
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .filter(col("rn") === floor((col("n") + 1) / 2))
-      .select(col("l_returnflag"), col("l_quantity").as("median_qty"),
-        col("n").as("n_rows"))
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val sorted = lineitem
+      .select(col("l_returnflag").cast("string"), col("l_quantity").cast("double"),
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+      .repartitionByRange(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Double, Long, Long)]
+    ExactRank.rankWithinGroups[(String, Double, Long, Long)](sorted.rdd, _._1)
+      .flatMap { case ((flag, qty, _, _), rn, n) =>
+        if (rn == (n + 1L) / 2L) Iterator.single((flag, qty, n))
+        else Iterator.empty
+      }
+      .toDF("l_returnflag", "median_qty", "n_rows")
       .orderBy(col("l_returnflag"))
   }
 

@@ -75,14 +75,20 @@ object Sampling {
     * parallelism would be ~#languages forever. Since the selected subset
     * is O(fraction·n) per stratum, the exact rank genuinely needs a
     * per-stratum total order, so this uses the scalable global-rank
-    * shape instead: range-partition on (stratum, doc_id) — which spreads
-    * a hot stratum across MANY contiguous partitions — then assign ranks
-    * as partition-local counters plus per-(partition, stratum) offsets.
-    * The offsets come from a bounded first pass (one row per partition ×
-    * stratum, collected to the driver — same bounded-action discipline as
-    * Dedup.nearDupClusters); the second pass reuses the first's shuffle
-    * files, so the relation shuffles once. Stratum totals fall out of the
-    * same counts, no extra aggregation.
+    * shape instead ([[ExactRank.rankWithinGroups]]): range-partition on
+    * (stratum, doc_id) — which spreads a hot stratum across MANY
+    * contiguous partitions — then assign ranks as partition-local counters
+    * plus per-(partition, stratum) offsets from a bounded driver pass; the
+    * second pass reuses the first's shuffle files, so the relation
+    * shuffles once. Stratum totals fall out of the same counts, no extra
+    * aggregation.
+    *
+    * EAGER, unlike most operators here: the offset pass runs a bounded
+    * `collect()` at call time and freezes the offsets into a broadcast —
+    * the returned DataFrame is a snapshot of the source as of the call.
+    * If the source relation's contents change between construction and
+    * consumption, rank assignment fails fast (ExactRank's missing-key
+    * check) rather than silently diverging.
     */
   def stratifiedSample(documents: DataFrame, stratum: String = "lang",
       fraction: Double = 0.2): DataFrame = {
@@ -93,33 +99,11 @@ object Sampling {
       .repartitionByRange(col(stratum), col("doc_id"))
       .sortWithinPartitions(col(stratum), col("doc_id"))
       .as[(Long, String)]
-    val rdd = sorted.rdd // bind once: pass 2 reuses pass 1's shuffle output
-    val partCounts: Array[(Int, Seq[(String, Long)])] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (_, s) => m.update(s, m.getOrElse(s, 0L) + 1L) }
-        Iterator.single((pid, m.toSeq))
-      }.collect()
-    val offsets = scala.collection.mutable.Map.empty[(Int, String), Long]
-    val totals = scala.collection.mutable.Map.empty[String, Long]
-    partCounts.sortBy(_._1).foreach { case (pid, counts) =>
-      counts.foreach { case (s, n) =>
-        offsets.update((pid, s), totals.getOrElse(s, 0L))
-        totals.update(s, totals.getOrElse(s, 0L) + n)
-      }
-    }
-    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
-    val bcTot = spark.sparkContext.broadcast(totals.toMap)
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      val seen = scala.collection.mutable.Map.empty[String, Long]
-      it.flatMap { case (id, s) =>
-        val rn = bcOff.value((pid, s)) + seen.getOrElse(s, 0L) + 1L
-        seen.update(s, rn - bcOff.value((pid, s)))
-        val n = bcTot.value(s)
+    ExactRank.rankWithinGroups[(Long, String)](sorted.rdd, _._2)
+      .flatMap { case ((id, s), rn, n) =>
         if (rn <= math.ceil(fraction * n).toLong) Iterator.single((id, s, rn, n))
         else Iterator.empty
-      }
-    }.toDF("doc_id", stratum, "rn", "n_stratum")
+      }.toDF("doc_id", stratum, "rn", "n_stratum")
       .orderBy(col(stratum), col("rn"))
   }
 

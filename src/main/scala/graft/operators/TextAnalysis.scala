@@ -233,17 +233,25 @@ object TextAnalysis {
     * bag-fingerprint dedup (keep lowest doc_id) → per-language corpus
     * summary. The composition every stage was built for; aggregates are
     * order-independent (counts + min/max) so the summary oracle-matches.
+    *
+    * The dedup step is `groupBy(bag_md5).agg(min(struct(doc_id, lang,
+    * quality)))` — min over a struct whose first field is doc_id picks the
+    * kept document AND carries its payload through the aggregation, so no
+    * join-back is needed at all. Partial-aggregable: an exact-dup bag
+    * repeated 10⁸ times (the most common duplication mode at web scale)
+    * collapses to one row per map task before the exchange — a
+    * `row_number over Window.partitionBy(bag_md5)` would pin all of them
+    * into ONE task at any cluster size.
     */
   def cleanCorpus(documents: DataFrame, minQuality: Double = 0.22): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stats = textStats(documents)
       .select(col("doc_id"), col("lang"), col("quality"))
     val fp = fingerprints(documents).select(col("doc_id"), col("bag_md5"))
     stats.filter(col("quality") >= minQuality)
       .join(fp, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("bag_md5")).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("bag_md5"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("quality"))).as("keep"))
+      .select(col("keep.lang").as("lang"), col("keep.quality").as("quality"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality")).as("min_quality"),

@@ -966,6 +966,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(stratGot == stratRef, "range-partitioned rank diverged from the window form")
   }
 
+  test("exact_median matches the window formulation at 90% single-flag skew") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one returnflag owns 90% of the rows — the shape the old
+    // Window.partitionBy(l_returnflag) plan computed in a single task
+    val li = (1L to 3000L).map { i =>
+      val flag = if (i % 10 != 0) "A" else if (i % 20 == 0) "N" else "R"
+      (flag, (i * 7 % 50 + 1).toDouble, i, (i % 7).toInt)
+    }.toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val ref = li
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("l_returnflag"), col("l_quantity"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = Relational.exactMedian(li).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == ref, "ExactRank median diverged from the window formulation")
+    assert(got.map(_._1) == Set("A", "N", "R"))
+  }
+
+  test("cleanCorpus dedups an exact-dup bag in 50% of docs like the window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ONE token bag repeated in half the corpus — exact duplication, the
+    // most common duplication mode at web scale; the min(struct) rewrite
+    // must keep exactly the lowest doc_id copy, like the old bag_md5 window
+    val docs = (1L to 400L).map { id =>
+      val lang = if (id % 3 == 0) "es" else "en"
+      if (id % 2 == 0) (id, "the a of and common unique", lang, "web")
+      else (id, s"the a of and t$id u$id", lang, "web")
+    }.toDF("doc_id", "text", "lang", "source")
+    val stats = TextAnalysis.textStats(docs).select("doc_id", "lang", "quality")
+    val fp = TextAnalysis.fingerprints(docs).select("doc_id", "bag_md5")
+    val ref = stats.filter(col("quality") >= 0.22).join(fp, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bag_md5")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"), max(col("quality")).as("max_quality"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val got = TextAnalysis.cleanCorpus(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == ref, "min(struct) dedup diverged from the window formulation")
+    // 200 unique odd-id bags + exactly ONE survivor of the hot bag (doc 2, en)
+    assert(got.values.map(_._1).sum == 201L,
+      s"expected 201 kept docs, got ${got.values.map(_._1).sum}")
+  }
+
   test("bpeEncode applies merges in rank order, left-to-right greedy") {
     import spark.implicits._
     // DefaultMerges: (t,h) (i,n) (th,e) (a,n) (e,r) (o,n) (an,d) (e,n) (s,t) (o,r)

@@ -55,31 +55,37 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"unexpected exchange count $exchanges:\n$p")
   }
 
-  test("ngram_jaccard applies the stop-shingle cap before the intersection join") {
+  test("ngram_jaccard caps document frequency via partial aggregates — no window, no cache") {
     // the df-frequency cap is semantics-bearing AND the scale guard (an
-    // uncapped hot shingle fans out d² candidate rows) — a refactor must
-    // not be able to silently reorder it after the self-join. The capped
-    // relation is the one that gets cached, so the guard is: (a) the
-    // cached plan contains the window + df filter, (b) the shingle
-    // self-join reads the cached relation on both sides.
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // uncapped hot shingle fans out d² candidate rows). It must come from
+    // a partial-aggregable groupBy(shingle) — a `count over
+    // Window.partitionBy(shingle)` would colocate every occurrence of a
+    // hot stop-shingle in ONE task before the cap could drop it — and the
+    // former corpus-sized `.cache()` must stay gone (no executor-storage
+    // pin; exchange reuse dedups the shingle shuffles instead).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
     val df = graft.operators.Dedup.ngramJaccard(
       spark.read.parquet(s"$sf/documents.parquet"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"shingle key windowed (hot-key ceiling):\n$p")
+    assert(p.contains("partial_count"),
+      s"df aggregate lost its map-side partial phase:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"corpus-sized cache pin reappeared:\n$p")
+    // the cap must act BEFORE the intersection self-join: in the optimized
+    // plan, some shingle-key join must have a df<=cap-filtered aggregate
+    // beneath one side (the build side the hot shingle vanishes from)
     val plan = df.queryExecution.optimizedPlan
-    val cached = plan.collect { case m: InMemoryRelation => m }
-    assert(cached.nonEmpty, s"shingle relation not cached:\n$plan")
-    val cachedStr = cached.head.cachedPlan.toString
-    assert(cachedStr.contains("Window") && cachedStr.contains("<= 100"),
-      s"stop-shingle df cap missing from the cached shingle relation:\n$cachedStr")
     val joins = plan.collect {
       case j: Join if j.condition.exists(_.references.exists(_.name == "shingle")) => j
     }
-    assert(joins.nonEmpty, s"no shingle self-join in the plan:\n$plan")
-    Seq(joins.head.left, joins.head.right).foreach { side =>
-      assert(side.collect { case m: InMemoryRelation => m }.nonEmpty,
-        s"intersection join side bypasses the capped cached relation:\n$side")
-    }
+    assert(joins.nonEmpty, s"no shingle join in the plan:\n$plan")
+    val capUnderJoin = joins.exists(j => Seq(j.left, j.right).exists(_.collectFirst {
+      case f: Filter if f.condition.toString.contains("100") &&
+        f.collectFirst { case a: Aggregate => a }.nonEmpty => f
+    }.nonEmpty))
+    assert(capUnderJoin,
+      s"df cap filter not applied beneath the shingle join:\n$plan")
   }
 
   test("salted counts equal plain groupBy counts") {
@@ -285,6 +291,27 @@ class PlanSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
         l.contains("ShuffledHashJoin"))
     assert(joins >= 1, s"frequency relation not equi-joined:\n$p")
+  }
+
+  test("pipeline_clean dedups exact-dup bags via partial aggregates, not a window") {
+    // exact-duplicate documents — the most common duplication mode at web
+    // scale — share one bag_md5; keep-lowest-doc_id must be a
+    // partial-aggregable min(struct), never a bag_md5 window that pins
+    // every copy into one task
+    val p = planOf("pipeline_clean")
+    assert(!p.contains("Window"), s"bag_md5 key windowed (hot-key ceiling):\n$p")
+    assert(p.contains("partial_min"),
+      s"keep-lowest aggregate lost its map-side partial phase:\n$p")
+  }
+
+  test("exact_median never windows the table on the 3-value returnflag key") {
+    // l_returnflag has 3 distinct values: a row_number window on it sorts
+    // ALL of lineitem in 3 tasks at any cluster size. The ExactRank
+    // range-partitioned counter+offset shape must keep the plan window-free
+    // (the only exchanges are the range partitioning and the output sort).
+    val p = planOf("exact_median")
+    assert(!p.contains("Window"),
+      s"corpus-sized window on a sub-100-cardinality key:\n$p")
   }
 
   test("page_rank reuses the cached degree-annotated edge relation") {
