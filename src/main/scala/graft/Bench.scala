@@ -18,6 +18,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      // shared-JVM hygiene: collect the previous query's garbage BEFORE the
+      // timer starts, so a heap full of a predecessor's debris can't tax
+      // THIS query's runs (r6 saw one query at 8.6x its isolated time; GC
+      // pressure is cross-query state that min-of-2 alone cannot cancel,
+      // because it poisons both runs equally)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -52,11 +58,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver's tail capture can truncate the HEAD of long output (the
-    // full line above lost its `total` in round 3, and its per-query map
-    // head hid ~30 queries in round 5). Emit one compact line PER QUERY,
-    // sorted by name, so truncation can never hide a regression...
-    results.toSeq.sortBy(_._1).foreach { case (name, sec) =>
+    // The driver's tail capture truncates the HEAD of long output (the
+    // full line above lost its `total` in round 3; name-sorted per-query
+    // lines lost everything alphabetically before 'pipeline_clean' in
+    // rounds 5-6). Emit one compact line PER QUERY ordered FASTEST-FIRST,
+    // so whatever the truncation keeps is the tail with the slowest —
+    // most auditable — queries (failures sort first as -1; if they are
+    // cut, n_failed on the final line still reports them)...
+    results.toSeq.sortBy { case (_, sec) => sec }.foreach { case (name, sec) =>
       println(s"""{"q":"$name","sec":$sec}""")
     }
     // ...and repeat the totals as a compact map-free line LAST so the

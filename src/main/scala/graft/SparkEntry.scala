@@ -61,6 +61,14 @@ object SparkEntry {
     "cooccur_counts" -> ((s, dir) =>
       CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
         .orderBy(col("product"), col("neighbor"))),
+    // O4 with the quadratic-basket guard ENGAGED (maxWindow=5): the 100 TB
+    // pathological-basket cap, driver-checked against an oracle that
+    // expresses the cap as a position-delta predicate. On 7-item lineitem
+    // baskets the cap truncates real windows, so this result genuinely
+    // differs from the uncapped twin.
+    "cooccur_counts_capped" -> ((s, dir) =>
+      CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir), maxWindow = 5)
+        .orderBy(col("product"), col("neighbor"))),
     // O4 via pure Catalyst composition (posexplode + window + range join):
     // same relation as cooccur_counts, proving SQL-expressibility.
     "cooccur_counts_sql" -> ((s, dir) =>
@@ -464,6 +472,30 @@ object SparkEntry {
       |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
       |)""".stripMargin
 
+  /** [[cooccurCte]] with the maxWindow cap expressed as a position-delta
+    * predicate: CoOccurrence.windowPairs scans j in (i, i+cap], so the SQL
+    * twin keeps exactly the pairs with b.pos - a.pos <= cap (before the
+    * first-repeat termination, which is cap-independent).
+    */
+  private def cooccurCappedCte(cap: Int) =
+    basketsCte +
+      s""", exploded AS (
+      |  SELECT customer AS bid, unnest(products) AS product,
+      |         generate_subscripts(products, 1) AS pos
+      |  FROM baskets
+      |), currents AS (
+      |  SELECT bid, product, pos,
+      |         lead(pos) OVER (PARTITION BY bid, product ORDER BY pos) AS next_same
+      |  FROM exploded
+      |), pairs AS (
+      |  SELECT a.product, b.product AS neighbor
+      |  FROM currents a JOIN exploded b
+      |    ON a.bid = b.bid AND b.pos > a.pos AND b.pos - a.pos <= $cap
+      |   AND (a.next_same IS NULL OR b.pos < a.next_same)
+      |), counts AS (
+      |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
+      |)""".stripMargin
+
   /** Unrolled fixed-point PageRank oracle over the co-occurrence graph
     * (mirrors Graph.pageRank: integer e9 ranks, `div` per-edge splits,
     * dangling mass leaks). DuckDB sums BIGINT into HUGEINT and its `//`
@@ -602,6 +634,9 @@ object SparkEntry {
         "\nFROM baskets ORDER BY customer"),
     "cooccur_counts" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    "cooccur_counts_capped" ->
+      (cooccurCappedCte(5) +
+        "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_sql" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_gen" ->

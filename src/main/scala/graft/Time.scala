@@ -22,6 +22,7 @@ object Time {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     for (name <- names; fn <- SparkEntry.queries.get(name)) {
       val times = (1 to 2).map { _ =>
+        System.gc() // same pre-run hygiene as Bench
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

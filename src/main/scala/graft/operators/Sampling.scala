@@ -46,11 +46,22 @@ object Sampling {
     * inside that chunk (documents may straddle chunk boundaries, exactly
     * like concat-and-chunk pretraining packing). All arithmetic is a
     * running sum over a per-shard window: one exchange on the shard key,
-    * deterministic, no driver state — at 100 TB the shard count is the
-    * parallelism knob and each shard's window is an independent sort.
+    * deterministic, no driver state.
+    *
+    * Parallelism contract: `numShards` IS the parallelism — each shard's
+    * window is an independent single-task sort, so per-shard volume must
+    * fit a task. The default (8) is sized for the driver's small-SF check;
+    * at corpus scale pass numShards ≈ the input's partition count (e.g.
+    * `documents.rdd.getNumPartitions`) so shard streams stay task-sized.
+    * Raising the shard count is safe because a shard's layout depends ONLY
+    * on the documents assigned to it (doc_id % numShards), never on other
+    * shards — packing each shard alone reproduces the global result
+    * (pinned by a shard-count-invariance test).
     */
   def packSequences(documents: DataFrame, budget: Int = 512,
       numShards: Int = 8): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(numShards >= 1, "numShards must be >= 1")
     val nTok = size(split(col("text"), " ")).cast("long")
     val shard = (col("doc_id") % numShards).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -36,8 +36,21 @@ object TemporalJoin {
     *
     * Plan shape: right dedupe window on (key, ts) → unionByName (no
     * shuffle) → one exchange on `key` → a single running-frame window.
-    * Scales linearly; a hot key shares the fate of any per-key window
-    * (AQE/salting if pathological).
+    * Scales linearly in total rows.
+    *
+    * Skew contract: a hot key shares the fate of any per-key window — ONE
+    * task owns that key's running frame (window partitions get no map-side
+    * combining and are not AQE-splittable), so per-key volume is the
+    * parallelism floor. Correctness under a 50%-hot key is pinned by a
+    * fixture. If one key's volume outgrows a task at your scale, the
+    * salted fallback is the [[proximityPairs]] shape: bucket `tsCol` into
+    * fixed ranges, compute each (key, bucket)'s last right payload, prefix-
+    * scan those per-key bucket summaries (a relation ~|keys|·|buckets|,
+    * orders of magnitude smaller than the data), and resolve each left row
+    * against its own bucket's rows plus the carried-in boundary value —
+    * every stage partial-aggregable. Not implemented here because every
+    * registered caller's key (user_id) is high-cardinality with bounded
+    * per-key volume.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {

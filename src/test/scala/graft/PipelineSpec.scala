@@ -966,6 +966,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(stratGot == stratRef, "range-partitioned rank diverged from the window form")
   }
 
+  test("sequence packing per shard is independent of the other shards") {
+    import org.apache.spark.sql.functions._
+    // the packSequences parallelism contract: a shard's layout depends
+    // ONLY on the docs assigned to it, so packing shard s of 8 alone
+    // (numShards=1 over the pre-filtered subset) must reproduce the global
+    // run's chunk/offset values for that shard — which is what makes
+    // numShards a freely scalable knob at 100 TB
+    val docs = tbl("documents")
+    val global = Sampling.packSequences(docs, budget = 64, numShards = 8)
+    for (s <- Seq(0, 3, 7)) {
+      val fromGlobal = global.filter(col("shard") === s)
+        .select("doc_id", "n_tokens", "chunk", "chunk_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val alone = Sampling.packSequences(
+          docs.filter(col("doc_id") % 8 === s), budget = 64, numShards = 1)
+        .select("doc_id", "n_tokens", "chunk", "chunk_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fromGlobal == alone, s"shard $s layout depends on other shards")
+    }
+    intercept[IllegalArgumentException](Sampling.packSequences(docs, numShards = 0))
+    intercept[IllegalArgumentException](Sampling.packSequences(docs, budget = 0))
+  }
+
   test("exact_median matches the window formulation at 90% single-flag skew") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

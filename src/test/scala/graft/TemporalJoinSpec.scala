@@ -97,6 +97,35 @@ class TemporalJoinSpec extends AnyFunSuite {
       "fixture should exercise both matched and unmatched rows")
   }
 
+  test("asOf stays correct when one key holds 50% of both sides") {
+    import spark.implicits._
+    // the documented skew contract: a hot key shares the fate of any
+    // per-key window — ONE task owns the hot key's running frame. This
+    // fixture pins correctness (not parallelism) under that skew, so the
+    // scaladoc's salted-fallback guidance has a semantic baseline a
+    // bucketized rewrite would have to match.
+    val rnd = new scala.util.Random(7)
+    val leftRows = (1L to 1000L).map { id =>
+      val u = if (id % 2 == 0) "hot" else s"cold${id % 13}"
+      (id, u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(50000) * 1000L))
+    }
+    val rightRows = (5000L to 5400L).map { id =>
+      val u = if (id % 2 == 0) "hot" else s"cold${id % 13}"
+      (u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(50) * 1000000L), id)
+    }
+    val got = TemporalJoin.asOf(leftRows.toDF("event_id", "user_id", "ts"),
+        rightRows.toDF("user_id", "ts", "r_id"), "user_id", "ts", Seq("r_id"))
+      .select(col("event_id"), col("_asof.r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    leftRows.foreach { case (id, u, ts) =>
+      val naive = rightRows.filter(r => r._1 == u && !r._2.after(ts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+      assert(got(id) == naive, s"event $id user $u")
+    }
+    assert(leftRows.count(_._2 == "hot") == 500, "fixture lost its 50% hot key")
+  }
+
   test("degenerate inputs: empty right side, empty pair relation") {
     import spark.implicits._
     val left = Seq((1L, "u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1.0))
