@@ -29,12 +29,13 @@ object Graph {
     * lineage suffices — an open-ended fixpoint would reuse the
     * localCheckpoint discipline of Dedup.nearDupClusters.
     *
-    * Overflow posture: per-node contribution sums and the damping multiply
-    * run in DECIMAL(38,0) (matching the oracle's HUGEINT) and only the
-    * final integral-divide result returns to BIGINT — total rank mass is
-    * bounded by nodes·scale, so ranks themselves stay in long range up to
-    * ~9.2e9 nodes at the default scale (vs ~1.08e8 had the 85·Σcontrib
-    * multiply stayed in silently-wrapping long arithmetic).
+    * Overflow posture: the damping multiply runs in DECIMAL(38,0)
+    * (matching the oracle's HUGEINT) and only the final integral-divide
+    * result returns to BIGINT — total rank mass is bounded by
+    * nodes·scale, so ranks and per-node contribution sums stay in long
+    * range up to ~9.2e9 nodes at the default scale (vs ~1.08e8 had the
+    * 85·Σcontrib multiply stayed in silently-wrapping long arithmetic).
+    * Beyond ~9.2e9 nodes, lower `scale`.
     *
     * Caller contract: the degree-annotated edge relation and the node
     * relation stay `.cache()`d after this returns — every consumption of
@@ -57,17 +58,20 @@ object Graph {
     val base = (100L - dampingPct) * scale / 100L
     var ranks = nodes.withColumn("rank_e9", lit(scale))
     for (_ <- 1 to iterations) {
-      // sum in DECIMAL(38,0): with the damping multiply in long, mass
-      // concentrated on one node would silently wrap past ~1.08e8 nodes'
-      // worth (non-ANSI long arithmetic); decimal matches the oracle's
-      // HUGEINT and `div` returns the exact BIGINT quotient
+      // the damping multiply runs in DECIMAL(38,0): in long it would
+      // silently wrap once dampingPct·Σcontrib exceeds Long.Max (~1.08e8
+      // nodes' rank mass on one node at the default scale). The SUM stays
+      // long — its bound (total mass, nodes·scale) is the same ~9.2e9-node
+      // bound at which rank_e9 storage itself saturates, so decimal there
+      // would buy nothing and costs ~30% (measured; decimal aggregation
+      // leaves the fast codegen path). One scalar decimal op per node row
+      // is free by comparison and matches the oracle's HUGEINT multiply.
       val sums = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank_e9 div deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
       ranks = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"), (lit(base) +
-          expr(s"($dampingPct * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 100"))
+          expr(s"($dampingPct * CAST(coalesce(s, 0) AS DECIMAL(38,0))) div 100"))
           .as("rank_e9"))
     }
     ranks.select(col("node"), col("rank_e9")).orderBy(col("node"))

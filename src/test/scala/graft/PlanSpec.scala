@@ -55,37 +55,44 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"unexpected exchange count $exchanges:\n$p")
   }
 
-  test("ngram_jaccard caps document frequency via partial aggregates — no window, no cache") {
+  test("ngram_jaccard caps df via partial aggregates; persist is disk-only") {
     // the df-frequency cap is semantics-bearing AND the scale guard (an
     // uncapped hot shingle fans out d² candidate rows). It must come from
     // a partial-aggregable groupBy(shingle) — a `count over
     // Window.partitionBy(shingle)` would colocate every occurrence of a
-    // hot stop-shingle in ONE task before the cap could drop it — and the
-    // former corpus-sized `.cache()` must stay gone (no executor-storage
-    // pin; exchange reuse dedups the shingle shuffles instead).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    // hot stop-shingle in ONE task before the cap could drop it — applied
+    // BEFORE the intersection self-join, and the multiply-consumed capped
+    // relation may persist to executor DISK only (the r6 storage-MEMORY
+    // pin must stay gone).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = graft.operators.Dedup.ngramJaccard(
       spark.read.parquet(s"$sf/documents.parquet"))
-    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!p.contains("Window"), s"shingle key windowed (hot-key ceiling):\n$p")
-    assert(p.contains("partial_count"),
-      s"df aggregate lost its map-side partial phase:\n$p")
-    assert(!p.contains("InMemoryTableScan"),
-      s"corpus-sized cache pin reappeared:\n$p")
-    // the cap must act BEFORE the intersection self-join: in the optimized
-    // plan, some shingle-key join must have a df<=cap-filtered aggregate
-    // beneath one side (the build side the hot shingle vanishes from)
     val plan = df.queryExecution.optimizedPlan
+    val cached = plan.collect { case m: InMemoryRelation => m }
+    assert(cached.nonEmpty, s"capped shingle relation no longer persisted:\n$plan")
+    cached.foreach { m =>
+      assert(!m.cacheBuilder.storageLevel.useMemory,
+        s"storage-MEMORY pin reappeared (level ${m.cacheBuilder.storageLevel}):\n$plan")
+      val c = m.cachedPlan.toString
+      assert(!c.contains("Window"), s"shingle key windowed (hot-key ceiling):\n$c")
+      assert(c.contains("partial_count") || m.cachedPlan.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.aggregateExpressions.exists(_.toString.contains("partial")) => a
+        }.nonEmpty,
+        s"df cap lost its map-side partial aggregate:\n$c")
+      assert(c.contains("<= 100"), s"df cap filter missing before the join:\n$c")
+    }
+    // both intersection-join sides must read the capped persisted relation
     val joins = plan.collect {
       case j: Join if j.condition.exists(_.references.exists(_.name == "shingle")) => j
     }
-    assert(joins.nonEmpty, s"no shingle join in the plan:\n$plan")
-    val capUnderJoin = joins.exists(j => Seq(j.left, j.right).exists(_.collectFirst {
-      case f: Filter if f.condition.toString.contains("100") &&
-        f.collectFirst { case a: Aggregate => a }.nonEmpty => f
-    }.nonEmpty))
-    assert(capUnderJoin,
-      s"df cap filter not applied beneath the shingle join:\n$plan")
+    assert(joins.nonEmpty, s"no shingle self-join in the plan:\n$plan")
+    Seq(joins.head.left, joins.head.right).foreach { side =>
+      assert(side.collect { case m: InMemoryRelation => m }.nonEmpty,
+        s"intersection join side bypasses the capped persisted relation:\n$side")
+    }
+    spark.catalog.clearCache()
   }
 
   test("salted counts equal plain groupBy counts") {
