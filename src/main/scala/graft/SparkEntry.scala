@@ -263,6 +263,22 @@ object SparkEntry {
           col("_asof.p_value").as("purchase_value"))
         .orderBy(col("event_id"))
     }),
+    // the hot-key-safe as-of variant: per-(key, hour-bucket) parallelism,
+    // same semantics (equivalence-tested in TemporalJoinSpec), same oracle
+    "asof_join_bucketized" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      TemporalJoin.asOfBucketized(clicks, purchases, "user_id", "ts",
+          Seq("p_event_id", "p_value"), bucketSec = 3600)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("_asof.p_event_id").as("purchase_event_id"),
+          col("_asof.p_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
     "proximity_pairs" -> ((s, dir) =>
       TemporalJoin.proximityPairs(eventsTable(s, dir))),
     // the two-sided (stream-stream-shaped) interval join in batch form:
@@ -626,6 +642,22 @@ object SparkEntry {
 
   private val dotExpr =
     "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+
+  /** Shared by `asof_join` and `asof_join_bucketized` (identical
+    * semantics by construction — TemporalJoinSpec pins the equivalence).
+    */
+  private val asofOracleSql =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+      |)
+      |SELECT c.event_id, c.user_id, c.value,
+      |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "baskets" ->
@@ -1005,18 +1037,10 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
-    "asof_join" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-        |  FROM events WHERE event_type = 'purchase'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
-        |)
-        |SELECT c.event_id, c.user_id, c.value,
-        |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value
-        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "asof_join" -> asofOracleSql,
+    // the bucketized variant is semantics-identical, so it shares the
+    // native ASOF JOIN oracle verbatim
+    "asof_join_bucketized" -> asofOracleSql,
     "proximity_pairs" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events

@@ -42,15 +42,9 @@ object TemporalJoin {
     * task owns that key's running frame (window partitions get no map-side
     * combining and are not AQE-splittable), so per-key volume is the
     * parallelism floor. Correctness under a 50%-hot key is pinned by a
-    * fixture. If one key's volume outgrows a task at your scale, the
-    * salted fallback is the [[proximityPairs]] shape: bucket `tsCol` into
-    * fixed ranges, compute each (key, bucket)'s last right payload, prefix-
-    * scan those per-key bucket summaries (a relation ~|keys|·|buckets|,
-    * orders of magnitude smaller than the data), and resolve each left row
-    * against its own bucket's rows plus the carried-in boundary value —
-    * every stage partial-aggregable. Not implemented here because every
-    * registered caller's key (user_id) is high-cardinality with bounded
-    * per-key volume.
+    * fixture. If one key's volume outgrows a task at your scale, use
+    * [[asOfBucketized]] — identical semantics (equivalence-tested), with
+    * per-(key, time-bucket) parallelism instead of per-key.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
@@ -74,6 +68,82 @@ object TemporalJoin {
       .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_src") === 1)
       .drop("_pay", "_src")
+  }
+
+  /** Backward as-of join with per-(key, time-bucket) parallelism — the
+    * hot-key-safe variant of [[asOf]] (identical semantics, equivalence-
+    * tested, including the right-side (key, ts) max-payload dedupe and the
+    * inclusive at-tie match). Use when one key's row volume outgrows a
+    * single task: [[asOf]]'s per-key running frame puts ALL of a hot key's
+    * rows in one task, while here the frame is split at `bucketSec`-wide
+    * time-bucket boundaries, so a hot key runs (its time span / bucketSec)-
+    * way parallel.
+    *
+    * Shape: (1) each (key, bucket) of the deduped right side reduces to
+    * its last event via a partial-aggregable `max(struct(us, payload))`;
+    * (2) a per-key running `last` over those BUCKET SUMMARIES (a relation
+    * of one row per occupied bucket — orders of magnitude smaller than the
+    * data, so this window's per-key volume is bounded by the time span,
+    * never by row count) yields each bucket's carry-in: the latest right
+    * payload from any strictly-earlier bucket; (3) the [[asOf]] union-tag
+    * running-frame window runs per (key, bucket) to resolve same-bucket
+    * matches; (4) rows with no same-bucket match take the carry-in via an
+    * equi-join on (key, bucket). A right row in an earlier bucket always
+    * precedes a left row in a later one (floor is monotone), so in-bucket
+    * resolution + carry-in is exhaustive and exact.
+    *
+    * `bucketSec` is the skew knob: smaller buckets → more parallelism for
+    * a hot key, more bucket-summary rows. Volume concentrated inside one
+    * bucket still pins a task — size buckets below the hot key's burst
+    * width, exactly like [[proximityPairs]]' gap buckets.
+    */
+  def asOfBucketized(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, payload: Seq[String], bucketSec: Long = 3600): DataFrame = {
+    require(bucketSec > 0, s"asOfBucketized requires bucketSec > 0, got $bucketSec")
+    val bucketMicros = bucketSec * 1000000L
+    val extras = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val payStruct = struct(payload.map(col): _*)
+    // right dedupe at (key, ts): max payload wins — same as asOf, so the
+    // two variants are drop-in interchangeable
+    val rNorm = right.select(
+      Seq(col(key), col(tsCol)) ++
+        extras.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("_pay"): _*)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key), col(tsCol)).orderBy(col("_pay").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_src", lit(0))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_bkt", floor(col("_us") / bucketMicros))
+    val lNorm = left.select(Seq(col(key), col(tsCol)) ++ extras.map(col): _*)
+      .withColumn("_pay", lit(null).cast(rNorm.schema("_pay").dataType))
+      .withColumn("_src", lit(1))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_bkt", floor(col("_us") / bucketMicros))
+    // (1) per-(key, bucket) last right event — partial-aggregable, so a
+    // hot bucket collapses map-side before the exchange
+    val bucketLast = rNorm.groupBy(col(key), col("_bkt"))
+      .agg(max(struct(col("_us"), col("_pay"))).as("_bl"))
+    // (2) carry-in per bucket: latest right payload from strictly-earlier
+    // buckets, over the bounded summary relation (left-needed buckets
+    // included so gaps carry forward)
+    val needed = lNorm.select(col(key), col("_bkt")).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = needed.join(bucketLast, Seq(key, "_bkt"), "full_outer")
+      .withColumn("_carry", last(col("_bl"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("_bkt"), col("_carry._pay").as("_carry_pay"))
+    // (3) same-bucket running frame — asOf's window, split at bucket edges
+    val wBkt = Window.partitionBy(col(key), col("_bkt"))
+      .orderBy(col("_us"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lNorm.unionByName(rNorm)
+      .withColumn("_inb", last(col("_pay"), ignoreNulls = true).over(wBkt))
+      .filter(col("_src") === 1)
+      // (4) carry join: every left (key, bucket) is present in `carry`
+      .join(carry, Seq(key, "_bkt"))
+      .withColumn("_asof", coalesce(col("_inb"), col("_carry_pay")))
+      .drop("_pay", "_src", "_us", "_bkt", "_inb", "_carry_pay")
   }
 
   /** Two-sided interval join — the BATCH twin of the stream-stream

@@ -126,6 +126,42 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(leftRows.count(_._2 == "hot") == 500, "fixture lost its 50% hot key")
   }
 
+  test("asOfBucketized equals asOf for every bucket width, including under skew") {
+    import spark.implicits._
+    // semantics must be bucket-width-INVARIANT: 1 s buckets (each event
+    // alone), 50 s (mixed), and 10^6 s (everything in one bucket — i.e.
+    // degenerate to plain asOf) all produce identical output, on both the
+    // randomized fixture and the 50%-hot-key fixture
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 800L).map { id =>
+      val u = if (id % 2 == 0) "hot" else s"u${id % 7}"
+      (id, u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(80000) * 1000L))
+    }.toDF("event_id", "user_id", "ts")
+    // duplicate (key, ts) right rows left in: the internal max-payload
+    // dedupe must behave identically in both variants
+    val right = (5000L to 5300L).map { id =>
+      val u = if (id % 2 == 0) "hot" else s"u${id % 7}"
+      (u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(80) * 1000000L), id)
+    }.toDF("user_id", "ts", "r_id")
+    val ref = TemporalJoin.asOf(left, right, "user_id", "ts", Seq("r_id"))
+      .select(col("event_id"), col("_asof.r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    for (bucketSec <- Seq(1L, 50L, 1000000L)) {
+      val got = TemporalJoin.asOfBucketized(left, right, "user_id", "ts",
+          Seq("r_id"), bucketSec)
+        .select(col("event_id"), col("_asof.r_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == ref, s"bucketSec=$bucketSec diverged from asOf")
+    }
+    // output schema is drop-in identical
+    val a = TemporalJoin.asOf(left, right, "user_id", "ts", Seq("r_id"))
+    val b = TemporalJoin.asOfBucketized(left, right, "user_id", "ts", Seq("r_id"))
+    assert(a.columns.toSeq == b.columns.toSeq,
+      s"schema drift: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    intercept[IllegalArgumentException](
+      TemporalJoin.asOfBucketized(left, right, "user_id", "ts", Seq("r_id"), 0L))
+  }
+
   test("degenerate inputs: empty right side, empty pair relation") {
     import spark.implicits._
     val left = Seq((1L, "u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1.0))
