@@ -193,6 +193,7 @@ object SparkEntry {
     "set_ops_all" -> ((s, dir) => Relational.setOpsAll(t(s, dir, "orders"))),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
+    "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
@@ -331,6 +332,10 @@ object SparkEntry {
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    // substring-level dedup (the Lee et al. repeated-span shape): corpus
+    // profile of cross-doc repeated k-grams, and the per-doc keep mask
+    "repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"))),
+    "span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
     "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     // pair detection → canonical cluster assignment (connected components)
     "dedup_clusters" -> ((s, dir) => {
@@ -418,6 +423,11 @@ object SparkEntry {
         .select(col("rk_contiguous"), col("one_cluster_per_query"),
           (col("n_hit") >= col("n_true") * 0.1).as("recall_ge_10pct"))
     }),
+    // SemDeDup corpus verdict — same structural-oracle pattern: n_total is
+    // oracle-exact, the invariants are computed from the materialized
+    // relations and the oracle emits literal TRUE (see ann_ivf_trained)
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), maxTrainVectors = 2000)),
     // O4 over token sequences + the end-to-end cleaning pipeline
     "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
@@ -563,6 +573,21 @@ object SparkEntry {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks
       |)""".stripMargin
+
+  /** Positional 8-gram span CTE (substring-dedup family) — every window of
+    * 8 consecutive whitespace tokens, occurrences kept (no DISTINCT:
+    * unlike shingle sets, substring dedup counts every occurrence).
+    */
+  private val spansCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+      |  FROM toks
+      |)
+      |""".stripMargin
 
   /** Contamination oracle, shared by the broadcast-join and Bloom-filter
     * engine paths (both produce the identical exact result).
@@ -905,6 +930,17 @@ object SparkEntry {
         |)
         |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
         |FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
+    "exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), q AS (SELECT unnest([25, 50, 75, 95]) AS q_pct)
+        |SELECT l_returnflag, q.q_pct, l_quantity AS qty, n AS n_rows
+        |FROM r, q WHERE rn = greatest(1, (n * q.q_pct + 99) // 100)
+        |ORDER BY l_returnflag, q_pct""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
         |  min(value) AS min_value, max(value) AS max_value
@@ -1357,6 +1393,24 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
         |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
+    "repeated_spans" ->
+      (spansCte +
+        """SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+          |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY gram""".stripMargin),
+    "span_dedup" ->
+      (spansCte +
+        """, rep AS (SELECT gram FROM g GROUP BY gram
+          |    HAVING count(DISTINCT doc_id) >= 2),
+          |per AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id),
+          |repc AS (SELECT doc_id, count(*) AS n_repeated
+          |  FROM g JOIN rep USING (gram) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(per.n_spans, 0) AS n_spans,
+          |  coalesce(repc.n_repeated, 0) AS n_repeated,
+          |  coalesce(repc.n_repeated, 0) = 0 AS keep
+          |FROM documents d
+          |LEFT JOIN per USING (doc_id) LEFT JOIN repc USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     "ngram_jaccard" ->
       (shinglesCte +
         s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
@@ -1572,6 +1626,9 @@ object SparkEntry {
     "ann_ivf_trained" ->
       """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
         |  TRUE AS recall_ge_10pct""".stripMargin,
+    "semantic_dedup" ->
+      """SELECT count(*) AS n_total, TRUE AS partition_ok,
+        |  TRUE AS cluster_min_kept FROM embeddings""".stripMargin,
     "quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -339,6 +339,40 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact per-group quantiles — discrete (lower-rank) semantics: the
+    * element at rank ⌈q·n/100⌉ — for a whole percentile set in ONE ranked
+    * pass, the [[ExactRank]] generalization of [[exactMedian]]. Same
+    * scale posture: range-partitioning on (group, value, tie-breakers)
+    * keeps full parallelism on the 3-value returnflag key where a per-key
+    * window would be a 3-task ceiling at any scale; the percentile set
+    * only changes the rank targets each row is checked against, so p25
+    * through p95 cost exactly one extra comparison each, not extra passes.
+    */
+  def exactQuantiles(lineitem: DataFrame,
+      percentiles: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val ps = percentiles.distinct.sorted
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $percentiles")
+    val sorted = lineitem
+      .select(col("l_returnflag").cast("string"), col("l_quantity").cast("double"),
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+      .repartitionByRange(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Double, Long, Long)]
+    ExactRank.rankWithinGroups[(String, Double, Long, Long)](sorted.rdd, _._1)
+      .flatMap { case ((flag, qty, _, _), rn, n) =>
+        ps.iterator
+          .filter(p => rn == math.max(1L, (n * p + 99L) / 100L))
+          .map(p => (flag, p, qty, n))
+      }
+      .toDF("l_returnflag", "q_pct", "qty", "n_rows")
+      .orderBy(col("l_returnflag"), col("q_pct"))
+  }
+
   /** Fixed-width value histogram over events: integer bucketing keeps the
     * group key exact on both engines.
     */

@@ -232,30 +232,115 @@ object Similarity {
     */
   def ivfTopKTrained(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, seed: Long = 42L,
-      maxTrainVectors: Int = 20000, numProbes: Int = 1): DataFrame = {
+      maxTrainVectors: Int = 20000, numProbes: Int = 1): DataFrame =
+    ivfServe(vectorsWithNorm(embeddings),
+      trainedCentroids(embeddings, numCentroids, seed, maxTrainVectors),
+      k, numProbes)
+
+  /** KMeans-trained centroid table (cent_id, cv, cnrm), shared by the
+    * trained IVF variants and [[semanticDedup]].
+    *
+    * Trains on a BOUNDED deterministic sample (first maxTrainVectors by
+    * vec_id): centroid quality converges long before the sample stops
+    * growing, and at 100 TB fitting Lloyd's on the full corpus would
+    * dominate the pipeline. The bounded sample is collected and trained
+    * ON THE DRIVER (k-means++ seeding + Lloyd's, seeded RNG so the whole
+    * operator is reproducible) — the FAISS discipline: coarse-quantizer
+    * training is a constant-size problem by design, and a distributed
+    * Lloyd's on it would pay ~an order of magnitude in per-iteration job
+    * scheduling for no accuracy (measured 5.7 s MLlib vs <0.1 s local on
+    * a 2 000-vector sample; results differ only by init). Serving still
+    * assigns and searches EVERY vector, distributed.
+    */
+  private def trainedCentroids(embeddings: DataFrame, numCentroids: Int,
+      seed: Long, maxTrainVectors: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    // Train on a BOUNDED deterministic sample (first maxTrainVectors by
-    // vec_id): centroid quality converges long before the sample stops
-    // growing, and at 100 TB fitting Lloyd's on the full corpus would
-    // dominate the pipeline. The bounded sample is collected and trained
-    // ON THE DRIVER (k-means++ seeding + Lloyd's, seeded RNG so the whole
-    // operator is reproducible) — the FAISS discipline: coarse-quantizer
-    // training is a constant-size problem by design, and a distributed
-    // Lloyd's on it would pay ~an order of magnitude in per-iteration job
-    // scheduling for no accuracy (measured 5.7 s MLlib vs <0.1 s local on
-    // a 2 000-vector sample; results differ only by init). Serving still
-    // assigns and searches EVERY vector, distributed.
     val sample = vectorsWithNorm(embeddings)
       .orderBy(col("vec_id")).limit(maxTrainVectors)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = localKMeans(sample, numCentroids, seed)
     import spark.implicits._
-    val cents = centroids.zipWithIndex.toSeq
+    centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c) }
       .toDF("cent_id", "cv")
       .withColumn("cnrm", norm(col("cv")))
-    ivfServe(vectorsWithNorm(embeddings), cents, k, numProbes)
+  }
+
+  /** Semantic dedup over the embedding column (the SemDeDup shape, Abbas
+    * et al. 2023): cluster with the shared KMeans coarse quantizer, then
+    * within each cluster drop any vector that has a LOWER-id cluster-mate
+    * at cosine ≥ tau (keep-first policy — the min id of every
+    * tau-connected component within a cluster survives). Returns one
+    * summary row: the corpus size plus data-path invariants (kept+dropped
+    * partitions the corpus; every cluster's min id is kept). Per-pair
+    * similarity detail is [[cosinePairs]]'s job; this operator is the
+    * corpus-level dedup verdict.
+    *
+    * 100 TB posture: the within-cluster self-join is O(Σ cluster²) — the
+    * inherent SemDeDup cost model — so `numCentroids` is the scale knob
+    * (k ∝ corpus / target-cluster-size holds the per-cluster quadratic
+    * constant, exactly like [[lshTopK]]'s planes-vs-bucket-population
+    * trade). The join shuffles once on the cluster id and the probe side
+    * is AQE-skew-splittable; assignment is a map-side broadcast cross
+    * with a per-vector (numCentroids-bounded) window. The invariants are
+    * computed from the materialized relations, not assumed — an inverted
+    * id comparison or a lost cluster would flip a boolean and fail the
+    * driver's hash gate.
+    */
+  def semanticDedup(embeddings: DataFrame, tauE6: Long = 950000L,
+      numCentroids: Int = NumCentroids, seed: Long = 42L,
+      maxTrainVectors: Int = 20000): DataFrame = {
+    val mask = semanticDedupMask(embeddings, tauE6, numCentroids, seed,
+      maxTrainVectors)
+    val kept = mask.filter(col("keep"))
+    val dups = mask.filter(!col("keep"))
+    // invariant: every nonempty cluster's min vec_id has no lower-id
+    // cluster-mate, so it must be kept — 0 unkept minima
+    val unkeptMins = mask.groupBy(col("cluster"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_unkept_min"))
+    mask.agg(count(lit(1)).as("n_total"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
+      .crossJoin(unkeptMins)
+      .select(col("n_total"),
+        (col("n_kept") + col("n_dups") === col("n_total")).as("partition_ok"),
+        (col("n_unkept_min") === 0L).as("cluster_min_kept"))
+  }
+
+  /** The per-vector SemDeDup verdict: (vec_id, cluster, keep). keep=false
+    * iff a LOWER-id vector in the same cluster sits at cosine ≥ tau.
+    * This is the artifact a pipeline actually joins against to drop
+    * semantic duplicates; [[semanticDedup]] reduces it to the oracle-
+    * checkable corpus summary.
+    */
+  private[graft] def semanticDedupMask(embeddings: DataFrame, tauE6: Long,
+      numCentroids: Int, seed: Long, maxTrainVectors: Int): DataFrame = {
+    val e = vectorsWithNorm(embeddings)
+    val cents = trainedCentroids(embeddings, numCentroids, seed, maxTrainVectors)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", floor(dot(col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")) * lit(1000000.0)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+    val mate = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nrm_b"))
+    val dups = assigned.join(mate, Seq("cluster"))
+      .filter(col("vec_id") < col("vec_b"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
+      .filter(col("cos_e6") >= tauE6)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
   }
 
   /** Deterministic driver-local k-means++ / Lloyd's over a bounded sample.

@@ -1116,4 +1116,100 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getLong(1)).toSet
     assert(stat == Set(1000000000L))
   }
+
+  test("repeatedSpans finds exactly the cross-doc k-grams, every occurrence") {
+    import spark.implicits._
+    // docs 1 and 2 share one exact 8-token span (doc 2 holds it twice);
+    // doc 3 shares nothing; doc 4 is shorter than k and emits no spans
+    val span = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"x $span y"),
+      (2L, s"$span z $span"),
+      (3L, "p q r s t u v w nine ten"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, k = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.contains(span), s"shared span not found: ${got.keys}")
+    assert(got(span) == ((2L, 3L)), s"df/occ wrong: ${got(span)}")
+    // every reported gram must occur in >= 2 distinct docs — doc 3's
+    // private grams and doc 2's self-repeat-only grams are excluded
+    assert(got.values.forall(_._1 >= 2L))
+    // "span z span" interior grams live only in doc 2 → absent
+    assert(!got.keys.exists(_.contains(" z ")), s"doc-local gram leaked: ${got.keys}")
+  }
+
+  test("spanDedup keeps docs with no cross-doc span; zeros for short docs") {
+    import spark.implicits._
+    val span = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"x $span y"),
+      (2L, s"$span z $span"),
+      (3L, "p q r s t u v w nine ten"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // doc 1: 3 spans, 1 repeated; doc 2: 10 spans, 2 repeated (both copies)
+    assert(got(1L) == ((3L, 1L, false)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((10L, 2L, false)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, true)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, true)), s"doc 4: ${got(4L)}")
+  }
+
+  test("exactQuantiles matches the window formulation at 90% single-flag skew") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same skew shape as the exact_median fixture: one flag owns 90% of
+    // rows; every percentile must select the ceil(q·n/100)-ranked element
+    val li = (1L to 3000L).map { i =>
+      val flag = if (i % 10 != 0) "A" else if (i % 20 == 0) "N" else "R"
+      (flag, (i * 7 % 50 + 1).toDouble, i, (i % 7).toInt)
+    }.toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val ps = Seq(25, 50, 75, 95)
+    val ranked = li
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val ref = ps.flatMap { p =>
+      ranked.filter(col("rn") ===
+          greatest(lit(1L), floor((col("n") * p + 99) / 100)))
+        .select(col("l_returnflag"), col("l_quantity"), col("n"))
+        .collect().map(r => (r.getString(0), p, r.getDouble(1), r.getLong(2)))
+    }.toSet
+    val got = Relational.exactQuantiles(li, ps).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == ref, "ExactRank quantiles diverged from the window formulation")
+    assert(got.size == 12, s"expected 3 flags × 4 percentiles, got ${got.size}")
+  }
+
+  test("semanticDedup drops the higher-id twin and keeps cluster minima") {
+    import spark.implicits._
+    // two exact duplicate pairs plus orthogonal singletons: the duplicate
+    // pairs must lose exactly their higher id, singletons all survive
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // dup of 0
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // dup of 1
+      (5L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // exact duplicates tie on every centroid score and tie-break the same
+    // way, so they ALWAYS share a cluster — the drop is centroid-agnostic
+    val mask = Similarity.semanticDedupMask(emb, tauE6 = 950000L,
+      numCentroids = 4, seed = 42L, maxTrainVectors = 6).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(mask.filter(!_._2).keySet == Set(2L, 4L),
+      s"expected exactly the higher-id twins dropped: $mask")
+    val row = Similarity.semanticDedup(emb, tauE6 = 950000L,
+      numCentroids = 4, maxTrainVectors = 6).collect().head
+    assert(row.getLong(0) == 6L, s"n_total: $row")
+    assert(row.getBoolean(1) && row.getBoolean(2), s"invariants: $row")
+    // and the invariants survive the degenerate extreme: with tau below
+    // -1 every cluster-mate pairs up and only per-cluster minima survive
+    val loose = Similarity.semanticDedup(emb, tauE6 = -2000000L,
+      numCentroids = 2, maxTrainVectors = 6).collect().head
+    assert(loose.getBoolean(1) && loose.getBoolean(2), s"loose-tau: $loose")
+  }
 }

@@ -311,6 +311,31 @@ class PlanSpec extends AnyFunSuite {
       s"keep-lowest aggregate lost its map-side partial phase:\n$p")
   }
 
+  test("repeated_spans aggregates the gram key map-side — never a window") {
+    // a boilerplate 8-gram occurring 10⁸ times must collapse to one row
+    // per map task in the partial aggregate, not colocate in one task;
+    // the distinct-doc count plans as cascaded hash aggregates over
+    // (gram, doc_id) then gram, both with partial phases
+    val p = planOf("repeated_spans")
+    assert(!p.contains("Window"), s"gram key windowed (hot-key ceiling):\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate on gram:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram count lost its map-side partial phase:\n$p")
+  }
+
+  test("span_dedup joins the bounded repeated-gram relation back — no window") {
+    val p = planOf("span_dedup")
+    assert(!p.contains("Window"), s"span_dedup windowed:\n$p")
+  }
+
+  test("exact_quantiles stays window-free like exact_median") {
+    // one ExactRank pass serves all four percentiles: adding targets must
+    // never re-introduce a per-flag window (3-task ceiling) or extra passes
+    val p = planOf("exact_quantiles")
+    assert(!p.contains("Window"),
+      s"corpus-sized window on a sub-100-cardinality key:\n$p")
+  }
+
   test("exact_median never windows the table on the 3-value returnflag key") {
     // l_returnflag has 3 distinct values: a row_number window on it sorts
     // ALL of lineitem in 3 tasks at any cluster size. The ExactRank
