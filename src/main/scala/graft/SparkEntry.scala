@@ -1627,8 +1627,8 @@ object SparkEntry {
       """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
         |  TRUE AS recall_ge_10pct""".stripMargin,
     "semantic_dedup" ->
-      """SELECT count(*) AS n_total, TRUE AS partition_ok,
-        |  TRUE AS cluster_min_kept FROM embeddings""".stripMargin,
+      """SELECT count(*) AS n_total, TRUE AS cluster_min_kept,
+        |  TRUE AS clusters_in_range FROM embeddings""".stripMargin,
     "quantize_embeddings" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -272,10 +272,12 @@ object Similarity {
     * within each cluster drop any vector that has a LOWER-id cluster-mate
     * at cosine ≥ tau (keep-first policy — the min id of every
     * tau-connected component within a cluster survives). Returns one
-    * summary row: the corpus size plus data-path invariants (kept+dropped
-    * partitions the corpus; every cluster's min id is kept). Per-pair
-    * similarity detail is [[cosinePairs]]'s job; this operator is the
-    * corpus-level dedup verdict.
+    * summary row: the corpus size plus data-path invariants (every
+    * cluster's min id is kept — an inverted id comparison in the dup join
+    * would flip it — and cluster labels stay in [0, numCentroids)).
+    * Per-pair similarity detail is [[cosinePairs]]'s job; this operator
+    * is the corpus-level dedup verdict; [[semanticDedupMask]] is the
+    * per-vector artifact a pipeline joins against.
     *
     * 100 TB posture: the within-cluster self-join is O(Σ cluster²) — the
     * inherent SemDeDup cost model — so `numCentroids` is the scale knob
@@ -293,21 +295,21 @@ object Similarity {
       maxTrainVectors: Int = 20000): DataFrame = {
     val mask = semanticDedupMask(embeddings, tauE6, numCentroids, seed,
       maxTrainVectors)
-    val kept = mask.filter(col("keep"))
-    val dups = mask.filter(!col("keep"))
-    // invariant: every nonempty cluster's min vec_id has no lower-id
-    // cluster-mate, so it must be kept — 0 unkept minima
-    val unkeptMins = mask.groupBy(col("cluster"))
-      .agg(min(col("vec_id")).as("vec_id"))
-      .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .agg(count(lit(1)).as("n_unkept_min"))
-    mask.agg(count(lit(1)).as("n_total"))
-      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-      .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
-      .crossJoin(unkeptMins)
-      .select(col("n_total"),
-        (col("n_kept") + col("n_dups") === col("n_total")).as("partition_ok"),
-        (col("n_unkept_min") === 0L).as("cluster_min_kept"))
+    // ONE traversal of the corpus-sized mask (branching it into separate
+    // kept/dup/minima subtrees would re-execute the assignment cross and
+    // the within-cluster self-join once per branch): per-cluster partial
+    // aggregates carry the row count, the keep verdict of the cluster's
+    // min vec_id (min_by — the invariant: the lowest id in a cluster has
+    // no lower-id mate, so an inverted comparison anywhere in the dup
+    // join flips it), and the cluster label bounds.
+    mask.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("keep"), col("vec_id")).as("min_kept"))
+      .agg(sum(col("n")).as("n_total"),
+        min(col("min_kept")).as("cluster_min_kept"),
+        (min(col("cluster")) >= 0L &&
+          max(col("cluster")) < numCentroids.toLong).as("clusters_in_range"))
+      .select(col("n_total"), col("cluster_min_kept"), col("clusters_in_range"))
   }
 
   /** The per-vector SemDeDup verdict: (vec_id, cluster, keep). keep=false

@@ -1211,5 +1211,12 @@ class PipelineSpec extends AnyFunSuite {
     val loose = Similarity.semanticDedup(emb, tauE6 = -2000000L,
       numCentroids = 2, maxTrainVectors = 6).collect().head
     assert(loose.getBoolean(1) && loose.getBoolean(2), s"loose-tau: $loose")
+    val looseMask = Similarity.semanticDedupMask(emb, tauE6 = -2000000L,
+      numCentroids = 2, seed = 42L, maxTrainVectors = 6).collect()
+    val perCluster = looseMask.groupBy(_.getLong(1))
+    assert(perCluster.forall { case (_, rows) =>
+      rows.count(_.getBoolean(2)) == 1 &&
+        rows.minBy(_.getLong(0)).getBoolean(2)
+    }, s"loose tau must keep exactly each cluster's min id: ${looseMask.toSeq}")
   }
 }
