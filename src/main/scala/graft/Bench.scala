@@ -40,7 +40,11 @@ object Bench {
       if (ok) elapsed else -1.0
     }
     // the host shows ±30% run-to-run noise: report the min of two runs
-    // per query (second run skipped once a query fails)
+    // per query (second run skipped once a query fails), plus an ADAPTIVE
+    // third run when the first two disagree by >1.4x (JIT/heap state was
+    // still settling — r6/r7 saw 3x shared-vs-isolated gaps on exactly
+    // such queries) or when the query is expensive (>2s — the audited
+    // tail, where a stray inflated number distorts the artifact most)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val best =
@@ -49,7 +53,14 @@ object Bench {
           // a transient second-run failure must not discard a valid
           // first measurement
           val second = timeOnce(name, fn)
-          if (second < 0) first else math.min(first, second)
+          if (second < 0) first
+          else {
+            val best2 = math.min(first, second)
+            if (math.max(first, second) / best2 > 1.4 || best2 > 2.0) {
+              val third = timeOnce(name, fn)
+              if (third < 0) best2 else math.min(best2, third)
+            } else best2
+          }
         }
       name -> best
     }

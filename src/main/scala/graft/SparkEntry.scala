@@ -85,6 +85,17 @@ object SparkEntry {
     }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
+    // explicit skew mitigation, driver-checked: results must equal the
+    // unsalted formulations bit-for-bit (the salt is an execution detail)
+    "salted_agg" -> ((s, dir) =>
+      Skew.saltedCounts(t(s, dir, "lineitem"), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+    "skew_join" -> ((s, dir) =>
+      Skew.saltedJoin(t(s, dir, "lineitem"), t(s, dir, "part"),
+          "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))),
     // O13 via the skew-safe totals-join normalization (the hot-product
     // path): same result as the window formulation, benched side-by-side
     "crystalball_totals" -> ((s, dir) =>
@@ -710,6 +721,13 @@ object SparkEntry {
         |SELECT product, neighbor, cnt,
         |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
         |FROM counts ORDER BY product, neighbor""".stripMargin),
+    "salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "skew_join" ->
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "crystalball_stripes" ->
       (cooccurCte +
         """, probs AS (
