@@ -347,6 +347,8 @@ object Relational {
     * window would be a 3-task ceiling at any scale; the percentile set
     * only changes the rank targets each row is checked against, so p25
     * through p95 cost exactly one extra comparison each, not extra passes.
+    * Eager like [[exactMedian]]: the offset pass runs at call time
+    * (bounded collect — one row per partition × flag).
     */
   def exactQuantiles(lineitem: DataFrame,
       percentiles: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
