@@ -60,6 +60,11 @@ object MarketBasket {
     * baskets. Both directions emitted. The pair join is a self-equi-join
     * on the basket key (shuffle on basket, never a cross product);
     * support/confidence/lift divide exact integer counts.
+    *
+    * Caller contract (here and [[fpgrowthRules]]): the distinct-items
+    * relation stays cached after this returns (supports + both pair-join
+    * sides); release with `spark.catalog.clearCache()` once the result is
+    * materialized (Bench/Verify do this per query).
     */
   def rules(lineitem: DataFrame, minPairCount: Long = 2): DataFrame = {
     val items = basketItems(lineitem).cache()
