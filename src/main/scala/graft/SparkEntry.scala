@@ -352,10 +352,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLsh(t(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"))
-      Dedup.nearDupClusters(pairs)
-        .withColumn("n_members", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster_id"))))
+      // member count via partial-aggregable groupBy joined back, not a
+      // cluster_id window: a web-scale megacluster (identical boilerplate
+      // in 10⁸ docs) must not colocate in one window task. The labels
+      // relation is cached by nearDupClusters, so both consumers reuse it.
+      val clusters = Dedup.nearDupClusters(pairs)
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
         .orderBy(col("doc_id"))
     }),
     // the dedup endpoint: corpus minus non-canonical near-dup members

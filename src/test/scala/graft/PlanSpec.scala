@@ -328,6 +328,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"span_dedup windowed:\n$p")
   }
 
+  test("dedup_clusters counts members via aggregates, not a cluster_id window") {
+    // a web-scale megacluster (identical boilerplate in 10^8 docs) must
+    // not colocate in one window task for its member count
+    val p = planOf("dedup_clusters")
+    assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
+  }
+
   test("exact_quantiles stays window-free like exact_median") {
     // one ExactRank pass serves all four percentiles: adding targets must
     // never re-introduce a per-flag window (3-task ceiling) or extra passes
