@@ -1156,6 +1156,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, true)), s"doc 4: ${got(4L)}")
   }
 
+  test("spanDedup span counts agree with the whitespace tokenizer corpus-wide") {
+    import org.apache.spark.sql.functions._
+    // cross-operator consistency on real data: every doc's span count is
+    // exactly max(0, n_ws_tokens - k + 1) under the SAME tokenizer the
+    // token-counting operator uses
+    val docs = tbl("documents")
+    val expected = docs.select(col("doc_id"),
+        greatest(lit(0L), size(split(col("text"), " ")).cast("long") - 7L)
+          .as("want")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.spanDedup(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "span count diverged from tokenizer arithmetic")
+  }
+
+  test("exactQuantiles is monotone in q and consistent with group counts") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val rows = Relational.exactQuantiles(li).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val counts = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (flag, qs) =>
+      assert(qs.map(_._4).distinct.toSeq == Seq(counts(flag)),
+        s"$flag: n_rows disagrees with groupBy count")
+      val byQ = qs.sortBy(_._2).map(_._3)
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b },
+        s"$flag: quantiles not monotone: ${qs.toSeq}")
+    }
+    assert(rows.map(_._1).toSet == counts.keySet)
+  }
+
   test("exactQuantiles matches the window formulation at 90% single-flag skew") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
