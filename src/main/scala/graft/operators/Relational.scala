@@ -322,6 +322,26 @@ object Relational {
   def exactMedian(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
+    // lower median = the rank-⌊(n+1)/2⌋ = ⌈n/2⌉ element — exactly the
+    // 50th percentile under exactQuantiles' ceil(q·n/100) rank rule
+    rankedQuantityByFlag(lineitem)
+      .flatMap { case ((flag, qty, _, _), rn, n) =>
+        if (rn == (n + 1L) / 2L) Iterator.single((flag, qty, n))
+        else Iterator.empty
+      }
+      .toDF("l_returnflag", "median_qty", "n_rows")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Shared ranked scaffolding for the exact order statistics: cast,
+    * range-partition and sort lineitem on (flag, quantity, tie-breakers),
+    * then annotate each row with its exact in-flag rank and flag total via
+    * [[ExactRank]] (eager bounded offset pass — see caller scaladocs).
+    */
+  private def rankedQuantityByFlag(lineitem: DataFrame)
+      : org.apache.spark.rdd.RDD[((String, Double, Long, Long), Long, Long)] = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
     val sorted = lineitem
       .select(col("l_returnflag").cast("string"), col("l_quantity").cast("double"),
         col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
@@ -331,12 +351,6 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"))
       .as[(String, Double, Long, Long)]
     ExactRank.rankWithinGroups[(String, Double, Long, Long)](sorted.rdd, _._1)
-      .flatMap { case ((flag, qty, _, _), rn, n) =>
-        if (rn == (n + 1L) / 2L) Iterator.single((flag, qty, n))
-        else Iterator.empty
-      }
-      .toDF("l_returnflag", "median_qty", "n_rows")
-      .orderBy(col("l_returnflag"))
   }
 
   /** Exact per-group quantiles — discrete (lower-rank) semantics: the
@@ -357,15 +371,7 @@ object Relational {
     val ps = percentiles.distinct.sorted
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100]: $percentiles")
-    val sorted = lineitem
-      .select(col("l_returnflag").cast("string"), col("l_quantity").cast("double"),
-        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
-      .repartitionByRange(col("l_returnflag"), col("l_quantity"),
-        col("l_orderkey"), col("l_linenumber"))
-      .sortWithinPartitions(col("l_returnflag"), col("l_quantity"),
-        col("l_orderkey"), col("l_linenumber"))
-      .as[(String, Double, Long, Long)]
-    ExactRank.rankWithinGroups[(String, Double, Long, Long)](sorted.rdd, _._1)
+    rankedQuantityByFlag(lineitem)
       .flatMap { case ((flag, qty, _, _), rn, n) =>
         ps.iterator
           .filter(p => rn == math.max(1L, (n * p + 99L) / 100L))
