@@ -328,6 +328,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"span_dedup windowed:\n$p")
   }
 
+  test("salted_agg plans the two-phase aggregate (sub-groups then key)") {
+    // phase 1 partial+final on (key, salt), phase 2 partial+final on key:
+    // four HashAggregates, never a single hot-key reduction
+    val p = planOf("salted_agg")
+    val aggs = p.linesIterator.count(_.trim.matches("\\(\\d+\\) HashAggregate.*"))
+    assert(aggs >= 4, s"expected two aggregation phases, got $aggs:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("skew_join replicates the small side (Generate) before the join") {
+    // the salt explode must survive optimization — without it a hot key
+    // of the big side lands in one task under a shuffle join. (At this
+    // dimension size Catalyst rightly BROADCASTS the replicated side,
+    // where salting is benign; the shuffle-join skew property itself is
+    // asserted on synthetic skew in the Skew suites.)
+    val p = planOf("skew_join")
+    assert(p.contains("Generate"), s"salt replication optimized away:\n$p")
+    assert(p.contains("Join"), s"no join planned:\n$p")
+  }
+
   test("dedup_clusters counts members via aggregates, not a cluster_id window") {
     // a web-scale megacluster (identical boilerplate in 10^8 docs) must
     // not colocate in one window task for its member count
