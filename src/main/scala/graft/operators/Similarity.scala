@@ -254,6 +254,11 @@ object Similarity {
     */
   private def trainedCentroids(embeddings: DataFrame, numCentroids: Int,
       seed: Long, maxTrainVectors: Int): DataFrame = {
+    // numCentroids = 0 would index past the empty centers array deep in
+    // localKMeans; maxTrainVectors = 0 would train on an empty sample
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(maxTrainVectors >= 1,
+      s"maxTrainVectors must be >= 1, got $maxTrainVectors")
     val spark = embeddings.sparkSession
     val sample = vectorsWithNorm(embeddings)
       .orderBy(col("vec_id")).limit(maxTrainVectors)

@@ -18,10 +18,13 @@ object Skew {
     * bounds the per-key share of any single REDUCER, which matters when
     * one key dominates the dataset.
     */
-  def saltedCounts(df: DataFrame, keys: Seq[String], nSalts: Int = 16): DataFrame =
+  def saltedCounts(df: DataFrame, keys: Seq[String], nSalts: Int = 16): DataFrame = {
+    // nSalts = 0 would make pmod null out every salt (silent empty result)
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     saltedPartials(df, keys, nSalts)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).as("cnt"))
+  }
 
   /** First phase of [[saltedCounts]]: per-(key, salt) sub-group counts.
     * Exposed so tests can assert the balance property directly — a hot
@@ -43,6 +46,8 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, nSalts: Int = 8): DataFrame = {
+    // nSalts = 0 would replicate the small side zero times (empty join)
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     val saltedBig = big.withColumn("_salt",
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
     val replicated = small.withColumn("_salt",

@@ -1117,6 +1117,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(stat == Set(1000000000L))
   }
 
+  test("degenerate parameters fail fast instead of returning silently-wrong results") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val emb = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Dedup.repeatedSpans(docs, k = 0))
+    intercept[IllegalArgumentException](Dedup.repeatedSpans(docs, minDocs = 0))
+    intercept[IllegalArgumentException](Skew.saltedCounts(docs, Seq("doc_id"), nSalts = 0))
+    intercept[IllegalArgumentException](Skew.saltedJoin(docs, docs, "doc_id", "doc_id", nSalts = 0))
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(emb, numCentroids = 0, maxTrainVectors = 1))
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(emb, numCentroids = 1, maxTrainVectors = 0))
+  }
+
   test("repeatedSpans finds exactly the cross-doc k-grams, every occurrence") {
     import spark.implicits._
     // docs 1 and 2 share one exact 8-token span (doc 2 holds it twice);
