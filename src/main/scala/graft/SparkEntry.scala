@@ -205,6 +205,8 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
+    "string_agg" -> ((s, dir) =>
+      Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
@@ -964,6 +966,12 @@ object SparkEntry {
         |SELECT l_returnflag, q.q_pct, l_quantity AS qty, n AS n_rows
         |FROM r, q WHERE rn = greatest(1, (n * q.q_pct + 99) // 100)
         |ORDER BY l_returnflag, q_pct""".stripMargin,
+    "string_agg" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 9000.0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
         |  min(value) AS min_value, max(value) AS max_value

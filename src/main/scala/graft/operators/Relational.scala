@@ -392,6 +392,26 @@ object Relational {
         max(col("value")).as("max_value"))
       .orderBy(col("bucket"))
 
+  /** Ordered string aggregation (SQL LISTAGG / string_agg): per nation,
+    * the comma-joined sorted names of its high-balance suppliers.
+    *
+    * collect_list gathers a group's rows into one aggregation buffer, so
+    * LISTAGG is only scale-sane when the GROUP is bounded — here by the
+    * selective balance predicate (pushed to the parquet scan). For
+    * unbounded groups the right shape is a pre-ranked top-N
+    * (WindowGroupLimit, see lateral_topk) feeding the aggregation, not a
+    * raw corpus-wide collect. array_sort before concat makes the joined
+    * string deterministic regardless of arrival order.
+    */
+  def stringAgg(supplier: DataFrame, nation: DataFrame,
+      minBalance: Double = 9000.0): DataFrame =
+    supplier.filter(col("s_acctbal") > minBalance)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("supplier_names"))
+      .orderBy(col("n_name"))
+
   /** Scalar function library projection (string/math/date) — whole-stage
     * codegen'd row-level expressions, no shuffle at all.
     */
