@@ -239,6 +239,7 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    "latest_events" -> ((s, dir) => Events.latestEvents(eventsTable(s, dir))),
     "sliding_counts" -> ((s, dir) => Events.slidingCounts(eventsTable(s, dir))),
     // ordered funnel: earliest per-stage timestamps with stage-order
     // constraints (view → click → purchase), per user
@@ -1050,6 +1051,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "latest_events" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  arg_min(event_type, ts) AS first_type,
+        |  arg_max(event_type, ts) AS last_type,
+        |  arg_max(value, ts) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sliding_counts" ->
       """WITH w AS (
         |  SELECT event_type, value,

@@ -211,4 +211,20 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
+
+  /** Latest/earliest record selection per key via max_by/min_by (SQL
+    * ARG_MAX / ARG_MIN) — the upsert/SCD "current row" aggregate. One
+    * partial-aggregable pass: max_by partials merge map-side, where the
+    * equivalent per-key ORDER BY + rn=1 window colocates every row of a
+    * key in one task before discarding all but one. (user_id, ts) is
+    * unique in the events table so the picked rows are deterministic; a
+    * key with ts ties would need a composite tie-break scalar.
+    */
+  def latestEvents(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), col("ts")).as("first_type"),
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        max_by(col("value"), col("ts")).as("last_value"))
+      .orderBy(col("user_id"))
 }

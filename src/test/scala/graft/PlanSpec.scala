@@ -328,6 +328,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"span_dedup windowed:\n$p")
   }
 
+  test("latest_events picks current rows via aggregates, not a per-key window") {
+    // max_by/min_by partials merge map-side; the rn=1 window formulation
+    // would colocate each user's every event in one task to discard all
+    // but one row
+    val p = planOf("latest_events")
+    assert(!p.contains("Window"), s"per-key window planned:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"no aggregate planned:\n$p")
+  }
+
   test("salted_agg plans the two-phase aggregate (sub-groups then key)") {
     // phase 1 partial+final on (key, salt), phase 2 partial+final on key:
     // four HashAggregates, never a single hot-key reduction
