@@ -1170,6 +1170,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, true)), s"doc 4: ${got(4L)}")
   }
 
+  test("span dedup family handles a 50%-hot span exactly") {
+    import spark.implicits._
+    // ONE 8-token span in half the corpus — the boilerplate mode the
+    // partial-aggregate shape exists for (a window on the gram key would
+    // pin all 200 occurrences in one task)
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = (1L to 400L).map { id =>
+      if (id % 2 == 0) (id, s"$span tail$id extra$id pad$id x$id y$id z$id q$id")
+      else (id, s"u$id v$id w$id a$id b$id c$id d$id e$id")
+    }.toDF("doc_id", "text")
+    val hot = Dedup.repeatedSpans(docs, k = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hot(span) == ((200L, 200L)), s"hot span miscounted: ${hot.get(span)}")
+    // per-doc grams around the hot span are id-suffixed → doc-local; the
+    // ONLY cross-doc gram is the hot span itself
+    assert(hot.size == 1, s"expected only the hot span, got ${hot.keys}")
+    val mask = Dedup.spanDedup(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((1L to 400L).forall(id => mask(id) == (id % 2 == 1)),
+      "keep mask must flag exactly the hot-span docs")
+  }
+
   test("spanDedup span counts agree with the whitespace tokenizer corpus-wide") {
     import org.apache.spark.sql.functions._
     // cross-operator consistency on real data: every doc's span count is
