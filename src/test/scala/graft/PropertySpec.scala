@@ -94,4 +94,30 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-12, s"product $p sums to $s")
     }
   }
+
+  // space-free tokens, INCLUDING empty ones: "a  b" splits to ("a","","b")
+  // under split(" ", -1) and the span arithmetic must treat "" as a token
+  private val tokenGen =
+    Gen.oneOf(Gen.const(""), Gen.alphaNumStr.map(_.take(4)))
+  private val tokensGen = Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, tokenGen))
+
+  test("spanGrams emits exactly the sliding windows (500 random token lists)") {
+    import graft.operators.Dedup
+    (0 until 500).flatMap(i =>
+        tokensGen.apply(Gen.Parameters.default, Seed(1000L + i))).foreach { toks =>
+      val text = toks.mkString(" ")
+      for (k <- Seq(1, 3, 8)) {
+        val got = Dedup.spanGrams(text, k)
+        // split is the inverse of mkString for space-free tokens, except
+        // the empty LIST ("" round-trips to a single empty token)
+        val t = if (toks.isEmpty) Vector("") else toks.toVector
+        val want =
+          if (t.length < k) Nil
+          else t.sliding(k).zipWithIndex
+            .map { case (w, i) => ((i + 1).toLong, w.mkString(" ")) }.toSeq
+        assert(got == want, s"k=$k tokens=$toks")
+      }
+    }
+    assert(Dedup.spanGrams(null, 8).isEmpty)
+  }
 }
