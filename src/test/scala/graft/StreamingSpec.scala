@@ -219,4 +219,48 @@ class StreamingSpec extends AnyFunSuite {
         "enrichment join lost the broadcast hint")
     } finally q.stop()
   }
+
+  test("watermark drops late data and closes windows in append mode") {
+    import spark.implicits._
+    // the one distinctly-streaming semantic the parity tests can't see:
+    // a row arriving behind the 2h watermark must be EXCLUDED, where the
+    // batch twin would count it
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
+    def ns(offsetMin: Long) = (base + offsetMin * 60L) * 1000000000L
+    def rows(ids: Seq[(Long, Long, String)]) = // (event_id, offsetMin, type)
+      ids.map { case (id, m, t) => (id, ns(m), 1L, t, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // file 1: three events in [00:00,01:00) + one at 03:30 that advances
+    // the watermark to 01:30, closing the first window
+    addFile(rows(Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "a"),
+      (4L, 210L, "b"))), "f1.parquet")
+    val q = StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // file 2: a LATE "a" at 00:40 (behind the 01:30 watermark → must be
+      // dropped) plus an on-time event at 06:00 that advances the
+      // watermark to 04:00, closing the 03:00 window
+      addFile(rows(Seq((5L, 40L, "a"), (6L, 360L, "c"))), "f2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("late_stream").collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1)) ->
+          r.getLong(2)).toMap
+      // first window holds the THREE on-time events — not four: the late
+      // arrival was dropped, where Events.hourlyCounts would count it
+      assert(got((base, "a")) == 3L, s"late row not dropped: $got")
+      assert(got((base + 3L * 3600L, "b")) == 1L, s"closed window missing: $got")
+      // the 06:00 window is still open (watermark 04:00) → not emitted
+      assert(!got.keys.exists(_._2 == "c"), s"open window emitted early: $got")
+    } finally q.stop()
+  }
 }
