@@ -101,13 +101,19 @@ object StreamingOps {
     * here keeps the example minimal.
     */
   def writePartitionedStream(stream: DataFrame, path: String,
-      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      partitionCols: Seq[String], checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append")
           .partitionBy(partitionCols: _*).parquet(path)
       }
-      .start()
+    // with a checkpoint the query RESUMES across restarts: committed
+    // source offsets are never re-read, so a clean stop/restart appends
+    // each input file exactly once (mid-batch crash recovery additionally
+    // needs batch-id dedup in the sink, as the scaladoc notes)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -220,6 +220,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed sink resumes after restart without reprocessing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString + "/ev"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_meta").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("f1.parquet"))
+    val n = batchEvents.count()
+    def run(): Unit = {
+      val q = StreamingOps.writePartitionedStream(
+        StreamingOps.eventsStream(spark, dir.toString), out,
+        Seq("event_type"), Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first life: processes f1
+    // stage f2 (disjoint ids) while the query is DOWN, then restart from
+    // the same checkpoint: committed offsets must skip f1 entirely
+    val shifted = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_stage")
+    shifted.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, dir.resolve("f2.parquet"))
+    run() // second life
+    val written = spark.read.parquet(out)
+    assert(written.count() == 2 * n,
+      s"expected exactly-once append of both files, got ${written.count()} rows")
+    assert(written.select("event_id").distinct().count() == 2 * n,
+      "duplicate event_ids: a file was reprocessed across the restart")
+  }
+
   test("watermark drops late data and closes windows in append mode") {
     import spark.implicits._
     // the one distinctly-streaming semantic the parity tests can't see:
