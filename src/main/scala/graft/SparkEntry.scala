@@ -350,6 +350,8 @@ object SparkEntry {
     // profile of cross-doc repeated k-grams, and the per-doc keep mask
     "repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"))),
     "span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
+    // index-quality audit: LSH candidates vs the exact n-gram ground truth
+    "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
     "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     // pair detection → canonical cluster assignment (connected components)
     "dedup_clusters" -> ((s, dir) => {
@@ -1465,6 +1467,28 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_lsh" -> minhashLshSql,
+    "lsh_recall" ->
+      (shinglesCte +
+        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
+        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
+        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
+        |cand AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |j AS (SELECT t.doc_a IS NOT NULL AS has_t, c.doc_a IS NOT NULL AS has_c
+        |      FROM truth t FULL OUTER JOIN cand c
+        |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+        |SELECT CAST(sum(CASE WHEN has_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN has_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN has_t AND has_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM j""".stripMargin),
     "dedup_clusters" ->
       (s"""WITH RECURSIVE
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
