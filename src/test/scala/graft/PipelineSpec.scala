@@ -1117,6 +1117,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(stat == Set(1000000000L))
   }
 
+  test("every registered query has an oracle twin and vice versa") {
+    // the driver records a weaker rows-only check for oracle-less queries
+    // and a dangling oracle is dead SQL — neither drift should survive CI
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+  }
+
   test("degenerate parameters fail fast instead of returning silently-wrong results") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
