@@ -205,6 +205,8 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
+    // exact moments→correlation: deterministic twin of corr/covar_pop
+    "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
@@ -322,6 +324,13 @@ object SparkEntry {
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+    // full Gopher ruleset (word/line/symbol/stopword rules + keep verdict).
+    // stopList localized to the synthetic corpus's function words — its
+    // vocabulary contains only 'the'/'a' from any natural stop lexicon, so
+    // the canonical 8-word default could never fire the ≥2 rule here.
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(t(s, dir, "documents"),
+        stopList = Seq("the", "a"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
@@ -969,6 +978,35 @@ object SparkEntry {
         |SELECT l_returnflag, q.q_pct, l_quantity AS qty, n AS n_rows
         |FROM r, q WHERE rn = greatest(1, (n * q.q_pct + 99) // 100)
         |ORDER BY l_returnflag, q_pct""".stripMargin,
+    "corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |    sum(CAST(p AS HUGEINT) * p) AS spp,
+        |    sum(CAST(q AS HUGEINT) * p) AS sqp
+        |  FROM m GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n_rows,
+        |  CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_qty,
+        |  CAST(sp AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_price,
+        |  (CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) / 100.0
+        |    AS cov_qty_price,
+        |  (CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       * sqrt(CAST(n_rows AS DOUBLE) * CAST(spp AS DOUBLE)
+        |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "string_agg" ->
       """SELECT n_name, count(*) AS n_suppliers,
         |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
@@ -1203,6 +1241,37 @@ object SparkEntry {
         |  count(*) AS n_distinct_trigrams,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "gopher_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
+        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','a'],
+        |      y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
+        |  FROM c
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+        |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+        |   AND n_stop_hits >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "fingerprints" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5

@@ -412,6 +412,53 @@ object Relational {
         concat_ws(",", array_sort(collect_list(col("s_name")))).as("supplier_names"))
       .orderBy(col("n_name"))
 
+  /** Exact per-group Pearson correlation + covariance between quantity
+    * and extended price, from ONE partial-aggregable pass.
+    *
+    * Spark's built-in `corr`/`covar_pop` accumulate DOUBLES in partial
+    * aggregation order — nondeterministic across runs and never
+    * hash-comparable with another engine. This formulation instead
+    * aggregates the five EXACT integer power sums (Σq, Σp, Σq², Σp²,
+    * Σqp) over cent-scaled longs, then evaluates the closed-form
+    * correlation in a fixed double operand order — deterministic,
+    * oracle-matching, and still a single map-side-combined groupBy (the
+    * moment-sketch shape: merging partial sums is associative, so the
+    * 100 TB plan is scan → partial agg → 3-row final agg).
+    *
+    * Sums are carried in DECIMAL(38,0): Σp² at cent scale is ~1.1e14 per
+    * row, so a LONG sum wraps past ~84k rows per group while decimal
+    * holds exact to ~1e24 rows — the same overflow posture as PageRank's
+    * damping term. corr is scale-invariant so the e2 factor cancels;
+    * cov divides it back out explicitly.
+    */
+  def corrStats(lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val agg = lineitem
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q").cast(d38)).as("sq"),
+        sum(col("p").cast(d38)).as("sp"),
+        sum((col("q") * col("q")).cast(d38)).as("sqq"),
+        sum((col("p") * col("p")).cast(d38)).as("spp"),
+        sum((col("q") * col("p")).cast(d38)).as("sqp"))
+    val nd = col("n_rows").cast("double")
+    val (sq, sp, sqq, spp, sqp) = (col("sq").cast("double"),
+      col("sp").cast("double"), col("sqq").cast("double"),
+      col("spp").cast("double"), col("sqp").cast("double"))
+    val covNum = nd * sqp - sq * sp
+    agg.select(col("l_returnflag"), col("n_rows"),
+        (sq / nd).as("mean_qty"),
+        (sp / nd / lit(100.0)).as("mean_price"),
+        (covNum / (nd * nd) / lit(100.0)).as("cov_qty_price"),
+        (covNum / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp)))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Scalar function library projection (string/math/date) — whole-stage
     * codegen'd row-level expressions, no shuffle at all.
     */

@@ -170,6 +170,85 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher stop-word presence list (Rae et al. 2021 §A.1.1, public):
+    * a document must contain at least two of these to pass the ruleset.
+    */
+  private[graft] val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality ruleset (Rae et al. 2021, "Scaling Language
+    * Models", appendix A.1.1 — the public filtering recipe most
+    * pretraining pipelines start from): per document,
+    *
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10];
+    *  - symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1;
+    *  - < 90% of lines start with a bullet ('-' or '*');
+    *  - < 30% of lines end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - at least `minStopHits` of the `stopList` words present
+    *    (default: the canonical 8-word [[gopherStopwords]]; production
+    *    pipelines swap in a per-language function-word list, which is why
+    *    the lexicon is a parameter and not a constant).
+    *
+    * Emits every rule's raw statistic plus the composite `keep` verdict
+    * so downstream callers can re-threshold without recomputation.
+    * Entirely ROW-LOCAL (the rules are per-document arithmetic over the
+    * token/line arrays — whole-stage codegen, no UDF, no shuffle before
+    * the output sort), so the filter rides the scan at any corpus size.
+    * Ratios divide exact integer operands in a fixed order, so the
+    * doubles — and the driver hash — are bit-identical to the oracle.
+    */
+  def gopherQuality(documents: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopList: Seq[String] = gopherStopwords,
+      minStopHits: Int = 2): DataFrame = {
+    require(stopList.nonEmpty, "gopherQuality: stopList must be non-empty")
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    val nWordsD = nWords.cast("double")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = sumLen.cast("double") / nWordsD
+    val nHash =
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+        .cast("long")
+    // each '...' occurrence removes exactly 3 chars, so the count is the
+    // length delta over 3 (exact: the delta is always a multiple of 3)
+    val nEllipsis =
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit(""))))
+        .cast("long") / lit(3L)).cast("long")
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWordsD
+    val lines = split(col("text"), "\n")
+    val nLinesD = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+        .cast("double") / nLinesD
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLinesD
+    val alphaFrac =
+      size(filter(words, w => w.rlike("[a-z]"))).cast("double") / nWordsD
+    // count of REQUIRED stopwords present (distinct presence, not token
+    // occurrences): probe the fixed 8-word list against the document
+    val stopArr = array(stopList.map(lit): _*)
+    val nStopHits =
+      size(filter(stopArr, s => array_contains(words, s))).cast("long")
+    documents.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"),
+        nStopHits.as("n_stop_hits"),
+        (nWords >= minWords && nWords <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolRatio <= 0.1 &&
+          bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+          alphaFrac >= 0.8 && nStopHits >= minStopHits.toLong).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def tokenFrequencies(documents: DataFrame, k: Int = 50): DataFrame =
     documents
       .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))

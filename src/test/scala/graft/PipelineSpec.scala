@@ -549,6 +549,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) * 10)
   }
 
+  test("gopher rules each fire on a crafted violation and pass a clean doc") {
+    import spark.implicits._
+    // the driver corpus has no newlines/bullets/symbols, so those rules
+    // are only exercisable through this fixture (canonical stop list here)
+    val clean = (Seq("the", "of") ++ Seq.fill(48)("word")).mkString(" ")
+    val bullets = (("- item first" +: (1 to 8).map(i => s"- item n$i")) :+
+      "one plain closing line").mkString("\n") // 9 of 10 lines bulleted
+    val dots = Seq("line one ends well", "second goes on...",
+      "and a third trails...").mkString("\n")  // 2 of 3 lines ellipsis
+    val docs = Seq(
+      (1L, clean),
+      (2L, bullets),
+      (3L, dots),
+      (4L, "tiny doc the of"),                          // word count < 50
+      (5L, (Seq("the", "of") ++
+        Seq.fill(58)("extraordinarily")).mkString(" ")), // mean len > 10
+      (6L, (Seq("the", "of") ++ Seq.fill(58)("123")).mkString(" ")), // alpha
+      (7L, (Seq("the", "of") ++
+        Seq.fill(58)("word#")).mkString(" ")))          // symbol ratio > 0.1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "clean doc must keep")
+    assert(got(1L).getLong(1) == 50L && got(1L).getLong(7) == 2L)
+    assert(got(2L).getDouble(4) == 0.9 && !got(2L).getBoolean(8),
+      s"bullet_frac ${got(2L).getDouble(4)} must hit the 0.9 ceiling")
+    assert(got(3L).getDouble(5) == 2.0 / 3.0 && !got(3L).getBoolean(8))
+    assert(!got(4L).getBoolean(8), "short doc must drop")
+    assert(got(5L).getDouble(2) > 10.0 && !got(5L).getBoolean(8))
+    assert(got(6L).getDouble(6) == 2.0 / 60.0 && !got(6L).getBoolean(8))
+    assert(got(7L).getDouble(3) == 58.0 / 60.0 && !got(7L).getBoolean(8))
+    // stop-rule: same docs under an impossible lexicon all drop
+    val strict = TextAnalysis.gopherQuality(docs,
+      stopList = Seq("zzz", "qqq")).collect()
+    assert(strict.forall(!_.getBoolean(8)), "no doc has the strict lexicon")
+  }
+
+  test("corr_stats matches Spark's built-in moments within 1e-9") {
+    // the exact-integer-sums formulation must agree with corr/covar_pop
+    // (double accumulation) on a small SF where both are well-conditioned
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("v"),
+        avg(col("l_quantity")).as("mq"),
+        avg(col("l_extendedprice")).as("mp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val ours = Relational.corrStats(li).collect()
+    assert(ours.length == builtin.size)
+    ours.foreach { r =>
+      val (c, v, mq, mp) = builtin(r.getString(0))
+      // built-ins accumulate doubles; their error, not ours, sets the bar
+      assert(math.abs(r.getDouble(5) - c) < 1e-9, s"corr ${r.getDouble(5)} vs $c")
+      assert(math.abs(r.getDouble(4) - v) < 1e-3, s"cov ${r.getDouble(4)} vs $v")
+      assert(math.abs(r.getDouble(2) - mq) < 1e-8)
+      assert(math.abs(r.getDouble(3) - mp) < 1e-4)
+    }
+  }
+
   test("PII scrub masks emails, IPs, and long numbers in stage order") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, regexp_replace}

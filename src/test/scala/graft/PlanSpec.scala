@@ -150,12 +150,24 @@ class PlanSpec extends AnyFunSuite {
     for ((q, maxEx) <- Seq("quality_repetition" -> 1, "scrub_pii" -> 1,
         "chunk_docs" -> 1, "pack_sequences" -> 2, "quantize_embeddings" -> 1,
         "simhash" -> 1, "cdc_chunks" -> 1, "token_entropy" -> 1,
-        "bpe_tokens" -> 1)) {
+        "bpe_tokens" -> 1, "gopher_quality" -> 1)) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
       assert(exchanges <= maxEx,
         s"$q planned $exchanges exchanges (max $maxEx):\n$p")
     }
+  }
+
+  test("corr_stats is one partial-aggregable pass, never a window") {
+    // the moment-sketch promise: five exact power sums merge associatively,
+    // so the plan is scan → partial HashAggregate → 3-row final aggregate
+    // (+ the output sort). A Window or a second aggregation pass would
+    // break the single-scan contract.
+    val p = planOf("corr_stats")
+    assert(!p.contains("Window"), s"corr_stats planned a window:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"corr_stats planned $exchanges exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
   test("contamination broadcasts the benchmark shingle set") {
