@@ -71,6 +71,22 @@ object StreamingOps {
   def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.dropDuplicates(keyCols)
 
+  /** BOUNDED-state streaming dedup: like [[dedupStream]], but per-key
+    * state is dropped once the event-time watermark passes it
+    * (`dropDuplicatesWithinWatermark`). This is the production shape for
+    * continuous corpus ingest — duplicates land close together in event
+    * time (re-crawls, retry storms), so a retention window turns the
+    * unbounded dedup map into O(keys-per-window) state while still
+    * catching every near-in-time duplicate. Exactly-once admission
+    * OUTSIDE the window is then the batch dedup pass's job (the
+    * standard lambda split: cheap bounded streaming guard + periodic
+    * exact compaction).
+    */
+  def dedupStreamBounded(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", delay: String = "2 hours"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked sliding-window counts — streaming twin of
     * Events.slidingCounts (1-hour windows every 30 minutes; each event
     * contributes to its two windows).

@@ -100,6 +100,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded dedup drops in-window duplicates and evicts expired state") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bdup")
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // rows as (event_id, ts-nanos): the key is event_id. The file source
+    // monitors flat files, so stage each batch's part-file under a fresh
+    // name (a parquet WRITE makes a directory the source would skip).
+    def writeFile(name: String, rows: (Long, Long)*): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_bdup_w")
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"),
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    writeFile("a", 1L -> hourNs, 1L -> hourNs, 2L -> hourNs) // dup in batch
+    val q = StreamingOps.dedupStreamBounded(
+        StreamingOps.eventsStream(spark, dir.toString), Seq("event_id"),
+        delay = "2 hours")
+      .writeStream.format("memory").queryName("bounded_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bounded_dedup").count() == 2,
+        "in-batch duplicate must be dropped")
+      // same keys again while state is live (watermark = 1h - 2h < 0)
+      writeFile("b", 1L -> (hourNs + 1), 3L -> (2 * hourNs))
+      q.processAllAvailable()
+      assert(spark.table("bounded_dedup").count() == 3,
+        "in-window duplicate across batches must be dropped")
+      // advance the watermark far past key 1's expiry, then replay it:
+      // bounded state means the old key was EVICTED and readmits
+      writeFile("c", 4L -> (10 * hourNs))
+      q.processAllAvailable() // watermark -> 8h
+      writeFile("d", 1L -> (9 * hourNs))
+      q.processAllAvailable()
+      val ids = spark.table("bounded_dedup")
+        .groupBy("event_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids(4L) == 1L)
+      assert(ids(1L) == 2L,
+        s"expired key must readmit after watermark passes (got $ids)")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState user totals equal batch groupBy") {
     val q = StreamingOps.userTotals(spark, StreamingOps.eventsStream(spark, streamDir))
       .writeStream.format("memory").queryName("user_totals_stream")
