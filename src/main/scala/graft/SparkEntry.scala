@@ -207,6 +207,24 @@ object SparkEntry {
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // SCD2 merge-apply over a synthetic CDC batch: mod-7 keys change
+    // acctbal (+100), mod-11 keys re-deliver unchanged rows (idempotent
+    // no-op) — close+insert vs pass-through both driver-checked
+    "scd2_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val current = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("1995-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = c
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          lit("1997-06-01").cast("timestamp").as("change_ts"))
+      Scd.scd2Apply(current, updates, "c_custkey", Seq("c_name", "c_acctbal"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
@@ -1007,6 +1025,37 @@ object SparkEntry {
         |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
         |    AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "scd2_apply" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    TIMESTAMP '1995-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM customer
+        |), upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    TIMESTAMP '1997-06-01' AS change_ts
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        |), chg AS (
+        |  SELECT u.c_custkey, u.c_name, u.c_acctbal, u.change_ts
+        |  FROM upd u JOIN cur c ON u.c_custkey = c.c_custkey
+        |  WHERE NOT (u.c_acctbal IS NOT DISTINCT FROM c.c_acctbal
+        |         AND u.c_name IS NOT DISTINCT FROM c.c_name)
+        |)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
+        |  ch.change_ts AS valid_to, FALSE AS is_current
+        |FROM cur c JOIN chg ch ON c.c_custkey = ch.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, change_ts AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |FROM chg
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
+        |  c.valid_to, c.is_current
+        |FROM cur c
+        |WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "string_agg" ->
       """SELECT n_name, count(*) AS n_suppliers,
         |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names

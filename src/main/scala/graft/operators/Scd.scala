@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) merge-apply — the CDC
+  * "MERGE INTO history" pattern every warehouse pipeline needs and the
+  * reference (a stateless batch job) has no counterpart for.
+  *
+  * Contract: `current` is an SCD2 table — `key`, the tracked attribute
+  * columns, `valid_from`/`valid_to` timestamps and an `is_current` flag;
+  * `updates` carries `key`, the same attributes, and a change timestamp.
+  * Applying a batch of updates:
+  *
+  *  - an update whose attributes differ from the key's current row
+  *    CLOSES that row (`valid_to` = change ts, `is_current` = false) and
+  *    INSERTS the new version (`valid_from` = change ts, open-ended);
+  *  - an update identical to the current row is a no-op (idempotent
+  *    re-delivery, the common CDC replay case);
+  *  - an update for an unseen key inserts its first version;
+  *  - historical (non-current) rows pass through untouched.
+  *
+  * Scale shape: updates dedupe to one row per key via a partial-aggregable
+  * `groupBy(key).max(struct(ts, attrs))` (latest-wins, deterministic on
+  * ties), then ONE equi-join against the current slice (AQE handles
+  * broadcast/skew — a CDC batch is usually dim-sized or smaller), and the
+  * verdict per joined row emits 0–2 output rows ROW-LOCALLY via a
+  * conditional array + explode — never a second join or a window, so the
+  * whole apply is join + scan at any history size.
+  */
+object Scd {
+
+  def scd2Apply(current: DataFrame, updates: DataFrame, key: String,
+      attrs: Seq[String], changeTsCol: String = "change_ts"): DataFrame = {
+    require(attrs.nonEmpty, "scd2Apply: attrs must be non-empty")
+
+    // latest update per key; attrs ride inside the max struct so ties on
+    // the timestamp resolve deterministically by attribute order
+    val latest = updates
+      .groupBy(col(key))
+      .agg(max(struct(col(changeTsCol) +: attrs.map(col): _*)).as("_u"))
+      .select(col(key).as("_u_key") +:
+        col(s"_u.$changeTsCol").as("_change_ts") +:
+        attrs.map(a => col(s"_u.$a").as(s"_u_$a")): _*)
+      .withColumn("_has_upd", lit(true))
+
+    val cur = current.filter(col("is_current"))
+      .withColumn("_has_cur", lit(true))
+    val hist = current.filter(!col("is_current"))
+
+    val joined = cur.join(latest, col(key) === col("_u_key"), "full_outer")
+    val same = attrs.map(a => col(a) <=> col(s"_u_$a")).reduce(_ && _)
+
+    def row(attrOf: String => Column, vf: Column, vt: Column,
+        ic: Column): Column =
+      struct(attrs.map(a => attrOf(a).as(a)) ++
+        Seq(vf.as("valid_from"), vt.as("valid_to"), ic.as("is_current")): _*)
+
+    val passThrough =
+      row(a => col(a), col("valid_from"), col("valid_to"), col("is_current"))
+    val closed =
+      row(a => col(a), col("valid_from"), col("_change_ts"), lit(false))
+    val fresh = row(a => col(s"_u_$a"), col("_change_ts"),
+      lit(null).cast(current.schema("valid_to").dataType), lit(true))
+
+    val emitted = when(col("_has_cur").isNull, array(fresh))
+      .when(col("_has_upd").isNull || same, array(passThrough))
+      .otherwise(array(closed, fresh))
+
+    val applied = joined
+      .select(coalesce(col(key), col("_u_key")).as(key),
+        explode(emitted).as("_r"))
+      .select(col(key) +: (attrs ++ Seq("valid_from", "valid_to", "is_current"))
+        .map(c => col(s"_r.$c").as(c)): _*)
+
+    applied.unionByName(
+      hist.select(col(key) +:
+        (attrs ++ Seq("valid_from", "valid_to", "is_current")).map(col): _*))
+  }
+}

@@ -170,6 +170,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("scd2_apply is one join plus row-local emission, never a window") {
+    // the merge contract: dedupe updates via partial-aggregable groupBy,
+    // ONE equi-join against the current slice, then 0-2 output rows per
+    // joined row from a conditional array explode. A second join (e.g.
+    // separate anti-join for pass-throughs) or a per-key window would
+    // re-shuffle the history at every CDC batch.
+    val p = planOf("scd2_apply")
+    assert(!p.contains("Window"), s"scd2_apply planned a window:\n$p")
+    val joins = SparkEntry.queries("scd2_apply")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+    assert(joins.size == 1, s"scd2_apply planned ${joins.size} joins:\n$p")
+    assert(p.contains("Generate"), s"no explode emission:\n$p")
+  }
+
   test("contamination broadcasts the benchmark shingle set") {
     // the benchmark side is small by construction — if it ever shuffles
     // instead of broadcasting, the decontamination scan stops being the

@@ -64,4 +64,60 @@ class TableSinkSpec extends AnyFunSuite {
         li.join(o, col("l_orderkey") === col("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-order layout clusters BOTH dimensions; single-col sort only one") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def spans(dir: String): (Double, Double, Long) = {
+      val f = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .collect()
+      val p = f.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / f.length
+      val s = f.map(r => (r.getLong(4) - r.getLong(3)).toDouble).sum / f.length
+      (p, s, f.length.toLong)
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    TableSink.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    val (zp, zs, zn) = spans(zDir)
+    assert(zn == 16, s"expected 16 z-ordered files, got $zn")
+    // global spans: partkey 0..199, suppkey 0..9; a 16-file z-layout is a
+    // ~4×4 grid, so ~25% per-file span in EACH dimension
+    assert(zp < 0.5 * 199, s"partkey not clustered: avg span $zp of 199")
+    assert(zs < 0.5 * 9, s"suppkey not clustered: avg span $zs of 9")
+    // contrast: sorting by partkey alone clusters partkey perfectly but
+    // leaves suppkey at full span — the case z-order exists to beat
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sDir)
+    val (sp, ss, _) = spans(sDir)
+    assert(sp < 0.5 * 199)
+    assert(ss > 0.8 * 9, s"single-col layout should NOT cluster suppkey: $ss")
+  }
+
+  test("zValue interleaves bits and rejects misuse") {
+    import spark.implicits._
+    // 2 cols × 2 bits: bucket grid (0..3)² — z must equal the hand
+    // Morton code (x bit i -> z bit 2i, y bit i -> z bit 2i+1)
+    val rows = for (x <- 0 to 3; y <- 0 to 3) yield (x.toDouble, y.toDouble)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"),
+        TableSink.zValue(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+          Seq(3.0, 3.0), bits = 2).as("z"))
+      .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt) ->
+        r.getLong(2)).toMap
+    def morton(x: Int, y: Int) =
+      ((x & 1) | ((y & 1) << 1) | ((x & 2) << 1) | ((y & 2) << 2)).toLong
+    for (x <- 0 to 3; y <- 0 to 3)
+      assert(got((x, y)) == morton(x, y), s"z($x,$y)")
+    // out-of-range values clamp instead of corrupting high bits
+    val clamped = Seq((-5.0, 99.0)).toDF("x", "y")
+      .select(TableSink.zValue(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+        Seq(3.0, 3.0), bits = 2)).head.getLong(0)
+    assert(clamped == morton(0, 3))
+    intercept[IllegalArgumentException] {
+      TableSink.zValue(Seq(col("x")), Seq(0.0), Seq(1.0), bits = 63)
+    }
+  }
 }
