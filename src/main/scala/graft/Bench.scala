@@ -16,6 +16,19 @@ object Bench {
     // session startup (classloading, codegen compiler init).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // MLlib's FPGrowth estimator JIT-compiles a large code path on first
+    // fit; measured cold-vs-warm gap on the real query is 2x (12.6 s vs
+    // 6.4 s at sf0.1) and it was the one query still able to exceed 2x
+    // its isolated number in the shared artifact. Warm it on a toy fit so
+    // the timed runs measure the operator, not classloading.
+    locally {
+      import org.apache.spark.ml.fpm.FPGrowth
+      import spark.implicits._
+      val toy = Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c"))
+        .toDF("items")
+      new FPGrowth().setItemsCol("items").setMinSupport(0.5)
+        .setMinConfidence(0.1).fit(toy).associationRules.count()
+    }
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // shared-JVM hygiene: collect the previous query's garbage BEFORE the

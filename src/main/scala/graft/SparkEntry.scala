@@ -342,6 +342,14 @@ object SparkEntry {
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+    // C4 line-level cleaning. The corpus is unpunctuated single-line text,
+    // so the punctuation rule is switched off and the word-count rule set
+    // to 50 — the line machinery still runs end-to-end and the keep
+    // verdict genuinely splits the corpus; the punctuation/boilerplate
+    // rules are exercised by the PipelineSpec fixture.
+    "c4_line_filter" -> ((s, dir) =>
+      TextAnalysis.c4LineFilter(t(s, dir, "documents"), minLineWords = 50,
+        requireTerminalPunct = false)),
     // full Gopher ruleset (word/line/symbol/stopword rules + keep verdict).
     // stopList localized to the synthetic corpus's function words — its
     // vocabulary contains only 'the'/'a' from any natural stop lexicon, so
@@ -1290,6 +1298,23 @@ object SparkEntry {
         |  count(*) AS n_distinct_trigrams,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c4_line_filter" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
+        |), s AS (
+        |  SELECT doc_id, ln,
+        |    list_filter(ln, l -> len(string_split(l, ' ')) >= 50
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS kept
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ln) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  len(kept) >= 1 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "gopher_quality" ->
       """WITH c AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w,

@@ -249,6 +249,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 line-level cleaning rules (Raffel et al. 2020 §2.2, public): keep
+    * a line only if it ends in terminal punctuation, has at least
+    * `minLineWords` words, and mentions none of javascript / lorem ipsum /
+    * curly braces; keep the DOCUMENT only if at least `minKeptLines`
+    * lines survive. The line-level complement of the document-level
+    * [[gopherQuality]] ruleset — C4 repairs pages by deleting boilerplate
+    * lines, Gopher rejects whole documents.
+    *
+    * `requireTerminalPunct` is a switch because corpora normalized to
+    * stripped/unpunctuated text (like the driver corpus) would otherwise
+    * drop every line vacuously. Entirely ROW-LOCAL: per-line verdicts are
+    * array lambdas over the line split, codegen'd, no shuffle before the
+    * output sort; the cleaned text is re-joined kept lines.
+    */
+  def c4LineFilter(documents: DataFrame, minLineWords: Int = 5,
+      minKeptLines: Int = 1,
+      requireTerminalPunct: Boolean = true): DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      "c4LineFilter: thresholds must be >= 1")
+    val lines = split(col("text"), "\n")
+    val keepLine = (l: Column) => {
+      val punctOk =
+        if (requireTerminalPunct) l.rlike("[.!?\"]$") else lit(true)
+      punctOk && size(split(l, " ")) >= minLineWords &&
+        !lower(l).contains("javascript") &&
+        !lower(l).contains("lorem ipsum") &&
+        !l.contains("{")
+    }
+    val kept = filter(lines, keepLine)
+    documents.select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        concat_ws("\n", kept).as("clean_text"),
+        (size(kept) >= minKeptLines).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def tokenFrequencies(documents: DataFrame, k: Int = 50): DataFrame =
     documents
       .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))

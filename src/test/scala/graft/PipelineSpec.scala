@@ -586,6 +586,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(strict.forall(!_.getBoolean(8)), "no doc has the strict lexicon")
   }
 
+  test("c4 line rules delete boilerplate lines and gate on kept count") {
+    import spark.implicits._
+    val text1 = Seq(
+      "This line has five good words.",          // kept
+      "short one.",                              // < 5 words
+      "no terminal punctuation here at all",     // punctuation rule
+      "Enable JavaScript to view this content.", // javascript mention
+      "Lorem ipsum dolor sit amet placeholder.", // lorem ipsum
+      "if (x) { return boilerplate code }",      // curly brace
+      "Another perfectly fine sentence ends here!").mkString("\n")
+    val docs = Seq((1L, text1), (2L, "all bad\nlines here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilter(docs, minKeptLines = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L)._1 == 7L && got(1L)._2 == 2L && got(1L)._4,
+      s"doc1 ${got(1L)}")
+    assert(got(1L)._3 == "This line has five good words.\n" +
+      "Another perfectly fine sentence ends here!")
+    assert(got(2L) == ((2L, 0L, "", false)))
+    // raising the document gate flips the verdict without changing lines
+    val strict = TextAnalysis.c4LineFilter(docs, minKeptLines = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!strict(1L) && !strict(2L))
+  }
+
   test("scd2 apply closes, inserts, no-ops, passes history, admits new keys") {
     import spark.implicits._
     import java.sql.Timestamp
