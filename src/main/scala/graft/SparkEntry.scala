@@ -337,6 +337,11 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
+    // exact frequent items above n/100 support, via Misra-Gries candidate
+    // pruning (the unbounded-vocabulary guard) — result is exact, so the
+    // oracle is the plain HAVING formulation
+    "heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.heavyHitters(t(s, dir, "documents"), d = 100)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -1272,6 +1277,15 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), n AS (SELECT count(*) AS n_tokens FROM t)
+        |SELECT token, count(*) AS freq,
+        |  (SELECT n_tokens FROM n) AS n_tokens
+        |FROM t GROUP BY token
+        |HAVING count(*) * 100 > (SELECT n_tokens FROM n)
+        |ORDER BY freq DESC, token""".stripMargin,
     "token_counts" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -586,6 +586,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(strict.forall(!_.getBoolean(8)), "no doc has the strict lexicon")
   }
 
+  test("misra-gries candidates cover every true heavy hitter under skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
+    // adversarial shape: a huge sparse vocabulary (every doc unique
+    // tokens) hiding a handful of genuinely frequent tokens, spread over
+    // many partitions — the exact case the naive groupBy can't afford
+    // and the sketch must not miss
+    val docs = (1 to 400).map { i =>
+      val rare = (1 to 40).map(j => s"u${i}_$j")
+      val hot = if (i % 2 == 0) Seq.fill(12)("hotA") else Seq.fill(8)("hotB")
+      (i.toLong, (rare ++ hot).mkString(" "))
+    }.toDF("doc_id", "text").repartition(16)
+    // tiny capacity (64) against 16k distinct tokens: the sketch prunes
+    // aggressively yet must keep every token above n/32 support
+    val got = HeavyHitters.heavyHitters(docs, d = 32, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 400 * 40 + 200 * 12 + 200 * 8
+    val expected = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(fcol("text"), " ")).as("tok"))
+      .groupBy("tok").count().filter(fcol("count") * 32 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty && expected.contains("hotA") &&
+      expected.contains("hotB"))
+    assert(got == expected,
+      s"missing=${expected.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(expected.keySet)}")
+    // guarantee precondition is enforced, not silently voided
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitters(docs, d = 100, capacity = 50)
+    }
+  }
+
   test("c4 line rules delete boilerplate lines and gate on kept count") {
     import spark.implicits._
     val text1 = Seq(

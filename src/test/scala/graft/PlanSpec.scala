@@ -186,6 +186,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"no explode emission:\n$p")
   }
 
+  test("heavy_hitters broadcasts the candidate set onto the token stream") {
+    // the sketch's whole point: the unbounded token stream is filtered by
+    // a broadcast semi-join against the bounded candidate relation BEFORE
+    // any token-keyed aggregation; a shuffled join here means the
+    // unbounded-vocabulary groupBy the operator exists to avoid
+    val p = planOf("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for a join:\n$p")
+  }
+
   test("contamination broadcasts the benchmark shingle set") {
     // the benchmark side is small by construction — if it ever shuffles
     // instead of broadcasting, the decontamination scan stops being the
