@@ -83,6 +83,23 @@ object SparkEntry {
         .groupBy(col("product"), col("neighbor")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("product"), col("neighbor"))
     }),
+    // O4/O7 under incremental view maintenance: the corpus splits into an
+    // "existing" and a "delta" partition (deterministic crc32 hash of the
+    // basket key), each aggregates independently, and the merged partial
+    // counts must equal the full recompute — the additivity contract a
+    // 100 TB pipeline relies on to ingest new data WITHOUT re-reading the
+    // corpus. The oracle is the full-recompute formulation, so the driver
+    // hash gate proves merge == recompute end-to-end. Window semantics
+    // are per-basket (row-local), so any basket-disjoint split is exact.
+    "cooccur_incremental" -> ((s, dir) => {
+      val b = BasketSource.basketsFromLineitem(s, dir)
+      val existing = b.filter(crc32(col("customer").cast("binary")) % 2 === 0)
+      val delta = b.filter(crc32(col("customer").cast("binary")) % 2 === 1)
+      CoOccurrence.counts(existing).unionByName(CoOccurrence.counts(delta))
+        .groupBy(col("product"), col("neighbor"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("product"), col("neighbor"))
+    }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
     // explicit skew mitigation, driver-checked: results must equal the
@@ -756,6 +773,9 @@ object SparkEntry {
       (cooccurCappedCte(5) +
         "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_sql" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // merge-of-partials must equal the FULL recompute — same oracle text
+    "cooccur_incremental" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
