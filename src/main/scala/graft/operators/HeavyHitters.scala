@@ -31,6 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Pure Misra-Gries pass: at most `capacity` counters; on overflow all
+    * counters decrement and zeroed ones drop (each overflow burns
+    * `capacity` tokens' worth of increments — amortized O(1)/token).
+    * GUARANTEE (property-tested): the surviving keys include every token
+    * whose frequency in `it` exceeds n/(capacity+1).
+    */
+  private[graft] def mgSketch(it: Iterator[String],
+      capacity: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < capacity => m.update(t, 1L)
+        case None =>
+          val ks = m.keysIterator.toArray
+          var i = 0
+          while (i < ks.length) {
+            val k = ks(i)
+            val v = m(k)
+            if (v == 1L) m.remove(k) else m.update(k, v - 1L)
+            i += 1
+          }
+      }
+    }
+    m.keysIterator
+  }
+
   def heavyHitters(documents: DataFrame, d: Int = 100,
       capacity: Int = 256): DataFrame = {
     require(d >= 2, "heavyHitters: d must be >= 2 (support = n/d)")
@@ -43,28 +70,10 @@ object HeavyHitters {
       .select(explode(split(col("text"), " ")).as("token")).as[String]
 
     // Misra-Gries per partition: at most `capacity` counters survive
-    val candidates = toks.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        m.get(t) match {
-          case Some(c) => m.update(t, c + 1L)
-          case None if m.size < capacity => m.update(t, 1L)
-          case None =>
-            // decrement-all; drop zeroed counters. Each overflow burns
-            // `capacity` stream tokens' worth of increments, so the
-            // amortized cost is O(1) per token.
-            val ks = m.keysIterator.toArray
-            var i = 0
-            while (i < ks.length) {
-              val k = ks(i)
-              val v = m(k)
-              if (v == 1L) m.remove(k) else m.update(k, v - 1L)
-              i += 1
-            }
-        }
-      }
-      m.keysIterator
-    }.toDF("token").distinct()
+    val cap = capacity
+    val candidates = toks
+      .mapPartitions(it => mgSketch(it, cap))
+      .toDF("token").distinct()
 
     val withTotal = toks.toDF("token")
       .join(broadcast(candidates), Seq("token"), "left_semi")

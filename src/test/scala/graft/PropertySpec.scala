@@ -120,4 +120,28 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(Dedup.spanGrams(null, 8).isEmpty)
   }
+
+  test("misra-gries survivors cover every token above n/(capacity+1)") {
+    import graft.operators.HeavyHitters
+    // zipf-ish streams: small hot vocabulary + long unique tail, so true
+    // heavy hitters exist and eviction pressure is real
+    val tokGen = Gen.frequency(
+      3 -> Gen.chooseNum(1, 5).map(i => s"hot$i"),
+      2 -> Gen.chooseNum(1, 10000).map(i => s"tail$i"))
+    (0 until 300).foreach { i =>
+      val stream = Gen.listOfN(400, tokGen)
+        .apply(Gen.Parameters.default, Seed(7000L + i)).getOrElse(Nil)
+      for (capacity <- Seq(4, 16, 64)) {
+        val survivors =
+          HeavyHitters.mgSketch(stream.iterator, capacity).toSet
+        assert(survivors.size <= capacity, s"seed $i cap $capacity")
+        val freq = stream.groupBy(identity).view.mapValues(_.size)
+        val mustKeep = freq.filter {
+          case (_, c) => c.toLong * (capacity + 1) > stream.size
+        }.keySet
+        assert(mustKeep.subsetOf(survivors),
+          s"seed $i cap $capacity missed ${mustKeep.diff(survivors)}")
+      }
+    }
+  }
 }
