@@ -687,6 +687,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == expected, "re-applying the batch must not change state")
   }
 
+  test("scd2 apply absorbs a 50%-hot update key in the partial aggregate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // retry-storm shape: half the CDC batch is re-deliveries of ONE key.
+    // The latest-wins dedup must collapse the hot key map-side (it is a
+    // partial-aggregable groupBy, not a window), leaving one version.
+    def ts(h: Int) = new Timestamp(3600L * 1000 * h)
+    val current = (1L to 100L).map(k =>
+      (k, s"name$k", k * 1.0, ts(0), Option.empty[Timestamp], true))
+      .toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    val updates = ((1 to 5000).map(i => (1L, "name1", 999.0, ts(i % 48))) ++
+      (2 to 100).map(k => (k.toLong, s"name$k", k * 2.0, ts(1))))
+      .toDF("k", "name", "bal", "change_ts")
+    val out = Scd.scd2Apply(current, updates, "k", Seq("name", "bal"))
+    val counts = out.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 2L, s"hot key versions: ${counts(1L)}")
+    assert((2L to 100L).forall(counts(_) == 2L))
+    // the hot key's surviving version is the LATEST delivery (max ts)
+    val hot = out.filter(org.apache.spark.sql.functions.col("k") === 1L &&
+      org.apache.spark.sql.functions.col("is_current")).collect()
+    assert(hot.length == 1 && hot.head.getAs[Timestamp]("valid_from") ==
+      ts(47) && hot.head.getDouble(2) == 999.0)
+  }
+
   test("corr_stats matches Spark's built-in moments within 1e-9") {
     // the exact-integer-sums formulation must agree with corr/covar_pop
     // (double accumulation) on a small SF where both are well-conditioned
