@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: updates dedupe to one row per key via a partial-aggregable
   * `groupBy(key).max(struct(ts, attrs))` (latest-wins, deterministic on
-  * ties), then ONE equi-join against the current slice (AQE handles
-  * broadcast/skew — a CDC batch is usually dim-sized or smaller), and the
-  * verdict per joined row emits 0–2 output rows ROW-LOCALLY via a
-  * conditional array + explode — never a second join or a window, so the
-  * whole apply is join + scan at any history size.
+  * ties; a retry-storm hot key collapses map-side — fixture-tested), then
+  * ONE full-outer equi-join against the current slice, and the verdict
+  * per joined row emits 0–2 output rows ROW-LOCALLY via a conditional
+  * array + explode — never a second join or a window. Note the full-outer
+  * shape cannot broadcast (Spark plans it sort-merge), so both sides
+  * shuffle once — acceptable because both are DIMENSION-sized (current
+  * rows + deduped updates), never history-sized: the history pass-through
+  * is a filter + union that touches no join. Callers with guaranteed
+  * no-new-keys batches can trade the full-outer for a left join plus
+  * broadcast, but the general contract keeps unseen-key inserts.
   */
 object Scd {
 
