@@ -576,6 +576,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L).getDouble(4) == 0.9 && !got(2L).getBoolean(8),
       s"bullet_frac ${got(2L).getDouble(4)} must hit the 0.9 ceiling")
     assert(got(3L).getDouble(5) == 2.0 / 3.0 && !got(3L).getBoolean(8))
+    // the '...' occurrences also count as symbols: 2 of 9 ws-words
+    assert(got(3L).getDouble(3) == 2.0 / 9.0,
+      s"symbol_ratio ${got(3L).getDouble(3)}")
     assert(!got(4L).getBoolean(8), "short doc must drop")
     assert(got(5L).getDouble(2) > 10.0 && !got(5L).getBoolean(8))
     assert(got(6L).getDouble(6) == 2.0 / 60.0 && !got(6L).getBoolean(8))
