@@ -5,25 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** Exact frequent-items ("heavy hitters") via Misra-Gries candidate
   * pruning — the mergeable-summary pattern for corpus-scale token
-  * statistics (Misra & Gries 1982; the `freqItems` family's guarantee,
-  * but finishing with an EXACT, deterministic result).
+  * statistics (Misra & Gries 1982; merge rule per Agarwal et al. 2012,
+  * "Mergeable Summaries" — all public), finishing with an EXACT,
+  * deterministic result.
   *
   * The naive `groupBy(token)` shuffles one row per distinct token —
   * vocabulary-sized, fine. What is NOT fine at 100 TB is asking for
   * "every token above an n/d support threshold" from an adversarial
   * vocabulary (URLs, hashes — distinct count ~ corpus size). The
   * Misra-Gries pass bounds that: each partition keeps at most `capacity`
-  * counters (decrement-all on overflow), and a token with GLOBAL
-  * frequency > n/(capacity+1) must exceed the local threshold in at
-  * least one partition (pigeonhole), so the union of per-partition
-  * survivors is a guaranteed candidate SUPERSET of the true heavy
-  * hitters. Exact counts then run over the candidate-filtered stream
-  * only — the unbounded-vocabulary aggregation never happens.
+  * counters (decrement-all on overflow), and the per-partition summaries
+  * TREE-MERGE into one summary that is still ≤ `capacity` counters (the
+  * merge adds counters, then subtracts the (capacity+1)-largest count
+  * and drops non-positives — errors add, so the merged guarantee is
+  * still n/(capacity+1)). A token with GLOBAL frequency > n/(capacity+1)
+  * therefore survives the merged summary, making it a guaranteed
+  * candidate SUPERSET of the true heavy hitters whose size never grows
+  * with partition count — the naive union-of-survivors alternative is
+  * capacity·partitions large (~10⁷ at 100k partitions), which is why the
+  * merge matters. Exact counts then run over the candidate-filtered
+  * stream only; the unbounded-vocabulary aggregation never happens.
   *
-  * Plan shape: mapPartitions sketch (no shuffle) → distinct over ≤
-  * capacity·partitions candidate rows (tiny) → broadcast semi-join back
-  * onto the token stream → groupBy over candidates only. Fully lazy; the
-  * support test `freq · d > n` is integer-exact on both engines.
+  * Plan shape: one bounded sketch job (mapPartitions → treeReduce — an
+  * EAGER pass at call time, the [[Sampling.stratifiedSample]] bounded-
+  * action discipline; ≤ capacity counters ever reach the driver), then a
+  * lazy InSet filter + groupBy over candidates only. The support test
+  * `freq · d > n` is integer-exact on both engines.
   *
   * `capacity` must be ≥ `d`, else the sketch could evict a true heavy
   * hitter (guarantee threshold n/(capacity+1) would sit ABOVE the
@@ -35,10 +42,11 @@ object HeavyHitters {
     * counters decrement and zeroed ones drop (each overflow burns
     * `capacity` tokens' worth of increments — amortized O(1)/token).
     * GUARANTEE (property-tested): the surviving keys include every token
-    * whose frequency in `it` exceeds n/(capacity+1).
+    * whose frequency in `it` exceeds n/(capacity+1), and each surviving
+    * count under-estimates the true frequency by at most n/(capacity+1).
     */
-  private[graft] def mgSketch(it: Iterator[String],
-      capacity: Int): Iterator[String] = {
+  private[graft] def mgCounters(it: Iterator[String],
+      capacity: Int): Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     it.foreach { t =>
       m.get(t) match {
@@ -55,7 +63,31 @@ object HeavyHitters {
           }
       }
     }
-    m.keysIterator
+    m.toMap
+  }
+
+  private[graft] def mgSketch(it: Iterator[String],
+      capacity: Int): Iterator[String] = mgCounters(it, capacity).keysIterator
+
+  /** Bounded merge of two MG summaries (Agarwal et al. 2012): add
+    * counters; if over capacity, subtract the (capacity+1)-largest count
+    * from every counter and drop non-positives — at most `capacity`
+    * survive, and the two summaries' under-estimation errors ADD, so
+    * tree-merging partition summaries preserves the global
+    * n/(capacity+1) coverage guarantee (property-tested).
+    */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    m ++= a
+    b.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+    if (m.size <= capacity) m.toMap
+    else {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val t = counts(m.size - capacity - 1) // (capacity+1)-th largest
+      m.iterator.collect { case (k, v) if v > t => k -> (v - t) }.toMap
+    }
   }
 
   def heavyHitters(documents: DataFrame, d: Int = 100,
@@ -69,19 +101,23 @@ object HeavyHitters {
     val toks = documents
       .select(explode(split(col("text"), " ")).as("token")).as[String]
 
-    // Misra-Gries per partition: at most `capacity` counters survive
+    // bounded eager sketch job: partition summaries tree-merge to ONE
+    // ≤capacity-entry map on the driver
     val cap = capacity
-    val candidates = toks
-      .mapPartitions(it => mgSketch(it, cap))
-      .toDF("token").distinct()
+    val summaries = toks.rdd
+      .mapPartitions(it => Iterator.single(mgCounters(it, cap)))
+    val candidates: Seq[String] =
+      if (summaries.isEmpty()) Seq.empty
+      else summaries.treeReduce((x, y) => mgMerge(x, y, cap)).keys.toSeq.sorted
 
-    val withTotal = toks.toDF("token")
-      .join(broadcast(candidates), Seq("token"), "left_semi")
+    val tokDf = toks.toDF("token")
+    val candidateFilter =
+      if (candidates.isEmpty) lit(false)
+      else col("token").isInCollection(candidates)
+    tokDf
+      .filter(candidateFilter)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(
-        toks.toDF("token").agg(count(lit(1)).as("_n"))))
-
-    withTotal
+      .crossJoin(broadcast(tokDf.agg(count(lit(1)).as("_n"))))
       .filter(col("freq") * d > col("_n"))
       .select(col("token"), col("freq"), col("_n").as("n_tokens"))
       .orderBy(col("freq").desc, col("token"))

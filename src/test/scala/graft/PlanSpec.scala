@@ -186,14 +186,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"no explode emission:\n$p")
   }
 
-  test("heavy_hitters broadcasts the candidate set onto the token stream") {
-    // the sketch's whole point: the unbounded token stream is filtered by
-    // a broadcast semi-join against the bounded candidate relation BEFORE
-    // any token-keyed aggregation; a shuffled join here means the
-    // unbounded-vocabulary groupBy the operator exists to avoid
+  test("heavy_hitters filters by the merged candidate set, never a join shuffle") {
+    // the sketch's whole point: the unbounded token stream is reduced by
+    // a row-local In/InSet filter against the ≤capacity merged summary
+    // BEFORE any token-keyed aggregation — the only hash exchange in the
+    // plan is the candidate-only groupBy. A sort-merge join (or a second
+    // hash exchange) means the unbounded-vocabulary shuffle the operator
+    // exists to avoid.
     val p = planOf("heavy_hitters")
-    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled for a join:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.matches(".*token#\\d+ (INSET|IN) .*")),
+      s"no candidate In filter in plan:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges (want <=1):\n$p")
   }
 
   test("contamination broadcasts the benchmark shingle set") {

@@ -121,6 +121,37 @@ class PropertySpec extends AnyFunSuite {
     assert(Dedup.spanGrams(null, 8).isEmpty)
   }
 
+  test("merged misra-gries summaries keep the global coverage guarantee") {
+    import graft.operators.HeavyHitters
+    val tokGen = Gen.frequency(
+      3 -> Gen.chooseNum(1, 5).map(i => s"hot$i"),
+      2 -> Gen.chooseNum(1, 10000).map(i => s"tail$i"))
+    (0 until 200).foreach { i =>
+      val stream = Gen.listOfN(600, tokGen)
+        .apply(Gen.Parameters.default, Seed(9000L + i)).getOrElse(Nil)
+      for (capacity <- Seq(8, 32); parts <- Seq(2, 5)) {
+        // simulate the partitioned sketch + tree merge
+        val chunks = stream.grouped(
+          math.max(1, stream.size / parts)).toSeq
+        val merged = chunks
+          .map(c => HeavyHitters.mgCounters(c.iterator, capacity))
+          .reduce((a, b) => HeavyHitters.mgMerge(a, b, capacity))
+        assert(merged.size <= capacity, s"seed $i cap $capacity")
+        val freq = stream.groupBy(identity).view.mapValues(_.size)
+        val mustKeep = freq.filter {
+          case (_, c) => c.toLong * (capacity + 1) > stream.size
+        }.keySet
+        assert(mustKeep.subsetOf(merged.keySet),
+          s"seed $i cap $capacity parts $parts missed " +
+            s"${mustKeep.diff(merged.keySet)}")
+        // merged counts never over-estimate the true frequency
+        merged.foreach { case (k, v) =>
+          assert(v <= freq.getOrElse(k, 0).toLong, s"overcount $k")
+        }
+      }
+    }
+  }
+
   test("misra-gries survivors cover every token above n/(capacity+1)") {
     import graft.operators.HeavyHitters
     // zipf-ish streams: small hot vocabulary + long unique tail, so true
