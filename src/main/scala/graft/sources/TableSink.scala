@@ -111,6 +111,9 @@ object TableSink {
         max(col(c).cast("double")).as(s"_max_$c"))).head,
       zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
         max(col(c).cast("double")).as(s"_max_$c"))).tail: _*).head()
+    require(zCols.indices.forall(i => !stats.isNullAt(2 * i)),
+      s"writeZOrdered: empty input or all-null z-column among $zCols — " +
+        "min/max are undefined, nothing to cluster")
     val mins = zCols.indices.map(i => stats.getDouble(2 * i))
     val maxs = zCols.indices.map(i => stats.getDouble(2 * i + 1))
     df.withColumn("_z", zValue(zCols.map(col), mins, maxs, bits))

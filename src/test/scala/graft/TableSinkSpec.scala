@@ -119,5 +119,13 @@ class TableSinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TableSink.zValue(Seq(col("x")), Seq(0.0), Seq(1.0), bits = 63)
     }
+    // empty input must fail fast with a clear message, not NPE mid-plan
+    val empty = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") < 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    val e = intercept[IllegalArgumentException] {
+      TableSink.writeZOrdered(empty, dir, Seq("l_partkey", "l_suppkey"), 4)
+    }
+    assert(e.getMessage.contains("empty input or all-null"))
   }
 }
