@@ -63,6 +63,25 @@ object BasketSource {
       .as[Basket]
   }
 
+  /** XML ingestion via Spark 4's built-in xml datasource:
+    * `<basket><customer>…</customer><products>34 56 …</products></basket>`
+    * rows under a `baskets` root — the interchange shape a reference user
+    * exporting from a legacy feed has. Same tokenizer discipline as
+    * [[fromCsv]].
+    */
+  def fromXml(spark: SparkSession, path: String,
+      rowTag: String = "basket"): Dataset[Basket] = {
+    import spark.implicits._
+    spark.read.format("xml").option("rowTag", rowTag)
+      .schema("customer STRING, products STRING")
+      .load(path)
+      .filter(col("customer").isNotNull)
+      .select(col("customer").cast("string"),
+        coalesce(filter(split(col("products").cast("string"), "\\s+"),
+          x => x =!= ""), array().cast("array<string>")).as("products"))
+      .as[Basket]
+  }
+
   /** Parquet-native basket builder: `lineitem` grouped by order key.
     * One shuffle (the groupBy); `sort_array` over (linenumber, partkey)
     * structs gives a deterministic purchase order without a global sort.

@@ -80,7 +80,7 @@ class GoldenSinkSpec extends AnyFunSuite {
     assert(back == 34)
   }
 
-  test("CSV and JSON basket sources yield the same relation as text") {
+  test("CSV, JSON, and XML basket sources yield the same relation as text") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_sources")
     Files.write(dir.resolve("b.csv"), java.util.List.of(
@@ -90,13 +90,22 @@ class GoldenSinkSpec extends AnyFunSuite {
     Files.write(dir.resolve("b.json"), java.util.List.of(
       """{"customer": "Mary", "products": ["34","56","29","12","34","56","92","29","34","12"]}""",
       """{"customer": "Kelly", "products": ["92","29","12","34","79","29","56","12","34","18"]}"""))
+    Files.write(dir.resolve("b.xml"), java.util.List.of(
+      "<baskets>",
+      "  <basket><customer>Mary</customer>" +
+        "<products>34 56 29 12 34 56 92 29 34 12</products></basket>",
+      "  <basket><customer>Kelly</customer>" +
+        "<products>92 29 12 34 79 29 56 12 34 18</products></basket>",
+      "</baskets>"))
     val fromText = BasketSource.fromLines(spark, fixtureLines).collect()
       .map(b => b.customer -> b.products).toMap
     val fromCsv = BasketSource.fromCsv(spark, dir.resolve("b.csv").toString)
       .collect().map(b => b.customer -> b.products).toMap
     val fromJson = BasketSource.fromJson(spark, dir.resolve("b.json").toString)
       .collect().map(b => b.customer -> b.products).toMap
-    assert(fromCsv == fromText && fromJson == fromText)
+    val fromXml = BasketSource.fromXml(spark, dir.resolve("b.xml").toString)
+      .collect().map(b => b.customer -> b.products).toMap
+    assert(fromCsv == fromText && fromJson == fromText && fromXml == fromText)
   }
 
   test("StripeAggregator UDAF equals groupBy+map_from_entries composition") {
