@@ -186,6 +186,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"no explode emission:\n$p")
   }
 
+  test("cooccur_incremental merges partials without an extra exchange") {
+    // both branches aggregate on (product, neighbor) and arrive at the
+    // merge hash-partitioned on exactly those keys, so Catalyst plans the
+    // final merge aggregate WITHOUT its own exchange (union of
+    // co-partitioned children). Losing that re-shuffles the whole merged
+    // pair relation — the cost additivity exists to avoid.
+    val p = planOf("cooccur_incremental")
+    val exchanges = p.linesIterator.count(_.trim.matches("[:+\\- ]*Exchange .*"))
+    // 2 basket builds + 2 pair-count aggs + 1 output sort = 5; a 6th
+    // means the merge lost the children's partitioning
+    assert(exchanges <= 5, s"merge re-shuffled ($exchanges exchanges):\n$p")
+  }
+
   test("heavy_hitters filters by the merged candidate set, never a join shuffle") {
     // the sketch's whole point: the unbounded token stream is reduced by
     // a row-local In/InSet filter against the ≤capacity merged summary
