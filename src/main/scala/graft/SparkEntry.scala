@@ -301,6 +301,11 @@ object SparkEntry {
     // struct — p_event_id is the first payload field, so the max-event_id
     // row wins, matching the oracle's ORDER BY event_id DESC dedupe);
     // DuckDB ASOF's own tie choice is unspecified, hence the QUALIFY twin.
+    // Goes through asOfAuto — the recommended entry point: it probes the
+    // hottest key with one partial-aggregable pass and silently upgrades
+    // to the bucketized plan when a key's volume would pin one window
+    // task (here no user is hot, so the plain one-shuffle plan is chosen
+    // and the hash is unchanged).
     "asof_join" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -308,7 +313,7 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
           col("value").as("p_value"))
-      TemporalJoin.asOf(clicks, purchases, "user_id", "ts",
+      TemporalJoin.asOfAuto(clicks, purchases, "user_id", "ts",
           Seq("p_event_id", "p_value"))
         .select(col("event_id"), col("user_id"), col("value"),
           col("_asof.p_event_id").as("purchase_event_id"),
@@ -446,10 +451,17 @@ object SparkEntry {
     "cosine_clusters" -> ((s, dir) => {
       val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)
         .select(col("vec_id").as("doc_a"), col("other_id").as("doc_b"))
-      Dedup.nearDupClusters(pairs)
-        .withColumn("n_members", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cluster_id"))))
+      // member count via partial-aggregable groupBy joined back, not a
+      // cluster_id window — same megacluster reasoning as dedup_clusters:
+      // embedding-cosine dedup is exactly what finds a boilerplate
+      // megacluster, and it must not colocate in one window task. The
+      // labels relation is cached by nearDupClusters, so both sides of
+      // the join reuse it.
+      val clusters = Dedup.nearDupClusters(pairs)
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
         .orderBy(col("doc_id"))
     }),
     "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),

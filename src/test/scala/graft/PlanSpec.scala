@@ -425,6 +425,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
   }
 
+  test("cosine_clusters counts members via aggregates, not a cluster_id window") {
+    // embedding-cosine dedup is exactly what finds a boilerplate
+    // megacluster — same no-window discipline as dedup_clusters
+    val p = planOf("cosine_clusters")
+    assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
+  }
+
   test("exact_quantiles stays window-free like exact_median") {
     // one ExactRank pass serves all four percentiles: adding targets must
     // never re-introduce a per-flag window (3-task ceiling) or extra passes
