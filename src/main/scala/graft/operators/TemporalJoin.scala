@@ -44,7 +44,9 @@ object TemporalJoin {
     * parallelism floor. Correctness under a 50%-hot key is pinned by a
     * fixture. If one key's volume outgrows a task at your scale, use
     * [[asOfBucketized]] — identical semantics (equivalence-tested), with
-    * per-(key, time-bucket) parallelism instead of per-key.
+    * per-(key, time-bucket) parallelism instead of per-key. Callers that
+    * don't know their key distribution should use [[asOfAuto]], which
+    * measures it and picks for them.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
@@ -68,6 +70,46 @@ object TemporalJoin {
       .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_src") === 1)
       .drop("_pay", "_src")
+  }
+
+  /** The RECOMMENDED as-of entry point — scale-safe by default. Picks
+    * [[asOf]] or [[asOfBucketized]] by measuring the hottest key's combined
+    * row volume with one partial-aggregable planning pass
+    * (`groupBy(key).count` → `max` — the probe itself is skew-proof: a hot
+    * key collapses map-side before the exchange). If the hottest key
+    * exceeds `maxKeyRowsPerTask` rows, [[asOf]]'s per-key running frame
+    * would pin that key to a single task, so the bucketized form is
+    * chosen; otherwise the plain form (one fewer shuffle, no carry join)
+    * wins. Both branches are semantically identical (equivalence-tested in
+    * TemporalJoinSpec), so the choice affects only the physical plan.
+    *
+    * The probe is an eager action by design — statistics before planning,
+    * the same posture as AQE's runtime re-plan. Callers that already know
+    * their key cardinality can call the specific variant directly and skip
+    * the probe; at 100 TB the probe is one shuffle-light pass over the two
+    * key columns (pruned scan), amortized against a join that reads every
+    * column.
+    *
+    * Default `maxKeyRowsPerTask` = 4M rows: a per-key window task holding
+    * ~4M narrow rows (~a few hundred MB unserialized) is near the upper
+    * bound of comfortable single-task memory at typical executor sizing.
+    */
+  def asOfAuto(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payload: Seq[String], bucketSec: Long = 3600,
+      maxKeyRowsPerTask: Long = 4L << 20): DataFrame =
+    if (bucketizedWins(left, right, key, maxKeyRowsPerTask))
+      asOfBucketized(left, right, key, tsCol, payload, bucketSec)
+    else asOf(left, right, key, tsCol, payload)
+
+  /** The [[asOfAuto]] decision, separated for direct testing: true when
+    * the hottest key's combined (left + right) row volume exceeds the
+    * per-task budget. Empty inputs choose the plain form. */
+  private[graft] def bucketizedWins(left: DataFrame, right: DataFrame,
+      key: String, maxKeyRowsPerTask: Long): Boolean = {
+    val mx = left.select(col(key)).unionByName(right.select(col(key)))
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    !mx.isNullAt(0) && mx.getLong(0) > maxKeyRowsPerTask
   }
 
   /** Backward as-of join with per-(key, time-bucket) parallelism — the

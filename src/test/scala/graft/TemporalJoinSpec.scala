@@ -162,6 +162,44 @@ class TemporalJoinSpec extends AnyFunSuite {
       TemporalJoin.asOfBucketized(left, right, "user_id", "ts", Seq("r_id"), 0L))
   }
 
+  test("asOfAuto picks the bucketized plan exactly when a key outgrows the task budget") {
+    import spark.implicits._
+    // 60% of rows on one key: with a 100-row budget the probe must choose
+    // bucketized; with a generous budget it must keep the plain
+    // one-shuffle plan. Decision tested directly (bucketizedWins), then
+    // the auto entry is checked against plain asOf for identical output
+    // in BOTH regimes — the heuristic may only ever change the plan.
+    val rnd = new scala.util.Random(3)
+    val left = (1L to 500L).map { id =>
+      val u = if (id % 5 < 3) "hot" else s"u${id % 11}"
+      (id, u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(50000) * 1000L))
+    }.toDF("event_id", "user_id", "ts")
+    val right = (5000L to 5200L).map { id =>
+      val u = if (id % 5 < 3) "hot" else s"u${id % 11}"
+      (u, new java.sql.Timestamp(1577836800000L + rnd.nextInt(50) * 1000000L), id)
+    }.toDF("user_id", "ts", "r_id")
+    assert(TemporalJoin.bucketizedWins(left, right, "user_id", 100L),
+      "a 400+-row hot key must exceed a 100-row task budget")
+    assert(!TemporalJoin.bucketizedWins(left, right, "user_id", 1000000L),
+      "no key exceeds a 1M-row budget on this fixture")
+    val ref = TemporalJoin.asOf(left, right, "user_id", "ts", Seq("r_id"))
+      .select(col("event_id"), col("_asof.r_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    for (budget <- Seq(100L, 1000000L)) {
+      val got = TemporalJoin.asOfAuto(left, right, "user_id", "ts",
+          Seq("r_id"), bucketSec = 50, maxKeyRowsPerTask = budget)
+        .select(col("event_id"), col("_asof.r_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == ref, s"asOfAuto(budget=$budget) diverged from asOf")
+    }
+    // empty inputs choose the plain form (no probe NPE)
+    val emptyL = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "ts")
+    val emptyR = Seq.empty[(String, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "r_id")
+    assert(!TemporalJoin.bucketizedWins(emptyL, emptyR, "user_id", 100L))
+  }
+
   test("degenerate inputs: empty right side, empty pair relation") {
     import spark.implicits._
     val left = Seq((1L, "u1", java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1.0))
