@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Unordered market-basket association rules (support / confidence / lift)
   * — the MLlib-FPGrowth-shaped capability from the north star
@@ -30,7 +31,12 @@ object MarketBasket {
   def fpgrowthRules(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.ml.fpm.FPGrowth
     val spark = lineitem.sparkSession
-    val items = basketItems(lineitem).cache()
+    // DISK_ONLY, not default storage: the distinct (basket, item) relation
+    // is corpus-sized, and a corpus-sized pin in storage MEMORY competes
+    // with the very shuffles/aggregations it feeds at 100 TB — the same
+    // discipline as ngram_jaccard's df relation (measured both ways there;
+    // re-measured here, BENCH_NOTES r8).
+    val items = basketItems(lineitem).persist(StorageLevel.DISK_ONLY)
     val baskets = items.groupBy(col("basket"))
       .agg(collect_list(col("item")).as("items"))
     // ML estimator boundary: fit() is an eager action by nature, so this
@@ -67,7 +73,8 @@ object MarketBasket {
     * materialized (Bench/Verify do this per query).
     */
   def rules(lineitem: DataFrame, minPairCount: Long = 2): DataFrame = {
-    val items = basketItems(lineitem).cache()
+    // DISK_ONLY for the corpus-sized relation (see fpgrowthRules)
+    val items = basketItems(lineitem).persist(StorageLevel.DISK_ONLY)
     // basket count as a broadcast 1-row aggregate — keeps the whole rule
     // derivation a single lazy plan (no driver-side count action/extra scan)
     val nb = items.agg(countDistinct(col("basket")).cast("double").as("n_baskets"))
