@@ -3,6 +3,9 @@ package graft.operators
 import scala.reflect.ClassTag
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** The range-partitioned counter+offset exact-rank shape — the scalable
   * replacement for `row_number() OVER (PARTITION BY group)` when the group
@@ -30,25 +33,68 @@ import org.apache.spark.rdd.RDD
   *
   * Used by [[Sampling.stratifiedSample]] (O(fraction·n) per-group prefix),
   * [[Relational.exactMedian]] (rank-at-⌊(n+1)/2⌋ selection), and any future
-  * exact order statistic.
+  * exact order statistic; [[exactRank]] is the public DataFrame-level form
+  * for arbitrary (group, order) column sets.
   */
 object ExactRank {
+
+  /** The public, first-class form: annotate `df` with each row's exact
+    * 1-based rank within its `groupCols` group under the `orderCols`
+    * ordering (ascending, nulls first — Spark's range-sort order), plus
+    * the group's total row count — `row_number() + count(*) OVER
+    * (PARTITION BY group ORDER BY order)` semantics WITHOUT the per-group
+    * window task: parallelism is the partition count, never the group
+    * count, so a 3-value group key ranks at full cluster width.
+    *
+    * Determinism contract: `groupCols ++ orderCols` must be a unique key
+    * (add a tie-breaker column like the row's primary key if the ordering
+    * alone has ties) — otherwise ranks within a tie run are
+    * partition-order-dependent. Group columns must have value equality
+    * (atomic/struct types, not raw arrays/maps).
+    *
+    * Eager like every ExactRank consumer: the bounded offset pass (one
+    * row per partition × group) runs at call time; see the object
+    * scaladoc for the snapshot semantics.
+    */
+  def exactRank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      rankCol: String = "rnk", totalCol: String = "n_group"): DataFrame = {
+    require(groupCols.nonEmpty, "exactRank requires at least one group column")
+    require(orderCols.nonEmpty, "exactRank requires at least one order column")
+    val taken = df.columns.toSet
+    require(!taken(rankCol) && !taken(totalCol),
+      s"output columns '$rankCol'/'$totalCol' collide with the input schema")
+    val keys = (groupCols ++ orderCols).map(col)
+    // group cols PREFIX the range key, so each group occupies a contiguous
+    // partition span — the rankWithinGroups contract
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val ranked = rankWithinGroups(sorted.rdd,
+      (r: Row) => gIdx.map(i => r.get(i)).toList)
+    val outSchema = schema
+      .add(StructField(rankCol, LongType, nullable = false))
+      .add(StructField(totalCol, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      ranked.map { case (r, rn, n) => Row.fromSeq(r.toSeq :+ rn :+ n) },
+      outSchema)
+  }
 
   /** Annotate each row with its exact 1-based rank within `group(row)`
     * (under the input's global range order) and the group's total row
     * count. One bounded driver collect; no per-group task ceiling.
+    * `K` needs value equality + a stable hashCode (String, tuples, List).
     */
-  private[graft] def rankWithinGroups[T: ClassTag](rdd: RDD[T],
-      group: T => String): RDD[(T, Long, Long)] = {
+  private[graft] def rankWithinGroups[T: ClassTag, K](rdd: RDD[T],
+      group: T => K): RDD[(T, Long, Long)] = {
     val sc = rdd.sparkContext
-    val partCounts: Array[(Int, Seq[(String, Long)])] = rdd
+    val partCounts: Array[(Int, Seq[(K, Long)])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        val m = scala.collection.mutable.LinkedHashMap.empty[K, Long]
         it.foreach { t => val g = group(t); m.update(g, m.getOrElse(g, 0L) + 1L) }
         Iterator.single((pid, m.toSeq))
       }.collect()
-    val offsets = scala.collection.mutable.Map.empty[(Int, String), Long]
-    val totals = scala.collection.mutable.Map.empty[String, Long]
+    val offsets = scala.collection.mutable.Map.empty[(Int, K), Long]
+    val totals = scala.collection.mutable.Map.empty[K, Long]
     partCounts.sortBy(_._1).foreach { case (pid, counts) =>
       counts.foreach { case (g, n) =>
         offsets.update((pid, g), totals.getOrElse(g, 0L))
@@ -58,7 +104,7 @@ object ExactRank {
     val bcOff = sc.broadcast(offsets.toMap)
     val bcTot = sc.broadcast(totals.toMap)
     rdd.mapPartitionsWithIndex { (pid, it) =>
-      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val seen = scala.collection.mutable.Map.empty[K, Long]
       it.map { t =>
         val g = group(t)
         // fail fast on a pass-1/pass-2 disagreement (source mutated between

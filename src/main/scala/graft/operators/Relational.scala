@@ -350,7 +350,7 @@ object Relational {
       .sortWithinPartitions(col("l_returnflag"), col("l_quantity"),
         col("l_orderkey"), col("l_linenumber"))
       .as[(String, Double, Long, Long)]
-    ExactRank.rankWithinGroups[(String, Double, Long, Long)](sorted.rdd, _._1)
+    ExactRank.rankWithinGroups(sorted.rdd, (t: (String, Double, Long, Long)) => t._1)
   }
 
   /** Exact per-group quantiles — discrete (lower-rank) semantics: the

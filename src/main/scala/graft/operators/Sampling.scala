@@ -110,7 +110,7 @@ object Sampling {
       .repartitionByRange(col(stratum), col("doc_id"))
       .sortWithinPartitions(col(stratum), col("doc_id"))
       .as[(Long, String)]
-    ExactRank.rankWithinGroups[(Long, String)](sorted.rdd, _._2)
+    ExactRank.rankWithinGroups(sorted.rdd, (t: (Long, String)) => t._2)
       .flatMap { case ((id, s), rn, n) =>
         if (rn <= math.ceil(fraction * n).toLong) Iterator.single((id, s, rn, n))
         else Iterator.empty
