@@ -4,13 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, plus decode / feature-extract / frame-sample operators.
+  * metadata, plus decode / feature-extract / frame-sample / resize
+  * operators.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (shape derived from byte length; see
-  * [[StubCodec]]). Everything around it — binary column handling, schema,
-  * partition-preserving mapPartitions batching, sampling stride — is real
-  * Spark plumbing a production codec would drop into.
+  * Two codec modes behind ONE mapPartitions seam:
+  *  - [[StubCodec]] — deterministic fake (shape derived from byte
+  *    length), the oracle-checkable mode every text-payload query uses;
+  *  - [[ImageIoCodec]] — REAL image decode/resize over `javax.imageio`
+  *    (JDK-only), used by [[decodeImageMeta]]/[[resizeImages]] and
+  *    driver-checked end-to-end by [[imageRoundTrip]].
+  * Everything around the codec — binary column handling, schema,
+  * partition-preserving mapPartitions batching, sampling stride — is the
+  * same Spark plumbing in both modes.
   */
 object Multimodal {
 
@@ -18,15 +23,56 @@ object Multimodal {
   final case class MediaMeta(docId: Long, nBytes: Long, width: Int,
       height: Int, channels: Int)
 
-  /** STUB codec: a real implementation would wrap an image/audio library
-    * here (the only non-Spark piece). Deterministic fake: dimensions are
-    * derived from the byte length so tests and oracles can predict them.
+  /** STUB codec: the oracle-checkable deterministic mode (dimensions
+    * derived from the byte length so SQL twins can predict them). The
+    * REAL codec is [[ImageIoCodec]] — same seam, swapped by call site.
     */
   object StubCodec {
     def decodeMeta(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      // ??? <- real codec goes here; deterministic fake below
+      // real codec: ImageIoCodec.decodeMeta; deterministic fake below
       val n = bytes.length.toLong
       MediaMeta(docId, n, (1 + n % 64).toInt, (1 + (n / 64) % 64).toInt, 3)
+    }
+  }
+
+  /** REAL image kernels over `javax.imageio` (JDK-public, zero extra
+    * dependencies) — the production codec the stub stands in for. PNG
+    * (and any other ImageIO-registered format) in, PNG out. Decode
+    * returns None for payloads that aren't images — the ingest-filtering
+    * contract: corrupt media must DROP, not crash the task.
+    */
+  object ImageIoCodec {
+    def decodeMeta(docId: Long, bytes: Array[Byte]): Option[MediaMeta] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(i => MediaMeta(docId, bytes.length.toLong, i.getWidth,
+          i.getHeight, i.getColorModel.getNumComponents))
+
+    /** Shrink-to-fit-in-box resize. Target dims use INTEGER floor
+      * arithmetic (`side·maxDim / maxSide`, min 1; never upscales) so an
+      * oracle can recompute them exactly; bilinear resample; PNG
+      * re-encode (lossless, so a re-decode sees the resampled pixels
+      * bit-for-bit). None for non-image payloads.
+      */
+    def resize(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      require(maxDim >= 1, s"resize requires maxDim >= 1, got $maxDim")
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { src =>
+          val side = math.max(src.getWidth, src.getHeight)
+          val (w, h) =
+            if (side <= maxDim) (src.getWidth, src.getHeight)
+            else (math.max(1, (src.getWidth.toLong * maxDim / side).toInt),
+              math.max(1, (src.getHeight.toLong * maxDim / side).toInt))
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          out.toByteArray
+        }
     }
   }
 
@@ -134,6 +180,86 @@ object Multimodal {
       }
     }.toDF("doc_id", "n_bytes", "n_units", "out_units", "out_bytes",
         "thumb_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL decode through the same partition-preserving mapPartitions seam
+    * as [[decodeMeta]] — the codec is the only swapped piece. Input: a
+    * media table with (`doc_id` long, `media` binary). Non-image rows
+    * drop (flatMap), per the [[ImageIoCodec]] corrupt-media contract.
+    */
+  def decodeImageMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => ImageIoCodec.decodeMeta(id, b) })
+  }
+
+  /** REAL resize: binary in → PNG thumbnail binary out, same seam as
+    * [[resizeMedia]]'s stub. Non-image rows drop. Output partitioning is
+    * inherited from the scan — no shuffle.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        ImageIoCodec.resize(b, maxDim).map(out => (id, out))
+      }).toDF("doc_id", "thumb")
+  }
+
+  /** The REAL kernels driver-checked end-to-end (the `ann_ivf_trained`
+    * accuracy-contract pattern): per doc_id, synthesize a solid-color
+    * `(1 + id%16) × (1 + id%9)` PNG, decode it with [[ImageIoCodec]],
+    * resize into a `maxDim` box, re-decode the thumbnail, and emit the
+    * DECODED dimensions plus an all-pixels color check. The oracle
+    * recomputes the expected dims from doc_id with the same integer
+    * arithmetic and emits literal TRUE — a broken decode, resize, or
+    * re-encode flips a value and fails the hash gate. Solid color is the
+    * fixture trick: bilinear resampling of a constant image is exact, so
+    * the pixel check has no tolerance band.
+    */
+  def imageRoundTrip(documents: DataFrame, maxDim: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (1 + id % 16).toInt
+          val h = (1 + id % 9).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+            ((id * 13) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+            x += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          val png = buf.toByteArray
+          val meta = ImageIoCodec.decodeMeta(id, png).get
+          val thumb = ImageIoCodec.resize(png, maxDim).get
+          val out = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(thumb))
+          var colorOk = true
+          var xx = 0
+          while (xx < out.getWidth) {
+            var yy = 0
+            while (yy < out.getHeight) {
+              colorOk &&= (out.getRGB(xx, yy) & 0xffffff) == rgb
+              yy += 1
+            }
+            xx += 1
+          }
+          (id, meta.width.toLong, meta.height.toLong,
+            out.getWidth.toLong, out.getHeight.toLong, colorOk)
+        }
+      }.toDF("doc_id", "w", "h", "out_w", "out_h", "color_ok")
       .orderBy(col("doc_id"))
   }
 
