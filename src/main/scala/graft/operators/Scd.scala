@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *  - an update identical to the current row is a no-op (idempotent
   *    re-delivery, the common CDC replay case);
   *  - an update for an unseen key inserts its first version;
-  *  - historical (non-current) rows pass through untouched.
+  *  - historical (non-current) rows pass through untouched;
+  *  - a STALE update — change ts at-or-before the current row's
+  *    `valid_from` (an out-of-order CDC batch) — is skipped: applying it
+  *    would produce an inverted interval and overlapping history.
   *
   * Scale shape: updates dedupe to one row per key via a partial-aggregable
   * `groupBy(key).max(struct(ts, attrs))` (latest-wins, deterministic on
@@ -68,8 +71,15 @@ object Scd {
     val fresh = row(a => col(s"_u_$a"), col("_change_ts"),
       lit(null).cast(current.schema("valid_to").dataType), lit(true))
 
+    // out-of-order CDC guard: an update at-or-before the current row's
+    // valid_from would close it into a zero-width or INVERTED interval
+    // (valid_to < valid_from) and overlap the history — treat it as stale
+    // and pass the current row through unchanged. Within one batch the
+    // latest-wins dedupe above already ordered same-key updates; this
+    // guards the cross-batch ordering the caller can't always guarantee.
+    val stale = col("_change_ts") <= col("valid_from")
     val emitted = when(col("_has_cur").isNull, array(fresh))
-      .when(col("_has_upd").isNull || same, array(passThrough))
+      .when(col("_has_upd").isNull || same || stale, array(passThrough))
       .otherwise(array(closed, fresh))
 
     val applied = joined
