@@ -90,6 +90,15 @@ object HeavyHitters {
     }
   }
 
+  /** Input contract: `documents` must be DETERMINISTIC across jobs — the
+    * candidate sketch (pass 1) and the exact counts (pass 2) each scan the
+    * token stream, and the superset guarantee only holds when both passes
+    * see the same data. Parquet relations (every registered caller) are;
+    * a sampled/streaming/changing source is not — persist such an input
+    * before calling, or the candidate set silently loses its coverage
+    * guarantee. (The two-scan shape is deliberate: persisting a 100 TB
+    * token explosion to buy one scan costs more than the second scan.)
+    */
   def heavyHitters(documents: DataFrame, d: Int = 100,
       capacity: Int = 256): DataFrame = {
     require(d >= 2, "heavyHitters: d must be >= 2 (support = n/d)")

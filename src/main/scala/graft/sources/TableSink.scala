@@ -70,6 +70,14 @@ object TableSink {
     *
     * Pure bit arithmetic on codegen'd built-ins (floor/shift/and/or) —
     * no UDF; the z-key costs bits·ncols scalar ops per row.
+    *
+    * NULL handling: a row-level NULL in a z-column maps to bucket 0 (the
+    * greatest() clamp treats the NULL-propagated bucket as below 0), so
+    * null rows cluster with minimum-value rows. That keeps them
+    * range-prunable for IS NOT NULL + range predicates but makes the
+    * min-edge files null-heavy; pre-filter or route nulls to a dedicated
+    * partition if they are frequent. Only all-null columns are rejected
+    * (by [[writeZOrdered]]'s stats require).
     */
   def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
       bits: Int = 12): Column = {
@@ -102,6 +110,12 @@ object TableSink {
     * the same cost as any global sort-write. At 100 TB this is the
     * standard layout move for fact tables filtered on two or three
     * dimensions at once (data-skipping via parquet row-group stats).
+    *
+    * Reads `df` TWICE (the stats pass, then the write). For an expensive
+    * or nondeterministic upstream, persist `df` first — a recomputed
+    * nondeterministic input only has its drifted values clamped into the
+    * edge buckets (correct files, degraded clustering), and the second
+    * evaluation pays the full upstream cost again.
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       nFiles: Int, bits: Int = 12): Unit = {
