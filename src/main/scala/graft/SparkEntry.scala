@@ -100,6 +100,33 @@ object SparkEntry {
         .agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("product"), col("neighbor"))
     }),
+    // the flagship THROUGH THE STREAMING ENGINE, driver-checked: basket
+    // lines are staged to a temp dir, read back as a bounded file-source
+    // text STREAM run to completion (availableNow trigger), window-
+    // flatMapped and counted by Structured Streaming in complete mode
+    // into a memory sink, and the materialized sink table is returned.
+    // Same oracle text as cooccur_counts — batch/stream parity, finally
+    // visible to the driver's hash gate (StreamingSpec holds the
+    // watermark/exactly-once guarantees the gate can't see). The memory
+    // sink bounds this ARTIFACT to driver memory; production would swap
+    // in the parquet foreachBatch sink (StreamingOps
+    // .writePartitionedStream) — the dataflow upstream is identical.
+    "cooccur_stream" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_cooccur_stream")
+      BasketSource.fromLineitem(s, dir)
+        .select(concat_ws(" ", col("customer"),
+          array_join(col("products"), " ")).as("value"))
+        .write.mode("overwrite").text(stage.toString)
+      val counts = graft.streaming.StreamingOps.coOccurrenceCounts(s, stage.toString)
+      val sink = "cooccur_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("product"), col("neighbor"))
+    }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
     // explicit skew mitigation, driver-checked: results must equal the
@@ -222,6 +249,20 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
+    // the exact-rank primitive as a PUBLIC operator over arbitrary
+    // (group, order) columns: row_number + count(*) per group WITHOUT a
+    // per-group window task. o_orderstatus has THREE values — a window
+    // would be a 3-task ceiling at any cluster size; the range-partitioned
+    // counter+offset shape ranks at full cluster width. (o_totalprice,
+    // o_orderkey) is unique, so the ordering — and the ranks — are
+    // deterministic.
+    "order_rank" -> ((s, dir) =>
+      ExactRank.exactRank(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")),
+          groupCols = Seq("o_orderstatus"),
+          orderCols = Seq("o_totalprice", "o_orderkey"))
+        .orderBy(col("o_orderkey"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // SCD2 merge-apply over a synthetic CDC batch: mod-7 keys change
@@ -531,6 +572,12 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
     "media_embedding" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
     "media_resize" -> ((s, dir) => Multimodal.resizeMedia(t(s, dir, "documents"))),
+    // the REAL javax.imageio kernels, driver-checked (ann_ivf_trained
+    // accuracy-contract pattern): synthesize a solid PNG per doc_id,
+    // decode → resize → re-decode, emit DECODED dims + exact pixel check;
+    // the oracle recomputes the dims from doc_id and emits literal TRUE
+    "media_decode_real" -> ((s, dir) =>
+      Multimodal.imageRoundTrip(t(s, dir, "documents"), maxDim = 4)),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "weighted_sample" -> ((s, dir) =>
@@ -789,6 +836,9 @@ object SparkEntry {
     // merge-of-partials must equal the FULL recompute — same oracle text
     "cooccur_incremental" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // the streaming run must equal the batch computation — same oracle text
+    "cooccur_stream" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->
@@ -1041,6 +1091,12 @@ object SparkEntry {
         |SELECT l_returnflag, q.q_pct, l_quantity AS qty, n AS n_rows
         |FROM r, q WHERE rn = greatest(1, (n * q.q_pct + 99) // 100)
         |ORDER BY l_returnflag, q_pct""".stripMargin,
+    "order_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS rnk,
+        |  count(*) OVER (PARTITION BY o_orderstatus) AS n_group
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,
@@ -2058,6 +2114,21 @@ object SparkEntry {
         |  CAST(octet_length(encode(substring(text, 1, 64))) AS BIGINT) AS out_bytes,
         |  md5(substring(text, 1, 64)) AS thumb_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the real-kernel round trip: dims recomputed from doc_id with the
+    // same integer floor arithmetic as ImageIoCodec.resize; color_ok is
+    // the literal-TRUE accuracy contract (exact, solid-color fixture)
+    "media_decode_real" ->
+      """WITH f AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 9 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, w, h,
+        |  CASE WHEN greatest(w, h) <= 4 THEN w
+        |       ELSE greatest(1, w * 4 // greatest(w, h)) END AS out_w,
+        |  CASE WHEN greatest(w, h) <= 4 THEN h
+        |       ELSE greatest(1, h * 4 // greatest(w, h)) END AS out_h,
+        |  TRUE AS color_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
     "media_frames" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -715,6 +715,70 @@ class PipelineSpec extends AnyFunSuite {
       ts(47) && hot.head.getDouble(2) == 999.0)
   }
 
+  test("scd2 apply skips out-of-order updates instead of inverting intervals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val current = Seq(
+      (1L, "alice", 10.0, ts("1995-01-01"), Option.empty[Timestamp], true),
+      (2L, "bob", 20.0, ts("1995-01-01"), Option.empty[Timestamp], true))
+      .toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    // a late-arriving batch from BEFORE the current rows opened: applying
+    // it would close k=1 at 1994 < its 1995 valid_from (inverted interval)
+    val lateBatch = Seq(
+      (1L, "alice", 7.0, ts("1994-06-01")),  // strictly before: stale
+      (2L, "bob", 21.0, ts("1995-01-01")))   // exactly at valid_from: stale
+      .toDF("k", "name", "bal", "change_ts")
+    val out = Scd.scd2Apply(current, lateBatch, "k", Seq("name", "bal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+      .toSet
+    val unchanged = Set(
+      (1L, "alice", 10.0, ts("1995-01-01"), Option.empty[Timestamp], true),
+      (2L, "bob", 20.0, ts("1995-01-01"), Option.empty[Timestamp], true))
+    assert(out == unchanged, s"stale batch mutated state: $out")
+    // no row anywhere may carry valid_to < valid_from
+    val inverted = Scd.scd2Apply(current, lateBatch, "k", Seq("name", "bal"))
+      .filter(org.apache.spark.sql.functions.col("valid_to") <
+        org.apache.spark.sql.functions.col("valid_from")).count()
+    assert(inverted == 0L)
+  }
+
+  test("real image codec: decode, shrink-only resize, corrupt-media drop") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, png(16, 8, 0x336699)),                   // shrinks 4x2 in a 4-box
+      (2L, png(3, 2, 0xff0000)),                    // already fits: untouched
+      (3L, "not an image at all".getBytes("UTF-8")) // corrupt: must drop
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.decodeImageMeta(media).collect()
+      .map(m => m.docId -> ((m.width, m.height, m.channels))).toMap
+    assert(meta == Map(1L -> ((16, 8, 3)), 2L -> ((3, 2, 3))),
+      s"decode: $meta")
+    val thumbs = Multimodal.resizeImages(media, maxDim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(thumbs.keySet == Set(1L, 2L), "corrupt row leaked through resize")
+    val t1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L)))
+    assert(t1.getWidth == 4 && t1.getHeight == 2, "16x8 must shrink to 4x2")
+    // real pixel output: solid color survives bilinear resampling exactly
+    assert((t1.getRGB(2, 1) & 0xffffff) == 0x336699, "pixel drifted")
+    val t2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(2L)))
+    assert(t2.getWidth == 3 && t2.getHeight == 2, "in-box image must not upscale")
+    intercept[IllegalArgumentException](
+      graft.operators.Multimodal.ImageIoCodec.resize(png(2, 2, 0), 0))
+  }
+
   test("corr_stats matches Spark's built-in moments within 1e-9") {
     // the exact-integer-sums formulation must agree with corr/covar_pop
     // (double accumulation) on a small SF where both are well-conditioned
@@ -1201,6 +1265,58 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(got == ref, "ExactRank median diverged from the window formulation")
     assert(got.map(_._1) == Set("A", "N", "R"))
+  }
+
+  test("public exactRank matches the window formulation on multi-column groups") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // TWO group columns (incl. an integer one) and a 70%-hot group — the
+    // generic surface the lineitem scaffolding never exercised. id is
+    // unique, so (value, id) is a deterministic order.
+    val df = (1L to 2000L).map { i =>
+      val g1 = if (i % 10 < 7) "hot" else s"g${i % 3}"
+      (g1, (i % 4).toInt, (i * 13 % 97).toDouble, i)
+    }.toDF("grp", "sub", "value", "id")
+    val ref = df
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("grp"), col("sub"))
+        .orderBy(col("value"), col("id"))))
+      .withColumn("n_group", count(lit(1)).over(
+        Window.partitionBy(col("grp"), col("sub"))))
+      .collect().map(r => (r.getLong(3), r.getInt(4).toLong, r.getLong(5))).toSet
+    val got = ExactRank.exactRank(df, Seq("grp", "sub"), Seq("value", "id"))
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == ref, "public exactRank diverged from the window formulation")
+    // custom output names + schema preserved in order
+    val named = ExactRank.exactRank(df, Seq("grp"), Seq("value", "id"),
+      rankCol = "r2", totalCol = "t2")
+    assert(named.columns.toSeq == Seq("grp", "sub", "value", "id", "r2", "t2"))
+    // misuse fails fast: name collision, empty column sets
+    intercept[IllegalArgumentException](
+      ExactRank.exactRank(df, Seq("grp"), Seq("value"), rankCol = "id"))
+    intercept[IllegalArgumentException](
+      ExactRank.exactRank(df, Seq.empty, Seq("value")))
+    intercept[IllegalArgumentException](
+      ExactRank.exactRank(df, Seq("grp"), Seq.empty))
+  }
+
+  test("public exactRank handles null group values like the window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // nulls range-sort first and must form their own group, not crash or
+    // merge into the minimum-value group
+    val df = (1L to 300L).map { i =>
+      (if (i % 5 == 0) null else s"g${i % 3}", i)
+    }.toDF("grp", "id")
+    val ref = df
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("id"))))
+      .withColumn("n_group", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .collect().map(r => (r.getLong(1), r.getInt(2).toLong, r.getLong(3))).toSet
+    val got = ExactRank.exactRank(df, Seq("grp"), Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref, "null group handling diverged from the window formulation")
   }
 
   test("cleanCorpus dedups an exact-dup bag in 50% of docs like the window form") {

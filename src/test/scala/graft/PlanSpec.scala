@@ -432,6 +432,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
   }
 
+  test("order_rank (the public exactRank) stays window-free") {
+    // the flagship primitive's whole point: per-group ranks with NO
+    // per-group window task (o_orderstatus has 3 values — a window would
+    // cap parallelism at 3 forever)
+    val p = planOf("order_rank")
+    assert(!p.contains("Window"), s"exactRank planned a window:\n$p")
+  }
+
   test("exact_quantiles stays window-free like exact_median") {
     // one ExactRank pass serves all four percentiles: adding targets must
     // never re-introduce a per-flag window (3-task ceiling) or extra passes

@@ -82,6 +82,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("registered cooccur_stream runs availableNow to completion and equals batch") {
+    // the driver-visible streaming artifact: the registered query itself
+    // (stage → bounded stream → memory sink → table) must equal the batch
+    // flagship bit-for-bit on real data
+    val streamed = SparkEntry.queries("cooccur_stream")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("cooccur_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // re-running must not collide on the sink name (dropTempView + fresh
+    // stage dir per call)
+    val again = SparkEntry.queries("cooccur_stream")(spark, sf).count()
+    assert(again == batch.size)
+  }
+
   test("streaming dedup admits each key exactly once across files") {
     // two copies of the same events file: every event_id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
