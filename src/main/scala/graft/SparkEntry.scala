@@ -127,6 +127,54 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink).orderBy(col("product"), col("neighbor"))
     }),
+    // event-time WINDOWED AGGREGATION through the streaming engine,
+    // driver-checked: normalized events staged to a temp dir, read back as
+    // a bounded parquet file-source stream (availableNow), watermarked +
+    // 1-hour-tumbling aggregated in complete mode into a memory sink.
+    // Epoch-aligned tumbling windows make window.start ==
+    // date_trunc('hour', ts), so the batch hourly_counts oracle applies
+    // verbatim — windowing parity visible to the hash gate (StreamingSpec
+    // holds the late-drop/append-closure guarantees the gate can't see).
+    "hourly_counts_stream" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_hourly_stream")
+      eventsTable(s, dir).write.mode("overwrite").parquet(stage.toString)
+      val counts = graft.streaming.StreamingOps.hourlyCounts(
+        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage.toString))
+      val sink = "hourly_counts_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("hour"), col("event_type"))
+    }),
+    // STATEFUL STREAMING DEDUP driver-checked: document content
+    // fingerprints stream through dropDuplicates state — the exactly-once
+    // admission guard of a continuous corpus ingest. The output is the
+    // distinct-fingerprint SET, deterministic regardless of micro-batch
+    // arrival order, emitted append-mode (dedup is not an aggregation, so
+    // rows emit as they are first admitted). Bounded-state production
+    // variant (dropDuplicatesWithinWatermark) is eviction/readmission-
+    // tested in StreamingSpec.
+    "dedup_stream" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      t(s, dir, "documents").select(md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(stage.toString)
+      val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType)))
+      val distinctFp = graft.streaming.StreamingOps.dedupStream(
+        s.readStream.schema(fpSchema).parquet(stage.toString), Seq("fp"))
+      val sink = "dedup_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = distinctFp.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("fp"))
+    }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
     // explicit skew mitigation, driver-checked: results must equal the
@@ -839,6 +887,14 @@ object SparkEntry {
     // the streaming run must equal the batch computation — same oracle text
     "cooccur_stream" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // streaming twin of hourly_counts — same oracle text as the batch
+    "hourly_counts_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // streaming dedup admits each distinct fingerprint exactly once
+    "dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->

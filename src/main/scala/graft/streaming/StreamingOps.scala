@@ -34,6 +34,16 @@ object StreamingOps {
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** File-source stream over already-NORMALIZED events (ts is a proper
+    * TIMESTAMP column, as the batch side's events staging emits) — the
+    * shape the driver-checked hourly_counts_stream stages into, so the
+    * stream and the batch query share one timestamp convention.
+    */
+  def eventsStreamNormalized(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream.schema(StructType(eventsSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+      .parquet(eventsDir)
+
   /** Watermarked hourly tumbling counts — streaming twin of
     * Events.hourlyCounts (same group keys and aggregates; the watermark
     * bounds state for continuous operation).
