@@ -444,6 +444,39 @@ object SparkEntry {
           col("delta_us"), col("purchase_value"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
+    // the stream-STREAM interval join driver-checked: the same staged
+    // events feed two independent file-source streams (clicks, purchases),
+    // watermarked on BOTH sides and joined on user + a two-sided
+    // event-time bound — the state-expiry requirement that separates a
+    // runnable stream-stream join from an unbounded-state one — run to
+    // completion under availableNow into an append memory sink. Staged as
+    // ONE file so the bounded replay is a single micro-batch: watermark
+    // eviction (spec-tested in StreamingSpec) can't drop in-window matches
+    // of a historical replay, and the result equals the batch twin
+    // bit-for-bit — same oracle text as interval_join.
+    "interval_join_stream" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_ij_stream")
+      eventsTable(s, dir).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      def side(tpe: String) = graft.streaming.StreamingOps
+        .eventsStreamNormalized(s, stage.toString)
+        .filter(col("event_type") === tpe)
+      val joined = graft.streaming.StreamingOps.joinStreams(
+        side("click"), side("purchase"))
+      val sink = "interval_join_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("delta_us"),
+          col("purchase_value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -496,6 +529,15 @@ object SparkEntry {
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    // character-level fuzzy dedup: blocked edit-distance self-join over
+    // 40-char document title prefixes — first-token blocking bounds the
+    // quadratic, the threshold levenshtein abandons early (see FuzzyJoin)
+    "fuzzy_pairs" -> ((s, dir) =>
+      FuzzyJoin.blockedSelfJoin(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", 5)
+        .orderBy(col("id_a"), col("id_b"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // substring-level dedup (the Lee et al. repeated-span shape): corpus
     // profile of cross-doc repeated k-grams, and the per-doc keep mask
@@ -561,6 +603,22 @@ object SparkEntry {
     "ann_lsh_multi" -> ((s, dir) =>
       Similarity.lshTopKMulti(t(s, dir, "embeddings"), numTables = 2)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
+    // IVF with a PERSISTED bucketed index: the cell-assigned index
+    // relation is built once and written bucketed on the cell id (its one
+    // shuffle happens at WRITE time), read back from the catalog, and the
+    // cell-equi serve join reads it pre-partitioned — the
+    // build-once/probe-many shape of a production ANN service, where the
+    // corpus-sized index side must not reshuffle per query batch.
+    // Results are identical to ann_ivf_topk (same centroids, same
+    // arithmetic) so the driver checks this against that very oracle
+    // text; TableSinkSpec holds the no-exchange bucketed-read guarantee.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val tbl = "graft_ivf_index"
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
+        "cluster_b", 8)
+      Similarity.ivfTopKFromIndex(t(s, dir, "embeddings"), s.table(tbl))
+    }),
     "quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
     // the IVF recall knob: queries probe their top-2 cells (index side
@@ -852,6 +910,30 @@ object SparkEntry {
 
   private val dotExpr =
     "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+
+  /** Shared by `ann_ivf_topk` and `ann_ivf_persisted`: the persisted-index
+    * serve is defined to reproduce the in-flight serve bit-for-bit. */
+  private lazy val annIvfTopKOracle =
+    embedCte +
+      s""", cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |    FROM scored) WHERE crk = 1
+      |), p AS (
+      |  SELECT a.vec_id AS vec_id, a.cluster AS cluster, b.vec_id AS other_id,
+      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
 
   /** Shared by `asof_join` and `asof_join_bucketized` (identical
     * semantics by construction — TemporalJoinSpec pins the equivalence).
@@ -1386,6 +1468,22 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // the stream-stream run must equal the batch interval join — same
+    // oracle text
+    "interval_join_stream" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  p.rus - c.lus AS delta_us, p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "text_stats" ->
       """WITH c AS (
         |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1734,6 +1832,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
         |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
+    "fuzzy_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS title,
+        |    split_part(substr(text, 1, 40), ' ', 1) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 5
+        |  AND levenshtein(a.title, b.title) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "repeated_spans" ->
       (spansCte +
         """SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
@@ -1965,27 +2074,10 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
         |  FROM p)
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
-    "ann_ivf_topk" ->
-      (embedCte +
-        s""", cents AS (
-        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-        |), scored AS (
-        |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-        |  FROM n a CROSS JOIN cents c
-        |), assigned AS (
-        |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-        |    FROM scored) WHERE crk = 1
-        |), p AS (
-        |  SELECT a.vec_id AS vec_id, a.cluster AS cluster, b.vec_id AS other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM assigned a JOIN assigned b
-        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-        |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_ivf_topk" -> annIvfTopKOracle,
+    // the persisted-index serve must produce the in-flight serve's exact
+    // result — same oracle text
+    "ann_ivf_persisted" -> annIvfTopKOracle,
     "ann_ivf_trained" ->
       """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
         |  TRUE AS recall_ge_10pct""".stripMargin,

@@ -217,9 +217,48 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids): DataFrame = {
     val e = vectorsWithNorm(embeddings)
-    val cents = e.filter(col("vec_id") < numCentroids)
+    ivfServe(e, firstNCentroids(e, numCentroids), k)
+  }
+
+  /** Deterministic parameterized centroid table (the first numCentroids
+    * vectors), shared by [[ivfTopK]] and the persisted-index pair. */
+  private def firstNCentroids(e: DataFrame, numCentroids: Int): DataFrame =
+    e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    ivfServe(e, cents, k)
+
+  /** The index side of IVF as a standalone PERSISTABLE relation: every
+    * corpus vector assigned to its nearest centroid cell —
+    * (other_id, vb, nrm_b, cluster_b). Written bucketed on cluster_b
+    * (TableSink.writeBucketed), the cell-equi serve join in
+    * [[ivfTopKFromIndex]] then reads the index pre-partitioned with no
+    * index-side exchange at query time. This is the build-once/probe-many
+    * shape of a production ANN service: at 100 TB the index side is the
+    * corpus (billions of vectors) and the probe side a query batch —
+    * moving the index shuffle to write time (and re-using it across every
+    * query batch) is the difference between a service and a batch job.
+    */
+  def ivfIndexRelation(embeddings: DataFrame,
+      numCentroids: Int = NumCentroids): DataFrame = {
+    val e = vectorsWithNorm(embeddings)
+    assignCells(e, firstNCentroids(e, numCentroids))
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("other_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cent_id").as("cluster_b"))
+  }
+
+  /** Serve IVF top-k from a persisted index relation ([[ivfIndexRelation]]
+    * read back from its bucketed table). Identical results to [[ivfTopK]]
+    * for the same centroid parameters — the two share arithmetic, and the
+    * driver checks this query against the very oracle text of
+    * ann_ivf_topk.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, index: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, numProbes: Int = 1): DataFrame = {
+    val e = vectorsWithNorm(queries)
+    val probes = assignCells(e, firstNCentroids(e, numCentroids))
+      .filter(col("crk") <= numProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+    serveAgainst(probes, index, k)
   }
 
   /** IVF with REAL training: centroids from MLlib KMeans (fixed seed, so
@@ -463,24 +502,37 @@ object Similarity {
     * query's `numProbes` nearest cells (one shuffle on the cell id;
     * candidate volume linear in numProbes). numProbes = 1 is classic IVF.
     */
-  private def ivfServe(e: DataFrame, cents: DataFrame, k: Int,
-      numProbes: Int = 1): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
+  /** Per-vector centroid scores ranked per vec_id — the shared assignment
+    * pass. The centroid-count window is fine at any scale: its partitions
+    * are per-VECTOR (numCentroids rows each), never corpus-sized. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("cscore", floor(dot(col("v"), col("cv")) /
         (col("nrm") * col("cnrm")) * lit(1000000.0)))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cscore").desc, col("cent_id"))))
+
+  /** Candidate cell-equi join + top-k rank — the serve half shared by the
+    * in-flight and persisted-index paths. */
+  private def serveAgainst(probes: DataFrame, index: DataFrame,
+      k: Int): DataFrame = {
+    val cand = probes.join(index,
+        col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
+    rankTopK(cand, k, Seq("vec_id", "cluster", "other_id", "cos_e6", "rk"))
+  }
+
+  private def ivfServe(e: DataFrame, cents: DataFrame, k: Int,
+      numProbes: Int = 1): DataFrame = {
+    val scored = assignCells(e, cents)
     val probes = scored.filter(col("crk") <= numProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
     val indexed = scored.filter(col("crk") === 1)
       .select(col("vec_id").as("other_id"), col("v").as("vb"),
         col("nrm").as("nrm_b"), col("cent_id").as("cluster_b"))
-    val cand = probes.join(indexed,
-        col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
-      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
-        (col("nrm") * col("nrm_b")) * lit(1000000.0)))
-    rankTopK(cand, k, Seq("vec_id", "cluster", "other_id", "cos_e6", "rk"))
+    serveAgainst(probes, indexed, k)
   }
 
   /** LSH-bucketed ANN: score only pairs whose bucket signatures match —

@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("fuzzy_pairs plans a block-equi join, never a cross product") {
+    // the first-token block key exists precisely so the fuzzy match is an
+    // equi-join; a nested loop would be the all-pairs O(n²) it avoids
+    val p = planOf("fuzzy_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy_pairs fell back to a non-equi join:\n$p")
+  }
+
   test("row-local operators shuffle only for their output ordering") {
     // these operators' whole value at 100 TB is that per-document work
     // rides the scan: the only permissible exchange is the final orderBy

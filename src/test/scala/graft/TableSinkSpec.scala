@@ -65,6 +65,28 @@ class TableSinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted IVF index serves bucket-aligned, identical to in-flight") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      graft.sources.TableSink.writeBucketed(
+        graft.operators.Similarity.ivfIndexRelation(emb),
+        "ivf_idx_test", "cluster_b", 8)
+      val served = graft.operators.Similarity.ivfTopKFromIndex(
+        emb, spark.table("ivf_idx_test"))
+      val plan = served.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      // the corpus-sized index side must come out of the bucketed layout
+      // pre-partitioned (its shuffle happened once, at write time); only
+      // the query-batch probe side may exchange
+      assert(plan.contains("Bucketed: true"),
+        s"index scan not bucket-aligned:\n$plan")
+      assert(served.collect().toSet ==
+        graft.operators.Similarity.ivfTopK(emb).collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("z-order layout clusters BOTH dimensions; single-col sort only one") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     def spans(dir: String): (Double, Double, Long) = {
