@@ -225,6 +225,18 @@ object SparkEntry {
       Graph.pageRank(
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // exact triangle counts over the SIGNIFICANT co-occurrence edges
+    // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
+    // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket
+    // coincidence). Degree-ordered orientation bounds the wedge quadratic
+    // at O(sqrt(m)) per vertex, hub products included — the full-graph
+    // path is exercised against brute force in PipelineSpec.
+    "triangle_count" -> ((s, dir) =>
+      Graph.triangleCounts(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))
+        .orderBy(col("node"))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -529,14 +541,15 @@ object SparkEntry {
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-    // character-level fuzzy dedup: blocked edit-distance self-join over
-    // 40-char document title prefixes — first-token blocking bounds the
-    // quadratic, the threshold levenshtein abandons early (see FuzzyJoin)
+    // character-level fuzzy dedup: EXACT edit-distance self-join over
+    // 40-char document title prefixes at typo distance 2 — lossless
+    // PassJoin segment blocking (see FuzzyJoin), so the oracle is the
+    // clean all-pairs definition, no blocking heuristic in sight
     "fuzzy_pairs" -> ((s, dir) =>
-      FuzzyJoin.blockedSelfJoin(
+      FuzzyJoin.fuzzyPairs(
         t(s, dir, "documents").select(col("doc_id"),
           substring(col("text"), 1, 40).as("title")),
-        "doc_id", "title", 5)
+        "doc_id", "title", 2)
         .orderBy(col("id_a"), col("id_b"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
     // substring-level dedup (the Lee et al. repeated-span shape): corpus
@@ -1025,6 +1038,23 @@ object SparkEntry {
         |FROM agg LEFT JOIN p34 ON agg.product = p34.product
         |ORDER BY agg.product""".stripMargin),
     "page_rank" -> pageRankSql(3),
+    // same triangles, enumerated by the id-ordered a<b<c form (join order
+    // differs, the counted set is identical — that's the point)
+    "triangle_count" ->
+      (cooccurCte +
+        """, und AS (
+        |  SELECT DISTINCT least(product, neighbor) AS u,
+        |    greatest(product, neighbor) AS v
+        |  FROM counts WHERE product <> neighbor AND cnt >= 2
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1832,16 +1862,16 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
         |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
+    // the all-pairs DEFINITION — the engine's prefix filtering must be
+    // invisible in the result (lossless), so the oracle carries none of it
     "fuzzy_pairs" ->
       """WITH t AS (
-        |  SELECT doc_id, substr(text, 1, 40) AS title,
-        |    split_part(substr(text, 1, 40), ' ', 1) AS blk
-        |  FROM documents)
+        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
-        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE abs(length(a.title) - length(b.title)) <= 5
-        |  AND levenshtein(a.title, b.title) <= 5
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 2
+        |  AND levenshtein(a.title, b.title) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "repeated_spans" ->
       (spansCte +

@@ -1424,6 +1424,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(stat == Set(1000000000L))
   }
 
+  test("triangleCounts enumerates each triangle once, at any orientation") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} = 4 triangles, every vertex in exactly 3; edge list
+    // deliberately mixes orientations and repeats one edge both ways
+    val k4 = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("d", "a"),
+        ("b", "c"), ("d", "b"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a path has no triangles: empty result, not zero rows per vertex
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(Graph.triangleCounts(path).count() == 0)
+    // hub + one closing edge: exactly one triangle, hub included once —
+    // the degree-ordered orientation must apex it at a LOW-degree vertex
+    val hub = (Seq(("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),
+      ("s1", "s2"))).toDF("src", "dst")
+    val hubGot = Graph.triangleCounts(hub).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hubGot == Map("h" -> 1L, "s1" -> 1L, "s2" -> 1L))
+  }
+
   test("every registered query has an oracle twin and vice versa") {
     // the driver records a weaker rows-only check for oracle-less queries
     // and a dangling oracle is dead SQL — neither drift should survive CI
