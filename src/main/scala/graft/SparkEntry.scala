@@ -461,18 +461,25 @@ object SparkEntry {
     // watermarked on BOTH sides and joined on user + a two-sided
     // event-time bound — the state-expiry requirement that separates a
     // runnable stream-stream join from an unbounded-state one — run to
-    // completion under availableNow into an append memory sink. Staged as
-    // ONE file so the bounded replay is a single micro-batch: watermark
-    // eviction (spec-tested in StreamingSpec) can't drop in-window matches
-    // of a historical replay, and the result equals the batch twin
-    // bit-for-bit — same oracle text as interval_join.
+    // completion under availableNow into an append memory sink. With no
+    // maxFilesPerTrigger set, the file source serves ALL staged files as
+    // a SINGLE micro-batch (watermarks only advance between batches), so
+    // watermark eviction (spec-tested in StreamingSpec) can't drop
+    // in-window matches of this historical replay while the read still
+    // parallelizes across files — and the result equals the batch twin
+    // bit-for-bit: same oracle text as interval_join.
     "interval_join_stream" -> ((s, dir) => {
       val stage = java.nio.file.Files.createTempDirectory("graft_ij_stream")
-      eventsTable(s, dir).coalesce(1).write.mode("overwrite")
-        .parquet(stage.toString)
+      // each side staged pre-filtered into its own directory: a stream's
+      // source filter does not prune the file scan (the source reads the
+      // whole directory, the filter runs post-read), so splitting at
+      // stage time is the streaming analogue of partition pruning
+      val ev = eventsTable(s, dir)
+      Seq("click", "purchase").foreach(tpe =>
+        ev.filter(col("event_type") === tpe)
+          .write.mode("overwrite").parquet(s"$stage/$tpe"))
       def side(tpe: String) = graft.streaming.StreamingOps
-        .eventsStreamNormalized(s, stage.toString)
-        .filter(col("event_type") === tpe)
+        .eventsStreamNormalized(s, s"$stage/$tpe")
       val joined = graft.streaming.StreamingOps.joinStreams(
         side("click"), side("purchase"))
       val sink = "interval_join_stream_sink"
