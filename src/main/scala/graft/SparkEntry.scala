@@ -343,6 +343,22 @@ object SparkEntry {
       Scd.scd2Apply(current, updates, "c_custkey", Seq("c_name", "c_acctbal"))
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
+    // the other half of the CDC story: PRODUCE a change feed by diffing
+    // two keyed snapshots — one fingerprinted full-outer join, row-local
+    // insert/delete/update classification (see Scd.snapshotDiff). The two
+    // snapshots derive deterministically from orders: keys % 89 == 0 are
+    // absent from the old snapshot (inserts), % 97 == 0 absent from the
+    // new (deletes), % 10 == 0 get a doubled price in the new (updates).
+    "snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
@@ -1332,6 +1348,27 @@ object SparkEntry {
         |FROM cur c
         |WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // the oracle compares columns directly where the engine compares
+    // fingerprints — classification must agree (orders has no NULLs and
+    // the doubled price always differs)
+    "snapshot_diff" ->
+      """WITH oldS AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 89 <> 0
+        |), newS AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |)
+        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |       WHEN b.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change
+        |FROM oldS a FULL OUTER JOIN newS b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
     "string_agg" ->
       """SELECT n_name, count(*) AS n_suppliers,
         |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names

@@ -92,4 +92,43 @@ object Scd {
       hist.select(col(key) +:
         (attrs ++ Seq("valid_from", "valid_to", "is_current")).map(col): _*))
   }
+
+  /** Snapshot diff — the other half of the CDC story ([[scd2Apply]]
+    * consumes a change feed; this PRODUCES one from two table snapshots):
+    * one row per changed key, classified insert / delete / update.
+    * Changes are detected on a row fingerprint (md5 over the non-key
+    * columns in a fixed order, NULL-distinguished) so the comparison is
+    * one scalar equality regardless of column count. ONE full-outer
+    * equi-join on the key and row-local classification — no window, no
+    * second pass; at 100 TB the diff costs exactly the co-partitioned
+    * join of the two snapshots, and with both snapshots bucketed on the
+    * key (TableSink.writeBucketed) the exchange moves to write time.
+    *
+    * Fingerprint collisions (md5, 2^-64-ish) would misreport an update
+    * as unchanged — the standard CDC trade; callers needing certainty
+    * compare columns directly at 16 bytes/row extra width.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val valCols = oldSnap.columns.filterNot(keyCols.contains).sorted
+    require(valCols.sameElements(
+        newSnap.columns.filterNot(keyCols.contains).sorted),
+      "snapshots must share their non-key column set")
+    // \u0001 separates fields, \u0000 marks NULL — distinguishable from
+    // any cast value, so (NULL, "x") never fingerprints like ("x", NULL)
+    def fp(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("\u0001", valCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
+    val o = fp(oldSnap, "_fp_old")
+    val n = fp(newSnap, "_fp_new")
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_fp_old").isNull, lit("insert"))
+          .when(col("_fp_new").isNull, lit("delete"))
+          .when(col("_fp_old") =!= col("_fp_new"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

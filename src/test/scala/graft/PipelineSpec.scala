@@ -715,6 +715,23 @@ class PipelineSpec extends AnyFunSuite {
       ts(47) && hot.head.getDouble(2) == 999.0)
   }
 
+  test("snapshotDiff classifies inserts, deletes, updates — and nothing else") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some("a"), Some("x")), (2L, Some("b"), Some("y")),
+      (3L, Some("c"), Some("z")), (5L, None, Some("q")))
+      .toDF("k", "v1", "v2")
+    val newS = Seq((1L, Some("a"), Some("x")),       // unchanged: absent
+      (2L, Some("B"), Some("y")),                    // update
+      (4L, Some("d"), Some("w")),                    // insert (3 deleted)
+      (5L, Some("q"), None))                         // NULL swap — the
+      .toDF("k", "v1", "v2")                         // fingerprint must
+                                                     // see an update
+    val got = Scd.snapshotDiff(oldS, newS, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      5L -> "update"))
+  }
+
   test("scd2 apply skips out-of-order updates instead of inverting intervals") {
     import spark.implicits._
     import java.sql.Timestamp

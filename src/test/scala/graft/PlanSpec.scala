@@ -142,12 +142,32 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
-  test("fuzzy_pairs plans a block-equi join, never a cross product") {
-    // the first-token block key exists precisely so the fuzzy match is an
+  test("fuzzy_pairs plans equi-joins only, never a cross product") {
+    // the PassJoin segment keys exist precisely so the fuzzy match is an
     // equi-join; a nested loop would be the all-pairs O(n²) it avoids
     val p = planOf("fuzzy_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"fuzzy_pairs fell back to a non-equi join:\n$p")
+  }
+
+  test("triangle_count stays equi-keyed and window-free") {
+    // wedge enumeration and closure check must both be equi-joins (the
+    // degree-ordered orientation exists to keep the hub quadratic out);
+    // a window would colocate a vertex's whole neighborhood in one task
+    val p = planOf("triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle_count fell back to a non-equi join:\n$p")
+    assert(!p.contains("Window"), s"triangle_count grew a window:\n$p")
+  }
+
+  test("snapshot_diff is one full-outer join, row-local after") {
+    val p = planOf("snapshot_diff")
+    val joins = SparkEntry.queries("snapshot_diff")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+    assert(joins.size == 1, s"snapshot_diff planned ${joins.size} joins:\n$p")
+    assert(!p.contains("Window"), s"snapshot_diff grew a window:\n$p")
   }
 
   test("row-local operators shuffle only for their output ordering") {
