@@ -359,6 +359,27 @@ object SparkEntry {
       Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     }),
+    // the CDC round-trip identity, driver-checked: applying the payload
+    // diff of (old -> new) onto old MUST reconstruct new exactly — the
+    // oracle is simply the new snapshot. Untouched rows ride a
+    // broadcastable keys-only anti join (the base never shuffles).
+    "cdc_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      // upsertApply consumes the feed twice (anti-join keys + images);
+      // a real pipeline passes a materialized CDC batch, so a DERIVED
+      // feed persists DISK_ONLY first — else the diff join runs twice
+      // at snapshot scale (released by the harness's clearCache)
+      val feed = Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          includePayload = true)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      Scd.upsertApply(oldSnap, feed, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
@@ -1368,6 +1389,14 @@ object SparkEntry {
         |FROM oldS a FULL OUTER JOIN newS b ON a.o_orderkey = b.o_orderkey
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+    // round-trip identity: the applied feed IS the new snapshot
+    "cdc_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 97 <> 0
         |ORDER BY o_orderkey""".stripMargin,
     "string_agg" ->
       """SELECT n_name, count(*) AS n_suppliers,

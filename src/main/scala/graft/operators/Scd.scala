@@ -107,9 +107,16 @@ object Scd {
     * Fingerprint collisions (md5, 2^-64-ish) would misreport an update
     * as unchanged — the standard CDC trade; callers needing certainty
     * compare columns directly at 16 bytes/row extra width.
+    *
+    * With `includePayload=true` the feed also carries the NEW-side value
+    * columns (NULL for deletes, which have no new image) — exactly the
+    * shape [[upsertApply]] consumes, so
+    * `upsertApply(old, snapshotDiff(old, new, keys, includePayload=true),
+    * keys)` reconstructs `new` — the round-trip identity of the CDC
+    * algebra, property-tested and driver-checked (`cdc_upsert`).
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], includePayload: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
     val valCols = oldSnap.columns.filterNot(keyCols.contains).sorted
     require(valCols.sameElements(
@@ -117,18 +124,65 @@ object Scd {
       "snapshots must share their non-key column set")
     // \u0001 separates fields, \u0000 marks NULL — distinguishable from
     // any cast value, so (NULL, "x") never fingerprints like ("x", NULL)
-    def fp(df: DataFrame, as: String) = df.select(
-      keyCols.map(col) :+
+    def fp(df: DataFrame, extra: Seq[Column], as: String) = df.select(
+      keyCols.map(col) ++ extra :+
         md5(concat_ws("\u0001", valCols.map(c =>
           coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
-    val o = fp(oldSnap, "_fp_old")
-    val n = fp(newSnap, "_fp_new")
+    val payload = if (includePayload) valCols.toSeq.map(col) else Nil
+    val o = fp(oldSnap, Nil, "_fp_old")
+    val n = fp(newSnap, payload, "_fp_new")
     o.join(n, keyCols, "full_outer")
       .withColumn("change",
         when(col("_fp_old").isNull, lit("insert"))
           .when(col("_fp_new").isNull, lit("delete"))
           .when(col("_fp_old") =!= col("_fp_new"), lit("update")))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyCols.map(col) ++ (col("change") +: payload): _*)
+  }
+
+  /** Upsert merge-apply (SCD type 1 / `MERGE INTO` without history):
+    * apply a change feed of full-row images tagged insert / update /
+    * delete to a base snapshot, producing the new snapshot. The
+    * current-state twin of [[scd2Apply]] (which keeps history) and the
+    * inverse of [[snapshotDiff]] (round-trip identity above).
+    *
+    * Scale shape — deliberately NOT the full-outer join of the other two:
+    * untouched base rows come from a LEFT ANTI join against the feed's
+    * KEY projection, and the feed's surviving images are unioned on top.
+    * The anti join's right side is keys-only and batch-sized, so at
+    * 100 TB the common case (small CDC batch, huge base) plans as a
+    * BROADCAST anti join — the base never shuffles at all, where a
+    * full-outer formulation forces a two-sided sort-merge of the base.
+    *
+    * With `seqCol` set, the feed first dedupes latest-wins per key via a
+    * partial-aggregable `groupBy(key).max(struct(seq, op, attrs))` (ties
+    * on seq resolve deterministically: 'update' > 'insert' > 'delete' by
+    * string order, then by attribute values); a retry-storm hot key
+    * collapses map-side exactly as in [[scd2Apply]].
+    *
+    * Caller contract: the feed is consumed TWICE (keys for the anti
+    * join, images for the union). A materialized CDC batch re-scans
+    * cheaply; a DERIVED feed (e.g. [[snapshotDiff]] output) must be
+    * persisted first or its lineage — a snapshot-sized join — executes
+    * twice (`cdc_upsert` persists it DISK_ONLY, released by the
+    * harness's `clearCache`).
+    */
+  def upsertApply(base: DataFrame, feed: DataFrame, keyCols: Seq[String],
+      opCol: String = "change", seqCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "upsertApply needs at least one key column")
+    val attrs = base.columns.filterNot(keyCols.contains).toSeq
+    val deduped = seqCol match {
+      case Some(s) =>
+        feed.groupBy(keyCols.map(col): _*)
+          .agg(max(struct((s +: opCol +: attrs).map(col): _*)).as("_f"))
+          .select(keyCols.map(col) ++
+            (opCol +: attrs).map(c => col(s"_f.$c").as(c)): _*)
+      case None => feed
+    }
+    val touched = deduped.select(keyCols.map(col): _*)
+    val untouched = base.join(touched, keyCols, "left_anti")
+    val upserts = deduped.filter(col(opCol) =!= "delete")
+      .select((keyCols ++ attrs).map(col): _*)
+    untouched.unionByName(upserts)
   }
 }

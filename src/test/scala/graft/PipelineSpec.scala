@@ -732,6 +732,38 @@ class PipelineSpec extends AnyFunSuite {
       5L -> "update"))
   }
 
+  test("upsertApply inverts snapshotDiff — the CDC round-trip identity") {
+    import spark.implicits._
+    // randomized-ish corpus: keys 1..60, old drops %7, new drops %11,
+    // %5 mutated, NULLs sprinkled on %13 — every op class exercised
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 13 == 0) None else Some(s"v$i"), i * 10))
+    val oldS = rows.filterNot(_._1 % 7 == 0).toDF("k", "v", "w")
+    val newS = rows.filterNot(_._1 % 11 == 0)
+      .map { case (k, v, w) =>
+        if (k % 5 == 0) (k, v.map(_ + "!"), w + 1) else (k, v, w) }
+      .toDF("k", "v", "w")
+    val feed = Scd.snapshotDiff(oldS, newS, Seq("k"), includePayload = true)
+    val applied = Scd.upsertApply(oldS, feed, Seq("k"))
+    assert(applied.collect().map(_.toSeq).toSet ==
+      newS.collect().map(_.toSeq).toSet)
+  }
+
+  test("upsertApply dedupes the feed latest-wins when seqCol is given") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val feed = Seq(
+      (1L, "update", "x", 1),   // superseded by seq 2
+      (1L, "update", "y", 2),   // wins
+      (2L, "update", "z", 1),   // superseded by the later delete
+      (2L, "delete", null, 2),
+      (3L, "insert", "n", 1)).toDF("k", "change", "v", "seq")
+    val got = Scd.upsertApply(base, feed, Seq("k"),
+        seqCol = Some("seq")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "y", 3L -> "n"))
+  }
+
   test("scd2 apply skips out-of-order updates instead of inverting intervals") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -170,6 +170,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"snapshot_diff grew a window:\n$p")
   }
 
+  test("cdc_upsert applies through one anti join over a materialized feed") {
+    // the apply half must not add a second full-width join: untouched
+    // base rows ride a LEFT ANTI against the feed's key projection
+    // (broadcastable when the batch is small — the base never shuffles).
+    // The feed is consumed twice, so it must arrive MATERIALIZED (the
+    // query persists the derived diff) — if the persist is dropped, the
+    // snapshot-sized diff join appears twice in this plan instead of 0
+    try {
+      val q = SparkEntry.queries("cdc_upsert")(spark, sf)
+      val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val joins = q.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.size == 1, s"cdc_upsert planned ${joins.size} joins:\n$p")
+      assert(joins.count(_.joinType.sql == "LEFT ANTI") == 1,
+        s"cdc_upsert lost its anti-join untouched path:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"cdc_upsert feed is not materialized — diff lineage will run twice:\n$p")
+      assert(!p.contains("Window"), s"cdc_upsert grew a window:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("row-local operators shuffle only for their output ordering") {
     // these operators' whole value at 100 TB is that per-document work
     // rides the scan: the only permissible exchange is the final orderBy
