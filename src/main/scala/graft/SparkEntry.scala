@@ -421,6 +421,8 @@ object SparkEntry {
     "funnel_steps" -> ((s, dir) => Events.funnelSteps(eventsTable(s, dir))),
     // first-order Markov transition matrix over per-user event streams
     "event_transitions" -> ((s, dir) => Events.transitionMatrix(eventsTable(s, dir))),
+    // first-seen day cohorts x activity-day offsets with retention rates
+    "cohort_retention" -> ((s, dir) => Events.cohortRetention(eventsTable(s, dir))),
     // semi-structured column breadth: the same JSON field through BOTH
     // parse paths (path extraction and schema'd from_json) — emitting the
     // two must-agree columns makes the hash gate also a parser
@@ -1536,6 +1538,24 @@ object SparkEntry {
         |SELECT from_type, to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "cohort_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1
+        |), activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), agg AS (
+        |  SELECT f.cohort_day,
+        |    CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |    count(*) AS active_users
+        |  FROM activity a JOIN first_seen f USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_day, day_offset, active_users,
+        |  CAST(active_users AS DOUBLE) /
+        |    CAST(max(CASE WHEN day_offset = 0 THEN active_users END)
+        |      OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention
+        |FROM agg ORDER BY cohort_day, day_offset""".stripMargin,
     "json_funcs" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,

@@ -227,4 +227,34 @@ object Events {
         max_by(col("event_type"), col("ts")).as("last_type"),
         max_by(col("value"), col("ts")).as("last_value"))
       .orderBy(col("user_id"))
+
+  /** Cohort retention: users cohorted by first-seen day; for each
+    * (cohort, day offset), how many of the cohort's users were active,
+    * and what fraction of the cohort that is.
+    *
+    * Scale shape: two partial-aggregable passes over events (first-seen
+    * per user; distinct user-day), ONE high-cardinality equi-join on
+    * user_id between them, then a groupBy whose key space is
+    * calendar-bounded (days x offsets), not corpus-bounded. The
+    * retention denominator (cohort size = its day-0 actives — every
+    * user is active on their first day by definition) comes from a
+    * window over that already-aggregated calendar-sized relation — the
+    * same bounded-window-over-aggregates shape as [[transitionMatrix]],
+    * never a window over raw events.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val agg = activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    agg.withColumn("retention",
+        col("active_users").cast("double") /
+          max(when(col("day_offset") === 0, col("active_users")))
+            .over(Window.partitionBy(col("cohort_day"))).cast("double"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

@@ -518,6 +518,30 @@ class PipelineSpec extends AnyFunSuite {
       && keys.contains(("purchase", "view")))
   }
 
+  test("cohort retention: first-day cohorts, offsets, exact rates") {
+    import spark.implicits._
+    def at(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2020-01-$day%02d $h%02d:00:00")
+    // cohort Jan-1: u1 (active d1,d2,d3), u2 (d1,d3), u3 (d1 only)
+    // cohort Jan-2: u4 (d2,d3) — two events on d2 must count once
+    val events = Seq(
+      (1L, 1L, at(1, 9)), (2L, 1L, at(2, 9)), (3L, 1L, at(3, 9)),
+      (4L, 2L, at(1, 10)), (5L, 2L, at(3, 10)),
+      (6L, 3L, at(1, 11)),
+      (7L, 4L, at(2, 9)), (8L, 4L, at(2, 17)), (9L, 4L, at(3, 9))
+    ).map { case (e, u, ts) => (e, u, "view", 1.0, ts) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = Events.cohortRetention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("2020-01-01", 0)) == (3L, 1.0))
+    assert(got(("2020-01-01", 1)) == (1L, 1.0 / 3.0))
+    assert(got(("2020-01-01", 2)) == (2L, 2.0 / 3.0))
+    assert(got(("2020-01-02", 0)) == (1L, 1.0))
+    assert(got(("2020-01-02", 1)) == (1L, 1.0))
+    assert(got.size == 5)
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")
