@@ -237,6 +237,16 @@ object SparkEntry {
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))
         .orderBy(col("node"))),
+    // bounded multi-source BFS over the same significant-edge graph:
+    // seeds are the round-hundred products, 3 hops, minimal hop labels
+    "khop_reach" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.kHopReach(edges, seeds, k = 3)
+    }),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -1101,6 +1111,21 @@ object SparkEntry {
         |SELECT node, count(*) AS n_tri FROM (
         |  SELECT unnest([a, b, c]) AS node FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin),
+    // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
+    // dedupes (node, hop) pairs so the working set stays bounded on the
+    // dense graph, and min(hop) reproduces the anti-join's minimality
+    "khop_reach" ->
+      ("WITH RECURSIVE " + cooccurCte.stripPrefix("WITH ") +
+        """, e AS (
+        |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+        |), reach(node, hop) AS (
+        |  SELECT DISTINCT src, 0 FROM e WHERE CAST(src AS BIGINT) % 100 = 0
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hop < 3
+        |)
+        |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
+        |ORDER BY min_hops, node""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -143,4 +143,47 @@ object Graph {
     tri.select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Bounded k-hop reachability (multi-source BFS): every node within k
+    * directed hops of the seed set, labeled with its MINIMUM hop count.
+    *
+    * Level-synchronous frontier expansion — the textbook distributed BFS:
+    * each level is ONE equi-join of the current frontier onto the edge
+    * relation (partitioned on src; a hub's fan-out is an AQE-splittable
+    * shuffle, never a per-node loop), a distinct, and a LEFT ANTI join
+    * against everything already reached. The anti join is what makes the
+    * hop label minimal by construction AND keeps the frontier from
+    * re-expanding visited nodes, so the working set is bounded by
+    * VERTICES x k — paths are never materialized and a cycle can't blow
+    * up (a recursive UNION ALL enumerates paths and goes exponential on
+    * exactly the dense co-occurrence graphs this runs on).
+    *
+    * Each frontier persists DISK_ONLY: level i's frontier is re-read by
+    * every later level's anti join and by the final union, and the flat
+    * cached relations keep `reached`'s lineage linear in k where plain
+    * recursion doubles it per level. The edge relation persists DISK_ONLY
+    * for the same reason (k consumptions). Caller contract: released by
+    * `spark.catalog.clearCache()` once materialized (Bench/Verify do
+    * this per query). k is a small fixed constant per the [[pageRank]]
+    * discipline — an open-ended fixpoint would move to
+    * localCheckpoint like Dedup.nearDupClusters.
+    */
+  def kHopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1 && k <= 10,
+      "k must be in [1, 10] — beyond that use a checkpointed fixpoint")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.DISK_ONLY)
+    var frontiers = List(seeds.select(col("node")).distinct()
+      .withColumn("min_hops", lit(0)).persist(StorageLevel.DISK_ONLY))
+    for (i <- 1 to k) {
+      val reached = frontiers.map(_.select(col("node"))).reduce(_ union _)
+      val next = frontiers.head.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("min_hops", lit(i)).persist(StorageLevel.DISK_ONLY)
+      frontiers = next :: frontiers
+    }
+    frontiers.reduce(_ unionByName _).orderBy(col("min_hops"), col("node"))
+  }
 }

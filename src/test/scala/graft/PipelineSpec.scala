@@ -542,6 +542,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("kHopReach labels minimal hops, survives cycles, respects direction") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4 -> 1 (cycle back), shortcut 1 -> 3, island 9 -> 10,
+    // and 5 -> 1 (wrong direction from the seed — must never appear)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (9L, 10L), (5L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.kHopReach(edges, seeds, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.clearCache()
+    // shortcut wins over the 2-hop path; the cycle's return to 1 at hop 4
+    // is pruned by the anti join; 5, 9, 10 unreachable from the seed
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")

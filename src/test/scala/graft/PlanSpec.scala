@@ -192,6 +192,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("khop_reach expands frontiers by equi-join, never paths or windows") {
+    // level-synchronous BFS: every level is frontier-equi-join + anti
+    // join; a cartesian / nested-loop means the seed filter degenerated,
+    // a window would colocate a hub's whole fan-out in one task
+    try {
+      val p = planOf("khop_reach")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"khop_reach planned a non-equi join:\n$p")
+      assert(!p.contains("Window"), s"khop_reach grew a window:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("row-local operators shuffle only for their output ordering") {
     // these operators' whole value at 100 TB is that per-document work
     // rides the scan: the only permissible exchange is the final orderBy
