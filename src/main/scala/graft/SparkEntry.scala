@@ -335,6 +335,9 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // robust outlier scoring: exact median/MAD per event_type via two
+    // public ExactRank passes, row-local modified z — no per-group window
+    "robust_zscore" -> ((s, dir) => Relational.robustZscore(eventsTable(s, dir))),
     // SCD2 merge-apply over a synthetic CDC batch: mod-7 keys change
     // acctbal (+100), mod-11 keys re-deliver unchanged rows (idempotent
     // no-op) — close+insert vs pass-through both driver-checked
@@ -1365,6 +1368,38 @@ object SparkEntry {
         |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
         |    AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // lower medians via row_number (NOT median(), which interpolates):
+    // identical picked rows -> identical IEEE operands in the z formula
+    "robust_zscore" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m USING (event_type)
+        |), dranked AS (
+        |  SELECT event_type, absdev, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY absdev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type, absdev AS mad FROM dranked WHERE rn = (n + 1) // 2
+        |)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  CASE WHEN t.mad = 0 THEN NULL
+        |       ELSE 0.6745 * (d.value - d.med) / t.mad END AS robust_z,
+        |  CASE WHEN t.mad = 0 THEN NULL
+        |       ELSE abs(0.6745 * (d.value - d.med) / t.mad) > 3.5
+        |  END AS is_outlier
+        |FROM dev d JOIN mad t USING (event_type)
+        |ORDER BY d.event_id""".stripMargin,
     "scd2_apply" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_name, c_acctbal,

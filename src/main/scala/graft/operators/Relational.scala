@@ -476,4 +476,44 @@ object Relational {
       when(col("p_size") >= 25, "big").otherwise("small").as("size_class"),
       levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("brand_dist"))
       .orderBy(col("p_partkey"))
+
+  /** Robust per-group outlier scoring (Iglewicz–Hoaglin modified z-score):
+    * z = 0.6745 · (x − median) / MAD, flagged at |z| > 3.5. Median and MAD
+    * are EXACT lower medians (rank ⌊(n+1)/2⌋ under a deterministic
+    * ordering), not interpolated — which is what lets the DuckDB oracle
+    * compute bit-identical doubles, and means the statistic itself is
+    * reproducible run-to-run at any partitioning.
+    *
+    * Scale shape: TWO [[ExactRank.exactRank]] passes (value median, then
+    * absolute-deviation median) — the engine's scalable order-statistic
+    * primitive; event_type has a handful of values, so the per-group
+    * window alternative would sort the whole table under a
+    * #groups-task ceiling. The stat relations are group-count-sized and
+    * join back via broadcast; the z computation is row-local. A
+    * degenerate group (MAD = 0: over half its values identical) yields
+    * NULL scores rather than ±Inf. Eager like every ExactRank consumer
+    * (two bounded offset passes at call time); three scans of the input
+    * total — at 100 TB, persist the projected input first if scans
+    * dominate.
+    */
+  def robustZscore(events: DataFrame, threshold: Double = 3.5): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"), col("value"))
+    def lowerMedian(df: DataFrame, valueCol: String, as: String) =
+      ExactRank.exactRank(df, Seq("event_type"), Seq(valueCol, "event_id"))
+        .filter(col("rnk") === expr("(n_group + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(as))
+    val med = lowerMedian(base, "value", "med")
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = lowerMedian(
+      dev.select(col("event_id"), col("event_type"), col("absdev")),
+      "absdev", "mad")
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("mad") === 0, lit(null)).otherwise(z).as("robust_z"),
+        when(col("mad") === 0, lit(null))
+          .otherwise(abs(z) > lit(threshold)).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
 }

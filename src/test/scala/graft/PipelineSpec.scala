@@ -557,6 +557,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("robustZscore flags the planted outlier; MAD=0 group yields NULLs") {
+    import spark.implicits._
+    // group a: 1..9 plus a planted 100 — lower median 5, MAD 2,
+    // z(100) = 0.6745*95/2 ≈ 32. group b: constant — MAD 0, all NULL
+    val a = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+ (10L, "a", 100.0)
+    val b = (11 to 15).map(i => (i.toLong, "b", 7.0))
+    val got = Relational.robustZscore((a ++ b).toDF("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+         Option(r.get(4)).map(_.asInstanceOf[Boolean]))).toMap
+    assert(got(10L)._1.get === 0.6745 * 95.0 / 2.0)
+    assert(got(10L)._2.contains(true))
+    assert(got(1L)._1.get === 0.6745 * -4.0 / 2.0)
+    assert(got(1L)._2.contains(false))
+    assert((11L to 15L).forall(i => got(i) == (None, None)))
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")
