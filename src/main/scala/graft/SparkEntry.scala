@@ -338,6 +338,11 @@ object SparkEntry {
     // robust outlier scoring: exact median/MAD per event_type via two
     // public ExactRank passes, row-local modified z — no per-group window
     "robust_zscore" -> ((s, dir) => Relational.robustZscore(eventsTable(s, dir))),
+    // one-pass long-format column profile (exact distincts via Expand)
+    "profile_table" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))),
     // SCD2 merge-apply over a synthetic CDC batch: mod-7 keys change
     // acctbal (+100), mod-11 keys re-deliver unchanged rows (idempotent
     // no-op) — close+insert vs pass-through both driver-checked
@@ -1400,6 +1405,18 @@ object SparkEntry {
         |  END AS is_outlier
         |FROM dev d JOIN mad t USING (event_type)
         |ORDER BY d.event_id""".stripMargin,
+    "profile_table" -> {
+      val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      profiled.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "scd2_apply" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_name, c_acctbal,

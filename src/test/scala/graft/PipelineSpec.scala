@@ -574,6 +574,23 @@ class PipelineSpec extends AnyFunSuite {
     assert((11L to 15L).forall(i => got(i) == (None, None)))
   }
 
+  test("profile reports exact counts and native-type min/max per column") {
+    import spark.implicits._
+    // mixed types + nulls: n in [2, 10] so a lexical min/max would flip
+    // ("10" < "2" as strings); s has a null and a duplicate
+    val df = Seq((2, Some("b")), (10, Some("a")), (7, None), (5, Some("a")))
+      .toDF("n", "s")
+    val rows = Profile.profile(df, Seq("n", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("n") == ((4L, 0L, 4L, "2", "10")),
+      s"numeric min/max must use numeric ordering: ${rows("n")}")
+    assert(rows("s") == ((4L, 1L, 2L, "a", "b")), s"string column: ${rows("s")}")
+    intercept[IllegalArgumentException](Profile.profile(df, Seq.empty))
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("n", "zzz")))
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")

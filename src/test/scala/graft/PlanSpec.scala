@@ -232,6 +232,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("profile_table is one Expand pass over one scan") {
+    // the profiling contract: all per-column aggregates (count, exact
+    // distinct, min, max) ride ONE scan — multiple count_distincts plan
+    // through Expand, every path partial-aggregable. A per-column scan
+    // (cols × full reads) or a window would break the one-pass promise.
+    val p = planOf("profile_table")
+    assert(!p.contains("Window"), s"profile_table planned a window:\n$p")
+    assert(p.contains("Expand"), s"distinct aggs lost the Expand shape:\n$p")
+    val scans = p.linesIterator.count(_.trim.matches("""^\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"profile_table planned $scans scans (want 1):\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"profile_table planned $exchanges exchanges:\n$p")
+  }
+
   test("scd2_apply is one join plus row-local emission, never a window") {
     // the merge contract: dedupe updates via partial-aggregable groupBy,
     // ONE equi-join against the current slice, then 0-2 output rows per
