@@ -335,6 +335,9 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // grouped OLS from the same exact power-sum pass as corr_stats
+    "regression_stats" -> ((s, dir) =>
+      Relational.regressionStats(t(s, dir, "lineitem"))),
     // robust outlier scoring: exact median/MAD per event_type via two
     // public ExactRank passes, row-local modified z — no per-group window
     "robust_zscore" -> ((s, dir) => Relational.robustZscore(eventsTable(s, dir))),
@@ -601,6 +604,11 @@ object SparkEntry {
     // a count-over-token window would single-task the stop words)
     "unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    // conditional upgrade: bigram-LM cross-entropy (CCNet-style
+    // perplexity quality signal), add-one smoothed, model enriched
+    // model-side so the corpus probe is ONE equi-join
+    "bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
@@ -1373,6 +1381,43 @@ object SparkEntry {
         |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
         |    AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // same exact-power-sum pass as corr_stats; degenerate-variance test
+    // on the EXACT hugeint sums, closed forms in the Spark operand order
+    "regression_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |    sum(CAST(p AS HUGEINT) * p) AS spp,
+        |    sum(CAST(q AS HUGEINT) * p) AS sqp
+        |  FROM m GROUP BY l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, n_rows,
+        |    (sqq * n_rows = sq * sq OR spp * n_rows = sp * sp) AS degen,
+        |    CAST(n_rows AS DOUBLE) AS nd,
+        |    CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd,
+        |    CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
+        |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) AS cov_num,
+        |    CAST(n_rows AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS var_x,
+        |    CAST(n_rows AS DOUBLE) * CAST(spp AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS var_y
+        |  FROM a
+        |)
+        |SELECT l_returnflag, n_rows,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE cov_num / var_x / 100.0 END AS slope,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE (spd / nd - cov_num / var_x * (sqd / nd)) / 100.0 END
+        |    AS intercept,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE cov_num * cov_num / (var_x * var_y) END AS r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     // lower medians via row_number (NOT median(), which interpolates):
     // identical picked rows -> identical IEEE operands in the z formula
     "robust_zscore" ->
@@ -1883,6 +1928,34 @@ object SparkEntry {
         |  CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS avg_surprisal_e6
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigrams via 1-based list indexing over range(2, len+1) — empty for
+    // single-token docs, matching the Spark side's size>=2 guard
+    "bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
+        |), model AS (
+        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
+        |), voc AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), scored AS (
+        |  SELECT m.w1, m.w2,
+        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
+        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
+        |  CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_surprisal_e6
+        |FROM bg JOIN scored USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """WITH p AS (
         |  SELECT doc_id,

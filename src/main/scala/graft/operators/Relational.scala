@@ -459,6 +459,51 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact per-group simple linear regression (OLS price ~ quantity):
+    * slope, intercept, and R² per return flag, from the SAME five exact
+    * power sums as [[corrStats]] — one partial-aggregable pass, no
+    * window, no second scan. Spark's `regr_slope`/`regr_r2` (like
+    * `corr`) accumulate doubles in partial-order and can't hash-match
+    * another engine; deriving the closed form from DECIMAL(38,0) sums in
+    * a fixed double operand order can. Cent-scaled y: slope/intercept
+    * divide the 100 back out; R² is scale-invariant. A zero-variance
+    * group (all x or all y identical — undefined fit) yields NULLs
+    * rather than ±Inf.
+    */
+  def regressionStats(lineitem: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val agg = lineitem
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q").cast(d38)).as("sq"),
+        sum(col("p").cast(d38)).as("sp"),
+        sum((col("q") * col("q")).cast(d38)).as("sqq"),
+        sum((col("p") * col("p")).cast(d38)).as("spp"),
+        sum((col("q") * col("p")).cast(d38)).as("sqp"))
+    val nd = col("n_rows").cast("double")
+    val (sq, sp, sqq, spp, sqp) = (col("sq").cast("double"),
+      col("sp").cast("double"), col("sqq").cast("double"),
+      col("spp").cast("double"), col("sqp").cast("double"))
+    val covNum = nd * sqp - sq * sp
+    val varX = nd * sqq - sq * sq
+    val varY = nd * spp - sp * sp
+    val degenerate = col("sqq") * col("n_rows") === col("sq") * col("sq") ||
+      col("spp") * col("n_rows") === col("sp") * col("sp")
+    agg.select(col("l_returnflag"), col("n_rows"),
+        when(degenerate, lit(null))
+          .otherwise(covNum / varX / lit(100.0)).as("slope"),
+        when(degenerate, lit(null))
+          .otherwise((sp / nd - covNum / varX * (sq / nd)) / lit(100.0))
+          .as("intercept"),
+        when(degenerate, lit(null))
+          .otherwise(covNum * covNum / (varX * varY)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Scalar function library projection (string/math/date) — whole-stage
     * codegen'd row-level expressions, no shuffle at all.
     */

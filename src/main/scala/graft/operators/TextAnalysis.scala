@@ -841,6 +841,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM cross-entropy scoring (the CCNet discipline: an n-gram
+    * LM trained on the corpus ranks documents by how "expected" their
+    * text is — perplexity buckets drive keep/drop decisions). This is
+    * the conditional upgrade of [[unigramLogProb]]: surprisal of each
+    * token GIVEN its predecessor, −ln P(w₂|w₁), with add-one smoothing
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) so the statistic is well-defined
+    * even for a held-out scoring set. Repetitive boilerplate scores near
+    * zero (its transitions are corpus-frequent); token-salad gibberish
+    * that unigram stats can't catch (all-frequent words, random order)
+    * scores high. Same e6 integer-floor contract as the unigram/BM25
+    * family (order-independent cross-engine sums; ln() 1-ulp caveat at
+    * [[tfidfTopK]]).
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY from each doc's token
+    * array (an index transform over the split — no posexplode +
+    * self-join, no per-doc window), so the only corpus-sized exchanges
+    * are the model groupBy and the probe equi-join. The model is
+    * enriched model-side first — context totals via `groupBy(w1)` on
+    * the already-aggregated model (never on raw tokens) joined back,
+    * surprisal precomputed per bigram TYPE — so the corpus-sized probe
+    * does ONE equi-join against a model relation that Catalyst
+    * broadcasts while stats allow and AQE de-skews beyond ("the …" is a
+    * probe-side hot key only, one build row per bigram). Vocabulary
+    * size rides a one-row broadcast.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    // size-1 guard: sequence(0, -1) DESCENDS in Spark (it is not empty),
+    // so a single-token doc must be filtered, not transformed
+    val bigrams = documents.select(col("doc_id"),
+        split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    // persist the MODEL (bigram-TYPE-sized, already aggregated — not the
+    // corpus) so ctx derivation + the enrich join don't replay the
+    // corpus-sized model build twice; DISK_ONLY per the house rule
+    // (never compete with shuffle memory), released when the plan's
+    // last action completes or the session clears its cache
+    val model = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val ctx = model.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val scoredModel = model.join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(-log((col("cnt").cast("double") + lit(1.0)) /
+            (col("ctx_cnt").cast("double") + col("v").cast("double")))
+          * lit(1000000.0)).cast("long").as("s_e6"))
+    bigrams.join(scoredModel, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("surprisal_e6"))
+      .withColumn("avg_surprisal_e6",
+        col("surprisal_e6").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary
     * over common English digraphs, rank = position. Includes a two-level
     * chain ((t,h) then (th,e)) so the table exercises merges whose left

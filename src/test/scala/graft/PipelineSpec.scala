@@ -574,6 +574,50 @@ class PipelineSpec extends AnyFunSuite {
     assert((11L to 15L).forall(i => got(i) == (None, None)))
   }
 
+  test("regressionStats recovers a planted line; zero-variance group is NULL") {
+    import spark.implicits._
+    // group A: exact line price = 3*qty + 5 (r2 = 1); group B: constant
+    // qty (undefined fit). Columns mimic lineitem's names/scales.
+    val a = Seq(1, 2, 3, 4, 10).map(q => ("A", q.toDouble, 3.0 * q + 5.0))
+    val b = Seq(2, 2, 2).map(q => ("B", q.toDouble, q * 7.0))
+    val got = Relational.regressionStats(
+        (a ++ b).toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    val (slope, icept, r2) = got("A")
+    assert(math.abs(slope.get.asInstanceOf[Double] - 3.0) < 1e-9 &&
+      math.abs(icept.get.asInstanceOf[Double] - 5.0) < 1e-9 &&
+      math.abs(r2.get.asInstanceOf[Double] - 1.0) < 1e-9,
+      s"planted line not recovered: ${got("A")}")
+    assert(got("B") == ((None, None, None)),
+      s"zero-variance group must yield NULLs: ${got("B")}")
+  }
+
+  test("bigramLogProb: smoothed surprisal, short-doc guard, order sensitivity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // one dominant transition each way
+      (2L, "b a b a b a"),   // same unigram profile, same transitions
+      (3L, "a a b b a a"),   // same unigrams, RARE transitions (a a, b b)
+      (4L, "solo")           // single token: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(!got.contains(4L), "single-token doc must produce no bigram row")
+    assert(got(1L)._1 == 5 && got(3L)._1 == 5)
+    // doc 3's transitions (c=2 each of aa/bb within the corpus) are rarer
+    // than docs 1/2's dominant ab/ba chains -> higher cross-entropy, even
+    // though unigram stats are identical across all three
+    assert(got(3L)._2 > got(1L)._2,
+      s"rare-transition doc must outscore the chain docs: $got")
+    // hand-check doc 1: V=3 (a,b,solo); corpus c(a,b)=6, ctx(a·)=8,
+    // c(b,a)=6, ctx(b·)=7 -> smoothed s_e6 = floor(-ln((c+1)/(ctx+V))*1e6)
+    val sAB = math.floor(-math.log(7.0 / 11.0) * 1e6).toLong
+    val sBA = math.floor(-math.log(7.0 / 10.0) * 1e6).toLong
+    assert(got(1L)._2 == (3 * sAB + 2 * sBA).toDouble / 5.0,
+      s"doc 1 surprisal mismatch: ${got(1L)} vs ${(3 * sAB + 2 * sBA) / 5.0}")
+  }
+
   test("profile reports exact counts and native-type min/max per column") {
     import spark.implicits._
     // mixed types + nulls: n in [2, 10] so a lexical min/max would flip

@@ -232,6 +232,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("regression_stats shares corr_stats' one-pass shape") {
+    // the five power sums are the whole shuffle: scan -> partial
+    // HashAggregate -> 3-row final agg (+ output sort); the closed-form
+    // OLS is row-local arithmetic on the aggregated row
+    val p = planOf("regression_stats")
+    assert(!p.contains("Window"), s"regression_stats planned a window:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"regression_stats planned $exchanges exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("bigram_logprob never windows a token key and probes in one equi-join") {
+    // surprisal is precomputed per bigram TYPE model-side; the corpus
+    // probe is one equi-join ("the ..." hot keys sit probe-side only).
+    // A window over w1 (context totals on raw tokens) would single-task
+    // stop-word contexts; the DISK_ONLY model persist bounds corpus
+    // scans at 3 (model build, probe, vocab)
+    val p = planOf("bigram_logprob")
+    assert(!p.contains("Window"), s"token key windowed (hot-key ceiling):\n$p")
+    val scans = p.linesIterator.count(_.trim.matches("""^\(\d+\) Scan parquet.*"""))
+    assert(scans <= 3, s"bigram_logprob planned $scans scans (max 3):\n$p")
+  }
+
   test("profile_table is one Expand pass over one scan") {
     // the profiling contract: all per-column aggregates (count, exact
     // distinct, min, max) ride ONE scan — multiple count_distincts plan
