@@ -656,6 +656,14 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
+    // continuous-ingestion dedup: a mod-10 batch probed against the rest
+    // of the corpus as base — no base×base join anywhere in the plan
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // ---- similarity search over embeddings -------------------------------
@@ -2247,7 +2255,56 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // a minhash signature depends only on its own doc, so the oracle
+  // computes signatures corpus-wide and splits by the mod-10 predicate;
+  // ties on est_jaccard (exact multiples of 1/16) resolve to min base id
+  private lazy val minhashIncrementalSql: String = {
+    val mins = (0 until Dedup.NumHashes).map(k =>
+      s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
+      .mkString(",\n    ")
+    val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
+    val bandRows = (0 until Dedup.NumBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r} AS b$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $cols FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val bandJoin = (0 until rowsPerBand)
+      .map(r => s"x.b$r = y.b$r").mkString(" AND ")
+    val agree = (0 until Dedup.NumHashes)
+      .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    shinglesCte +
+      s""", hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
+      |), mh AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hs GROUP BY doc_id
+      |), bands AS (
+      |  $bandRows
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND $bandJoin
+      |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+      |), matched AS (
+      |  SELECT cand.doc_id, cand.dup_of,
+      |    CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
+      |  FROM cand JOIN mh a ON a.doc_id = cand.doc_id
+      |    JOIN mh b ON b.doc_id = cand.dup_of
+      |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25
+      |), best AS (
+      |  SELECT doc_id, max(est_jaccard) AS est_jaccard
+      |  FROM matched GROUP BY doc_id
+      |)
+      |SELECT m.doc_id, min(m.dup_of) AS dup_of, m.est_jaccard
+      |FROM matched m JOIN best USING (doc_id, est_jaccard)
+      |GROUP BY m.doc_id, m.est_jaccard
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val oracleSqlRest: Map[String, String] = Map(
+    "dedup_incremental" -> minhashIncrementalSql,
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->

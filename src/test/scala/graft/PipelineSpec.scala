@@ -635,6 +635,31 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("n", "zzz")))
   }
 
+  test("minhashIncremental matches batch against base, best-match deterministic") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq(
+      (10L, common),                       // identical twin candidates:
+      (11L, common),                       //   tie must resolve to id 10
+      (12L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, common),                      // exact dup of base 10/11
+      (101L, "unmatched singleton text with its own private vocabulary here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashIncremental(base, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((100L, 10L, 1.0)),
+      s"expected exact dup -> min-id base match only: ${got.toSeq}")
+    // batch-vs-batch and base-vs-base pairs must never appear: a batch
+    // containing two copies of an unmatched text reports nothing
+    val selfDup = Seq((200L, "zebra xylophone quartz vortex jumble frost king"),
+      (201L, "zebra xylophone quartz vortex jumble frost king"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashIncremental(base, selfDup).count() == 0,
+      "batch-internal duplicates leaked into the incremental result")
+  }
+
   test("stop-shingle cap leaves sparse fixtures unchanged and prunes hot shingles") {
     import spark.implicits._
     val docs = tbl("documents")

@@ -232,6 +232,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("dedup_incremental probes band equi-joins only, no window, no cartesian") {
+    // the continuous-ingestion contract: batch bands probe base bands by
+    // band-signature equi-join; best-match is two partial-aggregable
+    // groupBys. A window (per-doc rank) or a nested-loop join would
+    // break the build-once/probe-many scale story.
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("Window"), s"dedup_incremental planned a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the incremental probe:\n$p")
+  }
+
   test("regression_stats shares corr_stats' one-pass shape") {
     // the five power sums are the whole shuffle: scan -> partial
     // HashAggregate -> 3-row final agg (+ output sort); the closed-form
