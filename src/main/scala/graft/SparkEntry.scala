@@ -609,6 +609,10 @@ object SparkEntry {
     // model-side so the corpus probe is ONE equi-join
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+    // CCNet's bucket step over the bigram scores: exact-rank thirds via
+    // the public ExactRank under a constant group — no corpus ntile
+    "perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
@@ -900,6 +904,39 @@ object SparkEntry {
       }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
+  /** Per-document bigram-LM scores (shared by bigram_logprob and
+    * perplexity_buckets): add-one-smoothed conditional surprisal, e6
+    * integer contract.
+    */
+  private val bigramDocScoresCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
+      |), model AS (
+      |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+      |), ctx AS (
+      |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
+      |), voc AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |), scored AS (
+      |  SELECT m.w1, m.w2,
+      |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
+      |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS s_e6
+      |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
+      |), doc_scores AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
+      |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      AS avg_surprisal_e6
+      |  FROM bg JOIN scored USING (w1, w2)
+      |  GROUP BY doc_id
+      |)
+      |""".stripMargin
+
   private val shinglesCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1939,31 +1976,32 @@ object SparkEntry {
     // bigrams via 1-based list indexing over range(2, len+1) — empty for
     // single-token docs, matching the Spark side's size>=2 guard
     "bigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
-        |), model AS (
-        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
-        |), ctx AS (
-        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
-        |), voc AS (
-        |  SELECT count(DISTINCT tok) AS v FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |), scored AS (
-        |  SELECT m.w1, m.w2,
-        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
-        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
+      (bigramDocScoresCte +
+        """SELECT doc_id, n_bigrams, surprisal_e6, avg_surprisal_e6
+        |FROM doc_scores ORDER BY doc_id""".stripMargin),
+    // the oracle MAY window globally (single-engine check); the Spark
+    // side must not — exact integer-rank thirds, bucket means as ratios
+    // of exact integer sums
+    "perplexity_buckets" ->
+      (bigramDocScoresCte +
+        """, ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY avg_surprisal_e6, doc_id) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM doc_scores
+        |), lab AS (
+        |  SELECT *, CASE WHEN rnk * 3 <= n THEN 'head'
+        |    WHEN rnk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM ranked
         |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
-        |  CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    AS avg_surprisal_e6
-        |FROM bg JOIN scored USING (w1, w2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(avg_surprisal_e6) AS min_avg_e6,
+        |  max(avg_surprisal_e6) AS max_avg_e6,
+        |  CAST(sum(surprisal_e6) AS BIGINT) AS sum_surprisal_e6,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(CAST(sum(surprisal_e6) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE)
+        |    AS mean_surprisal_e6
+        |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin),
     "corpus_shuffle" ->
       """WITH p AS (
         |  SELECT doc_id,

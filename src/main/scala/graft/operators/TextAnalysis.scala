@@ -866,7 +866,14 @@ object TextAnalysis {
     * probe-side hot key only, one build row per bigram). Vocabulary
     * size rides a one-row broadcast.
     */
-  def bigramLogProb(documents: DataFrame): DataFrame = {
+  def bigramLogProb(documents: DataFrame): DataFrame =
+    bigramScored(documents).orderBy(col("doc_id"))
+
+  /** [[bigramLogProb]] without the presentation sort — the shape
+    * downstream consumers (e.g. [[perplexityBuckets]]) want, since they
+    * re-partition by their own key anyway.
+    */
+  private def bigramScored(documents: DataFrame): DataFrame = {
     // size-1 guard: sequence(0, -1) DESCENDS in Spark (it is not empty),
     // so a single-token doc must be filtered, not transformed
     val bigrams = documents.select(col("doc_id"),
@@ -879,8 +886,9 @@ object TextAnalysis {
     // persist the MODEL (bigram-TYPE-sized, already aggregated — not the
     // corpus) so ctx derivation + the enrich join don't replay the
     // corpus-sized model build twice; DISK_ONLY per the house rule
-    // (never compete with shuffle memory), released when the plan's
-    // last action completes or the session clears its cache
+    // (never compete with shuffle memory). Caller contract as
+    // minhashLsh: release with spark.catalog.clearCache() once the
+    // result is materialized (Bench/Verify do this per query)
     val model = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -899,7 +907,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("surprisal_e6"))
       .withColumn("avg_surprisal_e6",
         col("surprisal_e6").cast("double") / col("n_bigrams").cast("double"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet's perplexity-bucket step: rank every document by its LM
+    * cross-entropy ([[bigramLogProb]]) and cut the corpus into
+    * head/middle/tail thirds (head = most LM-like) — the bucket label is
+    * what drives keep/sample/drop decisions in the CCNet pipeline. The
+    * report is one row per bucket with exact membership counts and
+    * surprisal extrema/means.
+    *
+    * Scale shape: the global ranking is [[ExactRank.exactRank]] under a
+    * constant group — full range-partitioned parallelism, NO
+    * corpus-wide window (a `ntile(3) over (order by ...)` would
+    * single-task the planet). Bucket edges are exact integer-rank
+    * comparisons (rnk·3 vs n), so the cut is reproducible on any
+    * engine; per-bucket means divide two exact integer sums, never
+    * averaging doubles.
+    */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val ranked = ExactRank.exactRank(
+      bigramScored(documents).withColumn("g", lit(1)),
+      Seq("g"), Seq("avg_surprisal_e6", "doc_id"))
+    ranked
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_group"), "head")
+          .when(col("rnk") * 3 <= col("n_group") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_surprisal_e6")).as("min_avg_e6"),
+        max(col("avg_surprisal_e6")).as("max_avg_e6"),
+        sum(col("surprisal_e6")).as("sum_surprisal_e6"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .withColumn("mean_surprisal_e6",
+        col("sum_surprisal_e6").cast("double") / col("sum_bigrams").cast("double"))
+      .orderBy(col("bucket"))
   }
 
   /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary

@@ -635,6 +635,26 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("n", "zzz")))
   }
 
+  test("perplexityBuckets cuts exact thirds ordered by cross-entropy") {
+    import spark.implicits._
+    // six docs, two per third; repetitive chains are corpus-frequent
+    // transitions (low surprisal), mixed-order docs are rare ones
+    val docs = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "a b c a b c a b"), (4L, "c a b c a b c a"),
+      (5L, "b b a a c c b a"), (6L, "c c b b a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    assert(got.values.forall(_._1 == 2L), s"thirds must be exact: $got")
+    // bucket ranges must tile the score axis in order
+    assert(got("head")._3 <= got("middle")._2 &&
+      got("middle")._3 <= got("tail")._2,
+      s"bucket score ranges out of order: $got")
+  }
+
   test("minhashIncremental matches batch against base, best-match deterministic") {
     import spark.implicits._
     val common = "the quick brown fox jumps over the lazy dog again and again"

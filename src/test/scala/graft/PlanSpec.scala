@@ -232,6 +232,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("perplexity_buckets ranks through ExactRank, never a corpus window") {
+    // the CCNet cut must not be ntile(3) OVER (ORDER BY ...): a global
+    // window single-tasks the corpus. ExactRank under a constant group
+    // keeps full range-partitioned parallelism.
+    val p = planOf("perplexity_buckets")
+    assert(!p.contains("Window"), s"perplexity_buckets planned a window:\n$p")
+  }
+
   test("dedup_incremental probes band equi-joins only, no window, no cartesian") {
     // the continuous-ingestion contract: batch bands probe base bands by
     // band-signature equi-join; best-match is two partial-aggregable
