@@ -60,8 +60,16 @@ object Bench {
     // per query (second run skipped once a query fails), plus an ADAPTIVE
     // third run when the first two disagree by >1.4x (JIT/heap state was
     // still settling — r6/r7 saw 3x shared-vs-isolated gaps on exactly
-    // such queries) or when the query is expensive (>2s — the audited
-    // tail, where a stray inflated number distorts the artifact most)
+    // such queries), when the query is expensive (>2s — the audited
+    // tail, where a stray inflated number distorts the artifact most),
+    // or ALWAYS when the query is sub-second: r8's simhash_pairs ran
+    // consistently slow under sustained host load (2.21 s shared vs
+    // 0.85 s isolated) and two agreeing-but-inflated runs never tripped
+    // the disagreement trigger. A third sub-second run costs <1 s and
+    // buys one more chance at a calm scheduling window; sustained load
+    // across all three runs remains unfixable in-process and is the
+    // documented residual jitter class (BENCH_NOTES r9: tolerance 2x on
+    // queries under 1 s isolated).
     // SPARK_GRAFT_ONLY=a,b,c restricts the run — the isolated-measurement
     // harness BENCH_NOTES numbers come from (same warm-ups, same timing
     // discipline, no shared-bench neighbors)
@@ -80,7 +88,7 @@ object Bench {
           if (second < 0) first
           else {
             val best2 = math.min(first, second)
-            if (math.max(first, second) / best2 > 1.4 || best2 > 2.0) {
+            if (best2 < 1.0 || math.max(first, second) / best2 > 1.4 || best2 > 2.0) {
               val third = timeOnce(name, fn)
               if (third < 0) best2 else math.min(best2, third)
             } else best2

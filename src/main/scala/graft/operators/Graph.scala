@@ -38,13 +38,18 @@ object Graph {
     * Beyond ~9.2e9 nodes, lower `scale`.
     *
     * Caller contract: the degree-annotated edge relation and the node
-    * relation stay `.cache()`d after this returns — every consumption of
-    * the (lazy) result re-reads them. Call `spark.catalog.clearCache()`
-    * (or unpersist both via a fresh call's lineage) once the ranks are
-    * materialized; Bench/Verify do this per query.
+    * relation stay persisted after this returns — every consumption of
+    * the (lazy) result re-reads them. Both persist DISK_ONLY per the
+    * [[triangleCounts]] discipline: an edge relation is corpus-sized and
+    * must not pin storage memory, least of all across an iterative run
+    * where it would compete with every iteration's shuffle for executor
+    * memory. Call `spark.catalog.clearCache()` (or unpersist both via a
+    * fresh call's lineage) once the ranks are materialized; Bench/Verify
+    * do this per query.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85,
       scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(iterations >= 1 && iterations <= 20,
       "iterations must be in [1, 20] — beyond that use a checkpointed fixpoint")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -52,9 +57,10 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one shuffle on src for the whole run; every iteration rejoins this
-    val withDeg = e.join(outDeg, "src").cache()
+    val withDeg = e.join(outDeg, "src").persist(StorageLevel.DISK_ONLY)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.DISK_ONLY)
     val base = (100L - dampingPct) * scale / 100L
     var ranks = nodes.withColumn("rank_e9", lit(scale))
     for (_ <- 1 to iterations) {
