@@ -46,6 +46,23 @@ object SparkEntry {
   private def crystalballPairs(spark: SparkSession, dir: String): DataFrame =
     CrystalBall.pairProbabilities(BasketSource.basketsFromLineitem(spark, dir))
 
+  /** Stage input for a bounded file-source stream, run the body, DELETE
+    * the staging copy. The body returns only after `awaitTermination()`
+    * with its result materialized in the memory sink (driver memory), so
+    * the staged files are dead weight the moment it returns — and
+    * without the cleanup every invocation (Bench times each streaming
+    * query 2-3×) leaks a corpus-sized copy into the system temp dir.
+    */
+  private def withStreamStage(prefix: String)(body: String => DataFrame): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix)
+    try body(stage.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---- driver surface ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,13 +128,12 @@ object SparkEntry {
     // sink bounds this ARTIFACT to driver memory; production would swap
     // in the parquet foreachBatch sink (StreamingOps
     // .writePartitionedStream) — the dataflow upstream is identical.
-    "cooccur_stream" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_cooccur_stream")
+    "cooccur_stream" -> ((s, dir) => withStreamStage("graft_cooccur_stream") { stage =>
       BasketSource.fromLineitem(s, dir)
         .select(concat_ws(" ", col("customer"),
           array_join(col("products"), " ")).as("value"))
-        .write.mode("overwrite").text(stage.toString)
-      val counts = graft.streaming.StreamingOps.coOccurrenceCounts(s, stage.toString)
+        .write.mode("overwrite").text(stage)
+      val counts = graft.streaming.StreamingOps.coOccurrenceCounts(s, stage)
       val sink = "cooccur_stream_sink"
       s.catalog.dropTempView(sink)
       val q = counts.writeStream.format("memory").queryName(sink)
@@ -135,11 +151,10 @@ object SparkEntry {
     // date_trunc('hour', ts), so the batch hourly_counts oracle applies
     // verbatim — windowing parity visible to the hash gate (StreamingSpec
     // holds the late-drop/append-closure guarantees the gate can't see).
-    "hourly_counts_stream" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_hourly_stream")
-      eventsTable(s, dir).write.mode("overwrite").parquet(stage.toString)
+    "hourly_counts_stream" -> ((s, dir) => withStreamStage("graft_hourly_stream") { stage =>
+      eventsTable(s, dir).write.mode("overwrite").parquet(stage)
       val counts = graft.streaming.StreamingOps.hourlyCounts(
-        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage.toString))
+        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
       val sink = "hourly_counts_stream_sink"
       s.catalog.dropTempView(sink)
       val q = counts.writeStream.format("memory").queryName(sink)
@@ -149,6 +164,7 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink).orderBy(col("hour"), col("event_type"))
     }),
+
     // STATEFUL STREAMING DEDUP driver-checked: document content
     // fingerprints stream through dropDuplicates state — the exactly-once
     // admission guard of a continuous corpus ingest. The output is the
@@ -157,15 +173,14 @@ object SparkEntry {
     // rows emit as they are first admitted). Bounded-state production
     // variant (dropDuplicatesWithinWatermark) is eviction/readmission-
     // tested in StreamingSpec.
-    "dedup_stream" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    "dedup_stream" -> ((s, dir) => withStreamStage("graft_dedup_stream") { stage =>
       t(s, dir, "documents").select(md5(col("text")).as("fp"))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(stage)
       val fpSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp",
           org.apache.spark.sql.types.StringType)))
       val distinctFp = graft.streaming.StreamingOps.dedupStream(
-        s.readStream.schema(fpSchema).parquet(stage.toString), Seq("fp"))
+        s.readStream.schema(fpSchema).parquet(stage), Seq("fp"))
       val sink = "dedup_stream_sink"
       s.catalog.dropTempView(sink)
       val q = distinctFp.writeStream.format("memory").queryName(sink)
@@ -528,8 +543,7 @@ object SparkEntry {
     // in-window matches of this historical replay while the read still
     // parallelizes across files — and the result equals the batch twin
     // bit-for-bit: same oracle text as interval_join.
-    "interval_join_stream" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_ij_stream")
+    "interval_join_stream" -> ((s, dir) => withStreamStage("graft_ij_stream") { stage =>
       // each side staged pre-filtered into its own directory: a stream's
       // source filter does not prune the file scan (the source reads the
       // whole directory, the filter runs post-read), so splitting at

@@ -41,7 +41,17 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Pairs (id_a < id_b) whose strCol values are within maxDist edits —
-    * EXACT result, blocking is recall-lossless: (id_a, id_b, dist). */
+    * EXACT result, blocking is recall-lossless: (id_a, id_b, dist).
+    *
+    * NULL contract: rows whose strCol is NULL are EXCLUDED from the
+    * result entirely — `length(NULL)` is NULL, which fails both the
+    * long-string and short-string length predicates, so a NULL-keyed
+    * record can never pair (not even with another NULL). Callers on
+    * dirty corpora who want NULLs to participate should
+    * `coalesce(strCol, '')` first; edit distance to an absent value is
+    * not well-defined, so silently treating NULL as "" is not a default
+    * this operator will pick for you.
+    */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")

@@ -122,12 +122,17 @@ object Scd {
     require(valCols.sameElements(
         newSnap.columns.filterNot(keyCols.contains).sorted),
       "snapshots must share their non-key column set")
-    // \u0001 separates fields, \u0000 marks NULL — distinguishable from
-    // any cast value, so (NULL, "x") never fingerprints like ("x", NULL)
+    // to_json(struct(...)) is an INJECTION-FREE encoding: every value is
+    // JSON-escaped under its field name, so no value can alias across
+    // adjacent columns the way a separator-joined concat can (with a
+    // plain \u0001 join, ("a\u0001b","c") and ("a","b\u0001c")
+    // fingerprint identically and an update silently reads as
+    // unchanged). NULL fields are omitted by the encoder, which is also
+    // unambiguous — the field-name key set itself distinguishes every
+    // NULL pattern.
     def fp(df: DataFrame, extra: Seq[Column], as: String) = df.select(
       keyCols.map(col) ++ extra :+
-        md5(concat_ws("\u0001", valCols.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
+        md5(to_json(struct(valCols.map(col): _*))).as(as): _*)
     val payload = if (includePayload) valCols.toSeq.map(col) else Nil
     val o = fp(oldSnap, Nil, "_fp_old")
     val n = fp(newSnap, payload, "_fp_new")
@@ -179,9 +184,21 @@ object Scd {
             (opCol +: attrs).map(c => col(s"_f.$c").as(c)): _*)
       case None => feed
     }
-    val touched = deduped.select(keyCols.map(col): _*)
+    // Fail fast on an op outside the recognized domain: without this, a
+    // NULL or misspelled op row still removes its key via the anti join
+    // (touched is op-blind) while the NULL-filtering `=!= "delete"`
+    // predicate drops it from the upserts — a malformed feed row would
+    // silently act as a delete. raise_error is row-local and codegen'd;
+    // a clean feed pays one `in`-set check per row.
+    val validated = deduped.withColumn(opCol,
+      when(col(opCol).isin("insert", "update", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("upsertApply: unrecognized op value '"),
+          coalesce(col(opCol).cast("string"), lit("NULL")),
+          lit(s"' in column $opCol — expected insert/update/delete")))))
+    val touched = validated.select(keyCols.map(col): _*)
     val untouched = base.join(touched, keyCols, "left_anti")
-    val upserts = deduped.filter(col(opCol) =!= "delete")
+    val upserts = validated.filter(col(opCol) =!= "delete")
       .select((keyCols ++ attrs).map(col): _*)
     untouched.unionByName(upserts)
   }

@@ -251,11 +251,24 @@ object Similarity {
     * for the same centroid parameters — the two share arithmetic, and the
     * driver checks this query against the very oracle text of
     * ann_ivf_topk.
+    *
+    * The probe-side centroid table is recovered FROM THE INDEX ITSELF:
+    * a centroid is its own cell's nearest member (self-distance 0), so
+    * the index rows with `other_id < numCentroids` carry exactly the
+    * centroid vectors the index was built with. Deriving them from the
+    * `queries` relation instead would silently assign probes against
+    * DIFFERENT centroids whenever a caller serves a query batch that is
+    * not the index-source corpus — the advertised build-once/probe-many
+    * shape — returning wrong or empty neighbors. The recovered table is
+    * numCentroids rows off a bucketed scan; it broadcasts.
     */
   def ivfTopKFromIndex(queries: DataFrame, index: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, numProbes: Int = 1): DataFrame = {
     val e = vectorsWithNorm(queries)
-    val probes = assignCells(e, firstNCentroids(e, numCentroids))
+    val cents = index.filter(col("other_id") < numCentroids)
+      .select(col("other_id").as("cent_id"), col("vb").as("cv"),
+        col("nrm_b").as("cnrm"))
+    val probes = assignCells(e, cents)
       .filter(col("crk") <= numProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
     serveAgainst(probes, index, k)
