@@ -601,6 +601,25 @@ object SparkEntry {
         stopList = Seq("the", "a"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
+    // markup-to-text extraction, the step ahead of every quality filter:
+    // the corpus is wrapped in deterministic real-shaped HTML (head/style/
+    // script/entities/comment, sentences split across <p> blocks) by BOTH
+    // engines, then the extraction chain must recover clean block text.
+    // Row-local regexp chain — no shuffle beyond the presentation sort.
+    "html_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>Doc</title><style>body{color:#333} " +
+          ".nav{display:none}</style></head><body>" +
+          "<script type=\"text/javascript\">var lt = 1 < 2 && 3 > 2;</script>" +
+          "<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"),
+        regexp_replace(col("text"), "\\. ", ".</p><p>"),
+        lit("</p><div class=\"nav\"><ul><li>Home</li><li>About &amp; " +
+          "&lt;contact&gt; &quot;mail&#39;s&quot;&nbsp;here</li></ul></div>" +
+          "<!-- footer\ncomment --></body></html>")).as("html"))
+      TextAnalysis.htmlExtract(pages).orderBy(col("doc_id"))
+    }),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
     // content-defined chunking (Rabin-style md5 boundary trigger)
     "cdc_chunks" -> ((s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"))),
@@ -1932,6 +1951,38 @@ object SparkEntry {
         |SELECT doc_id, n_emails, n_ips, n_long_numbers, masked_md5,
         |  n_emails + n_ips + n_long_numbers = 0 AS clean
         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "html_extract" -> {
+      val (sc, st, cm, bl, tg) = (TextAnalysis.HtmlScriptRe,
+        TextAnalysis.HtmlStyleRe, TextAnalysis.HtmlCommentRe,
+        TextAnalysis.HtmlBlockTagRe, TextAnalysis.HtmlTagRe)
+      s"""WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>body{color:#333} .nav{display:none}</style></head><body><script type="text/javascript">var lt = 1 < 2 && 3 > 2;</script><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        |    || regexp_replace(text, '\\. ', '.</p><p>', 'g')
+        |    || '</p><div class="nav"><ul><li>Home</li><li>About &amp; &lt;contact&gt; &quot;mail&#39;s&quot;&nbsp;here</li></ul></div><!-- footer'
+        |    || chr(10) || 'comment --></body></html>' AS html
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |    '$sc', ' ', 'g'), '$st', ' ', 'g'), '$cm', ' ', 'g'),
+        |    '\\s+', ' ', 'g') AS x
+        |  FROM pages
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(x,
+        |    '$bl', chr(10), 'g'), '$tg', '', 'g') AS x FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS x FROM s2
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(x,
+        |    ' +', ' ', 'g'), ' ?(\\n ?)+', chr(10), 'g'),
+        |    '^\\s+|\\s+$$', '', 'g') AS text
+        |FROM s3 ORDER BY doc_id""".stripMargin
     },
     "chunk_docs" ->
       """WITH t AS (

@@ -1011,4 +1011,65 @@ object TextAnalysis {
       }.toDF("doc_id", "n_words", "n_char_tokens", "n_bpe_tokens")
       .orderBy(col("doc_id"))
   }
+
+  /** HTML extraction patterns, shared verbatim with the DuckDB oracle.
+    * Restricted to the regex subset on which Java regex and RE2 agree:
+    * inline flags, non-capturing groups, lazy repetition, character
+    * classes — NO backreferences (RE2 has none), which is why script and
+    * style get separate patterns instead of one `<(script|style)>.*?</\1>`.
+    */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+
+  /** Block-level elements whose tags become paragraph breaks: text
+    * separated by these must not concatenate into one word/sentence.
+    */
+  val HtmlBlockTagRe =
+    "(?i)</?(?:p|div|br|li|h[1-6]|tr|table|ul|ol|blockquote)[^>]*>"
+  val HtmlTagRe = "<[^>]+>"
+
+  /** Markup extraction — the step every web-crawl pipeline runs BEFORE
+    * the quality filters this file already ships ([[gopherQuality]],
+    * [[c4LineFilter]]): strip scripts/styles/comments, turn block-level
+    * tags into line breaks (block-text reassembly — `<p>a</p><p>b</p>`
+    * must read "a\nb", never "ab"), drop every remaining tag, decode the
+    * common entities, and normalize whitespace. Boilerplate REMOVAL by
+    * text density (Readability-style scoring) is deliberately out of
+    * scope — that is [[boilerplateFilter]]'s line-level job downstream;
+    * this operator's contract is faithful markup-to-text conversion.
+    *
+    * Output column is named `text` so the result feeds the quality
+    * filters unchanged.
+    *
+    * Scale shape: pure row-local codegen'd projection — a regexp_replace
+    * chain, no shuffle beyond the caller's presentation sort; scales
+    * embarrassingly. Entity decode order matters and is pinned: named
+    * entities first, `&amp;` LAST, so `&amp;lt;` decodes to the literal
+    * text "&lt;" (what the author wrote), never to "<".
+    */
+  def htmlExtract(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol), HtmlScriptRe, " ")
+    val noStyle = regexp_replace(noScript, HtmlStyleRe, " ")
+    val noComment = regexp_replace(noStyle, HtmlCommentRe, " ")
+    // collapse ALL source whitespace BEFORE tag handling: in HTML a raw
+    // newline inside a paragraph is just whitespace — after this step,
+    // every '\n' in the string was put there by a block tag, never by
+    // source formatting
+    val oneSpace = regexp_replace(noComment, "\\s+", " ")
+    val blocksAsBreaks = regexp_replace(oneSpace, HtmlBlockTagRe, "\n")
+    // remaining (inline) tags are ZERO-width, the browser model: <a>/<b>
+    // never create word boundaries — source whitespace does. A space here
+    // would detach punctuation ("<a>link</a>." reading "link .")
+    val noTags = regexp_replace(blocksAsBreaks, HtmlTagRe, "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    // tag removal (and &nbsp; decode) can leave formerly-separated spaces
+    // adjacent — re-collapse before folding breaks
+    val reSpace = regexp_replace(decoded, " +", " ")
+    val oneBreak = regexp_replace(reSpace, " ?(\\n ?)+", "\n")
+    val trimmed = regexp_replace(oneBreak, "^\\s+|\\s+$", "")
+    pages.withColumn("text", trimmed).drop(htmlCol)
+  }
 }

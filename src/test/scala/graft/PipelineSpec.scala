@@ -1836,4 +1836,50 @@ class PipelineSpec extends AnyFunSuite {
         rows.minBy(_.getLong(0)).getBoolean(2)
     }, s"loose tau must keep exactly each cluster's min id: ${looseMask.toSeq}")
   }
+
+  test("htmlExtract recovers block text from real-shaped markup") {
+    import spark.implicits._
+    val page =
+      """<!DOCTYPE html>
+        |<html lang="en"><head>
+        |  <meta charset="utf-8">
+        |  <title>Widgets &amp; Gadgets</title>
+        |  <style type="text/css">
+        |    body { margin: 0; font: 14px/1.4 sans-serif; }
+        |    .hidden { display: none; }
+        |  </style>
+        |  <script>
+        |    if (window.x < 10 && window.y > 2) { track("pv"); }
+        |  </script>
+        |</head>
+        |<body>
+        |  <div id="main">
+        |    <h1>Product   page</h1>
+        |    <!-- rendered by
+        |         the template engine -->
+        |    <p>First paragraph.</p><p>Second&nbsp;paragraph with
+        |<a href="/link?a=1&amp;b=2">a link</a>.</p>
+        |    <ul><li>it&#39;s &quot;quoted&quot;</li><li>3 &lt; 4</li></ul>
+        |  </div>
+        |</body></html>""".stripMargin
+    val out = TextAnalysis.htmlExtract(
+        Seq((1L, page)).toDF("doc_id", "html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Seq(
+      "Widgets & Gadgets",  // head text survives (title is not stripped)
+      "Product page",       // intra-tag runs of spaces collapse
+      "First paragraph.",   // block tags split paragraphs...
+      "Second paragraph with a link.", // ...and inline tags/entities don't
+      "it's \"quoted\"",
+      "3 < 4").mkString("\n")
+    assert(out(1L) == expected,
+      s"extracted:\n${out(1L)}\nexpected:\n$expected")
+    // script/style/comment content must be GONE, not just de-tagged
+    assert(!out(1L).contains("track") && !out(1L).contains("display") &&
+      !out(1L).contains("template"))
+    // null html propagates null text (the operator never invents content)
+    val nulled = TextAnalysis.htmlExtract(
+      Seq((2L, null: String)).toDF("doc_id", "html")).collect()
+    assert(nulled.head.isNullAt(1))
+  }
 }
