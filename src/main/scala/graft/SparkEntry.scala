@@ -839,7 +839,43 @@ object SparkEntry {
     // exact global shuffle order via uniform md5 buckets (lazy, no hot key)
     "corpus_shuffle" -> ((s, dir) =>
       Sampling.corpusShuffle(t(s, dir, "documents"))),
+    // ---- URL canonicalization (host-keyed curation) ----------------------
+    // RFC 3986 syntax-based normalization over deterministically messy
+    // URLs (mixed case, explicit default ports, userinfo, fragments, an
+    // unparseable class -> NULL url_norm). Row-local regex chain shared
+    // verbatim with the oracle — no shuffle beyond the presentation sort.
+    "url_normalize" -> ((s, dir) =>
+      Url.normalize(messyUrls(t(s, dir, "documents"))).orderBy(col("doc_id"))),
+    // per-HOST contribution cap: normalize, quarantine unparseable rows,
+    // then reuse domain_cap's salted two-phase exact rank keyed on the
+    // parsed host — the key real crawls actually cap on
+    "host_cap" -> ((s, dir) =>
+      Url.hostCap(messyUrls(t(s, dir, "documents")), maxPerHost = 10)),
   )
+
+  /** Deterministic messy-URL corpus for the URL operators: both engines
+    * synthesize the same mixed-case / default-port / userinfo / fragment /
+    * schemeless URL per document (the html_extract discipline), so the
+    * oracle checks real normalization work, not a pre-clean column.
+    * doc_id%6 picks the mess class, doc_id%5 the host — ~30 hosts, enough
+    * population per host for the cap to bite.
+    */
+  private def messyUrls(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(6))
+    val k = pmod(col("doc_id"), lit(5)).cast("string")
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"),
+      when(m === 0, concat(lit("HTTP://WWW.Example"), k,
+          lit(".COM:80/path/"), id, lit("?a=1#frag")))
+        .when(m === 1, concat(lit("https://user:pw@Sub.Example"), k,
+          lit(".org:443/Article/"), id))
+        .when(m === 2, concat(lit("https://example"), k,
+          lit(".net:8443/x?q="), id, lit("&b=2")))
+        .when(m === 3, concat(lit("http://example"), k, lit(".com")))
+        .when(m === 4, concat(lit("ftp://Files.example"), k,
+          lit(".io/pub/"), id, lit("#sec")))
+        .otherwise(concat(lit("not a url "), id)).as("url"))
+  }
 
   /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
     * BasketSource.fromLineitem / CoOccurrence exactly (FIXTURES.md §2).
@@ -851,6 +887,51 @@ object SparkEntry {
       |              ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS products
       |  FROM lineitem GROUP BY l_orderkey
       |)""".stripMargin
+
+  /** Oracle twin of [[messyUrls]] + [[Url.normalize]]'s parse stage: the
+    * CASE arms mirror the Spark when-chain byte-for-byte and the regexes
+    * are the [[Url]] constants verbatim (Java/RE2-shared subset).
+    */
+  private val urlParseCte: String = {
+    val (sc, au, pa, qu, ui, po) = (Url.SchemeRe, Url.AuthorityRe,
+      Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe)
+    // NOTE: the queries embed this via a second stripMargin, so no line
+    // here may BEGIN with '|' (a leading '||' would lose a pipe there)
+    s"""WITH urls AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+      |    WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '.COM:80/path/' || CAST(doc_id AS VARCHAR) || '?a=1#frag'
+      |    WHEN 1 THEN 'https://user:pw@Sub.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '.org:443/Article/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '.net:8443/x?q=' || CAST(doc_id AS VARCHAR) || '&b=2'
+      |    WHEN 3 THEN 'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+      |    WHEN 4 THEN 'ftp://Files.example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '.io/pub/' || CAST(doc_id AS VARCHAR) || '#sec'
+      |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '$sc', 1)) AS scheme,
+      |    regexp_replace(regexp_extract(url, '$au', 1), '$ui', '') AS hostport
+      |  FROM urls
+      |), p2 AS (
+      |  SELECT doc_id, url, scheme,
+      |    lower(regexp_replace(hostport, '$po', '')) AS host,
+      |    regexp_extract(hostport, '$po', 1) AS port,
+      |    regexp_extract(url, '$pa', 1) AS raw_path,
+      |    regexp_extract(url, '$qu', 1) AS query
+      |  FROM p
+      |), n AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+      |    CASE WHEN (scheme = 'http' AND port = '80')
+      |         OR (scheme = 'https' AND port = '443')
+      |         OR port = '' THEN '' ELSE ':' || port END AS kept_port,
+      |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
+      |  FROM p2
+      |)""".stripMargin
+  }
 
   private val cooccurCte =
     basketsCte +
@@ -2822,6 +2903,23 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents)
         |SELECT doc_id, source, rn FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "url_normalize" ->
+      s"""$urlParseCte
+        |SELECT doc_id, url, scheme, host, path,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |       ELSE scheme || '://' || host || kept_port || path || kept_query
+        |  END AS url_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "host_cap" ->
+      s"""$urlParseCte, valid AS (
+        |  SELECT doc_id, host FROM n WHERE NOT (scheme = '' OR host = '')
+        |), r AS (
+        |  SELECT doc_id, host,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM valid)
+        |SELECT doc_id, host, rn FROM r WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
     "temperature_mix" ->
       """WITH c AS (

@@ -1882,4 +1882,47 @@ class PipelineSpec extends AnyFunSuite {
       Seq((2L, null: String)).toDF("doc_id", "html")).collect()
     assert(nulled.head.isNullAt(1))
   }
+
+  test("Url.normalize canonicalizes the RFC 3986 safe subset") {
+    import spark.implicits._
+    val out = Url.normalize(Seq(
+        1L -> "HTTP://User@WWW.Example.COM:80/Path/X?q=1#frag",
+        2L -> "https://api.example.org:8443",  // kept non-default port, empty path
+        3L -> "ftp://Files.example.io:21/pub", // non-http scheme: port 21 kept
+        4L -> "relative/path/only",            // no scheme -> quarantined
+        5L -> "https://example.net/?b=2&a=1"   // query order preserved, not sorted
+      ).toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5))).toMap
+    assert(out(1L) == (("http", "www.example.com", "/Path/X",
+      "http://www.example.com/Path/X?q=1")),
+      s"case+port+userinfo+fragment normalization: ${out(1L)}")
+    assert(out(2L) == (("https", "api.example.org", "/",
+      "https://api.example.org:8443/")))
+    assert(out(3L) == (("ftp", "files.example.io", "/pub",
+      "ftp://files.example.io:21/pub")))
+    assert(out(4L)._4 == null, "schemeless row must get NULL url_norm")
+    assert(out(5L)._4 == "https://example.net/?b=2&a=1",
+      "query parameters must NOT be reordered")
+  }
+
+  test("Url.hostCap caps per parsed host and quarantines unparseable rows") {
+    import spark.implicits._
+    // 15 urls on one hot host (mixed mess forms), 2 on another, 1 junk
+    val pages = ((0L until 15L).map(i => i ->
+        (if (i % 3 == 0) s"HTTP://Hot.Example.COM:80/p/$i"
+         else if (i % 3 == 1) s"http://user@hot.example.com/p/$i"
+         else s"http://HOT.EXAMPLE.com/p/$i?v=$i")) ++
+      Seq(20L -> "https://cold.example.org/a", 21L -> "https://cold.example.org/b",
+          30L -> "garbage")).toDF("doc_id", "url")
+    val out = Url.hostCap(pages, maxPerHost = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byHost = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byHost == Map("hot.example.com" -> 10, "cold.example.org" -> 2),
+      s"per-host survivors: $byHost")
+    assert(!out.exists(_._1 == 30L), "unparseable row must be dropped, not ''-bucketed")
+    // ranks are dense 1..n within each host
+    assert(out.filter(_._2 == "hot.example.com").map(_._3).sorted.toSeq == (1L to 10L),
+      "host ranks must be dense")
+  }
 }
