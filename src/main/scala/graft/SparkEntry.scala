@@ -117,6 +117,24 @@ object SparkEntry {
         .agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("product"), col("neighbor"))
     }),
+    // cooccur_incremental's production shape: the existing partition's
+    // partial counts are WRITTEN as a bucketed catalog table (bucketed on
+    // product — the serve key; its one shuffle happens at write time, the
+    // ann_ivf_persisted discipline) and the merge plan reads the partials
+    // back from the catalog + scans ONLY the delta — lineitem appears in
+    // the plan exactly once (PlanSpec pin). A later session resumes from
+    // the table alone; merge(persisted, delta) == full recompute is the
+    // driver's hash gate (same oracle text as cooccur_counts).
+    "cooccur_persisted" -> ((s, dir) => {
+      val b = BasketSource.basketsFromLineitem(s, dir)
+      val existing = b.filter(crc32(col("customer").cast("binary")) % 2 === 0)
+      val delta = b.filter(crc32(col("customer").cast("binary")) % 2 === 1)
+      val tbl = "graft_cooccur_partials"
+      graft.sources.TableSink.writeBucketed(
+        CoOccurrence.counts(existing), tbl, "product", 8)
+      CoOccurrence.mergeCounts(s.table(tbl), CoOccurrence.counts(delta))
+        .orderBy(col("product"), col("neighbor"))
+    }),
     // the flagship THROUGH THE STREAMING ENGINE, driver-checked: basket
     // lines are staged to a temp dir, read back as a bounded file-source
     // text STREAM run to completion (availableNow trigger), window-
@@ -1209,6 +1227,9 @@ object SparkEntry {
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     // merge-of-partials must equal the FULL recompute — same oracle text
     "cooccur_incremental" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // persisted-partials IVM must equal the full recompute — same oracle
+    "cooccur_persisted" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     // the streaming run must equal the batch computation — same oracle text
     "cooccur_stream" ->

@@ -83,4 +83,18 @@ object CoOccurrence {
   def counts(baskets: Dataset[Basket], maxWindow: Int = Int.MaxValue): DataFrame =
     pairs(baskets, maxWindow).groupBy(col("product"), col("neighbor"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Incremental-view-maintenance merge: persisted partial counts (a
+    * prior session's [[counts]] output, e.g. read back from a bucketed
+    * catalog table) plus a delta batch's counts. Counts are additive over
+    * any basket-disjoint split (window semantics are per-basket), so
+    * merge(partials, delta) == full recompute — the contract that lets a
+    * 100 TB pipeline ingest new baskets WITHOUT re-reading the corpus.
+    * The merge shuffles only the aggregated pair relation (vocab-pair
+    * bounded), never corpus-sized input.
+    */
+  def mergeCounts(persisted: DataFrame, deltaCounts: DataFrame): DataFrame =
+    persisted.unionByName(deltaCounts)
+      .groupBy(col("product"), col("neighbor"))
+      .agg(sum(col("cnt")).as("cnt"))
 }

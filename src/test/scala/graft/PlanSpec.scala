@@ -221,6 +221,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccur_persisted reads persisted partials and scans the corpus once") {
+    // the IVM promise: the merge plan's only corpus input is the DELTA —
+    // the existing partition's counts come back from the bucketed catalog
+    // table, so lineitem appears in the plan exactly once. A second
+    // lineitem scan would mean the "persisted" side silently recomputed.
+    val p = planOf("cooccur_persisted")
+    assert(p.contains("graft_cooccur_partials"),
+      s"merge plan does not read the persisted partials table:\n$p")
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected exactly one lineitem scan (the delta), got $lineitemScans:\n$p")
+  }
+
   test("corr_stats is one partial-aggregable pass, never a window") {
     // the moment-sketch promise: five exact power sums merge associatively,
     // so the plan is scan → partial HashAggregate → 3-row final aggregate
