@@ -832,6 +832,11 @@ object SparkEntry {
     // the oracle recomputes the dims from doc_id and emits literal TRUE
     "media_decode_real" -> ((s, dir) =>
       Multimodal.imageRoundTrip(t(s, dir, "documents"), maxDim = 4)),
+    // REAL audio kernel (javax.sound.sampled WAV round-trip) through the
+    // same mapPartitions codec seam — header decode + lossless-PCM
+    // payload check, oracle recomputes the format from doc_id arithmetic
+    "audio_decode_real" -> ((s, dir) =>
+      Multimodal.audioRoundTrip(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "weighted_sample" -> ((s, dir) =>
@@ -2812,6 +2817,14 @@ object SparkEntry {
         |       ELSE greatest(1, h * 4 // greatest(w, h)) END AS out_h,
         |  TRUE AS color_ok
         |FROM f ORDER BY doc_id""".stripMargin,
+    "audio_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(1 + doc_id % 32 AS BIGINT) AS n_frames,
+        |  TRUE AS pcm_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "media_frames" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -263,6 +263,92 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** A decoded audio payload's metadata (what a real audio codec returns). */
+  final case class AudioMeta(docId: Long, nBytes: Long, sampleRate: Int,
+      channels: Int, bits: Int, nFrames: Long)
+
+  /** REAL audio metadata kernel over `javax.sound.sampled` (JDK-public,
+    * zero extra dependencies — the [[ImageIoCodec]] posture for audio).
+    * WAV/AIFF/AU headers decode to format metadata; payloads that aren't
+    * audio return None — the corrupt-media drop contract. The
+    * deterministic [[mediaMeta]] stub remains the oracle mode; this is
+    * the production kernel behind the same seam.
+    */
+  object WavCodec {
+    def decodeMeta(docId: Long, bytes: Array[Byte]): Option[AudioMeta] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          Some(AudioMeta(docId, bytes.length.toLong, f.getSampleRate.toInt,
+            f.getChannels, f.getSampleSizeInBits, in.getFrameLength))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
+  }
+
+  /** REAL audio-metadata decode through the partition-preserving
+    * mapPartitions seam — identical plumbing to [[decodeImageMeta]], only
+    * the codec differs. Non-audio rows drop (flatMap).
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => WavCodec.decodeMeta(id, b) })
+  }
+
+  /** The REAL audio kernel driver-checked end-to-end (the
+    * [[imageRoundTrip]] pattern): per doc_id, synthesize a deterministic
+    * 16-bit mono PCM WAV (`1 + id%32` frames, sample i =
+    * `(id·31 + i·17) mod 65536 − 32768`), decode its header with
+    * [[WavCodec]], then re-decode the full stream and compare the PCM
+    * payload byte-for-byte (PCM in a WAV container is lossless, so the
+    * check has no tolerance band). The oracle recomputes the expected
+    * format from doc_id with the same integer arithmetic and emits
+    * literal TRUE for the payload check — a broken header writer, header
+    * parser, or stream decode flips a value and fails the hash gate.
+    */
+  def audioRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (1 + id % 32).toInt
+          val pcm = new Array[Byte](nFrames * 2)
+          var i = 0
+          while (i < nFrames) {
+            val s = (((id * 31 + i * 17) % 65536) - 32768).toShort
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+          val wav = buf.toByteArray
+          val meta = WavCodec.decodeMeta(id, wav).get
+          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val decoded = try back.readAllBytes() finally back.close()
+          (id, meta.sampleRate.toLong, meta.channels.toLong,
+            meta.bits.toLong, meta.nFrames,
+            java.util.Arrays.equals(decoded, pcm))
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "pcm_ok")
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling as row explosion: one output row per sampled "frame"
     * (every `stride`-th token of the payload stands in for a decoded
     * video frame), carrying the original frame index, a content

@@ -990,6 +990,36 @@ class PipelineSpec extends AnyFunSuite {
       graft.operators.Multimodal.ImageIoCodec.resize(png(2, 2, 0), 0))
   }
 
+  test("real audio codec: WAV header decode, corrupt-media drop") {
+    import spark.implicits._
+    def wav(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16,
+        channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong / channels)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(44100f, 2, Array[Short](1, -1, 100, -100))), // stereo, 2 frames
+      (2L, wav(8000f, 1, Array[Short](0, 5, -5))),          // mono, 3 frames
+      (3L, "definitely not audio".getBytes("UTF-8"))        // corrupt: drops
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.decodeAudioMeta(media).collect()
+      .map(m => m.docId -> ((m.sampleRate, m.channels, m.bits, m.nFrames)))
+      .toMap
+    assert(meta == Map(1L -> ((44100, 2, 16, 2L)), 2L -> ((8000, 1, 16, 3L))),
+      s"decode: $meta")
+  }
+
   test("corr_stats matches Spark's built-in moments within 1e-9") {
     // the exact-integer-sums formulation must agree with corr/covar_pop
     // (double accumulation) on a small SF where both are well-conditioned
