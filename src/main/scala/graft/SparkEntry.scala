@@ -851,6 +851,25 @@ object SparkEntry {
       val kept = Sampling.weightedSample(cleaned).select(col("doc_id"))
       Sampling.packSequences(cleaned.join(kept, Seq("doc_id")))
     }),
+    // the full QUALITY chain in ONE lazy plan: Gopher document filter ->
+    // C4 line repair -> CCNet perplexity cut (keep head+middle over the
+    // REPAIRED corpus — model, vocab, and rank thirds all computed on the
+    // filtered text, not the raw corpus) -> passage dedup. Each stage is
+    // individually oracle-checked; this row checks their COMPOSITION, and
+    // a PlanSpec pin holds it to one lazy plan (no intermediate
+    // materialization — the pipeline_pretrain discipline).
+    "pipeline_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gKeep = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
+        .filter(col("keep")).select(col("doc_id"))
+      val repaired = TextAnalysis.c4LineFilter(docs.join(gKeep, Seq("doc_id")),
+          minLineWords = 50, requireTerminalPunct = false)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val lmKeep = TextAnalysis.bigramBucketLabels(repaired)
+        .filter(col("bucket") =!= "tail").select(col("doc_id"))
+      TextAnalysis.passageDedup(repaired.join(lmKeep, Seq("doc_id")))
+    }),
     // per-domain contribution cap (uniform deterministic within-domain pick)
     "domain_cap" -> ((s, dir) => Sampling.domainCap(t(s, dir, "documents"))),
     // sqrt-temperature domain rebalancing (multilingual mixing)
@@ -2857,6 +2876,101 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    "pipeline_quality" ->
+      """WITH gc AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), gs AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
+        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','a'], y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
+        |  FROM gc
+        |), gk AS (
+        |  SELECT doc_id FROM gs
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+        |    AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+        |    AND n_stop_hits >= 2
+        |), cs AS (
+        |  SELECT d.doc_id,
+        |    list_filter(string_split(d.text, chr(10)),
+        |      l -> len(string_split(l, ' ')) >= 50
+        |        AND NOT contains(lower(l), 'javascript')
+        |        AND NOT contains(lower(l), 'lorem ipsum')
+        |        AND NOT contains(l, '{')) AS kept
+        |  FROM documents d JOIN gk USING (doc_id)
+        |), cl AS (
+        |  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
+        |  FROM cs WHERE len(kept) >= 1
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM cl
+        |), bg AS (
+        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
+        |), model AS (
+        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
+        |), voc AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM cl)
+        |), scored AS (
+        |  SELECT m.w1, m.w2,
+        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
+        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
+        |), doc_scores AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS avg_surprisal_e6
+        |  FROM bg JOIN scored USING (w1, w2)
+        |  GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY avg_surprisal_e6, doc_id) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM doc_scores
+        |), lm AS (
+        |  SELECT doc_id FROM ranked WHERE rnk * 3 <= n * 2
+        |), pt AS (
+        |  SELECT tk.doc_id, tk.t FROM toks tk JOIN lm USING (doc_id)
+        |), st AS (
+        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM pt
+        |), ex AS (
+        |  SELECT doc_id, t, unnest(starts) AS s,
+        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
+        |  FROM st
+        |), pg AS (
+        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
+        |), fo AS (
+        |  SELECT doc_id, pos, passage,
+        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+        |  FROM pg
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(passage, ' ' ORDER BY pos) AS clean_text
+        |  FROM fo WHERE rn = 1 GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_passages FROM pg GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_passages,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "pipeline_pretrain" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

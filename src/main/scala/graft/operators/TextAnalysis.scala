@@ -924,15 +924,8 @@ object TextAnalysis {
     * engine; per-bucket means divide two exact integer sums, never
     * averaging doubles.
     */
-  def perplexityBuckets(documents: DataFrame): DataFrame = {
-    val ranked = ExactRank.exactRank(
-      bigramScored(documents).withColumn("g", lit(1)),
-      Seq("g"), Seq("avg_surprisal_e6", "doc_id"))
-    ranked
-      .withColumn("bucket",
-        when(col("rnk") * 3 <= col("n_group"), "head")
-          .when(col("rnk") * 3 <= col("n_group") * 2, "middle")
-          .otherwise("tail"))
+  def perplexityBuckets(documents: DataFrame): DataFrame =
+    bigramBucketLabels(documents)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("avg_surprisal_e6")).as("min_avg_e6"),
@@ -942,7 +935,22 @@ object TextAnalysis {
       .withColumn("mean_surprisal_e6",
         col("sum_surprisal_e6").cast("double") / col("sum_bigrams").cast("double"))
       .orderBy(col("bucket"))
-  }
+
+  /** Per-document CCNet bucket labels — [[perplexityBuckets]]' ranked
+    * core exposed for composition: (doc_id, n_bigrams, surprisal_e6,
+    * avg_surprisal_e6, rnk, n_group, bucket). The quality-pipeline stage
+    * keeps `bucket != 'tail'` (head+middle), the CCNet keep rule. Same
+    * window-free ExactRank cut; documents with fewer than two tokens are
+    * unscoreable and absent, per [[bigramLogProb]].
+    */
+  def bigramBucketLabels(documents: DataFrame): DataFrame =
+    ExactRank.exactRank(
+      bigramScored(documents).withColumn("g", lit(1)),
+      Seq("g"), Seq("avg_surprisal_e6", "doc_id"))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_group"), "head")
+          .when(col("rnk") * 3 <= col("n_group") * 2, "middle")
+          .otherwise("tail"))
 
   /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary
     * over common English digraphs, rank = position. Includes a two-level

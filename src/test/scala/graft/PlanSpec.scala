@@ -490,6 +490,15 @@ class PlanSpec extends AnyFunSuite {
     assert(joins >= 1, s"frequency relation not equi-joined:\n$p")
   }
 
+  test("pipeline_quality composes the four quality stages window-free") {
+    // gopher -> c4 -> perplexity cut -> passage dedup as ONE lazy plan:
+    // every stage is individually window-free (ExactRank thirds, hash
+    // aggregates for first-occurrence), and composition must not let a
+    // corpus-sized window sneak in between stages
+    val p = planOf("pipeline_quality")
+    assert(!p.contains("Window"), s"the composed chain grew a window:\n$p")
+  }
+
   test("pipeline_clean dedups exact-dup bags via partial aggregates, not a window") {
     // exact-duplicate documents — the most common duplication mode at web
     // scale — share one bag_md5; keep-lowest-doc_id must be a
