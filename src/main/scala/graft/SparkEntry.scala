@@ -874,6 +874,11 @@ object SparkEntry {
     "domain_cap" -> ((s, dir) => Sampling.domainCap(t(s, dir, "documents"))),
     // sqrt-temperature domain rebalancing (multilingual mixing)
     "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(t(s, dir, "documents"))),
+    // token-budget mixture assembly: each source keeps md5-shuffled docs
+    // until its token budget fills — per-source running totals via the
+    // window-free exactPrefixSum (a hot source must not single-task)
+    "token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
@@ -3068,6 +3073,22 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM valid)
         |SELECT doc_id, host, rn FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, tokens_before
+        |FROM o WHERE tokens_before < 600
         |ORDER BY doc_id""".stripMargin,
     "temperature_mix" ->
       """WITH c AS (

@@ -79,6 +79,50 @@ object ExactRank {
       outSchema)
   }
 
+  /** Weighted sibling of [[exactRank]]: annotate `df` with the EXCLUSIVE
+    * prefix sum of `weightCol` within its `groupCols` group under the
+    * `orderCols` ordering, plus the group's weight total —
+    * `sum(w) OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` semantics WITHOUT the per-group window
+    * task. The primitive behind budgeted selection ("take documents until
+    * N tokens"): a budget cut is `w_before < budget`, and a hot group
+    * (every real mixture has one) prefix-sums at full partition width
+    * instead of single-tasking. Same machinery as [[exactRank]] — the
+    * bounded pass collects one (count, weight) row per partition × group.
+    *
+    * Same determinism contract as exactRank (`groupCols ++ orderCols`
+    * unique), and `weightCol` must be non-null integral (cast upstream).
+    */
+  def exactPrefixSum(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], weightCol: String,
+      beforeCol: String = "w_before", totalCol: String = "w_total"): DataFrame = {
+    require(groupCols.nonEmpty, "exactPrefixSum requires a group column")
+    require(orderCols.nonEmpty, "exactPrefixSum requires an order column")
+    val taken = df.columns.toSet
+    require(!taken(beforeCol) && !taken(totalCol),
+      s"output columns '$beforeCol'/'$totalCol' collide with the input schema")
+    val keys = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val wIdx = schema.fieldIndex(weightCol)
+    val summed = prefixSumWithinGroups(sorted.rdd,
+      (r: Row) => gIdx.map(i => r.get(i)).toList,
+      (r: Row) => r.get(wIdx) match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"exactPrefixSum: weight column '$weightCol' must be int/long, " +
+            s"got ${if (other == null) "null" else other.getClass.getName}")
+      })
+    val outSchema = schema
+      .add(StructField(beforeCol, LongType, nullable = false))
+      .add(StructField(totalCol, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      summed.map { case (r, before, tot) => Row.fromSeq(r.toSeq :+ before :+ tot) },
+      outSchema)
+  }
+
   /** Annotate each row with its exact 1-based rank within `group(row)`
     * (under the input's global range order) and the group's total row
     * count. One bounded driver collect; no per-group task ceiling.
@@ -116,6 +160,47 @@ object ExactRank {
         val k = seen.getOrElse(g, 0L) + 1L
         seen.update(g, k)
         (t, off + k, bcTot.value(g))
+      }
+    }
+  }
+
+  /** Weighted [[rankWithinGroups]]: each row gets the EXCLUSIVE prefix sum
+    * of `weight(row)` within `group(row)` (under the input's global range
+    * order) and the group's weight total. Identical bounded-pass shape —
+    * one (group → weight sum) row per partition collected to the driver.
+    */
+  private[graft] def prefixSumWithinGroups[T: ClassTag, K](rdd: RDD[T],
+      group: T => K, weight: T => Long): RDD[(T, Long, Long)] = {
+    val sc = rdd.sparkContext
+    val partSums: Array[(Int, Seq[(K, Long)])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[K, Long]
+        it.foreach { t =>
+          val g = group(t); m.update(g, m.getOrElse(g, 0L) + weight(t))
+        }
+        Iterator.single((pid, m.toSeq))
+      }.collect()
+    val offsets = scala.collection.mutable.Map.empty[(Int, K), Long]
+    val totals = scala.collection.mutable.Map.empty[K, Long]
+    partSums.sortBy(_._1).foreach { case (pid, sums) =>
+      sums.foreach { case (g, w) =>
+        offsets.update((pid, g), totals.getOrElse(g, 0L))
+        totals.update(g, totals.getOrElse(g, 0L) + w)
+      }
+    }
+    val bcOff = sc.broadcast(offsets.toMap)
+    val bcTot = sc.broadcast(totals.toMap)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = scala.collection.mutable.Map.empty[K, Long]
+      it.map { t =>
+        val g = group(t)
+        val off = bcOff.value.getOrElse((pid, g), throw new IllegalStateException(
+          s"ExactRank: group '$g' appeared in partition $pid during prefix-sum " +
+            "assignment but not during the offset pass — the source relation " +
+            "changed between construction and consumption"))
+        val before = off + acc.getOrElse(g, 0L)
+        acc.update(g, acc.getOrElse(g, 0L) + weight(t))
+        (t, before, bcTot.value(g))
       }
     }
   }

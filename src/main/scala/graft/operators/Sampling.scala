@@ -163,6 +163,37 @@ object Sampling {
     */
   val CapSalts = 64
 
+  /** Token-budget mixture sampling — the "take N tokens from each source"
+    * step that assembles a pretraining mix: documents shuffle uniformly
+    * within their source (md5 order, the [[domainCap]] pick discipline,
+    * so the kept slice is an unbiased sample), then each source keeps
+    * documents while the cumulative token count BEFORE the document is
+    * under `budgetTokens` — the document that crosses the budget line is
+    * kept (budgets are floors, not ceilings: every source delivers at
+    * least its budget when it has the tokens).
+    *
+    * Scale shape: the per-source running total is
+    * [[ExactRank.exactPrefixSum]] — a `sum() OVER (PARTITION BY source
+    * ORDER BY ...)` window would pin a hot source's every document into
+    * ONE task (a real mix always has a dominant source); the prefix-sum
+    * shape keeps parallelism at the partition count with one bounded
+    * offset pass.
+    */
+  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long = 600,
+      source: String = "source"): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    val d = documents.select(col("doc_id"), col(source),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shuffle_key",
+        md5(col("doc_id").cast("string").cast("binary")))
+    ExactRank.exactPrefixSum(d, Seq(source), Seq("shuffle_key", "doc_id"),
+        "n_tokens", beforeCol = "tokens_before", totalCol = "source_tokens")
+      .filter(col("tokens_before") < budgetTokens)
+      .select(col("doc_id"), col(source), col("n_tokens"),
+        col("tokens_before"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-based domain mixing at α = 1/2: each stratum keeps
     * documents with probability sqrt(n_c / n_max), flattening the domain
     * distribution toward uniform (the multilingual-pretraining rebalance;

@@ -1541,6 +1541,55 @@ class PipelineSpec extends AnyFunSuite {
       ExactRank.exactRank(df, Seq("grp"), Seq.empty))
   }
 
+  test("exactPrefixSum matches the running-sum window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 70%-hot group + int and long weights; id unique so the order is
+    // deterministic. The reference is the exact window the primitive
+    // exists to replace.
+    val df = (1L to 2000L).map { i =>
+      (if (i % 10 < 7) "hot" else s"g${i % 3}", (i * 13 % 97 + 1), i)
+    }.toDF("grp", "w", "id")
+    val ref = df
+      .withColumn("w_before", coalesce(sum(col("w")).over(
+        Window.partitionBy(col("grp")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_total", sum(col("w")).over(Window.partitionBy(col("grp"))))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = ExactRank.exactPrefixSum(df, Seq("grp"), Seq("id"), "w")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == ref, "exactPrefixSum diverged from the window formulation")
+    // misuse fails fast: non-integral weight, name collision
+    intercept[IllegalArgumentException](
+      ExactRank.exactPrefixSum(df, Seq("grp"), Seq("id"), "w",
+        beforeCol = "id"))
+    val bad = df.withColumn("wd", col("w").cast("double"))
+    intercept[org.apache.spark.SparkException](
+      ExactRank.exactPrefixSum(bad, Seq("grp"), Seq("id"), "wd").collect())
+  }
+
+  test("tokenBudgetMix keeps the budget-crossing doc and stays unbiased per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map { i =>
+      (i, s"src${i % 4}", Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudgetMix(docs, budgetTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // every kept row starts under budget; the crossing doc may end over
+    assert(out.forall(_._4 < 20), "a kept doc started at/over budget")
+    // per source: kept tokens reach the budget (floors, not ceilings),
+    // and dropping the LAST kept doc (max tokens_before) goes under
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      assert(total >= 20, s"$src under-delivered: $total")
+      val lastBefore = rows.map(_._4).max
+      assert(total - rows.filter(_._4 == lastBefore).map(_._3).sum < 20,
+        s"$src kept a doc past the crossing one")
+    }
+  }
+
   test("public exactRank handles null group values like the window form") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

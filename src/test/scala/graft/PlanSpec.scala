@@ -574,6 +574,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
   }
 
+  test("token_budget_mix (exactPrefixSum) stays window-free") {
+    // a running token total per source is the textbook hot-key window
+    // (sum OVER (PARTITION BY source ORDER BY ...) pins a dominant
+    // source into one task); the prefix-sum shape must keep it out
+    val p = planOf("token_budget_mix")
+    assert(!p.contains("Window"), s"budget mix planned a window:\n$p")
+  }
+
   test("order_rank (the public exactRank) stays window-free") {
     // the flagship primitive's whole point: per-group ranks with NO
     // per-group window task (o_orderstatus has 3 values — a window would
