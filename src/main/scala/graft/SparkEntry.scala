@@ -618,6 +618,18 @@ object SparkEntry {
       TextAnalysis.gopherQuality(t(s, dir, "documents"),
         stopList = Seq("the", "a"))),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // Unicode NFC canonicalization ahead of content hashing: both engines
+    // append the same decomposed+precomposed sample (combining acute/ring/
+    // diaeresis) to the ASCII corpus, and the normalizer must fold the
+    // decomposed forms into their precomposed twins (html_extract
+    // synthesis discipline; JDK Normalizer vs DuckDB nfc_normalize — the
+    // same Unicode spec on both sides)
+    "nfc_normalize" -> ((s, dir) => {
+      val mixed = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Café école Ångström")).as("text"))
+      TextAnalysis.nfcNormalize(mixed)
+    }),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
     // markup-to-text extraction, the step ahead of every quality filter:
     // the corpus is wrapped in deterministic real-shaped HTML (head/style/
@@ -2056,6 +2068,17 @@ object SparkEntry {
         |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
         |   AND n_stop_hits >= 2) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(233)
+        |    || 'cole A' || chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  nfc_normalize(raw) = raw AS already_nfc,
+        |  CAST(length(raw) AS BIGINT) AS n_cp_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
     "fingerprints" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5

@@ -393,6 +393,37 @@ object TextAnalysis {
     * hash it), and a `clean` flag. Pure row-local codegen'd projection —
     * no shuffle, scales embarrassingly.
     */
+  /** Unicode NFC normalization — the canonicalization step ahead of any
+    * content hashing: decomposed sequences (e + U+0301) and their
+    * precomposed forms (U+00E9) are DIFFERENT strings to md5/minhash/
+    * exact-dedup until normalized, so a crawl mixing the two (every real
+    * crawl does) leaks duplicates past every hash-keyed operator upstream
+    * of this one. Runs `java.text.Normalizer` (JDK-public, the Unicode
+    * reference algorithm — DuckDB's nfc_normalize implements the same
+    * spec, which is what makes the oracle exact) through the doc-local
+    * mapPartitions seam: partitioning preserved, no shuffle before the
+    * presentation sort. Counts are code points, not UTF-16 units, per the
+    * [[graft.operators.Multimodal.embedStub]] cross-engine contract.
+    */
+  def nfcNormalize(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          if (raw == null) (id, null: String, true, 0L, 0L)
+          else {
+            val nfc = java.text.Normalizer.normalize(raw,
+              java.text.Normalizer.Form.NFC)
+            (id, nfc, nfc == raw,
+              raw.codePointCount(0, raw.length).toLong,
+              nfc.codePointCount(0, nfc.length).toLong)
+          }
+        }
+      }.toDF("doc_id", "nfc_text", "already_nfc", "n_cp_raw", "n_cp_nfc")
+      .orderBy(col("doc_id"))
+  }
+
   def scrubPii(documents: DataFrame): DataFrame = {
     val emailMasked = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     val ipMasked = regexp_replace(emailMasked, Ipv4Re, "<IP>")

@@ -1962,6 +1962,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulled.head.isNullAt(1))
   }
 
+  test("nfcNormalize folds decomposed sequences into precomposed twins") {
+    import spark.implicits._
+    val decomposed = "Café"   // e + combining acute
+    val precomposed = "Café"   // é
+    val out = TextAnalysis.nfcNormalize(Seq(
+        (1L, decomposed), (2L, precomposed), (3L, null: String))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == precomposed,
+      "NFC must fold the combining sequence")
+    assert(!out(1L).getBoolean(2) && out(1L).getLong(3) == 5 &&
+      out(1L).getLong(4) == 4, "code-point counts must shrink by the fold")
+    assert(out(2L).getBoolean(2), "precomposed input is already NFC")
+    // the whole point: the two forms hash identically AFTER normalization
+    assert(out(1L).getString(1) == out(2L).getString(1))
+    assert(out(3L).isNullAt(1) && out(3L).getBoolean(2),
+      "null text propagates null, vacuously normalized")
+  }
+
   test("Url.normalize canonicalizes the RFC 3986 safe subset") {
     import spark.implicits._
     val out = Url.normalize(Seq(
