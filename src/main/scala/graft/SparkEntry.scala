@@ -182,6 +182,25 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink).orderBy(col("hour"), col("event_type"))
     }),
+    // SESSION WINDOWS through the streaming engine, driver-checked: the
+    // engine's native session_window merges per-user gap sessions
+    // incrementally across micro-batches (stateful session coalescing —
+    // the semantics StreamingSpec can poke at batch-boundary level, here
+    // made visible to the driver's hash gate). Same oracle text as the
+    // batch session_window_agg twin.
+    "session_window_stream" -> ((s, dir) => withStreamStage("graft_session_stream") { stage =>
+      eventsTable(s, dir).write.mode("overwrite").parquet(stage)
+      val sessions = graft.streaming.StreamingOps.sessionWindows(
+        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
+      val sink = "session_window_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("user_id"), col("session_start"))
+    }),
 
     // STATEFUL STREAMING DEDUP driver-checked: document content
     // fingerprints stream through dropDuplicates state — the exactly-once
@@ -1809,6 +1828,22 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
+        |), sid AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    // the streaming session merge must equal the batch session_window_agg
+    "session_window_stream" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
         |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

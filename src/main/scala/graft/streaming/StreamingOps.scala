@@ -57,6 +57,25 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked gap-session aggregation — streaming twin of
+    * Events.sessionWindowAgg over the engine's native `session_window`:
+    * per-user sessions MERGE incrementally across micro-batches (an event
+    * landing within the gap of an open session extends it, two sessions
+    * bridged by a late event coalesce), with the watermark bounding
+    * session state for continuous operation. Same group keys and
+    * aggregates as the batch twin, so the batch oracle applies verbatim.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** The flagship crystal-ball dataflow over a text stream of basket
     * lines: parse → repeat-terminated window flatMap → running pair
     * counts. Normalization happens at read time (probabilities need the

@@ -164,6 +164,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge a session across micro-batches") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_session_merge")
+    def ts(min: Int) = new java.sql.Timestamp(36000000L + min * 60000L)
+    // u1: events at +0/+10 (file 1) and +25/+70 (file 2). 10→25 is inside
+    // the 30-min gap, so the session must coalesce ACROSS the micro-batch
+    // boundary (maxFilesPerTrigger=1 forces two batches); 25→70 opens a
+    // second session. u2 is a single-event control in file 1.
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long)], name: String): Unit =
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("v"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(s"$d/$name")
+    write(Seq((1L, ts(0), 1L), (2L, ts(10), 1L), (5L, ts(0), 2L)), "f1")
+    write(Seq((3L, ts(25), 1L), (4L, ts(70), 1L)), "f2")
+    // re-stage flat (file source monitors one directory level)
+    val flat = java.nio.file.Files.createTempDirectory("graft_session_flat")
+    var i = 0
+    for (sub <- Seq("f1", "f2")) {
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/$sub"))
+        .iterator().forEachRemaining { p =>
+          if (p.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(p, flat.resolve(s"part$i.parquet")); i += 1
+          }
+        }
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        StreamingOps.eventsSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+    val q = StreamingOps.sessionWindows(stream)
+      .writeStream.format("memory").queryName("session_merge_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("session_merge_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      // u1: ONE merged 3-event session (0..25+gap) + one single; u2: one
+      assert(out == Set((1L, ts(0), 3L), (1L, ts(70), 1L), (2L, ts(0), 1L)),
+        s"cross-batch session merge broke: $out")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState user totals equal batch groupBy") {
     val q = StreamingOps.userTotals(spark, StreamingOps.eventsStream(spark, streamDir))
       .writeStream.format("memory").queryName("user_totals_stream")
