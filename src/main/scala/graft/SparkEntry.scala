@@ -929,6 +929,20 @@ object SparkEntry {
     // parsed host — the key real crawls actually cap on
     "host_cap" -> ((s, dir) =>
       Url.hostCap(messyUrls(t(s, dir, "documents")), maxPerHost = 10)),
+    // link extraction + canonicalization (crawl-graph step): every href
+    // in deterministic real-shaped HTML becomes a row, absolute targets
+    // normalize to canonical URLs, relative ones surface NULL url_norm
+    "html_links" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(5)).cast("string")
+      val k2 = pmod(col("doc_id"), lit(7)).cast("string")
+      val id = col("doc_id").cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
+        lit("\">x</a> <a href=\"/rel/"), id,
+        lit("\">y</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
+        lit("#f\">z</a></div>")).as("html"))
+      Url.extractLinks(pages).orderBy(col("doc_id"), col("pos"))
+    }),
   )
 
   /** Deterministic messy-URL corpus for the URL operators: both engines
@@ -3122,6 +3136,50 @@ object SparkEntry {
         |       ELSE scheme || '://' || host || kept_port || path || kept_query
         |  END AS url_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+    "html_links" -> {
+      val (sc, au, pa, qu, ui, po, hr) = (Url.SchemeRe, Url.AuthorityRe,
+        Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe, Url.HrefRe)
+      s"""WITH pages AS (
+        |  SELECT doc_id,
+        |    '<div><a href="HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.COM:80/p/' || CAST(doc_id AS VARCHAR) ||
+        |    '">x</a> <a href="/rel/' || CAST(doc_id AS VARCHAR) ||
+        |    '">y</a> <a href="https://example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.net/x?q=' || CAST(doc_id AS VARCHAR) || '#f">z</a></div>' AS html
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '$hr', 1)) AS href,
+        |    CAST(generate_subscripts(regexp_extract_all(html, '$hr', 1), 1) - 1
+        |      AS INTEGER) AS pos
+        |  FROM pages
+        |), p AS (
+        |  SELECT doc_id, pos, href,
+        |    lower(regexp_extract(href, '$sc', 1)) AS scheme,
+        |    regexp_replace(regexp_extract(href, '$au', 1), '$ui', '') AS hostport
+        |  FROM l
+        |), p2 AS (
+        |  SELECT doc_id, pos, href, scheme,
+        |    lower(regexp_replace(hostport, '$po', '')) AS host,
+        |    regexp_extract(hostport, '$po', 1) AS port,
+        |    regexp_extract(href, '$pa', 1) AS raw_path,
+        |    regexp_extract(href, '$qu', 1) AS query
+        |  FROM p
+        |), n AS (
+        |  SELECT doc_id, pos, href, scheme, host,
+        |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+        |    CASE WHEN (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443')
+        |         OR port = '' THEN '' ELSE ':' || port END AS kept_port,
+        |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
+        |  FROM p2
+        |)
+        |SELECT doc_id, pos, href, host,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |       ELSE scheme || '://' || host || kept_port || path || kept_query
+        |  END AS url_norm
+        |FROM n ORDER BY doc_id, pos""".stripMargin
+    },
     "host_cap" ->
       s"""$urlParseCte, valid AS (
         |  SELECT doc_id, host FROM n WHERE NOT (scheme = '' OR host = '')

@@ -63,6 +63,31 @@ object Url {
       .withColumn("path", path).withColumn("url_norm", urlNorm)
   }
 
+  /** Shared verbatim with the DuckDB oracle (double-quoted href values —
+    * the form the html_extract fixtures emit; a production crawl adds the
+    * single-quoted twin the same way).
+    */
+  val HrefRe = "href=\"([^\"]*)\""
+
+  /** Link extraction — the crawl-graph step between markup extraction and
+    * the graph operators: every `href` in a page's HTML becomes a row
+    * (doc_id, pos, href), then [[normalize]] canonicalizes each target so
+    * downstream host-graph edges ([[graft.operators.Graph]] pageRank over
+    * host→host links, [[hostCap]] frontier budgeting) key on the same
+    * canonical string. Relative links have no scheme/host and surface
+    * with NULL `url_norm` — resolution against the page's base URL is a
+    * caller decision, not invented here. Row-local regexp + explode, no
+    * shuffle beyond the presentation sort; fan-out is links-per-page.
+    */
+  def extractLinks(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val links = pages.select(col("doc_id"),
+      posexplode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1)))
+        .as(Seq("pos", "href")))
+    normalize(links, "href")
+      .select(col("doc_id"), col("pos"), col("href"), col("host"),
+        col("url_norm"))
+  }
+
   /** Host-keyed per-domain cap: [[normalize]] then route
     * [[Sampling.domainCap]]'s salted two-phase exact rank over the parsed
     * host — the de-skewed rank is reused unchanged, only the key column

@@ -2004,6 +2004,24 @@ class PipelineSpec extends AnyFunSuite {
       "query parameters must NOT be reordered")
   }
 
+  test("Url.extractLinks surfaces canonical targets and NULL for relative links") {
+    import spark.implicits._
+    val out = Url.extractLinks(Seq(
+        (1L, "<p><a href=\"HTTP://A.Example.COM:80/x\">a</a>" +
+          "<a href=\"/relative\">r</a><a href=\"https://b.example.org/y?q=1#f\">b</a></p>"),
+        (2L, "<p>no links at all</p>")
+      ).toDF("doc_id", "html")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out.size == 3 && !out.keySet.exists(_._1 == 2L),
+      "linkless page must emit nothing")
+    assert(out((1L, 0)) == (("HTTP://A.Example.COM:80/x", "a.example.com",
+      "http://a.example.com/x")))
+    assert(out((1L, 1))._3 == null, "relative link must not invent a host")
+    assert(out((1L, 2)) == (("https://b.example.org/y?q=1#f", "b.example.org",
+      "https://b.example.org/y?q=1")))
+  }
+
   test("Url.hostCap caps per parsed host and quarantines unparseable rows") {
     import spark.implicits._
     // 15 urls on one hot host (mixed mess forms), 2 on another, 1 junk

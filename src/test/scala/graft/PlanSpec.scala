@@ -213,7 +213,8 @@ class PlanSpec extends AnyFunSuite {
         "chunk_docs" -> 1, "pack_sequences" -> 2, "quantize_embeddings" -> 1,
         "simhash" -> 1, "cdc_chunks" -> 1, "token_entropy" -> 1,
         "bpe_tokens" -> 1, "gopher_quality" -> 1, "c4_line_filter" -> 1,
-        "html_extract" -> 1, "url_normalize" -> 1, "nfc_normalize" -> 1)) {
+        "html_extract" -> 1, "url_normalize" -> 1, "nfc_normalize" -> 1,
+        "html_links" -> 1)) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
       assert(exchanges <= maxEx,
