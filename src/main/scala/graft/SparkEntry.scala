@@ -616,6 +616,12 @@ object SparkEntry {
     // oracle is the plain HAVING formulation
     "heavy_hitters" -> ((s, dir) =>
       HeavyHitters.heavyHitters(t(s, dir, "documents"), d = 100)),
+    // stratified twin: per-language frequent tokens via per-group MG
+    // summaries (groups x capacity driver bound, fail-fast contract) —
+    // result is exact, so the oracle is the grouped HAVING formulation
+    "heavy_hitters_by_lang" -> ((s, dir) =>
+      HeavyHitters.heavyHittersByGroup(t(s, dir, "documents"),
+        groupCol = "lang", d = 60)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -2043,6 +2049,18 @@ object SparkEntry {
         |FROM t GROUP BY token
         |HAVING count(*) * 100 > (SELECT n_tokens FROM n)
         |ORDER BY freq DESC, token""".stripMargin,
+    "heavy_hitters_by_lang" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), n AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY lang
+        |), f AS (
+        |  SELECT lang, token, count(*) AS freq FROM tk GROUP BY lang, token
+        |)
+        |SELECT f.lang, f.token, f.freq, n.n_tokens
+        |FROM f JOIN n USING (lang)
+        |WHERE f.freq * 60 > n.n_tokens
+        |ORDER BY lang, freq DESC, token""".stripMargin,
     "token_counts" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -45,24 +45,29 @@ object HeavyHitters {
     * whose frequency in `it` exceeds n/(capacity+1), and each surviving
     * count under-estimates the true frequency by at most n/(capacity+1).
     */
+  /** One MG increment against a bounded counter map — the shared step of
+    * the flat and grouped passes.
+    */
+  private[graft] def mgAdd(m: scala.collection.mutable.HashMap[String, Long],
+      t: String, capacity: Int): Unit =
+    m.get(t) match {
+      case Some(c) => m.update(t, c + 1L)
+      case None if m.size < capacity => m.update(t, 1L)
+      case None =>
+        val ks = m.keysIterator.toArray
+        var i = 0
+        while (i < ks.length) {
+          val k = ks(i)
+          val v = m(k)
+          if (v == 1L) m.remove(k) else m.update(k, v - 1L)
+          i += 1
+        }
+    }
+
   private[graft] def mgCounters(it: Iterator[String],
       capacity: Int): Map[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    it.foreach { t =>
-      m.get(t) match {
-        case Some(c) => m.update(t, c + 1L)
-        case None if m.size < capacity => m.update(t, 1L)
-        case None =>
-          val ks = m.keysIterator.toArray
-          var i = 0
-          while (i < ks.length) {
-            val k = ks(i)
-            val v = m(k)
-            if (v == 1L) m.remove(k) else m.update(k, v - 1L)
-            i += 1
-          }
-      }
-    }
+    it.foreach(mgAdd(m, _, capacity))
     m.toMap
   }
 
@@ -130,5 +135,75 @@ object HeavyHitters {
       .filter(col("freq") * d > col("_n"))
       .select(col("token"), col("freq"), col("_n").as("n_tokens"))
       .orderBy(col("freq").desc, col("token"))
+  }
+
+  /** STRATIFIED heavy hitters — per-group frequent tokens ("what's
+    * frequent in German but not overall" drives per-language stoplists
+    * and boilerplate hunting). Same two-pass shape as [[heavyHitters]],
+    * with per-group MG counter maps: pass 1 keeps ≤ capacity counters PER
+    * GROUP per partition and tree-merges group-wise (each group's merged
+    * summary keeps its own n_g/(capacity+1) guarantee over the group's
+    * n_g tokens), pass 2 exact-counts candidate (group, token) pairs via
+    * a broadcast semi-join. Driver/broadcast state is groups × capacity —
+    * which is why `maxGroups` is a hard fail-fast contract, not a
+    * heuristic cap: this operator is for LOW-CARDINALITY strata (lang,
+    * source, bucket); an unbounded group key needs a different algorithm,
+    * not a silent truncation. Same determinism contract on `documents` as
+    * [[heavyHitters]] (two scans must see the same data).
+    */
+  def heavyHittersByGroup(documents: DataFrame, groupCol: String = "lang",
+      d: Int = 100, capacity: Int = 256, maxGroups: Int = 1000): DataFrame = {
+    require(d >= 2, "heavyHittersByGroup: d must be >= 2 (support = n_g/d)")
+    require(capacity >= d,
+      s"heavyHittersByGroup: capacity $capacity < d $d voids the superset guarantee")
+    require(maxGroups >= 1, "heavyHittersByGroup: maxGroups must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    val pairs = documents
+      .select(col(groupCol).cast("string").as("g"),
+        explode(split(col("text"), " ")).as("token"))
+      .as[(String, String)]
+
+    val cap = capacity
+    val maxG = maxGroups
+    def checkGroups(n: Int): Unit =
+      if (n > maxG) throw new IllegalStateException(
+        s"heavyHittersByGroup: group cardinality exceeded maxGroups=$maxG — " +
+          "this operator is for low-cardinality strata; pick a coarser key " +
+          "or raise maxGroups knowingly (driver state is groups x capacity)")
+    val summaries = pairs.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, t) =>
+        mgAdd(m.getOrElseUpdate(g, {
+          checkGroups(m.size + 1)
+          scala.collection.mutable.HashMap.empty[String, Long]
+        }), t, cap)
+      }
+      Iterator.single(m.map { case (g, gm) => g -> gm.toMap }.toMap)
+    }
+    val merged: Map[String, Map[String, Long]] =
+      if (summaries.isEmpty()) Map.empty
+      else summaries.treeReduce { (a, b) =>
+        val keys = a.keySet ++ b.keySet
+        checkGroups(keys.size)
+        keys.iterator.map(g => g -> mgMerge(a.getOrElse(g, Map.empty),
+          b.getOrElse(g, Map.empty), cap)).toMap
+      }
+    val candidates = merged.iterator
+      .flatMap { case (g, cm) => cm.keysIterator.map(t => (g, t)) }.toSeq
+
+    val tokDf = pairs.toDF("g", "token")
+    val counted =
+      if (candidates.isEmpty) tokDf.filter(lit(false))
+      else tokDf.join(broadcast(candidates.toDF("g", "token")), Seq("g", "token"))
+    counted
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("freq"))
+      .join(broadcast(
+        tokDf.groupBy(col("g")).agg(count(lit(1)).as("n_tokens"))), Seq("g"))
+      .filter(col("freq") * d > col("n_tokens"))
+      .select(col("g").as(groupCol), col("token"), col("freq"), col("n_tokens"))
+      .orderBy(col(groupCol), col("freq").desc, col("token"))
   }
 }

@@ -784,6 +784,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped heavy hitters match exact per-group counts, bound groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
+    // two strata with DIFFERENT hot tokens under sparse noise: each
+    // group's sketch must keep its own hitters (hotDe must not need
+    // global frequency, hotEn must not leak into 'de')
+    val docs = (1 to 300).map { i =>
+      val g = if (i % 3 == 0) "de" else "en"
+      val rare = (1 to 30).map(j => s"u${i}_$j")
+      val hot = if (g == "de") Seq.fill(10)("hotDe") else Seq.fill(6)("hotEn")
+      (i.toLong, g, (rare ++ hot).mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(16)
+    val got = HeavyHitters.heavyHittersByGroup(docs, "lang", d = 32,
+        capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = docs
+      .select(fcol("lang"), org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(fcol("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").count()
+      .join(docs.select(fcol("lang"), org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(fcol("text"), " ")).as("t2"))
+        .groupBy("lang").count().withColumnRenamed("count", "n"), Seq("lang"))
+      .filter(fcol("count") * 32 > fcol("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(expected.keySet == Set(("de", "hotDe"), ("en", "hotEn")))
+    assert(got == expected,
+      s"missing=${expected.keySet.diff(got.keySet)} extra=${got.keySet.diff(expected.keySet)}")
+    // the low-cardinality contract fails fast, never truncates
+    intercept[org.apache.spark.SparkException] {
+      HeavyHitters.heavyHittersByGroup(docs, "doc_id", d = 32,
+        capacity = 64, maxGroups = 10)
+    }
+  }
+
   test("c4 line rules delete boilerplate lines and gate on kept count") {
     import spark.implicits._
     val text1 = Seq(
