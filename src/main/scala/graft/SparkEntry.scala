@@ -656,6 +656,17 @@ object SparkEntry {
       TextAnalysis.nfcNormalize(mixed)
     }),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
+    // script composition over synthesized per-doc script mixes (repeat
+    // counts driven by doc_id so dominance varies): Cyrillic 'а', Latin
+    // 'a', CJK '你', digit '7' — both engines build the identical string
+    "script_profile" -> ((s, dir) => {
+      val mixed = t(s, dir, "documents").select(col("doc_id"), concat(
+        expr("repeat('а', CAST(doc_id % 40 AS INT))"),
+        expr("repeat('a', CAST(doc_id % 23 AS INT))"),
+        expr("repeat('你', CAST(doc_id % 17 AS INT))"),
+        expr("repeat('7', CAST(doc_id % 5 AS INT))")).as("text"))
+      TextAnalysis.scriptProfile(mixed)
+    }),
     // markup-to-text extraction, the step ahead of every quality filter:
     // the corpus is wrapped in deterministic real-shaped HTML (head/style/
     // script/entities/comment, sentences split across <p> blocks) by BOTH
@@ -2135,6 +2146,29 @@ object SparkEntry {
         |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
         |   AND n_stop_hits >= 2) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "script_profile" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    repeat(chr(1072), CAST(doc_id % 40 AS INTEGER)) ||
+        |    repeat('a', CAST(doc_id % 23 AS INTEGER)) ||
+        |    repeat(chr(20320), CAST(doc_id % 17 AS INTEGER)) ||
+        |    repeat('7', CAST(doc_id % 5 AS INTEGER)) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_cp,
+        |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[' || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM s
+        |)
+        |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_cjk, n_digit,
+        |  n_cp - n_latin - n_cyrillic - n_cjk - n_digit AS n_other,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
     "nfc_normalize" ->
       """WITH r AS (
         |  SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(233)

@@ -393,6 +393,49 @@ object TextAnalysis {
     * hash it), and a `clean` flag. Pure row-local codegen'd projection —
     * no shuffle, scales embarrassingly.
     */
+  /** Code-point RANGE classes shared at the pattern-string level with the
+    * DuckDB oracle (the oracle constructs the identical ranges via
+    * chr()): explicit BMP ranges, not \\p{Script=...} names, because the
+    * script-name syntax differs between Java regex and RE2 while a
+    * character range is the same pattern in both.
+    */
+  val LatinRange = "[A-Za-z]"
+  val CyrillicRange = "[Ѐ-ӿ]"
+  val CjkRange = "[一-鿿]"
+  val DigitRange = "[0-9]"
+
+  /** Script composition profile — the multilingual-curation signal ahead
+    * of [[langId]]'s n-gram heuristic: per document, code-point counts by
+    * script range (Latin, Cyrillic, CJK unified, digits, other) and the
+    * dominant script under a fixed tie-break (latin ≥ cyrillic ≥ cjk). A
+    * mixed-script page (spam, boilerplate chrome around CJK content,
+    * transliteration) shows up here before any language model runs.
+    * Row-local count-by-delete (length minus class-stripped length, exact
+    * in code points on both engines); no shuffle beyond the output sort.
+    */
+  def scriptProfile(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String) =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val nCp = length(t).cast("long")
+    val nLat = cnt(LatinRange)
+    val nCyr = cnt(CyrillicRange)
+    val nCjk = cnt(CjkRange)
+    val nDig = cnt(DigitRange)
+    documents.select(
+        col("doc_id"),
+        nCp.as("n_cp"),
+        nLat.as("n_latin"),
+        nCyr.as("n_cyrillic"),
+        nCjk.as("n_cjk"),
+        nDig.as("n_digit"),
+        (nCp - nLat - nCyr - nCjk - nDig).as("n_other"),
+        when(nLat >= nCyr && nLat >= nCjk, "latin")
+          .when(nCyr >= nCjk, "cyrillic")
+          .otherwise("cjk").as("dominant"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode NFC normalization — the canonicalization step ahead of any
     * content hashing: decomposed sequences (e + U+0301) and their
     * precomposed forms (U+00E9) are DIFFERENT strings to md5/minhash/

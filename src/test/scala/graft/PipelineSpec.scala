@@ -1996,6 +1996,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulled.head.isNullAt(1))
   }
 
+  test("scriptProfile counts script ranges and picks the dominant") {
+    import spark.implicits._
+    val out = TextAnalysis.scriptProfile(Seq(
+        (1L, "abc привет 你好 42!"),  // mixed: cyrillic 6 > latin 3 wins
+        (2L, "hello"),
+        (3L, "")
+      ).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // 17 cps = 3 latin + 6 cyrillic + 2 cjk + 2 digits + 4 other (3
+    // spaces + '!')
+    assert(out(1L) == ((17L, 3L, 6L, 2L, 2L, 4L, "cyrillic")), s"got ${out(1L)}")
+    assert(out(2L) == ((5L, 5L, 0L, 0L, 0L, 0L, "latin")))
+    assert(out(3L)._7 == "latin", "empty text falls to the tie-break default")
+  }
+
   test("nfcNormalize folds decomposed sequences into precomposed twins") {
     import spark.implicits._
     val decomposed = "Café"   // e + combining acute

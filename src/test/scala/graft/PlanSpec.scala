@@ -214,7 +214,7 @@ class PlanSpec extends AnyFunSuite {
         "simhash" -> 1, "cdc_chunks" -> 1, "token_entropy" -> 1,
         "bpe_tokens" -> 1, "gopher_quality" -> 1, "c4_line_filter" -> 1,
         "html_extract" -> 1, "url_normalize" -> 1, "nfc_normalize" -> 1,
-        "html_links" -> 1)) {
+        "html_links" -> 1, "script_profile" -> 1)) {
       val p = planOf(q)
       val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
       assert(exchanges <= maxEx,
