@@ -393,6 +393,9 @@ object SparkEntry {
     // robust outlier scoring: exact median/MAD per event_type via two
     // public ExactRank passes, row-local modified z — no per-group window
     "robust_zscore" -> ((s, dir) => Relational.robustZscore(eventsTable(s, dir))),
+    // exact-percentile clipping (robust feature scaling): per-type P5/P95
+    // order statistics via window-free ExactRank, broadcast clamp-back
+    "winsorize" -> ((s, dir) => Relational.winsorize(eventsTable(s, dir))),
     // one-pass long-format column profile (exact distincts via Expand)
     "profile_table" -> ((s, dir) =>
       Profile.profile(t(s, dir, "orders"),
@@ -1689,6 +1692,26 @@ object SparkEntry {
         |  CASE WHEN degen THEN NULL
         |    ELSE cov_num * cov_num / (var_x * var_y) END AS r2
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // exact order-statistic thresholds (exactQuantiles' ceil convention),
+    // then a pure-selection clamp — no arithmetic, exact on doubles
+    "winsorize" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), thr AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rnk = greatest(1, (n * 5 + 99) // 100) THEN value END) AS lo,
+        |    max(CASE WHEN rnk = greatest(1, (n * 95 + 99) // 100) THEN value END) AS hi
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT r.event_id, r.event_type, r.value, t.lo, t.hi,
+        |  greatest(t.lo, least(t.hi, r.value)) AS value_w,
+        |  (r.value < t.lo OR r.value > t.hi) AS clipped
+        |FROM r JOIN thr t USING (event_type)
+        |ORDER BY r.event_id""".stripMargin,
     // lower medians via row_number (NOT median(), which interpolates):
     // identical picked rows -> identical IEEE operands in the z formula
     "robust_zscore" ->

@@ -561,4 +561,37 @@ object Relational {
           .otherwise(abs(z) > lit(threshold)).as("is_outlier"))
       .orderBy(col("event_id"))
   }
+
+  /** Winsorization — clamp every value into its group's EXACT
+    * [P_lo, P_hi] percentile band (the robust-clipping step feature
+    * pipelines run before scaling; clipping, unlike dropping, keeps the
+    * row count stable for downstream joins). Percentile VALUES are exact
+    * order statistics at rank ⌈n·p/100⌉ via the window-free
+    * [[ExactRank.exactRank]] ([[exactQuantiles]]' convention), pulled
+    * into a groups×2 threshold relation that broadcasts back onto the
+    * corpus — clamping itself is a row-local greatest/least, pure
+    * selection with no arithmetic, so cross-engine equality is exact
+    * even on doubles.
+    */
+  def winsorize(events: DataFrame, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"winsorize: need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val ranked = ExactRank.exactRank(
+      events.select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), Seq("value", "event_id"))
+    val thr = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rnk") ===
+        greatest(lit(1L), expr(s"(n_group * $loPct + 99) div 100")),
+        col("value"))).as("lo"),
+      max(when(col("rnk") ===
+        greatest(lit(1L), expr(s"(n_group * $hiPct + 99) div 100")),
+        col("value"))).as("hi"))
+    ranked.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(thr), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_w"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -1575,6 +1575,25 @@ class PipelineSpec extends AnyFunSuite {
       ExactRank.exactRank(df, Seq("grp"), Seq.empty))
   }
 
+  test("winsorize clamps exactly at the rank-convention percentiles") {
+    import spark.implicits._
+    // values 1..100 in one group: P5 = value at rank ceil(100*5/100)=5,
+    // P95 at rank 95 — four values clamp up, five clamp down
+    val events = (1L to 100L).map(i => (i, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.winsorize(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((5.0, true)) && out(4L) == ((5.0, true)),
+      "below-P5 values must clamp to the exact P5 order statistic")
+    assert(out(5L) == ((5.0, false)), "the P5 row itself is not clipped")
+    assert(out(50L) == ((50.0, false)))
+    assert(out(95L) == ((95.0, false)) && out(96L) == ((95.0, true)) &&
+      out(100L) == ((95.0, true)))
+    assert(out.values.count(_._2) == 9, "exactly 4 low + 5 high clip")
+    intercept[IllegalArgumentException](
+      Relational.winsorize(events, loPct = 50, hiPct = 50))
+  }
+
   test("exactPrefixSum matches the running-sum window formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

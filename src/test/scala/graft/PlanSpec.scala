@@ -575,6 +575,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"cluster_id windowed (megacluster ceiling):\n$p")
   }
 
+  test("winsorize stays window-free and broadcasts its thresholds") {
+    // percentile thresholds on a low-cardinality type key: a window rank
+    // would single-task each type; the ExactRank shape + a broadcast
+    // clamp-back join must keep both out of the plan
+    val p = planOf("winsorize")
+    assert(!p.contains("Window"), s"winsorize planned a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold clamp-back join is not broadcast:\n$p")
+  }
+
   test("token_budget_mix (exactPrefixSum) stays window-free") {
     // a running token total per source is the textbook hot-key window
     // (sum OVER (PARTITION BY source ORDER BY ...) pins a dominant
