@@ -25,22 +25,15 @@ object SparkEntry {
   // ---- helpers ----------------------------------------------------------
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.load(spark, dir, name)
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as LongType nanos. All values are µs-aligned (ns %% 1000 == 0
-    * across the testdata), so the conversion is lossless and matches the
-    * µs timestamps DuckDB reads natively.
+  /** Timestamp-encoding normalization (nanos-as-long / NTZ / UTC µs —
+    * the driver's generator has shipped all three) lives in
+    * [[graft.sources.Tables.normalizeTimestamps]]; every table funnels
+    * through it via [[t]].
     */
-  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def eventsTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
 
   /** Flagship: pair-shaped crystal ball over lineitem-derived baskets. */
   private def crystalballPairs(spark: SparkSession, dir: String): DataFrame =

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** On-disk events schema as read with nanosAsLong (ts = long nanos). */
+  /** Canonical events shape (ts as the legacy long-nanos placeholder —
+    * [[eventsStreamNormalized]] and the specs swap it for TimestampType).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,13 +28,18 @@ object StreamingOps {
     StructField("props", StringType)))
 
   /** File-source stream over a DIRECTORY of events parquet files
-    * (Spark's file stream source monitors directories, not single files);
-    * µs-aligned nanos → ts.
+    * (Spark's file stream source monitors directories, not single files).
+    * File streams need an explicit schema, and the testdata's timestamp
+    * encoding has varied across generations — derive the schema from the
+    * files themselves (one batch-metadata read), then apply the same
+    * normalization as the batch side so stream and batch share one
+    * timestamp convention.
     */
-  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    graft.sources.Tables.normalizeTimestamps(
+      spark.readStream.schema(fileSchema).parquet(eventsDir))
+  }
 
   /** File-source stream over already-NORMALIZED events (ts is a proper
     * TIMESTAMP column, as the batch side's events staging emits) — the

@@ -13,7 +13,7 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Specs.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def tbl(name: String) = spark.read.parquet(s"$sf/$name.parquet")
+  private def tbl(name: String) = graft.sources.Tables.load(spark, sf, name)
 
   test("assoc_rules matches MLlib FPGrowth 2-itemset rules") {
     import org.apache.spark.ml.fpm.FPGrowth

@@ -24,10 +24,7 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
-  private def batchEvents = {
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def batchEvents = graft.sources.Tables.load(spark, sf, "events")
 
   test("streaming hourly counts equal the batch aggregation") {
     val q = StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, streamDir))

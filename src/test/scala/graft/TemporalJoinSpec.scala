@@ -41,8 +41,7 @@ class TemporalJoinSpec extends AnyFunSuite {
 
   test("proximity pairs equal the naive theta join on real data") {
     val ev = SparkEntry.queries("proximity_pairs")(spark, sf)
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.Tables.load(spark, sf, "events")
     val e = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"))
     val naive = e.as("a").join(e.as("b"),
@@ -236,8 +235,7 @@ class TemporalJoinSpec extends AnyFunSuite {
   }
 
   test("interval join equals the naive theta join and stays equi-shaped") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Tables.load(spark, sf, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -267,8 +265,7 @@ class TemporalJoinSpec extends AnyFunSuite {
 
   test("proximity pairs plan an equi-join, not a nested-loop") {
     val plan = TemporalJoin
-      .proximityPairs(spark.read.parquet(s"$sf/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .proximityPairs(graft.sources.Tables.load(spark, sf, "events"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
