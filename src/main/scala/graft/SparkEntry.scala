@@ -881,6 +881,11 @@ object SparkEntry {
     // payload check, oracle recomputes the format from doc_id arithmetic
     "audio_decode_real" -> ((s, dir) =>
       Multimodal.audioRoundTrip(t(s, dir, "documents"))),
+    // REAL video kernel (pure-JVM YUV4MPEG2 demux round-trip) through the
+    // same seam — header parse + frame walk + exact constant-plane luma
+    // check, oracle recomputes dims/frames/luma from doc_id arithmetic
+    "video_decode_real" -> ((s, dir) =>
+      Multimodal.videoRoundTrip(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     "weighted_sample" -> ((s, dir) =>
@@ -2989,6 +2994,22 @@ object SparkEntry {
         |  CAST(1 + doc_id % 32 AS BIGINT) AS n_frames,
         |  TRUE AS pcm_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // one row per SAMPLED frame (stride 2, inclusive upper bound id%6 =
+    // n_frames-1); constant planes make the mean luma integer-exact
+    "video_decode_real" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(1 + doc_id % 6 AS BIGINT), 2)) AS fidx
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(2 * (1 + doc_id % 8) AS INT) AS w,
+        |  CAST(2 * (1 + doc_id % 5) AS INT) AS h,
+        |  CAST(1 + doc_id % 6 AS BIGINT) AS n_frames,
+        |  CAST(fidx AS BIGINT) AS frame_idx,
+        |  CAST(16 + (doc_id * 7 + fidx * 13) % 220 AS BIGINT) AS luma,
+        |  TRUE AS plane_ok
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "media_frames" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -349,6 +349,150 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** A decoded video payload's metadata (what a real demuxer returns). */
+  final case class VideoMeta(docId: Long, nBytes: Long, width: Int,
+      height: Int, nFrames: Long)
+
+  /** REAL video kernels over the YUV4MPEG2 (Y4M) container — a public,
+    * dependency-free format: one ASCII header line
+    * (`YUV4MPEG2 W<w> H<h> F<num>:<den> … [C420]`), then per frame a
+    * `FRAME[ params]\n` marker followed by a raw 4:2:0 plane dump
+    * (w·h luma bytes + 2·(w/2)·(h/2) chroma bytes). A pure-JVM parser —
+    * the [[ImageIoCodec]]/[[WavCodec]] zero-dependency posture extended
+    * to video. Malformed payloads (bad magic, odd dims, truncated frame,
+    * non-C420 color space) return None — the corrupt-media drop
+    * contract shared by all three real codecs.
+    */
+  object Y4mCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    private def indexOfByte(bytes: Array[Byte], b: Byte, from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != b) i += 1
+      if (i < bytes.length) i else -1
+    }
+
+    /** (width, height, per-frame luma-plane offsets), or None. */
+    private[graft] def parse(bytes: Array[Byte]): Option[(Int, Int, Vector[Int])] = {
+      val nl = indexOfByte(bytes, '\n'.toByte, 0)
+      if (nl <= 0) return None
+      val toks = new String(bytes, 0, nl, Ascii).split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      def num(tag: Char): Option[Int] = toks.iterator.drop(1).collectFirst {
+        case t if t.length > 1 && t.charAt(0) == tag &&
+          t.drop(1).forall(_.isDigit) => t.drop(1).toInt
+      }
+      // C420 is the only subsampling this kernel lays out; absent C
+      // defaults to 4:2:0 per the format spec
+      if (toks.iterator.drop(1).exists(t => t.startsWith("C") && t != "C420"))
+        return None
+      (num('W'), num('H')) match {
+        case (Some(w), Some(h))
+            if w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 =>
+          val frameBytes = w * h * 3 / 2
+          val offsets = Vector.newBuilder[Int]
+          var pos = nl + 1
+          var ok = true
+          while (ok && pos < bytes.length) {
+            val e = indexOfByte(bytes, '\n'.toByte, pos)
+            if (e < pos + 5 ||
+                new String(bytes, pos, 5, Ascii) != "FRAME" ||
+                e + 1 + frameBytes > bytes.length) ok = false
+            else { offsets += e + 1; pos = e + 1 + frameBytes }
+          }
+          if (ok) Some((w, h, offsets.result())) else None
+        case _ => None
+      }
+    }
+
+    def decodeMeta(docId: Long, bytes: Array[Byte]): Option[VideoMeta] =
+      parse(bytes).map { case (w, h, frames) =>
+        VideoMeta(docId, bytes.length.toLong, w, h, frames.length.toLong)
+      }
+
+    /** Every `stride`-th frame's (index, luma sum, pixel count) — the
+      * real counterpart of [[sampleFrames]]'s token stand-in. Integer
+      * luma sums keep the result oracle-exact (no float resample band).
+      */
+    def sampleLuma(bytes: Array[Byte], stride: Int)
+        : Option[Seq[(Long, Long, Long)]] =
+      parse(bytes).map { case (w, h, frames) =>
+        val nPx = w * h
+        (frames.indices by stride).map { idx =>
+          val off = frames(idx)
+          var s = 0L
+          var i = 0
+          while (i < nPx) { s += (bytes(off + i) & 0xff); i += 1 }
+          (idx.toLong, s, nPx.toLong)
+        }
+      }
+  }
+
+  /** REAL video-metadata decode through the same partition-preserving
+    * mapPartitions seam as [[decodeImageMeta]]/[[decodeAudioMeta]] — the
+    * codec is the only swapped piece. Non-Y4M rows drop (flatMap).
+    */
+  def decodeVideoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => Y4mCodec.decodeMeta(id, b) })
+  }
+
+  /** The REAL video kernel driver-checked end-to-end (the
+    * [[imageRoundTrip]]/[[audioRoundTrip]] pattern): per doc_id,
+    * synthesize a deterministic C420 Y4M stream — `2·(1 + id%8)` ×
+    * `2·(1 + id%5)` pixels, `1 + id%6` frames, frame f a CONSTANT luma
+    * plane of `16 + (id·7 + f·13) mod 220` with 128 chroma — demux it
+    * with [[Y4mCodec]], sample every 2nd frame, and emit the decoded
+    * dims, frame count, and per-sampled-frame mean luma plus an
+    * exact-plane check (constant planes make the mean integer-exact, the
+    * solid-color fixture trick). The oracle recomputes everything from
+    * doc_id with the same integer arithmetic and emits literal TRUE for
+    * the plane check — a broken header writer, parser, frame walk, or
+    * luma read flips a value and fails the hash gate.
+    */
+  def videoRoundTrip(documents: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (2 * (1 + id % 8)).toInt
+          val h = (2 * (1 + id % 5)).toInt
+          val nFrames = (1 + id % 6).toInt
+          val frameBytes = w * h * 3 / 2
+          val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val marker = "FRAME\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val buf = java.nio.ByteBuffer.allocate(
+            header.length + nFrames * (marker.length + frameBytes))
+          buf.put(header)
+          var f = 0
+          while (f < nFrames) {
+            buf.put(marker)
+            val luma = (16 + (id * 7 + f * 13) % 220).toByte
+            var i = 0
+            while (i < w * h) { buf.put(luma); i += 1 }
+            while (i < frameBytes) { buf.put(128.toByte); i += 1 }
+            f += 1
+          }
+          val y4m = buf.array()
+          val meta = Y4mCodec.decodeMeta(id, y4m).get
+          Y4mCodec.sampleLuma(y4m, stride).get.map {
+            case (idx, lumaSum, nPx) =>
+              val expected = 16 + (id * 7 + idx * 13) % 220
+              (id, meta.width, meta.height, meta.nFrames, idx,
+                lumaSum / nPx, lumaSum == expected * nPx)
+          }
+        }
+      }.toDF("doc_id", "w", "h", "n_frames", "frame_idx", "luma",
+        "plane_ok")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Frame sampling as row explosion: one output row per sampled "frame"
     * (every `stride`-th token of the payload stands in for a decoded
     * video frame), carrying the original frame index, a content

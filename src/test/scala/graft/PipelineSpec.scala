@@ -1054,6 +1054,41 @@ class PipelineSpec extends AnyFunSuite {
       s"decode: $meta")
   }
 
+  test("real video codec: Y4M demux, frame sampling, corrupt-media drop") {
+    import spark.implicits._
+    def y4m(w: Int, h: Int, lumas: Seq[Int], params: String = ""): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1$params\n".getBytes("US-ASCII")
+      val frameBytes = w * h * 3 / 2
+      val buf = java.nio.ByteBuffer.allocate(
+        header.length + lumas.size * (6 + frameBytes))
+      buf.put(header)
+      lumas.foreach { l =>
+        buf.put("FRAME\n".getBytes("US-ASCII"))
+        (0 until w * h).foreach(_ => buf.put(l.toByte))
+        (w * h until frameBytes).foreach(_ => buf.put(128.toByte))
+      }
+      buf.array()
+    }
+    val media = Seq(
+      (1L, y4m(4, 2, Seq(10, 20, 30))),              // 3 frames
+      (2L, y4m(2, 2, Seq(200), params = " C420")),   // explicit C420
+      (3L, "definitely not video".getBytes("UTF-8")), // corrupt: drops
+      (4L, y4m(4, 2, Seq(10)).dropRight(1)),          // truncated frame: drops
+      (5L, y4m(3, 2, Seq(10)))                        // odd width: drops
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.decodeVideoMeta(media).collect()
+      .map(m => m.docId -> ((m.width, m.height, m.nFrames))).toMap
+    assert(meta == Map(1L -> ((4, 2, 3L)), 2L -> ((2, 2, 1L))),
+      s"decode: $meta")
+    // stride-2 sampling reads frames 0 and 2; constant planes → exact sums
+    val sampled = Multimodal.Y4mCodec.sampleLuma(y4m(4, 2, Seq(10, 20, 30)), 2)
+    assert(sampled.contains(Seq((0L, 80L, 8L), (2L, 240L, 8L))),
+      s"sampled: $sampled")
+    // non-C420 color space is out of this kernel's layout contract
+    assert(Multimodal.Y4mCodec.parse(
+      y4m(4, 2, Seq(10), params = " C444")).isEmpty)
+  }
+
   test("corr_stats matches Spark's built-in moments within 1e-9") {
     // the exact-integer-sums formulation must agree with corr/covar_pop
     // (double accumulation) on a small SF where both are well-conditioned
