@@ -492,6 +492,10 @@ object SparkEntry {
     "event_transitions" -> ((s, dir) => Events.transitionMatrix(eventsTable(s, dir))),
     // first-seen day cohorts x activity-day offsets with retention rates
     "cohort_retention" -> ((s, dir) => Events.cohortRetention(eventsTable(s, dir))),
+    // exact-integer EWMA (alpha=1/2): cents quantization + a shiftright
+    // fold over each user's time-sorted events — sequential smoothing
+    // WITHOUT a window over raw events, hash-exact vs the oracle's fold
+    "ewma_value" -> ((s, dir) => Events.ewmaValue(eventsTable(s, dir))),
     // semi-structured column breadth: the same JSON field through BOTH
     // parse paths (path extraction and schema'd from_json) — emitting the
     // two must-agree columns makes the hash gate also a parser
@@ -888,6 +892,13 @@ object SparkEntry {
       Multimodal.videoRoundTrip(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    // cluster-aware split: every near-dup cluster member shares one
+    // split, so test can never hold a near-copy of a train document
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+      Sampling.leakageSafeSplit(docs, Dedup.nearDupClusters(pairs))
+    }),
     "weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(t(s, dir, "documents"))),
     // the full pretraining-prep chain in ONE lazy plan: sub-document
@@ -1986,6 +1997,19 @@ object SparkEntry {
         |    CAST(max(CASE WHEN day_offset = 0 THEN active_users END)
         |      OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention
         |FROM agg ORDER BY cohort_day, day_offset""".stripMargin,
+    // exact-integer EWMA twin: same cents quantization (identical IEEE
+    // ops), same left fold — list_prepend injects the 0 init; // is
+    // floor division ≡ the Spark side's shiftright on the nonneg domain
+    "ewma_value" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
+        |    (a, b) -> (a + b) // 2) AS ewma_cents
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "json_funcs" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
@@ -2594,6 +2618,33 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
         |  max(doc_id) AS max_doc
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    // cluster labels via the same recursive CC, then the dataset_split
+    // bucket rule keyed on each doc's representative (COALESCE = the
+    // Spark side's left-join singleton fallback)
+    "leakage_safe_split" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |r AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |b AS (
+        |  SELECT doc_id, rep_id,
+        |    ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM r)
+        |SELECT doc_id, rep_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
   ) ++ oracleSqlRest
 
   /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the

@@ -257,4 +257,41 @@ object Events {
             .over(Window.partitionBy(col("cohort_day"))).cast("double"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Per-user exponentially weighted moving average (α = 1/2) of event
+    * values in event-time order — the classic time-series smoother, in
+    * EXACT integer arithmetic so the result is hash-comparable: values
+    * quantize to cents (`floor(v·100 + 0.5)`, exact IEEE ops on both
+    * engines), and each step is the integer recurrence
+    * `s ← (s + cents) div 2` (floor division ≡ arithmetic shift on the
+    * nonnegative domain), folded left over the user's time-sorted
+    * events. No float accumulation order to disagree about, no epsilon
+    * band.
+    *
+    * Scale shape: one partial-aggregable `collect_list` groupBy on
+    * user_id, then the fold runs INSIDE `functions.aggregate` over the
+    * sorted per-user array — row-local after the single exchange, no
+    * window over raw events. Per-user arrays must fit a task (the
+    * [[sessionize]] per-key contract: user event counts are
+    * app-bounded, not corpus-bounded). Ties on ts break by event_id,
+    * so the fold order is total and deterministic.
+    */
+  def ewmaValue(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("cents")))),
+            s => s.getField("cents")),
+          lit(0L),
+          // >> 1 ≡ floor-div-2 on the nonneg domain; Column./ would be
+          // DOUBLE division and break the exact-integer contract
+          (acc, c) => shiftright(acc + c, 1)).as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -39,6 +39,35 @@ object Sampling {
         (col("bucket") % 8).cast("int").as("shard"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe train/val/test split: every member of a near-duplicate
+    * cluster lands in the SAME split, so the test set can never hold a
+    * near-copy of a training document — the train/test contamination that
+    * silently inflates eval numbers when splits are drawn per-document.
+    * Each document's split hash is computed on its cluster REPRESENTATIVE
+    * (the component's min doc_id, as labeled by
+    * [[Dedup.nearDupClusters]]; unclustered documents represent
+    * themselves), with the same append-stable md5 bucket rule as
+    * [[datasetSplit]] — adding new documents never reassigns old ones.
+    *
+    * Scale shape: one LEFT equi-join of the corpus against the labels
+    * relation (pair-derived, usually orders of magnitude smaller — AQE
+    * broadcasts it when it fits), then the same row-local projection as
+    * [[datasetSplit]]. No window, no skew surface: a megacluster is one
+    * label row per member, and the join key is doc_id (unique), not
+    * cluster_id.
+    */
+  def leakageSafeSplit(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", bucket100(col("rep_id")))
+      .select(col("doc_id"), col("rep_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Token-budget sequence packing — how pretraining batches are actually
     * laid out: per shard, documents are concatenated in doc_id order into
     * one token stream and chunked into fixed `budget`-token sequences; a

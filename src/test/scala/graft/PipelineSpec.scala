@@ -1054,6 +1054,53 @@ class PipelineSpec extends AnyFunSuite {
       s"decode: $meta")
   }
 
+  test("leakage_safe_split never separates a near-dup pair across splits") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val split = Sampling.leakageSafeSplit(docs, Dedup.nearDupClusters(pairs))
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(byDoc.size == docs.count(), "split lost or duplicated documents")
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture produced no near-dup pairs")
+    ps.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2,
+        s"pair ($a,$b) split across ${byDoc(a)._2}/${byDoc(b)._2}")
+    }
+    // singletons keep their per-document assignment (rep = self), so the
+    // split stays append-stable with datasetSplit for unclustered docs
+    val clustered = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    val perDoc = Sampling.datasetSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    byDoc.filterNot { case (id, _) => clustered(id) }.foreach {
+      case (id, (rep, s)) =>
+        assert(rep == id && s == perDoc(id),
+          s"singleton $id drifted from datasetSplit")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ewma_value equals a driver-side integer fold per user") {
+    import org.apache.spark.sql.functions._
+    val events = tbl("events")
+    val got = Events.ewmaValue(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val expect = raw.groupBy(_._1).map { case (u, evs) =>
+      def us(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val sorted = evs.sortBy(e => (us(e._2), e._3))
+      val fold = sorted.foldLeft(0L) { (acc, e) =>
+        (acc + math.floor(e._4 * 100.0 + 0.5).toLong) >> 1
+      }
+      u -> ((evs.length.toLong, fold))
+    }
+    assert(got == expect, "EWMA fold drifted from the reference fold")
+  }
+
   test("real video codec: Y4M demux, frame sampling, corrupt-media drop") {
     import spark.implicits._
     def y4m(w: Int, h: Int, lumas: Seq[Int], params: String = ""): Array[Byte] = {

@@ -585,6 +585,16 @@ class PlanSpec extends AnyFunSuite {
       s"threshold clamp-back join is not broadcast:\n$p")
   }
 
+  test("ewma_value folds inside an aggregate, never a window over events") {
+    // sequential smoothing is the textbook excuse for a per-user ORDER BY
+    // window over raw events; the fold must instead ride ONE
+    // partial-aggregable collect_list groupBy with the scan inside
+    // functions.aggregate (row-local after the single exchange)
+    val p = planOf("ewma_value")
+    assert(!p.contains("Window"), s"ewma planned a window:\n$p")
+    assert(p.contains("collect_list"), s"ewma lost its aggregate fold:\n$p")
+  }
+
   test("token_budget_mix (exactPrefixSum) stays window-free") {
     // a running token total per source is the textbook hot-key window
     // (sum OVER (PARTITION BY source ORDER BY ...) pins a dominant
