@@ -496,6 +496,10 @@ object SparkEntry {
     // fold over each user's time-sorted events — sequential smoothing
     // WITHOUT a window over raw events, hash-exact vs the oracle's fold
     "ewma_value" -> ((s, dir) => Events.ewmaValue(eventsTable(s, dir))),
+    // dense hourly grid + forward fill: the gap-filling resample ahead
+    // of any fixed-step time-series model; window only over the
+    // calendar-bounded grid, never raw events
+    "resample_ffill" -> ((s, dir) => Events.resampleFfill(eventsTable(s, dir))),
     // semi-structured column breadth: the same JSON field through BOTH
     // parse paths (path extraction and schema'd from_json) — emitting the
     // two must-agree columns makes the hash gate also a parser
@@ -766,6 +770,21 @@ object SparkEntry {
       Dedup.minhashIncremental(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // the dedup base index BUILT ONCE and SERVED from persisted bucketed
+    // tables (bands + signatures via TableSink — the ann_ivf_persisted
+    // build-once/probe-many discipline): true cross-session IVM for
+    // dedup. Result must be bit-identical to dedup_incremental's
+    // in-flight build — the driver checks it against that very oracle.
+    "dedup_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))
+      graft.sources.TableSink.writeBucketed(
+        Dedup.minhashBandIndex(sigs), "graft_dedup_bands", "b0", 8)
+      graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs",
+        "doc_id", 8)
+      Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
+        s.table("graft_dedup_bands"), s.table("graft_dedup_sigs"))
     }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
@@ -2010,6 +2029,30 @@ object SparkEntry {
         |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
         |    (a, b) -> (a + b) // 2) AS ewma_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // per-(user,hour) latest value by the total (ts, event_id) order —
+    // the HUGEINT composite key mirrors Spark's max_by struct key
+    // (event_id stays far below the 1e9 multiplier)
+    "resample_ffill" ->
+      """WITH bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |    date_trunc('hour', max(ts)) AS t1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM bounds),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS grid_ts,
+        |    max_by("value", epoch_us(ts)::HUGEINT * 1000000000 + event_id) AS hv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, g.grid_ts,
+        |  last_value(h.hv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.grid_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "value",
+        |  h.hv IS NULL AS filled
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.grid_ts = h.grid_ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
     "json_funcs" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
@@ -2735,6 +2778,9 @@ object SparkEntry {
 
   private lazy val oracleSqlRest: Map[String, String] = Map(
     "dedup_incremental" -> minhashIncrementalSql,
+    // the persisted-index probe must produce the in-flight probe's exact
+    // result — same oracle text (the ann_ivf_persisted convention)
+    "dedup_persisted" -> minhashIncrementalSql,
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->

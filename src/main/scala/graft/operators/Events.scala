@@ -258,6 +258,42 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Time-series resampling with forward fill: each user's event stream
+    * becomes a dense HOURLY grid from their first to their last active
+    * hour, each grid point carrying the value of the latest event
+    * at-or-before it (`filled` marks carried-forward hours with no
+    * event of their own) — the gap-filling step that precedes any
+    * fixed-step time-series model.
+    *
+    * Scale shape: one partial-aggregable groupBy picks each (user, hour)
+    * cell's latest value (`max_by` on the total (ts, event_id) order —
+    * map-side combined, so a hot hour collapses before the exchange),
+    * one groupBy bounds each user's grid, and the forward-fill window
+    * runs over the GRID rows — calendar-bounded per user (hours in the
+    * activity span), never over raw events (the [[cohortRetention]]
+    * bounded-window-over-aggregates discipline). Grid explosion is
+    * `sequence`+`explode`, row-local.
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("grid_ts"))
+      .agg(max_by(col("value"),
+        struct(col("ts"), col("event_id"))).as("hv"))
+    val grid = events.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("grid_ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("grid_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "grid_ts"), "left")
+      .select(col("user_id"), col("grid_ts"),
+        last(col("hv"), ignoreNulls = true).over(w).as("value"),
+        col("hv").isNull.as("filled"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
   /** Per-user exponentially weighted moving average (α = 1/2) of event
     * values in event-time order — the classic time-series smoother, in
     * EXACT integer arithmetic so the result is hash-comparable: values

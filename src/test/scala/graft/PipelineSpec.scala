@@ -1081,6 +1081,68 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_persisted serve equals the in-flight incremental probe") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inflight = Dedup.minhashIncremental(base, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    val sigs = Dedup.minhashSignatures(base)
+    graft.sources.TableSink.writeBucketed(
+      Dedup.minhashBandIndex(sigs), "graft_dedup_bands_spec", "b0", 4)
+    graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs_spec",
+      "doc_id", 4)
+    val persisted = Dedup.minhashProbeIndex(batch,
+        spark.table("graft_dedup_bands_spec"),
+        spark.table("graft_dedup_sigs_spec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inflight.nonEmpty, "fixture produced no incremental matches")
+    assert(persisted == inflight,
+      s"persisted serve drifted: ${persisted.size} vs ${inflight.size}")
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_bands_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_dedup_sigs_spec")
+    spark.catalog.clearCache()
+  }
+
+  test("resample_ffill fills a dense hourly grid with the latest value") {
+    import org.apache.spark.sql.functions._
+    val events = tbl("events")
+    val rows = Events.resampleFfill(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(rows.forall(_._3 >= 0.0), "resample produced a null value")
+    // per user: contiguous hourly grid from first to last active hour
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val ts = g.map(_._2.getTime).sorted
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a == 3600000L },
+        s"user $u grid has gaps")
+    }
+    // non-filled points carry the hour's latest event value; filled
+    // points carry the previous grid value forward
+    val byUserHour = events.select(col("user_id"),
+        date_trunc("hour", col("ts")).as("h"), col("ts"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, evs) =>
+        def us(t: java.sql.Timestamp): Long =
+          t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+        k -> evs.maxBy(e => (us(e._3), e._4))._5
+      }
+    val sorted = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime))
+    sorted.foreach { case (u, g) =>
+      g.zipWithIndex.foreach { case ((_, h, v, filled), i) =>
+        if (!filled) assert(v == byUserHour((u, h)),
+          s"user $u hour $h: $v != hourly latest")
+        else assert(i > 0 && v == g(i - 1)._3,
+          s"user $u hour $h: fill $v != previous ${g(i - 1)._3}")
+      }
+    }
+  }
+
   test("ewma_value equals a driver-side integer fold per user") {
     import org.apache.spark.sql.functions._
     val events = tbl("events")

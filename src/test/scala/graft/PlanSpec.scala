@@ -585,6 +585,17 @@ class PlanSpec extends AnyFunSuite {
       s"threshold clamp-back join is not broadcast:\n$p")
   }
 
+  test("resample_ffill windows only the calendar-bounded grid") {
+    // the forward-fill window must run over grid rows (hours per user,
+    // calendar-bounded) — per-hour value selection has to collapse into
+    // a partial-aggregable max_by BEFORE any window sees the data
+    val p = planOf("resample_ffill")
+    val windows = "(?m)^.*Window.*$".r.findAllIn(p).size
+    assert(p.contains("max_by"), s"per-hour reduction lost its max_by:\n$p")
+    assert(windows <= 2, // operator id line + node detail line for ONE node
+      s"resample planned more than one window:\n$p")
+  }
+
   test("ewma_value folds inside an aggregate, never a window over events") {
     // sequential smoothing is the textbook excuse for a per-user ORDER BY
     // window over raw events; the fold must instead ride ONE
