@@ -378,6 +378,11 @@ object SparkEntry {
           groupCols = Seq("o_orderstatus"),
           orderCols = Seq("o_totalprice", "o_orderkey"))
         .orderBy(col("o_orderkey"))),
+    // exact rank-based feature transform: value → empirical quantile
+    // within its group, via the same window-free ExactRank machinery
+    "quantile_normalize" -> ((s, dir) =>
+      Relational.quantileNormalize(t(s, dir, "orders"),
+        "o_orderstatus", "o_totalprice", "o_orderkey")),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // grouped OLS from the same exact power-sum pass as corr_stats
@@ -731,6 +736,10 @@ object SparkEntry {
         "doc_id", "title", 2)
         .orderBy(col("id_a"), col("id_b"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    // asymmetric overlap: |A∩B| / min(|A|,|B|) — catches a short doc
+    // embedded in a long one, which Jaccard's union denominator buries
+    "ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(t(s, dir, "documents"))),
     // substring-level dedup (the Lee et al. repeated-span shape): corpus
     // profile of cross-doc repeated k-grams, and the per-doc keep mask
     "repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"))),
@@ -1654,6 +1663,18 @@ object SparkEntry {
         |    ORDER BY o_totalprice, o_orderkey) AS rnk,
         |  count(*) OVER (PARTITION BY o_orderstatus) AS n_group
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rnk,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n_group
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CASE WHEN n_group = 1 THEN 0.5
+        |    ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
+        |  END AS quantile
+        |FROM r ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,
@@ -2602,6 +2623,21 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "ngram_containment" ->
+      (shinglesCte +
+        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
+        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
+        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_lsh" -> minhashLshSql,
     "lsh_recall" ->

@@ -594,4 +594,29 @@ object Relational {
         (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
       .orderBy(col("event_id"))
   }
+
+  /** Exact per-group quantile normalization — the rank-based feature
+    * transform (each value maps to its empirical quantile
+    * `(rank−1)/(n−1)` within its group; a singleton group maps to 0.5).
+    * Rank-transforming a feature is the standard defense against heavy
+    * tails before models that assume bounded inputs, and the quantile is
+    * EXACT: both factors are integers from one [[ExactRank.exactRank]]
+    * pass, and the single double division is the same IEEE op the oracle
+    * runs.
+    *
+    * Scale shape: the public ExactRank — parallelism is the partition
+    * count, never the group count (a 3-value group key would pin
+    * `row_number() OVER (PARTITION BY grp)` to 3 tasks forever).
+    * `keyCol` breaks value ties so the rank is total and deterministic.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String): DataFrame =
+    ExactRank.exactRank(
+        df.select(col(groupCol), col(valueCol), col(keyCol)),
+        Seq(groupCol), Seq(valueCol, keyCol))
+      .select(col(groupCol), col(keyCol), col(valueCol),
+        when(col("n_group") === 1, lit(0.5))
+          .otherwise((col("rnk") - 1).cast("double") /
+            (col("n_group") - 1).cast("double")).as("quantile"))
+      .orderBy(col(groupCol), col(keyCol))
 }

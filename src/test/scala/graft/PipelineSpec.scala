@@ -1081,6 +1081,59 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ngram_containment catches doc-in-doc pairs that Jaccard buries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a short doc fully embedded in a long one: containment must be 1.0
+    // while Jaccard stays far below any useful threshold
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"tok$i word$i").mkString(" ")
+    val fixture = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    spark.catalog.clearCache()
+    assert(cont.get((1L, 2L)).contains(1.0),
+      s"embedded doc not fully contained: $cont")
+    val jac = Dedup.ngramJaccard(fixture, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    spark.catalog.clearCache()
+    assert(jac((1L, 2L)) < 0.05,
+      s"fixture too similar for the point being made: ${jac((1L, 2L))}")
+    // containment >= jaccard for every shared pair on real data
+    val docs = tbl("documents")
+    val c = Dedup.ngramContainment(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    spark.catalog.clearCache()
+    val j = Dedup.ngramJaccard(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    spark.catalog.clearCache()
+    assert(j.nonEmpty && j.keySet == c.keySet)
+    j.foreach { case (k, jv) =>
+      assert(c(k) >= jv, s"containment < jaccard for $k")
+    }
+  }
+
+  test("quantile_normalize equals the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val orders = tbl("orders")
+    val got = Relational.quantileNormalize(orders, "o_orderstatus",
+        "o_totalprice", "o_orderkey").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expect = orders.select(col("o_orderkey"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderstatus")))
+          .as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.getLong(2) == 1L) 0.5
+        else (r.getInt(1) - 1).toDouble / (r.getLong(2) - 1).toDouble))
+      .toMap
+    assert(got == expect, "quantile drifted from the window formulation")
+  }
+
   test("dedup_persisted serve equals the in-flight incremental probe") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")

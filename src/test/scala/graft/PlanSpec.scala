@@ -585,6 +585,14 @@ class PlanSpec extends AnyFunSuite {
       s"threshold clamp-back join is not broadcast:\n$p")
   }
 
+  test("quantile_normalize stays window-free like order_rank") {
+    // the rank transform rides the public ExactRank — a
+    // row_number/count window pair on the 3-value o_orderstatus key
+    // would cap parallelism at 3 forever
+    val p = planOf("quantile_normalize")
+    assert(!p.contains("Window"), s"quantile transform planned a window:\n$p")
+  }
+
   test("resample_ffill windows only the calendar-bounded grid") {
     // the forward-fill window must run over grid rows (hours per user,
     // calendar-bounded) — per-hour value selection has to collapse into
