@@ -195,6 +195,34 @@ object SparkEntry {
       s.table(sink).orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STATEFUL CUSTOM AGGREGATION through the streaming engine,
+    // driver-checked: per-user exact-integer EWMA state folded across
+    // micro-batches via mapGroupsWithState — the custom-state extension
+    // point carrying Events.ewmaValue's integer recurrence, so the
+    // bounded replay reproduces the batch result EXACTLY and shares its
+    // oracle text. Update-mode emissions re-emit a user's running state
+    // per batch; the final state per user is the max-n_events row
+    // (n strictly grows), a deterministic pick at any batch split.
+    "ewma_stream" -> ((s, dir) => withStreamStage("graft_ewma_stream") { stage =>
+      eventsTable(s, dir).orderBy(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(stage)
+      val ew = graft.streaming.StreamingOps.ewmaStream(
+        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
+      val sink = "ewma_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = ew.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("ewma_cents")),
+          col("n_events")).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.ewma_cents").as("ewma_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // STATEFUL STREAMING DEDUP driver-checked: document content
     // fingerprints stream through dropDuplicates state — the exactly-once
     // admission guard of a continuous corpus ingest. The output is the
@@ -2041,6 +2069,18 @@ object SparkEntry {
     // ops), same left fold — list_prepend injects the 0 init; // is
     // floor division ≡ the Spark side's shiftright on the nonneg domain
     "ewma_value" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
+        |    (a, b) -> (a + b) // 2) AS ewma_cents
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the streaming EWMA's bounded replay must reproduce the batch fold
+    // exactly — same oracle text as ewma_value
+    "ewma_stream" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

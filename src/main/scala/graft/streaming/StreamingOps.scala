@@ -221,6 +221,39 @@ object StreamingOps {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  final case class EwmaState(n: Long, ewmaCents: Long)
+  final case class UserEwma(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** Streaming twin of Events.ewmaValue — per-user α=1/2 EWMA folded as
+    * EXACT INTEGER state across micro-batches via mapGroupsWithState
+    * (cents quantization with the same IEEE ops, `(s + cents) >> 1` per
+    * event). Within a micro-batch the group iterator is unordered, so
+    * events sort by (event-time µs, event_id) before folding — the same
+    * total order as the batch fold, which makes a time-ordered replay
+    * reproduce the batch result EXACTLY (integer state has no
+    * accumulation-order epsilon to hide drift). Cross-batch order is the
+    * caller's staging contract, as in [[sessionizeStream]].
+    */
+  def ewmaStream(events: DataFrame): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, UserEwma](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[EwmaState]) =>
+          val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val prev = state.getOption.getOrElse(EwmaState(0L, 0L))
+          val next = evs.foldLeft(prev) { (s, e) =>
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            EwmaState(s.n + 1, (s.ewmaCents + cents) >> 1)
+          }
+          state.update(next)
+          UserEwma(userId, next.n, next.ewmaCents)
+      }
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long,
       sumValue: Double)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,

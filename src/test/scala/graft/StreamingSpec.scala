@@ -226,6 +226,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA state folds across batches to the batch result") {
+    import org.apache.spark.sql.functions._
+    // time-ordered two-file replay with maxFilesPerTrigger=1: the EWMA
+    // integer state must carry across the batch boundary and land
+    // EXACTLY on the batch fold (integer state — no epsilon to hide in)
+    val d = java.nio.file.Files.createTempDirectory("graft_ewma_batches")
+    val ev = batchEvents.orderBy(col("ts"), col("event_id"))
+    val cut = ev.select(percentile_approx(unix_micros(col("ts")),
+      lit(0.5), lit(100))).collect()(0).getLong(0)
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.parquet(s"$d/f1")
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.parquet(s"$d/f2")
+    val flat = java.nio.file.Files.createTempDirectory("graft_ewma_flat")
+    var i = 0
+    for (sub <- Seq("f1", "f2")) {
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/$sub"))
+        .iterator().forEachRemaining { p =>
+          if (p.toString.endsWith(".parquet")) {
+            val dst = flat.resolve(s"part$i.parquet")
+            java.nio.file.Files.copy(p, dst)
+            // the file source batches in MODIFICATION-TIME order — pin
+            // strictly increasing mtimes so the replay is time-ordered
+            // (both copies land within the same ms otherwise)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
+            i += 1
+          }
+        }
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        StreamingOps.eventsSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(
+            dataType = org.apache.spark.sql.types.TimestampType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+    val q = StreamingOps.ewmaStream(stream)
+      .toDF().writeStream.format("memory").queryName("ewma_stream_spec")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // final state per user = the max-n emission (n strictly grows)
+      val streamed = spark.table("ewma_stream_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        .map { case (u, (_, n, e)) => u -> ((n, e)) }
+      val batch = graft.operators.Events.ewmaValue(batchEvents).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"cross-batch EWMA drifted (${streamed.size} vs ${batch.size} users)")
+      // the two-batch replay really did emit twice for users active in
+      // both halves — otherwise this test isn't testing state carry
+      val emissions = spark.table("ewma_stream_spec").count()
+      assert(emissions > batch.size, "replay collapsed into one batch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits exactly the closed batch sessions") {
     val q = StreamingOps.sessionizeStream(
         StreamingOps.eventsStream(spark, streamDir))
