@@ -516,6 +516,15 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    // aggregate-table IVM: merge(partials(old), delta) == full recompute
+    // — same oracle text as hourly_counts, the cooccur_incremental
+    // convention applied to the aggregate-maintenance algebra
+    "hourly_counts_incremental" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      Events.hourlyCountsMerge(
+        Events.hourlyCounts(ev.filter(col("event_id") % 10 =!= 0)),
+        ev.filter(col("event_id") % 10 === 0))
+    }),
     "latest_events" -> ((s, dir) => Events.latestEvents(eventsTable(s, dir))),
     "sliding_counts" -> ((s, dir) => Events.slidingCounts(eventsTable(s, dir))),
     // ordered funnel: earliest per-stage timestamps with stage-order
@@ -1990,6 +1999,11 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // merge(partials, delta) must equal the full recompute exactly
+    "hourly_counts_incremental" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,

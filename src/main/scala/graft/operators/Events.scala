@@ -212,6 +212,25 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Incremental view maintenance for [[hourlyCounts]]: merge an
+    * already-aggregated partials relation (the persisted view of
+    * everything seen so far) with a fresh delta batch — counts add, and
+    * sums re-enter DECIMAL before adding so the merge is EXACT and
+    * equals the full recompute bit-for-bit (each partial is a ≤2-decimal
+    * value that round-trips double↔decimal losslessly at this scale).
+    * The canonical aggregate-table IVM shape: the corpus is never
+    * rescanned — merge cost is O(|partials| + |delta aggregate|), and
+    * the partials relation is calendar × type sized, orders of magnitude
+    * below the events table at 100 TB.
+    */
+  def hourlyCountsMerge(partials: DataFrame, delta: DataFrame): DataFrame =
+    partials.unionByName(hourlyCounts(delta))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
   /** Latest/earliest record selection per key via max_by/min_by (SQL
     * ARG_MAX / ARG_MIN) — the upsert/SCD "current row" aggregate. One
     * partial-aggregable pass: max_by partials merge map-side, where the

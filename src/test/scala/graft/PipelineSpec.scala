@@ -1196,6 +1196,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hourly merge(partials, delta) equals the full recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = tbl("events")
+    val full = Events.hourlyCounts(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def merged(pred: org.apache.spark.sql.Column) =
+      Events.hourlyCountsMerge(
+        Events.hourlyCounts(ev.filter(!pred)), ev.filter(pred)).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    // mod-10 delta, EMPTY delta, and FULL delta must all merge exactly
+    assert(merged(col("event_id") % 10 === 0) == full, "mod-10 delta drifted")
+    assert(merged(lit(false)) == full, "empty delta drifted")
+    assert(merged(lit(true)) == full, "full-delta merge drifted")
+  }
+
   test("ewma_value equals a driver-side integer fold per user") {
     import org.apache.spark.sql.functions._
     val events = tbl("events")
