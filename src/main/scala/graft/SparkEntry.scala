@@ -411,6 +411,10 @@ object SparkEntry {
     "quantile_normalize" -> ((s, dir) =>
       Relational.quantileNormalize(t(s, dir, "orders"),
         "o_orderstatus", "o_totalprice", "o_orderkey")),
+    // declarative data-quality gate (the Deequ shape): named constraint
+    // checks as one conditional-aggregate pass + an anti-join orphan scan
+    "dq_checks" -> ((s, dir) =>
+      Relational.dqChecks(t(s, dir, "lineitem"), t(s, dir, "orders"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // grouped OLS from the same exact power-sum pass as corr_stats
@@ -1712,6 +1716,32 @@ object SparkEntry {
         |    ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
         |  END AS quantile
         |FROM r ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "dq_checks" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_oob,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_nonpos
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS n_orders,
+        |    count(DISTINCT o_orderkey) AS n_distinct_keys FROM orders),
+        |orph AS (SELECT count(*) AS n_orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT check_name, metric, passed FROM (
+        |  SELECT 'row_count_positive' AS check_name,
+        |    CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed FROM li
+        |  UNION ALL SELECT 'quantity_complete', CAST(null_qty AS DOUBLE),
+        |    null_qty = 0 FROM li
+        |  UNION ALL SELECT 'quantity_in_range', CAST(qty_oob AS DOUBLE),
+        |    qty_oob = 0 FROM li
+        |  UNION ALL SELECT 'price_positive', CAST(price_nonpos AS DOUBLE),
+        |    price_nonpos = 0 FROM li
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    CAST(n_orders - n_distinct_keys AS DOUBLE),
+        |    n_orders = n_distinct_keys FROM o
+        |  UNION ALL SELECT 'orderkey_referential', CAST(n_orphans AS DOUBLE),
+        |    n_orphans = 0 FROM orph)
+        |ORDER BY check_name""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,

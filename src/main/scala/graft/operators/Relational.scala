@@ -595,6 +595,50 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Declarative data-quality constraint suite (the Deequ shape): a
+    * fixed set of named checks — row count, completeness, value range,
+    * key uniqueness, referential integrity — evaluated as conditional
+    * aggregates and emitted long-format `(check_name, metric, passed)`.
+    * The pre-ingest validation gate of a training pipeline, as a query.
+    *
+    * Scale shape: ONE partial-aggregable pass over the fact table for
+    * all row-local checks (conditional sums collapse map-side), one
+    * distinct-count pass over the dimension for uniqueness, and one
+    * LEFT ANTI equi-join for referential orphans (AQE broadcasts the
+    * key side when it fits). The three 1-row results cross-join
+    * broadcast-style; the long format is a row-local explode.
+    */
+  def dqChecks(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_qty"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+        .otherwise(0)).as("qty_oob"),
+      sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("price_nonpos"))
+    val ord = orders.agg(count(lit(1)).as("n_orders"),
+      countDistinct(col("o_orderkey")).as("n_distinct_keys"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    def chk(name: String, metric: org.apache.spark.sql.Column,
+        passed: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"),
+        metric.cast("double").as("metric"), passed.as("passed"))
+    li.crossJoin(ord).crossJoin(orphans)
+      .select(explode(array(
+        chk("row_count_positive", col("n_rows"), col("n_rows") > 0),
+        chk("quantity_complete", col("null_qty"), col("null_qty") === 0),
+        chk("quantity_in_range", col("qty_oob"), col("qty_oob") === 0),
+        chk("price_positive", col("price_nonpos"), col("price_nonpos") === 0),
+        chk("orderkey_unique", col("n_orders") - col("n_distinct_keys"),
+          col("n_orders") === col("n_distinct_keys")),
+        chk("orderkey_referential", col("n_orphans"), col("n_orphans") === 0)
+      )).as("c"))
+      .select(col("c.check_name"), col("c.metric"), col("c.passed"))
+      .orderBy(col("check_name"))
+  }
+
   /** Exact per-group quantile normalization — the rank-based feature
     * transform (each value maps to its empirical quantile
     * `(rank−1)/(n−1)` within its group; a singleton group maps to 0.5).

@@ -1196,6 +1196,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_checks passes clean data and flags every injected violation") {
+    import spark.implicits._
+    val res = Relational.dqChecks(tbl("lineitem"), tbl("orders")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(res.size == 6 && res.values.forall(identity),
+      s"clean driver data failed a check: $res")
+    // one violation per check class: null qty, out-of-range qty,
+    // nonpositive price, orphan order key, duplicate dimension key
+    val li = Seq(
+      (1L, Some(10.0), 5.0),
+      (1L, None, 5.0),
+      (2L, Some(99.0), 5.0),
+      (9L, Some(3.0), -1.0)
+    ).toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Seq(1L, 2L, 2L).toDF("o_orderkey")
+    val bad = Relational.dqChecks(li, o).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(bad == Map("row_count_positive" -> true,
+      "quantity_complete" -> false, "quantity_in_range" -> false,
+      "price_positive" -> false, "orderkey_unique" -> false,
+      "orderkey_referential" -> false), s"violation matrix wrong: $bad")
+  }
+
   test("hourly merge(partials, delta) equals the full recompute exactly") {
     import org.apache.spark.sql.functions._
     val ev = tbl("events")
