@@ -661,6 +661,9 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
+    // snapshot-vs-snapshot drift monitor: top KL contributors between
+    // the two corpus halves' smoothed unigram distributions (e6 ints)
+    "token_drift" -> ((s, dir) => TextAnalysis.tokenDrift(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation
@@ -961,6 +964,10 @@ object SparkEntry {
       Multimodal.videoRoundTrip(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    // longest-first round-robin sharding: balanced-bytes output shards
+    // via the window-free ExactRank under a constant group
+    "shard_rebalance" -> ((s, dir) =>
+      Sampling.shardRebalance(t(s, dir, "documents"))),
     // cluster-aware split: every near-dup cluster member shares one
     // split, so test can never hold a near-copy of a train document
     "leakage_safe_split" -> ((s, dir) => {
@@ -2244,6 +2251,28 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    // same smoothing, same IEEE ops, same e6 floor as the Spark side
+    "token_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 = 0 AS half_a,
+        |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS cnt_a,
+        |    sum(CASE WHEN half_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM t GROUP BY token),
+        |tot AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b,
+        |  count(*) AS v FROM c)
+        |SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)) *
+        |    ln((CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)) /
+        |       (CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
+        |    AS BIGINT) AS contrib_e6
+        |FROM c, tot
+        |ORDER BY contrib_e6 DESC, token LIMIT 20""".stripMargin,
     "heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -3249,6 +3278,17 @@ object SparkEntry {
          |  $dims
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "shard_rebalance" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_bytes,
+        |    row_number() OVER (ORDER BY -n_bytes, doc_id) AS rnk
+        |  FROM s)
+        |SELECT CAST((rnk - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -68,6 +68,35 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Size-balanced output sharding: documents sort by byte size
+    * descending (doc_id tie-break) and deal round-robin into
+    * `numShards` shards — the classic longest-first balancing that
+    * bounds shard skew by ONE document's size, vs hash sharding whose
+    * skew grows with the size variance. This is how balanced output
+    * files are actually produced at corpus scale (equal-bytes shards →
+    * equal task times downstream).
+    *
+    * Scale shape: the global size ordering rides the window-free
+    * [[ExactRank.exactRank]] under a constant group (rank parallelism =
+    * partition count), and the output is the per-shard aggregate —
+    * vocabulary-of-shards sized, not corpus sized.
+    */
+  def shardRebalance(documents: DataFrame, numShards: Int = 8): DataFrame = {
+    require(numShards >= 1, "shardRebalance requires numShards >= 1")
+    val sized = documents.select(col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    val ranked = ExactRank.exactRank(
+      sized.withColumn("g", lit(0))
+        .withColumn("neg_bytes", -col("n_bytes")),
+      Seq("g"), Seq("neg_bytes", "doc_id"))
+    ranked
+      .select(((col("rnk") - 1) % numShards).cast("int").as("shard"),
+        col("n_bytes"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("shard"))
+  }
+
   /** Token-budget sequence packing — how pretraining batches are actually
     * laid out: per shard, documents are concatenated in doc_id order into
     * one token stream and chunked into fixed `budget`-token sequences; a

@@ -1154,4 +1154,43 @@ object TextAnalysis {
     val trimmed = regexp_replace(oneBreak, "^\\s+|\\s+$", "")
     pages.withColumn("text", trimmed).drop(htmlCol)
   }
+
+  /** Corpus drift detection: the top token-level contributors to the
+    * KL divergence between two corpus halves' add-one-smoothed unigram
+    * distributions — the snapshot-vs-snapshot monitor that catches a
+    * scraper change, a source mix shift, or a filter regression before
+    * it trains in. Contributions carry the established e6 integer
+    * contract (identical IEEE double ops on both engines, floored to
+    * BIGINT — the bigram_logprob convention) so the driver hash gate
+    * applies; smoothing over the UNION vocabulary keeps every log
+    * finite.
+    *
+    * Scale shape: one tokenize+groupBy pass builds both halves' counts
+    * in the SAME aggregate (conditional sums — one shuffle, not two),
+    * the 1-row totals relation broadcast-cross-joins back, and the
+    * top-k cut is a global sort of the vocabulary-sized (not
+    * corpus-sized) relation.
+    */
+  def tokenDrift(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val halfA = col("doc_id") % 2 === 0
+    val counts = documents
+      .select(halfA.as("half_a"),
+        explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("half_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("half_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("v"))
+    val p = (col("cnt_a") + 1).cast("double") /
+      (col("tot_a") + col("v")).cast("double")
+    val q = (col("cnt_b") + 1).cast("double") /
+      (col("tot_b") + col("v")).cast("double")
+    counts.crossJoin(totals)
+      .withColumn("contrib_e6",
+        floor(lit(1000000.0) * p * log(p / q)).cast("long"))
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("contrib_e6"))
+      .orderBy(col("contrib_e6").desc, col("token"))
+      .limit(topK)
+  }
 }

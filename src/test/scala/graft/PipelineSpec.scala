@@ -1196,6 +1196,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("token_drift equals a driver-side smoothed-KL recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents").select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    docs.foreach { case (id, text) =>
+      val m = re.matcher(text)
+      while (m.find()) {
+        val t = m.group()
+        val (a, b) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (id % 2 == 0) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val totA = counts.values.map(_._1).sum
+    val totB = counts.values.map(_._2).sum
+    val v = counts.size.toLong
+    val expect = counts.toSeq.map { case (t, (a, b)) =>
+      val p = (a + 1).toDouble / (totA + v).toDouble
+      val q = (b + 1).toDouble / (totB + v).toDouble
+      (t, a, b, math.floor(1000000.0 * p * math.log(p / q)).toLong)
+    }.sortBy { case (t, _, _, c) => (-c, t) }.take(20)
+    val got = TextAnalysis.tokenDrift(tbl("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"drift drifted:\n$got\nvs\n$expect")
+  }
+
+  test("shard_rebalance bounds shard skew by one document's size") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val got = Sampling.shardRebalance(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0 until 8), "shard ids not dense")
+    assert(got.map(_._2).sum == docs.count(), "documents lost in sharding")
+    val maxDoc = docs.select(max(length(col("text").cast("binary"))))
+      .collect()(0).getInt(0).toLong
+    val sizes = got.map(_._3)
+    assert(sizes.max - sizes.min <= maxDoc,
+      s"skew ${sizes.max - sizes.min} exceeds one-doc bound $maxDoc")
+  }
+
   test("dq_checks passes clean data and flags every injected violation") {
     import spark.implicits._
     val res = Relational.dqChecks(tbl("lineitem"), tbl("orders")).collect()

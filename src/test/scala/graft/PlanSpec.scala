@@ -585,6 +585,14 @@ class PlanSpec extends AnyFunSuite {
       s"threshold clamp-back join is not broadcast:\n$p")
   }
 
+  test("shard_rebalance stays window-free (constant-group ExactRank)") {
+    // the global size ordering is the textbook single-task window
+    // (row_number() OVER (ORDER BY size) has ONE partition); the
+    // constant-group ExactRank keeps rank parallelism at partition count
+    val p = planOf("shard_rebalance")
+    assert(!p.contains("Window"), s"rebalance planned a window:\n$p")
+  }
+
   test("quantile_normalize stays window-free like order_rank") {
     // the rank transform rides the public ExactRank — a
     // row_number/count window pair on the 3-value o_orderstatus key
