@@ -664,6 +664,10 @@ object SparkEntry {
     // snapshot-vs-snapshot drift monitor: top KL contributors between
     // the two corpus halves' smoothed unigram distributions (e6 ints)
     "token_drift" -> ((s, dir) => TextAnalysis.tokenDrift(t(s, dir, "documents"))),
+    // BPE merge TRAINING (bpe_tokens applies a table; this learns one):
+    // 3 unrolled rounds of pair-count argmax + greedy merge over the
+    // vocabulary-sized word-type relation
+    "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation
@@ -2251,6 +2255,33 @@ object SparkEntry {
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    // 3 unrolled training rounds over the space-encoded form; the
+    // string replace IS the greedy left-to-right merge (bpe_tokens'
+    // own oracle convention), and argmax ties break lexicographically
+    "bpe_train" -> {
+      def round(i: Int) = s""",
+        |p$i AS (
+        |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
+        |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
+        |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
+        |  GROUP BY 1, 2),
+        |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |e${i + 1} AS (SELECT word, freq,
+        |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+        |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
+        |  FROM e$i)""".stripMargin
+      s"""WITH w AS (
+        |  SELECT token AS word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+        |  GROUP BY token),
+        |e0 AS (SELECT word, freq,
+        |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM w)""".stripMargin +
+        round(0) + round(1) + round(2) + """
+        |SELECT CAST(1 AS INT) AS round, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b0
+        |UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b1
+        |UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b2
+        |ORDER BY round""".stripMargin
+    },
     // same smoothing, same IEEE ops, same e6 floor as the Spark side
     "token_drift" ->
       """WITH t AS (

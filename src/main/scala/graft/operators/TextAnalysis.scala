@@ -1155,6 +1155,79 @@ object TextAnalysis {
     pages.withColumn("text", trimmed).drop(htmlCol)
   }
 
+  final case class BpeWord(word: String, freq: Long, syms: Seq[String])
+
+  /** One greedy left-to-right non-overlapping merge pass — the exact
+    * semantics of a single `replace(' a  b ', ' ab ')` over the
+    * space-encoded form (the [[bpeEncode]] convention): `aaa` with
+    * merge (a,a) becomes `[aa, a]`, never `[a, aa]`.
+    */
+  private def bpeMergeOnce(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE merge-rule TRAINING — vocabulary induction over the corpus
+    * (the counterpart of [[bpeEncode]], which APPLIES a merge table):
+    * per round, count adjacent symbol pairs over the word-type relation
+    * (weighted by type frequency, the classic formulation), adopt the
+    * most frequent pair (ties to the lexicographically smallest), and
+    * apply it greedily left-to-right. Returns the learned table as
+    * `(round, sym_a, sym_b, cnt)`; the oracle unrolls the identical
+    * rounds in SQL over the space-encoded string form, whose
+    * `replace`-based merge is provably the same greedy pass.
+    *
+    * Scale shape: training state is the word-TYPE relation —
+    * vocabulary-sized (Zipf: far below the corpus), DISK_ONLY per the
+    * house rule. Each round is ONE partial-aggregable pair-count
+    * groupBy (hot pairs collapse map-side) plus a bounded driver
+    * action returning a single row (the [[ExactRank]] eager-contract
+    * discipline: `rounds` actions total, each 1 row), and the merge
+    * application is row-local. Nothing corpus-sized ever reaches the
+    * driver or a window.
+    */
+  def bpeTrain(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"bpeTrain requires rounds >= 1, got $rounds")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var words = documents
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"),
+        lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => BpeWord(w, f, w.map(_.toString)) }
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = words
+        .flatMap(ws => ws.syms.zip(ws.syms.tail)
+          .map { case (a, b) => (a, b, ws.freq) })
+        .toDF("a", "b", "f")
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .head()
+      val (a, b, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((r, a, b, cnt))
+      val next = words.map(ws =>
+          ws.copy(syms = bpeMergeOnce(ws.syms, a, b)))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      next.count() // materialize before releasing the parent state
+      words.unpersist()
+      words = next
+    }
+    words.unpersist()
+    learned.result().toDF("round", "sym_a", "sym_b", "cnt")
+      .orderBy(col("round"))
+  }
+
   /** Corpus drift detection: the top token-level contributors to the
     * KL divergence between two corpus halves' add-one-smoothed unigram
     * distributions — the snapshot-vs-snapshot monitor that catches a

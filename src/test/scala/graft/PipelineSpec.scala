@@ -1196,6 +1196,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_train learns the hand-computed merges on a fixture") {
+    import spark.implicits._
+    // words: aaab x2, ab x1.
+    // round 1: (a,a)=4 beats (a,b)=3            -> merge (a,a), cnt 4
+    // round 2: aaab=[aa,a,b], ab=[a,b]: (a,b)=3 -> merge (a,b), cnt 3
+    // round 3: aaab=[aa,ab], ab=[ab]: (aa,ab)=2 -> merge (aa,ab), cnt 2
+    // (round 1 also checks GREEDY left-to-right: aaa yields [aa,a],
+    // counting (a,a) twice inside aaab's overlapping pairs)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)), s"learned: $got")
+  }
+
   test("token_drift equals a driver-side smoothed-KL recompute") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents").select(col("doc_id"), col("text")).collect()
