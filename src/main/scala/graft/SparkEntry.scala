@@ -415,6 +415,10 @@ object SparkEntry {
     // checks as one conditional-aggregate pass + an anti-join orphan scan
     "dq_checks" -> ((s, dir) =>
       Relational.dqChecks(t(s, dir, "lineitem"), t(s, dir, "orders"))),
+    // privacy gate: quasi-identifier group-size audit (re-identifiable
+    // rows live in groups smaller than k)
+    "k_anonymity" -> ((s, dir) =>
+      Relational.kAnonymity(t(s, dir, "customer"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // grouped OLS from the same exact power-sum pass as corr_stats
@@ -1727,6 +1731,16 @@ object SparkEntry {
         |    ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
         |  END AS quantile
         |FROM r ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS INT) AS k,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |  CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
     "dq_checks" ->
       """WITH li AS (
         |  SELECT count(*) AS n_rows,

@@ -639,6 +639,27 @@ object Relational {
       .orderBy(col("check_name"))
   }
 
+  /** K-anonymity audit over a quasi-identifier combination — the
+    * privacy gate before releasing or training on user-linked data: a
+    * row is re-identifiable when its QI group holds fewer than k
+    * records. Emits the one-row audit (group counts, risky groups,
+    * risky rows, worst group size) rather than the risky rows
+    * themselves — the go/no-go signal.
+    *
+    * Scale shape: one partial-aggregable groupBy on the QI columns
+    * (group relation is QI-cardinality sized), then a 1-row summary
+    * aggregate. No window, no join.
+    */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame =
+    customer.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(lit(k).as("k"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1).otherwise(0)).as("n_risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("n_risky_rows"),
+        min(col("n")).as("min_group_size"))
+
   /** Exact per-group quantile normalization — the rank-based feature
     * transform (each value maps to its empirical quantile
     * `(rank−1)/(n−1)` within its group; a singleton group maps to 0.5).

@@ -1196,6 +1196,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("k_anonymity counts exactly the sub-k quasi-identifier groups") {
+    import spark.implicits._
+    // groups: (1,A)=5 rows (safe at k=5), (1,B)=2, (2,A)=1 (both risky)
+    val rows = Seq.fill(5)((1, "A")) ++ Seq.fill(2)((1, "B")) :+ ((2, "A"))
+    val df = rows.toDF("c_nationkey", "c_mktsegment")
+    val r = Relational.kAnonymity(df, k = 5).collect()(0)
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5, 3L, 2L, 3L, 1L)),
+      s"audit wrong: $r")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
