@@ -378,8 +378,10 @@ object Multimodal {
       if (nl <= 0) return None
       val toks = new String(bytes, 0, nl, Ascii).split(" ")
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      // ≤7 digits keeps the value — and every w·h·3/2 frame size —
+      // safely inside Int; a 20-digit W must DROP (None), not throw
       def num(tag: Char): Option[Int] = toks.iterator.drop(1).collectFirst {
-        case t if t.length > 1 && t.charAt(0) == tag &&
+        case t if t.length > 1 && t.length <= 8 && t.charAt(0) == tag &&
           t.drop(1).forall(_.isDigit) => t.drop(1).toInt
       }
       // C420 is the only subsampling this kernel lays out; absent C
@@ -388,7 +390,8 @@ object Multimodal {
         return None
       (num('W'), num('H')) match {
         case (Some(w), Some(h))
-            if w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 =>
+            if w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 &&
+              w.toLong * h <= 100000000L => // 100 MP: frame size stays Int
           val frameBytes = w * h * 3 / 2
           val offsets = Vector.newBuilder[Int]
           var pos = nl + 1

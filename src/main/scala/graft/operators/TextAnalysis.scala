@@ -1205,23 +1205,33 @@ object TextAnalysis {
       .map { case (w, f) => BpeWord(w, f, w.map(_.toString)) }
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val learned = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val best = words
         .flatMap(ws => ws.syms.zip(ws.syms.tail)
           .map { case (a, b) => (a, b, ws.freq) })
         .toDF("a", "b", "f")
         .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .head()
-      val (a, b, cnt) =
-        (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((r, a, b, cnt))
-      val next = words.map(ws =>
-          ws.copy(syms = bpeMergeOnce(ws.syms, a, b)))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      next.count() // materialize before releasing the parent state
-      words.unpersist()
-      words = next
+        .head(1)
+      best.headOption match {
+        case None =>
+          // every word is a single symbol — nothing left to merge;
+          // stop with the rules learned so far instead of crashing
+          exhausted = true
+        case Some(row) =>
+          val (a, b, cnt) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          learned += ((r, a, b, cnt))
+          val next = words.map(ws =>
+              ws.copy(syms = bpeMergeOnce(ws.syms, a, b)))
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          next.count() // materialize before releasing the parent state
+          words.unpersist()
+          words = next
+          r += 1
+      }
     }
     words.unpersist()
     learned.result().toDF("round", "sym_a", "sym_b", "cnt")

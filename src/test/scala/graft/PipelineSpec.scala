@@ -1221,6 +1221,10 @@ class PipelineSpec extends AnyFunSuite {
       .toSeq
     assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
       (3, "aa", "ab", 2L)), s"learned: $got")
+    // a corpus of single-char words exhausts the pair space: training
+    // must stop with what it has (here: nothing), not crash
+    val singles = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(singles).collect().isEmpty)
   }
 
   test("token_drift equals a driver-side smoothed-KL recompute") {
@@ -1358,6 +1362,13 @@ class PipelineSpec extends AnyFunSuite {
     // non-C420 color space is out of this kernel's layout contract
     assert(Multimodal.Y4mCodec.parse(
       y4m(4, 2, Seq(10), params = " C444")).isEmpty)
+    // absurd dimensions must DROP (None), never overflow or throw
+    assert(Multimodal.Y4mCodec.parse(
+      "YUV4MPEG2 W99999999999999999999 H2 F25:1\nFRAME\n".getBytes("US-ASCII"))
+      .isEmpty)
+    assert(Multimodal.Y4mCodec.parse(
+      "YUV4MPEG2 W9999998 H9999998 F25:1\nFRAME\n".getBytes("US-ASCII"))
+      .isEmpty)
   }
 
   test("corr_stats matches Spark's built-in moments within 1e-9") {
