@@ -51,8 +51,12 @@ object SparkEntry {
     try body(stage.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stage).iterator().asScala.toSeq
+      // Files.walk holds open directory handles until closed — leak one
+      // per streaming invocation otherwise (Bench runs each query 2-3x)
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -1750,8 +1754,9 @@ object SparkEntry {
         |  FROM lineitem),
         |o AS (SELECT count(*) AS n_orders,
         |    count(DISTINCT o_orderkey) AS n_distinct_keys FROM orders),
-        |orph AS (SELECT count(*) AS n_orphans FROM lineitem
-        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |orph AS (SELECT count(*) AS n_orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey))
         |SELECT check_name, metric, passed FROM (
         |  SELECT 'row_count_positive' AS check_name,
         |    CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed FROM li
@@ -2135,8 +2140,11 @@ object SparkEntry {
         |      OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention
         |FROM agg ORDER BY cohort_day, day_offset""".stripMargin,
     // exact-integer EWMA twin: same cents quantization (identical IEEE
-    // ops), same left fold — list_prepend injects the 0 init; // is
-    // floor division ≡ the Spark side's shiftright on the nonneg domain
+    // ops), same left fold — list_prepend injects the 0 init. The step
+    // must FLOOR like the Spark side's shiftright (DuckDB's // truncates
+    // toward zero and diverges on negative values); floor((a+b)/2.0) is
+    // exact here because the state is bounded by max |cents|, far below
+    // the 2^53 double-integer ceiling
     "ewma_value" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id,
@@ -2145,7 +2153,7 @@ object SparkEntry {
         |SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
-        |    (a, b) -> (a + b) // 2) AS ewma_cents
+        |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the streaming EWMA's bounded replay must reproduce the batch fold
     // exactly — same oracle text as ewma_value
@@ -2157,7 +2165,7 @@ object SparkEntry {
         |SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
-        |    (a, b) -> (a + b) // 2) AS ewma_cents
+        |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // per-(user,hour) latest value by the total (ts, event_id) order —
     // the HUGEINT composite key mirrors Spark's max_by struct key

@@ -318,10 +318,11 @@ object Events {
     * EXACT integer arithmetic so the result is hash-comparable: values
     * quantize to cents (`floor(v·100 + 0.5)`, exact IEEE ops on both
     * engines), and each step is the integer recurrence
-    * `s ← (s + cents) div 2` (floor division ≡ arithmetic shift on the
-    * nonnegative domain), folded left over the user's time-sorted
-    * events. No float accumulation order to disagree about, no epsilon
-    * band.
+    * `s ← floor((s + cents) / 2)` — an arithmetic shift, which floors
+    * on the WHOLE domain including negative values (refunds), matching
+    * the oracle's explicit floor — folded left over the user's
+    * time-sorted events. No float accumulation order to disagree
+    * about, no epsilon band.
     *
     * Scale shape: one partial-aggregable `collect_list` groupBy on
     * user_id, then the fold runs INSIDE `functions.aggregate` over the
@@ -344,8 +345,8 @@ object Events {
               col("cents")))),
             s => s.getField("cents")),
           lit(0L),
-          // >> 1 ≡ floor-div-2 on the nonneg domain; Column./ would be
-          // DOUBLE division and break the exact-integer contract
+          // arithmetic >> 1 ≡ floor-div-2 on ALL longs (negatives too);
+          // Column./ would be DOUBLE division and break exactness
           (acc, c) => shiftright(acc + c, 1)).as("ewma_cents"))
       .orderBy(col("user_id"))
   }

@@ -586,7 +586,10 @@ object Relational {
       max(when(col("rnk") ===
         greatest(lit(1L), expr(s"(n_group * $hiPct + 99) div 100")),
         col("value"))).as("hi"))
-    ranked.select(col("event_id"), col("event_type"), col("value"))
+    // clamp-back probes the RAW relation, not `ranked` — the clamp needs
+    // no rank, and reading ranked here would re-execute the whole
+    // range-repartition + rank lineage a second time per materialization
+    events.select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(thr), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
         col("lo"), col("hi"),

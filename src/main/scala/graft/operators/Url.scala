@@ -36,7 +36,10 @@ object Url {
   val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-  val QueryRe = "\\?([^#]*)"
+  // the '?' must occur BEFORE any '#': a '?' inside the fragment (SPA
+  // routes like /#/search?q=x) is part of the dropped fragment, not a
+  // query — the lazy [^#]*? prefix cannot cross a '#' to find one
+  val QueryRe = "^[^#]*?\\?([^#]*)"
   val UserinfoRe = "^[^@]*@"
   val PortRe = ":([0-9]+)$"
 

@@ -36,7 +36,16 @@ object StreamingOps {
     * timestamp convention.
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(eventsDir).schema
+    // an EMPTY monitored directory (stream started ahead of data — the
+    // normal file-stream pattern) has no schema to read; fall back to
+    // the canonical shape with ts already TimestampType
+    val fileSchema =
+      try spark.read.parquet(eventsDir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(eventsSchema.fields.map(f =>
+            if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+      }
     graft.sources.Tables.normalizeTimestamps(
       spark.readStream.schema(fileSchema).parquet(eventsDir))
   }

@@ -1309,6 +1309,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged(lit(true)) == full, "full-delta merge drifted")
   }
 
+  test("url normalize drops a query that lives inside the fragment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val urls = Seq(
+      (1L, "https://app.example.com/#/search?q=x"), // SPA route: NO query
+      (2L, "https://h.example.com/p?q=1#frag"),     // real query, kept
+      (3L, "https://h.example.com/p?a=1?b=2")       // later ? is data
+    ).toDF("doc_id", "url")
+    val got = Url.normalize(urls).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("url_norm")).toMap
+    assert(got(1L) == "https://app.example.com/",
+      s"fragment query leaked into ${got(1L)}")
+    assert(got(2L) == "https://h.example.com/p?q=1")
+    assert(got(3L) == "https://h.example.com/p?a=1?b=2")
+  }
+
+  test("ewma_value floors identically on negative values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // refunds: the fold must FLOOR (shiftright), not truncate — and the
+    // oracle's floor((a+b)/2.0) matches (checked: -7 -> -4, not -3)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, -0.07),
+      (2L, "2024-01-01 00:01:00", 1L, -0.05),
+      (3L, "2024-01-01 00:02:00", 2L, -1.23)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Events.ewmaValue(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // user 1: cents -7 then -5: ((0 + -7) >> 1) = -4; ((-4 + -5) >> 1) = -5
+    // user 2: cents -123: (0 + -123) >> 1 = -62
+    assert(got == Map(1L -> -5L, 2L -> -62L), s"negative fold: $got")
+  }
+
   test("ewma_value equals a driver-side integer fold per user") {
     import org.apache.spark.sql.functions._
     val events = tbl("events")
