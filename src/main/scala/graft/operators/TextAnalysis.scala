@@ -1162,7 +1162,7 @@ object TextAnalysis {
     * space-encoded form (the [[bpeEncode]] convention): `aaa` with
     * merge (a,a) becomes `[aa, a]`, never `[a, aa]`.
     */
-  private def bpeMergeOnce(syms: Seq[String], a: String,
+  private[graft] def bpeMergeOnce(syms: Seq[String], a: String,
       b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0

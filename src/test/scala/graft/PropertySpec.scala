@@ -175,4 +175,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Y4M synth->parse round-trips arbitrary streams; prefixes never throw") {
+    import graft.operators.Multimodal.Y4mCodec
+    val dimGen = Gen.chooseNum(1, 16).map(_ * 2)
+    val lumaGen = Gen.chooseNum(0, 255)
+    def synth(w: Int, h: Int, lumas: List[Int]): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val fb = w * h * 3 / 2
+      val buf = java.nio.ByteBuffer.allocate(header.length + lumas.size * (6 + fb))
+      buf.put(header)
+      lumas.foreach { l =>
+        buf.put("FRAME\n".getBytes("US-ASCII"))
+        (0 until w * h).foreach(_ => buf.put(l.toByte))
+        (w * h until fb).foreach(_ => buf.put(128.toByte))
+      }
+      buf.array()
+    }
+    (0 until 200).foreach { i =>
+      val p = Gen.Parameters.default
+      val w = dimGen.apply(p, Seed(9000L + i)).get
+      val h = dimGen.apply(p, Seed(9100L + i)).get
+      val n = Gen.chooseNum(0, 6).apply(p, Seed(9200L + i)).get
+      val lumas = Gen.listOfN(n, lumaGen).apply(p, Seed(9300L + i)).get
+      val bytes = synth(w, h, lumas)
+      val parsed = Y4mCodec.parse(bytes)
+      assert(parsed.exists { case (pw, ph, fr) =>
+        pw == w && ph == h && fr.size == n
+      }, s"seed $i round-trip failed for ${w}x$h x$n")
+      // exact constant-plane luma sums through the sampler
+      val sampled = Y4mCodec.sampleLuma(bytes, 1).get
+      assert(sampled.map(_._2) ==
+        lumas.map(l => l.toLong * w * h), s"seed $i luma sums")
+      // EVERY prefix is either a clean parse or a clean None — the
+      // corrupt-media contract means truncation can never throw
+      val cut = Gen.chooseNum(0, bytes.length).apply(p, Seed(9400L + i)).get
+      Y4mCodec.parse(bytes.take(cut)) // must not throw
+    }
+  }
+
+  test("bpeMergeOnce equals the oracle's string-replace greedy pass") {
+    import graft.operators.TextAnalysis
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "aa")
+    (0 until 500).foreach { i =>
+      val p = Gen.Parameters.default
+      val n = Gen.chooseNum(0, 10).apply(p, Seed(11000L + i)).get
+      val syms = Gen.listOfN(n, symGen).apply(p, Seed(11100L + i)).get
+      val a = symGen.apply(p, Seed(11200L + i)).get
+      val b = symGen.apply(p, Seed(11300L + i)).get
+      val merged = TextAnalysis.bpeMergeOnce(syms, a, b)
+      // the oracle's formulation: one replace over the space-encoded form
+      val enc = syms.map(s => s" $s ").mkString
+      val replaced = enc.replace(s" $a  $b ", s" ${a + b} ")
+      val viaString =
+        if (replaced.trim.isEmpty) Nil
+        else replaced.trim.split("  ").toList
+      assert(merged == viaString,
+        s"seed $i: $syms merge($a,$b) -> $merged vs $viaString")
+      // mass conservation: concatenation is invariant under merging
+      assert(merged.mkString == syms.mkString, s"seed $i lost symbols")
+    }
+  }
 }
