@@ -1049,16 +1049,19 @@ object SparkEntry {
     // link extraction + canonicalization (crawl-graph step): every href
     // in deterministic real-shaped HTML becomes a row, absolute targets
     // normalize to canonical URLs, relative ones surface NULL url_norm
-    "html_links" -> ((s, dir) => {
-      val k = pmod(col("doc_id"), lit(5)).cast("string")
-      val k2 = pmod(col("doc_id"), lit(7)).cast("string")
-      val id = col("doc_id").cast("string")
-      val pages = t(s, dir, "documents").select(col("doc_id"), concat(
-        lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
-        lit("\">x</a> <a href=\"/rel/"), id,
-        lit("\">y</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
-        lit("#f\">z</a></div>")).as("html"))
-      Url.extractLinks(pages).orderBy(col("doc_id"), col("pos"))
+    "html_links" -> ((s, dir) =>
+      Url.extractLinks(htmlFixturePages(s, dir))
+        .orderBy(col("doc_id"), col("pos"))),
+    // crawl authority end-to-end: html_links' doc->host edge relation
+    // through the SAME exact-integer rank recurrence as page_rank —
+    // the html_extract -> html_links -> link_rank -> host_cap chain
+    "link_rank" -> ((s, dir) => {
+      val edges = Url.extractLinks(htmlFixturePages(s, dir))
+        .filter(col("url_norm").isNotNull)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("src"),
+          col("host").as("dst"))
+        .distinct()
+      Graph.pageRank(edges)
     }),
   )
 
@@ -1192,10 +1195,15 @@ object SparkEntry {
     * BIGINT keep it value- and dtype-identical to Spark's `div` on LONG.
     */
   private def pageRankSql(iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000L): String = {
+      scale: Long = 1000000000L, edgesWith: String = null): String = {
     val base = (100L - dampingPct) * scale / 100L
-    val head = cooccurCte +
-      s""", edges AS (SELECT product AS src, neighbor AS dst FROM counts),
+    // default edge relation: the co-occurrence graph; callers may swap
+    // in any WITH-prefix that defines edges(src, dst) — link_rank feeds
+    // the crawl link graph through the identical rank recurrence
+    val prefix = Option(edgesWith).getOrElse(cooccurCte +
+      ", edges AS (SELECT product AS src, neighbor AS dst FROM counts)")
+    val head = prefix +
+      s""",
       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
       |wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
@@ -3535,7 +3543,39 @@ object SparkEntry {
         |       ELSE scheme || '://' || host || kept_port || path || kept_query
         |  END AS url_norm
         |FROM n ORDER BY doc_id""".stripMargin,
-    "html_links" -> {
+    "html_links" ->
+      (htmlLinksCte + """
+        |SELECT doc_id, pos, href, host, url_norm
+        |FROM links ORDER BY doc_id, pos""".stripMargin),
+    // the crawl-authority composition: the SAME rank recurrence as
+    // page_rank, fed by the html_links edge relation (doc -> host)
+    "link_rank" -> pageRankSql(3, edgesWith = htmlLinksCte +
+      """, edges AS (
+        |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
+        |    host AS dst
+        |  FROM links WHERE url_norm IS NOT NULL)""".stripMargin),
+  ) ++ oracleSqlRest2
+
+  /** Deterministic real-shaped HTML fixture pages (messy absolute links
+    * with default ports + a relative link) — shared by html_links and
+    * link_rank; [[htmlLinksCte]] is its byte-identical SQL twin.
+    */
+  private def htmlFixturePages(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(5)).cast("string")
+    val k2 = pmod(col("doc_id"), lit(7)).cast("string")
+    val id = col("doc_id").cast("string")
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
+      lit("\">x</a> <a href=\"/rel/"), id,
+      lit("\">y</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
+      lit("#f\">z</a></div>")).as("html"))
+  }
+
+  /** The html_links dataflow as a reusable CTE chain ending in
+    * `links(doc_id, pos, href, host, url_norm)` — shared by the
+    * html_links oracle and link_rank's edge relation.
+    */
+  private lazy val htmlLinksCte: String = {
       val (sc, au, pa, qu, ui, po, hr) = (Url.SchemeRe, Url.AuthorityRe,
         Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe, Url.HrefRe)
       s"""WITH pages AS (
@@ -3572,13 +3612,16 @@ object SparkEntry {
         |         OR port = '' THEN '' ELSE ':' || port END AS kept_port,
         |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
         |  FROM p2
-        |)
-        |SELECT doc_id, pos, href, host,
-        |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |       ELSE scheme || '://' || host || kept_port || path || kept_query
-        |  END AS url_norm
-        |FROM n ORDER BY doc_id, pos""".stripMargin
-    },
+        |), links AS (
+        |  SELECT doc_id, pos, href, host,
+        |    CASE WHEN scheme = '' OR host = '' THEN NULL
+        |         ELSE scheme || '://' || host || kept_port || path || kept_query
+        |    END AS url_norm
+        |  FROM n
+        |)""".stripMargin
+  }
+
+  private lazy val oracleSqlRest2: Map[String, String] = Map(
     "host_cap" ->
       s"""$urlParseCte, valid AS (
         |  SELECT doc_id, host FROM n WHERE NOT (scheme = '' OR host = '')
