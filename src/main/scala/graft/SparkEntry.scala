@@ -208,8 +208,12 @@ object SparkEntry {
     // per batch; the final state per user is the max-n_events row
     // (n strictly grows), a deterministic pick at any batch split.
     "ewma_stream" -> ((s, dir) => withStreamStage("graft_ewma_stream") { stage =>
+      // coalesce(1): the state fold is order-sensitive, and a multi-file
+      // range-partitioned stage has no pinned mtime order — one staged
+      // file makes the cross-batch replay order contract hold under ANY
+      // trigger config, not just single-batch AvailableNow.
       eventsTable(s, dir).orderBy(col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(stage)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
       val ew = graft.streaming.StreamingOps.ewmaStream(
         graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
       val sink = "ewma_stream_sink"
@@ -534,7 +538,7 @@ object SparkEntry {
     "hourly_counts_incremental" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       Events.hourlyCountsMerge(
-        Events.hourlyCounts(ev.filter(col("event_id") % 10 =!= 0)),
+        Events.hourlyCountsPartials(ev.filter(col("event_id") % 10 =!= 0)),
         ev.filter(col("event_id") % 10 === 0))
     }),
     "latest_events" -> ((s, dir) => Events.latestEvents(eventsTable(s, dir))),
@@ -668,14 +672,24 @@ object SparkEntry {
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    // the graduated classifier: Cavnar–Trenkle character-n-gram rank
+    // profiles learned from the labeled corpus in one distributed pass,
+    // scored doc-locally by out-of-place distance
+    "lang_id_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(t(s, dir, "documents"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
     // snapshot-vs-snapshot drift monitor: top KL contributors between
     // the two corpus halves' smoothed unigram distributions (e6 ints)
     "token_drift" -> ((s, dir) => TextAnalysis.tokenDrift(t(s, dir, "documents"))),
     // BPE merge TRAINING (bpe_tokens applies a table; this learns one):
-    // 3 unrolled rounds of pair-count argmax + greedy merge over the
-    // vocabulary-sized word-type relation
+    // 64 rounds of pair-count argmax + greedy merge, induced driver-local
+    // over the bounded word-type relation in ONE distributed pass
     "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"))),
+    // the induction→application composition: bpe_train's 64 learned
+    // rules feed the greedy encoder over the same word model — the
+    // trained-tokenizer budget a real pipeline runs
+    "pipeline_tokenizer" -> ((s, dir) =>
+      TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation
@@ -843,11 +857,16 @@ object SparkEntry {
     // in-flight build — the driver checks it against that very oracle.
     "dedup_persisted" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // DISK_ONLY so the corpus-proportional shingle+minhash pipeline runs
+      // once and feeds BOTH table writes (bands + sigs), not twice — the
+      // same house rule minhashIncremental itself follows.
       val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       graft.sources.TableSink.writeBucketed(
         Dedup.minhashBandIndex(sigs), "graft_dedup_bands", "b0", 8)
       graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs",
         "doc_id", 8)
+      sigs.unpersist()
       Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
         s.table("graft_dedup_bands"), s.table("graft_dedup_sigs"))
     }),
@@ -1233,6 +1252,40 @@ object SparkEntry {
       .foldLeft("regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") {
         case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
       }
+
+  /** Rounds the bpe_train / pipeline_tokenizer oracles unroll — must
+    * equal TextAnalysis.bpeTrain's default merges.
+    */
+  private val BpeOracleRounds = 64
+
+  /** The unrolled BPE-training CTE chain: word-type relation → `rounds`
+    * rounds of (pair-count p_i, argmax b_i, greedy-merge e_{i+1}) over
+    * the space-encoded form. Shared by bpe_train (emits the b_i rules)
+    * and pipeline_tokenizer (applies e_rounds back to the documents).
+    */
+  private def bpeTrainOracleChain(rounds: Int): String = {
+    // every chain CTE is MATERIALIZED: e_i is referenced twice per round
+    // (pair count + next merge) — inlined, the chain re-expands
+    // exponentially and re-opens the parquet scan per expansion
+    def round(i: Int) = s""",
+      |p$i AS MATERIALIZED (
+      |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
+      |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
+      |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
+      |  GROUP BY 1, 2),
+      |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      |e${i + 1} AS MATERIALIZED (SELECT word, freq,
+      |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+      |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
+      |  FROM e$i)""".stripMargin
+    s"""WITH w AS MATERIALIZED (
+      |  SELECT token AS word, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+      |  GROUP BY token),
+      |e0 AS MATERIALIZED (SELECT word, freq,
+      |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM w)""".stripMargin +
+      (0 until rounds).map(round).mkString
+  }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
   /** Per-document bigram-LM scores (shared by bigram_logprob and
@@ -2281,36 +2334,82 @@ object SparkEntry {
         |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
         |       ELSE 'en' END AS lang_pred
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Cavnar–Trenkle: per-lang and per-doc top-100 2-/3-gram rank
+    // profiles, out-of-place distance, argmin with lexicographic ties
+    "lang_id_ngram" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, lang, unnest(list_concat(
+        |    CASE WHEN length(text) >= 2 THEN
+        |      list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
+        |      ELSE [] END,
+        |    CASE WHEN length(text) >= 3 THEN
+        |      list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
+        |      ELSE [] END)) AS gram
+        |  FROM documents),
+        |lp AS MATERIALIZED (
+        |  SELECT lang, gram, r FROM (
+        |    SELECT lang, gram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS r
+        |    FROM g GROUP BY lang, gram) WHERE r <= 100),
+        |dp AS MATERIALIZED (
+        |  SELECT doc_id, gram, r FROM (
+        |    SELECT doc_id, gram,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r
+        |    FROM g GROUP BY doc_id, gram) WHERE r <= 100),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |d AS (
+        |  SELECT dp.doc_id, langs.lang,
+        |    sum(CASE WHEN lp.r IS NULL THEN 100 ELSE abs(dp.r - lp.r) END) AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang, dist,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rb
+        |  FROM d)
+        |SELECT documents.doc_id, documents.lang AS lang_label,
+        |  coalesce(best.lang, (SELECT min(lang) FROM documents)) AS lang_pred,
+        |  CAST(coalesce(best.dist, 0) AS BIGINT) AS best_dist
+        |FROM documents
+        |LEFT JOIN best ON best.doc_id = documents.doc_id AND best.rb = 1
+        |ORDER BY documents.doc_id""".stripMargin,
     "token_freq" ->
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
-    // 3 unrolled training rounds over the space-encoded form; the
+    // 64 unrolled training rounds over the space-encoded form; the
     // string replace IS the greedy left-to-right merge (bpe_tokens'
     // own oracle convention), and argmax ties break lexicographically
     "bpe_train" -> {
-      def round(i: Int) = s""",
-        |p$i AS (
-        |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
-        |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
-        |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
-        |  GROUP BY 1, 2),
-        |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-        |e${i + 1} AS (SELECT word, freq,
-        |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
-        |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
-        |  FROM e$i)""".stripMargin
-      s"""WITH w AS (
-        |  SELECT token AS word, count(*) AS freq FROM (
-        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
-        |  GROUP BY token),
-        |e0 AS (SELECT word, freq,
-        |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM w)""".stripMargin +
-        round(0) + round(1) + round(2) + """
-        |SELECT CAST(1 AS INT) AS round, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b0
-        |UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b1
-        |UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b2
-        |ORDER BY round""".stripMargin
+      bpeTrainOracleChain(BpeOracleRounds) + "\n" +
+        (0 until BpeOracleRounds).map { i =>
+          if (i == 0)
+            s"SELECT CAST(1 AS INT) AS round, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b0"
+          else
+            s"UNION ALL SELECT ${i + 1}, a, b, CAST(cnt AS BIGINT) FROM b$i"
+        }.mkString("\n") + "\nORDER BY round"
+    },
+    // the composed tokenizer: the SAME 64-round training chain, then the
+    // final word-type encoding (e64) applied back to every document's
+    // regex words — per-doc word/char/BPE-token budgets under the
+    // learned vocabulary
+    "pipeline_tokenizer" -> {
+      bpeTrainOracleChain(BpeOracleRounds) + s""",
+        |v AS (SELECT word,
+        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe,
+        |  CAST(length(word) AS BIGINT) AS n_char FROM e$BpeOracleRounds),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM d JOIN v USING (word) GROUP BY doc_id)
+        |SELECT documents.doc_id,
+        |  coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |  coalesce(agg.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
+        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+        |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     },
     // same smoothing, same IEEE ops, same e6 floor as the Spark side
     "token_drift" ->

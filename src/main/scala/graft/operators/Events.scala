@@ -207,28 +207,40 @@ object Events {
     * scan's codegen stage; one low-cardinality shuffle.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
-    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    hourlyCountsPartials(events)
+      .select(col("hour"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** The PARTIALS form of [[hourlyCounts]]: sum_value stays
+    * DECIMAL(18,2) — this is the schema a persisted aggregate table must
+    * hold, because a double partial only round-trips losslessly while
+    * each (hour, type) sum stays below ~2^53/100. Keeping the stored
+    * partial in decimal makes [[hourlyCountsMerge]] exact at any
+    * magnitude decimal(18,2)'s 16 integer digits can hold; the cast to
+    * double happens once, at emission.
+    */
+  def hourlyCountsPartials(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+
   /** Incremental view maintenance for [[hourlyCounts]]: merge an
-    * already-aggregated partials relation (the persisted view of
-    * everything seen so far) with a fresh delta batch — counts add, and
-    * sums re-enter DECIMAL before adding so the merge is EXACT and
-    * equals the full recompute bit-for-bit (each partial is a ≤2-decimal
-    * value that round-trips double↔decimal losslessly at this scale).
-    * The canonical aggregate-table IVM shape: the corpus is never
-    * rescanned — merge cost is O(|partials| + |delta aggregate|), and
-    * the partials relation is calendar × type sized, orders of magnitude
-    * below the events table at 100 TB.
+    * already-aggregated DECIMAL partials relation (the persisted view of
+    * everything seen so far, [[hourlyCountsPartials]]'s schema) with a
+    * fresh delta batch — counts add, sums add in exact decimal, and the
+    * result equals the full recompute bit-for-bit. The canonical
+    * aggregate-table IVM shape: the corpus is never rescanned — merge
+    * cost is O(|partials| + |delta aggregate|), and the partials
+    * relation is calendar × type sized, orders of magnitude below the
+    * events table at 100 TB.
     */
   def hourlyCountsMerge(partials: DataFrame, delta: DataFrame): DataFrame =
-    partials.unionByName(hourlyCounts(delta))
+    partials.unionByName(hourlyCountsPartials(delta))
       .groupBy(col("hour"), col("event_type"))
       .agg(sum(col("n")).as("n"),
-        sum(col("sum_value").cast("decimal(18,2)")).cast("double")
-          .as("sum_value"))
+        sum(col("sum_value")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Latest/earliest record selection per key via max_by/min_by (SQL

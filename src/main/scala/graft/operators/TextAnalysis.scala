@@ -55,6 +55,8 @@ object TextAnalysis {
     * a fixed deterministic tie-break (es > zh > en precedence on strict
     * inequality). Corpus text is synthetic so this mostly predicts 'en' —
     * the operator contract (deterministic scoring + argmax) is the point.
+    * The REAL classifier — the one a multilingual pipeline runs — is
+    * [[langIdNgram]]; this stays as the fixed-marker contract demo.
     */
   def langId(documents: DataFrame): DataFrame = {
     val sEn = countIn(enMarkers)
@@ -67,6 +69,107 @@ object TextAnalysis {
         when(sEs > sEn && sEs > sZh, "es")
           .when(sZh > sEn && sZh >= sEs, "zh")
           .otherwise("en").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-n-gram profile language ID — Cavnar–Trenkle 1994
+    * ("N-Gram-Based Text Categorization", the public method):
+    * per language, the profile is the `profileK` most frequent character
+    * 2-/3-grams ranked by frequency (ties lexicographic); a document is
+    * scored against each language by the OUT-OF-PLACE distance between
+    * its own ranked gram profile and the language's (|rank difference|,
+    * missing gram = `profileK` penalty), and classified to the argmin
+    * (ties to the lexicographically smallest language). [[langId]]'s
+    * graduation: rank profiles are learned FROM the labeled corpus, not
+    * hardcoded marker lists, so the classifier separates languages by
+    * their actual character statistics (the mixed-language fixture spec
+    * shows exactly the case where the marker heuristic fails and this
+    * doesn't).
+    *
+    * Scale shape: profile training is ONE distributed tokenize+groupBy
+    * over (lang, gram) — an alphabet-bounded relation (≤ |charset|³ gram
+    * types per language, never corpus-proportional) — ranked with
+    * [[ExactRank]] (full partition-width parallelism; a
+    * `PARTITION BY lang` window would cap parallelism at |langs|) and
+    * cut to `profileK`. The trained profiles (≤ `maxLangs` × `profileK`
+    * entries, fail-fast guarded like HeavyHitters' maxGroups contract)
+    * broadcast into a doc-local mapPartitions scorer — the
+    * localKMeans/trainedCentroids bounded-training discipline. Scoring
+    * is embarrassingly parallel: each document ranks its OWN grams
+    * locally and probes the broadcast map. Gram extraction is
+    * char-positional on both engines (oracle-shared); the corpus
+    * contract is BMP text (UTF-16/char-position parity).
+    */
+  def langIdNgram(documents: DataFrame, profileK: Int = 100,
+      maxLangs: Int = 256): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def gramsOf(n: Int) =
+      when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val nLangs = documents.select(col("lang")).distinct().count()
+    require(nLangs <= maxLangs,
+      s"langIdNgram: $nLangs languages exceed the maxLangs=$maxLangs " +
+        "bounded-profile contract")
+    val counts = documents
+      .select(col("lang"), explode(concat(gramsOf(2), gramsOf(3))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("neg_cnt", -col("cnt"))
+    val ranked = ExactRank.exactRank(counts, Seq("lang"),
+        Seq("neg_cnt", "gram"))
+      .filter(col("rnk") <= profileK)
+      .select(col("lang"), col("gram"), col("rnk"))
+      .collect() // bounded: ≤ maxLangs × profileK rows
+    val profiles: Map[String, Map[String, Int]] = ranked
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getLong(2).toInt).toMap
+      }
+    val langsSorted = profiles.keys.toArray.sorted
+    val bc = spark.sparkContext.broadcast((langsSorted, profiles))
+    documents.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val (langs, profs) = bc.value
+        it.map { case (id, label, text) =>
+          val t = if (text == null) "" else text
+          val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+          var n = 2
+          while (n <= 3) {
+            var i = 0
+            while (i + n <= t.length) {
+              val g = t.substring(i, i + n)
+              cnt.update(g, cnt.getOrElse(g, 0L) + 1L)
+              i += 1
+            }
+            n += 1
+          }
+          val docTop = cnt.toArray
+            .sortBy { case (g, c) => (-c, g) }.take(profileK)
+          // argmin over langs ASC — first strict improvement wins, so
+          // ties resolve to the lexicographically smallest language
+          var bestLang: String = null
+          var bestDist = Long.MaxValue
+          langs.foreach { l =>
+            val p = profs(l)
+            var d = 0L
+            var r = 1
+            docTop.foreach { case (g, _) =>
+              d += (p.get(g) match {
+                case Some(pr) => math.abs(r.toLong - pr.toLong)
+                case None => profileK.toLong
+              })
+              r += 1
+            }
+            if (d < bestDist) { bestLang = l; bestDist = d }
+          }
+          (id, label,
+            if (bestLang == null) "" else bestLang,
+            if (bestLang == null) 0L else bestDist)
+        }
+      }.toDF("doc_id", "lang_label", "lang_pred", "best_dist")
       .orderBy(col("doc_id"))
   }
 
@@ -1155,8 +1258,6 @@ object TextAnalysis {
     pages.withColumn("text", trimmed).drop(htmlCol)
   }
 
-  final case class BpeWord(word: String, freq: Long, syms: Seq[String])
-
   /** One greedy left-to-right non-overlapping merge pass — the exact
     * semantics of a single `replace(' a  b ', ' ab ')` over the
     * space-encoded form (the [[bpeEncode]] convention): `aaa` with
@@ -1179,63 +1280,133 @@ object TextAnalysis {
     * per round, count adjacent symbol pairs over the word-type relation
     * (weighted by type frequency, the classic formulation), adopt the
     * most frequent pair (ties to the lexicographically smallest), and
-    * apply it greedily left-to-right. Returns the learned table as
+    * apply it greedily left-to-right. Returns the learned rules as
     * `(round, sym_a, sym_b, cnt)`; the oracle unrolls the identical
     * rounds in SQL over the space-encoded string form, whose
-    * `replace`-based merge is provably the same greedy pass.
+    * `replace`-based merge is provably the same greedy pass
+    * ([[bpeMergeOnce]]'s property test).
     *
-    * Scale shape: training state is the word-TYPE relation —
-    * vocabulary-sized (Zipf: far below the corpus), DISK_ONLY per the
-    * house rule. Each round is ONE partial-aggregable pair-count
-    * groupBy (hot pairs collapse map-side) plus a bounded driver
-    * action returning a single row (the [[ExactRank]] eager-contract
-    * discipline: `rounds` actions total, each 1 row), and the merge
-    * application is row-local. Nothing corpus-sized ever reaches the
-    * driver or a window.
+    * Scale shape — driver-local induction over the bounded word-type
+    * state, the classic BPE-trainer formulation (subword-nmt /
+    * SentencePiece both train on the collected word-frequency dict, not
+    * the corpus): ONE distributed tokenize+groupBy pass builds the
+    * word-TYPE relation — vocabulary-sized (Zipf: sublinear in corpus
+    * size) and truncated to the `maxWordTypes` most frequent types as
+    * the bounded-driver-training contract (the `localKMeans` sampling
+    * discipline at Similarity.scala; exact whenever the vocabulary fits
+    * the cap, which every registered corpus does) — and ONE `collect()`
+    * brings it to the driver. All `merges` rounds then run driver-local
+    * with zero further Spark jobs: the per-merge
+    * distributed-count + full-relation-rewrite loop this replaces was
+    * O(merges) sequential jobs — a scale-killer at a real 10k–50k-merge
+    * vocabulary, where this shape is 1 job + bounded local work.
     */
-  def bpeTrain(documents: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, s"bpeTrain requires rounds >= 1, got $rounds")
+  def bpeTrainRules(documents: DataFrame, merges: Int = 64,
+      maxWordTypes: Int = 1 << 22): Seq[(Int, String, String, Long)] = {
+    require(merges >= 1, s"bpeTrainRules requires merges >= 1, got $merges")
     val spark = documents.sparkSession
     import spark.implicits._
-    var words = documents
+    val types: Array[(String, Long)] = documents
       .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"),
         lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWordTypes)
       .as[(String, Long)]
-      .map { case (w, f) => BpeWord(w, f, w.map(_.toString)) }
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .collect() // bounded: ≤ maxWordTypes rows, vocabulary-sized
+    val syms: Array[Seq[String]] = types.map(_._1.map(_.toString))
+    val freqs: Array[Long] = types.map(_._2)
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val best = words
-        .flatMap(ws => ws.syms.zip(ws.syms.tail)
-          .map { case (a, b) => (a, b, ws.freq) })
-        .toDF("a", "b", "f")
-        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .head(1)
-      best.headOption match {
-        case None =>
-          // every word is a single symbol — nothing left to merge;
-          // stop with the rules learned so far instead of crashing
-          exhausted = true
-        case Some(row) =>
-          val (a, b, cnt) =
-            (row.getString(0), row.getString(1), row.getLong(2))
-          learned += ((r, a, b, cnt))
-          val next = words.map(ws =>
-              ws.copy(syms = bpeMergeOnce(ws.syms, a, b)))
-            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-          next.count() // materialize before releasing the parent state
-          words.unpersist()
-          words = next
-          r += 1
+    while (r <= merges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val f = freqs(w)
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        w += 1
+      }
+      if (cnt.isEmpty) {
+        // every word is a single symbol — nothing left to merge;
+        // stop with the rules learned so far instead of crashing
+        exhausted = true
+      } else {
+        val ((a, b), c) =
+          cnt.minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+        learned += ((r, a, b, c))
+        var w2 = 0
+        while (w2 < syms.length) {
+          syms(w2) = bpeMergeOnce(syms(w2), a, b)
+          w2 += 1
+        }
+        r += 1
       }
     }
-    words.unpersist()
-    learned.result().toDF("round", "sym_a", "sym_b", "cnt")
+    learned.result()
+  }
+
+  /** [[bpeTrainRules]] as a relation — the registered `bpe_train`
+    * surface. The learned table is merge-table-sized (bounded by
+    * `merges`), so localizing it is free.
+    */
+  def bpeTrain(documents: DataFrame, merges: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrainRules(documents, merges)
+      .toDF("round", "sym_a", "sym_b", "cnt")
       .orderBy(col("round"))
+  }
+
+  /** The induction→application COMPOSITION a real tokenizer pipeline
+    * runs: [[bpeTrainRules]]' learned merge table (driver-local, one
+    * distributed pass) feeds a [[bpeEncode]]-semantics greedy encoder
+    * over the SAME word model the trainer saw (`[a-z0-9]+` extraction),
+    * reporting per-document word / character-token / BPE-token budgets
+    * under the learned vocabulary.
+    *
+    * Scale shape: training is [[bpeTrainRules]]' 1-job-plus-local-work
+    * shape; application is doc-local mapPartitions with the bounded
+    * merge table riding the task closure, plus a per-partition
+    * word→encoded-length memo (Zipf makes the hit rate high — each
+    * partition encodes each word TYPE once, not each occurrence).
+    */
+  def bpeTrainedEncode(documents: DataFrame, merges: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val table: Array[(String, String)] =
+      bpeTrainRules(documents, merges).map(t => (t._2, t._3)).toArray
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, 0L)
+          else {
+            var nWords = 0L; var nChar = 0L; var nBpe = 0L
+            val m = re.matcher(text)
+            while (m.find()) {
+              val word = m.group()
+              nWords += 1L
+              nChar += word.length.toLong
+              nBpe += memo.getOrElseUpdate(word, {
+                var toks: Seq[String] = word.map(_.toString)
+                table.foreach { case (a, b) =>
+                  toks = bpeMergeOnce(toks, a, b)
+                }
+                toks.length.toLong
+              })
+            }
+            (id, nWords, nChar, nBpe)
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_char_tokens", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
   }
 
   /** Corpus drift detection: the top token-level contributors to the

@@ -21,14 +21,20 @@ object Tables {
   /** TIMESTAMP_NTZ columns → TimestampType (identity wall-clock under a
     * UTC session); a LongType `ts` column (the legacy nanos contract —
     * values are µs-aligned across the testdata) → TimestampType.
+    *
+    * The long-nanos rewrite is SCOPED to the events table (`table` —
+    * the only table that has ever shipped the nanos encoding): a future
+    * table with a genuine long `ts` (epoch-µs, a counter) must not be
+    * silently divided by 1000. Unscoped callers (`table = ""`) get only
+    * the NTZ normalization.
     */
-  def normalizeTimestamps(df: DataFrame): DataFrame = {
+  def normalizeTimestamps(df: DataFrame, table: String = ""): DataFrame = {
     val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
     val ntzFixed =
       if (ntz.isEmpty) df
       else df.withColumns(
         ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
-    if (ntzFixed.schema.fields.exists(f =>
+    if (table == "events" && ntzFixed.schema.fields.exists(f =>
         f.name == "ts" && f.dataType == LongType))
       ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else ntzFixed
@@ -36,5 +42,5 @@ object Tables {
 
   /** Read one driver testdata table with normalized timestamps. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"), name)
 }

@@ -47,7 +47,7 @@ object StreamingOps {
             if (f.name == "ts") f.copy(dataType = TimestampType) else f))
       }
     graft.sources.Tables.normalizeTimestamps(
-      spark.readStream.schema(fileSchema).parquet(eventsDir))
+      spark.readStream.schema(fileSchema).parquet(eventsDir), "events")
   }
 
   /** File-source stream over already-NORMALIZED events (ts is a proper
