@@ -1071,11 +1071,19 @@ object SparkEntry {
     "html_links" -> ((s, dir) =>
       Url.extractLinks(htmlFixturePages(s, dir))
         .orderBy(col("doc_id"), col("pos"))),
-    // crawl authority end-to-end: html_links' doc->host edge relation
-    // through the SAME exact-integer rank recurrence as page_rank —
-    // the html_extract -> html_links -> link_rank -> host_cap chain
+    // base-URL reference resolution (RFC 3986 §5.2, string-expressible
+    // subset): relative/protocol-relative/fragment links resolve against
+    // each page's base URL to REAL hosts before normalization — most of
+    // a real crawl graph is relative links
+    "html_links_resolved" -> ((s, dir) =>
+      Url.resolveLinks(htmlFixturePages(s, dir))
+        .orderBy(col("doc_id"), col("pos"))),
+    // crawl authority end-to-end: the RESOLVED link edge relation (so
+    // relative links contribute real-host edges) through the SAME
+    // exact-integer rank recurrence as page_rank — the html_extract ->
+    // html_links_resolved -> link_rank -> host_cap chain
     "link_rank" -> ((s, dir) => {
-      val edges = Url.extractLinks(htmlFixturePages(s, dir))
+      val edges = Url.resolveLinks(htmlFixturePages(s, dir))
         .filter(col("url_norm").isNotNull)
         .select(concat(lit("d"), col("doc_id").cast("string")).as("src"),
           col("host").as("dst"))
@@ -3646,78 +3654,150 @@ object SparkEntry {
       (htmlLinksCte + """
         |SELECT doc_id, pos, href, host, url_norm
         |FROM links ORDER BY doc_id, pos""".stripMargin),
+    "html_links_resolved" ->
+      (resolvedLinksCte + """
+        |SELECT doc_id, pos, href, host, url_norm
+        |FROM rlinks ORDER BY doc_id, pos""".stripMargin),
     // the crawl-authority composition: the SAME rank recurrence as
-    // page_rank, fed by the html_links edge relation (doc -> host)
-    "link_rank" -> pageRankSql(3, edgesWith = htmlLinksCte +
+    // page_rank, fed by the RESOLVED link edge relation (doc -> host)
+    "link_rank" -> pageRankSql(3, edgesWith = resolvedLinksCte +
       """, edges AS (
         |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
         |    host AS dst
-        |  FROM links WHERE url_norm IS NOT NULL)""".stripMargin),
+        |  FROM rlinks WHERE url_norm IS NOT NULL)""".stripMargin),
   ) ++ oracleSqlRest2
 
   /** Deterministic real-shaped HTML fixture pages (messy absolute links
-    * with default ports + a relative link) — shared by html_links and
-    * link_rank; [[htmlLinksCte]] is its byte-identical SQL twin.
+    * with default ports, root-/path-relative + protocol-relative +
+    * fragment-only links, a single-QUOTED href with a dot-segment, and a
+    * per-page base URL) — shared by html_links, html_links_resolved and
+    * link_rank; [[htmlLinksCte]]/[[resolvedLinksCte]] are the
+    * byte-identical SQL twins.
     */
   private def htmlFixturePages(s: SparkSession, dir: String): DataFrame = {
     val k = pmod(col("doc_id"), lit(5)).cast("string")
     val k2 = pmod(col("doc_id"), lit(7)).cast("string")
+    val k3 = pmod(col("doc_id"), lit(9)).cast("string")
+    val k4 = pmod(col("doc_id"), lit(3)).cast("string")
     val id = col("doc_id").cast("string")
-    t(s, dir, "documents").select(col("doc_id"), concat(
-      lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
-      lit("\">x</a> <a href=\"/rel/"), id,
-      lit("\">y</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
-      lit("#f\">z</a></div>")).as("html"))
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://site"), k3, lit(".org/a/"), k4,
+        lit("/page.html")).as("base_url"),
+      concat(
+        lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
+        lit("\">x</a> <a href=\"/rel/"), id,
+        lit("\">y</a> <a href='sub/dir/../"), id,
+        lit("'>q</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
+        lit("#f\">z</a> <a href=\"//cdn.example"), k2,
+        lit(".net/lib.js\">c</a> <a href=\"#top\">t</a></div>")).as("html"))
+  }
+
+  /** [[htmlFixturePages]]' SQL twin plus quote-stripped href extraction,
+    * ending in `l2(doc_id, base_url, pos, href)` — the shared front half
+    * of [[htmlLinksCte]] and [[resolvedLinksCte]].
+    */
+  private lazy val htmlPagesCte: String = {
+    val hr = Url.HrefRe.replace("'", "''")
+    s"""WITH pages AS (
+      |  SELECT doc_id,
+      |    'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.org/a/' ||
+      |      CAST(doc_id % 3 AS VARCHAR) || '/page.html' AS base_url,
+      |    '<div><a href="HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '.COM:80/p/' || CAST(doc_id AS VARCHAR) ||
+      |    '">x</a> <a href="/rel/' || CAST(doc_id AS VARCHAR) ||
+      |    '">y</a> <a href=''sub/dir/../' || CAST(doc_id AS VARCHAR) ||
+      |    '''>q</a> <a href="https://example' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.net/x?q=' || CAST(doc_id AS VARCHAR) ||
+      |    '#f">z</a> <a href="//cdn.example' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.net/lib.js">c</a> <a href="#top">t</a></div>' AS html
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, base_url,
+      |    unnest(regexp_extract_all(html, '$hr', 1)) AS qhref,
+      |    CAST(generate_subscripts(regexp_extract_all(html, '$hr', 1), 1) - 1
+      |      AS INTEGER) AS pos
+      |  FROM pages
+      |), l2 AS (
+      |  SELECT doc_id, base_url, pos,
+      |    substr(qhref, 2, length(qhref) - 2) AS href
+      |  FROM l
+      |)""".stripMargin
+  }
+
+  /** The normalize() regex chain over a `(doc_id, pos, href, u)` input
+    * CTE named `$src` with URL column `$urlCol`, ending in
+    * `$out(doc_id, pos, href, host, url_norm)`.
+    */
+  private def urlNormChain(src: String, urlCol: String, out: String,
+      tag: String): String = {
+    val (sc, au, pa, qu, ui, po) = (Url.SchemeRe, Url.AuthorityRe,
+      Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe)
+    s""", p$tag AS (
+      |  SELECT doc_id, pos, href,
+      |    lower(regexp_extract($urlCol, '$sc', 1)) AS scheme,
+      |    regexp_replace(regexp_extract($urlCol, '$au', 1), '$ui', '') AS hostport,
+      |    regexp_extract($urlCol, '$pa', 1) AS raw_path,
+      |    regexp_extract($urlCol, '$qu', 1) AS query
+      |  FROM $src
+      |), n$tag AS (
+      |  SELECT doc_id, pos, href, scheme,
+      |    lower(regexp_replace(hostport, '$po', '')) AS host,
+      |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+      |    CASE WHEN (scheme = 'http' AND regexp_extract(hostport, '$po', 1) = '80')
+      |         OR (scheme = 'https' AND regexp_extract(hostport, '$po', 1) = '443')
+      |         OR regexp_extract(hostport, '$po', 1) = '' THEN ''
+      |         ELSE ':' || regexp_extract(hostport, '$po', 1) END AS kept_port,
+      |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
+      |  FROM p$tag
+      |), $out AS (
+      |  SELECT doc_id, pos, href, host,
+      |    CASE WHEN scheme = '' OR host = '' THEN NULL
+      |         ELSE scheme || '://' || host || kept_port || path || kept_query
+      |    END AS url_norm
+      |  FROM n$tag
+      |)""".stripMargin
   }
 
   /** The html_links dataflow as a reusable CTE chain ending in
     * `links(doc_id, pos, href, host, url_norm)` — shared by the
     * html_links oracle and link_rank's edge relation.
     */
-  private lazy val htmlLinksCte: String = {
-      val (sc, au, pa, qu, ui, po, hr) = (Url.SchemeRe, Url.AuthorityRe,
-        Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe, Url.HrefRe)
-      s"""WITH pages AS (
-        |  SELECT doc_id,
-        |    '<div><a href="HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
-        |    '.COM:80/p/' || CAST(doc_id AS VARCHAR) ||
-        |    '">x</a> <a href="/rel/' || CAST(doc_id AS VARCHAR) ||
-        |    '">y</a> <a href="https://example' || CAST(doc_id % 7 AS VARCHAR) ||
-        |    '.net/x?q=' || CAST(doc_id AS VARCHAR) || '#f">z</a></div>' AS html
-        |  FROM documents
-        |), l AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(html, '$hr', 1)) AS href,
-        |    CAST(generate_subscripts(regexp_extract_all(html, '$hr', 1), 1) - 1
-        |      AS INTEGER) AS pos
-        |  FROM pages
-        |), p AS (
-        |  SELECT doc_id, pos, href,
-        |    lower(regexp_extract(href, '$sc', 1)) AS scheme,
-        |    regexp_replace(regexp_extract(href, '$au', 1), '$ui', '') AS hostport
-        |  FROM l
-        |), p2 AS (
-        |  SELECT doc_id, pos, href, scheme,
-        |    lower(regexp_replace(hostport, '$po', '')) AS host,
-        |    regexp_extract(hostport, '$po', 1) AS port,
-        |    regexp_extract(href, '$pa', 1) AS raw_path,
-        |    regexp_extract(href, '$qu', 1) AS query
-        |  FROM p
-        |), n AS (
-        |  SELECT doc_id, pos, href, scheme, host,
-        |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
-        |    CASE WHEN (scheme = 'http' AND port = '80')
-        |         OR (scheme = 'https' AND port = '443')
-        |         OR port = '' THEN '' ELSE ':' || port END AS kept_port,
-        |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
-        |  FROM p2
-        |), links AS (
-        |  SELECT doc_id, pos, href, host,
-        |    CASE WHEN scheme = '' OR host = '' THEN NULL
-        |         ELSE scheme || '://' || host || kept_port || path || kept_query
-        |    END AS url_norm
-        |  FROM n
-        |)""".stripMargin
+  private lazy val htmlLinksCte: String =
+    htmlPagesCte + urlNormChain("l2", "href", "links", "u")
+
+  /** Url.DotSegmentPasses as a nested regexp_replace SQL expression. */
+  private def dotRemoveSql(e: String): String =
+    Url.DotSegmentPasses.foldLeft(e) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+
+  /** The html_links_resolved dataflow — RFC 3986 §5.2 reference
+    * resolution against each page's base URL (Url.resolveLinks' twin),
+    * ending in `rlinks(doc_id, pos, href, host, url_norm)`.
+    */
+  private lazy val resolvedLinksCte: String = {
+    val (sc, au, pa, ui) =
+      (Url.SchemeRe, Url.AuthorityRe, Url.PathRe, Url.UserinfoRe)
+    val merged = dotRemoveSql(
+      "regexp_replace(b_path, '[^/]*$', '', 'g') || href")
+    htmlPagesCte + s""", b AS (
+      |  SELECT doc_id, pos, href,
+      |    lower(regexp_extract(base_url, '$sc', 1)) AS b_scheme,
+      |    regexp_replace(regexp_extract(base_url, '$au', 1), '$ui', '') AS b_hostport,
+      |    CASE WHEN regexp_extract(base_url, '$pa', 1) = '' THEN '/'
+      |         ELSE regexp_extract(base_url, '$pa', 1) END AS b_path
+      |  FROM l2
+      |), r AS (
+      |  SELECT doc_id, pos, href,
+      |    CASE WHEN regexp_extract(href, '$sc', 1) <> '' THEN href
+      |         WHEN href LIKE '//%' THEN b_scheme || ':' || href
+      |         WHEN href LIKE '/%' THEN b_scheme || '://' || b_hostport || href
+      |         WHEN href = '' OR href LIKE '#%'
+      |           THEN b_scheme || '://' || b_hostport || b_path
+      |         ELSE b_scheme || '://' || b_hostport || $merged
+      |    END AS abs_url
+      |  FROM b
+      |)""".stripMargin + urlNormChain("r", "abs_url", "rlinks", "r")
   }
 
   private lazy val oracleSqlRest2: Map[String, String] = Map(

@@ -66,11 +66,31 @@ object Url {
       .withColumn("path", path).withColumn("url_norm", urlNorm)
   }
 
-  /** Shared verbatim with the DuckDB oracle (double-quoted href values —
-    * the form the html_extract fixtures emit; a production crawl adds the
-    * single-quoted twin the same way).
+  /** Shared verbatim with the DuckDB oracle: BOTH quote styles — the
+    * captured value keeps its quotes (RE2 has no branch-dependent group
+    * numbering worth relying on), stripped by one substring afterwards.
+    * Unquoted href values remain outside the contract (rare, and
+    * ambiguous against trailing attributes without lookahead).
     */
-  val HrefRe = "href=\"([^\"]*)\""
+  val HrefRe = "href=(\"[^\"]*\"|'[^']*')"
+
+  /** Dot-segment removal as an ordered regexp_replace pass list, shared
+    * verbatim with the oracle — the string-expressible subset of
+    * RFC 3986 §5.2.4: "/./" and "<segment>/../" rewrites with a BOUNDED
+    * unroll (chains deeper than 4 are outside the contract, as are
+    * segments consisting only of dots and queries containing
+    * "/../"-shaped text). Each pass is a global replace on both engines.
+    */
+  val DotSegmentPasses: Seq[(String, String)] =
+    Seq.fill(4)("/\\./" -> "/") ++ Seq("/\\.$" -> "/") ++
+      Seq.fill(4)("/[^/]*[^/.][^/]*/\\.\\./" -> "/") ++
+      Seq("/[^/]*[^/.][^/]*/\\.\\.$" -> "/") ++
+      Seq.fill(2)("^/\\.\\./" -> "/") ++ Seq("^/\\.\\.$" -> "/")
+
+  private[graft] def removeDotSegments(c: org.apache.spark.sql.Column) =
+    DotSegmentPasses.foldLeft(c) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
 
   /** Link extraction — the crawl-graph step between markup extraction and
     * the graph operators: every `href` in a page's HTML becomes a row
@@ -78,15 +98,61 @@ object Url {
     * downstream host-graph edges ([[graft.operators.Graph]] pageRank over
     * host→host links, [[hostCap]] frontier budgeting) key on the same
     * canonical string. Relative links have no scheme/host and surface
-    * with NULL `url_norm` — resolution against the page's base URL is a
-    * caller decision, not invented here. Row-local regexp + explode, no
-    * shuffle beyond the presentation sort; fan-out is links-per-page.
+    * with NULL `url_norm` — [[resolveLinks]] is the base-URL-aware form
+    * that resolves them. Row-local regexp + explode, no shuffle beyond
+    * the presentation sort; fan-out is links-per-page.
     */
   def extractLinks(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     val links = pages.select(col("doc_id"),
-      posexplode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1)))
-        .as(Seq("pos", "href")))
+        posexplode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1)))
+          .as(Seq("pos", "qhref")))
+      .withColumn("href",
+        expr("substring(qhref, 2, length(qhref) - 2)")).drop("qhref")
     normalize(links, "href")
+      .select(col("doc_id"), col("pos"), col("href"), col("host"),
+        col("url_norm"))
+  }
+
+  /** Base-URL reference resolution (RFC 3986 §5.2, the string-expressible
+    * subset — oracle-shared): each extracted href resolves against the
+    * page's `baseCol` URL before [[normalize]] canonicalizes it, so
+    * RELATIVE links — most of a real crawl graph — land on real hosts
+    * instead of the NULL quarantine:
+    *   - a scheme'd reference is used as-is;
+    *   - "//host/..." (protocol-relative) takes the base's scheme;
+    *   - "/abs/path" takes the base's scheme://host;
+    *   - "" and "#frag" resolve to the base document itself;
+    *   - anything else merges onto the base's directory (path up to the
+    *     last "/") with [[DotSegmentPasses]] dot-segment removal.
+    * Scale shape: identical to [[extractLinks]] — row-local regexp chain,
+    * no shuffle; the added resolution is a constant-depth CASE over
+    * columns already in flight.
+    */
+  def resolveLinks(pages: DataFrame, htmlCol: String = "html",
+      baseCol: String = "base_url"): DataFrame = {
+    val links = pages.select(col("doc_id"), col(baseCol),
+        posexplode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1)))
+          .as(Seq("pos", "qhref")))
+      .withColumn("href",
+        expr("substring(qhref, 2, length(qhref) - 2)")).drop("qhref")
+    val bScheme = lower(regexp_extract(col(baseCol), SchemeRe, 1))
+    val bHostPort = regexp_replace(
+      regexp_extract(col(baseCol), AuthorityRe, 1), UserinfoRe, "")
+    val bPathRaw = regexp_extract(col(baseCol), PathRe, 1)
+    val bPath = when(bPathRaw === "", lit("/")).otherwise(bPathRaw)
+    val bDir = regexp_replace(bPath, "[^/]*$", "")
+    val hasScheme = regexp_extract(col("href"), SchemeRe, 1) =!= ""
+    val abs =
+      when(hasScheme, col("href"))
+        .when(col("href").startsWith("//"),
+          concat(bScheme, lit(":"), col("href")))
+        .when(col("href").startsWith("/"),
+          concat(bScheme, lit("://"), bHostPort, col("href")))
+        .when(col("href") === "" || col("href").startsWith("#"),
+          concat(bScheme, lit("://"), bHostPort, bPath))
+        .otherwise(concat(bScheme, lit("://"), bHostPort,
+          removeDotSegments(concat(bDir, col("href")))))
+    normalize(links.withColumn("abs_url", abs), "abs_url")
       .select(col("doc_id"), col("pos"), col("href"), col("host"),
         col("url_norm"))
   }

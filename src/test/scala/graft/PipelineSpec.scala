@@ -1378,6 +1378,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged(lit(true)) == full, "full-delta merge drifted")
   }
 
+  test("resolveLinks covers every RFC 3986 reference class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val html = "<a href=\"http://abs.example.com/x\">a</a>" +
+      "<a href='//proto.example.com/y'>b</a>" +
+      "<a href=\"/root/z\">c</a>" +
+      "<a href=\"plain/w\">d</a>" +
+      "<a href=\"a/./b/../c\">e</a>" +
+      "<a href=\"../up\">f</a>" +
+      "<a href=\"#frag\">g</a>"
+    val pages = Seq((1L, "https://base.example.org/d1/d2/page.html", html))
+      .toDF("doc_id", "base_url", "html")
+    val got = Url.resolveLinks(pages).orderBy(col("pos")).collect()
+      .map(r => r.getAs[String]("url_norm")).toSeq
+    assert(got == Seq(
+      "http://abs.example.com/x",
+      "https://proto.example.com/y",
+      "https://base.example.org/root/z",
+      "https://base.example.org/d1/d2/plain/w",
+      "https://base.example.org/d1/d2/a/c",
+      "https://base.example.org/d1/up",
+      "https://base.example.org/d1/d2/page.html"), s"resolved: $got")
+  }
+
   test("url normalize drops a query that lives inside the fragment") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
