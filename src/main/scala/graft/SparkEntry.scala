@@ -132,6 +132,26 @@ object SparkEntry {
       CoOccurrence.mergeCounts(s.table(tbl), CoOccurrence.counts(delta))
         .orderBy(col("product"), col("neighbor"))
     }),
+    // the APPEND half of the build-once discipline: generation 0's
+    // partials are written as the bucketed base, generation 1's partials
+    // are INSERTed into the same table under the same bucket spec (no
+    // base rebuild, no table-wide shuffle — TableSink.appendBucketed),
+    // and the merge reads base+appended from the catalog plus ONLY the
+    // generation-2 delta. merge == full recompute is the driver's hash
+    // gate (same oracle text); PlanSpec pins the single corpus scan and
+    // the cross-session resume
+    "cooccur_appended" -> ((s, dir) => {
+      val b = BasketSource.basketsFromLineitem(s, dir)
+      val gen = crc32(col("customer").cast("binary")) % 3
+      val tbl = "graft_cooccur_appended"
+      graft.sources.TableSink.writeBucketed(
+        CoOccurrence.counts(b.filter(gen === 0)), tbl, "product", 8)
+      graft.sources.TableSink.appendBucketed(
+        CoOccurrence.counts(b.filter(gen === 1)), tbl, "product", 8)
+      CoOccurrence.mergeCounts(s.table(tbl),
+          CoOccurrence.counts(b.filter(gen === 2)))
+        .orderBy(col("product"), col("neighbor"))
+    }),
     // the flagship THROUGH THE STREAMING ENGINE, driver-checked: basket
     // lines are staged to a temp dir, read back as a bounded file-source
     // text STREAM run to completion (availableNow trigger), window-
@@ -870,6 +890,31 @@ object SparkEntry {
       Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
         s.table("graft_dedup_bands"), s.table("graft_dedup_sigs"))
     }),
+    // dedup_persisted's APPEND half: the odd-id half of the base corpus
+    // builds the bucketed band/signature tables, the even-id half is
+    // INSERTed into them (same bucket spec, base untouched), and the
+    // batch probes the combined index — bit-identical to probing an
+    // index built in one shot, which is the dedup_incremental oracle
+    "dedup_appended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rest = docs.filter(col("doc_id") % 10 =!= 0)
+      val sigsA = Dedup.minhashSignatures(rest.filter(col("doc_id") % 2 === 1))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      graft.sources.TableSink.writeBucketed(
+        Dedup.minhashBandIndex(sigsA), "graft_dedup_bands_app", "b0", 8)
+      graft.sources.TableSink.writeBucketed(sigsA, "graft_dedup_sigs_app",
+        "doc_id", 8)
+      sigsA.unpersist()
+      val sigsB = Dedup.minhashSignatures(rest.filter(col("doc_id") % 2 === 0))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      graft.sources.TableSink.appendBucketed(
+        Dedup.minhashBandIndex(sigsB), "graft_dedup_bands_app", "b0", 8)
+      graft.sources.TableSink.appendBucketed(sigsB, "graft_dedup_sigs_app",
+        "doc_id", 8)
+      sigsB.unpersist()
+      Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
+        s.table("graft_dedup_bands_app"), s.table("graft_dedup_sigs_app"))
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // ---- similarity search over embeddings -------------------------------
@@ -1490,6 +1535,9 @@ object SparkEntry {
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     // persisted-partials IVM must equal the full recompute — same oracle
     "cooccur_persisted" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // base + INSERTed generation + delta must equal the full recompute
+    "cooccur_appended" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     // the streaming run must equal the batch computation — same oracle text
     "cooccur_stream" ->
@@ -3098,6 +3146,7 @@ object SparkEntry {
     // the persisted-index probe must produce the in-flight probe's exact
     // result — same oracle text (the ann_ivf_persisted convention)
     "dedup_persisted" -> minhashIncrementalSql,
+    "dedup_appended" -> minhashIncrementalSql,
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->

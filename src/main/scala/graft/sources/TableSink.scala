@@ -59,6 +59,23 @@ object TableSink {
       .saveAsTable(table)
   }
 
+  /** Append a delta into an EXISTING bucketed table created by
+    * [[writeBucketed]] — the INSERT half of the build-once/probe-many
+    * discipline: the delta arrives under the SAME bucket spec (Spark
+    * rejects a mismatched one), so each bucket gains a new file
+    * generation, bucket-wise reads stay shuffle-free, and the base is
+    * never rebuilt. The only cost is the delta's own bucket shuffle —
+    * O(|delta|), independent of the base size, which is exactly the
+    * 100 TB ingest contract.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Morton (Z-order) key over numeric columns: each value maps to a
     * `bits`-bit bucket by linear min-max scaling, and the buckets' bits
     * interleave into one long. Rows close in z-value are close in EVERY

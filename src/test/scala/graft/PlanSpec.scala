@@ -236,6 +236,42 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one lineitem scan (the delta), got $lineitemScans:\n$p")
   }
 
+  test("cooccur_appended resumes from the catalog across sessions, no rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CoOccurrence
+    import graft.sources.BasketSource
+    // session A: build generation 0 as the bucketed base, INSERT
+    // generation 1 into it (appendBucketed — same bucket spec)
+    val b = BasketSource.basketsFromLineitem(spark, sf)
+    val gen = crc32(col("customer").cast("binary")) % 3
+    val tbl = "graft_cooccur_append_spec"
+    graft.sources.TableSink.writeBucketed(
+      CoOccurrence.counts(b.filter(gen === 0)), tbl, "product", 8)
+    graft.sources.TableSink.appendBucketed(
+      CoOccurrence.counts(b.filter(gen === 1)), tbl, "product", 8)
+    // session B: a NEW session (shared metastore, fresh session state)
+    // must serve the combined table with NO base rebuild — its merge
+    // plan touches lineitem exactly once (the generation-2 delta)
+    val s2 = spark.newSession()
+    val b2 = BasketSource.basketsFromLineitem(s2, sf)
+    val delta2 = CoOccurrence.counts(
+      b2.filter(crc32(col("customer").cast("binary")) % 3 === 2))
+    val merged = CoOccurrence.mergeCounts(s2.table(tbl), delta2)
+    val p = merged.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains(tbl), s"session-B plan does not read the table:\n$p")
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected one lineitem scan in session B, got $lineitemScans:\n$p")
+    // and the values must equal the one-shot full recompute
+    val full = CoOccurrence.counts(b).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == full, "appended merge drifted from the full recompute")
+  }
+
   test("corr_stats is one partial-aggregable pass, never a window") {
     // the moment-sketch promise: five exact power sums merge associatively,
     // so the plan is scan → partial HashAggregate → 3-row final aggregate
