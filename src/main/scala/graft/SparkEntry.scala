@@ -251,6 +251,37 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // EXACTLY-ONCE INTO A PERSISTED TABLE SINK, driver-checked across a
+    // forced stop/restart: half the events stage, a checkpointed
+    // foreachBatch stream (maxFilesPerTrigger=2 → several micro-batches,
+    // each landing as an idempotent batch_id partition) drains and STOPS;
+    // the other half stages and the SAME checkpoint resumes — committed
+    // offsets are never re-read, so any duplicate or lost row breaks the
+    // batch hourly_counts oracle this query shares. The production
+    // stream->table ingest shape, hash-gated end to end.
+    "events_table_stream" -> ((s, dir) => withStreamStage("graft_evt_table") { stage =>
+      val in = stage + "/in"; val sink = stage + "/sink"
+      val ckpt = stage + "/ckpt"
+      val ev = eventsTable(s, dir)
+      def run(): Unit = {
+        val q = graft.streaming.StreamingOps.writeTableStream(
+          graft.streaming.StreamingOps.eventsStreamNormalized(s, in,
+            maxFilesPerTrigger = 2), sink, ckpt)
+        q.awaitTermination()
+      }
+      ev.filter(col("event_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(in)
+      run() // phase 1: drains the staged half, then a clean stop
+      ev.filter(col("event_id") % 2 === 1).repartition(4)
+        .write.mode("append").parquet(in)
+      run() // phase 2: restart from the checkpoint — new files only
+      // materialize before withStreamStage deletes the sink files: the
+      // aggregate is calendar × type sized (the hourly_counts shape)
+      val out = Events.hourlyCounts(s.read.parquet(sink).drop("batch_id"))
+        .cache()
+      out.count()
+      out
+    }),
     // STATEFUL STREAMING DEDUP driver-checked: document content
     // fingerprints stream through dropDuplicates state — the exactly-once
     // admission guard of a continuous corpus ingest. The output is the
@@ -1542,6 +1573,12 @@ object SparkEntry {
     // the streaming run must equal the batch computation — same oracle text
     "cooccur_stream" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // stream->table ingest across a restart must equal the batch
+    // aggregate — same oracle text as hourly_counts
+    "events_table_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // streaming twin of hourly_counts — same oracle text as the batch
     "hourly_counts_stream" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

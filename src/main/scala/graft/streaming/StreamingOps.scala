@@ -55,10 +55,14 @@ object StreamingOps {
     * shape the driver-checked hourly_counts_stream stages into, so the
     * stream and the batch query share one timestamp convention.
     */
-  def eventsStreamNormalized(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream.schema(StructType(eventsSchema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
-      .parquet(eventsDir)
+  def eventsStreamNormalized(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(StructType(eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(eventsDir)
+  }
 
   /** Watermarked hourly tumbling counts — streaming twin of
     * Events.hourlyCounts (same group keys and aggregates; the watermark
@@ -175,6 +179,39 @@ object StreamingOps {
     // needs batch-id dedup in the sink, as the scaladoc notes)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** The idempotent per-batch write behind [[writeTableStream]]: the
+    * micro-batch lands as the `batch_id=<id>` partition via DYNAMIC
+    * partition overwrite, so a REPLAYED batch (crash between sink write
+    * and offset commit) overwrites its own partition instead of
+    * appending duplicates — exactly-once by partition idempotence, the
+    * production foreachBatch recipe. Exposed for the restart spec to
+    * drive a replay directly.
+    */
+  def writeBatchIdempotent(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** Exactly-once streaming into a persisted table layout: foreachBatch
+    * + [[writeBatchIdempotent]] + a checkpoint. Clean stop/restart
+    * resumes from committed source offsets (processed files are never
+    * re-read); a mid-batch crash replays the uncommitted batch, whose
+    * partition overwrite is idempotent. AvailableNow drains what is
+    * staged and terminates — the bounded-replay harness contract; a
+    * production deployment uses the same sink with a continuous trigger.
+    */
+  def writeTableStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        writeBatchIdempotent(b, path, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** Per-user running state maintained across micro-batches. */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
