@@ -1040,6 +1040,14 @@ object SparkEntry {
     // relations and the oracle emits literal TRUE (see ann_ivf_trained)
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), maxTrainVectors = 2000)),
+    // the LEARNED quality filter layered on the rule filters: hashed-
+    // token logistic regression trained on gopher verdicts, scored
+    // row-locally; structural oracle (ann_ivf_trained pattern) with a
+    // holdout-accuracy + beats-majority contract
+    // the corpus-contract stoplist mirrors gopher_quality's registration
+    "quality_model" -> ((s, dir) =>
+      QualityModel.learnedQuality(t(s, dir, "documents"),
+        stopList = Seq("the", "a"))),
     // O4 over token sequences + the end-to-end cleaning pipeline
     "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
@@ -3290,6 +3298,14 @@ object SparkEntry {
     "ann_ivf_trained" ->
       """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
         |  TRUE AS recall_ge_10pct""".stripMargin,
+    // split sizes are oracle-exact; the accuracy contract is structural
+    // (L-BFGS isn't SQL-expressible) — a degenerate model flips a boolean
+    "quality_model" ->
+      """SELECT CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        |  TRUE AS holdout_acc_ge_70pct, TRUE AS beats_majority,
+        |  TRUE AS probs_in_unit
+        |FROM documents""".stripMargin,
     "semantic_dedup" ->
       """SELECT count(*) AS n_total, TRUE AS cluster_min_kept,
         |  TRUE AS clusters_in_range FROM embeddings""".stripMargin,

@@ -1282,6 +1282,32 @@ class PipelineSpec extends AnyFunSuite {
       s"profile classifier predicted $profiled for marker-free Spanish")
   }
 
+  test("quality_model separates gopher pass/fail beyond the majority prior") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    val scored = QualityModel.scoreHoldout(docs, stopList = Seq("the", "a"))
+      .filter(col("is_holdout")).collect()
+    val n = scored.length
+    val correct = scored.count(r =>
+      r.getAs[Double]("prediction") == r.getAs[Double]("label"))
+    val keep = scored.count(_.getAs[Double]("label") == 1.0)
+    val majority = math.max(keep, n - keep)
+    val keepRight = scored.count(r => r.getAs[Double]("label") == 1.0 &&
+      r.getAs[Double]("prediction") == 1.0)
+    val failRight = scored.count(r => r.getAs[Double]("label") == 0.0 &&
+      r.getAs[Double]("prediction") == 0.0)
+    info(s"holdout n=$n correct=$correct majority=$majority " +
+      s"keep_recall=$keepRight/$keep fail_recall=$failRight/${n - keep}")
+    assert(correct > majority,
+      s"accuracy $correct/$n does not beat the majority prior $majority/$n")
+    // per-class: the model must be right on BOTH classes more often than
+    // not — a constant classifier can't pass this
+    assert(keepRight * 2 > keep, s"keep recall $keepRight/$keep below half")
+    assert(failRight * 2 > n - keep,
+      s"fail recall $failRight/${n - keep} below half")
+  }
+
   test("pipeline_tokenizer composes training with the greedy encoder") {
     import spark.implicits._
     // fixture rules: (a,a), (a,b), (aa,ab) — aaab encodes to ONE token,
