@@ -478,6 +478,10 @@ object SparkEntry {
     // rows live in groups smaller than k)
     "k_anonymity" -> ((s, dir) =>
       Relational.kAnonymity(t(s, dir, "customer"))),
+    // privacy gate, release half: ε-DP Laplace-noised corpus histogram
+    // with a seeded (oracle-replayable) noise derivation
+    "dp_histogram" -> ((s, dir) =>
+      Relational.dpHistogram(t(s, dir, "documents"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // grouped OLS from the same exact power-sum pass as corr_stats
@@ -752,6 +756,16 @@ object SparkEntry {
     "heavy_hitters_by_lang" -> ((s, dir) =>
       HeavyHitters.heavyHittersByGroup(t(s, dir, "documents"),
         groupCol = "lang", d = 60)),
+    // mergeable-sketch discipline, frequency side: Count-Min counter
+    // relation as plain relational algebra (shared md5 hashes, so the
+    // oracle replays the estimates EXACTLY, collisions included)
+    "cms_heavy" -> ((s, dir) =>
+      Sketches.cmsHeavyEstimates(t(s, dir, "lineitem"))),
+    // mergeable-sketch discipline, cardinality side: per-shard
+    // DataSketches HLL union == one-shot sketch (structural oracle —
+    // the merge-transparency contract a persisted-sketch layout serves)
+    "hll_sharded" -> ((s, dir) =>
+      Sketches.hllShardedDistinct(t(s, dir, "lineitem"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -829,6 +843,15 @@ object SparkEntry {
       TextAnalysis.boilerplateFilter(t(s, dir, "documents"))),
     // subword cost accounting: bounded-merge-table BPE, doc-local
     "bpe_tokens" -> ((s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"))),
+    // per-language tokens-per-word fertility + chars-per-token
+    // compression from the same doc-local encode (e6 contract)
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
+    // multi-dimensional data-layout keys: Morton-interleaved z-order
+    // buckets with per-bucket bounding-box spans (the min/max pruning
+    // guarantee, measured as data)
+    "zorder_stats" -> ((s, dir) =>
+      Layout.zorderStats(t(s, dir, "lineitem"))),
     // corpus-statistics quality: unigram-LM surprisal (join-formulated —
     // a count-over-token window would single-task the stop words)
     "unigram_logprob" -> ((s, dir) =>
@@ -1907,6 +1930,79 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
         |  CAST(min(n) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+    // the seeded-Laplace derivation is shared verbatim: md5-prefix
+    // uniform -> inverse CDF, e6 round absorbs last-ulp ln divergence
+    "dp_histogram" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n_exact
+        |  FROM documents GROUP BY 1, 2
+        |), n AS (
+        |  SELECT lang, source, n_exact,
+        |    (('0x' || substr(md5('dp_' || lang || '_' || source), 1, 8))::BIGINT
+        |       % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM g)
+        |SELECT lang, source, n_exact,
+        |  CAST(floor((n_exact +
+        |    -(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
+        |    AS BIGINT) AS noisy_e6
+        |FROM n ORDER BY lang, source""".stripMargin,
+    // the CMS build/probe is replayed EXACTLY (shared md5 bucket hash):
+    // counters = one GROUP BY (seed,bucket); estimate = min over seeds
+    "cms_heavy" -> {
+      val eps = math.E / operators.Sketches.CmsWidth
+      val w = operators.Sketches.CmsWidth
+      s"""WITH items AS (SELECT l_partkey AS key FROM lineitem),
+        |tot AS (SELECT count(*) AS n_total FROM items),
+        |exact AS (SELECT key, count(*) AS exact_cnt FROM items GROUP BY key),
+        |topk AS (
+        |  SELECT key, exact_cnt FROM exact
+        |  ORDER BY exact_cnt DESC, key LIMIT 20),
+        |seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+        |counters AS (
+        |  SELECT s.seed,
+        |    ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR) || '_'
+        |       || CAST(i.key AS VARCHAR)), 1, 8))::BIGINT % $w AS bucket,
+        |    count(*) AS c
+        |  FROM items i CROSS JOIN seeds s GROUP BY 1, 2),
+        |est AS (
+        |  SELECT t.key, t.exact_cnt, min(c.c) AS cms_est
+        |  FROM topk t CROSS JOIN seeds s
+        |  JOIN counters c ON c.seed = s.seed AND c.bucket =
+        |    ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR) || '_'
+        |       || CAST(t.key AS VARCHAR)), 1, 8))::BIGINT % $w
+        |  GROUP BY 1, 2)
+        |SELECT e.key AS l_partkey, e.exact_cnt, e.cms_est,
+        |  (e.cms_est >= e.exact_cnt AND e.cms_est <= e.exact_cnt +
+        |     CAST(ceil($eps * t.n_total) AS BIGINT)) AS within_bound
+        |FROM est e CROSS JOIN tot t
+        |ORDER BY e.exact_cnt DESC, l_partkey""".stripMargin
+    },
+    // DataSketches estimates aren't SQL-expressible: n_exact is
+    // oracle-exact, the merge-transparency invariants are structural
+    "hll_sharded" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
+        |FROM lineitem""".stripMargin,
+    // same unrolled Morton term list, DuckDB operator spelling
+    "zorder_stats" -> {
+      val z = operators.Layout.mortonExprSql("x", "y")
+      val shift = 2 * operators.Layout.ZBits - 2 * 5
+      val dom = 1L << operators.Layout.ZBits
+      s"""WITH b AS (
+        |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+        |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT ((l_partkey - minp) * $dom) // (maxp - minp + 1) AS x,
+        |         ((l_suppkey - mins) * $dom) // (maxs - mins + 1) AS y
+        |  FROM lineitem CROSS JOIN b
+        |), z AS (
+        |  SELECT x, y, ($z) >> $shift AS zbucket FROM m)
+        |SELECT zbucket, count(*) AS n_rows,
+        |  max(x) - min(x) AS span_part,
+        |  max(y) - min(y) AS span_supp
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
     "dq_checks" ->
       """WITH li AS (
         |  SELECT count(*) AS n_rows,
@@ -2758,6 +2854,36 @@ object SparkEntry {
         |  coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // per-language rollup of the same per-doc encode: the two ratios
+    // are single IEEE divisions under the e6 contract
+    "tokenizer_fertility" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), enc AS (
+        |  SELECT doc_id, length(w) AS nc,
+        |         len(string_split($bpeEncodedExpr, '  ')) AS nb
+        |  FROM words WHERE w <> ''
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         CAST(sum(nc) AS BIGINT) AS n_char_tokens,
+        |         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+        |  FROM enc GROUP BY doc_id
+        |), perdoc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |    coalesce(a.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
+        |    coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(floor(CAST(sum(n_bpe_tokens) AS DOUBLE) /
+        |    CAST(sum(n_words) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS fertility_e6,
+        |  CAST(floor(CAST(sum(n_char_tokens) AS DOUBLE) /
+        |    CAST(sum(n_bpe_tokens) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS chars_per_token_e6
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
     "unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -663,6 +663,43 @@ object Relational {
           .as("n_risky_rows"),
         min(col("n")).as("min_group_size"))
 
+  /** Differentially-private release of a group-count histogram —
+    * the Laplace mechanism (Dwork et al. 2006, public) over the
+    * (lang, source) corpus composition, the privacy gate's release
+    * half ([[kAnonymity]] is the audit half: audit says whether a
+    * grouping is safe to publish raw; this publishes a noised version
+    * when it is not).
+    *
+    * A count histogram has L1 sensitivity 1 (one document moves one
+    * cell by one), so Laplace(b = 1/ε) noise per cell gives ε-DP. The
+    * noise here is SEEDED — inverse-CDF of a uniform derived from the
+    * house md5-prefix hash of the cell key — which makes the release
+    * deterministic and bit-replayable by the oracle: u = (h mod 10^6 +
+    * 0.5)/10^6 ∈ (0,1), noise = −b·sign(u−½)·ln(1−2|u−½|). (A
+    * production release would use a secret seed; the derivation is the
+    * operator, the seed choice is policy.) The noised value ships under
+    * the house e6 integer contract: both engines compute the same
+    * IEEE-double ln/multiply chain, and the ×10^6 round absorbs any
+    * last-ulp libm divergence (the token_drift precedent).
+    *
+    * Scale shape: one partial-aggregable groupBy (cell-cardinality
+    * sized) + a row-local noise projection. No window, no join, no
+    * driver action.
+    */
+  def dpHistogram(documents: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    val b = 1.0 / epsilon
+    val h = conv(substring(md5(concat(lit("dp_"), col("lang"), lit("_"),
+      col("source")).cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (pmod(h, lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val noise = -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("lang"), col("source"), col("n_exact"),
+        floor((col("n_exact") + noise) * 1e6 + 0.5).cast("long")
+          .as("noisy_e6"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Exact per-group quantile normalization — the rank-based feature
     * transform (each value maps to its empirical quantile
     * `(rank−1)/(n−1)` within its group; a singleton group maps to 0.5).

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable distributed sketches — the per-shard-summarize /
+  * union-at-query discipline that makes corpus-wide cardinality and
+  * frequency questions answerable at 100 TB without a corpus-wide
+  * shuffle of raw keys.
+  *
+  * Two sketches, two verification postures:
+  *
+  *  - HyperLogLog ([[hllShardedDistinct]]): Spark's DataSketches-backed
+  *    `hll_sketch_agg` / `hll_union_agg` (public Apache DataSketches,
+  *    shipped in Spark 3.5+). The production shape is "each
+  *    shard/day/partition persists its own tiny sketch; any slice's
+  *    cardinality is a union of sketches, never a re-scan" — so the
+  *    property that MUST hold is merge transparency: union-of-shard-
+  *    sketches estimates EXACTLY what the one-shot whole-table sketch
+  *    estimates (HLL registers are max-merged; the coupon set is
+  *    order- and partition-invariant). The estimate itself is not
+  *    SQL-expressible, so the row follows the ann_ivf_trained
+  *    structural-oracle pattern: the exact distinct count is
+  *    oracle-exact, the invariants are booleans.
+  *
+  *  - Count-Min ([[cmsHeavyEstimates]]): built from scratch as plain
+  *    relational algebra precisely so the oracle can replay it EXACTLY
+  *    — no structural booleans. A CMS is d hash rows × w counters;
+  *    relationally that is one `groupBy (seed, bucket)` over the
+  *    seed-exploded input, which Catalyst partial-aggregates map-side:
+  *    the shuffle carries at most d·w rows per partition regardless of
+  *    key skew or vocabulary size. That bounded build is the whole
+  *    point at scale — an adversarial vocabulary (URLs, hashes) makes
+  *    the exact `groupBy(key)` shuffle corpus-sized, while the CMS
+  *    shuffle stays d·w. Point estimates are min-over-seeds of a
+  *    bucket-equi-join against the (d·w)-row counter relation
+  *    (broadcast). Hash = the house md5-prefix idiom shared verbatim
+  *    with DuckDB, so estimate values (including collision noise) are
+  *    bit-identical on both engines, and the classic guarantee
+  *    `exact ≤ est ≤ exact + ceil(e/w·N)` is checked as data.
+  */
+object Sketches {
+
+  /** Sharded-HLL cardinality with merge-transparency invariants.
+    *
+    * One row: `n_exact` (oracle-exact `countDistinct`), plus booleans —
+    * `merge_near_direct` (union of 16 per-shard sketches estimates
+    * within 2% of the one-shot whole-table sketch: the persisted-
+    * shard-sketch serving contract; NOT exact equality, because the
+    * DataSketches union gadget promotes to dense HLL mode while a
+    * small one-shot sketch may still be in its exact coupon-SET mode —
+    * below the SET→HLL threshold the two estimators legitimately
+    * differ in the last per-mille) and `est_within_5pct` (DataSketches
+    * HLL at lgK=12 has σ ≈ 1.04/√4096 ≈ 1.6%; 5% is > 3σ — this bound
+    * holds for BOTH estimates). A broken merge or a mis-parameterized
+    * sketch flips a boolean and fails the hash gate.
+    */
+  def hllShardedDistinct(lineitem: DataFrame, shards: Int = 16,
+      lgK: Int = 12): DataFrame = {
+    val keyed = lineitem.select(
+      col("l_partkey"),
+      pmod(col("l_orderkey"), lit(shards.toLong)).as("shard"))
+    // per-shard sketches: the relation a real pipeline would PERSIST
+    // (one small binary per shard/day) instead of raw keys
+    val perShard = keyed.groupBy(col("shard"))
+      .agg(expr(s"hll_sketch_agg(l_partkey, $lgK)").as("sk"))
+    val merged = perShard.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = keyed.agg(
+      expr(s"hll_sketch_estimate(hll_sketch_agg(l_partkey, $lgK))")
+        .as("est_direct"),
+      countDistinct(col("l_partkey")).as("n_exact"))
+    // 1-row × 1-row: the house bounded crossJoin
+    merged.crossJoin(direct).select(
+      col("n_exact"),
+      (abs(col("est_merged") - col("est_direct")) <=
+        col("est_direct") * 0.02).as("merge_near_direct"),
+      (abs(col("est_merged") - col("n_exact")) <=
+        col("n_exact") * 0.05 &&
+       abs(col("est_direct") - col("n_exact")) <=
+        col("n_exact") * 0.05).as("est_within_5pct"))
+  }
+
+  /** CMS parameters: depth (independent hash rows) and width (counters
+    * per row). Shared with the oracle text in SparkEntry.
+    */
+  val CmsDepth = 3
+  val CmsWidth = 256
+
+  /** Count-Min point estimates for the true top-`k` keys, with the
+    * overcount guarantee checked as data.
+    *
+    * Build: seed-explode (d× the input — columnar, no shuffle), then
+    * ONE `groupBy (seed, bucket)` → the d·w-row counter relation (the
+    * map-side partials are each ≤ d·w counters: the mergeable-sketch
+    * property, same posture as [[HeavyHitters]]' Misra-Gries pass but
+    * with an additive-overcount instead of subtractive-undercount
+    * error). Probe: the top-k exact keys (k bounded) equi-join the
+    * counter relation per seed; `min` over seeds is the estimate.
+    * `within_bound` asserts `exact ≤ est ≤ exact + e/w·N` — the
+    * Cormode–Muthukrishnan bound at δ per-row, deterministic here
+    * because the hashes are fixed, not sampled.
+    *
+    * At 100 TB the exact side of this query (the `groupBy(key)` used to
+    * find the true top-k for verification) is the expensive relation;
+    * the CMS side is the one that scales — the output deliberately
+    * carries both so the artifact shows the estimate AND its truth.
+    */
+  def cmsHeavyEstimates(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_partkey").as("key"))
+    val total = items.agg(count(lit(1)).as("n_total"))
+    // exact counts (vocabulary-sized; verification side)
+    val exact = items.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+    val topk = exact.orderBy(col("exact_cnt").desc, col("key")).limit(k)
+    // the sketch side: d·w bounded counter relation
+    val seeds = (0 until CmsDepth).map(lit(_))
+    val counters = items
+      .select(explode(array(seeds: _*)).as("seed"), col("key"))
+      .select(col("seed"), bucketOf("seed", col("key")).as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // probe: k keys × d seeds against the (d·w)-row broadcast counters
+    val probes = topk
+      .select(col("key"), col("exact_cnt"),
+        explode(array(seeds: _*)).as("seed"))
+      .withColumn("bucket", bucketOf("seed", col("key")))
+      .join(broadcast(counters), Seq("seed", "bucket"))
+      .groupBy(col("key"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+    probes.crossJoin(broadcast(total))
+      .select(col("key").as("l_partkey"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt") &&
+          col("cms_est") <= col("exact_cnt") +
+            ceil(lit(math.E / CmsWidth) * col("n_total")))
+          .as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+  }
+
+  /** The house Spark↔DuckDB-identical bucket hash (md5-prefix idiom,
+    * [[Sampling]] / [[Dedup]] precedent), seed-salted per CMS row; the
+    * seed rides a column so one post-explode projection hashes all d
+    * rows.
+    */
+  private def bucketOf(seedCol: String, key: org.apache.spark.sql.Column) =
+    pmod(
+      conv(substring(md5(concat(lit("cms"), col(seedCol).cast("string"),
+        lit("_"), key.cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(CmsWidth.toLong))
+}

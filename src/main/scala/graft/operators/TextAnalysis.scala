@@ -1161,6 +1161,14 @@ object TextAnalysis {
     * with the oracle's character semantics beyond the BMP.
     */
   def bpeEncode(documents: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame =
+    bpeCounts(documents, merges).orderBy(col("doc_id"))
+
+  /** [[bpeEncode]] without the presentation sort — the reusable core
+    * for downstream aggregations ([[tokenizerFertility]]) that would
+    * otherwise drag a redundant mid-plan exchange.
+    */
+  private[graft] def bpeCounts(documents: DataFrame,
       merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1194,8 +1202,42 @@ object TextAnalysis {
           }
         }
       }.toDF("doc_id", "n_words", "n_char_tokens", "n_bpe_tokens")
-      .orderBy(col("doc_id"))
   }
+
+  /** Per-language tokenizer fertility — the efficiency report every
+    * multilingual tokenizer ships with (tokens-per-word "fertility",
+    * Ács 2019 / XLM-R evaluation practice, and characters-per-token
+    * compression): a tokenizer that fragments one language 3× worse
+    * than another taxes that language's effective context length and
+    * training compute by the same factor.
+    *
+    * Composition: [[bpeCounts]]' per-doc (words, char-tokens,
+    * bpe-tokens) joined back to the document's language, then ONE
+    * partial-aggregable groupBy(lang) — the sums are exact longs and
+    * the two ratios ship under the house e6 integer contract (single
+    * IEEE division, identical on both engines). Docs with no words
+    * contribute zeros to every sum.
+    *
+    * Scale shape: the doc-local encode is the corpus-proportional
+    * pass; the join key is doc_id (equi-join with the projected
+    * 2-column documents side) and the final aggregate is
+    * language-cardinality sized. No window, no driver action.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    bpeCounts(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        floor(sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double") * 1e6 + 0.5).cast("long")
+          .as("fertility_e6"),
+        floor(sum(col("n_char_tokens")).cast("double") /
+          sum(col("n_bpe_tokens")).cast("double") * 1e6 + 0.5).cast("long")
+          .as("chars_per_token_e6"))
+      .orderBy(col("lang"))
 
   /** HTML extraction patterns, shared verbatim with the DuckDB oracle.
     * Restricted to the regex subset on which Java regex and RE2 agree:

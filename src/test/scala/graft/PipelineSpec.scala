@@ -2581,4 +2581,101 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(_._2 == "hot.example.com").map(_._3).sorted.toSeq == (1L to 10L),
       "host ranks must be dense")
   }
+
+  test("cmsHeavyEstimates never undercounts and obeys the e/w·N bound") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val rows = Sketches.cmsHeavyEstimates(li, k = 20).collect()
+    assert(rows.length == 20)
+    val n = li.count()
+    val bound = math.ceil(math.E / Sketches.CmsWidth * n).toLong
+    rows.foreach { r =>
+      val (exact, est, ok) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(est >= exact, s"CMS undercounted: $r")
+      assert(est <= exact + bound, s"CMS blew the bound ($bound): $r")
+      assert(ok, s"within_bound column disagrees with the data: $r")
+    }
+    // the exact side really is the true top-k (cross-check vs groupBy)
+    val trueTop = li.groupBy(col("l_partkey")).count()
+      .orderBy(col("count").desc, col("l_partkey")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == trueTop)
+  }
+
+  test("hllShardedDistinct: merge transparency holds for any shard layout") {
+    val li = tbl("lineitem")
+    for (shards <- Seq(4, 64)) {
+      val r = Sketches.hllShardedDistinct(li, shards = shards).collect()(0)
+      assert(r.getLong(0) ==
+        li.select("l_partkey").distinct().count(), s"shards=$shards")
+      assert(r.getBoolean(1), s"union drifted >2% from one-shot (shards=$shards)")
+      assert(r.getBoolean(2), s"estimate outside 5% of exact (shards=$shards)")
+    }
+  }
+
+  test("zorderStats bounds BOTH dimension spans; a 1-D sort does not") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val stats = Layout.zorderStats(li, topBits = 5).collect()
+    assert(stats.length > 100, "z-layout must actually spread buckets")
+    val subBox = (1L << (Layout.ZBits - 5)) - 1 // 2047
+    stats.foreach { r =>
+      assert(r.getLong(2) <= subBox && r.getLong(3) <= subBox,
+        s"z-bucket bounding box exceeded the 2^(ZBits-topBits) guarantee: $r")
+    }
+    // contrast: bucketing by the partkey grid alone leaves the suppkey
+    // span at domain scale — the pruning z-order exists to fix
+    val grid = 1L << Layout.ZBits
+    val b = li.agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+      min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+    val oneD = li.crossJoin(broadcast(b))
+      .selectExpr(s"((l_partkey - minp) * $grid) div (maxp - minp + 1) as x",
+        s"((l_suppkey - mins) * $grid) div (maxs - mins + 1) as y")
+      .selectExpr("x div 2048 as bucket", "y")
+      .groupBy("bucket").agg((max(col("y")) - min(col("y"))).as("span_y"))
+      .agg(max(col("span_y"))).collect()(0).getLong(0)
+    assert(oneD > subBox * 4,
+      s"1-D layout unexpectedly bounded the other dimension ($oneD)")
+  }
+
+  test("dpHistogram: exact counts kept, noise bounded and scales with 1/ε") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val exact = docs.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rel1 = Relational.dpHistogram(docs, epsilon = 1.0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    assert(rel1.map(x => x._1 -> x._2._1).toMap == exact)
+    // Laplace from a 10^-6-grained uniform: |noise| <= b·ln(10^6) ≈ 13.82
+    val noises1 = rel1.map { case (k, (e, n6)) => k -> (n6 / 1e6 - e) }.toMap
+    noises1.values.foreach(z => assert(math.abs(z) <= 13.9, s"noise $z"))
+    assert(noises1.values.count(z => math.abs(z) > 1e-3) > noises1.size / 2,
+      "noise must actually perturb most cells")
+    // ε=0.5 doubles b, so every cell's noise exactly doubles (same seed)
+    val noises2 = Relational.dpHistogram(docs, epsilon = 0.5).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(3) / 1e6 - r.getLong(2))).toMap
+    noises1.foreach { case (k, z1) =>
+      assert(math.abs(noises2(k) - 2 * z1) < 1e-5,
+        s"seeded noise must scale linearly in b at $k: $z1 vs ${noises2(k)}")
+    }
+  }
+
+  test("tokenizerFertility: hand-computed fixture under DefaultMerges") {
+    import spark.implicits._
+    // "the"→1 bpe token (t,h→th; th,e→the), "in"→1, "cat"→3 (no merge)
+    val docs = Seq(
+      (1L, "the in", "en"),
+      (2L, "the", "en"),
+      (3L, "cat", "xx")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // en: 3 words, 3 bpe tokens? no — "the in" + "the": words=3, bpe=3×1=3,
+    // chars=3+2+3=8 → fertility 1.0, chars/token 8/3
+    assert(out("en") == ((2L, 3L, 3L, 1000000L,
+      math.floor(8.0 / 3.0 * 1e6 + 0.5).toLong)))
+    assert(out("xx") == ((1L, 1L, 3L, 3000000L, 1000000L)))
+  }
 }
