@@ -767,6 +767,9 @@ object SparkEntry {
     "hll_sharded" -> ((s, dir) =>
       Sketches.hllShardedDistinct(t(s, dir, "lineitem"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // vocab-coverage gate: per-doc out-of-vocabulary fraction against
+    // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
+    "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) =>
@@ -869,6 +872,11 @@ object SparkEntry {
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    // the third blocking family (after LSH bands and PassJoin
+    // segments): rank-windowed candidates from a constant-group
+    // ExactRank sort, blocked equi-join — O(n·w), skew-proof
+    "sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(t(s, dir, "documents"))),
     // character-level fuzzy dedup: EXACT edit-distance self-join over
     // 40-char document title prefixes at typo distance 2 — lossless
     // PassJoin segment blocking (see FuzzyJoin), so the oracle is the
@@ -1063,6 +1071,14 @@ object SparkEntry {
     // relations and the oracle emits literal TRUE (see ann_ivf_trained)
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), maxTrainVectors = 2000)),
+    // JL dense reduction: pre-sign LSH plane coordinates, exact oracle
+    "random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"))),
+    // distributed Gram + driver-local spectral solve (structural
+    // oracle; the projection-variance boolean is the distributed
+    // cross-check of the driver algebra)
+    "pca_summary" -> ((s, dir) =>
+      Similarity.pcaSummary(t(s, dir, "embeddings"))),
     // the LEARNED quality filter layered on the rule filters: hashed-
     // token logistic regression trained on gopher verdicts, scored
     // row-locally; structural oracle (ann_ivf_trained pattern) with a
@@ -1960,16 +1976,16 @@ object SparkEntry {
         |seeds AS (SELECT unnest([0, 1, 2]) AS seed),
         |counters AS (
         |  SELECT s.seed,
-        |    ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR) || '_'
-        |       || CAST(i.key AS VARCHAR)), 1, 8))::BIGINT % $w AS bucket,
+        |    ('0x' || substr(md5(CAST(i.key AS VARCHAR)), s.seed * 8 + 1, 8))
+        |      ::BIGINT % $w AS bucket,
         |    count(*) AS c
         |  FROM items i CROSS JOIN seeds s GROUP BY 1, 2),
         |est AS (
         |  SELECT t.key, t.exact_cnt, min(c.c) AS cms_est
         |  FROM topk t CROSS JOIN seeds s
         |  JOIN counters c ON c.seed = s.seed AND c.bucket =
-        |    ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR) || '_'
-        |       || CAST(t.key AS VARCHAR)), 1, 8))::BIGINT % $w
+        |    ('0x' || substr(md5(CAST(t.key AS VARCHAR)), s.seed * 8 + 1, 8))
+        |      ::BIGINT % $w
         |  GROUP BY 1, 2)
         |SELECT e.key AS l_partkey, e.exact_cnt, e.cms_est,
         |  (e.cms_est >= e.exact_cnt AND e.cms_est <= e.exact_cnt +
@@ -2651,6 +2667,32 @@ object SparkEntry {
         |FROM f JOIN n USING (lang)
         |WHERE f.freq * 60 > n.n_tokens
         |ORDER BY lang, freq DESC, token""".stripMargin,
+    // the vocab boundary is a (count DESC, token) total order on both
+    // sides, so the top-V cut is deterministic
+    "oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tk AS (
+        |  SELECT doc_id, tok FROM t WHERE tok <> ''
+        |), cnt AS (
+        |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+        |), vocab AS (
+        |  SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000
+        |), pd AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tk LEFT JOIN vocab v USING (tok) GROUP BY tk.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  coalesce(p.n_oov, CAST(0 AS BIGINT)) AS n_oov,
+        |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(p.n_oov AS DOUBLE) /
+        |      CAST(p.n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END
+        |    AS oov_e6
+        |FROM documents d LEFT JOIN pd p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "token_counts" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -3080,6 +3122,22 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
         |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
+    // the oracle states the DEFINITION (rank-window self-join); the
+    // engine's block decomposition must be invisible in the result
+    "sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 24)
+        |      AS sort_key
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, sort_key,
+        |    row_number() OVER (ORDER BY sort_key, doc_id) AS rnk
+        |  FROM k)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  b.rnk - a.rnk AS gap, a.sort_key = b.sort_key AS same_key
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the all-pairs DEFINITION — the engine's prefix filtering must be
     // invisible in the result (lossless), so the oracle carries none of it
     "fuzzy_pairs" ->
@@ -3450,6 +3508,30 @@ object SparkEntry {
         |  list_max(list_transform(qv, x -> abs(x))) AS max_abs_q,
         |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ' ')) AS q_md5
         |FROM q ORDER BY vec_id""".stripMargin,
+    // same md5-derived plane weights as the LSH bucket oracles, same
+    // IEEE fold — the e6 floor is exact on both engines
+    "random_projection" -> {
+      val scale = 1.0 / math.sqrt(8.0)
+      val cols = (0 until 8).map { p =>
+        val a = s"ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1))"
+        val w = s"(($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END) - 7.5)"
+        s"CAST(floor(list_sum(list_transform(range(1, 65), i -> v[i] * $w)) * $scale * 1000000.0) AS BIGINT) AS rp$p"
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |    $cols
+        |FROM e ORDER BY vec_id""".stripMargin
+    },
+    // spectral solve isn't SQL-expressible: counts are oracle-exact,
+    // the spectral contract + distributed variance cross-check are
+    // structural booleans (ann_ivf_trained pattern)
+    "pca_summary" ->
+      """SELECT count(*) AS n_vectors, CAST(4 AS INT) AS k,
+        |  TRUE AS comps_orthonormal, TRUE AS eigvals_descending,
+        |  TRUE AS capture_ge_uniform, TRUE AS proj_var_matches
+        |FROM embeddings""".stripMargin,
     "ann_ivf_multiprobe" ->
       (embedCte +
         s""", cents AS (

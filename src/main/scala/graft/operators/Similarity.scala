@@ -661,4 +661,155 @@ object Similarity {
         (col("nrm") * col("nrm_b")) * lit(1000000.0)))
     rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
   }
+
+  /** Johnson–Lindenstrauss-style dense random projection to `k` dims —
+    * the cheap dimensionality reduction in front of ANN/clustering
+    * (distance-preserving w.h.p. for k = O(log n / ε²); Johnson &
+    * Lindenstrauss 1984, public). The projection matrix is the SAME
+    * md5-derived deterministic plane family the LSH buckets use
+    * ([[weightOf]]): [[bucketOf]] is exactly `sign` of these
+    * coordinates, so this operator exposes the pre-sign values, scaled
+    * by 1/√k to preserve expected norms.
+    *
+    * Row-local: one codegen'd dot per output dim, no shuffle beyond
+    * the presentation sort; the oracle rebuilds the identical weights
+    * from md5 and replays the same IEEE fold, so values are exact
+    * under the e6 floor contract.
+    */
+  def randomProjection(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val e = vectorsWithNorm(embeddings)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val cols = (0 until k).map { p =>
+      val w = typedLit((0 until 64).map(i => weightOf(p, i)))
+      floor(dot(col("v"), w) * lit(scale) * lit(1000000.0)).cast("long")
+        .as(s"rp$p")
+    }
+    e.select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
+  }
+
+  /** PCA over the embedding corpus — distributed second-moment
+    * accumulation + driver-local spectral solve, the
+    * [[localKMeans]]/trainedCentroids discipline applied to the other
+    * classic unsupervised reducer.
+    *
+    * The distributed part is ONE mapPartitions pass accumulating
+    * (n, Σx, Σxxᵀ): d=64, so each partition ships one 64-vector and
+    * one 64×64 Gram — 4 KB of state per partition regardless of corpus
+    * size, tree-reduced (the Misra-Gries bounded-summary posture). The
+    * driver forms the covariance C = Σxxᵀ/n − μμᵀ and runs
+    * deterministic power iteration with deflation (`iters` fixed, no
+    * RNG) for the top `k` components; eigenvalue λᵢ = cᵢᵀCcᵢ.
+    *
+    * L-BFGS-class outputs aren't SQL-expressible, so the row follows
+    * the ann_ivf_trained structural-oracle pattern: `n_vectors`/`k`
+    * are oracle-exact; the booleans assert the spectral contract —
+    * components pairwise orthonormal, eigenvalues descending,
+    * top-k captured variance ≥ the uniform k/d share (a theorem when
+    * the solve is right, false when it breaks), and a SECOND
+    * distributed pass cross-checks that the corpus variance of the
+    * projection onto component 0 equals λ₀ (driver algebra vs cluster
+    * data — the honest end-to-end check).
+    */
+  def pcaSummary(embeddings: DataFrame, k: Int = 4,
+      iters: Int = 300): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val d = 64
+    val data = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val (n, sums, gram) = data.rdd.map(_._2)
+      .mapPartitions { it =>
+        var cnt = 0L
+        val s = new Array[Double](d); val g = new Array[Double](d * d)
+        it.foreach { v =>
+          cnt += 1L
+          var i = 0
+          while (i < d) {
+            s(i) += v(i)
+            var j = 0
+            while (j < d) { g(i * d + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((cnt, s, g))
+      }
+      .treeReduce { (a, b) =>
+        val s = new Array[Double](d); val g = new Array[Double](d * d)
+        var i = 0
+        while (i < d) { s(i) = a._2(i) + b._2(i); i += 1 }
+        i = 0
+        while (i < d * d) { g(i) = a._3(i) + b._3(i); i += 1 }
+        (a._1 + b._1, s, g)
+      }
+    require(n > 0, "pcaSummary needs a non-empty corpus")
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(d * d)(idx =>
+      gram(idx) / n - mean(idx / d) * mean(idx % d))
+    val totalVar = (0 until d).map(i => cov(i * d + i)).sum
+    // deterministic power iteration with deflation
+    def matVec(m: Array[Double], x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i * d + j) * x(j); j += 1 }
+        acc
+      }
+    def normalize(x: Array[Double]): Array[Double] = {
+      val nr = math.sqrt(x.map(v => v * v).sum)
+      x.map(_ / nr)
+    }
+    // projection-deflated power iteration: every step re-orthogonalizes
+    // against the already-found components (Gram-Schmidt), so each
+    // vector converges INSIDE the orthogonal complement — subtractive
+    // deflation alone leaves non-orthogonal components when the
+    // spectrum is near-flat (this corpus's is) and iterations can't
+    // fully converge. Components come out orthonormal to machine
+    // precision by construction; the boolean still guards the algebra.
+    def orthogonalize(x: Array[Double], prev: Seq[Array[Double]]): Array[Double] = {
+      val y = x.clone()
+      prev.foreach { p =>
+        val proj = (0 until d).map(i => y(i) * p(i)).sum
+        var i = 0
+        while (i < d) { y(i) -= proj * p(i); i += 1 }
+      }
+      y
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (c <- 0 until k) {
+      // deterministic start: basis vector e_c rotated off the found span
+      var x = normalize(orthogonalize(
+        Array.tabulate(d)(i => if (i == c) 1.0 else 0.25), found.toSeq))
+      for (_ <- 0 until iters)
+        x = normalize(orthogonalize(matVec(cov, x), found.toSeq))
+      found += x
+    }
+    // PCA presentation order: components sorted by Rayleigh quotient
+    val scored = found.toArray.map { x =>
+      val cx = matVec(cov, x)
+      (x, (0 until d).map(i => x(i) * cx(i)).sum)
+    }.sortBy(-_._2)
+    val comps = scored.map(_._1)
+    val eigs = scored.map(_._2)
+    val orthonormal = (0 until k).forall { i =>
+      math.abs(math.sqrt(comps(i).map(v => v * v).sum) - 1.0) < 1e-9 &&
+      (i + 1 until k).forall { j =>
+        math.abs((0 until d).map(t => comps(i)(t) * comps(j)(t)).sum) < 1e-6
+      }
+    }
+    val descending = (1 until k).forall(i => eigs(i) <= eigs(i - 1) + 1e-9)
+    val capture = eigs.sum / totalVar >= k.toDouble / d
+    // cross-check: distributed variance of the projection onto c0 == λ0
+    val c0 = typedLit(comps(0).toSeq)
+    val proj = data.toDF("vec_id", "v")
+      .select(VectorFunctions.dotD(col("v"), c0).as("p"))
+      .agg(avg(col("p")).as("m"), avg(col("p") * col("p")).as("m2"))
+      .select((col("m2") - col("m") * col("m")).as("var0"))
+      .collect()(0).getDouble(0)
+    val projMatches = math.abs(proj - eigs(0)) <=
+      1e-6 * math.max(1.0, math.abs(eigs(0)))
+    Seq((n, k, orthonormal, descending, capture, projMatches))
+      .toDF("n_vectors", "k", "comps_orthonormal", "eigvals_descending",
+        "capture_ge_uniform", "proj_var_matches")
+  }
 }

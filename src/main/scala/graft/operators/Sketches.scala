@@ -90,8 +90,12 @@ object Sketches {
   /** Count-Min point estimates for the true top-`k` keys, with the
     * overcount guarantee checked as data.
     *
-    * Build: seed-explode (d× the input — columnar, no shuffle), then
-    * ONE `groupBy (seed, bucket)` → the d·w-row counter relation (the
+    * Build: hash each item ONCE (md5 — the house Spark↔DuckDB-shared
+    * idiom), slice the 32-hex digest into d disjoint 8-hex windows
+    * (independent-by-construction bucket hashes at a third of the
+    * per-item hash cost of seed-salted rehashing), seed-explode the
+    * already-hashed rows (columnar, no shuffle), then ONE
+    * `groupBy (seed, bucket)` → the d·w-row counter relation (the
     * map-side partials are each ≤ d·w counters: the mergeable-sketch
     * property, same posture as [[HeavyHitters]]' Misra-Gries pass but
     * with an additive-overcount instead of subtractive-undercount
@@ -112,18 +116,21 @@ object Sketches {
     // exact counts (vocabulary-sized; verification side)
     val exact = items.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
     val topk = exact.orderBy(col("exact_cnt").desc, col("key")).limit(k)
-    // the sketch side: d·w bounded counter relation
+    // the sketch side: one md5 per item, d digest-slice buckets,
+    // d·w bounded counter relation
     val seeds = (0 until CmsDepth).map(lit(_))
     val counters = items
-      .select(explode(array(seeds: _*)).as("seed"), col("key"))
-      .select(col("seed"), bucketOf("seed", col("key")).as("bucket"))
+      .select(md5(col("key").cast("string").cast("binary")).as("h"),
+        explode(array(seeds: _*)).as("seed"))
+      .select(col("seed"), bucketOf.as("bucket"))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     // probe: k keys × d seeds against the (d·w)-row broadcast counters
     val probes = topk
       .select(col("key"), col("exact_cnt"),
+        md5(col("key").cast("string").cast("binary")).as("h"),
         explode(array(seeds: _*)).as("seed"))
-      .withColumn("bucket", bucketOf("seed", col("key")))
+      .withColumn("bucket", bucketOf)
       .join(broadcast(counters), Seq("seed", "bucket"))
       .groupBy(col("key"), col("exact_cnt"))
       .agg(min(col("c")).as("cms_est"))
@@ -136,15 +143,11 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("l_partkey"))
   }
 
-  /** The house Spark↔DuckDB-identical bucket hash (md5-prefix idiom,
-    * [[Sampling]] / [[Dedup]] precedent), seed-salted per CMS row; the
-    * seed rides a column so one post-explode projection hashes all d
-    * rows.
+  /** Bucket for seed s = digest hex window [8s+1, 8s+8] of the row's
+    * precomputed `h`, mod width — shared verbatim with the oracle.
     */
-  private def bucketOf(seedCol: String, key: org.apache.spark.sql.Column) =
+  private def bucketOf =
     pmod(
-      conv(substring(md5(concat(lit("cms"), col(seedCol).cast("string"),
-        lit("_"), key.cast("string")).cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
+      conv(expr(s"substring(h, seed * 8 + 1, 8)"), 16, 10).cast("long"),
       lit(CmsWidth.toLong))
 }

@@ -1239,6 +1239,42 @@ object TextAnalysis {
           .as("chars_per_token_e6"))
       .orderBy(col("lang"))
 
+  /** Per-document out-of-vocabulary rate against the corpus top-V
+    * vocabulary — the tokenizer/vocab coverage gate (a doc whose tokens
+    * mostly fall outside the model's vocabulary trains as noise; the
+    * standard pre-training filter reports exactly this ratio).
+    *
+    * Vocabulary = the `vocabSize` most frequent tokens, tie-broken by
+    * token (total order, deterministic boundary). Scale shape: the
+    * token count groupBy is vocabulary-sized and partial-aggregated;
+    * the top-V cut is a bounded sort over the DISTINCT-token relation
+    * (never the corpus); the per-doc pass LEFT-joins tokens against
+    * the broadcast V-row vocabulary — one corpus-proportional pass, no
+    * window. Docs with no tokens report rate 0 over 0 tokens.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("iv"))
+    val perDoc = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_e6",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(floor(col("n_oov").cast("double") /
+            col("n_tokens").cast("double") * 1e6 + 0.5).cast("long")))
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML extraction patterns, shared verbatim with the DuckDB oracle.
     * Restricted to the regex subset on which Java regex and RE2 agree:
     * inline flags, non-capturing groups, lazy repetition, character

@@ -2661,6 +2661,72 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhood emits exactly the rank-window pairs, blocked or not") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val got = Dedup.sortedNeighborhood(docs, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    // expected from the DEFINITION: a driver-side sort + window scan
+    val sorted = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 24)
+          .as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }
+    val expected = (for {
+      i <- sorted.indices
+      j <- (i + 1) to math.min(i + 4, sorted.length - 1)
+    } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong,
+      sorted(i)._2 == sorted(j)._2)).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(got.exists(_._4), "fixture should contain same-key neighbors")
+  }
+
+  test("randomProjection equals the driver-computed plane dots exactly") {
+    val emb = tbl("embeddings")
+    val rows = Similarity.randomProjection(emb, k = 8).collect()
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val scale = 1.0 / math.sqrt(8.0)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      for (p <- 0 until 8) {
+        // same sequential IEEE fold as the engine's DotProduct
+        var acc = 0.0
+        for (i <- 0 until 64) acc += v(i) * Similarity.weightOf(p, i)
+        assert(r.getLong(1 + p) == math.floor(acc * scale * 1e6).toLong,
+          s"rp$p mismatch for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("pcaSummary: spectral contract + distributed variance cross-check") {
+    val emb = tbl("embeddings")
+    val r = Similarity.pcaSummary(emb, k = 4).collect()(0)
+    assert(r.getLong(0) == emb.count())
+    assert(r.getInt(1) == 4)
+    assert(r.getBoolean(2), "components must be orthonormal")
+    assert(r.getBoolean(3), "eigenvalues must be descending")
+    assert(r.getBoolean(4), "top-k must capture at least the uniform share")
+    assert(r.getBoolean(5), "projection variance must equal lambda0 on data")
+  }
+
+  test("oovRate: hand fixture with a 2-token vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb zz"), // aa,bb in vocab; zz OOV -> 1/4
+      (2L, "bb bb aa"),    // all in vocab -> 0/3
+      (3L, "qq rr"),       // all OOV -> 2/2
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 250000L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+    assert(out(4L) == ((0L, 0L, 0L)), "empty doc reports 0/0 at rate 0")
+  }
+
   test("tokenizerFertility: hand-computed fixture under DefaultMerges") {
     import spark.implicits._
     // "the"→1 bpe token (t,h→th; th,e→the), "in"→1, "cat"→3 (no merge)
