@@ -766,6 +766,23 @@ object SparkEntry {
     // the merge-transparency contract a persisted-sketch layout serves)
     "hll_sharded" -> ((s, dir) =>
       Sketches.hllShardedDistinct(t(s, dir, "lineitem"))),
+    // the sketch-table ingest discipline: shard sketches PERSISTED
+    // bucketed, a second generation APPENDED (sketch relations are
+    // additive — serving unions rows, never rebuilds), serve reads the
+    // table only. Same output contract/oracle as hll_sharded.
+    "hll_persisted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.sources.TableSink.writeBucketed(
+        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 1)),
+        "graft_hll_shards", "shard", 4)
+      graft.sources.TableSink.appendBucketed(
+        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
+        "graft_hll_shards", "shard", 4)
+      Sketches.hllServe(s.table("graft_hll_shards"), li)
+    }),
+    // 2-D Pareto frontier via mergeable per-partition frontiers (linear
+    // scans, frontier-sized merge task; exact-cents dominance)
+    "skyline" -> ((s, dir) => Relational.skyline(t(s, dir, "orders"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
@@ -877,6 +894,33 @@ object SparkEntry {
     // ExactRank sort, blocked equi-join — O(n·w), skew-proof
     "sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhood(t(s, dir, "documents"))),
+    // end-to-end entity resolution: SNM blocking -> banded-Levenshtein
+    // verification (<=10% edits; the 3-arg threshold form keeps the DP
+    // O(threshold·len) instead of O(len²)) -> the shared CC engine.
+    // The |len_a-len_b| prefilter is lossless (lev >= length gap).
+    "entity_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.sortedNeighborhood(docs)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      // edit budget = 10% of the longer text, capped at 58 so the DP
+      // band is a constant on any corpus (the cap is shared with the
+      // oracle — the rule, not just the optimization)
+      val budget = least(greatest(length(col("text_a")),
+        length(col("text_b"))), lit(580))
+      val verified = cand.join(ta, "doc_a").join(tb, "doc_b")
+        .filter(abs(length(col("text_a")) - length(col("text_b"))) * 10
+          <= budget)
+        .withColumn("d", levenshtein(col("text_a"), col("text_b"), 58))
+        .filter(col("d") >= 0 && col("d") * 10 <= budget)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = Dedup.nearDupClusters(verified)
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
     // character-level fuzzy dedup: EXACT edit-distance self-join over
     // 40-char document title prefixes at typo distance 2 — lossless
     // PassJoin segment blocking (see FuzzyJoin), so the oracle is the
@@ -1999,6 +2043,29 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
         |FROM lineitem""".stripMargin,
+    // the persisted+appended serve must satisfy the same contract as
+    // the in-flight union — same oracle text
+    "hll_persisted" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
+        |FROM lineitem""".stripMargin,
+    // the NOT-EXISTS dominance DEFINITION; the engine's two-phase
+    // frontier merge must be invisible in the result
+    "skyline" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS max_order_cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, max_order_cents
+        |FROM c a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c b
+        |  WHERE b.n_orders >= a.n_orders
+        |    AND b.max_order_cents >= a.max_order_cents
+        |    AND (b.n_orders > a.n_orders
+        |      OR b.max_order_cents > a.max_order_cents))
+        |ORDER BY o_custkey""".stripMargin,
     // same unrolled Morton term list, DuckDB operator spelling
     "zorder_stats" -> {
       val z = operators.Layout.mortonExprSql("x", "y")
@@ -3138,6 +3205,40 @@ object SparkEntry {
         |  b.rnk - a.rnk AS gap, a.sort_key = b.sort_key AS same_key
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // SNM candidates -> levenshtein verification (shared 10%-capped-at-
+    // 58 budget) -> the house recursive-CC formulation
+    "entity_clusters" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 24)
+        |      AS sort_key
+        |  FROM documents
+        |), rnks AS (
+        |  SELECT doc_id, sort_key,
+        |    row_number() OVER (ORDER BY sort_key, doc_id) AS rnk
+        |  FROM k
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rnks a JOIN rnks b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+        |), v AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+        |              JOIN documents db ON db.doc_id = c.doc_b
+        |  WHERE levenshtein(da.text, db.text) * 10 <=
+        |        least(greatest(length(da.text), length(db.text)), 580)
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM v
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM v
+        |), reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+        |), cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // the all-pairs DEFINITION — the engine's prefix filtering must be
     // invisible in the result (lossless), so the oracle carries none of it
     "fuzzy_pairs" ->

@@ -724,4 +724,59 @@ object Relational {
           .otherwise((col("rnk") - 1).cast("double") /
             (col("n_group") - 1).cast("double")).as("quantile"))
       .orderBy(col(groupCol), col(keyCol))
+
+  /** 2-D skyline (Pareto frontier) over per-customer (order count,
+    * biggest single order) — the "no other customer is at least as
+    * good on both axes and better on one" query (Börzsönyi et al.
+    * 2001, public). The axes are deliberately weakly correlated
+    * (frequency vs ticket size), so the frontier is non-trivial.
+    *
+    * Mergeable-summary execution (the [[HeavyHitters]] posture):
+    * skyline(S) = skyline(∪ₚ skyline(Sₚ)), so each partition reduces
+    * to its local frontier and ONE frontier-sized task merges them —
+    * the corpus-sized relation never funnels through a single task,
+    * only the (typically tiny, anti-correlation-bounded) candidate
+    * union does. Each local pass is LINEAR, not the O(p²) block-nested
+    * loop: sorted by (n DESC, s DESC), a point survives iff its s
+    * strictly exceeds the best s among strictly-higher-n points AND it
+    * heads its n-group (ties on both axes all survive — equals don't
+    * dominate).
+    *
+    * Money is read in DECIMAL(18,2) and shipped as exact cents, so
+    * dominance is integer-exact on both engines; the oracle is the
+    * NOT-EXISTS definition.
+    */
+  def skyline(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val pts = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (max(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("max_order_cents"))
+      .toDF("_1", "_2", "_3") // tuple-encoder names, stable across scans
+      .as[(Long, Long, Long)]
+    // linear frontier scan; REQUIRES (n DESC, s DESC)-sorted input
+    def scan(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      var maxSHigher = Long.MinValue // best s among strictly-higher n
+      var curN = Long.MinValue; var groupHead = Long.MinValue
+      var started = false
+      it.filter { case (_, n, s) =>
+        if (!started || n != curN) {
+          if (started && groupHead > maxSHigher) maxSHigher = groupHead
+          curN = n; groupHead = s; started = true
+        }
+        s > maxSHigher && s == groupHead
+      }
+    }
+    val sortCols = Seq(col("_2").desc, col("_3").desc)
+    val local = pts
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions(scan)
+    val global = local
+      .repartition(1)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions(scan)
+    global.toDF("o_custkey", "n_orders", "max_order_cents")
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -56,17 +56,33 @@ object Sketches {
     * sketch flips a boolean and fails the hash gate.
     */
   def hllShardedDistinct(lineitem: DataFrame, shards: Int = 16,
-      lgK: Int = 12): DataFrame = {
-    val keyed = lineitem.select(
-      col("l_partkey"),
-      pmod(col("l_orderkey"), lit(shards.toLong)).as("shard"))
-    // per-shard sketches: the relation a real pipeline would PERSIST
-    // (one small binary per shard/day) instead of raw keys
-    val perShard = keyed.groupBy(col("shard"))
+      lgK: Int = 12): DataFrame =
+    hllServe(hllShardSketches(lineitem, shards, lgK), lineitem, lgK)
+
+  /** The per-shard sketch relation — what a real pipeline PERSISTS (one
+    * small binary per shard/day) instead of raw keys. The relation is
+    * ADDITIVE: serving unions every row per shard, so appending a new
+    * generation's shard sketches (rather than rebuilding) is the whole
+    * ingest contract — see the hll_persisted registration.
+    */
+  def hllShardSketches(lineitem: DataFrame, shards: Int = 16,
+      lgK: Int = 12): DataFrame =
+    lineitem.select(
+        col("l_partkey"),
+        pmod(col("l_orderkey"), lit(shards.toLong)).as("shard"))
+      .groupBy(col("shard"))
       .agg(expr(s"hll_sketch_agg(l_partkey, $lgK)").as("sk"))
-    val merged = perShard.agg(
+
+  /** Serve a cardinality estimate from a (possibly multi-generation)
+    * shard-sketch relation, cross-checked against the one-shot sketch
+    * and the exact count over `corpus`. Output schema is shared by the
+    * in-flight and persisted variants (same oracle text).
+    */
+  def hllServe(shardSketches: DataFrame, corpus: DataFrame,
+      lgK: Int = 12): DataFrame = {
+    val merged = shardSketches.agg(
       expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
-    val direct = keyed.agg(
+    val direct = corpus.agg(
       expr(s"hll_sketch_estimate(hll_sketch_agg(l_partkey, $lgK))")
         .as("est_direct"),
       countDistinct(col("l_partkey")).as("n_exact"))

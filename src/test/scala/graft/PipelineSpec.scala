@@ -2727,6 +2727,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L)), "empty doc reports 0/0 at rate 0")
   }
 
+  test("skyline equals brute-force dominance and ignores partitioning") {
+    import org.apache.spark.sql.functions._
+    val orders = tbl("orders")
+    val got = Relational.skyline(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pts.filter { case (_, n, m) =>
+      !pts.exists { case (_, n2, m2) =>
+        n2 >= n && m2 >= m && (n2 > n || m2 > m) }
+    }.toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty)
+    // the two-phase frontier must be partitioning-invariant
+    val repart = Relational.skyline(orders.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(repart == expected, "frontier changed under repartitioning")
+  }
+
+  test("hll shard-sketch table is additive: append == one-shot contract") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    graft.sources.TableSink.writeBucketed(
+      Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 1)),
+      "graft_hll_spec", "shard", 4)
+    graft.sources.TableSink.appendBucketed(
+      Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
+      "graft_hll_spec", "shard", 4)
+    // two generations -> two rows per shard; serving unions them all
+    val twoGen = spark.table("graft_hll_spec")
+    assert(twoGen.count() > Sketches.hllShardSketches(li).count() / 2,
+      "append must add rows, not overwrite")
+    val r = Sketches.hllServe(twoGen, li).collect()(0)
+    assert(r.getLong(0) == li.select("l_partkey").distinct().count())
+    assert(r.getBoolean(1), "appended-table union drifted from one-shot")
+    assert(r.getBoolean(2), "estimate outside the 5% contract")
+    spark.sql("DROP TABLE IF EXISTS graft_hll_spec")
+  }
+
+  test("entity_clusters fixture: SNM + levenshtein + CC finds the planted pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("jumps", "jumped")), // 2 edits, ~3% of 60 chars
+      (3L, "completely different content about spark partitioning"),
+      (4L, "zzz unrelated tail document")).toDF("doc_id", "text")
+    val cand = Dedup.sortedNeighborhood(docs)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val budget = least(greatest(length(col("text_a")),
+      length(col("text_b"))), lit(580))
+    val verified = cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("d", levenshtein(col("text_a"), col("text_b"), 58))
+      .filter(col("d") >= 0 && col("d") * 10 <= budget)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs are RANK-ordered (sort-key order), so compare unordered
+    assert(verified.map { case (a, b) => (a min b, a max b) } ==
+      Set((1L, 2L)),
+      s"exactly the planted near-pair must verify: $verified")
+    val clusters = Dedup.nearDupClusters(
+      verified.toSeq.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("tokenizerFertility: hand-computed fixture under DefaultMerges") {
     import spark.implicits._
     // "the"→1 bpe token (t,h→th; th,e→the), "in"→1, "cat"→3 (no merge)
