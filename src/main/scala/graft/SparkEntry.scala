@@ -609,6 +609,9 @@ object SparkEntry {
     // fold over each user's time-sorted events — sequential smoothing
     // WITHOUT a window over raw events, hash-exact vs the oracle's fold
     "ewma_value" -> ((s, dir) => Events.ewmaValue(eventsTable(s, dir))),
+    // CUSUM drift monitor: exact-integer max(0, s + d) fold per user;
+    // the oracle replays it via the prefix-sum/running-min closed form
+    "cusum_alerts" -> ((s, dir) => Events.cusumAlerts(eventsTable(s, dir))),
     // dense hourly grid + forward fill: the gap-filling resample ahead
     // of any fixed-step time-series model; window only over the
     // calendar-bounded grid, never raw events
@@ -787,6 +790,9 @@ object SparkEntry {
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
+    // positional-postings phrase query (self-derived top trigram)
+    "phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) =>
@@ -2496,6 +2502,31 @@ object SparkEntry {
         |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
         |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the max(0,·) recurrence unrolled: s_t = p_t − min(0, min_{j≤t} p_j)
+    // over exact integer cents — provably equal to the engine's fold
+    "cusum_alerts" ->
+      s"""WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), k AS (
+        |  SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS kk FROM c
+        |), p AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(cents - kk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        |  FROM c CROSS JOIN k
+        |), r AS (
+        |  SELECT user_id,
+        |    pf - least(min(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_events,
+        |  max(cusum) AS max_cusum_cents,
+        |  CAST(sum(CASE WHEN cusum >= ${Events.CusumThresholdCents} THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_alarms
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the streaming EWMA's bounded replay must reproduce the batch fold
     // exactly — same oracle text as ewma_value
     "ewma_stream" ->
@@ -2760,6 +2791,30 @@ object SparkEntry {
         |    AS oov_e6
         |FROM documents d LEFT JOIN pd p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the same three positional-postings probes; DuckDB's 1-based
+    // subscripts vs Spark's 0-based posexplode are internal only
+    "phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |  FROM toks WHERE len(ts) >= 3
+        |), tri AS (
+        |  SELECT array_to_string(ts[i:i+2], ' ') AS phrase FROM idx
+        |), top AS (
+        |  SELECT phrase FROM tri GROUP BY phrase
+        |  ORDER BY count(*) DESC, phrase LIMIT 1
+        |), w AS (
+        |  SELECT phrase, string_split(phrase, ' ') AS ws FROM top
+        |), post AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok
+        |  FROM toks)
+        |SELECT p1.doc_id, w.phrase, count(*) AS n_matches
+        |FROM post p1 CROSS JOIN w
+        |JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        |WHERE p1.tok = ws[1] AND p2.tok = ws[2] AND p3.tok = ws[3]
+        |GROUP BY p1.doc_id, w.phrase ORDER BY p1.doc_id""".stripMargin,
     "token_counts" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -362,4 +362,57 @@ object Events {
           (acc, c) => shiftright(acc + c, 1)).as("ewma_cents"))
       .orderBy(col("user_id"))
   }
+
+  /** CUSUM alarm threshold, cents — shared with the oracle text. */
+  val CusumThresholdCents = 50000L
+
+  /** Per-user CUSUM change-point monitor (Page 1954, public) over
+    * event values — the drift alarm of ops pipelines: the positive
+    * cumulative sum s_t = max(0, s_{t-1} + (x_t − k)) rises when a
+    * user's values run persistently above the corpus reference k and
+    * resets while they don't; crossing `CusumThresholdCents` is the
+    * alarm. Reference k = ⌊corpus mean cents⌋ (one 1-row aggregate,
+    * broadcast — the house bounded crossJoin).
+    *
+    * Exactness: the [[ewmaValue]] discipline — values quantize to
+    * cents, k is an exact integer, and the whole recurrence is
+    * integer arithmetic folded INSIDE `functions.aggregate` over the
+    * (ts, event_id)-sorted per-user array (app-bounded per-user
+    * contract), with a struct accumulator carrying (s, running max,
+    * alarm count). The oracle replays the SAME sequence through the
+    * closed form `s_t = p_t − min(0, min_{j≤t} p_j)` (prefix sums and
+    * a running min — the max(0,·) recurrence unrolled), so the two
+    * engines compute identical integers by different but provably
+    * equal routes.
+    */
+  def cusumAlerts(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      cents.as("cents"))
+    val ref = base.agg(
+      floor(sum(col("cents")).cast("double") / count(lit(1))).cast("long")
+        .as("k"))
+    val h = lit(CusumThresholdCents)
+    base.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          (col("cents") - col("k")).as("d")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          transform(sort_array(collect_list(col("ev"))),
+            s => s.getField("d")),
+          struct(lit(0L).as("s"), lit(0L).as("mx"), lit(0L).as("na")),
+          (acc, d) => {
+            val s2 = greatest(lit(0L), acc.getField("s") + d)
+            struct(s2.as("s"),
+              greatest(acc.getField("mx"), s2).as("mx"),
+              (acc.getField("na") +
+                when(s2 >= h, 1L).otherwise(0L)).as("na"))
+          }).as("acc"))
+      .select(col("user_id"), col("n_events"),
+        col("acc.mx").as("max_cusum_cents"),
+        col("acc.na").as("n_alarms"))
+      .orderBy(col("user_id"))
+  }
 }

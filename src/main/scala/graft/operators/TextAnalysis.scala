@@ -1275,6 +1275,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional-index phrase search — the classic "exact phrase" query
+    * plan over an inverted index with positions (the IR-textbook
+    * positional-postings merge, Manning et al. IIR ch.2, public): the
+    * phrase's terms probe the postings relation (token, doc, pos) and
+    * adjacency is an equi-join on (doc, pos+offset) — selective terms
+    * make the join tiny regardless of corpus size, which is why search
+    * engines store positions instead of rescanning text.
+    *
+    * The query phrase is derived from the corpus itself (the most
+    * frequent word trigram, tie-broken lexicographically — a bounded
+    * vocabulary-sized cut, deterministic on both engines), so the row
+    * is self-contained. Plan shape: trigram counts are one
+    * partial-aggregable groupBy; the 1-row phrase broadcasts into
+    * three postings probes joined on (doc_id, pos) — no window, no
+    * text re-scan.
+    */
+  def phraseSearch(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      split(col("text"), " ").as("ts"))
+    val tri = toks.filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
+        .as("phrase"))
+    val top = tri.groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(1)
+      .select(col("phrase"), split(col("phrase"), " ").as("ws"))
+      .select(col("phrase"), col("ws")(0).as("w1"), col("ws")(1).as("w2"),
+        col("ws")(2).as("w3"))
+    val post = toks.select(col("doc_id"),
+      posexplode(col("ts")).as(Seq("pos", "tok")))
+    val p1 = post.select(col("doc_id"), col("pos"), col("tok").as("t1"))
+    val p2 = post.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("tok").as("t2"))
+    val p3 = post.select(col("doc_id"), (col("pos") - 2).as("pos"),
+      col("tok").as("t3"))
+    p1.join(broadcast(top), col("t1") === col("w1"))
+      .join(p2, Seq("doc_id", "pos"))
+      .filter(col("t2") === col("w2"))
+      .join(p3, Seq("doc_id", "pos"))
+      .filter(col("t3") === col("w3"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML extraction patterns, shared verbatim with the DuckDB oracle.
     * Restricted to the regex subset on which Java regex and RE2 agree:
     * inline flags, non-capturing groups, lazy repetition, character

@@ -2798,6 +2798,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("cusumAlerts equals the driver-replayed max(0,·) recurrence") {
+    import org.apache.spark.sql.functions._
+    val events = tbl("events")
+    val got = Events.cusumAlerts(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver replay of the recurrence itself (not the closed form the
+    // oracle uses — three independent routes must agree)
+    val rows = events.select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val k = math.floor(rows.map(_._4).sum.toDouble / rows.length).toLong
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      var s = 0L; var mx = 0L; var na = 0L
+      es.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
+        s = math.max(0L, s + e._4 - k)
+        mx = math.max(mx, s)
+        if (s >= Events.CusumThresholdCents) na += 1
+      }
+      u -> ((es.length.toLong, mx, na))
+    }
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "some user must show positive drift")
+  }
+
+  test("phraseSearch: fixture with a known dominant trigram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "x a b c y"),
+      (3L, "z z z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // trigram counts: "a b c" x3 (2 in doc1, 1 in doc2) beats "z z z" x2
+    assert(out == Set((1L, "a b c", 2L), (2L, "a b c", 1L)), s"got $out")
+  }
+
   test("tokenizerFertility: hand-computed fixture under DefaultMerges") {
     import spark.implicits._
     // "the"→1 bpe token (t,h→th; th,e→the), "in"→1, "cat"→3 (no merge)
