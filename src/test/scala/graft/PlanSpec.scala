@@ -705,4 +705,66 @@ class PlanSpec extends AnyFunSuite {
     assert(parquetScans <= 1,
       s"iterations recompute the edge relation from parquet:\n$p")
   }
+
+  test("sorted_neighborhood is window-free, equi-blocked, never a cross product") {
+    val p = planOf("sorted_neighborhood")
+    assert(!p.contains("Window"), s"rank must come from ExactRank:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window pairs must come from the blocked equi-join:\n$p")
+  }
+
+  test("oov_rate probes the vocabulary by broadcast, never a shuffle") {
+    val p = planOf("oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("phrase_search broadcasts the 1-row phrase; postings joins stay equi") {
+    val p = planOf("phrase_search")
+    assert(p.contains("BroadcastHashJoin"), s"phrase not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"positional join degenerated:\n$p")
+  }
+
+  test("cms_heavy builds counters in one partial-aggregated pass, broadcast probe") {
+    val p = planOf("cms_heavy")
+    assert(p.contains("BroadcastHashJoin"), s"counter probe not broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"sketch build must be groupBy-only:\n$p")
+  }
+
+  test("zorder_stats is a straight-line interleave + one bounded groupBy") {
+    val p = planOf("zorder_stats")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"unexpected operator:\n$p")
+    // bounds agg (1 row, broadcast back), bucket groupBy, presentation
+    // sort — anything more means the interleave lost its partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("dp_histogram is one cell groupBy plus row-local noise") {
+    val p = planOf("dp_histogram")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"release must be a single aggregate pass:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("skyline reduces to per-partition frontiers, window-free") {
+    val p = planOf("skyline")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"frontier must come from the mergeable scans:\n$p")
+    assert(p.contains("MapPartitions"), s"local frontier pass missing:\n$p")
+  }
+
+  test("cusum_alerts folds inside an aggregate, never a window over events") {
+    val p = planOf("cusum_alerts")
+    assert(!p.contains("Window"), s"per-user state must fold in-agg:\n$p")
+    // the 1-row reference attaches by broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"reference join shuffled:\n$p")
+  }
 }
