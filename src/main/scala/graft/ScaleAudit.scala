@@ -42,13 +42,16 @@ object ScaleAudit {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    def replicate(): Unit = {
+    def missing(t: String) = !new java.io.File(s"$outDir/$t.parquet").exists()
+    if (missing("lineitem")) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       (0 until 10).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * (1L << 40)))
           .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * (1L << 40)))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+    if (missing("documents")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       def rot(i: Int) = { val v = "aeiou"; val k = i % 5; v.drop(k) + v.take(k) }
       (0 until 10).map { i =>
@@ -57,7 +60,26 @@ object ScaleAudit {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) replicate()
+    // events: 10× more users, event-time span preserved (replicas are
+    // new user populations, not a longer history — state-size growth,
+    // which is what stateful/fold operators must survive)
+    if (missing("events")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 10).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i.toLong * (1L << 40)))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    // orders: 10× more customers AND orders (frontier/agg families)
+    if (missing("orders")) {
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until 10).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * (1L << 40)))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
 
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)

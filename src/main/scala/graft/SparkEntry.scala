@@ -251,6 +251,40 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING DRIFT MONITOR, driver-checked: the EIGHTH streaming
+    // query — per-user CUSUM state via mapGroupsWithState against an
+    // offline-derived reference (train-in-batch / monitor-in-stream,
+    // the production deploy shape). Shares cusum_alerts' oracle text:
+    // the bounded replay must reproduce the batch fold exactly.
+    "cusum_stream" -> ((s, dir) => withStreamStage("graft_cusum_stream") { stage =>
+      val ev = eventsTable(s, dir)
+      // the offline baseline: same k derivation as the batch twin
+      val k = ev.agg(
+        floor(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .cast("double") / count(lit(1))).cast("long"))
+        .collect()(0).getLong(0)
+      // coalesce(1): order-sensitive state fold — the ewma_stream
+      // staging contract (pinned replay order under any trigger)
+      ev.orderBy(col("ts"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val cu = graft.streaming.StreamingOps.cusumStream(
+        graft.streaming.StreamingOps.eventsStreamNormalized(s, stage), k)
+      val sink = "cusum_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = cu.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("max_cusum_cents"),
+          col("n_alarms")), col("n_events")).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.max_cusum_cents").as("max_cusum_cents"),
+          col("st.n_alarms").as("n_alarms"))
+        .orderBy(col("user_id"))
+    }),
+
     // EXACTLY-ONCE INTO A PERSISTED TABLE SINK, driver-checked across a
     // forced stop/restart: half the events stage, a checkpointed
     // foreachBatch stream (maxFilesPerTrigger=2 → several micro-batches,
@@ -914,10 +948,15 @@ object SparkEntry {
       // oracle — the rule, not just the optimization)
       val budget = least(greatest(length(col("text_a")),
         length(col("text_b"))), lit(580))
+      // equality short-circuit before the DP: near-dup corpora are
+      // dominated by EXACT duplicates (lev = 0 by definition), and the
+      // banded DP still costs O(58·len) on them — measured 4.3× on the
+      // 10× audit corpus where the planted dup load concentrates
       val verified = cand.join(ta, "doc_a").join(tb, "doc_b")
         .filter(abs(length(col("text_a")) - length(col("text_b"))) * 10
           <= budget)
-        .withColumn("d", levenshtein(col("text_a"), col("text_b"), 58))
+        .withColumn("d", when(col("text_a") === col("text_b"), lit(0))
+          .otherwise(levenshtein(col("text_a"), col("text_b"), 58)))
         .filter(col("d") >= 0 && col("d") * 10 <= budget)
         .select(col("doc_a"), col("doc_b"))
       val clusters = Dedup.nearDupClusters(verified)
@@ -1605,6 +1644,35 @@ object SparkEntry {
 
   private val dotExpr =
     "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+
+  /** Shared by `cusum_alerts` and `cusum_stream`: the streaming replay
+    * must reproduce the batch fold bit-for-bit, so both rows hold to
+    * one text — the max(0,·) recurrence unrolled to prefix sums minus
+    * a running min over exact integer cents.
+    */
+  private lazy val cusumOracleSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), k AS (
+      |  SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+      |    AS kk FROM c
+      |), p AS (
+      |  SELECT user_id, ts, event_id,
+      |    sum(cents - kk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      |  FROM c CROSS JOIN k
+      |), r AS (
+      |  SELECT user_id,
+      |    pf - least(min(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+      |  FROM p)
+      |SELECT user_id, count(*) AS n_events,
+      |  max(cusum) AS max_cusum_cents,
+      |  CAST(sum(CASE WHEN cusum >= ${operators.Events.CusumThresholdCents}
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Shared by `ann_ivf_topk` and `ann_ivf_persisted`: the persisted-index
     * serve is defined to reproduce the in-flight serve bit-for-bit. */
@@ -2503,30 +2571,11 @@ object SparkEntry {
         |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the max(0,·) recurrence unrolled: s_t = p_t − min(0, min_{j≤t} p_j)
-    // over exact integer cents — provably equal to the engine's fold
-    "cusum_alerts" ->
-      s"""WITH c AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events
-        |), k AS (
-        |  SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
-        |    AS kk FROM c
-        |), p AS (
-        |  SELECT user_id, ts, event_id,
-        |    sum(cents - kk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
-        |  FROM c CROSS JOIN k
-        |), r AS (
-        |  SELECT user_id,
-        |    pf - least(min(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
-        |  FROM p)
-        |SELECT user_id, count(*) AS n_events,
-        |  max(cusum) AS max_cusum_cents,
-        |  CAST(sum(CASE WHEN cusum >= ${Events.CusumThresholdCents} THEN 1
-        |    ELSE 0 END) AS BIGINT) AS n_alarms
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // over exact integer cents — provably equal to the engine's fold.
+    // cusum_stream's bounded replay must reproduce the batch fold
+    // exactly — same oracle text.
+    "cusum_stream" -> cusumOracleSql,
+    "cusum_alerts" -> cusumOracleSql,
     // the streaming EWMA's bounded replay must reproduce the batch fold
     // exactly — same oracle text as ewma_value
     "ewma_stream" ->

@@ -300,6 +300,46 @@ object StreamingOps {
       }
   }
 
+  final case class CusumState(n: Long, s: Long, mx: Long, na: Long)
+  final case class UserCusum(user_id: Long, n_events: Long,
+      max_cusum_cents: Long, n_alarms: Long)
+
+  /** Streaming twin of Events.cusumAlerts — per-user CUSUM drift state
+    * (running sum, peak, alarm count) folded across micro-batches via
+    * mapGroupsWithState with the [[ewmaStream]] exactness discipline:
+    * cents quantization, integer recurrence, (event-time, event_id)
+    * sort inside each batch, cross-batch order as the caller's staging
+    * contract.
+    *
+    * `refCents` — the drift reference k — is a PARAMETER, not derived
+    * from the stream: a live monitor compares against an offline-
+    * trained baseline (the batch twin derives it from its full corpus;
+    * the registration feeds that same value here, which is exactly the
+    * deploy shape: train the reference in batch, monitor in
+    * streaming).
+    */
+  def cusumStream(events: DataFrame, refCents: Long): Dataset[UserCusum] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, UserCusum](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[CusumState]) =>
+          val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val prev = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val next = evs.foldLeft(prev) { (st, e) =>
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            val s2 = math.max(0L, st.s + cents - refCents)
+            CusumState(st.n + 1, s2, math.max(st.mx, s2),
+              st.na + (if (s2 >= graft.operators.Events.CusumThresholdCents) 1L else 0L))
+          }
+          state.update(next)
+          UserCusum(userId, next.n, next.mx, next.na)
+      }
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long,
       sumValue: Double)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,

@@ -326,6 +326,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM state carries across batches to the batch result") {
+    import org.apache.spark.sql.functions._
+    // two-file mtime-pinned time-ordered replay, maxFilesPerTrigger=1 —
+    // the EWMA staging discipline; the alarm counter and running peak
+    // must survive the batch boundary exactly
+    val d = java.nio.file.Files.createTempDirectory("graft_cusum_batches")
+    val ev = batchEvents.orderBy(col("ts"), col("event_id"))
+    val cut = ev.select(percentile_approx(unix_micros(col("ts")),
+      lit(0.5), lit(100))).collect()(0).getLong(0)
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.parquet(s"$d/f1")
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.parquet(s"$d/f2")
+    val flat = java.nio.file.Files.createTempDirectory("graft_cusum_flat")
+    var i = 0
+    for (sub <- Seq("f1", "f2")) {
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/$sub"))
+        .iterator().forEachRemaining { p =>
+          if (p.toString.endsWith(".parquet")) {
+            val dst = flat.resolve(s"part$i.parquet")
+            java.nio.file.Files.copy(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
+            i += 1
+          }
+        }
+    }
+    val k = batchEvents.agg(
+      floor(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1))).cast("long"))
+      .collect()(0).getLong(0)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        StreamingOps.eventsSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(
+            dataType = org.apache.spark.sql.types.TimestampType) else f)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+    val q = StreamingOps.cusumStream(stream, k)
+      .toDF().writeStream.format("memory").queryName("cusum_stream_spec")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_stream_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        .map { case (u, (_, n, mx, na)) => u -> ((n, mx, na)) }
+      val batch = graft.operators.Events.cusumAlerts(batchEvents).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"cross-batch CUSUM drifted (${streamed.size} vs ${batch.size} users)")
+      val emissions = spark.table("cusum_stream_spec").count()
+      assert(emissions > batch.size, "replay collapsed into one batch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits exactly the closed batch sessions") {
     val q = StreamingOps.sessionizeStream(
         StreamingOps.eventsStream(spark, streamDir))
