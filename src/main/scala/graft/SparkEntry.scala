@@ -821,6 +821,20 @@ object SparkEntry {
     // scans, frontier-sized merge task; exact-cents dominance)
     "skyline" -> ((s, dir) => Relational.skyline(t(s, dir, "orders"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // columnar-format breadth: ORC sink partitioned by language, read
+    // back through the native ORC source with the lang predicate
+    // landing as PARTITION PRUNING (only the en/ directory is read) —
+    // the write→layout→pruned-scan cycle on the second columnar format
+    "orc_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").orc(path)
+      s.read.orc(path).filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
@@ -2814,6 +2828,13 @@ object SparkEntry {
         |FROM f JOIN n USING (lang)
         |WHERE f.freq * 60 > n.n_tokens
         |ORDER BY lang, freq DESC, token""".stripMargin,
+    // roundtrip invariance: the ORC write→pruned-read cycle must be
+    // value-transparent, so the oracle aggregates the parquet original
+    "orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // the vocab boundary is a (count DESC, token) total order on both
     // sides, so the top-V cut is deterministic
     "oov_rate" ->

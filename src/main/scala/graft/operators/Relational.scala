@@ -746,6 +746,27 @@ object Relational {
     * dominance is integer-exact on both engines; the oracle is the
     * NOT-EXISTS definition.
     */
+  /** Linear frontier scan (the [[skyline]] kernel); REQUIRES input
+    * sorted by (n DESC, s DESC). A point survives iff its s strictly
+    * exceeds the best s among strictly-higher-n points AND it ties its
+    * n-group's head — equal points never dominate each other, so exact
+    * duplicates all survive. Property-tested against brute-force
+    * dominance on random multisets.
+    */
+  private[graft] def frontierScan(
+      it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+    var maxSHigher = Long.MinValue // best s among strictly-higher n
+    var curN = Long.MinValue; var groupHead = Long.MinValue
+    var started = false
+    it.filter { case (_, n, s) =>
+      if (!started || n != curN) {
+        if (started && groupHead > maxSHigher) maxSHigher = groupHead
+        curN = n; groupHead = s; started = true
+      }
+      s > maxSHigher && s == groupHead
+    }
+  }
+
   def skyline(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
@@ -755,27 +776,14 @@ object Relational {
           .cast("long").as("max_order_cents"))
       .toDF("_1", "_2", "_3") // tuple-encoder names, stable across scans
       .as[(Long, Long, Long)]
-    // linear frontier scan; REQUIRES (n DESC, s DESC)-sorted input
-    def scan(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
-      var maxSHigher = Long.MinValue // best s among strictly-higher n
-      var curN = Long.MinValue; var groupHead = Long.MinValue
-      var started = false
-      it.filter { case (_, n, s) =>
-        if (!started || n != curN) {
-          if (started && groupHead > maxSHigher) maxSHigher = groupHead
-          curN = n; groupHead = s; started = true
-        }
-        s > maxSHigher && s == groupHead
-      }
-    }
     val sortCols = Seq(col("_2").desc, col("_3").desc)
     val local = pts
       .sortWithinPartitions(sortCols: _*)
-      .mapPartitions(scan)
+      .mapPartitions(frontierScan)
     val global = local
       .repartition(1)
       .sortWithinPartitions(sortCols: _*)
-      .mapPartitions(scan)
+      .mapPartitions(frontierScan)
     global.toDF("o_custkey", "n_orders", "max_order_cents")
       .orderBy(col("o_custkey"))
   }

@@ -236,4 +236,47 @@ class PropertySpec extends AnyFunSuite {
       assert(merged.mkString == syms.mkString, s"seed $i lost symbols")
     }
   }
+
+  test("skyline frontier scan == brute-force dominance; merge-closed (400 sets)") {
+    import graft.operators.Relational
+    // tiny value domain on purpose: ties and exact duplicates everywhere
+    val ptGen = for {
+      n <- Gen.chooseNum(0L, 7L); s <- Gen.chooseNum(0L, 7L)
+    } yield (n, s)
+    val setGen = Gen.choose(0, 25).flatMap(k => Gen.listOfN(k, ptGen))
+    def brute(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      pts.filter { case (_, n, s) =>
+        !pts.exists { case (_, n2, s2) =>
+          n2 >= n && s2 >= s && (n2 > n || s2 > s) }
+      }.toSet
+    def scan(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      Relational.frontierScan(
+        pts.sortBy { case (_, n, s) => (-n, -s) }.iterator).toSet
+    (0 until 400).foreach { i =>
+      val raw = setGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val pts = raw.zipWithIndex.map { case ((n, s), id) => (id.toLong, n, s) }
+      assert(scan(pts) == brute(pts), s"seed $i: $pts")
+      // mergeability — the distributed two-phase contract:
+      // scan(scan(A) ∪ scan(B)) == skyline(A ∪ B)
+      val (a, b) = pts.splitAt(pts.length / 2)
+      assert(scan((scan(a) ++ scan(b)).toSeq) == brute(pts),
+        s"seed $i merge: $pts")
+    }
+  }
+
+  test("CUSUM recurrence == prefix-sum/running-min closed form (500 sequences)") {
+    // the identity the cusum_alerts oracle relies on:
+    // s_t = max(0, s_{t-1} + d_t)  ==  p_t - min(0, min_{j<=t} p_j)
+    val deltaGen = Gen.chooseNum(-10L, 10L)
+    val seqGen = Gen.choose(0, 40).flatMap(k => Gen.listOfN(k, deltaGen))
+    (0 until 500).foreach { i =>
+      val ds = seqGen(Gen.Parameters.default, Seed(1000L + i)).get
+      var s = 0L; var p = 0L; var runMin = 0L
+      ds.foreach { d =>
+        s = math.max(0L, s + d)
+        p += d; runMin = math.min(runMin, p)
+        assert(s == p - runMin, s"seed $i diverged at delta $d: $ds")
+      }
+    }
+  }
 }
