@@ -835,6 +835,27 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
     }),
+    // schema evolution across producer generations: a v1 writer
+    // without `source` and a v2 writer with it land in one dataset;
+    // mergeSchema reconciles (missing column → NULL), the query
+    // reports legacy coverage — the lake-ingest reality every 100 TB
+    // corpus lives with (generations never rewrite)
+    "schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("source").isNull.cast("long")).as("n_legacy"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
@@ -2828,6 +2849,18 @@ object SparkEntry {
         |FROM f JOIN n USING (lang)
         |WHERE f.freq * 60 > n.n_tokens
         |ORDER BY lang, freq DESC, token""".stripMargin,
+    // the oracle states the reconciliation: v1 rows carry NULL source
+    "schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, NULL AS source FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  count(DISTINCT source) AS n_sources
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
     // roundtrip invariance: the ORC write→pruned-read cycle must be
     // value-transparent, so the oracle aggregates the parquet original
     "orc_roundtrip" ->
