@@ -42,7 +42,11 @@ object ScaleAudit {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    def missing(t: String) = !new java.io.File(s"$outDir/$t.parquet").exists()
+    // _SUCCESS, not bare directory existence: a killed prior replication
+    // leaves a partial directory that would silently time a truncated
+    // "x10" corpus
+    def missing(t: String) =
+      !new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
     if (missing("lineitem")) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       (0 until 10).map { i =>

@@ -3352,8 +3352,8 @@ object SparkEntry {
     "sorted_neighborhood" ->
       """WITH k AS (
         |  SELECT doc_id,
-        |    substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 24)
-        |      AS sort_key
+        |    substr(regexp_replace(lower(coalesce(text, '')), '\s+', '', 'g'),
+        |      1, 24) AS sort_key
         |  FROM documents
         |), r AS (
         |  SELECT doc_id, sort_key,
@@ -3368,8 +3368,8 @@ object SparkEntry {
     "entity_clusters" ->
       """WITH RECURSIVE k AS (
         |  SELECT doc_id,
-        |    substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 24)
-        |      AS sort_key
+        |    substr(regexp_replace(lower(coalesce(text, '')), '\s+', '', 'g'),
+        |      1, 24) AS sort_key
         |  FROM documents
         |), rnks AS (
         |  SELECT doc_id, sort_key,
@@ -4238,10 +4238,13 @@ object SparkEntry {
 
   /** Deterministic real-shaped HTML fixture pages (messy absolute links
     * with default ports, root-/path-relative + protocol-relative +
-    * fragment-only links, a single-QUOTED href with a dot-segment, and a
-    * per-page base URL) — shared by html_links, html_links_resolved and
-    * link_rank; [[htmlLinksCte]]/[[resolvedLinksCte]] are the
-    * byte-identical SQL twins.
+    * fragment-only + QUERY-only + mailto: links, a single-QUOTED href
+    * with a dot-segment, and a per-page base URL) — shared by
+    * html_links, html_links_resolved and link_rank;
+    * [[htmlLinksCte]]/[[resolvedLinksCte]] are the byte-identical SQL
+    * twins. The mailto row exercises the authority-less-scheme
+    * quarantine; the "?p=" row exercises RFC 3986 §5.3 query-only
+    * resolution.
     */
   private def htmlFixturePages(s: SparkSession, dir: String): DataFrame = {
     val k = pmod(col("doc_id"), lit(5)).cast("string")
@@ -4258,7 +4261,10 @@ object SparkEntry {
         lit("\">y</a> <a href='sub/dir/../"), id,
         lit("'>q</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
         lit("#f\">z</a> <a href=\"//cdn.example"), k2,
-        lit(".net/lib.js\">c</a> <a href=\"#top\">t</a></div>")).as("html"))
+        lit(".net/lib.js\">c</a> <a href=\"#top\">t</a>"),
+        lit(" <a href=\"mailto:u"), k, lit("@ex.org\">m</a>"),
+        lit(" <a href=\"?p="), id,
+        lit("\">g</a></div>")).as("html"))
   }
 
   /** [[htmlFixturePages]]' SQL twin plus quote-stripped href extraction,
@@ -4278,7 +4284,10 @@ object SparkEntry {
       |    '''>q</a> <a href="https://example' || CAST(doc_id % 7 AS VARCHAR) ||
       |    '.net/x?q=' || CAST(doc_id AS VARCHAR) ||
       |    '#f">z</a> <a href="//cdn.example' || CAST(doc_id % 7 AS VARCHAR) ||
-      |    '.net/lib.js">c</a> <a href="#top">t</a></div>' AS html
+      |    '.net/lib.js">c</a> <a href="#top">t</a>' ||
+      |    ' <a href="mailto:u' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '@ex.org">m</a> <a href="?p=' || CAST(doc_id AS VARCHAR) ||
+      |    '">g</a></div>' AS html
       |  FROM documents
       |), l AS (
       |  SELECT doc_id, base_url,
@@ -4345,8 +4354,9 @@ object SparkEntry {
     * ending in `rlinks(doc_id, pos, href, host, url_norm)`.
     */
   private lazy val resolvedLinksCte: String = {
-    val (sc, au, pa, ui) =
-      (Url.SchemeRe, Url.AuthorityRe, Url.PathRe, Url.UserinfoRe)
+    val (sc, au, pa, ui, qr, asc) =
+      (Url.SchemeRe, Url.AuthorityRe, Url.PathRe, Url.UserinfoRe,
+        Url.QueryRe, Url.AnySchemeRe)
     val merged = dotRemoveSql(
       "regexp_replace(b_path, '[^/]*$', '', 'g') || href")
     htmlPagesCte + s""", b AS (
@@ -4354,15 +4364,20 @@ object SparkEntry {
       |    lower(regexp_extract(base_url, '$sc', 1)) AS b_scheme,
       |    regexp_replace(regexp_extract(base_url, '$au', 1), '$ui', '') AS b_hostport,
       |    CASE WHEN regexp_extract(base_url, '$pa', 1) = '' THEN '/'
-      |         ELSE regexp_extract(base_url, '$pa', 1) END AS b_path
+      |         ELSE regexp_extract(base_url, '$pa', 1) END AS b_path,
+      |    CASE WHEN regexp_extract(base_url, '$qr', 1) <> ''
+      |         THEN '?' || regexp_extract(base_url, '$qr', 1)
+      |         ELSE '' END AS b_query
       |  FROM l2
       |), r AS (
       |  SELECT doc_id, pos, href,
-      |    CASE WHEN regexp_extract(href, '$sc', 1) <> '' THEN href
+      |    CASE WHEN regexp_extract(href, '$asc', 1) <> '' THEN href
       |         WHEN href LIKE '//%' THEN b_scheme || ':' || href
       |         WHEN href LIKE '/%' THEN b_scheme || '://' || b_hostport || href
+      |         WHEN href LIKE '?%'
+      |           THEN b_scheme || '://' || b_hostport || b_path || href
       |         WHEN href = '' OR href LIKE '#%'
-      |           THEN b_scheme || '://' || b_hostport || b_path
+      |           THEN b_scheme || '://' || b_hostport || b_path || b_query
       |         ELSE b_scheme || '://' || b_hostport || $merged
       |    END AS abs_url
       |  FROM b

@@ -76,7 +76,9 @@ object QualityModel {
     val labeled = TextAnalysis.gopherQuality(documents, stopList = stopList)
       .select(col("doc_id"), col("keep").cast("double").as("label"))
       .join(documents.select(col("doc_id"),
-        split(col("text"), " ").as("tokens")), "doc_id")
+        // null text must score (as an empty token bag), not NPE inside
+        // HashingTF — null docs are in-contract for this corpus
+        split(coalesce(col("text"), lit("")), " ").as("tokens")), "doc_id")
       .withColumn("is_holdout", col("doc_id") % holdoutMod === 0)
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(numFeatures)

@@ -128,9 +128,12 @@ object Sketches {
     */
   def cmsHeavyEstimates(lineitem: DataFrame, k: Int = 20): DataFrame = {
     val items = lineitem.select(col("l_partkey").as("key"))
-    val total = items.agg(count(lit(1)).as("n_total"))
     // exact counts (vocabulary-sized; verification side)
     val exact = items.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+    // N from the vocabulary-sized exact relation — every row lands in
+    // exactly one bucket per seed, so this equals the corpus count
+    // without a third corpus-proportional scan
+    val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
     val topk = exact.orderBy(col("exact_cnt").desc, col("key")).limit(k)
     // the sketch side: one md5 per item, d digest-slice buckets,
     // d·w bounded counter relation

@@ -109,19 +109,25 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col("text")) - (n - 1)),
           i => col("text").substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
-    val nLangs = documents.select(col("lang")).distinct().count()
-    require(nLangs <= maxLangs,
-      s"langIdNgram: $nLangs languages exceed the maxLangs=$maxLangs " +
-        "bounded-profile contract")
     val counts = documents
       .select(col("lang"), explode(concat(gramsOf(2), gramsOf(3))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("neg_cnt", -col("cnt"))
+    // the maxLangs bound is enforced ON the collect itself (limit + a
+    // post-hoc distinct-lang check) instead of a separate corpus-wide
+    // distinct().count() job: within the bound the limit drops nothing
+    // (≤ maxLangs × profileK rows exist), beyond it we fail fast with
+    // a bounded driver transfer either way
     val ranked = ExactRank.exactRank(counts, Seq("lang"),
         Seq("neg_cnt", "gram"))
       .filter(col("rnk") <= profileK)
       .select(col("lang"), col("gram"), col("rnk"))
-      .collect() // bounded: ≤ maxLangs × profileK rows
+      .limit(maxLangs * profileK + 1)
+      .collect() // bounded: ≤ maxLangs × profileK + 1 rows
+    val nLangs = ranked.iterator.map(_.getString(0)).toSet.size
+    require(ranked.length <= maxLangs * profileK && nLangs <= maxLangs,
+      s"langIdNgram: ≥$nLangs languages exceed the maxLangs=$maxLangs " +
+        "bounded-profile contract")
     val profiles: Map[String, Map[String, Int]] = ranked
       .groupBy(_.getString(0))
       .map { case (l, rows) =>

@@ -42,6 +42,15 @@ object Url {
   val QueryRe = "^[^#]*?\\?([^#]*)"
   val UserinfoRe = "^[^@]*@"
   val PortRe = ":([0-9]+)$"
+  /** ANY scheme'd reference (RFC 3986 §4.1) — authority-less schemes
+    * (mailto:, tel:, javascript:, data:) included. [[SchemeRe]] requires
+    * "://" and is right for parsing AUTHORITY URLs; using it to decide
+    * "is this href relative?" silently merges mailto: links onto the
+    * base directory, fabricating same-host crawl edges. Scheme'd
+    * references are used as-is, and the authority-less ones then land
+    * in [[normalize]]'s NULL-host quarantine — no mailto edges.
+    */
+  val AnySchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):"
 
   /** Adds `scheme`, `host`, `path`, `url_norm` parsed/normalized from
     * `urlCol` (kept). Unparseable rows keep their parts empty and get a
@@ -118,10 +127,14 @@ object Url {
     * page's `baseCol` URL before [[normalize]] canonicalizes it, so
     * RELATIVE links — most of a real crawl graph — land on real hosts
     * instead of the NULL quarantine:
-    *   - a scheme'd reference is used as-is;
+    *   - a scheme'd reference ([[AnySchemeRe]] — mailto:/tel:/data:
+    *     included) is used as-is (authority-less ones then quarantine);
     *   - "//host/..." (protocol-relative) takes the base's scheme;
     *   - "/abs/path" takes the base's scheme://host;
-    *   - "" and "#frag" resolve to the base document itself;
+    *   - "?query" keeps the base's path, replaces its query (RFC 3986
+    *     §5.3 — the pagination link);
+    *   - "" and "#frag" resolve to the base document itself, base query
+    *     included;
     *   - anything else merges onto the base's directory (path up to the
     *     last "/") with [[DotSegmentPasses]] dot-segment removal.
     * Scale shape: identical to [[extractLinks]] — row-local regexp chain,
@@ -141,15 +154,19 @@ object Url {
     val bPathRaw = regexp_extract(col(baseCol), PathRe, 1)
     val bPath = when(bPathRaw === "", lit("/")).otherwise(bPathRaw)
     val bDir = regexp_replace(bPath, "[^/]*$", "")
-    val hasScheme = regexp_extract(col("href"), SchemeRe, 1) =!= ""
+    val bq = regexp_extract(col(baseCol), QueryRe, 1)
+    val bQuery = when(bq =!= "", concat(lit("?"), bq)).otherwise(lit(""))
+    val hasScheme = regexp_extract(col("href"), AnySchemeRe, 1) =!= ""
     val abs =
       when(hasScheme, col("href"))
         .when(col("href").startsWith("//"),
           concat(bScheme, lit(":"), col("href")))
         .when(col("href").startsWith("/"),
           concat(bScheme, lit("://"), bHostPort, col("href")))
+        .when(col("href").startsWith("?"),
+          concat(bScheme, lit("://"), bHostPort, bPath, col("href")))
         .when(col("href") === "" || col("href").startsWith("#"),
-          concat(bScheme, lit("://"), bHostPort, bPath))
+          concat(bScheme, lit("://"), bHostPort, bPath, bQuery))
         .otherwise(concat(bScheme, lit("://"), bHostPort,
           removeDotSegments(concat(bDir, col("href")))))
     normalize(links.withColumn("abs_url", abs), "abs_url")

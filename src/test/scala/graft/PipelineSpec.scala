@@ -1413,8 +1413,10 @@ class PipelineSpec extends AnyFunSuite {
       "<a href=\"plain/w\">d</a>" +
       "<a href=\"a/./b/../c\">e</a>" +
       "<a href=\"../up\">f</a>" +
-      "<a href=\"#frag\">g</a>"
-    val pages = Seq((1L, "https://base.example.org/d1/d2/page.html", html))
+      "<a href=\"#frag\">g</a>" +
+      "<a href=\"mailto:someone@example.com\">h</a>" +
+      "<a href=\"?p=2\">i</a>"
+    val pages = Seq((1L, "https://base.example.org/d1/d2/page.html?v=1", html))
       .toDF("doc_id", "base_url", "html")
     val got = Url.resolveLinks(pages).orderBy(col("pos")).collect()
       .map(r => r.getAs[String]("url_norm")).toSeq
@@ -1425,7 +1427,12 @@ class PipelineSpec extends AnyFunSuite {
       "https://base.example.org/d1/d2/plain/w",
       "https://base.example.org/d1/d2/a/c",
       "https://base.example.org/d1/up",
-      "https://base.example.org/d1/d2/page.html"), s"resolved: $got")
+      // fragment-only → the base DOCUMENT, base query included
+      "https://base.example.org/d1/d2/page.html?v=1",
+      // authority-less scheme → never merged onto the base; quarantined
+      null,
+      // query-only → base path kept, query REPLACED (RFC 3986 §5.3)
+      "https://base.example.org/d1/d2/page.html?p=2"), s"resolved: $got")
   }
 
   test("url normalize drops a query that lives inside the fragment") {
