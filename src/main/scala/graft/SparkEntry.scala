@@ -2731,8 +2731,10 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     // Cavnar–Trenkle: per-lang and per-doc top-100 2-/3-gram rank
     // profiles, out-of-place distance, argmin with lexicographic ties
+    // lp (profile training) reads only the bounded doc_id < 2000 sample
+    // — the engine's LangIdTrainDocs cut, shared verbatim
     "lang_id_ngram" ->
-      """WITH g AS MATERIALIZED (
+      s"""WITH g AS MATERIALIZED (
         |  SELECT doc_id, lang, unnest(list_concat(
         |    CASE WHEN length(text) >= 2 THEN
         |      list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
@@ -2745,13 +2747,15 @@ object SparkEntry {
         |  SELECT lang, gram, r FROM (
         |    SELECT lang, gram,
         |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS r
-        |    FROM g GROUP BY lang, gram) WHERE r <= 100),
+        |    FROM g WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}
+        |    GROUP BY lang, gram) WHERE r <= 100),
         |dp AS MATERIALIZED (
         |  SELECT doc_id, gram, r FROM (
         |    SELECT doc_id, gram,
         |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r
         |    FROM g GROUP BY doc_id, gram) WHERE r <= 100),
-        |langs AS (SELECT DISTINCT lang FROM documents),
+        |langs AS (SELECT DISTINCT lang FROM documents
+        |          WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}),
         |d AS (
         |  SELECT dp.doc_id, langs.lang,
         |    sum(CASE WHEN lp.r IS NULL THEN 100 ELSE abs(dp.r - lp.r) END) AS dist
@@ -2763,7 +2767,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rb
         |  FROM d)
         |SELECT documents.doc_id, documents.lang AS lang_label,
-        |  coalesce(best.lang, (SELECT min(lang) FROM documents)) AS lang_pred,
+        |  coalesce(best.lang, (SELECT min(lang) FROM langs)) AS lang_pred,
         |  CAST(coalesce(best.dist, 0) AS BIGINT) AS best_dist
         |FROM documents
         |LEFT JOIN best ON best.doc_id = documents.doc_id AND best.rb = 1

@@ -72,6 +72,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Profile-training sample bound for [[langIdNgram]] (doc_id cut,
+    * deterministic) — shared with the oracle text.
+    */
+  val LangIdTrainDocs = 2000L
+
   /** Character-n-gram profile language ID — Cavnar–Trenkle 1994
     * ("N-Gram-Based Text Categorization", the public method):
     * per language, the profile is the `profileK` most frequent character
@@ -88,20 +93,25 @@ object TextAnalysis {
     *
     * Scale shape: profile training is ONE distributed tokenize+groupBy
     * over (lang, gram) — an alphabet-bounded relation (≤ |charset|³ gram
-    * types per language, never corpus-proportional) — ranked with
+    * types per language, never corpus-proportional) — over a BOUNDED
+    * training sample (the first [[LangIdTrainDocs]] doc ids: rank
+    * profiles converge with ~100 KB of text per language, so training
+    * on the whole corpus buys nothing but cost — the localKMeans /
+    * maxTrainVectors discipline; the sample must cover the label set,
+    * which is the caller's labeling contract) — ranked with
     * [[ExactRank]] (full partition-width parallelism; a
     * `PARTITION BY lang` window would cap parallelism at |langs|) and
     * cut to `profileK`. The trained profiles (≤ `maxLangs` × `profileK`
     * entries, fail-fast guarded like HeavyHitters' maxGroups contract)
-    * broadcast into a doc-local mapPartitions scorer — the
-    * localKMeans/trainedCentroids bounded-training discipline. Scoring
+    * broadcast into a doc-local mapPartitions scorer. Scoring
     * is embarrassingly parallel: each document ranks its OWN grams
     * locally and probes the broadcast map. Gram extraction is
     * char-positional on both engines (oracle-shared); the corpus
     * contract is BMP text (UTF-16/char-position parity).
     */
   def langIdNgram(documents: DataFrame, profileK: Int = 100,
-      maxLangs: Int = 256): DataFrame = {
+      maxLangs: Int = 256,
+      trainDocs: Long = LangIdTrainDocs): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     def gramsOf(n: Int) =
@@ -110,6 +120,7 @@ object TextAnalysis {
           i => col("text").substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
     val counts = documents
+      .filter(col("doc_id") < trainDocs)
       .select(col("lang"), explode(concat(gramsOf(2), gramsOf(3))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("neg_cnt", -col("cnt"))
