@@ -341,6 +341,34 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink).orderBy(col("fp"))
     }),
+    // the BOUNDED-STATE twin (dropDuplicatesWithinWatermark): per-key
+    // state is dropped once event time passes it — O(keys-per-window)
+    // state instead of unbounded. The replay carries every duplicate
+    // inside one watermark window, so the admitted set equals the
+    // unbounded form's and the oracle text is shared; the state-TTL
+    // distinction across windows is StreamingSpec's job.
+    "dedup_stream_bounded" -> ((s, dir) => withStreamStage("graft_dedup_bnd") { stage =>
+      eventsTable(s, dir)
+        .select(md5(col("event_type").cast("string")).as("fp"), col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val admitted = graft.streaming.StreamingOps.dedupStreamBounded(
+        s.readStream.schema(schema).parquet(stage), Seq("fp"),
+        delay = "30 days")
+      val sink = "dedup_stream_bounded_sink"
+      s.catalog.dropTempView(sink)
+      val q = admitted.select(col("fp")).writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("fp"))
+    }),
     // O6/O9/O13: flagship relative-frequency normalization (Pairs shape)
     "crystalball_pairs" -> ((s, dir) => crystalballPairs(s, dir)),
     // explicit skew mitigation, driver-checked: results must equal the
@@ -760,6 +788,35 @@ object SparkEntry {
             .as("delta_us"),
           col("purchase_value"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+    // NINTH streaming query — LEFT-OUTER stream-stream interval join:
+    // NULL-purchase rows emit only once the watermark PROVES no match
+    // can arrive; the tail still in state at termination is withheld
+    // (the oracle encodes the W − window cutoff — the part a batch
+    // left join gets wrong about a live stream)
+    "interval_join_stream_outer" -> ((s, dir) => withStreamStage("graft_ijo_stream") { stage =>
+      val ev = eventsTable(s, dir)
+      Seq("click", "purchase").foreach(tpe =>
+        ev.filter(col("event_type") === tpe)
+          .write.mode("overwrite").parquet(s"$stage/$tpe"))
+      def side(tpe: String) = graft.streaming.StreamingOps
+        .eventsStreamNormalized(s, s"$stage/$tpe")
+      val joined = graft.streaming.StreamingOps.joinStreamsLeftOuter(
+        side("click"), side("purchase"))
+      val sink = "interval_join_stream_outer_sink"
+      s.catalog.dropTempView(sink)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("delta_us"),
+          col("purchase_value"))
+        .orderBy(col("user_id"), col("click_id"),
+          col("purchase_id").asc_nulls_first)
     }),
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
@@ -1787,6 +1844,10 @@ object SparkEntry {
     // streaming dedup admits each distinct fingerprint exactly once
     "dedup_stream" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    // within one watermark window the bounded form admits exactly the
+    // distinct keys — the window-crossing TTL behavior is spec-held
+    "dedup_stream_bounded" ->
+      "SELECT DISTINCT md5(event_type) AS fp FROM events ORDER BY fp",
     "cooccur_counts_gen" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->
@@ -2698,6 +2759,37 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // the left-outer twin: matched rows as above; an unmatched click
+    // emits NULLs only when its 5-minute window fell fully behind the
+    // final watermark W = min(max click, max purchase) − 1 h — the
+    // withheld tail is the streaming-correct answer, encoded here in µs
+    "interval_join_stream_outer" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT least((SELECT max(lus) FROM c), (SELECT max(rus) FROM p))
+        |    - 3600000000 - 300000000 AS cut
+        |), m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id,
+        |    p.rus - c.lus AS delta_us, p.purchase_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
+        |), um AS (
+        |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS delta_us,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM c CROSS JOIN w
+        |  WHERE c.lus < w.cut AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.rus >= c.lus AND p.rus - c.lus <= 300000000)
+        |)
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+        |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin,
     "text_stats" ->
       """WITH c AS (
         |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,

@@ -250,7 +250,7 @@ object StreamingOps {
     * unbounded-state one.
     */
   def joinStreams(clicks: DataFrame, purchases: DataFrame,
-      windowMinutes: Int = 5): DataFrame = {
+      windowMinutes: Int = 5, joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"),
         col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -262,10 +262,27 @@ object StreamingOps {
         c("user_id") === p("user_id") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") +
-            expr(s"INTERVAL $windowMinutes MINUTES"))
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(c("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
+
+  /** LEFT-OUTER stream-stream interval join — the attribution question
+    * "which clicks converted, and which provably did NOT": a click with
+    * no purchase in its window emits a NULL-purchase row, but only once
+    * the engine can PROVE no match can still arrive — its join window
+    * must fall fully behind the global watermark. The deterministic
+    * consequence (oracle-encoded): with W = min(max click_ts,
+    * max purchase_ts) − 1 h, unmatched clicks with
+    * `click_ts + window ≥ W` are still in state when the bounded replay
+    * terminates and do NOT emit — that is the correct streaming answer
+    * (they might yet convert), and exactly what separates this operator
+    * from a batch left join.
+    */
+  def joinStreamsLeftOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 5): DataFrame =
+    joinStreams(clicks, purchases, windowMinutes, "leftOuter")
 
   final case class EwmaState(n: Long, ewmaCents: Long)
   final case class UserEwma(user_id: Long, n_events: Long, ewma_cents: Long)

@@ -384,6 +384,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULLs exactly up to the watermark cut") {
+    import org.apache.spark.sql.functions._
+    val stage = java.nio.file.Files.createTempDirectory("graft_louter").toString
+    Seq("click", "purchase").foreach(tpe =>
+      batchEvents.filter(col("event_type") === tpe)
+        .write.mode("overwrite").parquet(s"$stage/$tpe"))
+    def side(tpe: String) = StreamingOps.eventsStreamNormalized(spark, s"$stage/$tpe")
+    val q = StreamingOps.joinStreamsLeftOuter(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("louter_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val out = spark.table("louter_spec")
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // batch expectation under the watermark-cut contract
+      val clicks = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("lus"))
+      val purch = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), unix_micros(col("ts")).as("rus"))
+      val cut = math.min(
+        clicks.agg(max("lus")).collect()(0).getLong(0),
+        purch.agg(max("rus")).collect()(0).getLong(0)) - 3600000000L - 300000000L
+      val matched = clicks.join(purch,
+        col("user_id") === col("p_user") && col("rus") >= col("lus") &&
+          col("rus") - col("lus") <= 300000000L)
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unmatchedEmit = clicks.join(purch,
+          col("user_id") === col("p_user") && col("rus") >= col("lus") &&
+            col("rus") - col("lus") <= 300000000L, "left_anti")
+        .filter(col("lus") < cut)
+        .select(col("click_id")).collect().map(r => (r.getLong(0), -1L)).toSet
+      assert(out == matched ++ unmatchedEmit,
+        s"outer emission set drifted (${out.size} vs ${(matched ++ unmatchedEmit).size})")
+      // the contract is only meaningful if something was actually withheld
+      val withheld = clicks.join(purch,
+          col("user_id") === col("p_user") && col("rus") >= col("lus") &&
+            col("rus") - col("lus") <= 300000000L, "left_anti")
+        .filter(col("lus") >= cut).count()
+      assert(withheld > 0, "fixture must leave a tail in state")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits exactly the closed batch sessions") {
     val q = StreamingOps.sessionizeStream(
         StreamingOps.eventsStream(spark, streamDir))
