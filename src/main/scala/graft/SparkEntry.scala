@@ -546,6 +546,10 @@ object SparkEntry {
       Relational.dpHistogram(t(s, dir, "documents"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // rank (Spearman) correlation: monotone-invariant dependence via two
+    // window-free ExactRank passes + exact long moments (e6 contract)
+    "spearman_corr" -> ((s, dir) =>
+      Relational.spearmanCorr(t(s, dir, "lineitem"))),
     // grouped OLS from the same exact power-sum pass as corr_stats
     "regression_stats" -> ((s, dir) =>
       Relational.regressionStats(t(s, dir, "lineitem"))),
@@ -2283,6 +2287,36 @@ object SparkEntry {
         |  UNION ALL SELECT 'orderkey_referential', CAST(n_orphans AS DOUBLE),
         |    n_orphans = 0 FROM orph)
         |ORDER BY check_name""".stripMargin,
+    // the window DEFINITION of the same two rank total-orders; moments
+    // exact BIGINT, final ρ arithmetic in the same IEEE op order
+    "spearman_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+        |         l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x,
+        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY y,
+        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS ry
+        |  FROM b
+        |), m AS (
+        |  SELECT g, count(*) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sx2,
+        |    CAST(sum(ry * ry) AS BIGINT) AS sy2
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e6 + 0.5) AS BIGINT) AS spearman_e6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,

