@@ -60,6 +60,29 @@ object SparkEntry {
     }
   }
 
+  /** Per-invocation staging for queries whose RESULT still reads the
+    * staged files lazily (orc_roundtrip / schema_evolution) — unlike
+    * [[withStreamStage]], the returned plan scans the directory after
+    * this returns, so it cannot be deleted here. A unique directory per
+    * invocation is the isolation fix: a fixed tmpdir path lets a
+    * concurrent run's read interleave with this run's partial write, and
+    * a killed run's stale generation dirs would satisfy glob reads
+    * (mergeSchema) forever after. A shutdown hook reclaims the space at
+    * JVM exit (Verify/Bench are single-JVM mains, so nothing outlives
+    * the process).
+    */
+  private def freshStageDir(prefix: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }))
+    stage.toString
+  }
+
   // ---- driver surface ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,9 +371,18 @@ object SparkEntry {
     // unbounded form's and the oracle text is shared; the state-TTL
     // distinction across windows is StreamingSpec's job.
     "dedup_stream_bounded" -> ((s, dir) => withStreamStage("graft_dedup_bnd") { stage =>
-      eventsTable(s, dir)
+      val ev = eventsTable(s, dir)
         .select(md5(col("event_type").cast("string")).as("fp"), col("ts"))
-        .write.mode("overwrite").parquet(stage)
+      // the shared batch-DISTINCT oracle holds iff every duplicate key
+      // falls inside ONE watermark window — previously assumed of the
+      // fixture (30 days > its span), now enforced by construction: the
+      // delay is DERIVED from the staged data's actual event-time span
+      // (+1 h of slack), so a grown fixture widens the window with it
+      // instead of silently breaking the equivalence. One bounded 1-row
+      // aggregate; the cross-window TTL semantics stay StreamingSpec's job.
+      val span = ev.agg((unix_timestamp(max(col("ts"))) -
+        unix_timestamp(min(col("ts")))).as("span")).head.getLong(0)
+      ev.write.mode("overwrite").parquet(stage)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp",
           org.apache.spark.sql.types.StringType),
@@ -358,7 +390,7 @@ object SparkEntry {
           org.apache.spark.sql.types.TimestampType)))
       val admitted = graft.streaming.StreamingOps.dedupStreamBounded(
         s.readStream.schema(schema).parquet(stage), Seq("fp"),
-        delay = "30 days")
+        delay = s"${span + 3600} seconds")
       val sink = "dedup_stream_bounded_sink"
       s.catalog.dropTempView(sink)
       val q = admitted.select(col("fp")).writeStream.format("memory")
@@ -887,7 +919,7 @@ object SparkEntry {
     // landing as PARTITION PRUNING (only the en/ directory is read) —
     // the write→layout→pruned-scan cycle on the second columnar format
     "orc_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+      val path = freshStageDir("graft_orc_docs")
       t(s, dir, "documents").write.mode("overwrite")
         .partitionBy("lang").orc(path)
       s.read.orc(path).filter(col("lang") === "en")
@@ -903,7 +935,7 @@ object SparkEntry {
     // corpus lives with (generations never rewrite)
     "schema_evolution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+      val path = freshStageDir("graft_schema_evo")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(s"$path/gen=1")
@@ -1277,7 +1309,11 @@ object SparkEntry {
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
     // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
     "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
-    "fpgrowth_rules" -> ((s, dir) => MarketBasket.fpgrowthRules(t(s, dir, "lineitem"))),
+    // scale-invariant fractional support (r10 audit: the count-2 anchor was
+    // the surface's one superlinear decade row); oracle computes the same
+    // ceil(fraction * n) admission, so parity holds at every SF
+    "fpgrowth_rules" -> ((s, dir) => MarketBasket.fpgrowthRules(t(s, dir, "lineitem"),
+      minSupportFraction = Some(MarketBasket.ScaleInvariantSupport))),
     "rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     // ---- multimodal column plumbing (stubbed decode) ---------------------
@@ -1765,7 +1801,7 @@ object SparkEntry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
       |  FROM p)
       |SELECT user_id, count(*) AS n_events,
-      |  max(cusum) AS max_cusum_cents,
+      |  CAST(max(cusum) AS BIGINT) AS max_cusum_cents,
       |  CAST(sum(CASE WHEN cusum >= ${operators.Events.CusumThresholdCents}
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -4029,7 +4065,8 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
         |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= ceil(1.0e-4 * (SELECT n FROM nb))),
         |j AS (
         |  SELECT p.item_a, p.item_b, p.pair_cnt, sa.supp AS supp_a, sb.supp AS supp_b,
         |         (SELECT n FROM nb) AS n

@@ -55,11 +55,26 @@ object ExactRank {
     * Eager like every ExactRank consumer: the bounded offset pass (one
     * row per partition × group) runs at call time; see the object
     * scaladoc for the snapshot semantics.
+    *
+    * `maxGroups` is a hard fail-fast contract, not a heuristic (the
+    * [[HeavyHitters.heavyHittersByGroup]] discipline): driver + broadcast
+    * state is O(partitions × groups), so this operator is for
+    * LOW-CARDINALITY group keys — the exact setting where the per-group
+    * window degenerates to #groups tasks and this shape wins. A
+    * high-cardinality group key (user_id, doc_id) should use
+    * `row_number() OVER (PARTITION BY group ORDER BY order)` instead:
+    * with many groups the window's per-group tasks ARE the parallelism,
+    * and its state never leaves the executors. The guard fires in the
+    * executors (first partition over the bound) before any driver
+    * collect can grow, and again on the driver for the cross-partition
+    * total.
     */
   def exactRank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      rankCol: String = "rnk", totalCol: String = "n_group"): DataFrame = {
+      rankCol: String = "rnk", totalCol: String = "n_group",
+      maxGroups: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "exactRank requires at least one group column")
     require(orderCols.nonEmpty, "exactRank requires at least one order column")
+    require(maxGroups >= 1, "exactRank: maxGroups must be >= 1")
     val taken = df.columns.toSet
     require(!taken(rankCol) && !taken(totalCol),
       s"output columns '$rankCol'/'$totalCol' collide with the input schema")
@@ -70,7 +85,7 @@ object ExactRank {
     val schema = sorted.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val ranked = rankWithinGroups(sorted.rdd,
-      (r: Row) => gIdx.map(i => r.get(i)).toList)
+      (r: Row) => gIdx.map(i => r.get(i)).toList, maxGroups = maxGroups)
     val outSchema = schema
       .add(StructField(rankCol, LongType, nullable = false))
       .add(StructField(totalCol, LongType, nullable = false))
@@ -95,9 +110,11 @@ object ExactRank {
     */
   def exactPrefixSum(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], weightCol: String,
-      beforeCol: String = "w_before", totalCol: String = "w_total"): DataFrame = {
+      beforeCol: String = "w_before", totalCol: String = "w_total",
+      maxGroups: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "exactPrefixSum requires a group column")
     require(orderCols.nonEmpty, "exactPrefixSum requires an order column")
+    require(maxGroups >= 1, "exactPrefixSum: maxGroups must be >= 1")
     val taken = df.columns.toSet
     require(!taken(beforeCol) && !taken(totalCol),
       s"output columns '$beforeCol'/'$totalCol' collide with the input schema")
@@ -108,7 +125,8 @@ object ExactRank {
     val wIdx = schema.fieldIndex(weightCol)
     val summed = prefixSumWithinGroups(sorted.rdd,
       (r: Row) => gIdx.map(i => r.get(i)).toList,
-      (r: Row) => r.get(wIdx) match {
+      maxGroups = maxGroups,
+      weight = (r: Row) => r.get(wIdx) match {
         case l: Long => l
         case i: Int  => i.toLong
         case other => throw new IllegalArgumentException(
@@ -128,13 +146,30 @@ object ExactRank {
     * count. One bounded driver collect; no per-group task ceiling.
     * `K` needs value equality + a stable hashCode (String, tuples, List).
     */
+  /** Shared fail-fast text for the `maxGroups` contract — names the
+    * correct alternative so the failure is actionable, not just fatal. */
+  private def groupCardinalityMsg(maxG: Int): String =
+    s"ExactRank: group cardinality exceeded maxGroups=$maxG — driver/" +
+      "broadcast state is O(partitions x groups), so this operator is for " +
+      "LOW-cardinality group keys. For a high-cardinality key use " +
+      "row_number()/sum() OVER (PARTITION BY group ORDER BY ...) instead " +
+      "(with many groups the window's per-group tasks are the parallelism " +
+      "and its state stays on the executors), or raise maxGroups knowingly."
+
   private[graft] def rankWithinGroups[T: ClassTag, K](rdd: RDD[T],
-      group: T => K): RDD[(T, Long, Long)] = {
+      group: T => K, maxGroups: Int = Int.MaxValue): RDD[(T, Long, Long)] = {
     val sc = rdd.sparkContext
+    val maxG = maxGroups
     val partCounts: Array[(Int, Seq[(K, Long)])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[K, Long]
-        it.foreach { t => val g = group(t); m.update(g, m.getOrElse(g, 0L) + 1L) }
+        it.foreach { t =>
+          val g = group(t)
+          m.update(g, m.getOrElse(g, 0L) + 1L)
+          // executor-side fail-fast: one partition over the bound proves the
+          // group key is high-cardinality BEFORE anything ships to the driver
+          if (m.size > maxG) throw new IllegalStateException(groupCardinalityMsg(maxG))
+        }
         Iterator.single((pid, m.toSeq))
       }.collect()
     val offsets = scala.collection.mutable.Map.empty[(Int, K), Long]
@@ -145,6 +180,9 @@ object ExactRank {
         totals.update(g, totals.getOrElse(g, 0L) + n)
       }
     }
+    // cross-partition total (each partition can be under the bound while the
+    // union is not — disjoint group ranges after a range partition)
+    if (totals.size > maxG) throw new IllegalStateException(groupCardinalityMsg(maxG))
     val bcOff = sc.broadcast(offsets.toMap)
     val bcTot = sc.broadcast(totals.toMap)
     rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -170,13 +208,16 @@ object ExactRank {
     * one (group → weight sum) row per partition collected to the driver.
     */
   private[graft] def prefixSumWithinGroups[T: ClassTag, K](rdd: RDD[T],
-      group: T => K, weight: T => Long): RDD[(T, Long, Long)] = {
+      group: T => K, weight: T => Long,
+      maxGroups: Int = Int.MaxValue): RDD[(T, Long, Long)] = {
     val sc = rdd.sparkContext
+    val maxG = maxGroups
     val partSums: Array[(Int, Seq[(K, Long)])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[K, Long]
         it.foreach { t =>
           val g = group(t); m.update(g, m.getOrElse(g, 0L) + weight(t))
+          if (m.size > maxG) throw new IllegalStateException(groupCardinalityMsg(maxG))
         }
         Iterator.single((pid, m.toSeq))
       }.collect()
@@ -188,6 +229,7 @@ object ExactRank {
         totals.update(g, totals.getOrElse(g, 0L) + w)
       }
     }
+    if (totals.size > maxG) throw new IllegalStateException(groupCardinalityMsg(maxG))
     val bcOff = sc.broadcast(offsets.toMap)
     val bcTot = sc.broadcast(totals.toMap)
     rdd.mapPartitionsWithIndex { (pid, it) =>

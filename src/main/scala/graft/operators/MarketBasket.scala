@@ -16,6 +16,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object MarketBasket {
 
+  /** The registered scale-invariant support fraction for
+    * [[fpgrowthRules]]: ceil(1e-4 · n_baskets) admits count 2 on the
+    * sf0.01 fixture (n = 14743 → 2), count 15 at sf0.1, count ~148 at the
+    * decade-audit corpus — the threshold scales with the data, which is
+    * what keeps the FP lattice (and the runtime) linear. The oracle twin
+    * computes the identical ceil in SQL.
+    */
+  val ScaleInvariantSupport: Double = 1.0e-4
+
   /** Distinct (basket, item) pairs from lineitem. */
   private[graft] def basketItems(lineitem: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey").as("basket"),
@@ -25,10 +34,31 @@ object MarketBasket {
     * rule engine): fit on the basket lists, emit the 1→1 rules with
     * MLlib's own metric arithmetic (confidence = pair/suppA, lift =
     * confidence / (suppB/N), support = pair/N — the oracle twin replicates
-    * these operand orders exactly). minSupport is set safely below 2/N so
-    * MLlib's ceil(minSupport·N) lands on a count of exactly 2.
+    * these operand orders exactly).
+    *
+    * Scale contract (the r10 decade audit's one superlinear row — 8.6×
+    * under 10× data — was this operator with a COUNT-anchored threshold):
+    * `minSupportFraction`, when supplied, is MLlib's minSupport verbatim —
+    * scale-invariant by construction. MLlib's admission count is
+    * ceil(fraction · n_baskets), so the threshold grows WITH the corpus
+    * and the frequent-pattern lattice stays the set of genuinely
+    * correlated itemsets instead of swallowing every pair that ever
+    * co-occurred twice (which is what the old fixed count-2 anchor
+    * degenerated to as data grew — linear-in-pairs lattice, the audit's
+    * superlinear row). The registered `fpgrowth_rules` query passes a
+    * fraction, and its oracle twin computes the same
+    * ceil(fraction · n) admission in SQL, so engine and oracle stay
+    * bit-identical at EVERY scale factor, not just the fixture's.
+    * (MLlib exposes no maxPatternLength; the fraction is the available —
+    * and the principled — bound. Longer itemsets above the fractional
+    * threshold are real signal, not waste.)
+    *
+    * The default `None` keeps the legacy count-2 anchor
+    * (minSupport = 1.5/n) for callers that want "every repeated pair" on
+    * a fixed small fixture.
     */
-  def fpgrowthRules(lineitem: DataFrame): DataFrame = {
+  def fpgrowthRules(lineitem: DataFrame,
+      minSupportFraction: Option[Double] = None): DataFrame = {
     import org.apache.spark.ml.fpm.FPGrowth
     val spark = lineitem.sparkSession
     // DISK_ONLY, not default storage: the distinct (basket, item) relation
@@ -52,8 +82,12 @@ object MarketBasket {
           StructField("confidence", DoubleType), StructField("lift", DoubleType),
           StructField("support", DoubleType))))
     }
+    minSupportFraction.foreach(f => require(f > 0 && f <= 1,
+      s"fpgrowthRules: minSupportFraction $f out of (0, 1]"))
     val model = new FPGrowth().setItemsCol("items")
-      .setMinSupport(1.5 / n).setMinConfidence(0.0).fit(baskets)
+      .setMinSupport(minSupportFraction.getOrElse(1.5 / n))
+      .setMinConfidence(0.0)
+      .fit(baskets)
     model.associationRules
       .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
       .select(col("antecedent")(0).as("antecedent"),

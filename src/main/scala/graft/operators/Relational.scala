@@ -675,9 +675,15 @@ object Relational {
     * noise here is SEEDED — inverse-CDF of a uniform derived from the
     * house md5-prefix hash of the cell key — which makes the release
     * deterministic and bit-replayable by the oracle: u = (h mod 10^6 +
-    * 0.5)/10^6 ∈ (0,1), noise = −b·sign(u−½)·ln(1−2|u−½|). (A
-    * production release would use a secret seed; the derivation is the
-    * operator, the seed choice is policy.) The noised value ships under
+    * 0.5)/10^6 ∈ (0,1), noise = −b·sign(u−½)·ln(1−2|u−½|).
+    *
+    * THIS ROW IS NOT A PRIVATE RELEASE — it is the verification artifact
+    * for the mechanism: the noise derives from the PUBLIC cell key (so
+    * anyone can invert it exactly) and `n_exact` ships alongside
+    * `noisy_e6`. The ε-DP guarantee attaches only to a production
+    * projection that (a) drops `n_exact` and (b) seeds the uniform from
+    * a secret — the Laplace derivation is the operator; the seed and the
+    * release projection are policy. The noised value ships under
     * the house e6 integer contract: both engines compute the same
     * IEEE-double ln/multiply chain, and the ×10^6 round absorbs any
     * last-ulp libm divergence (the token_drift precedent).

@@ -98,7 +98,9 @@ object TextAnalysis {
     * profiles converge with ~100 KB of text per language, so training
     * on the whole corpus buys nothing but cost — the localKMeans /
     * maxTrainVectors discipline; the sample must cover the label set,
-    * which is the caller's labeling contract) — ranked with
+    * a contract the scorer ENFORCES by failing fast on any document
+    * whose label has no trained profile, so an under-covering sample
+    * can never silently misclassify a whole language) — ranked with
     * [[ExactRank]] (full partition-width parallelism; a
     * `PARTITION BY lang` window would cap parallelism at |langs|) and
     * cut to `profileK`. The trained profiles (≤ `maxLangs` × `profileK`
@@ -150,7 +152,19 @@ object TextAnalysis {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val (langs, profs) = bc.value
+        val trained = langs.toSet
         it.map { case (id, label, text) =>
+          // the bounded training sample MUST cover the label set (scaladoc
+          // contract); a label with no trained profile would otherwise be
+          // silently misclassified for every one of its documents — fail
+          // fast in the scorer instead (no extra coverage job needed: the
+          // scoring scan already sees every label)
+          if (label != null && !trained.contains(label))
+            throw new IllegalStateException(
+              s"langIdNgram: document $id is labeled '$label' but no profile " +
+                s"was trained for it — the training sample (doc_id < $trainDocs) " +
+                "did not cover this language; raise trainDocs or relabel so " +
+                "every language appears in the training sample")
           val t = if (text == null) "" else text
           val cnt = scala.collection.mutable.HashMap.empty[String, Long]
           var n = 2

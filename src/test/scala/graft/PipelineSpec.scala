@@ -2052,6 +2052,40 @@ class PipelineSpec extends AnyFunSuite {
       ExactRank.exactRank(df, Seq("grp"), Seq.empty))
   }
 
+  test("exactRank fails fast when group cardinality exceeds maxGroups") {
+    import spark.implicits._
+    // a HIGH-cardinality group key (id itself: 2000 groups) — the
+    // degenerate use the operator exists to refuse: driver/broadcast
+    // state is O(partitions x groups), so past maxGroups the caller must
+    // use the per-group window instead (the error says so)
+    val df = (1L to 2000L).map(i => (i, i.toDouble)).toDF("id", "value")
+    def fullMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // DRIVER-side total check: ~62 groups per partition stays under the
+    // bound in every executor, the cross-partition union does not
+    val exDriver = intercept[Exception](
+      ExactRank.exactRank(df, Seq("id"), Seq("value"), maxGroups = 100))
+    assert(fullMsg(exDriver).contains("maxGroups") &&
+      fullMsg(exDriver).contains("PARTITION BY"),
+      s"guard message should name the bound and the window fallback: ${fullMsg(exDriver)}")
+    // EXECUTOR-side check: one partition alone exceeds the bound, so the
+    // failure happens before anything ships to the driver
+    val exExec = intercept[Exception](
+      ExactRank.exactRank(df, Seq("id"), Seq("value"), maxGroups = 10))
+    assert(fullMsg(exExec).contains("maxGroups"), fullMsg(exExec))
+    // under the bound, the same frame ranks fine
+    assert(ExactRank.exactRank(df, Seq("id"), Seq("value"),
+      maxGroups = 4096).count() == 2000L)
+    // weighted sibling enforces the same contract
+    intercept[Exception] {
+      ExactRank.exactPrefixSum(
+        df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        Seq("id"), Seq("value"), "w",
+        maxGroups = 100).collect()
+    }
+  }
+
   test("winsorize clamps exactly at the rank-convention percentiles") {
     import spark.implicits._
     // values 1..100 in one group: P5 = value at rank ceil(100*5/100)=5,
