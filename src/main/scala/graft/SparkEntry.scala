@@ -870,6 +870,23 @@ object SparkEntry {
     // 64 rounds of pair-count argmax + greedy merge, induced driver-local
     // over the bounded word-type relation in ONE distributed pass
     "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"))),
+    // VOCABULARY-scale induction, exact-parity leg: the documents corpus
+    // has 31 word types (exhausts at 89 merges), so the scale proof runs
+    // on the partkey vocabulary (2000 numeric word types, exhaustion
+    // ~1990) — 256 rounds, right under DuckDB's ~300-round CTE-chain
+    // binder ceiling, every rule hash-checked against the unrolled chain
+    "bpe_train_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(
+        t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("text")),
+        merges = BpeVocabRounds)),
+    // the REAL-tokenizer merge count (1024), same 1-job induction; the
+    // oracle is structural (n_rules + a single-round-exact first_cnt
+    // anchor + the BPE invariants) because no SQL engine can unroll a
+    // 1024-round dependent chain — see bpeTrainSummary's contract
+    "bpe_train_1k" -> ((s, dir) =>
+      TextAnalysis.bpeTrainSummary(
+        t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("text")),
+        merges = 1024)),
     // the induction→application composition: bpe_train's 64 learned
     // rules feed the greedy encoder over the same word model — the
     // trained-tokenizer budget a real pipeline runs
@@ -1196,6 +1213,22 @@ object SparkEntry {
     }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    // image-modality near-dup: dHash through the REAL ImageIO decode
+    // seam (PNG-lossless, so the oracle replays the byte math exactly),
+    // candidates via the same chunk-blocked Hamming band join as simhash.
+    // The corpus's near-dups are token-level (shifted positions), which a
+    // POSITIONAL perceptual hash rightly does not pair — so the fixture
+    // appends a deterministic first-char-perturbed twin per 50th doc
+    // (the nfc_normalize synthesis discipline): each twin must land
+    // within a few gradient bits of its source, exercising the band join
+    // and the Hamming filter on genuinely near (not just identical) images
+    "phash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("~"), expr("substring(text, 2)")).as("text"))
+      Multimodal.phashPairs(docs.unionByName(twins))
+    }),
     // ---- similarity search over embeddings -------------------------------
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
     // embedding-cosine near-dup, end-to-end: pair detection by cosine
@@ -1610,6 +1643,14 @@ object SparkEntry {
     */
   private val BpeOracleRounds = 64
 
+  /** Rounds the vocabulary-scale twin unrolls: the largest chain
+    * DuckDB's binder accepts is ~300 dependent CTE rounds (max
+    * expression depth 1000, ~3 per round), so the exact-parity leg runs
+    * at 256 and the 1024-merge leg (`bpe_train_1k`) verifies
+    * structurally.
+    */
+  private val BpeVocabRounds = 256
+
   /** The unrolled BPE-training CTE chain: word-type relation → `rounds`
     * rounds of (pair-count p_i, argmax b_i, greedy-merge e_{i+1}) over
     * the space-encoded form. Shared by bpe_train (emits the b_i rules)
@@ -1637,6 +1678,51 @@ object SparkEntry {
       |e0 AS MATERIALIZED (SELECT word, freq,
       |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM w)""".stripMargin +
       (0 until rounds).map(round).mkString
+  }
+
+  /** The partkey word-type head (shared by both vocabulary-scale BPE
+    * oracles): each lineitem row contributes its partkey string as one
+    * word occurrence — the exact relation the engine trains on.
+    */
+  private val bpeVocabWordsCte =
+    // NOT s-interpolated, so \1 below is already the literal backslash-1
+    // the DuckDB replacement needs (the s"" interpolator would require \\1)
+    """WITH w AS MATERIALIZED (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS word, count(*) AS freq
+      |  FROM lineitem GROUP BY 1),
+      |e0 AS MATERIALIZED (SELECT word, freq,
+      |  regexp_replace(word, '(?s)(.)', ' \1 ', 'g') AS enc FROM w)""".stripMargin
+
+  /** [[bpeTrainOracleChain]] over the partkey vocabulary with the final
+    * rule union BATCHED through intermediate CTEs (64 per batch): a flat
+    * 256-way UNION ALL parses as a left-deep tree and trips DuckDB's
+    * max-expression-depth on its own, independent of the CTE chain.
+    */
+  private def bpeVocabOracleSql(rounds: Int): String = {
+    def round(i: Int) = s""",
+      |p$i AS MATERIALIZED (
+      |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
+      |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
+      |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
+      |  GROUP BY 1, 2),
+      |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      |e${i + 1} AS MATERIALIZED (SELECT word, freq,
+      |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+      |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
+      |  FROM e$i)""".stripMargin
+    val batchSize = 64
+    val starts = 0 until rounds by batchSize
+    val batches = starts.map { s =>
+      val u = (s until math.min(s + batchSize, rounds)).map { i =>
+        s"SELECT CAST(${i + 1} AS INT) AS round, a AS sym_a, b AS sym_b, " +
+          s"CAST(cnt AS BIGINT) AS cnt FROM b$i"
+      }.mkString(" UNION ALL ")
+      s",\nu${s / batchSize} AS MATERIALIZED ($u)"
+    }.mkString
+    val finalSel = starts.indices
+      .map(j => s"SELECT * FROM u$j").mkString(" UNION ALL ")
+    bpeVocabWordsCte + (0 until rounds).map(round).mkString + batches +
+      s"\nSELECT * FROM ($finalSel) ORDER BY round"
   }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
@@ -1719,6 +1805,43 @@ object SparkEntry {
   /** Generated SQL for the 64-bit SimHash fingerprint (mirrors
     * Dedup.simhash's ascii-decoded md5 nibble bits exactly).
     */
+  /** Oracle twin of `Multimodal.phashFingerprints`: the engine's hash
+    * reads PNG-decoded raster samples, but PNG grayscale is lossless, so
+    * the decoded pixel IS the synthesized byte — replayed here as
+    * positional text bytes (pixel k = byte at the downsampled position
+    * k·len/72, integer floor on both sides). Bit y·8+x of the 64-bit
+    * dHash is pixel(x+1,y) > pixel(x,y); chunks c0..c3 are 16-bit slices.
+    */
+  private lazy val phashFpCte: String = {
+    val n = Multimodal.PhashPixels
+    val hw = Multimodal.HashW
+    val pxCols = (0 until n).map(k =>
+      s"ascii(substr(text, 1 + (($k * length(text)) // $n), 1)) AS p$k")
+      .mkString(",\n    ")
+    def chunk(j: Int) = (0 until 16).map { b =>
+      val k = j * 16 + b
+      val y = k / (hw - 1)
+      val x = k % (hw - 1)
+      s"(CASE WHEN p${y * hw + x + 1} > p${y * hw + x} THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkCols = (0 until 4).map(j =>
+      s"CAST(${chunk(j)} AS BIGINT) AS c$j").mkString(",\n    ")
+    s"""WITH imgs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, '~' || substr(text, 2)
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), px AS (
+      |  SELECT doc_id,
+      |    $pxCols
+      |  FROM imgs
+      |), fp AS (
+      |  SELECT doc_id,
+      |    $chunkCols
+      |  FROM px
+      |)""".stripMargin
+  }
+
   private val simhashFpCte: String = {
     val hvs = (1 to 16).map { nib =>
       s"(ascii(substr(m, $nib, 1)) - CASE WHEN ascii(substr(m, $nib, 1)) >= 97 THEN 87 ELSE 48 END) AS hv$nib"
@@ -2950,6 +3073,25 @@ object SparkEntry {
             s"UNION ALL SELECT ${i + 1}, a, b, CAST(cnt AS BIGINT) FROM b$i"
         }.mkString("\n") + "\nORDER BY round"
     },
+    // the vocabulary-scale exact-parity leg: 256 unrolled rounds over the
+    // partkey word types, rules hash-checked one by one
+    "bpe_train_vocab" -> bpeVocabOracleSql(BpeVocabRounds),
+    // structural contract for the 1024-merge leg: n_rules literal (the
+    // partkey vocabulary exhausts at ~1990, so all 1024 rounds must
+    // produce a rule), first_cnt recomputed EXACTLY with one unchained
+    // round, invariants as literal TRUE (bpeTrainSummary's contract)
+    "bpe_train_1k" ->
+      (bpeVocabWordsCte +
+        """,
+        |p0 AS (
+        |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
+        |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
+        |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e0))
+        |  GROUP BY 1, 2)
+        |SELECT CAST(1024 AS BIGINT) AS n_rules,
+        |  (SELECT CAST(max(cnt) AS BIGINT) FROM p0) AS first_cnt,
+        |  TRUE AS rounds_contiguous, TRUE AS counts_nonincreasing,
+        |  TRUE AS merges_distinct""".stripMargin),
     // the composed tokenizer: the SAME 64-round training chain, then the
     // final word-type encoding (e64) applied back to every document's
     // regex words — per-doc word/char/BPE-token budgets under the
@@ -3805,6 +3947,22 @@ object SparkEntry {
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->
       (simhashFpCte +
+        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
+        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
+        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3))
+        |SELECT doc_id AS doc_a, doc_b,
+        |  CAST(bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+        |     + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+        |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // same banded-candidate replay as simhash_pairs over the dHash
+    // fingerprint CTE (PNG-lossless decode = byte math, see phashFpCte)
+    "phash_pairs" ->
+      (phashFpCte +
         """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
         |cand AS (
         |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3

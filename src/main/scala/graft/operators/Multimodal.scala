@@ -539,4 +539,89 @@ object Multimodal {
         md5(substring(col("text"), 1, 64).cast("binary")).as("head_sig"))
       .orderBy(col("doc_id"))
   }
+
+  /** dHash geometry: a 9×8 grayscale thumbnail yields 8 horizontal
+    * gradient comparisons per row × 8 rows = a 64-bit fingerprint.
+    * Public: the oracle twin derives its pixel/bit layout from these. */
+  val HashW = 9
+  val HashH = 8
+
+  /** Pixels per thumbnail (the downsample denominator on both engines). */
+  val PhashPixels: Int = HashW * HashH
+
+  /** 64-bit difference-hash (dHash — the public perceptual-hash family:
+    * downscale, then hash the GRADIENT signs, so the fingerprint survives
+    * re-encoding/brightness shifts that byte hashing never would) image
+    * fingerprints, computed through the REAL `javax.imageio` codec:
+    * each document's payload is rendered as a [[HashW]]×[[HashH]]
+    * grayscale PNG (pixel k samples the text byte at the downsampled
+    * position `k·len/72` — the resize step of a real pHash pipeline,
+    * applied to the text-as-image payload the way [[imageRoundTrip]]
+    * synthesizes its fixtures), PNG-encoded, DECODED back via ImageIO,
+    * and hashed from the DECODED raster — the hash provably runs on
+    * codec output (PNG grayscale is lossless, which is what lets an SQL
+    * oracle replay the byte math bit-for-bit while the engine exercises
+    * the real decode path). Bit y·8+x is set iff pixel(x+1,y) >
+    * pixel(x,y); the 64 bits ship as 4×16-bit chunk columns c0..c3 —
+    * [[graft.operators.Dedup.pairsFromSimhash]]'s fingerprint layout, so
+    * image near-dup reuses the exact chunk-blocked Hamming band join
+    * (equi-join on a shared 16-bit chunk, never all-pairs) that text
+    * SimHash dedup runs at scale.
+    *
+    * Corpus contract: single-byte (ASCII) text, non-empty — the same
+    * char-positional parity contract as [[mediaEmbedding]]/langIdNgram.
+    */
+  def phashFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (hw, hh) = (HashW, HashH)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val n = hw * hh
+          val img = new java.awt.image.BufferedImage(hw, hh,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var k = 0
+          while (k < n) {
+            // downsample across the WHOLE payload (integer floor, exact
+            // in the oracle): position k*len/72 of the text
+            val v = if (t.isEmpty) 0
+              else t.charAt(math.min(k * t.length / n, t.length - 1)) & 0xff
+            r.setSample(k % hw, k / hw, 0, v)
+            k += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          // REAL decode: the hash reads the codec's raster, not our bytes
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          val dr = dec.getRaster
+          var bits = 0L
+          var y = 0
+          while (y < hh) {
+            var x = 0
+            while (x < hw - 1) {
+              if (dr.getSample(x + 1, y, 0) > dr.getSample(x, y, 0))
+                bits |= 1L << (y * (hw - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, bits & 0xffffL, (bits >>> 16) & 0xffffL,
+            (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+        }
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** Image near-dup pairs over [[phashFingerprints]] — dedup's missing
+    * modality leg: the SAME chunk-blocked Hamming candidate join as text
+    * SimHash ([[graft.operators.Dedup.pairsFromSimhash]] verbatim —
+    * the dedup family is generator-agnostic, this plugs a perceptual
+    * image fingerprint into it). Emits (doc_a, doc_b, hamming) for pairs
+    * within `maxHamming` of 64 bits that share at least one 16-bit chunk.
+    */
+  def phashPairs(documents: DataFrame, maxHamming: Int = 12): DataFrame =
+    Dedup.pairsFromSimhash(phashFingerprints(documents), maxHamming)
 }

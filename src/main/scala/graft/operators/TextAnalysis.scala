@@ -1517,6 +1517,45 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** Vocabulary-scale BPE induction CONTRACT row — the structural-oracle
+    * form (`ann_ivf_trained` pattern) that lets the hash gate check a
+    * merge count DuckDB cannot unroll (its binder caps a CTE dependency
+    * chain near ~300 rounds; the exact-parity twin `bpe_train_vocab`
+    * runs right below that at 256, this runs the real-tokenizer scale
+    * above it). One row:
+    *  - `n_rules` — exact: the corpus must support all `merges` rounds;
+    *  - `first_cnt` — exact anchor: round 1's argmax pair count, which
+    *    the oracle recomputes with a single (unchained) round;
+    *  - `rounds_contiguous` — rules numbered 1..n with no gap;
+    *  - `counts_nonincreasing` — the BPE invariant that the adopted
+    *    count never grows round-over-round (a merge only removes
+    *    occurrences of existing pairs, and any NEW pair (x, ab) it
+    *    creates has count ≤ count(ab) = this round's max);
+    *  - `merges_distinct` — no (sym_a, sym_b) pair is ever adopted
+    *    twice (once merged, the adjacency cannot re-arise).
+    * A broken induction loop flips a boolean (or shifts first_cnt) and
+    * fails the gate. Same 1-job + driver-local shape as
+    * [[bpeTrainRules]] — the job-count spec covers this entry point at
+    * the full merge count.
+    */
+  def bpeTrainSummary(documents: DataFrame, merges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rules = bpeTrainRules(documents, merges)
+    val nonIncreasing = rules.iterator.sliding(2).withPartial(false).forall {
+      case Seq((_, _, _, c1), (_, _, _, c2)) => c2 <= c1
+    }
+    val contiguous = rules.map(_._1) == (1 to rules.length)
+    // '|' never appears in a symbol ([a-z0-9] alphabet), so the joined
+    // key is collision-free pair identity
+    val distinctPairs =
+      rules.map(t => t._2 + "|" + t._3).distinct.length == rules.length
+    val firstCnt = rules.headOption.map(_._4).getOrElse(0L)
+    Seq((rules.length.toLong, firstCnt, contiguous, nonIncreasing, distinctPairs))
+      .toDF("n_rules", "first_cnt", "rounds_contiguous",
+        "counts_nonincreasing", "merges_distinct")
+  }
+
   /** The induction→application COMPOSITION a real tokenizer pipeline
     * runs: [[bpeTrainRules]]' learned merge table (driver-local, one
     * distributed pass) feeds a [[bpeEncode]]-semantics greedy encoder

@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("phash_pairs candidates ride the chunk band equi-join") {
+    // image near-dup reuses simhash's chunk-blocked Hamming banding: the
+    // candidate join must stay an equi-join on (chunk_idx, chunk_value);
+    // a nested loop would be the all-pairs O(n²) the bands exist to avoid
+    try {
+      val p = planOf("phash_pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"phash_pairs fell back to a non-equi join:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("fuzzy_pairs plans equi-joins only, never a cross product") {
     // the PassJoin segment keys exist precisely so the fuzzy match is an
     // equi-join; a nested loop would be the all-pairs O(n²) it avoids
