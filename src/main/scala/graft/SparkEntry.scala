@@ -908,6 +908,10 @@ object SparkEntry {
     // oracle replays the estimates EXACTLY, collisions included)
     "cms_heavy" -> ((s, dir) =>
       Sketches.cmsHeavyEstimates(t(s, dir, "lineitem"))),
+    // the production xxhash64 hash path (measured 4x counter build vs
+    // md5); structural oracle since DuckDB cannot replay xxhash64
+    "cms_heavy_fast" -> ((s, dir) =>
+      Sketches.cmsHeavyEstimatesFast(t(s, dir, "lineitem"))),
     // mergeable-sketch discipline, cardinality side: per-shard
     // DataSketches HLL union == one-shot sketch (structural oracle —
     // the merge-transparency contract a persisted-sketch layout serves)
@@ -926,6 +930,25 @@ object SparkEntry {
         Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
         "graft_hll_shards", "shard", 4)
       Sketches.hllServe(s.table("graft_hll_shards"), li)
+    }),
+    // the COMPACTION verb on the sketch-table lifecycle: build + append
+    // leave one file-set per generation; OPTIMIZE-style bin-packing
+    // rewrites them to ONE file per bucket (TableSink.compactBucketed),
+    // and the post-compaction serve must be bit-identical to the
+    // pre-compaction one — same output contract/oracle as hll_sharded.
+    // The file-count drop and serve parity are spec-pinned in
+    // TableSinkSpec; this row proves the compacted table still serves.
+    "hll_compacted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.sources.TableSink.writeBucketed(
+        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 1)),
+        "graft_hll_compact", "shard", 4)
+      graft.sources.TableSink.appendBucketed(
+        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
+        "graft_hll_compact", "shard", 4)
+      graft.sources.TableSink.compactBucketed(s, "graft_hll_compact",
+        "shard", 4)
+      Sketches.hllServe(s.table("graft_hll_compact"), li)
     }),
     // 2-D Pareto frontier via mergeable per-partition frontiers (linear
     // scans, frontier-sized merge task; exact-cents dominance)
@@ -2370,6 +2393,16 @@ object SparkEntry {
         |FROM est e CROSS JOIN tot t
         |ORDER BY e.exact_cnt DESC, l_partkey""".stripMargin
     },
+    // xxhash64 isn't replayable in DuckDB: top-k keys/counts are
+    // oracle-exact, the sketch-quality checks are structural booleans
+    // (est_ge_exact is the CMS no-undercount theorem; within_bound the
+    // deterministic e/w*N check the md5 twin carries as data)
+    "cms_heavy_fast" ->
+      """SELECT l_partkey, exact_cnt,
+        |  TRUE AS est_ge_exact, TRUE AS within_bound
+        |FROM (SELECT l_partkey, count(*) AS exact_cnt
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY exact_cnt DESC, l_partkey LIMIT 20""".stripMargin,
     // DataSketches estimates aren't SQL-expressible: n_exact is
     // oracle-exact, the merge-transparency invariants are structural
     "hll_sharded" ->
@@ -2379,6 +2412,11 @@ object SparkEntry {
     // the persisted+appended serve must satisfy the same contract as
     // the in-flight union — same oracle text
     "hll_persisted" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
+        |FROM lineitem""".stripMargin,
+    // compaction must be invisible to the serve — same oracle text again
+    "hll_compacted" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
         |FROM lineitem""".stripMargin,

@@ -162,6 +162,53 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("l_partkey"))
   }
 
+  /** [[cmsHeavyEstimates]]' PRODUCTION hash path — the measured-4×
+    * variant the md5 scaladoc note promises (`bucketOf`: counter build
+    * 1.5 s md5 vs 0.34 s xxhash64 at sf0.1): bucket =
+    * `pmod(xxhash64(seed, key), width)`, one codegen'd 64-bit hash per
+    * (item, seed) instead of a 128-bit digest + hex-slice + base-16
+    * parse. Everything downstream — the d·w mergeable counter relation,
+    * the broadcast probe, the min-over-seeds estimate — is hash-agnostic
+    * and identical.
+    *
+    * DuckDB cannot replay Spark's xxhash64, so this row's oracle is
+    * STRUCTURAL (the ann_ivf_trained pattern): `l_partkey`/`exact_cnt`
+    * (the true top-k) are oracle-exact; the sketch quality ships as two
+    * booleans — `est_ge_exact`, which is the CMS theorem (every
+    * occurrence of a key lands in its own bucket, so a bucket count can
+    * never undercount — a FALSE here means the bucketing itself broke)
+    * and `within_bound`, the same deterministic e/w·N Cormode–
+    * Muthukrishnan check the exact-parity twin carries as data. The md5
+    * twin keeps the bit-exact oracle; this is the knob a 100 TB deploy
+    * turns.
+    */
+  def cmsHeavyEstimatesFast(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_partkey").as("key"))
+    val exact = items.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+    val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
+    val topk = exact.orderBy(col("exact_cnt").desc, col("key")).limit(k)
+    val seeds = (0 until CmsDepth).map(lit(_))
+    def bucket = pmod(xxhash64(col("seed"), col("key")), lit(CmsWidth.toLong))
+    val counters = items
+      .select(col("key"), explode(array(seeds: _*)).as("seed"))
+      .select(col("seed"), bucket.as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = topk
+      .select(col("key"), col("exact_cnt"), explode(array(seeds: _*)).as("seed"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(counters), Seq("seed", "bucket"))
+      .groupBy(col("key"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+    probes.crossJoin(broadcast(total))
+      .select(col("key").as("l_partkey"), col("exact_cnt"),
+        (col("cms_est") >= col("exact_cnt")).as("est_ge_exact"),
+        (col("cms_est") <= col("exact_cnt") +
+          ceil(lit(math.E / CmsWidth) * col("n_total")))
+          .as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+  }
+
   /** Bucket for seed s = digest hex window [8s+1, 8s+8] of the row's
     * precomputed `h`, mod width — shared verbatim with the oracle.
     *

@@ -76,6 +76,57 @@ object TableSink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** OPTIMIZE-style compaction of a bucketed table: every
+    * [[appendBucketed]] generation adds one file set per bucket, so a
+    * long-lived ingest table accumulates small files until scan task
+    * count (and open-file overhead) is generation-bound instead of
+    * data-bound — the classic small-file problem every 100 TB lake table
+    * hits. This verb rewrites ALL generations into exactly ONE file per
+    * bucket and swaps the result in atomically at the catalog level:
+    *
+    *  1. read the table and `repartition(nBuckets, bucketCol)` — Spark's
+    *     bucket id function IS the repartition hash (pmod(murmur3, n)),
+    *     so each shuffle partition holds exactly one bucket's rows and
+    *     the bucketed write emits ONE file per bucket (without the
+    *     alignment, every task writes a file for every bucket it sees —
+    *     the very fragmentation being compacted);
+    *  2. write it as a fresh bucketed table under a scratch name (same
+    *     bucket spec — co-located join plans are unchanged);
+    *  3. DROP the original and ALTER TABLE RENAME the scratch into its
+    *     name — a metadata swap, so readers never see a half-compacted
+    *     table (they see the old generations or the compacted set,
+    *     nothing in between).
+    *
+    * Cost: one full read + one bucket-aligned shuffle + one write —
+    * O(|table|), amortized across the generations it absorbs; serving
+    * reads after compaction are bit-identical (spec-pinned in
+    * TableSinkSpec) because bucket membership and per-file sort follow
+    * the same spec the generations already satisfied.
+    */
+  def compactBucketed(spark: SparkSession, table: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 1, "compactBucketed: nBuckets must be >= 1")
+    val parts = table.split('.')
+    val quoted = parts.map(p => s"`$p`").mkString(".")
+    val scratch = (parts.dropRight(1) :+ (parts.last + "_compacting"))
+      .mkString(".")
+    val scratchQuoted = scratch.split('.').map(p => s"`$p`").mkString(".")
+    // read the generations as PLAIN parquet (inputFiles), not through the
+    // bucketed-table scan: the scan advertises HashPartitioning and the
+    // planner then elides the repartition — but its file-group partitions
+    // mix buckets across generations, so the "aligned" write fragments
+    // (observed: 9 files for 4 buckets). A plain file read has no claimed
+    // partitioning, the repartition genuinely shuffles, and task i holds
+    // exactly bucket i.
+    val src = spark.table(table)
+    val aligned = spark.read.schema(src.schema)
+      .parquet(src.inputFiles.toIndexedSeq: _*)
+      .repartition(nBuckets, col(bucketCol))
+    writeBucketed(aligned, scratch, bucketCol, nBuckets)
+    spark.sql(s"DROP TABLE $quoted")
+    spark.sql(s"ALTER TABLE $scratchQuoted RENAME TO $quoted")
+  }
+
   /** Morton (Z-order) key over numeric columns: each value maps to a
     * `bits`-bit bucket by linear min-max scaling, and the buckets' bits
     * interleave into one long. Rows close in z-value are close in EVERY

@@ -65,6 +65,50 @@ class TableSinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compactBucketed packs generations to one file per bucket, serve unchanged") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // three generations: build + two appends — each adds its own file set
+    TableSink.writeBucketed(li.filter(col("l_orderkey") % 3 === 0),
+      "compact_t", "l_orderkey", 4)
+    TableSink.appendBucketed(li.filter(col("l_orderkey") % 3 === 1),
+      "compact_t", "l_orderkey", 4)
+    TableSink.appendBucketed(li.filter(col("l_orderkey") % 3 === 2),
+      "compact_t", "l_orderkey", 4)
+    def dataFiles(): Seq[String] = {
+      val loc = new java.net.URI(spark.sql("DESCRIBE EXTENDED compact_t")
+        .filter(col("col_name") === "Location").head.getString(1)).getPath
+      new java.io.File(loc).listFiles.toSeq.map(_.getName)
+        .filter(_.endsWith(".parquet"))
+    }
+    val before = spark.table("compact_t").collect().toSet
+    val filesBefore = dataFiles().size
+    assert(filesBefore > 4, s"fixture must be fragmented, got $filesBefore files")
+    TableSink.compactBucketed(spark, "compact_t", "l_orderkey", 4)
+    // ONE file per bucket: the repartition aligns shuffle partitions with
+    // bucket ids, so compaction's write cannot re-fragment
+    val filesAfter = dataFiles().size
+    assert(filesAfter == 4, s"expected 4 post-compaction files, got $filesAfter")
+    // serve parity: bit-identical rows
+    assert(spark.table("compact_t").collect().toSet == before,
+      "compaction changed the served rows")
+    // bucket metadata survives the catalog swap: the co-located join the
+    // layout exists for must still plan without an exchange on this side
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    TableSink.writeBucketed(o, "compact_o", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("compact_t")
+        .join(spark.table("compact_o"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"compacted table lost its bucketed layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("persisted IVF index serves bucket-aligned, identical to in-flight") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
