@@ -799,16 +799,22 @@ object SparkEntry {
     // parallelizes across files — and the result equals the batch twin
     // bit-for-bit: same oracle text as interval_join.
     "interval_join_stream" -> ((s, dir) => withStreamStage("graft_ij_stream") { stage =>
-      // each side staged pre-filtered into its own directory: a stream's
-      // source filter does not prune the file scan (the source reads the
-      // whole directory, the filter runs post-read), so splitting at
-      // stage time is the streaming analogue of partition pruning
-      val ev = eventsTable(s, dir)
-      Seq("click", "purchase").foreach(tpe =>
-        ev.filter(col("event_type") === tpe)
-          .write.mode("overwrite").parquet(s"$stage/$tpe"))
+      // each side staged into its own directory: a stream's source filter
+      // does not prune the file scan (the source reads the whole
+      // directory, the filter runs post-read), so splitting at stage time
+      // is the streaming analogue of partition pruning. ONE partitionBy
+      // write, not two filtered writes — the events relation is scanned
+      // once however many sides there are (at 100 TB the staging scan IS
+      // the cost; r11 floor decomposition in BENCH_NOTES). Each side then
+      // streams its partition directory, restoring the path-encoded
+      // partition column as a literal (the streaming source runs no
+      // partition discovery under a user schema).
+      eventsTable(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(stage)
       def side(tpe: String) = graft.streaming.StreamingOps
-        .eventsStreamNormalized(s, s"$stage/$tpe")
+        .eventsStreamNormalized(s, s"$stage/event_type=$tpe",
+          constEventType = tpe)
       val joined = graft.streaming.StreamingOps.joinStreams(
         side("click"), side("purchase"))
       val sink = "interval_join_stream_sink"
@@ -831,12 +837,13 @@ object SparkEntry {
     // (the oracle encodes the W − window cutoff — the part a batch
     // left join gets wrong about a live stream)
     "interval_join_stream_outer" -> ((s, dir) => withStreamStage("graft_ijo_stream") { stage =>
-      val ev = eventsTable(s, dir)
-      Seq("click", "purchase").foreach(tpe =>
-        ev.filter(col("event_type") === tpe)
-          .write.mode("overwrite").parquet(s"$stage/$tpe"))
+      // same one-scan partitionBy staging as interval_join_stream
+      eventsTable(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(stage)
       def side(tpe: String) = graft.streaming.StreamingOps
-        .eventsStreamNormalized(s, s"$stage/$tpe")
+        .eventsStreamNormalized(s, s"$stage/event_type=$tpe",
+          constEventType = tpe)
       val joined = graft.streaming.StreamingOps.joinStreamsLeftOuter(
         side("click"), side("purchase"))
       val sink = "interval_join_stream_outer_sink"

@@ -56,12 +56,24 @@ object StreamingOps {
     * stream and the batch query share one timestamp convention.
     */
   def eventsStreamNormalized(spark: SparkSession, eventsDir: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
-    val r = spark.readStream.schema(StructType(eventsSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
-    (if (maxFilesPerTrigger > 0)
-       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
-     else r).parquet(eventsDir)
+      maxFilesPerTrigger: Int = 0, constEventType: String = ""): DataFrame = {
+    // constEventType: when eventsDir is one partition directory of a
+    // partitionBy("event_type") layout, the column was factored into the
+    // PATH — the files do not carry it (and the streaming source does not
+    // run partition discovery under a user schema), so it is read OUT of
+    // the file schema and restored as the literal the path encodes
+    val normalized = eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f)
+    val fields =
+      if (constEventType.nonEmpty) normalized.filterNot(_.name == "event_type")
+      else normalized
+    val r = spark.readStream.schema(StructType(fields))
+    val df = (if (maxFilesPerTrigger > 0)
+        r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else r).parquet(eventsDir)
+    if (constEventType.nonEmpty)
+      df.withColumn("event_type", lit(constEventType))
+    else df
   }
 
   /** Watermarked hourly tumbling counts — streaming twin of
