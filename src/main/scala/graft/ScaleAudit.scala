@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * scan→shuffle path as the bench, then each named query is timed with
   * Bench's min-of-2 + GC discipline at sf0.1 and at the replicated dir.
   * Usage: `runMain graft.ScaleAudit [query...]` (default: the head set).
+  *
+  * SECOND NOTCH: `runMain graft.ScaleAudit x100 [query...]` replicates
+  * the x10 corpus ANOTHER 10× (sf1 × 10 ≈ sf10-equivalent — 100× the
+  * bench SF) into SPARK_GRAFT_X100_DIR (default /tmp/graft_sf10) with a
+  * second disjoint key-shift decade (shift unit 2⁴⁴ / 10⁸ / 10⁷, all
+  * strictly above the first decade's ranges), and times x10 vs x100 —
+  * the ratio column reads ~10× for a linear operator exactly like the
+  * first notch.
   */
 object ScaleAudit {
 
@@ -27,8 +35,19 @@ object ScaleAudit {
     "dedup_keep", "dedup_clusters", "ngram_jaccard", "page_rank",
     "triangle_count", "assoc_rules", "fpgrowth_rules", "link_rank")
 
+  /** The x100 head set: the 5 most expensive scale-audited operators
+    * (VERDICT r10 item 9) + the re-bounded fpgrowth_rules.
+    */
+  private val X100Heads = Seq("cooccur_counts", "dedup_clusters",
+    "page_rank", "assoc_rules", "entity_clusters", "fpgrowth_rules")
+
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else Heads
+    val x100 = args.headOption.contains("x100")
+    val rest = if (x100) args.drop(1).toSeq else args.toSeq
+    val names =
+      if (rest.nonEmpty) rest
+      else if (x100) X100Heads
+      else Heads
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sf1")
@@ -44,46 +63,59 @@ object ScaleAudit {
 
     // _SUCCESS, not bare directory existence: a killed prior replication
     // leaves a partial directory that would silently time a truncated
-    // "x10" corpus
-    def missing(t: String) =
-      !new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
-    if (missing("lineitem")) {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      (0 until 10).map { i =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * (1L << 40)))
-          .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * (1L << 40)))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // replicated corpus
+    def missingIn(dir: String)(t: String) =
+      !new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()
+    // One replication decade src → dst: 10 shifted replicas per table,
+    // each decade's shift units strictly above the previous decade's key
+    // ranges so replicas never collide across notches.
+    def replicateDecade(srcDir: String, dstDir: String, orderShift: Long,
+        docShift: Long, userShift: Long): Unit = {
+      val missing = missingIn(dstDir) _
+      if (missing("lineitem")) {
+        val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+        (0 until 10).map { i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * orderShift))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * orderShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/lineitem.parquet")
+      }
+      if (missing("documents")) {
+        val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        def rot(i: Int) = { val v = "aeiou"; val k = i % 5; v.drop(k) + v.take(k) }
+        (0 until 10).map { i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * docShift))
+            .withColumn("text", translate(col("text"), "aeiou", rot(i)))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+      }
+      // events: 10× more users, event-time span preserved (replicas are
+      // new user populations, not a longer history — state-size growth,
+      // which is what stateful/fold operators must survive)
+      if (missing("events")) {
+        val ev = spark.read.parquet(s"$srcDir/events.parquet")
+        (0 until 10).map { i =>
+          ev.withColumn("event_id", col("event_id") + lit(i.toLong * orderShift))
+            .withColumn("user_id", col("user_id") + lit(i.toLong * userShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+      }
+      // orders: 10× more customers AND orders (frontier/agg families)
+      if (missing("orders")) {
+        val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+        (0 until 10).map { i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * orderShift))
+            .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * userShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
+      }
     }
-    if (missing("documents")) {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      def rot(i: Int) = { val v = "aeiou"; val k = i % 5; v.drop(k) + v.take(k) }
-      (0 until 10).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-          .withColumn("text", translate(col("text"), "aeiou", rot(i)))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    }
-    // events: 10× more users, event-time span preserved (replicas are
-    // new user populations, not a longer history — state-size growth,
-    // which is what stateful/fold operators must survive)
-    if (missing("events")) {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      (0 until 10).map { i =>
-        ev.withColumn("event_id", col("event_id") + lit(i.toLong * (1L << 40)))
-          .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    }
-    // orders: 10× more customers AND orders (frontier/agg families)
-    if (missing("orders")) {
-      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-      (0 until 10).map { i =>
-        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * (1L << 40)))
-          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 1000000L))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    }
+    val out100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sf10")
+    replicateDecade(sfDir, outDir,
+      orderShift = 1L << 40, docShift = 10000000L, userShift = 1000000L)
+    if (x100)
+      replicateDecade(outDir, out100Dir,
+        orderShift = 1L << 44, docShift = 100000000L, userShift = 10000000L)
 
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -97,12 +129,15 @@ object ScaleAudit {
       }
       runs.min
     }
-    println("| query | sf0.1 | x10 | ratio |")
+    val (baseDir, bigDir, baseLbl, bigLbl) =
+      if (x100) (outDir, out100Dir, "x10", "x100")
+      else (sfDir, outDir, "sf0.1", "x10")
+    println(s"| query | $baseLbl | $bigLbl | ratio |")
     println("|---|---|---|---|")
     for (n <- names) {
-      val base = time(n, sfDir)
-      val x10 = time(n, outDir)
-      println(f"| `$n` | $base%.2f s | $x10%.2f s | ${x10 / base}%.1f× |")
+      val base = time(n, baseDir)
+      val big = time(n, bigDir)
+      println(f"| `$n` | $base%.2f s | $big%.2f s | ${big / base}%.1f× |")
     }
     spark.stop()
   }

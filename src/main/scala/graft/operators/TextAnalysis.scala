@@ -1470,22 +1470,39 @@ object TextAnalysis {
       .collect() // bounded: ≤ maxWordTypes rows, vocabulary-sized
     val syms: Array[Seq[String]] = types.map(_._1.map(_.toString))
     val freqs: Array[Long] = types.map(_._2)
+    // INCREMENTAL pair-count maintenance (the subword-nmt trainer shape):
+    // cnt holds the exact corpus-weighted adjacent-pair counts, occ maps
+    // each pair to the word ids that (may) contain it. Per round, only
+    // the words that actually contain the adopted pair are rescanned —
+    // their old pairs subtracted, the merge applied, their new pairs
+    // added — so a round costs O(touched words), not O(vocabulary). The
+    // naive full-rescan loop was O(merges × vocabulary): measured 8.65 s
+    // for 1024 merges over 20k word types (sf0.1 partkey vocabulary) —
+    // at a real 50k-merge vocabulary that shape is minutes of driver
+    // time for work that never changes. occ entries are lazily stale
+    // (a word is filtered at use if the pair is gone); cnt is exact.
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = syms(w); val f = freqs(w) * sign
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1))
+        val nv = cnt.getOrElse(k, 0L) + f
+        if (nv == 0L) cnt.remove(k) else cnt.update(k, nv)
+        if (sign > 0)
+          occ.getOrElseUpdate(k,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += w
+        i += 1
+      }
+    }
+    var w0 = 0
+    while (w0 < syms.length) { addWord(w0, 1L); w0 += 1 }
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
-      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var w = 0
-      while (w < syms.length) {
-        val s = syms(w); val f = freqs(w)
-        var i = 0
-        while (i + 1 < s.length) {
-          val k = (s(i), s(i + 1))
-          cnt.update(k, cnt.getOrElse(k, 0L) + f)
-          i += 1
-        }
-        w += 1
-      }
       if (cnt.isEmpty) {
         // every word is a single symbol — nothing left to merge;
         // stop with the rules learned so far instead of crashing
@@ -1494,10 +1511,25 @@ object TextAnalysis {
         val ((a, b), c) =
           cnt.minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
         learned += ((r, a, b, c))
-        var w2 = 0
-        while (w2 < syms.length) {
-          syms(w2) = bpeMergeOnce(syms(w2), a, b)
-          w2 += 1
+        val touched = occ.remove((a, b))
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        touched.foreach { w =>
+          // occ is lazily stale: dedup repeat entries and skip words
+          // whose (a, b) adjacency was consumed by an earlier merge
+          if (seen.add(w)) {
+            val s = syms(w)
+            var has = false
+            var i = 0
+            while (!has && i + 1 < s.length) {
+              has = s(i) == a && s(i + 1) == b; i += 1
+            }
+            if (has) {
+              addWord(w, -1L)
+              syms(w) = bpeMergeOnce(s, a, b)
+              addWord(w, 1L)
+            }
+          }
         }
         r += 1
       }
