@@ -1259,6 +1259,24 @@ object SparkEntry {
           concat(lit("~"), expr("substring(text, 2)")).as("text"))
       Multimodal.phashPairs(docs.unionByName(twins))
     }),
+    // the image-dedup COMPOSITION: phash pairs feed the same
+    // pointer-jumping connected-components engine as text/embedding
+    // dedup (the dedup family is generator-agnostic — cosine_clusters'
+    // exact pattern with the perceptual-hash candidate generator)
+    "phash_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("~"), expr("substring(text, 2)")).as("text"))
+      val pairs = Multimodal.phashPairs(docs.unionByName(twins))
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = Dedup.nearDupClusters(pairs)
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- similarity search over embeddings -------------------------------
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
     // embedding-cosine near-dup, end-to-end: pair detection by cosine
@@ -4004,6 +4022,33 @@ object SparkEntry {
         |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
         |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the cluster composition: banded candidates -> Hamming pairs ->
+    // transitive closure (cosine_clusters' recursive-CTE pattern over
+    // the dHash fingerprint CTE)
+    "phash_clusters" ->
+      ("WITH RECURSIVE" + phashFpCte.stripPrefix("WITH") +
+        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
+        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
+        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, doc_b FROM cand
+        |  WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+        |      + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM cl ORDER BY doc_id""".stripMargin),
     // same banded-candidate replay as simhash_pairs over the dHash
     // fingerprint CTE (PNG-lossless decode = byte math, see phashFpCte)
     "phash_pairs" ->
