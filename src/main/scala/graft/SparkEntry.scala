@@ -380,8 +380,9 @@ object SparkEntry {
       // (+1 h of slack), so a grown fixture widens the window with it
       // instead of silently breaking the equivalence. One bounded 1-row
       // aggregate; the cross-window TTL semantics stay StreamingSpec's job.
-      val span = ev.agg((unix_timestamp(max(col("ts"))) -
-        unix_timestamp(min(col("ts")))).as("span")).head.getLong(0)
+      val spanRow = ev.agg((unix_timestamp(max(col("ts"))) -
+        unix_timestamp(min(col("ts")))).as("span")).head
+      val span = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
       ev.write.mode("overwrite").parquet(stage)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp",

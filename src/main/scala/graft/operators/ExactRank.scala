@@ -141,11 +141,6 @@ object ExactRank {
       outSchema)
   }
 
-  /** Annotate each row with its exact 1-based rank within `group(row)`
-    * (under the input's global range order) and the group's total row
-    * count. One bounded driver collect; no per-group task ceiling.
-    * `K` needs value equality + a stable hashCode (String, tuples, List).
-    */
   /** Shared fail-fast text for the `maxGroups` contract — names the
     * correct alternative so the failure is actionable, not just fatal. */
   private def groupCardinalityMsg(maxG: Int): String =
@@ -156,6 +151,11 @@ object ExactRank {
       "(with many groups the window's per-group tasks are the parallelism " +
       "and its state stays on the executors), or raise maxGroups knowingly."
 
+  /** Annotate each row with its exact 1-based rank within `group(row)`
+    * (under the input's global range order) and the group's total row
+    * count. One bounded driver collect; no per-group task ceiling.
+    * `K` needs value equality + a stable hashCode (String, tuples, List).
+    */
   private[graft] def rankWithinGroups[T: ClassTag, K](rdd: RDD[T],
       group: T => K, maxGroups: Int = Int.MaxValue): RDD[(T, Long, Long)] = {
     val sc = rdd.sparkContext

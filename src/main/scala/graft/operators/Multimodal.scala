@@ -587,8 +587,10 @@ object Multimodal {
           while (k < n) {
             // downsample across the WHOLE payload (integer floor, exact
             // in the oracle): position k*len/72 of the text
+            // Long intermediate: k * length overflows Int past ~30 M chars
             val v = if (t.isEmpty) 0
-              else t.charAt(math.min(k * t.length / n, t.length - 1)) & 0xff
+              else t.charAt(math.min(k.toLong * t.length / n,
+                t.length - 1L).toInt) & 0xff
             r.setSample(k % hw, k / hw, 0, v)
             k += 1
           }

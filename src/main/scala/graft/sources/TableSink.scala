@@ -119,8 +119,12 @@ object TableSink {
     // partitioning, the repartition genuinely shuffles, and task i holds
     // exactly bucket i.
     val src = spark.table(table)
+    val files = src.inputFiles.toIndexedSeq
+    // a generation-less (empty) table has nothing to pack — and
+    // spark.read.parquet() with zero paths is an error, not an empty scan
+    if (files.isEmpty) return
     val aligned = spark.read.schema(src.schema)
-      .parquet(src.inputFiles.toIndexedSeq: _*)
+      .parquet(files: _*)
       .repartition(nBuckets, col(bucketCol))
     writeBucketed(aligned, scratch, bucketCol, nBuckets)
     spark.sql(s"DROP TABLE $quoted")
