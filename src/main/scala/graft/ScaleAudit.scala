@@ -53,7 +53,12 @@ object ScaleAudit {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sf1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE: at the x100 notch a 32-partition shuffle
+      // holds ~4.5 M rows per partition and spills — the partition count
+      // must scale with the data (a cluster config, not a plan property);
+      // this knob lets the audit PROVE that claim instead of asserting it
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
