@@ -925,6 +925,10 @@ object SparkEntry {
     // the merge-transparency contract a persisted-sketch layout serves)
     "hll_sharded" -> ((s, dir) =>
       Sketches.hllShardedDistinct(t(s, dir, "lineitem"))),
+    // stratified cardinality: per-(group, shard) sketches union into
+    // per-GROUP estimates (the heavy_hitters_by_lang posture for HLL)
+    "hll_by_group" -> ((s, dir) =>
+      Sketches.hllByGroup(t(s, dir, "lineitem"))),
     // the sketch-table ingest discipline: shard sketches PERSISTED
     // bucketed, a second generation APPENDED (sketch relations are
     // additive — serving unions rows, never rebuilds), serve reads the
@@ -1036,6 +1040,19 @@ object SparkEntry {
       TextAnalysis.nfcNormalize(mixed)
     }),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
+    // encoding-damage gate (ftfy posture): the fixture corpus is clean
+    // ASCII, so the three damage classes are synthesized deterministically
+    // per doc_id residue (nfc_normalize discipline) — a gate that never
+    // fires is untested
+    "mojibake_stats" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 40 === 0, lit(" cafÃ© Âfoo"))
+            .when(col("doc_id") % 40 === 1, lit(" donâ€™t"))
+            .when(col("doc_id") % 40 === 2, lit(" bad�char"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.mojibakeStats(seeded)
+    }),
     // script composition over synthesized per-doc script mixes (repeat
     // counts driven by doc_id so dominance varies): Cyrillic 'а', Latin
     // 'a', CJK '你', digit '7' — both engines build the identical string
@@ -2441,6 +2458,12 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
         |FROM lineitem""".stripMargin,
+    // per-group n_exact oracle-exact; the per-group merge/accuracy
+    // invariants are the same structural booleans as the global row
+    "hll_by_group" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // compaction must be invisible to the serve — same oracle text again
     "hll_compacted" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
@@ -3402,6 +3425,30 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same seeded damage classes, same length-difference occurrence
+    // arithmetic (both engines count code points)
+    "mojibake_stats" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 40 = 0 THEN ' cafÃ© Âfoo'
+        |         WHEN doc_id % 40 = 1 THEN ' donâ€™t'
+        |         WHEN doc_id % 40 = 2 THEN ' bad�char'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST((length(text) - length(replace(text, 'Ã', '')))
+        |       + (length(text) - length(replace(text, 'Â', ''))) AS BIGINT)
+        |      AS n_latin1_utf8,
+        |    CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
+        |      AS n_broken_punct,
+        |    CAST(length(text) - length(replace(text, '�', '')) AS BIGINT)
+        |      AS n_replacement
+        |  FROM seeded)
+        |SELECT doc_id, n_latin1_utf8, n_broken_punct, n_replacement,
+        |  (n_latin1_utf8 = 0 AND n_broken_punct = 0 AND n_replacement = 0)
+        |    AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
     "scrub_pii" -> {
       val (e, i, n) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re,
         TextAnalysis.LongNumRe)

@@ -73,6 +73,40 @@ object Sketches {
       .groupBy(col("shard"))
       .agg(expr(s"hll_sketch_agg(l_partkey, $lgK)").as("sk"))
 
+  /** STRATIFIED sibling of [[hllShardedDistinct]] — the
+    * heavy_hitters_by_lang posture for cardinality: per (group, shard)
+    * sketches union into per-GROUP estimates, so "distinct X per
+    * stratum" over 100 TB is a union of tiny persisted sketches per
+    * stratum, never a per-stratum re-scan. One row per group:
+    * oracle-exact `n_exact` + the same merge-transparency /
+    * accuracy-band booleans as the global row (per group). Both
+    * aggregations are partial-aggregable groupBys; the merged/direct
+    * join is group-cardinality-sized.
+    */
+  def hllByGroup(lineitem: DataFrame, groupCol: String = "l_returnflag",
+      shards: Int = 16, lgK: Int = 12): DataFrame = {
+    val shardSketches = lineitem.select(col(groupCol).as("grp"),
+        col("l_partkey"),
+        pmod(col("l_orderkey"), lit(shards.toLong)).as("shard"))
+      .groupBy(col("grp"), col("shard"))
+      .agg(expr(s"hll_sketch_agg(l_partkey, $lgK)").as("sk"))
+    val merged = shardSketches.groupBy(col("grp"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = lineitem.groupBy(col(groupCol).as("grp"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(l_partkey, $lgK))")
+          .as("est_direct"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    merged.join(direct, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          col("est_direct") * 0.02).as("merge_near_direct"),
+        (abs(col("est_merged") - col("n_exact")) <=
+          col("n_exact") * 0.05 &&
+         abs(col("est_direct") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("est_within_5pct"))
+      .orderBy(col(groupCol))
+  }
+
   /** Serve a cardinality estimate from a (possibly multi-generation)
     * shard-sketch relation, cross-checked against the one-shot sketch
     * and the exact count over `corpus`. Output schema is shared by the

@@ -601,6 +601,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Encoding-damage (mojibake) detection — the ftfy-class curation
+    * gate: web-scraped corpora are full of UTF-8 bytes decoded as
+    * Latin-1/cp1252 ("café" → "cafÃ©", "'" → "â€™") and of U+FFFD
+    * replacement characters from lossy transcodes, and a model trained
+    * on them learns the damage. The detector counts three signature
+    * classes per document:
+    *  - `n_latin1_utf8` — 'Ã'/'Â' lead bytes (the UTF-8 2-byte-sequence
+    *    prefix bytes 0xC3/0xC2 decoded as Latin-1; overwhelmingly
+    *    mojibake in real text, vanishing in intact prose);
+    *  - `n_broken_punct` — the "â€" digraph (0xE2 0x80, the UTF-8
+    *    punctuation-block prefix, decoded as Latin-1);
+    *  - `n_replacement` — U+FFFD itself (a decoder already gave up);
+    * plus the keep verdict `is_clean` (all three zero). Counts are
+    * single-code-point/digraph occurrence counts via length-difference
+    * arithmetic — row-local, codegen'd, identical in the oracle (both
+    * engines count code points). Heuristic by design (a legitimate
+    * Portuguese "Ã" exists): this is a FLAG for routing to re-decode,
+    * the ftfy posture, not a destructive filter.
+    */
+  def mojibakeStats(documents: DataFrame): DataFrame = {
+    def count1(marker: String) =
+      (length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
+        .cast("long")
+    def count2(marker: String) =
+      ((length(col("text")) - length(replace(col("text"), lit(marker), lit("")))) / 2)
+        .cast("long")
+    val latin1 = (count1("Ã") + count1("Â")).as("n_latin1_utf8")
+    val punct = count2("â€").as("n_broken_punct")
+    val repl = count1("�").as("n_replacement")
+    documents.select(col("doc_id"), latin1, punct, repl)
+      .withColumn("is_clean",
+        col("n_latin1_utf8") === 0 && col("n_broken_punct") === 0 &&
+          col("n_replacement") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   def scrubPii(documents: DataFrame): DataFrame = {
     val emailMasked = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     val ipMasked = regexp_replace(emailMasked, Ipv4Re, "<IP>")
