@@ -223,6 +223,7 @@ class PlanSpec extends AnyFunSuite {
     for ((q, maxEx) <- Seq("quality_repetition" -> 1, "scrub_pii" -> 1,
         "chunk_docs" -> 1, "pack_sequences" -> 2, "quantize_embeddings" -> 1,
         "simhash" -> 1, "cdc_chunks" -> 1, "token_entropy" -> 1,
+        "mojibake_stats" -> 1,
         "bpe_tokens" -> 1, "gopher_quality" -> 1, "c4_line_filter" -> 1,
         "html_extract" -> 1, "url_normalize" -> 1, "nfc_normalize" -> 1,
         "html_links" -> 1, "script_profile" -> 1)) {
