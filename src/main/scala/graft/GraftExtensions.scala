@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // whole-operator extension: plans graft.plans.CoOccurWindow logical
+    // nodes to their custom physical node (sessions built without
+    // extensions get the same strategy via CoOccurWindow.install)
+    ext.injectPlannerStrategy(_ => graft.plans.CoOccurWindowStrategy)
   }
 }

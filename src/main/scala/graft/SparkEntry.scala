@@ -120,6 +120,17 @@ object SparkEntry {
         .groupBy(col("product"), col("neighbor")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("product"), col("neighbor"))
     }),
+    // O4 as a WHOLE-OPERATOR Catalyst extension — custom LogicalPlan +
+    // SparkStrategy + SparkPlan (graft.plans.CoOccurWindow), the (c)
+    // rung of the custom-operator ladder: the window scan runs over
+    // InternalRow ArrayData in place (no encoder round trip) and emits
+    // through one reused UnsafeProjection. Same oracle text as
+    // cooccur_counts — all four O4 forms answer to one hash gate.
+    "cooccur_counts_plan" -> ((s, dir) =>
+      graft.plans.CoOccurWindow.pairs(
+          BasketSource.fromLineitem(s, dir).select(col("products")))
+        .groupBy(col("product"), col("neighbor")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("product"), col("neighbor"))),
     // O4/O7 under incremental view maintenance: the corpus splits into an
     // "existing" and a "delta" partition (deterministic crc32 hash of the
     // basket key), each aggregates independently, and the merged partial
@@ -2078,6 +2089,9 @@ object SparkEntry {
     "dedup_stream_bounded" ->
       "SELECT DISTINCT md5(event_type) AS fp FROM events ORDER BY fp",
     "cooccur_counts_gen" ->
+      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // the custom-LogicalPlan form answers to the same window semantics
+    "cooccur_counts_plan" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
     "crystalball_pairs" ->
       (cooccurCte +

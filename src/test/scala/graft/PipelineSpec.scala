@@ -2088,6 +2088,25 @@ class PipelineSpec extends AnyFunSuite {
       ExactRank.exactRank(df, Seq("grp"), Seq.empty))
   }
 
+  test("CoOccurWindow plan node matches windowPairs on adversarial baskets") {
+    import spark.implicits._
+    // repeat-termination, immediate repeats, all-equal, singleton, empty
+    val baskets = Seq(
+      Seq("a", "b", "a", "c"),    // window for first 'a' stops AT the repeat
+      Seq("x", "x", "y"),         // immediate repeat: first 'x' emits nothing
+      Seq("z", "z", "z"),
+      Seq("solo"),
+      Seq.empty[String],
+      Seq("p", "q", "r", "p", "q"))
+    val df = baskets.toDF("products")
+    val got = graft.plans.CoOccurWindow.pairs(df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val want = baskets.flatMap(b =>
+      operators.CoOccurrence.windowPairs(b).map(p => (p.product, p.neighbor)))
+      .sorted
+    assert(got == want, s"custom plan diverged: got=$got want=$want")
+  }
+
   test("phashPairs hashes decoded pixels and pairs image near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away home"

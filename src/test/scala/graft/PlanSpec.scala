@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("cooccur_counts_plan executes through the custom CoOccurWindowExec node") {
+    // the whole-operator extension must actually plan to its physical
+    // node (a silent fallback to some other strategy would make the
+    // registration dead code while the oracle still passed)
+    val p = planOf("cooccur_counts_plan")
+    assert(p.contains("CoOccurWindow"), s"custom node missing from plan:\n$p")
+  }
+
   test("phash_pairs candidates ride the chunk band equi-join") {
     // image near-dup reuses simhash's chunk-blocked Hamming banding: the
     // candidate join must stay an equi-join on (chunk_idx, chunk_value);
