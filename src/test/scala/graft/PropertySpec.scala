@@ -81,6 +81,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CoOccurWindow plan node == windowPairs on 300 random baskets (Spark)") {
+    // the custom physical node re-implements the scan over InternalRow
+    // ArrayData; its multiset of pairs must equal the pure function's on
+    // arbitrary baskets, not just the handpicked PipelineSpec fixtures
+    val spark = Specs.spark
+    import spark.implicits._
+    val baskets = samples(300).map(_.toSeq)
+    val got = graft.plans.CoOccurWindow.pairs(baskets.toDF("products"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = baskets.flatMap(b =>
+        CoOccurrence.windowPairs(b).map(p => (p.product, p.neighbor)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want, "custom plan node diverged from windowPairs")
+  }
+
   test("probabilities sum to 1 per product on adversarial baskets (Spark)") {
     val lines = Seq(
       "u1 3 1 4 1 5 9 2 6 5 3 5",
