@@ -1272,6 +1272,11 @@ object SparkEntry {
     }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    // the OUTPUT-BOUNDED pair product (k nearest partners per document;
+    // <= k*n rows at any duplicate-class size — the scale-safe sibling
+    // the r11 x100 probe motivated); WindowGroupLimit plan-pinned
+    "simhash_partners" -> ((s, dir) =>
+      Dedup.simhashPartners(t(s, dir, "documents"))),
     // image-modality near-dup: dHash through the REAL ImageIO decode
     // seam (PNG-lossless, so the oracle replays the byte math exactly),
     // candidates via the same chunk-blocked Hamming band join as simhash.
@@ -4084,6 +4089,44 @@ object SparkEntry {
         |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
         |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // per-document k nearest partners over HOT-BUCKET-CAPPED banded
+    // candidates (first maxBucket=64 members per (chunk, value), then
+    // pairs within the cap) — the identical deterministic cut
+    "simhash_partners" ->
+      (simhashFpCte +
+        """, ch AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
+        |  UNION ALL SELECT doc_id, 1, c1 FROM fp
+        |  UNION ALL SELECT doc_id, 2, c2 FROM fp
+        |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
+        |capped AS (
+        |  SELECT doc_id, ci, cv FROM (
+        |    SELECT doc_id, ci, cv,
+        |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
+        |    FROM ch) WHERE br <= 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y
+        |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+        |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+        |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
+        |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
+        |    JOIN r ON r.doc_b = c.doc_b
+        |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+        |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
+        |mirrored AS (
+        |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+        |SELECT doc_id, partner, hamming, rk FROM (
+        |  SELECT doc_id, partner, hamming,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hamming, partner) AS INTEGER) AS rk
+        |  FROM mirrored)
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin),
     // the cluster composition: banded candidates -> Hamming pairs ->
     // transitive closure (cosine_clusters' recursive-CTE pattern over
     // the dHash fingerprint CTE)

@@ -150,6 +150,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("CoOccurWindow"), s"custom node missing from plan:\n$p")
   }
 
+  test("simhash_partners gets the map-side WindowGroupLimit rank cut") {
+    // the output bound is only scale-real if the rank limit pushes into
+    // the partial (pre-shuffle) phase — otherwise the quadratic mirrored
+    // candidate relation rides the exchange it exists to avoid
+    try {
+      val p = planOf("simhash_partners")
+      assert(p.contains("WindowGroupLimit"),
+        s"rank cut not pushed map-side:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"candidate join fell back to a non-equi join:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("phash_pairs candidates ride the chunk band equi-join") {
     // image near-dup reuses simhash's chunk-blocked Hamming banding: the
     // candidate join must stay an equi-join on (chunk_idx, chunk_value);
