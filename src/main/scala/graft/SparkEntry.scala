@@ -901,7 +901,13 @@ object SparkEntry {
     // the REAL-tokenizer merge count (1024), same 1-job induction; the
     // oracle is structural (n_rules + a single-round-exact first_cnt
     // anchor + the BPE invariants) because no SQL engine can unroll a
-    // 1024-round dependent chain — see bpeTrainSummary's contract
+    // 1024-round dependent chain — see bpeTrainSummary's contract.
+    // CORPUS CONTRACT (the n_rules=1024 literal): the vocabulary's merge
+    // exhaustion must exceed 1024 — true at sf0.01 (2000 partkey types,
+    // exhaustion ~1990) and every larger SF; sf0.001's 200 types exhaust
+    // at ~190, so this row's gate is sf0.01+ by design (bpe_train_vocab's
+    // CHAINED oracle degrades gracefully with the corpus, this structural
+    // one asserts the scale point itself)
     "bpe_train_1k" -> ((s, dir) =>
       TextAnalysis.bpeTrainSummary(
         t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("text")),
