@@ -1299,6 +1299,15 @@ object SparkEntry {
           concat(lit("~"), expr("substring(text, 2)")).as("text"))
       Multimodal.phashPairs(docs.unionByName(twins))
     }),
+    // the bounded image near-dup product (simhash_partners' image twin):
+    // per image, k nearest dHash partners over hot-bucket-capped bands
+    "phash_partners" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("~"), expr("substring(text, 2)")).as("text"))
+      Multimodal.phashPartners(docs.unionByName(twins))
+    }),
     // the image-dedup COMPOSITION: phash pairs feed the same
     // pointer-jumping connected-components engine as text/embedding
     // dedup (the dedup family is generator-agnostic — cosine_clusters'
@@ -4100,6 +4109,43 @@ object SparkEntry {
     // pairs within the cap) — the identical deterministic cut
     "simhash_partners" ->
       (simhashFpCte +
+        """, ch AS (
+        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
+        |  UNION ALL SELECT doc_id, 1, c1 FROM fp
+        |  UNION ALL SELECT doc_id, 2, c2 FROM fp
+        |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
+        |capped AS (
+        |  SELECT doc_id, ci, cv FROM (
+        |    SELECT doc_id, ci, cv,
+        |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
+        |    FROM ch) WHERE br <= 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y
+        |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+        |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+        |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
+        |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
+        |    JOIN r ON r.doc_b = c.doc_b
+        |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+        |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
+        |mirrored AS (
+        |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+        |SELECT doc_id, partner, hamming, rk FROM (
+        |  SELECT doc_id, partner, hamming,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hamming, partner) AS INTEGER) AS rk
+        |  FROM mirrored)
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin),
+    // simhash_partners' capped-candidate + rank-cut replay over the
+    // dHash fingerprint CTE
+    "phash_partners" ->
+      (phashFpCte +
         """, ch AS (
         |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
         |  UNION ALL SELECT doc_id, 1, c1 FROM fp

@@ -626,4 +626,19 @@ object Multimodal {
     */
   def phashPairs(documents: DataFrame, maxHamming: Int = 12): DataFrame =
     Dedup.pairsFromSimhash(phashFingerprints(documents), maxHamming)
+
+  /** The BOUNDED image near-dup product — `simhash_partners`' image
+    * twin through the same generator-agnostic core
+    * ([[graft.operators.Dedup.partnersFromFingerprints]]): per image,
+    * its `k` nearest dHash partners, with hot band buckets capped at
+    * `maxBucket` members before the candidate self-join. Pair
+    * ENUMERATION ([[phashPairs]]) is the bounded-scale audit surface;
+    * this is the relation a 100 TB image-curation pipeline serves (both
+    * axes bounded — see the simhashPartners scaladoc for the measured
+    * x100 arithmetic).
+    */
+  def phashPartners(documents: DataFrame, maxHamming: Int = 12,
+      k: Int = 5, maxBucket: Int = 64): DataFrame =
+    Dedup.partnersFromFingerprints(phashFingerprints(documents),
+      maxHamming, k, maxBucket)
 }
