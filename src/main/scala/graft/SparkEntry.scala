@@ -4021,8 +4021,16 @@ object SparkEntry {
         |  SELECT doc_id,
         |    $mins
         |  FROM hs GROUP BY doc_id
-        |), bands AS (
+        |), bands_all AS (
         |  $bandRows
+        |), bands AS (
+        |  -- the hot-bucket cap, replayed exactly: first MaxBandBucket
+        |  -- members per (band, b0..b3) bucket by doc_id, mirroring
+        |  -- minhashLsh's pre-join WindowGroupLimit cut
+        |  SELECT doc_id, band, ${(0 until rowsPerBand).map(r => s"b$r").mkString(", ")} FROM bands_all
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY band, ${(0 until rowsPerBand).map(r => s"b$r").mkString(", ")}
+        |    ORDER BY doc_id) <= ${Dedup.MaxBandBucket}
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y

@@ -69,6 +69,13 @@ object CoOccurWindow {
     * the session (idempotent), so callers need no session pre-config.
     */
   def pairs(df: DataFrame): DataFrame = {
+    // containsNull=true schemas are accepted (collect_list marks its
+    // array nullable even over a non-null child), but null ELEMENTS are
+    // a runtime fail-fast in the exec, never data: the output attributes
+    // are declared nullable=false (downstream rules may fold
+    // IsNotNull(product) to true on that basis), so projecting a null
+    // element through would be a silent correctness leak — and the
+    // in-place UTF8String scan would NPE on it undiagnosed first
     require(df.schema.length == 1 &&
       df.schema.head.dataType.isInstanceOf[ArrayType] &&
       df.schema.head.dataType.asInstanceOf[ArrayType]
@@ -106,16 +113,32 @@ case class CoOccurWindowExec(output: Seq[Attribute], child: SparkPlan)
       val proj = UnsafeProjection.create(
         Array[DataType](StringType, StringType))
       val out = new GenericInternalRow(2)
-      rows.flatMap { row =>
+      // a NULL basket (nullable child column) carries no pairs — skip it
+      // rather than NPE on getArray (the lateral-explode convention); a
+      // null ELEMENT is an executor-side fail-fast below, so the
+      // nullable=false output attributes stay sound without silently
+      // dropping data
+      rows.filter(!_.isNullAt(0)).flatMap { row =>
         // scan the ArrayData in place; valid for the full drain of this
         // row's pairs (the parent iterator only advances afterwards)
         val arr = row.getArray(0)
         val n = arr.numElements()
         (0 until n - 1).iterator.flatMap { i =>
           val cur = arr.getUTF8String(i)
+          if (cur == null) throw new IllegalArgumentException(
+            "CoOccurWindow: null basket element at position " + i +
+              " — the window scan is defined over non-null products only;" +
+              " array_compact the basket column first")
           new Iterator[InternalRow] {
             private var j = i + 1
-            def hasNext: Boolean = j < n && arr.getUTF8String(j) != cur
+            def hasNext: Boolean = j < n && {
+              val nb = arr.getUTF8String(j)
+              if (nb == null) throw new IllegalArgumentException(
+                "CoOccurWindow: null basket element at position " + j +
+                  " — the window scan is defined over non-null products" +
+                  " only; array_compact the basket column first")
+              nb != cur
+            }
             def next(): InternalRow = {
               out.update(0, cur)
               out.update(1, arr.getUTF8String(j))

@@ -92,10 +92,18 @@ object TableSink {
     *     the very fragmentation being compacted);
     *  2. write it as a fresh bucketed table under a scratch name (same
     *     bucket spec — co-located join plans are unchanged);
-    *  3. DROP the original and ALTER TABLE RENAME the scratch into its
-    *     name — a metadata swap, so readers never see a half-compacted
-    *     table (they see the old generations or the compacted set,
-    *     nothing in between).
+    *  3. swap at the catalog level by RENAMING ASIDE: original →
+    *     `_precompact`, scratch → original, drop `_precompact`. Readers
+    *     see old generations or the compacted set — never a
+    *     half-compacted table — and a crash at ANY step leaves a
+    *     complete copy of the data under a resolvable name (the
+    *     original, `_precompact`, or `_compacting`). The swap is NOT
+    *     atomic: between the two renames there is a brief window where
+    *     the original name does not resolve (two metadata statements —
+    *     no engine-portable single-statement swap exists in plain Spark
+    *     SQL); a concurrent reader in that window fails fast rather
+    *     than reading partial data, and recovery after a crash there is
+    *     one rename of whichever complete copy survives.
     *
     * Cost: one full read + one bucket-aligned shuffle + one write —
     * O(|table|), amortized across the generations it absorbs; serving
@@ -127,8 +135,18 @@ object TableSink {
       .parquet(files: _*)
       .repartition(nBuckets, col(bucketCol))
     writeBucketed(aligned, scratch, bucketCol, nBuckets)
-    spark.sql(s"DROP TABLE $quoted")
+    // rename-aside swap (see step 3 of the scaladoc): the generations
+    // stay resolvable under _precompact until the compacted set is
+    // installed — a crash between the renames strands NO data (old copy
+    // under _precompact, new under _compacting), unlike DROP-then-RENAME
+    // where the drop destroys the only copy before the scratch lands
+    val old = (parts.dropRight(1) :+ (parts.last + "_precompact"))
+      .mkString(".")
+    val oldQuoted = old.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $oldQuoted") // stale crash leftover
+    spark.sql(s"ALTER TABLE $quoted RENAME TO $oldQuoted")
     spark.sql(s"ALTER TABLE $scratchQuoted RENAME TO $quoted")
+    spark.sql(s"DROP TABLE $oldQuoted")
   }
 
   /** Morton (Z-order) key over numeric columns: each value maps to a

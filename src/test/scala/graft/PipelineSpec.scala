@@ -2107,6 +2107,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"custom plan diverged: got=$got want=$want")
   }
 
+  test("CoOccurWindow skips null baskets and fails fast on null elements") {
+    import spark.implicits._
+    // a NULL basket row is zero pairs (lateral-explode convention), never
+    // an NPE; a null ELEMENT must fail fast with a diagnosable error —
+    // the output attributes are declared non-null, so silently projecting
+    // (or dropping) one would be a correctness leak
+    val withNullRow = Seq(Some(Seq("a", "b")), None, Some(Seq("c", "d")))
+      .toDF("products")
+    val got = graft.plans.CoOccurWindow.pairs(withNullRow)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(("a", "b"), ("c", "d")), s"null basket mishandled: $got")
+    val withNullElem = Seq(Seq("a", null, "b")).toDF("products")
+    val e = intercept[org.apache.spark.SparkException](
+      graft.plans.CoOccurWindow.pairs(withNullElem).collect())
+    assert(e.getMessage.contains("null basket element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null basket element")),
+      s"expected the fail-fast diagnostic, got: ${e.getMessage}")
+  }
+
   test("phashPairs hashes decoded pixels and pairs image near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away home"

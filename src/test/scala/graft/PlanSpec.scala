@@ -150,6 +150,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("CoOccurWindow"), s"custom node missing from plan:\n$p")
   }
 
+  test("minhash_lsh band buckets are capped via map-side WindowGroupLimit") {
+    // the hot-bucket cap is the scale bound that keeps the band self-join
+    // at Σ min(n,cap)² on duplicate-heavy corpora (the r11 x100 OOM
+    // arithmetic); it must ride the rank-limit pushdown, not a full
+    // window over the uncut band relation, and the candidate join must
+    // stay an equi-join
+    try {
+      val p = planOf("minhash_lsh")
+      assert(p.contains("WindowGroupLimit"),
+        s"bucket cap not pushed map-side:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"band candidate join fell back to a non-equi join:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("simhash_partners gets the map-side WindowGroupLimit rank cut") {
     // the output bound is only scale-real if the rank limit pushes into
     // the partial (pre-shuffle) phase — otherwise the quadratic mirrored
