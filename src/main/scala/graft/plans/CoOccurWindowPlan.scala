@@ -4,8 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
 /** The reference's flagship operator (O4/O5: the repeat-terminated
@@ -106,7 +108,68 @@ object CoOccurWindowStrategy extends SparkStrategy {
 }
 
 case class CoOccurWindowExec(output: Seq[Attribute], child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode with CodegenSupport {
+
+  // ---- whole-stage codegen (the last rung of the custom-operator
+  // ladder): the i/j window scan is emitted INLINE between the child's
+  // produced row and the parent's consume, so the flagship pipeline
+  // scan → window-pairs → partial-aggregate fuses into ONE generated
+  // stage — no iterator hand-off, no UnsafeProjection per pair (the
+  // interpreted doExecute below stays as the codegen-off fallback and
+  // the semantics oracle).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one input row fans out to many output rows whose UTF8String values
+  // point into the child's (reusable) array buffer — a buffering parent
+  // must copy what it retains
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val ev = input.head
+    val arr = ctx.freshName("basket")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val cur = ctx.freshName("product")
+    val nb = ctx.freshName("neighbor")
+    val utf8 = classOf[org.apache.spark.unsafe.types.UTF8String].getName
+    val arrData = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    // the pair variables ARE the output columns: non-null by the
+    // fail-fast contract (see doExecute), scoped to the inner loop where
+    // the parent's consume code is inlined
+    val outputVars = Seq(
+      ExprCode(FalseLiteral, JavaCode.variable(cur, StringType)),
+      ExprCode(FalseLiteral, JavaCode.variable(nb, StringType)))
+    val nullElem = "CoOccurWindow: null basket element - the window scan " +
+      "is defined over non-null products only; array_compact the basket " +
+      "column first"
+    // a NULL basket emits nothing (the lateral-explode convention, same
+    // as the interpreted path); the repeat check is UTF8String.equals on
+    // in-place array slices — zero allocation per comparison
+    s"""
+       |${ev.code}
+       |if (!(${if (child.output.head.nullable) ev.isNull.code else "false"})) {
+       |  $arrData $arr = ${ev.value};
+       |  int $n = $arr.numElements();
+       |  for (int $i = 0; $i + 1 < $n; $i++) {
+       |    if ($arr.isNullAt($i)) throw new IllegalArgumentException("$nullElem");
+       |    $utf8 $cur = $arr.getUTF8String($i);
+       |    for (int $j = $i + 1; $j < $n; $j++) {
+       |      if ($arr.isNullAt($j)) throw new IllegalArgumentException("$nullElem");
+       |      $utf8 $nb = $arr.getUTF8String($j);
+       |      if ($nb.equals($cur)) break;
+       |      ${consume(ctx, outputVars)}
+       |    }
+       |  }
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     child.execute().mapPartitions { rows =>

@@ -150,6 +150,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("CoOccurWindow"), s"custom node missing from plan:\n$p")
   }
 
+  test("CoOccurWindowExec fuses into a WholeStageCodegen span with the partial aggregate") {
+    // the CodegenSupport implementation must actually take effect: after
+    // execution (AQE finalizes the plan) the custom node sits INSIDE a
+    // generated stage — scan-side InputAdapter → CoOccurWindow → partial
+    // HashAggregate in one compiled pipeline, no iterator hand-off on
+    // the flagship's hot path
+    val df = SparkEntry.queries("cooccur_counts_plan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val fused = p.linesIterator.dropWhile(!_.contains(") CoOccurWindow"))
+      .takeWhile(l => !l.trim.isEmpty).mkString("\n")
+    assert(fused.contains("[codegen id :"),
+      s"CoOccurWindowExec not inside a codegen stage:\n$p")
+  }
+
   test("minhash_lsh band buckets are capped via map-side WindowGroupLimit") {
     // the hot-bucket cap is the scale bound that keeps the band self-join
     // at Σ min(n,cap)² on duplicate-heavy corpora (the r11 x100 OOM
