@@ -1372,6 +1372,14 @@ object SparkEntry {
         "cluster_b", 8)
       Similarity.ivfTopKFromIndex(t(s, dir, "embeddings"), s.table(tbl))
     }),
+    // the bounded embedding k-NN JOIN (simhash_partners' vector twin):
+    // per vector, k nearest by cosine over the whole corpus, blocked by
+    // IVF cell assignment with the index side of each cell capped at
+    // maxCell members — both cut axes on map-side WindowGroupLimit
+    // (plan-pinned). Closes the partners product across all three
+    // modalities: text fingerprints, images, embeddings.
+    "ann_partners" -> ((s, dir) =>
+      Similarity.annPartners(t(s, dir, "embeddings"))),
     "quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
     // the IVF recall knob: queries probe their top-2 cells (index side
@@ -2046,6 +2054,35 @@ object SparkEntry {
       |  FROM assigned a JOIN assigned b
       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
       |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** `ann_partners`: the within-cell all-pairs definition with the
+    * index-side cell cap replayed exactly (QUALIFY row_number ≤ maxCell
+    * by vec_id — inactive at gate scale, mirrored anyway so the oracle
+    * stays definitionally in lockstep with the operator's bound). */
+  private lazy val annPartnersOracle =
+    embedCte +
+      s""", cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |    FROM scored) WHERE crk = 1
+      |), capped AS (
+      |  SELECT vec_id, v, nrm, cluster FROM assigned
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
+      |), p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM assigned a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
       |  FROM p)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
@@ -4314,6 +4351,7 @@ object SparkEntry {
         |  FROM p)
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
     "ann_ivf_topk" -> annIvfTopKOracle,
+    "ann_partners" -> annPartnersOracle,
     // the persisted-index serve must produce the in-flight serve's exact
     // result — same oracle text
     "ann_ivf_persisted" -> annIvfTopKOracle,

@@ -502,6 +502,54 @@ object Similarity {
       .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
   }
 
+  /** Bounded embedding k-NN JOIN — the partners product over the vector
+    * modality, closing the family [[graft.operators.Dedup.simhashPartners]]
+    * (text fingerprints) and `phash_partners` (images) already serve:
+    * "each document's k nearest by cosine over the WHOLE corpus", the
+    * relation a curation UI pages through. Same two-axis bound contract
+    * as the fingerprint partners:
+    *
+    *  - bounded OUTPUT: per vector, its `k` nearest in-cell neighbors
+    *    (cosine desc, ties to the smaller id) — ≤ k·n rows total, never
+    *    the C(class, 2) enumeration a near-dup megaclass implies.
+    *  - bounded INTERMEDIATE: the corpus×corpus blocking is the IVF cell
+    *    assignment (each vector indexed in its single nearest cell — the
+    *    [[ivfIndexRelation]] discipline), and each cell's INDEX side is
+    *    CAPPED at `maxCell` members (first by vec_id — deterministic, the
+    *    oracle replays the same cut), so the cell self-join is hard-
+    *    bounded at Σ n_cell·min(n_cell, maxCell) candidates. An embedding
+    *    megacell (boilerplate corpus collapsing into one centroid) costs
+    *    linear, not quadratic. Recall past the cap follows the IVF recall
+    *    argument: capped-out members still PROBE their cell (the probe
+    *    side is never cut, so every vector gets k partners); what the cap
+    *    costs is membership of the tail beyond `maxCell` in OTHER
+    *    vectors' candidate lists — at gate scale the cap is inactive and
+    *    results equal the uncapped within-cell all-pairs definition.
+    *
+    * Both cuts ride map-side WindowGroupLimit (plan-pinned): the cell cap
+    * partitions by cluster, the rank cut by vec_id. At 100 TB the index
+    * side is [[ivfIndexRelation]] persisted bucketed on the cell id, so
+    * the serve join reads pre-partitioned — this in-flight form and the
+    * persisted form share the cell arithmetic by construction.
+    */
+  def annPartners(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, maxCell: Int = 256): DataFrame = {
+    require(k >= 1, s"annPartners requires k >= 1, got $k")
+    require(maxCell >= 2, s"annPartners requires maxCell >= 2, got $maxCell")
+    val e = vectorsWithNorm(embeddings)
+    val assigned = assignCells(e, firstNCentroids(e, numCentroids))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+    val capped = assigned
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .filter(col("cell_rk") <= maxCell)
+      .select(col("vec_id").as("other_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cluster").as("cluster_b"))
+    serveAgainst(assigned, capped, k)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
+  }
+
   private def vectorsWithNorm(embeddings: DataFrame): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -2543,6 +2543,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 12, s"expected 3 flags × 4 percentiles, got ${got.size}")
   }
 
+  test("annPartners caps the cell index side deterministically; probes stay uncut") {
+    import spark.implicits._
+    // centroids are vec_id < 4 (axis vectors); 4..8 all land in cell 0,
+    // so cell 0 has members {0,4,5,6,7,8} — an embedding "megacell" in
+    // miniature. maxCell=3 must cut the INDEX side to the first three by
+    // vec_id {0,4,5} while every member still PROBES: partners come only
+    // from the capped set, but nobody loses their own partner list.
+    val emb = (Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 1.0f))) ++
+      (4L to 8L).map(i => (i, Array(1.0f, 0.001f * (i - 3), 0f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.annPartners(emb, k = 5, numCentroids = 4, maxCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byVec = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byVec(8L) == Set(0L, 4L, 5L), s"capped candidate set: $byVec")
+    assert(byVec(0L) == Set(4L, 5L), s"self excluded, cap kept: $byVec")
+    assert(byVec(4L) == Set(0L, 5L), s"capped member still probes: $byVec")
+    assert(Seq(1L, 2L, 3L).forall(!byVec.contains(_)),
+      s"singleton cells must have no partners: $byVec")
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.length).toSeq,
+        s"rk not contiguous for $v: ${rows.toSeq}")
+    }
+    // with the cap inactive the same corpus yields the full within-cell
+    // all-pairs answer (the gate-scale oracle definition)
+    val uncapped = Similarity.annPartners(emb, k = 5, numCentroids = 4,
+      maxCell = 256).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(_._1 == 8L) == 5, s"uncapped k partners: $uncapped")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps cluster minima") {
     import spark.implicits._
     // two exact duplicate pairs plus orthogonal singletons: the duplicate

@@ -193,6 +193,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("ann_partners rides map-side WindowGroupLimit for both cut axes") {
+    // the two-axis bound (cell cap + per-vector rank cut) must push into
+    // the partial window phase, and the cell blocking must stay an
+    // equi-join — a nested loop would be the all-pairs O(n²) the IVF
+    // cells exist to avoid
+    val p = planOf("ann_partners")
+    assert(p.contains("WindowGroupLimit"),
+      s"partner cuts not pushed map-side:\n$p")
+    val cellJoinOk = !p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("Cross") ||
+        l.contains("CartesianProduct"))
+    assert(cellJoinOk, s"cell join fell back to a cross product:\n$p")
+  }
+
   test("phash_pairs candidates ride the chunk band equi-join") {
     // image near-dup reuses simhash's chunk-blocked Hamming banding: the
     // candidate join must stay an equi-join on (chunk_idx, chunk_value);
