@@ -1276,6 +1276,64 @@ object SparkEntry {
       Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
         s.table("graft_dedup_bands_app"), s.table("graft_dedup_sigs_app"))
     }),
+    // STREAMING × INCREMENTAL DEDUP — the continuous-ingestion
+    // composition the two halves existed for: the base corpus's band +
+    // signature index is built ONCE into persisted bucketed tables
+    // (dedup_persisted's build), then a checkpointed document STREAM
+    // probes it per micro-batch through foreachBatch with idempotent
+    // batch_id partitions (events_table_stream's exactly-once recipe),
+    // across a forced stop/restart. No base×base join ever appears in a
+    // plan, per-batch cost is O(|batch|) against the pre-bucketed index,
+    // and each batch doc's best-match is row-independent — so the
+    // restart-replayed union must be bit-identical to the one-shot
+    // probe, which is exactly dedup_incremental's oracle text.
+    "dedup_incremental_stream" -> ((s, dir) =>
+      withStreamStage("graft_dedup_inc_s") { stage =>
+      val in = stage + "/in"; val sink = stage + "/sink"
+      val ckpt = stage + "/ckpt"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // base index built once, served from the catalog (never rebuilt
+      // per batch — the entire point of the composition)
+      val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      graft.sources.TableSink.writeBucketed(
+        Dedup.minhashBandIndex(sigs), "graft_dedup_bands_strm", "b0", 8)
+      graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs_strm",
+        "doc_id", 8)
+      sigs.unpersist()
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      def run(): Unit = {
+        val stream = s.readStream.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.StreamingOps.writeBatchIdempotent(
+              Dedup.minhashProbeIndex(b,
+                s.table("graft_dedup_bands_strm"),
+                s.table("graft_dedup_sigs_strm")), sink, id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      batch.filter(col("doc_id") % 20 === 0).repartition(2)
+        .write.mode("overwrite").parquet(in)
+      run() // phase 1: drains the staged half, clean stop
+      batch.filter(col("doc_id") % 20 =!= 0).repartition(2)
+        .write.mode("append").parquet(in)
+      run() // phase 2: restart from the checkpoint — new files only
+      // materialize before withStreamStage deletes the sink files
+      val out = s.read.parquet(sink).drop("batch_id")
+        .orderBy(col("doc_id")).cache()
+      out.count()
+      out
+    }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     // the OUTPUT-BOUNDED pair product (k nearest partners per document;
@@ -4133,6 +4191,9 @@ object SparkEntry {
     // result — same oracle text (the ann_ivf_persisted convention)
     "dedup_persisted" -> minhashIncrementalSql,
     "dedup_appended" -> minhashIncrementalSql,
+    // the checkpointed micro-batch replay across a stop/restart must
+    // reproduce the one-shot probe bit-for-bit — same oracle text
+    "dedup_incremental_stream" -> minhashIncrementalSql,
     "simhash" ->
       (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
     "simhash_pairs" ->

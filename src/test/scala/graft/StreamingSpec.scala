@@ -83,6 +83,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "post-restart aggregate drifted from the batch twin")
   }
 
+  test("streaming incremental dedup probes the persisted index across restart exactly-once") {
+    import graft.operators.Dedup
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedup_inc_rst")
+    val in = s"$stage/in"; val sink = s"$stage/sink"; val ckpt = s"$stage/ckpt"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    try {
+      // base index built ONCE into bucketed tables; every micro-batch
+      // below probes these — never a base rescan, never base×base
+      val sigs = Dedup.minhashSignatures(base)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      graft.sources.TableSink.writeBucketed(
+        Dedup.minhashBandIndex(sigs), "graft_dedup_bands_rst", "b0", 4)
+      graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs_rst",
+        "doc_id", 4)
+      sigs.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def drain(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            StreamingOps.writeBatchIdempotent(
+              Dedup.minhashProbeIndex(b,
+                spark.table("graft_dedup_bands_rst"),
+                spark.table("graft_dedup_sigs_rst")), sink, id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      batch.filter(col("doc_id") % 20 === 0).repartition(2)
+        .write.mode("overwrite").parquet(in)
+      drain() // phase 1: clean stop after draining the staged half
+      val afterPhase1 = spark.read.parquet(sink).count()
+      // crash-between-sink-write-and-offset-commit: replaying a committed
+      // batch must overwrite its own partition, not duplicate matches
+      val replay = spark.read.parquet(sink)
+        .filter(col("batch_id") === 0).drop("batch_id")
+      StreamingOps.writeBatchIdempotent(replay, sink, 0L)
+      assert(spark.read.parquet(sink).count() == afterPhase1,
+        "replaying a committed probe batch duplicated rows")
+      batch.filter(col("doc_id") % 20 =!= 0).repartition(2)
+        .write.mode("append").parquet(in)
+      drain() // phase 2: restart from the checkpoint — new files only
+      // the replayed union must equal the one-shot probe bit-for-bit
+      // (each batch doc's best-match is row-independent of its batchmates)
+      val got = spark.read.parquet(sink).drop("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val want = Dedup.minhashIncremental(base, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == want,
+        s"streamed probe drifted from the one-shot probe: got=$got want=$want")
+      assert(got.nonEmpty, "fixture produced no near-dup matches")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dedup_bands_rst")
+      spark.sql("DROP TABLE IF EXISTS graft_dedup_sigs_rst")
+      spark.catalog.clearCache()
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(stage)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("streaming sliding counts equal the batch sliding aggregation") {
     val q = StreamingOps.slidingCounts(StreamingOps.eventsStream(spark, streamDir))
       .writeStream.format("memory").queryName("sliding_stream")
