@@ -1130,12 +1130,12 @@ object TextAnalysis {
     // persist the MODEL (bigram-TYPE-sized, already aggregated — not the
     // corpus) so ctx derivation + the enrich join don't replay the
     // corpus-sized model build twice; DISK_ONLY per the house rule
-    // (never compete with shuffle memory). Caller contract as
-    // minhashLsh: release with spark.catalog.clearCache() once the
-    // result is materialized (Bench/Verify do this per query)
-    val model = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // (never compete with shuffle memory). Operator-scoped (r12): the
+    // persist materializes eagerly and releases itself after the first
+    // consuming action — no caller teardown contract.
+    val model = graft.operators.CacheScope.selfReleasing(
+      bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
     val ctx = model.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
     val vocab = documents
       .select(explode(split(col("text"), " ")).as("tok"))

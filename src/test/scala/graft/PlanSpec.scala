@@ -180,6 +180,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("minhash_lsh band self-join computes the signature pipeline once (ReusedExchange)") {
+    // the r12 cache-free form's reuse is STRUCTURAL: both self-join
+    // branches shuffle identical band rows on identical keys, so AQE
+    // must reuse one exchange — if this pin breaks, the shingle→minhash
+    // pipeline silently computes twice per query
+    val df = SparkEntry.queries("minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ReusedExchange"),
+      s"band self-join lost exchange reuse:\n$p")
+  }
+
   test("simhash_partners gets the map-side WindowGroupLimit rank cut") {
     // the output bound is only scale-real if the rank limit pushes into
     // the partial (pre-shuffle) phase — otherwise the quadratic mirrored
