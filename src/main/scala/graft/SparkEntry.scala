@@ -1533,6 +1533,14 @@ object SparkEntry {
     // check, oracle recomputes dims/frames/luma from doc_id arithmetic
     "video_decode_real" -> ((s, dir) =>
       Multimodal.videoRoundTrip(t(s, dir, "documents"))),
+    // the bounded VIDEO near-dup product — the partners relation's third
+    // modality: per-doc synthetic C420 stream through the REAL Y4M demux
+    // → per-frame mean luma → 64 temporal gradient bits → the same
+    // generator-agnostic capped partner core as simhash/phash. The
+    // oracle replays every fingerprint bit from doc_id's integer
+    // arithmetic (videoRoundTrip discipline) + the shared partner replay
+    "video_phash_partners" -> ((s, dir) =>
+      Multimodal.videoPhashPartners(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
     // longest-first round-robin sharding: balanced-bytes output shards
@@ -2004,6 +2012,67 @@ object SparkEntry {
       |  FROM px
       |)""".stripMargin
   }
+
+  /** `video_phash_partners`' fingerprint CTE: the temporal-dHash bits
+    * replayed as pure integer arithmetic from doc_id (frame f's constant
+    * luma is 16 + (doc_id·7 + f·13) mod 220 — the videoRoundTrip fixture
+    * recipe — so gradient bit f is just a mod-220 comparison; chunk c
+    * packs bits 16c..16c+15). A broken Y4M writer/parser/frame-walk on
+    * the Spark side flips bits and fails the hash gate.
+    */
+  private lazy val videoFpCte: String = {
+    def chunk(c: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN (doc_id * 7 + 13 * (16 * $c + b + 1)) % 220
+         |              > (doc_id * 7 + 13 * (16 * $c + b)) % 220
+         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
+         |      AS BIGINT) AS c$c""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    ${(0 until 4).map(chunk).mkString(",\n    ")}
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** The capped-partner replay shared by `simhash_partners`,
+    * `phash_partners` and `video_phash_partners` — identical SQL over
+    * whichever fingerprint CTE defines `fp(doc_id, c0..c3)`: first
+    * maxBucket=64 members per (chunk, value) bucket, pairs within the
+    * cap, Hamming ≤ 12, per-doc top-5 by (hamming, partner). */
+  private val partnersReplaySql: String =
+    """, ch AS (
+      |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
+      |  UNION ALL SELECT doc_id, 1, c1 FROM fp
+      |  UNION ALL SELECT doc_id, 2, c2 FROM fp
+      |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
+      |capped AS (
+      |  SELECT doc_id, ci, cv FROM (
+      |    SELECT doc_id, ci, cv,
+      |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
+      |    FROM ch) WHERE br <= 64),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM capped x JOIN capped y
+      |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+      |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+      |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
+      |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
+      |    JOIN r ON r.doc_b = c.doc_b
+      |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
+      |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
+      |mirrored AS (
+      |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+      |SELECT doc_id, partner, hamming, rk FROM (
+      |  SELECT doc_id, partner, hamming,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hamming, partner) AS INTEGER) AS rk
+      |  FROM mirrored)
+      |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
 
   private val simhashFpCte: String = {
     val hvs = (1 to 16).map { nib =>
@@ -4214,77 +4283,15 @@ object SparkEntry {
     // candidates (first maxBucket=64 members per (chunk, value), then
     // pairs within the cap) — the identical deterministic cut
     "simhash_partners" ->
-      (simhashFpCte +
-        """, ch AS (
-        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
-        |  UNION ALL SELECT doc_id, 1, c1 FROM fp
-        |  UNION ALL SELECT doc_id, 2, c2 FROM fp
-        |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
-        |capped AS (
-        |  SELECT doc_id, ci, cv FROM (
-        |    SELECT doc_id, ci, cv,
-        |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
-        |    FROM ch) WHERE br <= 64),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM capped x JOIN capped y
-        |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
-        |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-        |pairs AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-        |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
-        |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
-        |    JOIN r ON r.doc_b = c.doc_b
-        |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-        |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
-        |mirrored AS (
-        |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
-        |SELECT doc_id, partner, hamming, rk FROM (
-        |  SELECT doc_id, partner, hamming,
-        |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY hamming, partner) AS INTEGER) AS rk
-        |  FROM mirrored)
-        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin),
+      (simhashFpCte + partnersReplaySql),
     // simhash_partners' capped-candidate + rank-cut replay over the
     // dHash fingerprint CTE
     "phash_partners" ->
-      (phashFpCte +
-        """, ch AS (
-        |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
-        |  UNION ALL SELECT doc_id, 1, c1 FROM fp
-        |  UNION ALL SELECT doc_id, 2, c2 FROM fp
-        |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
-        |capped AS (
-        |  SELECT doc_id, ci, cv FROM (
-        |    SELECT doc_id, ci, cv,
-        |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
-        |    FROM ch) WHERE br <= 64),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM capped x JOIN capped y
-        |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
-        |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-        |pairs AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-        |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
-        |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
-        |    JOIN r ON r.doc_b = c.doc_b
-        |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-        |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
-        |mirrored AS (
-        |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
-        |SELECT doc_id, partner, hamming, rk FROM (
-        |  SELECT doc_id, partner, hamming,
-        |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY hamming, partner) AS INTEGER) AS rk
-        |  FROM mirrored)
-        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin),
+      (phashFpCte + partnersReplaySql),
+    // temporal-dHash fingerprints from doc_id arithmetic + the same
+    // capped-partner replay (simhash_partners' SQL over videoFpCte)
+    "video_phash_partners" ->
+      (videoFpCte + partnersReplaySql),
     // the cluster composition: banded candidates -> Hamming pairs ->
     // transitive closure (cosine_clusters' recursive-CTE pattern over
     // the dHash fingerprint CTE)

@@ -641,4 +641,82 @@ object Multimodal {
       k: Int = 5, maxBucket: Int = 64): DataFrame =
     Dedup.partnersFromFingerprints(phashFingerprints(documents),
       maxHamming, k, maxBucket)
+
+  /** Video-fingerprint geometry: [[videoPhashFingerprints]] synthesizes
+    * `VideoFpFrames` constant-luma C420 frames per doc (one more frame
+    * than fingerprint bits — 64 temporal gradients need 65 samples);
+    * frame f's luma is `16 + (doc_id·7 + f·13) mod 220` — pure integer
+    * arithmetic, so the oracle can replay every bit from doc_id alone
+    * (the [[videoRoundTrip]] fixture discipline). */
+  val VideoFpFrames = 65
+  val VideoFpW = 4
+  val VideoFpH = 2
+
+  /** Per-VIDEO temporal dHash through the REAL Y4M demux — the video leg
+    * of the perceptual-fingerprint family: synthesize a deterministic
+    * C420 stream per doc_id ([[videoRoundTrip]]'s fixture recipe, 65
+    * frames), demux it with [[Y4mCodec]] (header parse + frame walk +
+    * luma-plane read — the real seam), take each frame's mean luma
+    * (constant planes make it integer-exact), and hash the TEMPORAL
+    * gradient signs: bit f is set iff mean_luma(f+1) > mean_luma(f) —
+    * dHash's "gradient survives re-encoding" idea applied along time
+    * instead of space, the standard shot-level video fingerprint shape.
+    * The 64 bits ship as the family's 4×16-bit chunk layout (c0..c3), so
+    * video near-dup plugs into the exact chunk-blocked machinery text
+    * SimHash and image dHash already ride. A broken header writer,
+    * parser, frame walk, or luma read flips fingerprint bits and fails
+    * the hash gate — the oracle recomputes them from doc_id.
+    */
+  def videoPhashFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (w, h, nFrames) = (VideoFpW, VideoFpH, VideoFpFrames)
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frameBytes = w * h * 3 / 2
+          val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val marker = "FRAME\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val buf = java.nio.ByteBuffer.allocate(
+            header.length + nFrames * (marker.length + frameBytes))
+          buf.put(header)
+          var f = 0
+          while (f < nFrames) {
+            buf.put(marker)
+            val luma = (16 + (id * 7 + f * 13) % 220).toByte
+            var i = 0
+            while (i < w * h) { buf.put(luma); i += 1 }
+            while (i < frameBytes) { buf.put(128.toByte); i += 1 }
+            f += 1
+          }
+          val y4m = buf.array()
+          // REAL demux, stride 1: the fingerprint reads the parser's
+          // frame offsets and luma sums, never our write buffer
+          val lumas = Y4mCodec.sampleLuma(y4m, 1).get
+            .map { case (_, s, n) => s / n }
+          var bits = 0L
+          var b = 0
+          while (b < nFrames - 1) {
+            if (lumas(b + 1) > lumas(b)) bits |= 1L << b
+            b += 1
+          }
+          (id, bits & 0xffffL, (bits >>> 16) & 0xffffL,
+            (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+        }
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** The BOUNDED video near-dup product — `simhash_partners`/
+    * `phash_partners`' video twin through the same generator-agnostic
+    * capped core ([[graft.operators.Dedup.partnersFromFingerprints]]):
+    * per video, its `k` nearest temporal-dHash partners over
+    * hot-bucket-capped chunk bands. Closes the partners relation across
+    * every fingerprint modality the engine carries.
+    */
+  def videoPhashPartners(documents: DataFrame, maxHamming: Int = 12,
+      k: Int = 5, maxBucket: Int = 64): DataFrame =
+    Dedup.partnersFromFingerprints(videoPhashFingerprints(documents),
+      maxHamming, k, maxBucket)
 }

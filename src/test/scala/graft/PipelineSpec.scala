@@ -2543,6 +2543,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 12, s"expected 3 flags × 4 percentiles, got ${got.size}")
   }
 
+  test("videoPhashFingerprints demuxes real Y4M and matches the doc_id arithmetic") {
+    import spark.implicits._
+    // 3 and 223 share doc_id mod 220, so their synthetic streams are
+    // frame-for-frame identical — an exact video dup class
+    val docs = Seq(3L, 223L, 7L).toDF("doc_id")
+    val fp = Multimodal.videoPhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(fp(3L) == fp(223L),
+      s"same mod-220 residue must fingerprint identically: $fp")
+    // independent replay of the temporal-gradient arithmetic (what the
+    // DuckDB oracle computes) — the engine path must agree through the
+    // real Y4M write → parse → frame walk → luma read
+    def bits(id: Long): Long = (0 until 64).foldLeft(0L) { (acc, f) =>
+      if ((id * 7 + 13 * (f + 1)) % 220 > (id * 7 + 13 * f) % 220)
+        acc | (1L << f)
+      else acc
+    }
+    val want = bits(7L)
+    assert(fp(7L) == ((want & 0xffffL, (want >>> 16) & 0xffffL,
+      (want >>> 32) & 0xffffL, (want >>> 48) & 0xffffL)),
+      s"fingerprint diverged from the arithmetic replay: ${fp(7L)}")
+  }
+
   test("annPartners caps the cell index side deterministically; probes stay uncut") {
     import spark.implicits._
     // centroids are vec_id < 4 (axis vectors); 4..8 all land in cell 0,
