@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: the LONG-LIVED-SESSION soak (VERDICT r11 item 9). Runs
+  * the ENTIRE registered query surface N times (default 2) inside ONE
+  * JVM/session — the multi-query server shape the per-round Verify/Bench
+  * runs never exercise end-to-end — and reports, after each pass:
+  * retained heap (post-GC), CacheManager/RDD persist counts, Spark
+  * local scratch (blockmgr/spark tmp dirs), and the warehouse +
+  * metastore footprint. A leak class the per-query teardown hides shows
+  * up as pass-over-pass growth in one of these columns; stable columns
+  * across passes are the pass criterion.
+  *
+  * Usage: `runMain graft.Soak [sfDir] [passes]`.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        Bench.scaledShufflePartitions(sfDir, cpus.toInt))
+      .config("spark.sql.session.timeZone", "UTC")
+      // let AQE re-coalesce CACHED-plan partitions too: iterative
+      // operators (page_rank edges, components-loop rounds) cache
+      // relations whose per-round shuffles are far smaller than the
+      // corpus, and without this flag the cache pins an oversized
+      // partition count (measured: page_rank x100 71.2 s pinned vs
+      // 56.7 s with the flag, at the over-partitioned 131 config)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scratchMB: Long = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          f.getName.startsWith("spark-"))
+        .map(f => Bench.dirMB(f.getAbsolutePath)).sum
+    }
+    def warehouseMB: Long =
+      Bench.dirMB("spark-warehouse") + Bench.dirMB("metastore_db")
+
+    for (p <- 1 to passes) {
+      var failed = 0
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += 1
+          System.err.println(s"[soak] $name failed: ${e.getMessage}")
+        }
+        // NOTE: deliberately NO clearCache — the soak exists to prove
+        // the operator-scoped release discipline holds without it.
+        // Attribute any persist a query leaves behind: the leak report
+        // that makes a growth column actionable.
+        val leaked =
+          spark.sparkContext.getPersistentRDDs.keySet -- before
+        if (leaked.nonEmpty)
+          println(s"[soak-leak] $name left ${leaked.size} persistent " +
+            s"RDD(s): ${leaked.toSeq.sorted.mkString(",")}")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.gc(); Thread.sleep(500); System.gc()
+      // ground-truth survivor list (the per-query [soak-leak] lines can
+      // race CacheScope's async listener-bus release; after the settle
+      // sleep, anything still persisted really is leaked). RDD.toString
+      // carries the creation site — the attribution that matters.
+      spark.sparkContext.getPersistentRDDs.toSeq.sortBy(_._1)
+        .foreach { case (id, rdd) =>
+          println(s"[soak-survivor] pass=$p rdd=$id $rdd")
+        }
+      val rt = Runtime.getRuntime
+      val heapMB = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      println(f"""{"soak_pass":$p,"n_queries":${SparkEntry.queries.size},"failed":$failed,"secs":$secs%.1f,"heap_mb":$heapMB,"persistent_rdds":${spark.sparkContext.getPersistentRDDs.size},"scratch_mb":$scratchMB,"warehouse_mb":$warehouseMB}""")
+    }
+    spark.stop()
+  }
+}

@@ -344,11 +344,16 @@ object SparkEntry {
         .write.mode("append").parquet(in)
       run() // phase 2: restart from the checkpoint — new files only
       // materialize before withStreamStage deletes the sink files: the
-      // aggregate is calendar × type sized (the hourly_counts shape)
-      val out = Events.hourlyCounts(s.read.parquet(sink).drop("batch_id"))
-        .cache()
-      out.count()
-      out
+      // aggregate is calendar × type sized (the hourly_counts shape).
+      // A `.cache()` here would pin one NEW entry per invocation (the
+      // temp stage path is baked into the plan) — the r12 soak's growth
+      // class — so the result lands in a stable OVERWRITTEN warehouse
+      // table instead: survives the stage teardown, zero persists.
+      graft.sources.TableSink.saveTable(
+        Events.hourlyCounts(s.read.parquet(sink).drop("batch_id")),
+        "graft_evt_table_result")
+      s.table("graft_evt_table_result")
+        .orderBy(col("hour"), col("event_type"))
     }),
     // STATEFUL STREAMING DEDUP driver-checked: document content
     // fingerprints stream through dropDuplicates state — the exactly-once
@@ -656,10 +661,12 @@ object SparkEntry {
       // upsertApply consumes the feed twice (anti-join keys + images);
       // a real pipeline passes a materialized CDC batch, so a DERIVED
       // feed persists DISK_ONLY first — else the diff join runs twice
-      // at snapshot scale (released by the harness's clearCache)
-      val feed = Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
-          includePayload = true)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // at snapshot scale. Operator-scoped release (r12): one lazy
+      // consumer plan, so selfReleasing frees it after the action.
+      val feed = CacheScope.selfReleasing(
+        Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          includePayload = true),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       Scd.upsertApply(oldSnap, feed, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     }),
@@ -1328,11 +1335,13 @@ object SparkEntry {
       batch.filter(col("doc_id") % 20 =!= 0).repartition(2)
         .write.mode("append").parquet(in)
       run() // phase 2: restart from the checkpoint — new files only
-      // materialize before withStreamStage deletes the sink files
-      val out = s.read.parquet(sink).drop("batch_id")
-        .orderBy(col("doc_id")).cache()
-      out.count()
-      out
+      // materialize before withStreamStage deletes the sink files —
+      // into a stable OVERWRITTEN warehouse table, not a cache (a cache
+      // keyed on the per-invocation temp path grows the persist set
+      // every call: the r12 soak's growth class)
+      graft.sources.TableSink.saveTable(
+        s.read.parquet(sink).drop("batch_id"), "graft_dedup_inc_s_result")
+      s.table("graft_dedup_inc_s_result").orderBy(col("doc_id"))
     }),
     "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),

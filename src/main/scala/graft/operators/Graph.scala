@@ -37,15 +37,15 @@ object Graph {
     * 85·Σcontrib multiply stayed in silently-wrapping long arithmetic).
     * Beyond ~9.2e9 nodes, lower `scale`.
     *
-    * Caller contract: the degree-annotated edge relation and the node
-    * relation stay persisted after this returns — every consumption of
-    * the (lazy) result re-reads them. Both persist DISK_ONLY per the
-    * [[triangleCounts]] discipline: an edge relation is corpus-sized and
-    * must not pin storage memory, least of all across an iterative run
-    * where it would compete with every iteration's shuffle for executor
-    * memory. Call `spark.catalog.clearCache()` (or unpersist both via a
-    * fresh call's lineage) once the ranks are materialized; Bench/Verify
-    * do this per query.
+    * The degree-annotated edge relation and the node relation persist
+    * DISK_ONLY per the [[triangleCounts]] discipline: an edge relation
+    * is corpus-sized and must not pin storage memory, least of all
+    * across an iterative run where it would compete with every
+    * iteration's shuffle for executor memory. Both releases are
+    * operator-scoped (r12, [[CacheScope.selfReleasing]]): the whole rank
+    * derivation is ONE lazy plan, so the first consuming action
+    * materializes each cache once, reuses it across all iterations'
+    * subtrees, and unpersists it on completion — no caller teardown.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85,
       scale: Long = 1000000000L): DataFrame = {
@@ -57,10 +57,12 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one shuffle on src for the whole run; every iteration rejoins this
-    val withDeg = e.join(outDeg, "src").persist(StorageLevel.DISK_ONLY)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.DISK_ONLY)
+    val withDeg = CacheScope.selfReleasing(
+      e.join(outDeg, "src"), StorageLevel.DISK_ONLY)
+    val nodes = CacheScope.selfReleasing(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      StorageLevel.DISK_ONLY)
     val base = (100L - dampingPct) * scale / 100L
     var ranks = nodes.withColumn("rank_e9", lit(scale))
     for (_ <- 1 to iterations) {
@@ -105,9 +107,11 @@ object Graph {
     * not pin storage memory) — without the pin the entire upstream edge
     * derivation re-executes once per consuming join (measured 3×).
     *
-    * Caller contract: the persisted relations are released by
-    * `spark.catalog.clearCache()` once the counts are materialized;
-    * Bench/Verify do this per query.
+    * Both releases are operator-scoped (r12,
+    * [[CacheScope.selfReleasing]]): the count derivation is one lazy
+    * plan, so the first consuming action materializes each cache once,
+    * serves every downstream join from it, and unpersists on
+    * completion — no caller teardown.
     *
     * Emits (node, n_tri) for vertices in at least one triangle.
     */
@@ -115,10 +119,11 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     // canonical undirected edge set (self-loops dropped, both input
     // orientations collapse)
-    val und = edges.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist(StorageLevel.DISK_ONLY)
+    val und = CacheScope.selfReleasing(
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      StorageLevel.DISK_ONLY)
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -126,7 +131,7 @@ object Graph {
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
     // orient by (degree, id); carry the head's degree for wedge ordering
-    val oriented = withDeg.select(
+    val orientedPlan = withDeg.select(
       when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
@@ -134,7 +139,8 @@ object Graph {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .persist(StorageLevel.DISK_ONLY)
+    val oriented = CacheScope.selfReleasing(orientedPlan,
+      StorageLevel.DISK_ONLY)
     // wedges at each apex s: out-neighbor pairs in the SAME (degree, id)
     // order the edges are oriented by, so the closing edge — if it
     // exists — is guaranteed oriented a -> b and one equi-join finds it
@@ -168,9 +174,12 @@ object Graph {
     * every later level's anti join and by the final union, and the flat
     * cached relations keep `reached`'s lineage linear in k where plain
     * recursion doubles it per level. The edge relation persists DISK_ONLY
-    * for the same reason (k consumptions). Caller contract: released by
-    * `spark.catalog.clearCache()` once materialized (Bench/Verify do
-    * this per query). k is a small fixed constant per the [[pageRank]]
+    * for the same reason (k consumptions). All releases are
+    * operator-scoped (r12, [[CacheScope.selfReleasing]]): the final
+    * union is one lazy plan containing every frontier, so its first
+    * consuming action materializes each cache, reuses it across levels,
+    * and unpersists it on completion — no caller teardown. k is a
+    * small fixed constant per the [[pageRank]]
     * discipline — an open-ended fixpoint would move to
     * localCheckpoint like Dedup.nearDupClusters.
     */
@@ -178,17 +187,19 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1 && k <= 10,
       "k must be in [1, 10] — beyond that use a checkpointed fixpoint")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.DISK_ONLY)
-    var frontiers = List(seeds.select(col("node")).distinct()
-      .withColumn("min_hops", lit(0)).persist(StorageLevel.DISK_ONLY))
+    val e = CacheScope.selfReleasing(
+      edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
+    var frontiers = List(CacheScope.selfReleasing(
+      seeds.select(col("node")).distinct()
+        .withColumn("min_hops", lit(0)), StorageLevel.DISK_ONLY))
     for (i <- 1 to k) {
       val reached = frontiers.map(_.select(col("node"))).reduce(_ union _)
       val next = frontiers.head.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(reached, Seq("node"), "left_anti")
-        .withColumn("min_hops", lit(i)).persist(StorageLevel.DISK_ONLY)
-      frontiers = next :: frontiers
+        .withColumn("min_hops", lit(i))
+      frontiers = CacheScope.selfReleasing(next,
+        StorageLevel.DISK_ONLY) :: frontiers
     }
     frontiers.reduce(_ unionByName _).orderBy(col("min_hops"), col("node"))
   }

@@ -67,6 +67,7 @@ object MarketBasket {
     // discipline as ngram_jaccard's df relation (measured both ways there;
     // re-measured here, BENCH_NOTES r8).
     val items = basketItems(lineitem).persist(StorageLevel.DISK_ONLY)
+    try {
     val baskets = items.groupBy(col("basket"))
       .agg(collect_list(col("item")).as("items"))
     // ML estimator boundary: fit() is an eager action by nature, so this
@@ -94,6 +95,12 @@ object MarketBasket {
         col("consequent")(0).as("consequent"),
         col("confidence"), col("lift"), col("support"))
       .orderBy(col("antecedent"), col("consequent"))
+    // release is operator-scoped (r12): fit() — the estimator boundary,
+    // already eager — is where the reuse paid off; the rules relation's
+    // later consumption recomputes the post-shuffle freqItemsets lineage
+    // from existing shuffle files, so the unpersist costs ~nothing and a
+    // long-lived session stops accumulating corpus-sized pins
+    } finally items.unpersist(false)
   }
 
   /** Association rules a→b over item pairs co-occurring in ≥ minPairCount
@@ -101,14 +108,16 @@ object MarketBasket {
     * on the basket key (shuffle on basket, never a cross product);
     * support/confidence/lift divide exact integer counts.
     *
-    * Caller contract (here and [[fpgrowthRules]]): the distinct-items
-    * relation stays cached after this returns (supports + both pair-join
-    * sides); release with `spark.catalog.clearCache()` once the result is
-    * materialized (Bench/Verify do this per query).
+    * The distinct-items relation persist (supports + both pair-join
+    * sides) is operator-scoped (r12, [[CacheScope.selfReleasing]]): the
+    * rule derivation is one lazy plan, so the first consuming action
+    * materializes the cache once, serves all three consumers from it,
+    * and unpersists it on completion — no caller teardown.
     */
   def rules(lineitem: DataFrame, minPairCount: Long = 2): DataFrame = {
     // DISK_ONLY for the corpus-sized relation (see fpgrowthRules)
-    val items = basketItems(lineitem).persist(StorageLevel.DISK_ONLY)
+    val items = CacheScope.selfReleasing(basketItems(lineitem),
+      StorageLevel.DISK_ONLY)
     // basket count as a broadcast 1-row aggregate — keeps the whole rule
     // derivation a single lazy plan (no driver-side count action/extra scan)
     val nb = items.agg(countDistinct(col("basket")).cast("double").as("n_baskets"))

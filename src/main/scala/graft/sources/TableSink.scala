@@ -38,9 +38,22 @@ object TableSink {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
-    val spark = df.sparkSession
-    // support both bare and db-qualified names: quote each part, and probe
-    // the managed location under <warehouse>[/<db>.db]/<table>
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Drop `table` from the catalog AND delete any orphaned managed
+    * location a previous session left in the warehouse — the shared
+    * pre-write step of every saveAsTable sink here (a fresh in-memory
+    * catalog refuses to create over a leftover directory). Supports bare
+    * and db-qualified names.
+    */
+  private def dropWithLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
     val parts = table.split('.')
     val quoted = parts.map(p => s"`$p`").mkString(".")
     spark.sql(s"DROP TABLE IF EXISTS $quoted")
@@ -52,11 +65,19 @@ object TableSink {
     val loc = new org.apache.hadoop.fs.Path(warehouse, relative)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
-      .format("parquet")
-      .saveAsTable(table)
+  }
+
+  /** Plain (unbucketed) managed-table overwrite with the same
+    * orphaned-location hygiene as [[writeBucketed]] — the stable
+    * RESULT-materialization sink for queries whose staging files are
+    * deleted before the caller consumes the result (the streaming
+    * compositions): unlike a `.cache()` keyed on a per-invocation temp
+    * path, an overwritten table neither grows the persist set per call
+    * nor dies with the stage directory.
+    */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Append a delta into an EXISTING bucketed table created by
