@@ -1,13 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Total on-disk size of a corpus directory, in MB. */
+  private[graft] def dirMB(dir: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    val root = new java.io.File(dir)
+    if (root.exists()) size(root) / (1024L * 1024L) else 0L
+  }
+
+  /** The r12 shuffle-partition rule: one shuffle partition per ~45 MB
+    * of SOURCE parquet, floored at the core count and capped at 1024 —
+    * partition count is a cluster config that scales with data, not a
+    * plan property, and this makes the scaling a default instead of an
+    * audit-only knob. The constant is CALIBRATED BY EXPERIMENT, not by
+    * the r11 single-query extrapolation (full receipts in BENCH_NOTES
+    * r12): at the 17 MB bench corpus a static 128 regressed
+    * ngram_jaccard 4×; at the 1.4 GB x100 corpus an 11 MB/partition
+    * rule (131 partitions) was a NET LOSS across the 6-query head set —
+    * entity_clusters 24 → 68 s, dedup_clusters 19 → 54 s, page_rank
+    * 50 → 57 s, cooccur_counts unchanged — because iterative and
+    * bounded-intermediate operators shuffle far less than the corpus
+    * and pay per-partition overhead every round. 45 MB/partition keeps
+    * the floor through the largest corpus this host can audit and
+    * engages beyond it; on a real cluster the finer mechanism is AQE
+    * (high initialPartitionNum + advisory size + the
+    * canChangeCachedPlanOutputPartitioning flag set below) rather than
+    * static counts. SPARK_GRAFT_SHUFFLE overrides for experiments.
+    */
+  private[graft] def scaledShufflePartitions(dir: String, cpus: Int): Int =
+    math.max(cpus, math.min(1024L, dirMB(dir) / 45L).toInt)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // sf-proportional default (see scaledShufflePartitions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          scaledShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE re-coalesce CACHED-plan partitions too: iterative
+      // operators (page_rank edges, components-loop rounds) cache
+      // relations whose per-round shuffles are far smaller than the
+      // corpus, and without this flag the cache pins an oversized
+      // partition count (measured: page_rank x100 71.2 s pinned vs
+      // 56.7 s with the flag, at the over-partitioned 131 config)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

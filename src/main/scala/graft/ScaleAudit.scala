@@ -41,7 +41,69 @@ object ScaleAudit {
   private val X100Heads = Seq("cooccur_counts", "dedup_clusters",
     "page_rank", "assoc_rules", "entity_clusters", "fpgrowth_rules")
 
+  /** `runMain graft.ScaleAudit dupheavy`: the duplicate-heavy probe for
+    * the MinHash hot-bucket cap (VERDICT r11 item 1). Builds a corpus
+    * whose near-dup CLASSES grow with the data — sf0.01 documents
+    * replicated `DupReplicas`× with shifted ids and UNROTATED text, so
+    * every document sits in an exact-dup class of 1000 — and times
+    * `minhashLsh` with the default cap against the effectively-uncapped
+    * form. Uncapped, each class contributes C(1000,2)·4 band candidate
+    * rows (Σ n_bucket² arithmetic — the r11 simhash OOM, reproduced for
+    * minhash); capped, C(64,2)·4 — bounded no matter how large classes
+    * grow. The capped row is the product; the uncapped row is expected
+    * to degrade or die, and the probe prints the capped result FIRST so
+    * a dead uncapped JVM still leaves the evidence.
+    */
+  private val DupReplicas = 1000
+
+  private def dupHeavyProbe(spark: SparkSession): Unit = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.crossJoin(
+        spark.range(DupReplicas.toLong).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+        col("text"))
+    def time(label: String, maxBucket: Int): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup
+        .minhashLsh(corpus, maxBucket = maxBucket).count()
+      println(f"| dupheavy minhash_lsh $label | ${(System.nanoTime() - t0) / 1e9}%.2f s | $n rows |")
+    }
+    time("capped(64)", graft.operators.Dedup.MaxBandBucket)
+    time("uncapped", 1 << 28)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dupheavy")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        // the replicated corpus is DupReplicas× the sf0.01 parquet —
+        // apply the default 45MB-per-partition rule to its LOGICAL
+        // volume (Bench.scaledShufflePartitions reads physical dirs,
+        // so inline the same arithmetic on dirMB × DupReplicas)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+            math.max(cpus.toInt, math.min(1024L,
+              Bench.dirMB("/root/testdata/sf0.01/documents.parquet") *
+                DupReplicas / 45L).toInt).toString))
+        .config("spark.sql.session.timeZone", "UTC")
+        // let AQE re-coalesce CACHED-plan partitions too: iterative
+        // operators (page_rank edges, components-loop rounds) cache
+        // relations whose per-round shuffles are far smaller than the
+        // corpus, and without this flag the cache pins an oversized
+        // partition count (measured: page_rank x100 71.2 s pinned vs
+        // 56.7 s with the flag, at the over-partitioned 131 config)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      dupHeavyProbe(spark)
+      spark.stop()
+      return
+    }
     val x100 = args.headOption.contains("x100")
     val rest = if (x100) args.drop(1).toSeq else args.toSeq
     val names =
@@ -53,12 +115,11 @@ object ScaleAudit {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sf1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // SPARK_GRAFT_SHUFFLE: at the x100 notch a 32-partition shuffle
-      // holds ~4.5 M rows per partition and spills — the partition count
-      // must scale with the data (a cluster config, not a plan property);
-      // this knob lets the audit PROVE that claim instead of asserting it
+      // sf-proportional default per notch (Bench.scaledShufflePartitions;
+      // re-set per timed dir below). SPARK_GRAFT_SHUFFLE overrides.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -123,6 +184,12 @@ object ScaleAudit {
         orderShift = 1L << 44, docShift = 100000000L, userShift = 10000000L)
 
     def time(name: String, dir: String): Double = {
+      // the sf-proportional partition rule, applied PER NOTCH: each dir
+      // is timed at its own scaled count (the r12 default), unless the
+      // experiment pinned one via SPARK_GRAFT_SHUFFLE
+      if (!sys.env.contains("SPARK_GRAFT_SHUFFLE"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+          Bench.scaledShufflePartitions(dir, cpus.toInt))
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ =>
         System.gc()
