@@ -1144,6 +1144,10 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
+    // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
+    // rank-only signal, two-term INTEGER fusion, bounded final window
+    "rrf_fusion" -> ((s, dir) =>
+      Retrieval.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"))),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     // the third blocking family (after LSH bands and PassJoin
@@ -1550,8 +1554,26 @@ object SparkEntry {
     // arithmetic (videoRoundTrip discipline) + the shared partner replay
     "video_phash_partners" -> ((s, dir) =>
       Multimodal.videoPhashPartners(t(s, dir, "documents"))),
+    // the audio leg: window-energy gradient bits through the real WAV
+    // encode -> decode seam; oracle replays them from doc_id arithmetic
+    "audio_phash_partners" -> ((s, dir) =>
+      Multimodal.audioPhashPartners(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    // GPT-style concat-and-chunk sequence packing: the global token
+    // offset is ONE window-free exactPrefixSum pass; the rest is
+    // row-local span arithmetic + a bounded explode
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"))),
+    "pack_summary" -> ((s, dir) =>
+      Packing.packSummary(t(s, dir, "documents"))),
+    // continuous-ingestion packing: the delta packs onto the end of the
+    // base stream — base contributes ONE broadcast aggregate, O(|delta|)
+    "pack_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.packIncremental(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     // longest-first round-robin sharding: balanced-bytes output shards
     // via the window-free ExactRank under a constant group
     "shard_rebalance" -> ((s, dir) =>
@@ -2043,8 +2065,31 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** `audio_phash_partners`' fingerprint CTE: the window-energy gradient
+    * bits replayed as pure integer arithmetic from doc_id (window w's
+    * constant sample is (doc_id·11 + w·17) mod 199 — the
+    * audioPhashFingerprints fixture recipe — so gradient bit w is a
+    * mod-199 comparison; chunk c packs bits 16c..16c+15). A broken WAV
+    * writer/parser/sample decode on the Spark side flips bits and fails
+    * the hash gate.
+    */
+  private lazy val audioFpCte: String = {
+    def chunk(c: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN (doc_id * 11 + 17 * (16 * $c + b + 1)) % 199
+         |              > (doc_id * 11 + 17 * (16 * $c + b)) % 199
+         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
+         |      AS BIGINT) AS c$c""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    ${(0 until 4).map(chunk).mkString(",\n    ")}
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   /** The capped-partner replay shared by `simhash_partners`,
-    * `phash_partners` and `video_phash_partners` — identical SQL over
+    * `phash_partners`, `video_phash_partners` and `audio_phash_partners`
+    * — identical SQL over
     * whichever fingerprint CTE defines `fp(doc_id, c0..c3)`: first
     * maxBucket=64 members per (chunk, value) bucket, pairs within the
     * cap, Hamming ≤ 12, per-doc top-5 by (hamming, partner). */
@@ -3969,6 +4014,64 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rk,
         |  doc_id, n_terms_matched, bm25_e6
         |FROM scored ORDER BY rk""".stripMargin,
+    // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
+    // query vec 0 (sem list) + the two-term integer RRF sum
+    "rrf_fusion" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
+        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
+        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT count(*) FROM tokens) AS total_tok
+        |), per AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                / (CAST(d.df AS DOUBLE) + 0.5)))
+        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |            + 0.75 * (CAST(l.dl AS DOUBLE)
+        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_e6
+        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
+        |), lexs AS (
+        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6
+        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+        |), lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS lex_rk
+        |  FROM lexs
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nn AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), qv AS (SELECT * FROM nn WHERE vec_id = 0),
+        |p AS (
+        |  SELECT b.vec_id AS doc_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM qv a JOIN nn b ON b.vec_id <> a.vec_id
+        |), sems AS (
+        |  SELECT doc_id, cos_e6,
+        |    CAST(row_number() OVER (ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS sem_rk
+        |  FROM p
+        |), sem AS (SELECT doc_id, sem_rk FROM sems WHERE sem_rk <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, l.lex_rk, s2.sem_rk,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rk)) AS BIGINT), 0) +
+        |    COALESCE(CAST(floor(1000000.0 / (60 + s2.sem_rk)) AS BIGINT), 0) AS rrf_e6
+        |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rk,
+        |    doc_id, lex_rk, sem_rk, rrf_e6
+        |  FROM fused)
+        |SELECT rk, doc_id, lex_rk, sem_rk, rrf_e6
+        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
@@ -4301,6 +4404,10 @@ object SparkEntry {
     // capped-partner replay (simhash_partners' SQL over videoFpCte)
     "video_phash_partners" ->
       (videoFpCte + partnersReplaySql),
+    // window-energy gradient fingerprints from doc_id arithmetic + the
+    // same capped-partner replay (simhash_partners' SQL over audioFpCte)
+    "audio_phash_partners" ->
+      (audioFpCte + partnersReplaySql),
     // the cluster composition: banded candidates -> Hamming pairs ->
     // transitive closure (cosine_clusters' recursive-CTE pattern over
     // the dHash fingerprint CTE)
@@ -4731,6 +4838,81 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    // global stream offset = window cumsum (oracle scale is fine with
+    // the single-task window; the ENGINE uses the window-free prefix
+    // sum), then the same span arithmetic; range() is end-exclusive
+    // where Spark's sequence() is inclusive, hence the +1
+    "pack_sequences" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len
+        |  FROM documents
+        |), offs AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM docs
+        |), sp AS (
+        |  SELECT doc_id, len, off,
+        |    unnest(range(CAST(off // 512 AS BIGINT),
+        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM offs WHERE len > 0)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
+        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+        |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
+    "pack_summary" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len
+        |  FROM documents
+        |), offs AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM docs
+        |), sp AS (
+        |  SELECT doc_id, len, off,
+        |    unnest(range(CAST(off // 512 AS BIGINT),
+        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM offs WHERE len > 0
+        |), spans AS (
+        |  SELECT seq_id, doc_id,
+        |    GREATEST(0, seq_id * 512 - off) AS tok_begin,
+        |    LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+        |  FROM sp)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(tok_end - tok_begin) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok_begin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
+        |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // the delta's spans continue the base stream: same span arithmetic,
+    // offsets shifted by the base's total token count
+    "pack_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len,
+        |    (doc_id % 10 = 0) AS is_delta
+        |  FROM documents
+        |), bt AS (
+        |  SELECT CAST(COALESCE(sum(len), 0) AS BIGINT) AS base_off
+        |  FROM docs WHERE NOT is_delta
+        |), offs AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_off
+        |  FROM docs WHERE is_delta
+        |), sp AS (
+        |  SELECT doc_id, len, d_off + (SELECT base_off FROM bt) AS off
+        |  FROM offs WHERE len > 0
+        |), u AS (
+        |  SELECT doc_id, len, off,
+        |    unnest(range(CAST(off // 512 AS BIGINT),
+        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM sp)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
+        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+        |FROM u ORDER BY seq_id, doc_id""".stripMargin,
     "pipeline_quality" ->
       """WITH gc AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w,

@@ -719,4 +719,90 @@ object Multimodal {
       k: Int = 5, maxBucket: Int = 64): DataFrame =
     Dedup.partnersFromFingerprints(videoPhashFingerprints(documents),
       maxHamming, k, maxBucket)
+
+  /** Audio-fingerprint geometry: 65 constant-amplitude windows of
+    * [[AudioFpWinSamples]] 16-bit mono PCM samples each (64 temporal
+    * gradients need 65 windows — [[VideoFpFrames]]' arithmetic); window
+    * w's sample value is `(doc_id·11 + w·17) mod 199` — pure integer
+    * arithmetic, so the oracle replays every bit from doc_id alone. */
+  val AudioFpWindows = 65
+  val AudioFpWinSamples = 4
+
+  /** Per-AUDIO temporal fingerprint through the REAL WAV codec — the
+    * audio leg of the perceptual-fingerprint family (Haitsma–Kalker's
+    * "energy-band gradient signs survive re-encoding" shape, applied to
+    * window energies along time): synthesize a deterministic 16-bit mono
+    * PCM clip per doc_id ([[audioRoundTrip]]'s fixture discipline),
+    * ENCODE it into a WAV container with `javax.sound.sampled`, decode
+    * it back through `AudioSystem.getAudioInputStream` (RIFF header
+    * parse + stream decode — the real seam), read the DECODED
+    * little-endian samples, and hash the gradient signs of consecutive
+    * window sums: bit w is set iff sum(w+1) > sum(w). PCM-in-WAV is
+    * lossless, so the oracle can replay the byte math bit-for-bit while
+    * the engine exercises the real encode→decode path — a broken header
+    * writer, parser, or sample decode flips bits and fails the hash
+    * gate. The 64 bits ship as the family's 4×16-bit chunk layout
+    * (c0..c3), so audio near-dup plugs into the same chunk-blocked
+    * machinery as text SimHash, image dHash, and video temporal dHash.
+    */
+  def audioPhashFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (nWin, winLen) = (AudioFpWindows, AudioFpWinSamples)
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = nWin * winLen
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((id * 11 + (i / winLen) * 17) % 199).toShort
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+          // REAL decode: the fingerprint reads the codec's output
+          // samples, never our write buffer
+          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          val dec = try back.readAllBytes() finally back.close()
+          val sums = new Array[Long](nWin)
+          var j = 0
+          while (j < n) {
+            val lo = dec(2 * j) & 0xff
+            val hi = dec(2 * j + 1).toInt
+            sums(j / winLen) += (hi << 8) | lo
+            j += 1
+          }
+          var bits = 0L
+          var w = 0
+          while (w < nWin - 1) {
+            if (sums(w + 1) > sums(w)) bits |= 1L << w
+            w += 1
+          }
+          (id, bits & 0xffffL, (bits >>> 16) & 0xffffL,
+            (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+        }
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** The BOUNDED audio near-dup product — the last modality leg of the
+    * partners family, through the same generator-agnostic capped core
+    * ([[graft.operators.Dedup.partnersFromFingerprints]]): per clip, its
+    * `k` nearest fingerprint partners over hot-bucket-capped chunk
+    * bands. Text, image, video, audio, and embedding
+    * ([[graft.operators.Similarity.annPartners]]) now all serve the
+    * same bounded "this item's nearest duplicates" relation.
+    */
+  def audioPhashPartners(documents: DataFrame, maxHamming: Int = 12,
+      k: Int = 5, maxBucket: Int = 64): DataFrame =
+    Dedup.partnersFromFingerprints(audioPhashFingerprints(documents),
+      maxHamming, k, maxBucket)
 }

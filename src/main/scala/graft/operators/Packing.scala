@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing — the step between a curated corpus and a
+  * training loader: documents are laid end-to-end on ONE global token
+  * stream in doc_id order ("concat and chunk", the GPT-style packing in
+  * which document boundaries may fall inside a sequence), and the stream
+  * is cut into fixed-length sequences of `seqLen` tokens. The output is
+  * the (sequence, document) assignment relation a loader consumes: for
+  * every sequence a document overlaps, one row with the doc-LOCAL token
+  * span `[tok_begin, tok_end)` that lands in that sequence.
+  *
+  * Scale shape: the ONLY global coordination packing needs is each
+  * document's starting OFFSET on the token stream — an exact prefix sum
+  * in doc_id order. A `sum() OVER (ORDER BY doc_id)` window would pull
+  * the entire corpus through ONE task (the global-order window has a
+  * single partition); [[ExactRank.exactPrefixSum]] instead
+  * range-partitions by doc_id, sums per partition, and ships only the
+  * ~numPartitions partial totals through the driver — parallelism stays
+  * at the partition count on a 100 TB corpus. Everything downstream of
+  * the offset is row-local arithmetic plus a bounded explode (a document
+  * emits `ceil(len/seqLen)+1` rows at most — output is O(corpus tokens /
+  * seqLen + documents), never quadratic).
+  *
+  * Token accounting uses the engine's subword proxy (the
+  * `[a-z]+|[0-9]+|[^a-z0-9 ]` class, tokenCounts' convention) so the
+  * oracle replays lengths exactly; a real deployment swaps in
+  * pipeline_tokenizer's BPE counts — the packing math is tokenizer-
+  * agnostic. Empty documents (zero tokens) occupy no stream positions
+  * and emit no rows.
+  */
+object Packing {
+
+  /** One row per (seq_id, doc_id) overlap: `tok_begin`/`tok_end` are the
+    * doc-local half-open token span assigned to that sequence. Every
+    * sequence holds exactly `seqLen` tokens except the last.
+    */
+  def packSequences(documents: DataFrame, seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, s"packSequences requires seqLen >= 1, got $seqLen")
+    val toks = documents.select(col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
+    // one logical group (the stream is global); parallel via the range
+    // partitioning on doc_id inside exactPrefixSum
+    val offs = ExactRank.exactPrefixSum(
+      toks.withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
+      beforeCol = "off", totalCol = "stream_total", maxGroups = 1)
+    val s = seqLen.toLong
+    offs.filter(col("len") > 0)
+      .select(col("doc_id"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $s"),
+          expr(s"(off + len - 1) div $s"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * s - col("off")).as("tok_begin"),
+        least(col("len"), (col("seq_id") + 1L) * s - col("off"))
+          .as("tok_end"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** Continuous-ingestion packing — the dedup_incremental discipline
+    * applied to sequence assembly: a `delta` batch packs onto the END of
+    * an already-packed `base` corpus's token stream, continuing mid-
+    * sequence (the base's final partial sequence is topped up by the
+    * first delta tokens — append never wastes pad). Only the delta is
+    * prefix-summed; the base contributes ONE number (its total token
+    * count, a broadcast 1-row aggregate), so per-batch cost is
+    * O(|delta|) regardless of base size — the base corpus is never
+    * re-scanned beyond that single partial-aggregable sum. Emits the
+    * delta's (seq_id, doc_id, span) rows on the SAME global sequence
+    * numbering as [[packSequences]] over base-then-delta would produce.
+    */
+  def packIncremental(base: DataFrame, delta: DataFrame,
+      seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, s"packIncremental requires seqLen >= 1, got $seqLen")
+    def lens(df: DataFrame) = df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
+    val baseTotal = lens(base)
+      .agg(coalesce(sum(col("len")), lit(0L)).as("base_off"))
+    val offs = ExactRank.exactPrefixSum(
+      lens(delta).withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
+      beforeCol = "d_off", totalCol = "d_total", maxGroups = 1)
+    val s = seqLen.toLong
+    offs.crossJoin(broadcast(baseTotal))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("len"),
+        (col("d_off") + col("base_off")).as("off"))
+      .select(col("doc_id"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $s"),
+          expr(s"(off + len - 1) div $s"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * s - col("off")).as("tok_begin"),
+        least(col("len"), (col("seq_id") + 1L) * s - col("off"))
+          .as("tok_end"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** Per-sequence packing summary — the invariant view: every sequence
+    * carries exactly `seqLen` tokens (except the last partial one),
+    * `n_docs` documents overlap it, and `n_carried` of those began in an
+    * earlier sequence (their span crosses this sequence's left cut — the
+    * rows a loader's attention-mask builder treats as continuations).
+    * The relation a packing-efficiency dashboard reads.
+    */
+  def packSummary(documents: DataFrame, seqLen: Int = 512): DataFrame =
+    packSequences(documents, seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_end") - col("tok_begin")).as("n_tokens"),
+        sum(when(col("tok_begin") > 0, 1L).otherwise(0L)).as("n_carried"))
+      .orderBy(col("seq_id"))
+}

@@ -144,6 +144,23 @@ object Similarity {
     * side bounded to the first `maxQueries` vec_ids (broadcast, so the
     * nested-loop streams the corpus once — O(q·n), never O(n²)).
     */
+  /** Exact cosine top-k for ONE query vector (by `vec_id`) against the
+    * whole corpus — the single-query serve shape retrieval fusion
+    * composes over. One broadcast of the 1-row query side, one linear
+    * scan of the corpus, the shared [[rankTopK]] tie-break; O(n) at any
+    * corpus size.
+    */
+  def queryTopK(embeddings: DataFrame, queryVecId: Long,
+      k: Int): DataFrame = {
+    val q = sideWithNorm(embeddings.filter(col("vec_id") === queryVecId),
+      "vec_id", "va", "nrm_a")
+    val b = sideWithNorm(embeddings, "other_id", "vb", "nrm_b")
+    val scored = broadcast(q).join(b, col("vec_id") =!= col("other_id"))
+      .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
+        (col("nrm_a") * col("nrm_b")) * lit(1000000.0)))
+    rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
       maxQueries: Int = MaxBruteForceQueries): DataFrame = {
     val a = sideWithNorm(embeddings.orderBy(col("vec_id")).limit(maxQueries),

@@ -2567,6 +2567,89 @@ class PipelineSpec extends AnyFunSuite {
       s"fingerprint diverged from the arithmetic replay: ${fp(7L)}")
   }
 
+  test("audioPhashFingerprints decodes real WAV and matches the doc_id arithmetic") {
+    import spark.implicits._
+    // 5 and 204 share doc_id mod 199 under the ·11 multiplier? No —
+    // equality needs (a·11) ≡ (b·11) mod 199, i.e. a ≡ b mod 199
+    // (199 prime): 5 and 204 differ by exactly 199
+    val docs = Seq(5L, 204L, 9L).toDF("doc_id")
+    val fp = Multimodal.audioPhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(fp(5L) == fp(204L),
+      s"same mod-199 residue must fingerprint identically: $fp")
+    // independent replay of the window-gradient arithmetic (what the
+    // DuckDB oracle computes) — the engine path must agree through the
+    // real WAV encode → RIFF parse → stream decode → sample read
+    def bits(id: Long): Long = (0 until 64).foldLeft(0L) { (acc, w) =>
+      if ((id * 11 + 17 * (w + 1)) % 199 > (id * 11 + 17 * w) % 199)
+        acc | (1L << w)
+      else acc
+    }
+    val want = bits(9L)
+    assert(fp(9L) == ((want & 0xffffL, (want >>> 16) & 0xffffL,
+      (want >>> 32) & 0xffffL, (want >>> 48) & 0xffffL)),
+      s"fingerprint diverged from the arithmetic replay: ${fp(9L)}")
+  }
+
+  test("packIncremental continues the base stream exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val S = 512L
+    val baseTotal = base.select(sum(size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")))
+      .collect()(0).getLong(0)
+    val got = Packing.packIncremental(base, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the first delta span lands in the base's final (partial) sequence
+    assert(got.head._1 == baseTotal / S,
+      s"delta must continue mid-sequence: ${got.head} vs ${baseTotal / S}")
+    // identity: an empty base degenerates to plain packSequences
+    val whole = Packing.packSequences(delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fromEmpty = Packing.packIncremental(delta.filter(lit(false)), delta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fromEmpty.toSeq == whole.toSeq,
+      "empty-base packIncremental must equal packSequences")
+    // token conservation on the delta side
+    val deltaTotal = delta.select(sum(size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")))
+      .collect()(0).getLong(0)
+    assert(got.map(r => r._4 - r._3).sum == deltaTotal,
+      "delta token stream not preserved")
+  }
+
+  test("rrfFusion fuses the two rank lists with exact reciprocal-rank arithmetic") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val emb = tbl("embeddings")
+    // driver-local replay from the two rankers' own outputs
+    val lex = TextAnalysis.bm25(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc_id -> rk
+    val sem = Similarity.queryTopK(emb, 0L, 20).collect()
+      .map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    def c(rk: Option[Long]) =
+      rk.map(r => math.floor(1000000.0 / (60 + r)).toLong).getOrElse(0L)
+    val expect = (lex.keySet ++ sem.keySet).toSeq
+      .map(d => (d, lex.get(d), sem.get(d), c(lex.get(d)) + c(sem.get(d))))
+      .sortBy { case (d, _, _, s) => (-s, d) }
+      .take(20).zipWithIndex
+      .map { case ((d, l, sm, s), i) => (i + 1L, d, l, sm, s) }
+    val got = Retrieval.rrfFusion(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"fusion drifted:\n$got\nvs\n$expect")
+    // both sources must actually contribute (a degenerate corpus where
+    // one list is empty would silently test nothing)
+    assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined),
+      "one ranker contributed nothing — fixture no longer exercises fusion")
+  }
+
   test("annPartners caps the cell index side deterministically; probes stay uncut") {
     import spark.implicits._
     // centroids are vec_id < 4 (axis vectors); 4..8 all land in cell 0,
@@ -3069,5 +3152,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("en") == ((2L, 3L, 3L, 1000000L,
       math.floor(8.0 / 3.0 * 1e6 + 0.5).toLong)))
     assert(out("xx") == ((1L, 1L, 3L, 3000000L, 1000000L)))
+  }
+
+  test("pack_sequences matches a driver-local concat-and-chunk replay") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val S = 512L
+    // driver-local replay of the global stream: subword lengths in
+    // doc_id order, running offset, span per overlapped sequence
+    val lens = docs
+      .select(col("doc_id").cast("long"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val expect = lens.flatMap { case (id, len) =>
+      val rows =
+        if (len == 0) Seq.empty
+        else (off / S to (off + len - 1) / S).map { s =>
+          (s, id, math.max(0L, s * S - off), math.min(len, (s + 1) * S - off))
+        }
+      off += len
+      rows
+    }.toSeq
+    val got = Packing.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, "packing drifted from the stream replay")
+    // invariant view: every sequence is exactly full except the last
+    val sums = Packing.packSummary(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastSeq = sums.map(_._1).max
+    assert(sums.filter(_._1 != lastSeq).forall(_._3 == S),
+      "a non-final sequence is not exactly seqLen tokens")
+    assert(sums.map(_._3).sum == lens.map(_._2).sum,
+      "token stream not preserved")
+    // a carried doc is exactly one that starts mid-sequence
+    val carried = expect.count(_._3 > 0)
+    assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
 }
