@@ -1560,10 +1560,12 @@ object SparkEntry {
       Multimodal.audioPhashPartners(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
-    // GPT-style concat-and-chunk sequence packing: the global token
-    // offset is ONE window-free exactPrefixSum pass; the rest is
-    // row-local span arithmetic + a bounded explode
-    "pack_sequences" -> ((s, dir) =>
+    // GPT-style concat-and-chunk sequence packing over ONE GLOBAL token
+    // stream (pack_sequences is the per-shard layout; this is the
+    // (sequence, doc, span) assignment relation): the global offset is
+    // ONE window-free exactPrefixSum pass; the rest is row-local span
+    // arithmetic + a bounded explode
+    "pack_spans" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"))),
     "pack_summary" -> ((s, dir) =>
       Packing.packSummary(t(s, dir, "documents"))),
@@ -4842,7 +4844,7 @@ object SparkEntry {
     // the single-task window; the ENGINE uses the window-free prefix
     // sum), then the same span arithmetic; range() is end-exclusive
     // where Spark's sequence() is inclusive, hence the +1
-    "pack_sequences" ->
+    "pack_spans" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len

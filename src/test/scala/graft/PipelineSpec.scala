@@ -3154,7 +3154,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("xx") == ((1L, 1L, 3L, 3000000L, 1000000L)))
   }
 
-  test("pack_sequences matches a driver-local concat-and-chunk replay") {
+  test("pack_spans matches a driver-local concat-and-chunk global-stream replay") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
     val S = 512L
