@@ -1560,6 +1560,11 @@ object SparkEntry {
       Multimodal.audioPhashPartners(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    // DSIR importance weighting: hashed-ngram target/raw log ratio — one
+    // scan fits BOTH distributions (conditional agg), 256-row broadcast
+    // model, integer-e6 scores; selection is a bounded TakeOrdered
+    "dsir_weights" -> ((s, dir) => Dsir.dsirWeights(t(s, dir, "documents"))),
+    "dsir_select" -> ((s, dir) => Dsir.dsirSelect(t(s, dir, "documents"))),
     // GPT-style concat-and-chunk sequence packing over ONE GLOBAL token
     // stream (pack_sequences is the per-shard layout; this is the
     // (sequence, doc, span) assignment relation): the global offset is
@@ -1934,6 +1939,44 @@ object SparkEntry {
     * perplexity_buckets): add-one-smoothed conditional surprisal, e6
     * integer contract.
     */
+  /** DSIR per-doc log-importance scores (`doc_scores`): hashed
+    * unigram+bigram features, ONE conditional aggregate for both the
+    * target (lang='en') and raw bucket counts, add-one smoothing over
+    * the 256-bucket space, per-bucket log ratio floored to an e6
+    * integer model-side so document scores are exact integer sums.
+    */
+  private val dsirWeightsCte =
+    """WITH arrs AS (
+      |  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS arr
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, is_target, unnest(arr) AS feat FROM arrs
+      |), bi AS (
+      |  SELECT doc_id, is_target, arr[i - 1] || ' ' || arr[i] AS feat
+      |  FROM (SELECT doc_id, is_target, arr, unnest(range(2, len(arr) + 1)) AS i
+      |        FROM arrs)
+      |), feats AS (
+      |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+      |), counts AS (
+      |  SELECT substr(md5(feat), 1, 2) AS bkt, count(*) AS rc,
+      |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+      |  FROM feats GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(rc) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt
+      |  FROM counts
+      |), w AS (
+      |  SELECT bkt,
+      |    CAST(floor((ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+      |              - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)))
+      |      * 1000000.0) AS BIGINT) AS w_e6
+      |  FROM counts CROSS JOIN tot
+      |), doc_scores AS (
+      |  SELECT f.doc_id, bool_or(f.is_target) AS is_target,
+      |    count(*) AS n_feats, CAST(sum(w.w_e6) AS BIGINT) AS score_e6
+      |  FROM feats f JOIN w ON substr(md5(f.feat), 1, 2) = w.bkt
+      |  GROUP BY f.doc_id)
+      |""".stripMargin
+
   private val bigramDocScoresCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -4840,6 +4883,22 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    // hashed uni+bigram features, one conditional agg builds target AND
+    // raw bucket counts, add-one-smoothed log ratio floored to e6
+    // integers MODEL-SIDE (unigram_logprob's parity pattern) so doc
+    // scores are integer sums
+    "dsir_weights" ->
+      (dsirWeightsCte +
+        """SELECT doc_id, is_target, n_feats, score_e6
+        |FROM doc_scores ORDER BY doc_id""".stripMargin),
+    "dsir_select" ->
+      (dsirWeightsCte +
+        """, sel AS (
+        |  SELECT doc_id, n_feats, score_e6,
+        |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM doc_scores WHERE NOT is_target)
+        |SELECT rk, doc_id, n_feats, score_e6
+        |FROM sel WHERE rk <= 100 ORDER BY rk""".stripMargin),
     // global stream offset = window cumsum (oracle scale is fine with
     // the single-task window; the ENGINE uses the window-free prefix
     // sum), then the same span arithmetic; range() is end-exclusive

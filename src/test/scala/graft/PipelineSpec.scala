@@ -3191,4 +3191,51 @@ class PipelineSpec extends AnyFunSuite {
     val carried = expect.count(_._3 > 0)
     assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
+
+  test("dsirWeights matches a driver-local hashed-ngram importance replay") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val rows = docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // features: unigrams + bigrams, bucketed by 2-char md5 hex prefix
+    val feats = rows.flatMap { case (id, lang, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val all = ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      all.map(f => (id, lang == "en", md5hex(f).substring(0, 2)))
+    }
+    val rc = feats.groupBy(_._3).map { case (b, fs) => b -> fs.size.toLong }
+    val tc = feats.filter(_._2).groupBy(_._3)
+      .map { case (b, fs) => b -> fs.size.toLong }.withDefaultValue(0L)
+    val (rt, tt) = (rc.values.sum, tc.values.sum)
+    val w = rc.map { case (b, r) =>
+      b -> math.floor((math.log((tc(b) + 1).toDouble / (tt + 256).toDouble)
+        - math.log((r + 1).toDouble / (rt + 256).toDouble)) * 1e6).toLong
+    }
+    val expect = feats.groupBy(_._1).map { case (id, fs) =>
+      id -> ((fs.head._2, fs.size.toLong, fs.map(f => w(f._3)).sum))
+    }
+    val got = Dsir.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect, "importance weights drifted from the replay")
+    // the signal is real: target (en) docs must score higher on average
+    // than raw docs — the whole point of the importance ratio
+    def avg(f: Boolean) = {
+      val s = expect.values.filter(_._1 == f).map(v => v._3.toDouble / v._2)
+      s.sum / s.size
+    }
+    assert(avg(true) > avg(false),
+      s"target docs must out-score raw docs: ${avg(true)} vs ${avg(false)}")
+    // selection: top-100 non-target by (score desc, id), rank-checked
+    val sel = Dsir.dsirSelect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val want = expect.toSeq.filter(!_._2._1)
+      .map { case (id, (_, _, s)) => (id, s) }
+      .sortBy { case (id, s) => (-s, id) }.take(100).zipWithIndex
+      .map { case ((id, s), i) => (i + 1L, id, s) }
+    assert(sel.toSeq == want, "dsirSelect drifted from the replay")
+  }
 }
