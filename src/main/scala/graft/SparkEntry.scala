@@ -1209,6 +1209,11 @@ object SparkEntry {
     // index-quality audit: LSH candidates vs the exact n-gram ground truth
     "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
     "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    // the bounded Jaccard near-dup product: per-doc k nearest by
+    // est_jaccard over the SAME capped band candidates — both cut axes
+    // map-side WindowGroupLimit
+    "minhash_partners" -> ((s, dir) =>
+      Dedup.minhashPartners(t(s, dir, "documents"))),
     // pair detection → canonical cluster assignment (connected components)
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLsh(t(s, dir, "documents"))
@@ -4231,6 +4236,7 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_lsh" -> minhashLshSql,
+    "minhash_partners" -> minhashPartnersSql,
     "lsh_recall" ->
       (shinglesCte +
         s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
@@ -4320,7 +4326,12 @@ object SparkEntry {
   /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the
     * edge relation for the clustering oracle's recursive CTE.
     */
-  private lazy val minhashLshSql: String = {
+  /** Shared MinHash replay prefix: shingles → 56-bit md5 hash → 16
+    * universal-hash min aggregates → capped band rows → undirected
+    * candidate pairs (`cand`), with `mh` in scope for scoring and
+    * `scored` the threshold-filtered est_jaccard pair relation.
+    */
+  private lazy val minhashScoredCte: String = {
       val mins = (0 until Dedup.NumHashes).map(k =>
         s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
         .mkString(",\n    ")
@@ -4355,13 +4366,35 @@ object SparkEntry {
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND $bandJoin AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
-        |FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
-        |WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |    ON x.band = y.band AND $bandJoin AND x.doc_id < y.doc_id
+        |), scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
+        |  FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
+        |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25)
+        |""".stripMargin
   }
+
+  private lazy val minhashLshSql: String =
+    minhashScoredCte +
+      """SELECT doc_a, doc_b, est_jaccard
+      |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
+  // both orientations of the undirected scored pairs, per-doc top-k by
+  // (est_jaccard desc, partner id) — minhashPartners' rank cut replayed
+  private lazy val minhashPartnersSql: String =
+    minhashScoredCte +
+      """, directed AS (
+      |  SELECT doc_a AS doc_id, doc_b AS partner_id, est_jaccard FROM scored
+      |  UNION ALL
+      |  SELECT doc_b AS doc_id, doc_a AS partner_id, est_jaccard FROM scored
+      |)
+      |SELECT doc_id, partner_id, est_jaccard,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY est_jaccard DESC, partner_id) AS BIGINT) AS rk
+      |FROM directed
+      |QUALIFY rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
 
   // a minhash signature depends only on its own doc, so the oracle
   // computes signatures corpus-wide and splits by the mod-10 predicate;

@@ -205,6 +205,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("minhash_partners rides map-side WindowGroupLimit for both cut axes") {
+    // bucket cap + per-doc rank cut — the Jaccard twin of
+    // simhash_partners' two-axis bound; both windows must push into the
+    // partial phase and the band join must stay an equi-join
+    try {
+      val p = planOf("minhash_partners")
+      assert(p.contains("WindowGroupLimit"),
+        s"partner cuts not pushed map-side:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"band candidate join fell back to a non-equi join:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("ann_partners rides map-side WindowGroupLimit for both cut axes") {
     // the two-axis bound (cell cap + per-vector rank cut) must push into
     // the partial window phase, and the cell blocking must stay an
