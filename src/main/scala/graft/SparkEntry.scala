@@ -1586,6 +1586,61 @@ object SparkEntry {
       Packing.packIncremental(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0))
     }),
+    // STREAMING PACKING composition: a checkpointed doc stream packs
+    // onto the END of the base corpus's token stream per micro-batch,
+    // across a forced stop/restart. The only cross-batch state is a
+    // batch_id-keyed totals table (#batches rows): batch N's offset =
+    // base total (one pre-stream scalar) + Σ totals[batch < N], written
+    // with the same idempotent-partition recipe as the spans — replay
+    // overwrites both, offsets never double-count. One staged file per
+    // phase + maxFilesPerTrigger=1 pins batch composition, so the
+    // replayed union is deterministic and the oracle replays it as a
+    // (phase, doc_id)-ordered prefix sum.
+    "pack_stream" -> ((s, dir) =>
+      withStreamStage("graft_pack_s") { stage =>
+      val in = stage + "/in"; val sink = stage + "/sink"
+      val ckpt = stage + "/ckpt"; val totals = stage + "/totals"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      // the base corpus contributes ONE scalar, computed once before the
+      // stream starts — never rescanned per batch
+      val baseTotal = Packing.totalTokens(
+        docs.filter(col("doc_id") % 10 =!= 0)).collect()(0).getLong(0)
+      def run(): Unit = {
+        val stream = s.readStream.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val prior = scala.util.Try(s.read.parquet(totals)).toOption
+              .map(_.filter(col("batch_id") < id)
+                .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("p")))
+              .getOrElse(s.range(1).select(lit(0L).as("p")))
+            val off = prior.select((col("p") + lit(baseTotal)).as("base_off"))
+            graft.streaming.StreamingOps.writeBatchIdempotent(
+              Packing.packOnto(b, off), sink, id)
+            graft.streaming.StreamingOps.writeBatchIdempotent(
+              Packing.totalTokens(b), totals, id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      delta.filter(col("doc_id") % 20 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      run() // phase 1: drains the staged file, clean stop
+      delta.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run() // phase 2: restart from the checkpoint — new file only
+      graft.sources.TableSink.saveTable(
+        s.read.parquet(sink).drop("batch_id"), "graft_pack_s_result")
+      s.table("graft_pack_s_result").orderBy(col("seq_id"), col("doc_id"))
+    }),
     // longest-first round-robin sharding: balanced-bytes output shards
     // via the window-free ExactRank under a constant group
     "shard_rebalance" -> ((s, dir) =>
@@ -4993,6 +5048,36 @@ object SparkEntry {
         |), offs AS (
         |  SELECT doc_id, len,
         |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_off
+        |  FROM docs WHERE is_delta
+        |), sp AS (
+        |  SELECT doc_id, len, d_off + (SELECT base_off FROM bt) AS off
+        |  FROM offs WHERE len > 0
+        |), u AS (
+        |  SELECT doc_id, len, off,
+        |    unnest(range(CAST(off // 512 AS BIGINT),
+        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM sp)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
+        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+        |FROM u ORDER BY seq_id, doc_id""".stripMargin,
+    // the streamed union replayed: phase-1 docs (doc_id%20=0) packed
+    // first, phase-2 docs after — a (phase, doc_id)-ordered prefix sum
+    // from the base total, same span arithmetic
+    "pack_stream" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len,
+        |    (doc_id % 10 = 0) AS is_delta,
+        |    CASE WHEN doc_id % 20 = 0 THEN 0 ELSE 1 END AS phase
+        |  FROM documents
+        |), bt AS (
+        |  SELECT CAST(COALESCE(sum(len), 0) AS BIGINT) AS base_off
+        |  FROM docs WHERE NOT is_delta
+        |), offs AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(sum(len) OVER (ORDER BY phase, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_off
         |  FROM docs WHERE is_delta
         |), sp AS (

@@ -74,12 +74,32 @@ object Packing {
   def packIncremental(base: DataFrame, delta: DataFrame,
       seqLen: Int = 512): DataFrame = {
     require(seqLen >= 1, s"packIncremental requires seqLen >= 1, got $seqLen")
-    def lens(df: DataFrame) = df.select(
-      col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
-    val baseTotal = lens(base)
-      .agg(coalesce(sum(col("len")), lit(0L)).as("base_off"))
+    packOnto(delta, lens(base)
+      .agg(coalesce(sum(col("len")), lit(0L)).as("base_off")), seqLen)
+  }
+
+  /** The subword-proxy token length of each document (tokenCounts'
+    * regex class, shared with every packing oracle). */
+  private def lens(df: DataFrame) = df.select(
+    col("doc_id").cast("long").as("doc_id"),
+    size(regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
+
+  /** One-row total token count of a corpus slice (`n_tokens`) — the
+    * per-batch state row the streaming composition appends. */
+  def totalTokens(df: DataFrame): DataFrame =
+    lens(df).agg(coalesce(sum(col("len")), lit(0L)).as("n_tokens"))
+
+  /** The per-batch core of incremental packing: pack `delta` starting at
+    * the stream offset given by the 1-row `baseTotal` relation
+    * (`base_off`) — for [[packIncremental]] that is the base corpus's
+    * token total; for the streaming composition it is base total + all
+    * PRIOR batches' totals (a #batches-sized state relation, never a
+    * base rescan). Only the delta is prefix-summed.
+    */
+  def packOnto(delta: DataFrame, baseTotal: DataFrame,
+      seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, s"packOnto requires seqLen >= 1, got $seqLen")
     val offs = ExactRank.exactPrefixSum(
       lens(delta).withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
       beforeCol = "d_off", totalCol = "d_total", maxGroups = 1)

@@ -682,4 +682,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(!got.keys.exists(_._2 == "c"), s"open window emitted early: $got")
     } finally q.stop()
   }
+
+  test("pack_stream's offset state never double-counts a replayed batch") {
+    import spark.implicits._
+    // the streaming-packing invariant beyond generic sink idempotence:
+    // batch N's offset sums totals STRICTLY below N, so replaying a
+    // batch AFTER its own totals row landed (crash between totals write
+    // and offset commit) recomputes the identical offset — the spans it
+    // overwrites are bit-identical, never shifted by its own total
+    val stage = java.nio.file.Files.createTempDirectory("graft_pack_replay")
+    val sink = s"$stage/sink"; val totals = s"$stage/totals"
+    val docsFor = (ids: Seq[Long]) =>
+      ids.map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val b0 = docsFor(Seq(2L, 4L)); val b1 = docsFor(Seq(6L, 8L, 10L))
+    val baseOffOf = (id: Long) =>
+      spark.read.parquet(totals).filter(col("batch_id") < id)
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("p"))
+        .select((col("p") + lit(100L)).as("base_off"))
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.packOnto(b0,
+        spark.range(1).select(lit(100L).as("base_off"))), sink, 0L)
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.totalTokens(b0), totals, 0L)
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.packOnto(b1, baseOffOf(1L)), sink, 1L)
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.totalTokens(b1), totals, 1L)
+    val committed = spark.read.parquet(sink)
+      .collect().map(_.toSeq).toSet
+    // REPLAY batch 1 with its own totals row already present
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.packOnto(b1, baseOffOf(1L)), sink, 1L)
+    StreamingOps.writeBatchIdempotent(
+      graft.operators.Packing.totalTokens(b1), totals, 1L)
+    val replayed = spark.read.parquet(sink).collect().map(_.toSeq).toSet
+    assert(replayed == committed,
+      "replaying a committed batch shifted spans or duplicated rows")
+    // and the two-batch union equals the one-shot packOnto of the union
+    val oneShot = graft.operators.Packing.packOnto(b0.unionAll(b1),
+        spark.range(1).select(lit(100L).as("base_off")))
+      .collect().map(_.toSeq).toSet
+    assert(replayed.map(_.dropRight(1)) == oneShot,
+      "streamed spans diverged from the one-shot packing")
+  }
 }
