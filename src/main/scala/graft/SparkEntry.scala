@@ -1144,6 +1144,13 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
+    // the search-serving complement: FLAT postings (one row per
+    // token x doc — never a per-token array, the stop-word skew bomb)
+    // and exact phrase serving via row-local position intersection
+    "inverted_index" -> ((s, dir) =>
+      InvertedIndex.invertedIndex(t(s, dir, "documents"))),
+    "phrase_search" -> ((s, dir) =>
+      InvertedIndex.phraseSearch(t(s, dir, "documents"))),
     // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
     // rank-only signal, two-term INTEGER fusion, bounded final window
     "rrf_fusion" -> ((s, dir) =>
@@ -4119,6 +4126,36 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rk,
         |  doc_id, n_terms_matched, bm25_e6
         |FROM scored ORDER BY rk""".stripMargin,
+    // positions via 1-based list indexing (the bigram-oracle pattern);
+    // the flat (token, doc) grain mirrors the skew-safe engine relation
+    "inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), p AS (
+        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
+        |)
+        |SELECT token, doc_id, count(*) AS n_occ,
+        |  list(pos ORDER BY pos) AS positions
+        |FROM p GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
+    "phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), p AS (
+        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
+        |), a AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p
+        |  WHERE token = 'table' GROUP BY doc_id
+        |), b AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p
+        |  WHERE token = 'hash' GROUP BY doc_id
+        |), hits AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS BIGINT) AS n_hits
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+        |ORDER BY doc_id""".stripMargin,
     // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
     // query vec 0 (sem list) + the two-term integer RRF sum
     "rrf_fusion" ->

@@ -3192,6 +3192,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
 
+  test("invertedIndex and phraseSearch match a driver-local text replay") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // postings replay for every (token, doc): occurrence count and the
+    // exact sorted position list
+    val got = InvertedIndex.invertedIndex(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Long](3).toList))).toMap
+    val expect = texts.toSeq.flatMap { case (id, t) =>
+      t.split(" ", -1).zipWithIndex.groupBy(_._1).map { case (tok, occ) =>
+        (tok, id) -> ((occ.length.toLong, occ.map(_._2.toLong).sorted.toList))
+      }
+    }.toMap
+    assert(got == expect, "postings drifted from the text replay")
+    // phrase adjacency replay: "table hash" sliding-window count
+    val hits = InvertedIndex.phraseSearch(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = texts.flatMap { case (id, t) =>
+      val n = t.split(" ", -1).sliding(2)
+        .count(w => w.length == 2 && w(0) == "table" && w(1) == "hash")
+      if (n > 0) Some(id -> n.toLong) else None
+    }
+    assert(hits == want, s"phrase hits drifted: $hits vs $want")
+    assert(hits.nonEmpty, "fixture no longer contains the test phrase")
+  }
+
   test("dsirWeights matches a driver-local hashed-ngram importance replay") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
