@@ -1246,6 +1246,18 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
+    // quality-aware keep: per cluster the LONGEST member survives
+    // (n_chars argmax, tie min id) via a partial-aggregable
+    // max(struct(quality, -id)) — no per-cluster window, megacluster-safe
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(docs,
+          Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    }),
     // continuous-ingestion dedup: a mod-10 batch probed against the rest
     // of the corpus as base — no base×base join anywhere in the plan
     "dedup_incremental" -> ((s, dir) => {
@@ -4385,6 +4397,36 @@ object SparkEntry {
         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id))
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
         |  max(doc_id) AS max_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    // same recursive CC labels; best member = rank-1 by (n_chars desc,
+    // doc_id) within each label (the oracle MAY window; the engine's
+    // argmax is the window-free partial aggregate)
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |labeled AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+        |best AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM labeled) WHERE rn = 1),
+        |kept AS (
+        |  SELECT d.* FROM documents d JOIN best b ON d.doc_id = b.doc_id)
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
     // cluster labels via the same recursive CC, then the dataset_split
     // bucket rule keyed on each doc's representative (COALESCE = the

@@ -3192,6 +3192,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
 
+  test("keepBest keeps the longest member per cluster, one survivor each") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = docs.select(col("doc_id").cast("long"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.keepBest(docs, pairs)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    // exactly one survivor per cluster → same survivor COUNT as min-id
+    // keep, but the survivor is the (n_chars, -id)-argmax member
+    val byCluster = chars.keys.groupBy(id => clusters.getOrElse(id, id))
+    assert(kept.size == byCluster.size, "survivor count != cluster count")
+    byCluster.foreach { case (cid, members) =>
+      val want = members.maxBy(id => (chars(id), -id))
+      assert(kept.contains(want) && members.filter(_ != want).forall(!kept.contains(_)),
+        s"cluster $cid kept wrong member: expected $want")
+    }
+    // and on this fixture quality-keep genuinely differs from min-id keep
+    val canonical = Dedup.keepCanonical(docs, pairs)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(kept != canonical,
+      "fixture degenerate: longest member is always the min id")
+  }
+
   test("invertedIndex and phraseSearch match a driver-local text replay") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
