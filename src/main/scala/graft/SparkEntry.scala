@@ -1246,6 +1246,11 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
+    // dedup diagnostics: per-doc novel-shingle counts + the cumulative
+    // novelty curve (first-owner min per shingle type, window-free
+    // prefix sum — a flattening curve says "run dedup")
+    "ngram_coverage" -> ((s, dir) =>
+      Dedup.ngramCoverage(t(s, dir, "documents"))),
     // quality-aware keep: per cluster the LONGEST member survives
     // (n_chars argmax, tie min id) via a partial-aggregable
     // max(struct(quality, -id)) — no per-cluster window, megacluster-safe
@@ -2094,6 +2099,18 @@ object SparkEntry {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks
       |)""".stripMargin
+
+  private lazy val ngramCoverageSql: String =
+    shinglesCte +
+      """, owner AS (
+      |  SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle
+      |), per AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM sh s JOIN owner o USING (shingle) GROUP BY s.doc_id)
+      |SELECT doc_id, n_shingles, n_novel,
+      |  CAST(sum(n_novel) OVER (ORDER BY doc_id) AS BIGINT) AS cum_novel
+      |FROM per ORDER BY doc_id""".stripMargin
 
   /** Positional 8-gram span CTE (substring-dedup family) — every window of
     * 8 consecutive whitespace tokens, occurrences kept (no DISTINCT:
@@ -4401,6 +4418,7 @@ object SparkEntry {
     // same recursive CC labels; best member = rank-1 by (n_chars desc,
     // doc_id) within each label (the oracle MAY window; the engine's
     // argmax is the window-free partial aggregate)
+    "ngram_coverage" -> ngramCoverageSql,
     "dedup_keep_best" ->
       (s"""WITH RECURSIVE
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
