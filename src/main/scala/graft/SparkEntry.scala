@@ -1138,6 +1138,11 @@ object SparkEntry {
     // model-side so the corpus probe is ONE equi-join
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+    // Kneser-Ney upgrade: absolute-discount interpolation with
+    // CONTINUATION backoff — same one-equi-join probe shape, model
+    // stats partial-aggregable over the bigram-TYPE relation
+    "kn_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.knBigramLogProb(t(s, dir, "documents"))),
     // CCNet's bucket step over the bigram scores: exact-rank thirds via
     // the public ExactRank under a constant group — no corpus ntile
     "perplexity_buckets" -> ((s, dir) =>
@@ -3990,6 +3995,39 @@ object SparkEntry {
     // the oracle MAY window globally (single-engine check); the Spark
     // side must not — exact integer-rank thirds, bucket means as ratios
     // of exact integer sums
+    "kn_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
+        |), model AS (
+        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
+        |    count(*) AS n1fwd FROM model GROUP BY w1
+        |), np AS (
+        |  SELECT w2, count(*) AS nprec FROM model GROUP BY w2
+        |), ty AS (
+        |  SELECT count(*) AS n_types FROM model
+        |), scored AS (
+        |  SELECT m.w1, m.w2,
+        |    CAST(floor(-ln(
+        |      ((CAST(m.cnt AS DOUBLE) - 0.75) / CAST(c.ctx_cnt AS DOUBLE))
+        |      + ((0.75 * CAST(c.n1fwd AS DOUBLE)) / CAST(c.ctx_cnt AS DOUBLE))
+        |        * (CAST(p.nprec AS DOUBLE) / CAST(ty.n_types AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM model m JOIN ctx c USING (w1) JOIN np p ON p.w2 = m.w2
+        |  CROSS JOIN ty
+        |), doc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(s.s_e6) AS BIGINT) AS surprisal_e6
+        |  FROM bg b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, surprisal_e6,
+        |  CAST(surprisal_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    AS avg_surprisal_e6
+        |FROM doc ORDER BY doc_id""".stripMargin,
     "perplexity_buckets" ->
       (bigramDocScoresCte +
         """, ranked AS (

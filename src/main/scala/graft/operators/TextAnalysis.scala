@@ -1153,6 +1153,57 @@ object TextAnalysis {
         col("surprisal_e6").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form, fixed absolute discount
+    * D = 0.75) — the smoothing real LM-quality pipelines use where
+    * [[bigramLogProb]]'s add-one is the baseline:
+    * `P(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *  + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/|bigram types|` — the backoff
+    * mass goes to CONTINUATION probability (in how many contexts does
+    * w2 appear), which is what separates "frequent but predictable"
+    * from "genuinely productive" tokens. Probing the training corpus
+    * itself, every probed bigram is seen and D < 1, so the max(·,0)
+    * clip is vacuous and the formula stays total.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — the three model
+    * statistics (context totals + left-fanout, right-fanout, type
+    * count) are partial-aggregable over the bigram-TYPE relation, the
+    * type count rides a broadcast 1-row aggregate, surprisal is floored
+    * to an e6 integer per TYPE model-side (exact doubles in fixed
+    * operand order), and the corpus probe is ONE equi-join + a per-doc
+    * integer-sum combine.
+    */
+  def knBigramLogProb(documents: DataFrame): DataFrame = {
+    val bigrams = documents.select(col("doc_id"),
+        split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val model = graft.operators.CacheScope.selfReleasing(
+      bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1fwd"))
+    val nprec = model.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val types = model.agg(count(lit(1)).as("n_types"))
+    val d = lit(0.75)
+    val p = (col("cnt").cast("double") - d) / col("ctx_cnt").cast("double") +
+      ((d * col("n1fwd").cast("double")) / col("ctx_cnt").cast("double")) *
+        (col("nprec").cast("double") / col("n_types").cast("double"))
+    val scoredModel = model.join(ctx, Seq("w1")).join(nprec, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        floor(-log(p) * lit(1000000.0)).cast("long").as("s_e6"))
+    bigrams.join(scoredModel, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("surprisal_e6"))
+      .withColumn("avg_surprisal_e6",
+        col("surprisal_e6").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet's perplexity-bucket step: rank every document by its LM
     * cross-entropy ([[bigramLogProb]]) and cut the corpus into
     * head/middle/tail thirds (head = most LM-like) — the bucket label is

@@ -3192,6 +3192,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
 
+  test("knBigramLogProb matches the interpolated Kneser-Ney formula on a micro corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    // driver replay: bigram type counts, context totals/fanout,
+    // continuation counts, |types|, then the interpolated formula
+    val bgs = Map(1L -> Seq("a b", "b a", "a b", "b c"),
+      2L -> Seq("a b"), 3L -> Seq("c a"))
+    val cnt = bgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ctxOf = (w: String) => cnt.filter(_._1.startsWith(w + " "))
+    val nprecOf = (w: String) => cnt.count(_._1.endsWith(" " + w))
+    val types = cnt.size
+    def s6(bg: String): Long = {
+      val w1 = bg.split(" ")(0); val w2 = bg.split(" ")(1)
+      val ctx = ctxOf(w1).values.sum; val n1f = ctxOf(w1).size
+      val p = (cnt(bg).toDouble - 0.75) / ctx.toDouble +
+        ((0.75 * n1f.toDouble) / ctx.toDouble) *
+          (nprecOf(w2).toDouble / types.toDouble)
+      math.floor(-math.log(p) * 1e6).toLong
+    }
+    val expect = bgs.view.mapValues(l =>
+      (l.size.toLong, l.map(s6).sum)).toMap
+    val got = TextAnalysis.knBigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect.toMap, s"KN surprisal drifted: $got vs $expect")
+    // the continuation term matters: "a b" (frequent, narrow context)
+    // must be MORE predictable (lower surprisal) than "b c" (rare)
+    assert(s6("a b") < s6("b c"), "discounted ranking inverted")
+  }
+
   test("keepBest keeps the longest member per cluster, one survivor each") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
