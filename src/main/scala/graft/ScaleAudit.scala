@@ -166,6 +166,18 @@ object ScaleAudit {
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
       }
+      // embeddings: 10× more vectors, ids shifted in step with the
+      // documents decade so doc↔vec alignment survives replication;
+      // replicas are exact duplicate vectors — the duplicate-heavy shape
+      // the ANN/semantic-dedup family must survive
+      if (missing("embeddings") &&
+          new java.io.File(s"$srcDir/embeddings.parquet").exists()) {
+        val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        (0 until 10).map { i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * docShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+      }
       // orders: 10× more customers AND orders (frontier/agg families)
       if (missing("orders")) {
         val ord = spark.read.parquet(s"$srcDir/orders.parquet")
@@ -207,9 +219,18 @@ object ScaleAudit {
     println(s"| query | $baseLbl | $bigLbl | ratio |")
     println("|---|---|---|---|")
     for (n <- names) {
-      val base = time(n, baseDir)
-      val big = time(n, bigDir)
-      println(f"| `$n` | $base%.2f s | $big%.2f s | ${big / base}%.1f× |")
+      // a failing query must surface as its own row, never abort the
+      // remaining audit heads (r12: rrf_fusion killed an 12-head run
+      // because the x10 dir predated embeddings replication)
+      try {
+        val base = time(n, baseDir)
+        val big = time(n, bigDir)
+        println(f"| `$n` | $base%.2f s | $big%.2f s | ${big / base}%.1f× |")
+      } catch {
+        case e: Throwable =>
+          println(s"| `$n` | FAILED | ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString} | — |")
+      }
     }
     spark.stop()
   }

@@ -704,6 +704,10 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "session_window_agg" -> ((s, dir) => Events.sessionWindowAgg(eventsTable(s, dir))),
     "hourly_counts" -> ((s, dir) => Events.hourlyCounts(eventsTable(s, dir))),
+    // sparse-signal forward fill: value observed only on purchases,
+    // carried per user by a last(ignoreNulls) frame — verbatim carry,
+    // hash-exact; user-cardinality window partitions
+    "locf_fill" -> ((s, dir) => Events.locfFill(eventsTable(s, dir))),
     // aggregate-table IVM: merge(partials(old), delta) == full recompute
     // — same oracle text as hourly_counts, the cooccur_incremental
     // convention applied to the aggregate-maintenance algebra
@@ -1552,6 +1556,12 @@ object SparkEntry {
     "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
     // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
     "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
+    // SEQUENTIAL rules — the reference domain's temporal extension:
+    // P(next order has b | current has a) over consecutive order pairs
+    // per customer (lead window per customer, basket-bounded transition
+    // join, exact-integer confidence)
+    "next_purchase_rules" -> ((s, dir) => MarketBasket.nextPurchaseRules(
+      t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // scale-invariant fractional support (r10 audit: the count-2 anchor was
     // the surface's one superlinear decade row); oracle computes the same
     // ceil(fraction * n) admission, so parity holds at every SF
@@ -3247,6 +3257,12 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    "locf_fill" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -4934,6 +4950,31 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM d WHERE rk = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "next_purchase_rules" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS next_o
+        |  FROM orders
+        |), op AS (
+        |  SELECT o_orderkey AS prev_o, next_o FROM seq WHERE next_o IS NOT NULL
+        |), it AS (
+        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item
+        |  FROM lineitem
+        |), tr AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent
+        |  FROM op JOIN it a ON a.basket = op.prev_o
+        |          JOIN it b ON b.basket = op.next_o
+        |), cnt AS (
+        |  SELECT antecedent, consequent, count(*) AS n_trans
+        |  FROM tr GROUP BY antecedent, consequent
+        |), fa AS (
+        |  SELECT antecedent, count(*) AS n_from FROM tr GROUP BY antecedent)
+        |SELECT c.antecedent, c.consequent, c.n_trans,
+        |  CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS confidence
+        |FROM cnt c JOIN fa f USING (antecedent)
+        |WHERE c.n_trans >= 2
+        |ORDER BY antecedent, consequent""".stripMargin,
     "assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),

@@ -18,6 +18,31 @@ object Events {
   private val byUser = Window.partitionBy(col("user_id"))
     .orderBy(col("ts"), col("event_id"))
 
+  /** Last-observation-carried-forward fill — the feature-engineering
+    * staple for sparse signals: treating `value` as OBSERVED only on
+    * `observedType` events, every event row carries the user's most
+    * recent observation (NULL before the first). The carried value is
+    * verbatim (no arithmetic), so the fill is hash-exact across
+    * engines.
+    *
+    * Scale shape: one `last(_, ignoreNulls)` frame per USER —
+    * user-cardinality partitions balance like [[userWindows]]'; a
+    * pathological hot user would move to the per-(user, time-bucket)
+    * staging of asof_join_bucketized, carrying each bucket's closing
+    * observation forward — same discipline, not needed at this
+    * cardinality.
+    */
+  def locfFill(events: DataFrame,
+      observedType: String = "purchase"): DataFrame =
+    events
+      .withColumn("obs",
+        when(col("event_type") === observedType, col("value")))
+      .withColumn("filled_value", last(col("obs"), ignoreNulls = true)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("filled_value"))
+      .orderBy(col("event_id"))
+
   /** Ranking + analytic functions per user: row_number, rank by value,
     * lag/lead. One exchange on user_id; at scale user_id is high-cardinality
     * so partitions balance (skewed hot users would need AQE/salting).

@@ -30,6 +30,49 @@ object MarketBasket {
     lineitem.select(col("l_orderkey").as("basket"),
       col("l_partkey").cast("string").as("item")).distinct()
 
+  /** SEQUENTIAL association rules — the reference domain's temporal
+    * extension (the co-occurrence engine asks "bought together"; this
+    * asks "bought NEXT"): `confidence = P(customer's next order
+    * contains b | current order contains a)` over consecutive order
+    * pairs per customer.
+    *
+    * Scale shape: the order sequence is a lead() window per CUSTOMER —
+    * customer-cardinality partitions, each holding that customer's
+    * orders only (bounded), never a global sort. A transition joins the
+    * two orders' item sets through two basket equi-joins, so each
+    * consecutive pair emits O(basket²) rows — bounded by basket size,
+    * not corpus size — and both count relations are partial-aggregable
+    * groupBys. Confidence divides two exact integer counts.
+    */
+  def nextPurchaseRules(orders: DataFrame, lineitem: DataFrame,
+      minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val orderPairs = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_o", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("next_o").isNotNull)
+      .select(col("o_orderkey").as("prev_o"), col("next_o"))
+    val items = basketItems(lineitem)
+    val trans = orderPairs
+      .join(items.select(col("basket").as("prev_o"),
+        col("item").as("antecedent")), "prev_o")
+      .join(items.select(col("basket").as("next_o"),
+        col("item").as("consequent")), "next_o")
+      .select(col("antecedent"), col("consequent"))
+    val cnt = trans.groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromA = trans.groupBy(col("antecedent"))
+      .agg(count(lit(1)).as("n_from"))
+    cnt.join(fromA, "antecedent")
+      .filter(col("n_trans") >= minCount)
+      .select(col("antecedent"), col("consequent"), col("n_trans"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("confidence"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** MLlib FPGrowth as a first-class query (the north-star's association-
     * rule engine): fit on the basket lists, emit the 1→1 rules with
     * MLlib's own metric arithmetic (confidence = pair/suppA, lift =
