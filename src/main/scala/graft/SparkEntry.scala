@@ -1162,6 +1162,10 @@ object SparkEntry {
       InvertedIndex.phraseSearch(t(s, dir, "documents"))),
     // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
     // rank-only signal, two-term INTEGER fusion, bounded final window
+    // T5 span corruption: md5-PRNG deterministic masking, numbered
+    // sentinels, (input, target) pair assembly via doc-bounded windows
+    "span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(t(s, dir, "documents"))),
     "rrf_fusion" -> ((s, dir) =>
       Retrieval.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"))),
     // ---- deduplication ---------------------------------------------------
@@ -4239,6 +4243,49 @@ object SparkEntry {
         |  FROM a JOIN b USING (doc_id))
         |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
         |ORDER BY doc_id""".stripMargin,
+    // every masking decision replayed from the md5(doc_id:pos) PRNG;
+    // run structure via the same lag/sum window chain; pair assembly =
+    // ordered string_agg (engine: in-aggregate array_sort)
+    "span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |), f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 8))::BIGINT % 100 < 15
+        |      THEN 1 ELSE 0 END AS anchor
+        |  FROM toks
+        |), m AS (
+        |  SELECT doc_id, pos, tok,
+        |    max(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+        |  FROM f
+        |), r AS (
+        |  SELECT doc_id, pos, tok, masked,
+        |    CASE WHEN masked AND NOT COALESCE(
+        |        lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |      THEN 1 ELSE 0 END AS new_run
+        |  FROM m
+        |), rr AS (
+        |  SELECT doc_id, pos, tok, masked, new_run,
+        |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM r
+        |), p AS (
+        |  SELECT doc_id, pos, new_run,
+        |    CASE WHEN NOT masked THEN tok
+        |         WHEN new_run = 1
+        |           THEN '<extra_id_' || (run_id - 1) || '>' END AS in_piece,
+        |    CASE WHEN masked AND new_run = 1
+        |           THEN '<extra_id_' || (run_id - 1) || '>' || ' ' || tok
+        |         WHEN masked THEN tok END AS tgt_piece
+        |  FROM rr)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+        |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+        |  CAST(sum(new_run) AS BIGINT) AS n_spans
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
     // query vec 0 (sem list) + the two-term integer RRF sum
     "rrf_fusion" ->

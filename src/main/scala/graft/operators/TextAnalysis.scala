@@ -15,6 +15,66 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4) — the
+    * masked-denoising training-pair generator: deterministic token
+    * spans are replaced by numbered sentinels in the input, and the
+    * target lists each sentinel followed by the tokens it hid. The
+    * "randomness" is an md5 PRNG over (doc_id, position) — `anchor iff
+    * hash(doc_id:pos) mod 100 < ratePct` — with each anchor masking
+    * `spanLen` consecutive tokens, so every masking decision replays
+    * bit-for-bit on any engine (the corpus_shuffle md5 discipline
+    * applied to data augmentation; a production run swaps the hash
+    * seed per epoch).
+    *
+    * Scale shape: masking decisions and span extension are per-DOC
+    * windows (doc-bounded partitions over corpus-cardinality keys —
+    * the flagship's window class, map-side WindowGroupLimit-free but
+    * skew-safe because a document is KB-sized), and the final pair
+    * assembly is one groupBy(doc_id) over position-structured pieces
+    * with an in-aggregate sort — no global window, no collect.
+    */
+  def spanCorruption(documents: DataFrame, ratePct: Int = 15,
+      spanLen: Int = 3): DataFrame = {
+    require(ratePct >= 1 && ratePct <= 99, s"ratePct in [1,99]: $ratePct")
+    require(spanLen >= 1, s"spanLen >= 1: $spanLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val h = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spanW = byDoc.rowsBetween(-(spanLen - 1L), 0L)
+    val flagged = toks.withColumn("anchor", (h < ratePct).cast("int"))
+      .withColumn("masked", max(col("anchor")).over(spanW) === 1)
+      .withColumn("new_run", (col("masked") &&
+        !coalesce(lag(col("masked"), 1).over(byDoc), lit(false))).cast("long"))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val sentinel = concat(lit("<extra_id_"), (col("run_id") - 1L), lit(">"))
+    // input pieces: unmasked tokens verbatim; ONE sentinel per run (at
+    // the run head). target pieces: each run's sentinel then its tokens
+    // — (pos, slot) orders sentinel before the tokens it replaces.
+    val pieces = flagged.select(col("doc_id"), col("pos"),
+      when(!col("masked"), col("tok"))
+        .when(col("new_run") === 1L, sentinel).as("in_piece"),
+      when(col("masked") && col("new_run") === 1L, concat(sentinel, lit(" "), col("tok")))
+        .when(col("masked"), col("tok")).as("tgt_piece"),
+      col("new_run"))
+    pieces.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", array_compact(transform(
+          array_sort(collect_list(when(col("in_piece").isNotNull,
+            struct(col("pos"), col("in_piece").as("p"))))),
+          x => x.getField("p")))).as("input_text"),
+        concat_ws(" ", array_compact(transform(
+          array_sort(collect_list(when(col("tgt_piece").isNotNull,
+            struct(col("pos"), col("tgt_piece").as("p"))))),
+          x => x.getField("p")))).as("target_text"),
+        sum(col("new_run")).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

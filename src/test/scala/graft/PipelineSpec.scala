@@ -3192,6 +3192,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums.map(_._4).sum == carried, "n_carried miscounted")
   }
 
+  test("spanCorruption round-trips: substituting target spans into input rebuilds the text") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.spanCorruption(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == texts.size, "a document went missing")
+    var totalSpans = 0L
+    rows.foreach { case (id, input, target, nSpans) =>
+      totalSpans += nSpans
+      // parse the target into sentinel -> tokens
+      val spans = scala.collection.mutable.Map[Long, List[String]]()
+      var cur = -1L
+      target.split(" ", -1).filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toLong
+          spans(cur) = Nil
+        } else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans, s"doc $id: target spans != n_spans")
+      val rebuilt = input.split(" ", -1).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toLong)
+        else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id failed to round-trip")
+      // masked content must never leak into the input verbatim position
+      assert(nSpans == 0L || input != texts(id),
+        s"doc $id claims spans but input is unmasked")
+    }
+    // the 15% anchor rate must genuinely bite on the fixture
+    assert(totalSpans > 0, "fixture produced no corruption spans")
+  }
+
   test("knBigramLogProb matches the interpolated Kneser-Ney formula on a micro corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c a"))
