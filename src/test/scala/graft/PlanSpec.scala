@@ -205,6 +205,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("dsir_weights broadcasts the bucket model and keeps the probe an equi-join") {
+    // the scale claim: the 256-row log-ratio model must BROADCAST into
+    // the corpus probe (a shuffled model join would re-exchange the
+    // corpus-sized feature relation) and nothing may fall back to a
+    // nested loop
+    val p = planOf("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket model not broadcast:\n$p")
+    // (the one BroadcastNestedLoopJoin in this plan is the deliberate
+    // 1-row totals broadcast cross join — bounded by construction)
+    assert(!p.contains("CartesianProduct"),
+      s"feature probe planned a cartesian product:\n$p")
+  }
+
+  test("next_purchase_rules and phrase_search stay equi-join only") {
+    // both are composition joins over derived keys — a silent fallback
+    // to a nested loop would be the O(n²) their key derivations exist
+    // to avoid
+    for (q <- Seq("next_purchase_rules", "phrase_search")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian product:\n$p")
+    }
+  }
+
   test("minhash_partners rides map-side WindowGroupLimit for both cut axes") {
     // bucket cap + per-doc rank cut — the Jaccard twin of
     // simhash_partners' two-axis bound; both windows must push into the
