@@ -89,6 +89,7 @@ object ScaleAudit {
             math.max(cpus.toInt, math.min(1024L,
               Bench.dirMB("/root/testdata/sf0.01/documents.parquet") *
                 DupReplicas / 45L).toInt).toString))
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         // let AQE re-coalesce CACHED-plan partitions too: iterative
         // operators (page_rank edges, components-loop rounds) cache
@@ -120,6 +121,7 @@ object ScaleAudit {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString))
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

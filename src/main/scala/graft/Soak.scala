@@ -31,6 +31,12 @@ object Soak {
       // partition count (measured: page_rank x100 71.2 s pinned vs
       // 56.7 s with the flag, at the over-partitioned 131 config)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+            // serving posture: keep bucketed scans ON even when no operator
+      // needs the distribution — Spark's DisableUnnecessaryBucketedScan
+      // weighs only distribution/sort benefit, not bucket PRUNING, and
+      // the engine's persisted indexes (postings, bands, IVF cells) are
+      // bucketed precisely so equality lookups read one bucket's files
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

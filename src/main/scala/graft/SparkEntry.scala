@@ -1160,6 +1160,16 @@ object SparkEntry {
       InvertedIndex.invertedIndex(t(s, dir, "documents"))),
     "phrase_search" -> ((s, dir) =>
       InvertedIndex.phraseSearch(t(s, dir, "documents"))),
+    // the index PERSISTED bucketed on token and served back: the term
+    // equality filters prune the scan to one bucket's files (Spark
+    // bucket pruning — plan-pinned), bit-identical to the in-flight
+    // serve, same oracle text
+    "phrase_persisted" -> ((s, dir) => {
+      graft.sources.TableSink.writeBucketed(
+        InvertedIndex.postings(t(s, dir, "documents")),
+        "graft_postings", "token", 8)
+      InvertedIndex.phraseFromPostings(s.table("graft_postings"))
+    }),
     // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
     // rank-only signal, two-term INTEGER fusion, bounded final window
     // T5 span corruption: md5-PRNG deterministic masking, numbered
@@ -2118,6 +2128,25 @@ object SparkEntry {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |  FROM toks
       |)""".stripMargin
+
+  private lazy val phraseSearchSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), p AS (
+        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
+        |), a AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p
+        |  WHERE token = 'table' GROUP BY doc_id
+        |), b AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p
+        |  WHERE token = 'hash' GROUP BY doc_id
+        |), hits AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS BIGINT) AS n_hits
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+        |ORDER BY doc_id""".stripMargin
 
   private lazy val ngramCoverageSql: String =
     shinglesCte +
@@ -4225,24 +4254,10 @@ object SparkEntry {
         |SELECT token, doc_id, count(*) AS n_occ,
         |  list(pos ORDER BY pos) AS positions
         |FROM p GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
-    "phrase_search" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        |), p AS (
-        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
-        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
-        |), a AS (
-        |  SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p
-        |  WHERE token = 'table' GROUP BY doc_id
-        |), b AS (
-        |  SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p
-        |  WHERE token = 'hash' GROUP BY doc_id
-        |), hits AS (
-        |  SELECT a.doc_id,
-        |    CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS BIGINT) AS n_hits
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
-        |ORDER BY doc_id""".stripMargin,
+    "phrase_search" -> phraseSearchSql,
+    // persisted-bucketed serve must be bit-identical to the in-flight
+    // serve (the ann_ivf_persisted convention) — same oracle text
+    "phrase_persisted" -> phraseSearchSql,
     // every masking decision replayed from the md5(doc_id:pos) PRNG;
     // run structure via the same lag/sum window chain; pair assembly =
     // ordered string_agg (engine: in-aggregate array_sort)

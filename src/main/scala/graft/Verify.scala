@@ -17,6 +17,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as long and convert
       // (values are µs-aligned — see SparkEntry.eventsTable)
+            // serving posture: keep bucketed scans ON even when no operator
+      // needs the distribution — Spark's DisableUnnecessaryBucketedScan
+      // weighs only distribution/sort benefit, not bucket PRUNING, and
+      // the engine's persisted indexes (postings, bands, IVF cells) are
+      // bucketed precisely so equality lookups read one bucket's files
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -46,8 +46,17 @@ object InvertedIndex {
     * intersection size IS the hit count.
     */
   def phraseSearch(documents: DataFrame, w1: String = "table",
+      w2: String = "hash"): DataFrame =
+    phraseFromPostings(postings(documents), w1, w2)
+
+  /** The serve half against ANY postings relation — in-flight
+    * ([[phraseSearch]]) or read back from a TOKEN-BUCKETED catalog
+    * table, where the equality filter on `token` prunes the scan to
+    * one bucket's files (Spark bucket pruning — the partition-pruned
+    * term lookup the index is persisted FOR).
+    */
+  def phraseFromPostings(p: DataFrame, w1: String = "table",
       w2: String = "hash"): DataFrame = {
-    val p = postings(documents)
     val a = p.filter(col("token") === w1)
       .select(col("doc_id"), col("positions").as("pa"))
     val b = p.filter(col("token") === w2)

@@ -219,6 +219,17 @@ class PlanSpec extends AnyFunSuite {
       s"feature probe planned a cartesian product:\n$p")
   }
 
+  test("phrase_persisted prunes the bucketed postings scan to the term's bucket") {
+    // the point of persisting the index bucketed on token: a term
+    // equality lookup must read ONE bucket's files, not the table —
+    // Spark bucket pruning, visible as SelectedBucketsCount in the scan
+    val df = SparkEntry.queries("phrase_persisted")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"term lookup scanned more than one bucket:\n$p")
+    spark.sql("DROP TABLE IF EXISTS graft_postings")
+  }
+
   test("next_purchase_rules and phrase_search stay equi-join only") {
     // both are composition joins over derived keys — a silent fallback
     // to a nested loop would be the O(n²) their key derivations exist
