@@ -33,31 +33,40 @@ object Bench {
   private[graft] def scaledShufflePartitions(dir: String, cpus: Int): Int =
     math.max(cpus, math.min(1024L, dirMB(dir) / 45L).toInt)
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // sf-proportional default (see scaledShufflePartitions)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-          scaledShufflePartitions(sfDir, cpus.toInt).toString))
+  /** The ONE engine session posture, shared by every main (Bench,
+    * Verify, Soak, ScaleAudit) so a config fix can never miss a caller:
+    *  - `shufflePartitions`: the sf-proportional default (callers pass
+    *    [[scaledShufflePartitions]] or the SPARK_GRAFT_SHUFFLE pin);
+    *  - cached-plan AQE re-partitioning ON: iterative operators cache
+    *    relations whose per-round shuffles are far smaller than the
+    *    corpus, and without the flag the cache pins an oversized
+    *    partition count out of AQE's reach (measured: page_rank x100
+    *    71.2 s pinned vs 56.7 s with the flag, at the over-partitioned
+    *    131 config);
+    *  - bucketed scans stay ON even when no operator needs the
+    *    distribution: Spark's DisableUnnecessaryBucketedScan weighs
+    *    only distribution/sort benefit, never bucket PRUNING, and the
+    *    engine's persisted indexes (postings, bands, IVF cells) are
+    *    bucketed precisely so equality lookups read one bucket's files;
+    *  - UTC + nanos-as-long (events.parquet stores TIMESTAMP(NANOS)).
+    */
+  private[graft] def sessionBuilder(master: String,
+      shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
-      // let AQE re-coalesce CACHED-plan partitions too: iterative
-      // operators (page_rank edges, components-loop rounds) cache
-      // relations whose per-round shuffles are far smaller than the
-      // corpus, and without this flag the cache pins an oversized
-      // partition count (measured: page_rank x100 71.2 s pinned vs
-      // 56.7 s with the flag, at the over-partitioned 131 config)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-            // serving posture: keep bucketed scans ON even when no operator
-      // needs the distribution — Spark's DisableUnnecessaryBucketedScan
-      // weighs only distribution/sort benefit, not bucket PRUNING, and
-      // the engine's persisted indexes (postings, bands, IVF cells) are
-      // bucketed precisely so equality lookups read one bucket's files
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = sessionBuilder(s"local[$cpus]",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          scaledShufflePartitions(sfDir, cpus.toInt).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths so the first timed query doesn't pay

@@ -78,27 +78,13 @@ object ScaleAudit {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dupheavy")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        // the replicated corpus is DupReplicas× the sf0.01 parquet —
-        // apply the default 45MB-per-partition rule to its LOGICAL
-        // volume (Bench.scaledShufflePartitions reads physical dirs,
-        // so inline the same arithmetic on dirMB × DupReplicas)
-        .config("spark.sql.shuffle.partitions",
+      // the replicated corpus is DupReplicas× the sf0.01 parquet —
+      // apply the default 45MB-per-partition rule to its LOGICAL volume
+      val spark = Bench.sessionBuilder(s"local[$cpus]",
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
             math.max(cpus.toInt, math.min(1024L,
               Bench.dirMB("/root/testdata/sf0.01/documents.parquet") *
                 DupReplicas / 45L).toInt).toString))
-        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        // let AQE re-coalesce CACHED-plan partitions too: iterative
-        // operators (page_rank edges, components-loop rounds) cache
-        // relations whose per-round shuffles are far smaller than the
-        // corpus, and without this flag the cache pins an oversized
-        // partition count (measured: page_rank x100 71.2 s pinned vs
-        // 56.7 s with the flag, at the over-partitioned 131 config)
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       dupHeavyProbe(spark)
@@ -114,17 +100,11 @@ object ScaleAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_sf1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // sf-proportional default per notch (Bench.scaledShufflePartitions;
-      // re-set per timed dir below). SPARK_GRAFT_SHUFFLE overrides.
-      .config("spark.sql.shuffle.partitions",
+    // sf-proportional default per notch (Bench.scaledShufflePartitions;
+    // re-set per timed dir below). SPARK_GRAFT_SHUFFLE overrides.
+    val spark = Bench.sessionBuilder(s"local[$cpus]",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString))
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()

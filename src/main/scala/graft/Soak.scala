@@ -19,26 +19,8 @@ object Soak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        Bench.scaledShufflePartitions(sfDir, cpus.toInt))
-      .config("spark.sql.session.timeZone", "UTC")
-      // let AQE re-coalesce CACHED-plan partitions too: iterative
-      // operators (page_rank edges, components-loop rounds) cache
-      // relations whose per-round shuffles are far smaller than the
-      // corpus, and without this flag the cache pins an oversized
-      // partition count (measured: page_rank x100 71.2 s pinned vs
-      // 56.7 s with the flag, at the over-partitioned 131 config)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-            // serving posture: keep bucketed scans ON even when no operator
-      // needs the distribution — Spark's DisableUnnecessaryBucketedScan
-      // weighs only distribution/sort benefit, not bucket PRUNING, and
-      // the engine's persisted indexes (postings, bands, IVF cells) are
-      // bucketed precisely so equality lookups read one bucket's files
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = Bench.sessionBuilder(s"local[$cpus]",
+        Bench.scaledShufflePartitions(sfDir, cpus.toInt).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

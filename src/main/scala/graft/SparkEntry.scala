@@ -2233,18 +2233,20 @@ object SparkEntry {
       |)""".stripMargin
   }
 
-  /** `video_phash_partners`' fingerprint CTE: the temporal-dHash bits
-    * replayed as pure integer arithmetic from doc_id (frame f's constant
-    * luma is 16 + (doc_id·7 + f·13) mod 220 — the videoRoundTrip fixture
-    * recipe — so gradient bit f is just a mod-220 comparison; chunk c
-    * packs bits 16c..16c+15). A broken Y4M writer/parser/frame-walk on
-    * the Spark side flips bits and fails the hash gate.
+  /** Shared gradient-fingerprint CTE generator for the synthetic
+    * media fixtures: per doc, 64 gradient-sign bits of the sequence
+    * `(doc_id·mult + step·i) mod m`, packed as the family's 4×16-bit
+    * chunks (c0..c3). `video_phash_partners` replays the Y4M mean-luma
+    * recipe with (7, 13, 220); `audio_phash_partners` replays the WAV
+    * window-energy recipe with (11, 17, 199). A broken container
+    * writer, parser, frame-walk, or sample decode on the Spark side
+    * flips bits and fails the hash gate.
     */
-  private lazy val videoFpCte: String = {
+  private def gradientFpCte(mult: Int, step: Int, mod: Int): String = {
     def chunk(c: Int) =
       s"""CAST(list_sum(list_transform(range(0, 16), b ->
-         |      CASE WHEN (doc_id * 7 + 13 * (16 * $c + b + 1)) % 220
-         |              > (doc_id * 7 + 13 * (16 * $c + b)) % 220
+         |      CASE WHEN (doc_id * $mult + $step * (16 * $c + b + 1)) % $mod
+         |              > (doc_id * $mult + $step * (16 * $c + b)) % $mod
          |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
          |      AS BIGINT) AS c$c""".stripMargin
     s"""WITH fp AS (
@@ -2254,27 +2256,8 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** `audio_phash_partners`' fingerprint CTE: the window-energy gradient
-    * bits replayed as pure integer arithmetic from doc_id (window w's
-    * constant sample is (doc_id·11 + w·17) mod 199 — the
-    * audioPhashFingerprints fixture recipe — so gradient bit w is a
-    * mod-199 comparison; chunk c packs bits 16c..16c+15). A broken WAV
-    * writer/parser/sample decode on the Spark side flips bits and fails
-    * the hash gate.
-    */
-  private lazy val audioFpCte: String = {
-    def chunk(c: Int) =
-      s"""CAST(list_sum(list_transform(range(0, 16), b ->
-         |      CASE WHEN (doc_id * 11 + 17 * (16 * $c + b + 1)) % 199
-         |              > (doc_id * 11 + 17 * (16 * $c + b)) % 199
-         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
-         |      AS BIGINT) AS c$c""".stripMargin
-    s"""WITH fp AS (
-       |  SELECT doc_id,
-       |    ${(0 until 4).map(chunk).mkString(",\n    ")}
-       |  FROM documents
-       |)""".stripMargin
-  }
+  private lazy val videoFpCte: String = gradientFpCte(7, 13, 220)
+  private lazy val audioFpCte: String = gradientFpCte(11, 17, 199)
 
   /** The capped-partner replay shared by `simhash_partners`,
     * `phash_partners`, `video_phash_partners` and `audio_phash_partners`

@@ -11,20 +11,9 @@ object Verify {
     val outDir = args(1)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read as long and convert
-      // (values are µs-aligned — see SparkEntry.eventsTable)
-            // serving posture: keep bucketed scans ON even when no operator
-      // needs the distribution — Spark's DisableUnnecessaryBucketedScan
-      // weighs only distribution/sort benefit, not bucket PRUNING, and
-      // the engine's persisted indexes (postings, bands, IVF cells) are
-      // bucketed precisely so equality lookups read one bucket's files
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // Verify keeps the FIXED cpus-count shuffle (deterministic small-SF
+    // dump; the sf-proportional rule is a bench/audit concern)
+    val spark = Bench.sessionBuilder(s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -36,6 +36,16 @@ import org.apache.spark.storage.StorageLevel
   * the number of built-but-unrun queries, and each stray check is one
   * tree walk. Subsequent actions on the returned DataFrame recompute
   * lineage, which is the same behavior the old clearCache contract gave.
+  *
+  * Known benign race (r12 review): listener events deliver
+  * asynchronously, so when the SAME query is rebuilt back-to-back
+  * (Bench's min-of-2 timing), run 1's late completion event can match
+  * run 2's freshly armed marker via `sameResult` and release run 2's
+  * persist before its action runs. Worst case is LOST REUSE inside that
+  * one consumer (lineage recomputes — results unchanged), which is also
+  * exactly what the old clearCache-between-runs measurement discipline
+  * produced; correctness is never affected, so this stays a documented
+  * trade rather than a timestamp-guard complication.
   */
 object CacheScope {
 

@@ -39,13 +39,10 @@ object Packing {
     */
   def packSequences(documents: DataFrame, seqLen: Int = 512): DataFrame = {
     require(seqLen >= 1, s"packSequences requires seqLen >= 1, got $seqLen")
-    val toks = documents.select(col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
     // one logical group (the stream is global); parallel via the range
     // partitioning on doc_id inside exactPrefixSum
     val offs = ExactRank.exactPrefixSum(
-      toks.withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
+      lens(documents).withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
       beforeCol = "off", totalCol = "stream_total", maxGroups = 1)
     val s = seqLen.toLong
     offs.filter(col("len") > 0)
@@ -79,11 +76,18 @@ object Packing {
   }
 
   /** The subword-proxy token length of each document (tokenCounts'
-    * regex class, shared with every packing oracle). */
+    * regex class, shared with every packing oracle — the ONE definition
+    * every packing entry point uses, so the incremental and one-shot
+    * paths can never disagree on lengths). A null `text` contributes
+    * ZERO stream positions: without the coalesce, `size(...)` returns
+    * null/-1 (conf-dependent) where the oracle's `sum` simply SKIPS the
+    * null row — either divergence would shift every later document's
+    * offset. */
   private def lens(df: DataFrame) = df.select(
     col("doc_id").cast("long").as("doc_id"),
-    size(regexp_extract_all(col("text"),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("len"))
+    greatest(coalesce(size(regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"),
+      lit(0L)), lit(0L)).as("len"))
 
   /** One-row total token count of a corpus slice (`n_tokens`) — the
     * per-batch state row the streaming composition appends. */

@@ -1191,8 +1191,9 @@ object TextAnalysis {
     // corpus) so ctx derivation + the enrich join don't replay the
     // corpus-sized model build twice; DISK_ONLY per the house rule
     // (never compete with shuffle memory). Operator-scoped (r12): the
-    // persist materializes eagerly and releases itself after the first
-    // consuming action — no caller teardown contract.
+    // persist is LAZY (this operator runs no internal Dataset action,
+    // so CacheScope's eager flag is unnecessary) and releases itself
+    // after the first consuming action — no caller teardown contract.
     val model = graft.operators.CacheScope.selfReleasing(
       bigrams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("cnt")))

@@ -2592,6 +2592,23 @@ class PipelineSpec extends AnyFunSuite {
       s"fingerprint diverged from the arithmetic replay: ${fp(9L)}")
   }
 
+  test("a null-text document occupies zero stream positions in packing") {
+    import spark.implicits._
+    // without the null-safe length, size(regexp_extract_all(null,..))
+    // is conf-dependent (null or -1) and either value shifts every
+    // LATER document's offset off the oracle's sum-skips-null arithmetic
+    val docs = Seq((1L, Some("a b c")), (2L, None), (3L, Some("d e")))
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(docs, seqLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // stream: doc1 tokens 0-2, doc2 NOTHING, doc3 tokens 3-4
+    assert(got == Seq((0L, 1L, 0L, 3L), (0L, 3L, 0L, 1L), (1L, 3L, 1L, 2L)),
+      s"null-text doc shifted the stream: $got")
+    assert(Packing.totalTokens(docs).collect()(0).getLong(0) == 5L,
+      "null-text doc changed the total token count")
+  }
+
   test("packIncremental continues the base stream exactly") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
