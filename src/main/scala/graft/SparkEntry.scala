@@ -1632,6 +1632,13 @@ object SparkEntry {
       Packing.packSequences(t(s, dir, "documents"))),
     "pack_summary" -> ((s, dir) =>
       Packing.packSummary(t(s, dir, "documents"))),
+    // packing on the LEARNED tokenizer's budgets: bpeTrainedEncode's
+    // per-doc BPE token counts feed the same window-free packing core —
+    // the tokenizer-agnostic seam demonstrated with a real tokenizer
+    "pack_bpe" -> ((s, dir) =>
+      Packing.packFromLengths(
+        TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_bpe_tokens").as("len")))),
     // continuous-ingestion packing: the delta packs onto the end of the
     // base stream — base contributes ONE broadcast aggregate, O(|delta|)
     "pack_incremental" -> ((s, dir) => {
@@ -5255,6 +5262,35 @@ object SparkEntry {
         |  CAST(sum(tok_end - tok_begin) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN tok_begin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
         |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // the 64-round learned-tokenizer chain (pipeline_tokenizer's own
+    // CTEs) producing per-doc BPE budgets, then the same packing window
+    "pack_bpe" -> {
+      bpeTrainOracleChain(BpeOracleRounds) + s""",
+        |v AS (SELECT word,
+        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe
+        |  FROM e$BpeOracleRounds),
+        |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM dw JOIN v USING (word) GROUP BY doc_id),
+        |lens AS (SELECT documents.doc_id,
+        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS len
+        |  FROM documents LEFT JOIN agg USING (doc_id)),
+        |offs AS (
+        |  SELECT doc_id, len,
+        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM lens
+        |), sp AS (
+        |  SELECT doc_id, len, off,
+        |    unnest(range(CAST(off // 512 AS BIGINT),
+        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM offs WHERE len > 0)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
+        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+        |FROM sp ORDER BY seq_id, doc_id""".stripMargin
+    },
     // the delta's spans continue the base stream: same span arithmetic,
     // offsets shifted by the base's total token count
     "pack_incremental" ->

@@ -37,12 +37,25 @@ object Packing {
     * doc-local half-open token span assigned to that sequence. Every
     * sequence holds exactly `seqLen` tokens except the last.
     */
-  def packSequences(documents: DataFrame, seqLen: Int = 512): DataFrame = {
-    require(seqLen >= 1, s"packSequences requires seqLen >= 1, got $seqLen")
+  def packSequences(documents: DataFrame, seqLen: Int = 512): DataFrame =
+    packFromLengths(lens(documents), seqLen)
+
+  /** [[packSequences]] over ANY per-document length relation
+    * `(doc_id, len)` — the packing math is tokenizer-agnostic, and this
+    * is the seam that proves it: the default path feeds the subword
+    * regex proxy, `pack_bpe` feeds the LEARNED BPE token budgets from
+    * [[TextAnalysis.bpeTrainedEncode]], and a production deployment
+    * feeds whatever its tokenizer counts. Zero-length documents occupy
+    * no stream positions.
+    */
+  def packFromLengths(lengths: DataFrame, seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, s"packFromLengths requires seqLen >= 1, got $seqLen")
     // one logical group (the stream is global); parallel via the range
     // partitioning on doc_id inside exactPrefixSum
     val offs = ExactRank.exactPrefixSum(
-      lens(documents).withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
+      lengths.select(col("doc_id").cast("long").as("doc_id"),
+          col("len").cast("long").as("len"))
+        .withColumn("g", lit(0)), Seq("g"), Seq("doc_id"), "len",
       beforeCol = "off", totalCol = "stream_total", maxGroups = 1)
     val s = seqLen.toLong
     offs.filter(col("len") > 0)

@@ -2609,6 +2609,27 @@ class PipelineSpec extends AnyFunSuite {
       "null-text doc changed the total token count")
   }
 
+  test("packFromLengths conserves the learned tokenizer's budgets exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val budgets = TextAnalysis.bpeTrainedEncode(docs)
+      .select(col("doc_id"), col("n_bpe_tokens").as("len"))
+    val spans = Packing.packFromLengths(budgets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-doc span tokens == that doc's BPE budget, for every doc
+    val perDoc = spans.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val want = budgets.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    assert(perDoc == want, "BPE token budgets not conserved by packing")
+    // and the layout genuinely differs from the regex-proxy packing —
+    // the tokenizer-agnostic seam must actually change the cut points
+    val proxy = Packing.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq != proxy.toSeq,
+      "BPE packing degenerate: identical to the proxy layout")
+  }
+
   test("packIncremental continues the base stream exactly") {
     import org.apache.spark.sql.functions._
     val docs = tbl("documents")
