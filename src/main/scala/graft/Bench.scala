@@ -171,6 +171,16 @@ object Bench {
     // ...and repeat the totals as a compact map-free line LAST so the
     // summary always survives.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
+    // The stdout tail capture keeps only ~the slowest 15% of per-query
+    // lines, so cross-round drift for most of the surface was invisible.
+    // Persist the FULL name→sec map as a durable artifact in the repo
+    // tree (committed per round; BENCH_r{N}.json stays the graded tail).
+    val timesPath = sys.env.getOrElse("SPARK_GRAFT_TIMES_OUT", "bench_times.json")
+    val timesJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString(
+        s"""{"total_sec":$total,"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir","queries":{""",
+        ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(timesPath), timesJson)
     spark.stop()
   }
 }

