@@ -1204,6 +1204,22 @@ object SparkEntry {
     // rank-only signal, two-term INTEGER fusion, bounded final window
     "rrf_fusion" -> ((s, dir) =>
       Retrieval.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"))),
+    // the semantic leg served from the PERSISTED bucketed IVF index:
+    // driver-side probe choice → literal cells → statically pruned index
+    // read. numProbes=12: the fixture's embeddings are near-isotropic
+    // (random 64-dim vectors barely cluster), so covering query 0's true
+    // top-20 — which spans cells ranked 1st/2nd/4th/12th by the query —
+    // needs 12 of 16 probes for recall 1; a real embedding corpus
+    // clusters far better and serves from 1-2 probes. Same oracle text
+    // as rrf_fusion — bit-identical at recall 1.
+    "rrf_fusion_indexed" -> ((s, dir) => {
+      val tbl = "graft_ivf_rrf"
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
+        "cluster_b", 8)
+      Retrieval.rrfFusionIndexed(t(s, dir, "documents"), s.table(tbl),
+        numProbes = 12)
+    }),
     // ---- deduplication ---------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     // the third blocking family (after LSH bands and PassJoin
@@ -1682,6 +1698,36 @@ object SparkEntry {
       Packing.packFromLengths(
         TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))
           .select(col("doc_id"), col("n_bpe_tokens").as("len")))),
+    // THE full pretraining-data pipeline, composed end-to-end: Gopher
+    // gate -> C4 line repair -> MinHash-LSH canonical dedup -> DSIR
+    // selection (target lang + top-k importance-weighted raw docs) ->
+    // sequence packing on the LEARNED tokenizer's real budgets (BPE
+    // trained on the curated corpus itself). Every stage is individually
+    // oracle-checked; this row checks their COMPOSITION. The curated
+    // corpus is operator-scope cached (CacheScope) because the tokenizer
+    // legitimately reads it twice (train + encode) — everything upstream
+    // stays one lazy plan per source.
+    "pipeline_dsir_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gKeep = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
+        .filter(col("keep")).select(col("doc_id"))
+      val repaired = TextAnalysis.c4LineFilter(docs.join(gKeep, Seq("doc_id")),
+          minLineWords = 50, requireTerminalPunct = false)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val cleaned = repaired.join(docs.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      val kept = Dedup.keepCanonical(cleaned,
+        Dedup.minhashLsh(cleaned).select(col("doc_a"), col("doc_b")))
+      val sel = Dsir.dsirSelect(kept, k = 100).select(col("doc_id"))
+      val corpus = graft.operators.CacheScope.selfReleasing(
+        kept.filter(col("lang") === "en").select(col("doc_id"), col("text"))
+          .unionByName(
+            kept.select(col("doc_id"), col("text")).join(sel, Seq("doc_id"))))
+      Packing.packFromLengths(
+        TextAnalysis.bpeTrainedEncode(corpus)
+          .select(col("doc_id"), col("n_bpe_tokens").as("len")))
+    }),
     // continuous-ingestion packing: the delta packs onto the end of the
     // base stream — base contributes ONE broadcast aggregate, O(|delta|)
     "pack_incremental" -> ((s, dir) => {
@@ -2466,12 +2512,17 @@ object SparkEntry {
     * by vec_id — inactive at gate scale, mirrored anyway so the oracle
     * stays definitionally in lockstep with the operator's bound). */
   private lazy val annPartnersOracle =
-    embedCte +
+    embedCte + annPartnersOracleBody(64)
+
+  /** The annPartners replay body over ANY `n(vec_id, v, nrm)` CTE —
+    * shared by the raw-embedding and image-descriptor modalities
+    * (`dims` only changes the dot-product width). */
+  private def annPartnersOracleBody(dims: Int): String =
       s""", cents AS (
       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
       |), scored AS (
       |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |    CAST(floor(list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
       |  FROM n a CROSS JOIN cents c
       |), assigned AS (
       |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
@@ -2482,13 +2533,49 @@ object SparkEntry {
       |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
       |), p AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |    CAST(floor(list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
       |  FROM assigned a JOIN capped b
       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
       |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
       |  FROM p)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** Image-descriptor replay: pixel k of the 8×8 thumbnail is the text
+    * byte at `k·len/64` (PNG grayscale is lossless, so the engine's
+    * decoded-raster features equal this byte math bit-for-bit); quadrant
+    * q = (k div 32)·2 + (k mod 8 div 4); features are luminance sums and
+    * in-patch |horizontal gradient| sums — all exact integers, making the
+    * 8-dim cosine's IEEE operands cross-engine reproducible. */
+  private val imageEmbedFeatCte =
+    """WITH px AS (
+      |  SELECT doc_id, k,
+      |    ascii(text[CAST(least((k * length(text)) // 64,
+      |      length(text) - 1) + 1 AS BIGINT)]) AS p
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+      |), g AS (
+      |  SELECT doc_id, k, p,
+      |    lead(p) OVER (PARTITION BY doc_id ORDER BY k) AS pn
+      |  FROM px
+      |), feat AS (
+      |  SELECT doc_id, (k // 32) * 2 + ((k % 8) // 4) AS q,
+      |    sum(p) AS lum,
+      |    sum(CASE WHEN k % 4 < 3 THEN abs(pn - p) ELSE 0 END) AS grad
+      |  FROM g GROUP BY doc_id, q
+      |)""".stripMargin
+
+  private lazy val imageAnnPartnersOracle =
+    imageEmbedFeatCte +
+      """, n AS (
+      |  SELECT doc_id AS vec_id,
+      |    list_transform(list(lum ORDER BY q) || list(grad ORDER BY q),
+      |      x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(
+      |      list(lum ORDER BY q) || list(grad ORDER BY q),
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM feat GROUP BY doc_id
+      |)""".stripMargin +
+      annPartnersOracleBody(8)
 
   /** Shared by `asof_join` and `asof_join_bucketized` (identical
     * semantics by construction — TemporalJoinSpec pins the equivalence).
@@ -2505,6 +2592,181 @@ object SparkEntry {
       |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** Shared by `rrf_fusion` and `rrf_fusion_indexed` (identical
+    * results by construction at gate scale — the probe set covers the
+    * true top-20, so the indexed serve is bit-identical).
+    */
+  private lazy val rrfFusionSql: String =
+    """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
+        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
+        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT count(*) FROM tokens) AS total_tok
+        |), per AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                / (CAST(d.df AS DOUBLE) + 0.5)))
+        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |            + 0.75 * (CAST(l.dl AS DOUBLE)
+        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_e6
+        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
+        |), lexs AS (
+        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6
+        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+        |), lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS lex_rk
+        |  FROM lexs
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nn AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), qv AS (SELECT * FROM nn WHERE vec_id = 0),
+        |p AS (
+        |  SELECT b.vec_id AS doc_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM qv a JOIN nn b ON b.vec_id <> a.vec_id
+        |), sems AS (
+        |  SELECT doc_id, cos_e6,
+        |    CAST(row_number() OVER (ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS sem_rk
+        |  FROM p
+        |), sem AS (SELECT doc_id, sem_rk FROM sems WHERE sem_rk <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, l.lex_rk, s2.sem_rk,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rk)) AS BIGINT), 0) +
+        |    COALESCE(CAST(floor(1000000.0 / (60 + s2.sem_rk)) AS BIGINT), 0) AS rrf_e6
+        |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rk,
+        |    doc_id, lex_rk, sem_rk, rrf_e6
+        |  FROM fused)
+        |SELECT rk, doc_id, lex_rk, sem_rk, rrf_e6
+        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  /** The full-pipeline composition oracle: every stage's existing CTE
+    * fragment chained into ONE WITH RECURSIVE list, retargeted at the
+    * previous stage's output (`chainFrag` strips the fragment's WITH and
+    * rebinds its `FROM documents` scans). The BPE chain's word CTE is
+    * renamed `bw` to avoid colliding with DSIR's weight CTE `w`.
+    */
+  private lazy val pipelineDsirPackSql: String = {
+    def chainFrag(frag: String, src: String): String =
+      frag.replaceAll("^WITH RECURSIVE ", "").replaceAll("^WITH ", "")
+        .replace("FROM documents", s"FROM $src")
+        .replaceAll("\\s+$", "")
+    val quality = gopherC4CleanCte.replaceAll("^WITH ", "")
+    val minhash = chainFrag(minhashScoredCte, "cleaned")
+    val dsir = chainFrag(dsirWeightsCte, "kept")
+    val bpe = chainFrag(bpeTrainOracleChain(BpeOracleRounds), "corpus")
+      .replace("w AS MATERIALIZED (", "bw AS MATERIALIZED (")
+      .replace("FROM w)", "FROM bw)")
+    s"""WITH RECURSIVE $quality, cleaned AS (
+      |  SELECT c.doc_id, c.text, d.lang
+      |  FROM cl c JOIN documents d USING (doc_id)
+      |), $minhash, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT src AS node, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |), ccl AS (
+      |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+      |  FROM reach GROUP BY node
+      |), kept AS (
+      |  SELECT c.* FROM cleaned c
+      |  WHERE c.doc_id NOT IN (SELECT doc_id FROM ccl WHERE doc_id <> cluster_id)
+      |), $dsir, sel AS (
+      |  SELECT doc_id FROM doc_scores WHERE NOT is_target
+      |  ORDER BY score_e6 DESC, doc_id LIMIT 100
+      |), corpus AS (
+      |  SELECT doc_id, text FROM kept WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT k.doc_id, k.text FROM kept k JOIN sel USING (doc_id)
+      |), $bpe, v AS (
+      |  SELECT word, CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe
+      |  FROM e$BpeOracleRounds
+      |), dw AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+      |  FROM corpus
+      |), agg AS (
+      |  SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+      |  FROM dw JOIN v USING (word) GROUP BY doc_id
+      |), lens AS (
+      |  SELECT corpus.doc_id, coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS len
+      |  FROM corpus LEFT JOIN agg USING (doc_id)
+      |), offs AS (
+      |  SELECT doc_id, len,
+      |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM lens
+      |), sp AS (
+      |  SELECT doc_id, len, off,
+      |    unnest(range(CAST(off // 512 AS BIGINT),
+      |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
+      |  FROM offs WHERE len > 0)
+      |SELECT seq_id, doc_id,
+      |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
+      |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
+      |FROM sp ORDER BY seq_id, doc_id""".stripMargin
+  }
+
+  /** Gopher document gate + C4 line repair over `documents`, ending at
+    * `cl(doc_id, text)` (the repaired surviving corpus) — the shared
+    * quality prefix of pipeline_quality and pipeline_dsir_pack. */
+  private val gopherC4CleanCte: String =
+    """WITH gc AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), gs AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
+        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
+        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','a'], y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
+        |  FROM gc
+        |), gk AS (
+        |  SELECT doc_id FROM gs
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+        |    AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+        |    AND n_stop_hits >= 2
+        |), cs AS (
+        |  SELECT d.doc_id,
+        |    list_filter(string_split(d.text, chr(10)),
+        |      l -> len(string_split(l, ' ')) >= 50
+        |        AND NOT contains(lower(l), 'javascript')
+        |        AND NOT contains(lower(l), 'lorem ipsum')
+        |        AND NOT contains(l, '{')) AS kept
+        |  FROM documents d JOIN gk USING (doc_id)
+        |), cl AS (
+        |  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
+        |  FROM cs WHERE len(kept) >= 1
+        |)""".stripMargin
 
   def oracleSql: Map[String, String] = distinctKeys("oracleSql", Seq(
     "baskets" ->
@@ -4336,62 +4598,11 @@ object SparkEntry {
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
     // query vec 0 (sem list) + the two-term integer RRF sum
-    "rrf_fusion" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
-        |tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
-        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
-        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |st AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |         (SELECT count(*) FROM tokens) AS total_tok
-        |), per AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |                / (CAST(d.df AS DOUBLE) + 0.5)))
-        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |            + 0.75 * (CAST(l.dl AS DOUBLE)
-        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
-        |      * 1000000.0) AS BIGINT) AS term_e6
-        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
-        |), lexs AS (
-        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6
-        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
-        |), lex AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS lex_rk
-        |  FROM lexs
-        |), e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), nn AS (
-        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-        |), qv AS (SELECT * FROM nn WHERE vec_id = 0),
-        |p AS (
-        |  SELECT b.vec_id AS doc_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-        |      / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM qv a JOIN nn b ON b.vec_id <> a.vec_id
-        |), sems AS (
-        |  SELECT doc_id, cos_e6,
-        |    CAST(row_number() OVER (ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS sem_rk
-        |  FROM p
-        |), sem AS (SELECT doc_id, sem_rk FROM sems WHERE sem_rk <= 20),
-        |fused AS (
-        |  SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, l.lex_rk, s2.sem_rk,
-        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rk)) AS BIGINT), 0) +
-        |    COALESCE(CAST(floor(1000000.0 / (60 + s2.sem_rk)) AS BIGINT), 0) AS rrf_e6
-        |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
-        |), ranked AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rk,
-        |    doc_id, lex_rk, sem_rk, rrf_e6
-        |  FROM fused)
-        |SELECT rk, doc_id, lex_rk, sem_rk, rrf_e6
-        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "rrf_fusion" -> rrfFusionSql,
+    // the persisted-IVF-probed serve must produce the exact-scan serve's
+    // result at gate scale (probe set covers the true top-20 — recall 1)
+    // — same oracle text (the phrase_persisted convention)
+    "rrf_fusion_indexed" -> rrfFusionSql,
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id
@@ -4915,6 +5126,22 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_partners" -> annPartnersOracle,
+    // decoded-raster features replayed from the text bytes (PNG-lossless)
+    "image_embed_real" ->
+      (imageEmbedFeatCte +
+        """
+        |SELECT doc_id,
+        |  CAST(max(CASE WHEN q = 0 THEN lum END) AS BIGINT) AS f0,
+        |  CAST(max(CASE WHEN q = 1 THEN lum END) AS BIGINT) AS f1,
+        |  CAST(max(CASE WHEN q = 2 THEN lum END) AS BIGINT) AS f2,
+        |  CAST(max(CASE WHEN q = 3 THEN lum END) AS BIGINT) AS f3,
+        |  CAST(max(CASE WHEN q = 0 THEN grad END) AS BIGINT) AS f4,
+        |  CAST(max(CASE WHEN q = 1 THEN grad END) AS BIGINT) AS f5,
+        |  CAST(max(CASE WHEN q = 2 THEN grad END) AS BIGINT) AS f6,
+        |  CAST(max(CASE WHEN q = 3 THEN grad END) AS BIGINT) AS f7
+        |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the decode→embed→bounded-kNN composition over the 8-dim descriptor
+    "image_ann_partners" -> imageAnnPartnersOracle,
     // the persisted-index serve must produce the in-flight serve's exact
     // result — same oracle text
     "ann_ivf_persisted" -> annIvfTopKOracle,
@@ -5307,6 +5534,10 @@ object SparkEntry {
         |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // the 64-round learned-tokenizer chain (pipeline_tokenizer's own
     // CTEs) producing per-doc BPE budgets, then the same packing window
+    // the full curated-pretraining composition (quality -> dedup ->
+    // DSIR -> pack on the corpus-trained tokenizer), every stage's
+    // fragment chained and retargeted — see pipelineDsirPackSql
+    "pipeline_dsir_pack" -> pipelineDsirPackSql,
     "pack_bpe" -> {
       bpeTrainOracleChain(BpeOracleRounds) + s""",
         |v AS (SELECT word,
@@ -5393,45 +5624,7 @@ object SparkEntry {
         |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
         |FROM u ORDER BY seq_id, doc_id""".stripMargin,
     "pipeline_quality" ->
-      """WITH gc AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w,
-        |    string_split(text, chr(10)) AS ln
-        |  FROM documents
-        |), gs AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
-        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
-        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
-        |    CAST(len(list_filter(['the','a'], y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
-        |  FROM gc
-        |), gk AS (
-        |  SELECT doc_id FROM gs
-        |  WHERE n_words >= 50 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
-        |    AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
-        |    AND n_stop_hits >= 2
-        |), cs AS (
-        |  SELECT d.doc_id,
-        |    list_filter(string_split(d.text, chr(10)),
-        |      l -> len(string_split(l, ' ')) >= 50
-        |        AND NOT contains(lower(l), 'javascript')
-        |        AND NOT contains(lower(l), 'lorem ipsum')
-        |        AND NOT contains(l, '{')) AS kept
-        |  FROM documents d JOIN gk USING (doc_id)
-        |), cl AS (
-        |  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
-        |  FROM cs WHERE len(kept) >= 1
-        |), toks AS (
+      (gopherC4CleanCte + """, toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM cl
         |), bg AS (
         |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
@@ -5486,7 +5679,7 @@ object SparkEntry {
         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+        |ORDER BY t.doc_id""".stripMargin),
     "pipeline_pretrain" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -36,9 +36,44 @@ object Retrieval {
       topN: Int = 20): DataFrame = {
     require(depth >= 1 && topN >= 1 && rrfK >= 1,
       s"rrfFusion: depth/topN/rrfK must be >= 1, got $depth/$topN/$rrfK")
+    fuse(documents,
+      Similarity.queryTopK(embeddings, queryVecId, depth),
+      queryTerms, depth, rrfK, topN)
+  }
+
+  /** [[rrfFusion]] with the semantic leg served from the PERSISTED
+    * bucketed IVF index instead of the exact corpus scan
+    * ([[graft.operators.Similarity.queryTopKFromIndex]]: driver-side
+    * probe-cell choice → literal IN filter → statically bucket-pruned
+    * index read). The BM25 leg and the fusion arithmetic are shared
+    * with [[rrfFusion]] by construction; with a probe set covering the
+    * query's true top-`depth` (recall 1) the output is bit-identical —
+    * which is how the driver checks it, against rrf_fusion's own oracle
+    * text. At 100 TB this is the difference between a retrieval serve
+    * that reads `numProbes` cells' files and one that scans every
+    * embedding per query.
+    */
+  def rrfFusionIndexed(documents: DataFrame, index: DataFrame,
+      queryTerms: Seq[String] = TextAnalysis.DefaultBm25Query,
+      queryVecId: Long = 0L, depth: Int = 20, rrfK: Int = 60,
+      topN: Int = 20, numProbes: Int = 12): DataFrame = {
+    require(depth >= 1 && topN >= 1 && rrfK >= 1,
+      s"rrfFusionIndexed: depth/topN/rrfK must be >= 1, got $depth/$topN/$rrfK")
+    fuse(documents,
+      Similarity.queryTopKFromIndex(index, queryVecId, depth,
+        numProbes = numProbes),
+      queryTerms, depth, rrfK, topN)
+  }
+
+  /** The fusion tail shared by the exact-scan and indexed serves: the
+    * two rank lists are depth-bounded, so the full-outer join and the
+    * global rank window touch ≤ 2·depth rows at any corpus size. */
+  private def fuse(documents: DataFrame, semTopK: DataFrame,
+      queryTerms: Seq[String], depth: Int, rrfK: Int,
+      topN: Int): DataFrame = {
     val lex = TextAnalysis.bm25(documents, queryTerms, topN = depth)
       .select(col("doc_id"), col("rk").cast("long").as("lex_rk"))
-    val sem = Similarity.queryTopK(embeddings, queryVecId, depth)
+    val sem = semTopK
       .select(col("other_id").as("doc_id"), col("rk").cast("long").as("sem_rk"))
     def contrib(rk: String) = coalesce(
       floor(lit(1000000.0) / (lit(rrfK.toLong) + col(rk))).cast("long"),

@@ -161,6 +161,62 @@ object Similarity {
     rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
   }
 
+  /** The single-query serve of [[queryTopK]] against a PERSISTED
+    * bucketed IVF index ([[ivfIndexRelation]] read back from its
+    * catalog table) — the vector-DB serving split: the "query node"
+    * ranks the centroid table against the query LOCALLY, then fetches
+    * only the probed cells' posting lists.
+    *
+    * Both driver-side reads are hard-bounded: the centroid table
+    * (`numCentroids` rows, recovered from the index itself — the
+    * [[ivfTopKFromIndex]] discipline) and the 1-row query vector. The
+    * payoff of doing the cell choice driver-side is that the probed
+    * cells become LITERALS, so the equality/IN filter on the bucketed
+    * index prunes the scan statically (SelectedBucketsCount) — at
+    * 100 TB the index is the corpus and a serve must read `numProbes`
+    * cells' files, never scan-and-shuffle the index per query.
+    *
+    * With `numProbes = numCentroids` this is exactly [[queryTopK]]
+    * (minus the self-row) served from the index; smaller probe counts
+    * trade recall for scan width (the standard IVF knob).
+    */
+  def queryTopKFromIndex(index: DataFrame, queryVecId: Long, k: Int,
+      numCentroids: Int = NumCentroids,
+      numProbes: Int = NumCentroids): DataFrame = {
+    require(numProbes >= 1 && numProbes <= numCentroids,
+      s"numProbes must be in [1, $numCentroids], got $numProbes")
+    VectorFunctions.register(index.sparkSession)
+    // bounded collect #1: numCentroids rows (the centroids index
+    // themselves in their own cells — self-distance 0)
+    val cents = index.filter(col("other_id") < numCentroids)
+      .select(col("other_id"), col("vb"), col("nrm_b")).collect()
+    // bounded collect #2: the 1-row query vector
+    val qRows = index.filter(col("other_id") === queryVecId)
+      .select(col("vb"), col("nrm_b")).collect()
+    require(qRows.length == 1,
+      s"queryVecId $queryVecId not present exactly once in the index")
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val qn = qRows(0).getDouble(1)
+    val probeCells = cents.map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        var d = 0.0
+        var i = 0
+        while (i < qv.length) { d += qv(i) * cv(i); i += 1 }
+        (d / (qn * r.getDouble(2)), r.getLong(0))
+      }.sortBy { case (s, id) => (-s, id) }
+      .take(numProbes).map(_._2).toSeq
+    val q = broadcast(index.filter(col("other_id") === queryVecId)
+      .select(col("vb").as("va"), col("nrm_b").as("nrm_a")))
+    val scored = index
+      .filter(col("cluster_b").isin(probeCells: _*) &&
+        col("other_id") =!= queryVecId)
+      .crossJoin(q) // 1-row broadcast side
+      .withColumn("vec_id", lit(queryVecId))
+      .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
+        (col("nrm_a") * col("nrm_b")) * lit(1000000.0)))
+    rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
+  }
+
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
       maxQueries: Int = MaxBruteForceQueries): DataFrame = {
     val a = sideWithNorm(embeddings.orderBy(col("vec_id")).limit(maxQueries),

@@ -2152,6 +2152,35 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("imageEmbeddings computes quadrant features from the decoded raster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away home"
+    val docs = Seq((0L, base), (1L, base), (2L, "aaaa")).toDF("doc_id", "text")
+    try {
+      val got = Multimodal.imageEmbeddings(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // driver-local replay of the byte math (PNG grayscale is lossless,
+      // so the decoded raster must equal the pre-encode pixels)
+      def replay(t: String): Seq[Double] = {
+        val px = (0 until 64).map(k =>
+          t.charAt(math.min(k.toLong * t.length / 64, t.length - 1L).toInt) & 0xff)
+        val f = new Array[Double](8)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val q = (y / 4) * 2 + (x / 4)
+          f(q) += px(y * 8 + x)
+          if (x % 4 < 3) f(4 + q) += math.abs(px(y * 8 + x + 1) - px(y * 8 + x))
+        }
+        f.toSeq
+      }
+      assert(got(0L) == replay(base), s"codec features drifted: ${got(0L)}")
+      assert(got(0L) == got(1L), "identical payloads must embed identically")
+      // constant payload: uniform luminance, zero gradient energy
+      assert(got(2L) == replay("aaaa") &&
+        got(2L).drop(4).forall(_ == 0.0) && got(2L).take(4).forall(_ > 0.0),
+        s"constant payload shape wrong: ${got(2L)}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("exactRank fails fast when group cardinality exceeds maxGroups") {
     import spark.implicits._
     // a HIGH-cardinality group key (id itself: 2000 groups) — the

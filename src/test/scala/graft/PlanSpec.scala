@@ -230,6 +230,19 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_postings")
   }
 
+  test("rrf_fusion_indexed statically prunes the bucketed IVF index scan") {
+    // the driver-side probe choice turns the probed cells into literals,
+    // so the IN filter on the bucketed index must prune the scan to the
+    // probed cells' buckets — never read the whole index per query
+    val df = SparkEntry.queries("rrf_fusion_indexed")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(sel.exists(_ < 8),
+      s"index scan not bucket-pruned (SelectedBucketsCount=$sel):\n$p")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_rrf")
+  }
+
   test("next_purchase_rules and both phrase queries stay equi-join only") {
     // all are composition joins over derived keys — a silent fallback
     // to a nested loop would be the O(n²) their key derivations exist
@@ -258,14 +271,17 @@ class PlanSpec extends AnyFunSuite {
     // the two-axis bound (cell cap + per-vector rank cut) must push into
     // the partial window phase, and the cell blocking must stay an
     // equi-join — a nested loop would be the all-pairs O(n²) the IVF
-    // cells exist to avoid
-    val p = planOf("ann_partners")
-    assert(p.contains("WindowGroupLimit"),
-      s"partner cuts not pushed map-side:\n$p")
-    val cellJoinOk = !p.linesIterator.exists(l =>
-      l.contains("SortMergeJoin") && l.contains("Cross") ||
-        l.contains("CartesianProduct"))
-    assert(cellJoinOk, s"cell join fell back to a cross product:\n$p")
+    // cells exist to avoid. image_ann_partners feeds the decoded-raster
+    // descriptor through the same core, so the same pins must hold.
+    for (q <- Seq("ann_partners", "image_ann_partners")) {
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q partner cuts not pushed map-side:\n$p")
+      val cellJoinOk = !p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("Cross") ||
+          l.contains("CartesianProduct"))
+      assert(cellJoinOk, s"$q cell join fell back to a cross product:\n$p")
+    }
   }
 
   test("phash_pairs candidates ride the chunk band equi-join") {
@@ -663,6 +679,37 @@ class PlanSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
         l.contains("ShuffledHashJoin"))
     assert(joins >= 1, s"frequency relation not equi-joined:\n$p")
+  }
+
+  test("pipeline_dsir_pack's curation prefix stays window-free and equi-join") {
+    // the composed curation corpus (gopher -> c4 -> minhash keep -> DSIR
+    // select) must not grow a corpus-sized window or a cross product
+    // between stages: the only Window ops allowed are minhashLsh's
+    // map-side WindowGroupLimit band cap and dsirSelect's rank over the
+    // LIMIT-k bounded selection
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gKeep = operators.TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
+      .filter(col("keep")).select(col("doc_id"))
+    val repaired = operators.TextAnalysis.c4LineFilter(docs.join(gKeep, Seq("doc_id")),
+        minLineWords = 50, requireTerminalPunct = false)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val cleaned = repaired.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val kept = operators.Dedup.keepCanonical(cleaned,
+      operators.Dedup.minhashLsh(cleaned).select(col("doc_a"), col("doc_b")))
+    val sel = operators.Dsir.dsirSelect(kept, k = 100).select(col("doc_id"))
+    val corpus = kept.filter(col("lang") === "en").select(col("doc_id"), col("text"))
+      .unionByName(kept.select(col("doc_id"), col("text")).join(sel, Seq("doc_id")))
+    val p = corpus.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val fullWindows = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(fullWindows <= 1, s"curation chain grew corpus-sized windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product in curation:\n$p")
+    // the packed tail itself must stay window-free (exactPrefixSum, not
+    // a one-task ORDER BY window)
+    val tail = planOf("pipeline_dsir_pack")
+    assert(!tail.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window")),
+      s"pack tail windowed:\n$tail")
   }
 
   test("pipeline_quality composes the four quality stages window-free") {
