@@ -24,6 +24,10 @@ object Explain {
       // dumping the remaining plans
       try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"(failed to build: ${e.getMessage})") }
+      // plan-only builds never consume the operators' self-releasing
+      // persists — drop the armed listeners instead of leaving each one
+      // to tax every subsequent action with a sameResult tree walk
+      graft.operators.CacheScope.releaseAll()
     }
     spark.stop()
   }

@@ -203,15 +203,24 @@ object ScaleAudit {
     for (n <- names) {
       // a failing query must surface as its own row, never abort the
       // remaining audit heads (r12: rrf_fusion killed an 12-head run
-      // because the x10 dir predated embeddings replication)
+      // because the x10 dir predated embeddings replication). Only
+      // NON-fatal failures continue: after an OutOfMemoryError or
+      // similar the shared JVM/SparkContext may be corrupted, and
+      // timing further heads in it would print unreliable rows as if
+      // they were normal results (r12 advice).
       try {
         val base = time(n, baseDir)
         val big = time(n, bigDir)
         println(f"| `$n` | $base%.2f s | $big%.2f s | ${big / base}%.1f× |")
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           println(s"| `$n` | FAILED | ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString} | — |")
+        case fatal: Throwable =>
+          println(s"| `$n` | FATAL | ${fatal.getClass.getSimpleName} — " +
+            "aborting: remaining heads would time in a corrupted JVM |")
+          spark.stop()
+          throw fatal
       }
     }
     spark.stop()

@@ -25,12 +25,21 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
 
     def scratchMB: Long = {
-      val tmp = new java.io.File(
-        System.getProperty("java.io.tmpdir", "/tmp"))
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("blockmgr-") ||
-          f.getName.startsWith("spark-"))
-        .map(f => Bench.dirMB(f.getAbsolutePath)).sum
+      // scan the dirs Spark ACTUALLY spills to (r12 advice: a
+      // spark.local.dir/SPARK_LOCAL_DIRS override elsewhere made the
+      // hardcoded java.io.tmpdir scan silently measure nothing)
+      val roots = (spark.conf.getOption("spark.local.dir").toSeq ++
+          sys.env.get("SPARK_LOCAL_DIRS").toSeq)
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) match {
+        case Nil => Seq(System.getProperty("java.io.tmpdir", "/tmp"))
+        case dirs => dirs.distinct
+      }
+      roots.map { root =>
+        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blockmgr-") ||
+            f.getName.startsWith("spark-"))
+          .map(f => Bench.dirMB(f.getAbsolutePath)).sum
+      }.sum
     }
     def warehouseMB: Long =
       Bench.dirMB("spark-warehouse") + Bench.dirMB("metastore_db")

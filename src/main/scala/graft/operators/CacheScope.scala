@@ -31,11 +31,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * After the consumer's action the blocks are gone without any caller
   * involvement; `clearCache()` remains harmless. A relation armed but
-  * never consumed (a query built for plan inspection only) keeps its
-  * listener until some later action consumes the same plan — bounded by
-  * the number of built-but-unrun queries, and each stray check is one
-  * tree walk. Subsequent actions on the returned DataFrame recompute
-  * lineage, which is the same behavior the old clearCache contract gave.
+  * never consumed (a query built for plan inspection only) no longer
+  * keeps its listener indefinitely (the r12 shape — each stale listener
+  * taxed every subsequent action with a `sameResult` tree walk for the
+  * life of the session): a stale listener now retires itself after
+  * [[MaxStaleActions]] non-matching actions, and plan-only builders
+  * (Explain-style callers) can call [[releaseAll]] to drop every armed
+  * registration at once. A retired relation's DataFrame still works —
+  * lineage recomputes, which is the old clearCache behavior.
   *
   * Known benign race (r12 review): listener events deliver
   * asynchronously, so when the SAME query is rebuilt back-to-back
@@ -49,6 +52,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
+  /** Non-matching Dataset actions a still-armed listener survives before
+    * retiring itself. In this engine a cache's consumer action follows
+    * its arming immediately, so any registration this stale is a
+    * plan-only build; retirement costs lost reuse at worst, never
+    * correctness.
+    */
+  val MaxStaleActions = 64
+
+  // every still-armed registration's idempotent release hook, so
+  // plan-only builders can drop them all without knowing which
+  // operators armed what
+  private val armed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[() => Unit]()
+
   def selfReleasing(df: DataFrame,
       level: StorageLevel = StorageLevel.DISK_ONLY,
       eager: Boolean = false): DataFrame = {
@@ -57,20 +74,37 @@ object CacheScope {
     if (eager) persisted.queryExecution.toRdd.count()
     val marker = persisted.queryExecution.analyzed
     val mgr = spark.listenerManager
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def maybe(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(marker)) &&
-            done.compareAndSet(false, true)) {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger()
+    object listener extends QueryExecutionListener {
+      val release: () => Unit = () =>
+        if (done.compareAndSet(false, true)) {
           persisted.unpersist(false)
           mgr.unregister(this)
+          armed.remove(release)
         }
+      private def maybe(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(marker)))
+          release()
+        else if (misses.incrementAndGet() > MaxStaleActions)
+          release() // stale: a plan-only build that never ran
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = maybe(qe)
     }
+    armed.add(listener.release)
     mgr.register(listener)
     persisted
+  }
+
+  /** Drop every still-armed registration (unpersist + unregister). For
+    * callers that build plans without running them (Explain) — armed
+    * listeners they leave behind would otherwise tax every subsequent
+    * action until their stale-retirement kicks in.
+    */
+  def releaseAll(): Unit = {
+    val it = armed.iterator()
+    while (it.hasNext) it.next().apply()
   }
 }

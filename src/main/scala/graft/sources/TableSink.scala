@@ -140,6 +140,7 @@ object TableSink {
     val scratch = (parts.dropRight(1) :+ (parts.last + "_compacting"))
       .mkString(".")
     val scratchQuoted = scratch.split('.').map(p => s"`$p`").mkString(".")
+    recoverCompaction(spark, table)
     // read the generations as PLAIN parquet (inputFiles), not through the
     // bucketed-table scan: the scan advertises HashPartitioning and the
     // planner then elides the repartition — but its file-group partitions
@@ -168,6 +169,37 @@ object TableSink {
     spark.sql(s"ALTER TABLE $quoted RENAME TO $oldQuoted")
     spark.sql(s"ALTER TABLE $scratchQuoted RENAME TO $quoted")
     spark.sql(s"DROP TABLE $oldQuoted")
+  }
+
+  /** Crash recovery for [[compactBucketed]]'s rename-aside swap, run
+    * automatically on entry (the r12 advice: the documented manual
+    * recovery step is now automated). The serving name fails to resolve
+    * only in the window between the two renames — at which point BOTH
+    * copies are complete (`_precompact` holds the old generations,
+    * `_compacting` the compacted set, written before the swap began).
+    * Recovery installs the compacted copy if it survived, else renames
+    * the old copy back, then drops the superseded leftover. A stale
+    * `_compacting` while the serving table EXISTS (crash during the
+    * scratch write — possibly incomplete) needs no action here: the
+    * next compaction's [[writeBucketed]] overwrites it.
+    */
+  private def recoverCompaction(spark: SparkSession, table: String): Unit = {
+    val parts = table.split('.')
+    val quoted = parts.map(p => s"`$p`").mkString(".")
+    def variant(suffix: String): (String, String) = {
+      val name = (parts.dropRight(1) :+ (parts.last + suffix)).mkString(".")
+      (name, name.split('.').map(p => s"`$p`").mkString("."))
+    }
+    val (old, oldQuoted) = variant("_precompact")
+    val (scratch, scratchQuoted) = variant("_compacting")
+    if (!spark.catalog.tableExists(table)) {
+      if (spark.catalog.tableExists(scratch))
+        spark.sql(s"ALTER TABLE $scratchQuoted RENAME TO $quoted")
+      else if (spark.catalog.tableExists(old))
+        spark.sql(s"ALTER TABLE $oldQuoted RENAME TO $quoted")
+    }
+    if (spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"DROP TABLE $oldQuoted") // superseded complete copy
   }
 
   /** Morton (Z-order) key over numeric columns: each value maps to a

@@ -35,4 +35,46 @@ class CacheScopeSpec extends AnyFunSuite {
         spark.sparkContext.getPersistentRDDs.values.map(_.toString))
     }
   }
+
+  test("releaseAll drops persists armed by plan-only builds") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    assert(drained(), "baseline leak")
+    // arm two relations and never run their consumers — the Explain
+    // scenario the r12 advice flagged (stale listeners taxing every
+    // later action for the life of the session)
+    val a = operators.CacheScope.selfReleasing(
+      Seq(1, 2, 3).toDF("x").selectExpr("x * 2 AS y"))
+    val b = operators.CacheScope.selfReleasing(
+      Seq(4, 5).toDF("x").selectExpr("x + 1 AS z"))
+    // force the persists to actually hold blocks via the RDD surface
+    // (no listener event, so nothing self-releases yet)
+    a.queryExecution.toRdd.count()
+    b.queryExecution.toRdd.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == 2,
+      s"expected 2 armed persists: ${spark.sparkContext.getPersistentRDDs}")
+    operators.CacheScope.releaseAll()
+    assert(drained(), s"releaseAll left persists: " +
+      spark.sparkContext.getPersistentRDDs.values.map(_.toString))
+    // and an unrelated action after releaseAll must not throw (the
+    // armed listeners are unregistered, not just spent)
+    assert(Seq(1).toDF("x").count() == 1)
+  }
+
+  test("a stale armed listener retires itself after MaxStaleActions") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    operators.CacheScope.releaseAll()
+    assert(drained(), "baseline leak")
+    val stale = operators.CacheScope.selfReleasing(
+      Seq(9, 9).toDF("x").selectExpr("x - 1 AS w"))
+    stale.queryExecution.toRdd.count() // blocks held, listener armed
+    assert(spark.sparkContext.getPersistentRDDs.size == 1)
+    // run non-matching Dataset actions past the retirement threshold
+    (0 to operators.CacheScope.MaxStaleActions).foreach { i =>
+      Seq(i).toDF("x").count()
+    }
+    assert(drained(), "stale listener never retired its persist: " +
+      spark.sparkContext.getPersistentRDDs.values.map(_.toString))
+  }
 }

@@ -109,6 +109,33 @@ class TableSinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compactBucketed auto-recovers a crash between the swap renames") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    for (t <- Seq("recov_t", "recov_t_precompact", "recov_t_compacting"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    TableSink.writeBucketed(li, "recov_t", "l_orderkey", 4)
+    val rows = spark.table("recov_t").collect().toSet
+    // simulate the crash window: serving renamed aside, compacted copy
+    // complete under _compacting, serving name unresolvable
+    spark.sql("ALTER TABLE recov_t RENAME TO recov_t_precompact")
+    TableSink.writeBucketed(li, "recov_t_compacting", "l_orderkey", 4)
+    assert(!spark.catalog.tableExists("recov_t"))
+    // the next compaction heals before doing its own work
+    TableSink.compactBucketed(spark, "recov_t", "l_orderkey", 4)
+    assert(spark.table("recov_t").collect().toSet == rows,
+      "recovered table lost rows")
+    assert(!spark.catalog.tableExists("recov_t_precompact") &&
+      !spark.catalog.tableExists("recov_t_compacting"),
+      "recovery left stranded rename-aside tables")
+    // and the old-copy-only variant (crash before the scratch survived)
+    spark.sql("ALTER TABLE recov_t RENAME TO recov_t_precompact")
+    TableSink.compactBucketed(spark, "recov_t", "l_orderkey", 4)
+    assert(spark.table("recov_t").collect().toSet == rows,
+      "old-copy recovery lost rows")
+    spark.sql("DROP TABLE IF EXISTS recov_t")
+  }
+
   test("persisted IVF index serves bucket-aligned, identical to in-flight") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
