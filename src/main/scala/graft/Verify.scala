@@ -25,7 +25,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // per-query operator caches
+      finally {
+        spark.catalog.clearCache() // per-query operator caches
+        // a build that failed before its consuming action leaves armed
+        // self-release listeners behind — drop them (Explain discipline)
+        graft.operators.CacheScope.releaseAll()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
