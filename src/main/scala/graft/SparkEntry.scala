@@ -1653,6 +1653,27 @@ object SparkEntry {
     // blocked, capped index side, both cuts map-side WindowGroupLimit)
     "image_ann_partners" -> ((s, dir) =>
       Multimodal.imageAnnPartners(t(s, dir, "documents"))),
+    // the AUDIO leg of the same loop: WAV encode→decode energy-profile
+    // embedding (window sums kept as magnitudes, not gradient signs)
+    "audio_embed_real" -> ((s, dir) => {
+      val emb = Multimodal.audioEmbeddings(t(s, dir, "documents"))
+      emb.select(col("vec_id").as("doc_id") +:
+          (0 until 8).map(i =>
+            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "audio_ann_partners" -> ((s, dir) =>
+      Multimodal.audioAnnPartners(t(s, dir, "documents"))),
+    // the VIDEO leg: Y4M demux temporal luma-profile embedding
+    "video_embed_real" -> ((s, dir) => {
+      val emb = Multimodal.videoEmbeddings(t(s, dir, "documents"))
+      emb.select(col("vec_id").as("doc_id") +:
+          (0 until 8).map(i =>
+            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "video_ann_partners" -> ((s, dir) =>
+      Multimodal.videoAnnPartners(t(s, dir, "documents"))),
     // REAL audio kernel (javax.sound.sampled WAV round-trip) through the
     // same mapPartitions codec seam — header decode + lossless-PCM
     // payload check, oracle recomputes the format from doc_id arithmetic
@@ -2576,6 +2597,45 @@ object SparkEntry {
       |  FROM feat GROUP BY doc_id
       |)""".stripMargin +
       annPartnersOracleBody(8)
+
+  /** Audio/video embedding replay: the codecs are lossless (PCM-in-WAV;
+    * constant-luma C420 planes), so the per-index decoded value is pure
+    * doc_id arithmetic; 64 leading windows/frames group into 8 sum
+    * features (`feat`) and assemble into the `n(vec_id, v, nrm)` shape
+    * the shared annPartners body consumes.
+    */
+  private def docArithmeticEmbedCte(valueExpr: String): String =
+    s"""WITH wins AS (
+      |  SELECT doc_id, w, $valueExpr AS s
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS w)
+      |), feat AS (
+      |  SELECT doc_id, w // 8 AS q, CAST(sum(s) AS DOUBLE) AS f
+      |  FROM wins GROUP BY doc_id, q
+      |), n AS (
+      |  SELECT doc_id AS vec_id, list(f ORDER BY q) AS v,
+      |    sqrt(list_sum(list_transform(list(f ORDER BY q), x -> x * x))) AS nrm
+      |  FROM feat GROUP BY doc_id
+      |)""".stripMargin
+
+  // window w holds AudioFpWinSamples (4) identical decoded samples of
+  // value (doc_id*11 + w*17) mod 199 — the audioWindowSums recipe
+  private val audioEmbedValueExpr = "4 * ((doc_id * 11 + w * 17) % 199)"
+  // frame w's constant-plane mean luma — the videoMeanLumas recipe
+  private val videoEmbedValueExpr = "16 + (doc_id * 7 + w * 13) % 220"
+
+  private def mediaEmbedScalarsSql(valueExpr: String): String =
+    docArithmeticEmbedCte(valueExpr) +
+      """
+      |SELECT doc_id,
+      |  CAST(max(CASE WHEN q = 0 THEN f END) AS BIGINT) AS f0,
+      |  CAST(max(CASE WHEN q = 1 THEN f END) AS BIGINT) AS f1,
+      |  CAST(max(CASE WHEN q = 2 THEN f END) AS BIGINT) AS f2,
+      |  CAST(max(CASE WHEN q = 3 THEN f END) AS BIGINT) AS f3,
+      |  CAST(max(CASE WHEN q = 4 THEN f END) AS BIGINT) AS f4,
+      |  CAST(max(CASE WHEN q = 5 THEN f END) AS BIGINT) AS f5,
+      |  CAST(max(CASE WHEN q = 6 THEN f END) AS BIGINT) AS f6,
+      |  CAST(max(CASE WHEN q = 7 THEN f END) AS BIGINT) AS f7
+      |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared by `asof_join` and `asof_join_bucketized` (identical
     * semantics by construction — TemporalJoinSpec pins the equivalence).
@@ -5142,6 +5202,15 @@ object SparkEntry {
         |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // the decode→embed→bounded-kNN composition over the 8-dim descriptor
     "image_ann_partners" -> imageAnnPartnersOracle,
+    // decoded-sample energy profile replayed from doc_id arithmetic
+    // (PCM-in-WAV lossless)
+    "audio_embed_real" -> mediaEmbedScalarsSql(audioEmbedValueExpr),
+    "audio_ann_partners" ->
+      (docArithmeticEmbedCte(audioEmbedValueExpr) + annPartnersOracleBody(8)),
+    // demuxed constant-plane luma profile replayed from doc_id arithmetic
+    "video_embed_real" -> mediaEmbedScalarsSql(videoEmbedValueExpr),
+    "video_ann_partners" ->
+      (docArithmeticEmbedCte(videoEmbedValueExpr) + annPartnersOracleBody(8)),
     // the persisted-index serve must produce the in-flight serve's exact
     // result — same oracle text
     "ann_ivf_persisted" -> annIvfTopKOracle,

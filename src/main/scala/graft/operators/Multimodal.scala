@@ -759,35 +759,13 @@ object Multimodal {
   def videoPhashFingerprints(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (w, h, nFrames) = (VideoFpW, VideoFpH, VideoFpFrames)
     documents.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val frameBytes = w * h * 3 / 2
-          val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val marker = "FRAME\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val buf = java.nio.ByteBuffer.allocate(
-            header.length + nFrames * (marker.length + frameBytes))
-          buf.put(header)
-          var f = 0
-          while (f < nFrames) {
-            buf.put(marker)
-            val luma = (16 + (id * 7 + f * 13) % 220).toByte
-            var i = 0
-            while (i < w * h) { buf.put(luma); i += 1 }
-            while (i < frameBytes) { buf.put(128.toByte); i += 1 }
-            f += 1
-          }
-          val y4m = buf.array()
-          // REAL demux, stride 1: the fingerprint reads the parser's
-          // frame offsets and luma sums, never our write buffer
-          val lumas = Y4mCodec.sampleLuma(y4m, 1).get
-            .map { case (_, s, n) => s / n }
+          val lumas = videoMeanLumas(id)
           var bits = 0L
           var b = 0
-          while (b < nFrames - 1) {
+          while (b < lumas.length - 1) {
             if (lumas(b + 1) > lumas(b)) bits |= 1L << b
             b += 1
           }
@@ -795,6 +773,36 @@ object Multimodal {
             (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
         }
       }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** The Y4M synth→demux→mean-luma kernel shared by the video
+    * fingerprint and video embedding legs: every consumer's features
+    * read the PARSER's frame offsets and luma sums (constant planes
+    * make the means integer-exact, which is what keeps the
+    * doc_id-arithmetic oracles exact).
+    */
+  private def videoMeanLumas(id: Long): Array[Long] = {
+    val (w, h, nFrames) = (VideoFpW, VideoFpH, VideoFpFrames)
+    val frameBytes = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val buf = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + frameBytes))
+    buf.put(header)
+    var f = 0
+    while (f < nFrames) {
+      buf.put(marker)
+      val luma = (16 + (id * 7 + f * 13) % 220).toByte
+      var i = 0
+      while (i < w * h) { buf.put(luma); i += 1 }
+      while (i < frameBytes) { buf.put(128.toByte); i += 1 }
+      f += 1
+    }
+    // REAL demux, stride 1: read the parser's offsets, never the buffer
+    Y4mCodec.sampleLuma(buf.array(), 1).get
+      .map { case (_, s, n) => s / n }.toArray
   }
 
   /** The BOUNDED video near-dup product — `simhash_partners`/
@@ -837,42 +845,13 @@ object Multimodal {
   def audioPhashFingerprints(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (nWin, winLen) = (AudioFpWindows, AudioFpWinSamples)
     documents.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val n = nWin * winLen
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val s = ((id * 11 + (i / winLen) * 17) % 199).toShort
-            pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM
-            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
-            true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
-          // REAL decode: the fingerprint reads the codec's output
-          // samples, never our write buffer
-          val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(buf.toByteArray))
-          val dec = try back.readAllBytes() finally back.close()
-          val sums = new Array[Long](nWin)
-          var j = 0
-          while (j < n) {
-            val lo = dec(2 * j) & 0xff
-            val hi = dec(2 * j + 1).toInt
-            sums(j / winLen) += (hi << 8) | lo
-            j += 1
-          }
+          val sums = audioWindowSums(id)
           var bits = 0L
           var w = 0
-          while (w < nWin - 1) {
+          while (w < sums.length - 1) {
             if (sums(w + 1) > sums(w)) bits |= 1L << w
             w += 1
           }
@@ -880,6 +859,46 @@ object Multimodal {
             (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
         }
       }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** The WAV synth→encode→RIFF-parse→stream-decode→window-sum kernel
+    * shared by the audio fingerprint and audio embedding legs: every
+    * consumer's features read the CODEC's decoded samples (PCM-in-WAV
+    * is lossless, which is what keeps the doc_id-arithmetic oracles
+    * exact).
+    */
+  private def audioWindowSums(id: Long): Array[Long] = {
+    val (nWin, winLen) = (AudioFpWindows, AudioFpWinSamples)
+    val n = nWin * winLen
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 11 + (i / winLen) * 17) % 199).toShort
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    // REAL decode: every consumer reads the codec's output samples,
+    // never our write buffer
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    val dec = try back.readAllBytes() finally back.close()
+    val sums = new Array[Long](nWin)
+    var j = 0
+    while (j < n) {
+      val lo = dec(2 * j) & 0xff
+      val hi = dec(2 * j + 1).toInt
+      sums(j / winLen) += (hi << 8) | lo
+      j += 1
+    }
+    sums
   }
 
   /** The BOUNDED audio near-dup product — the last modality leg of the
@@ -894,4 +913,68 @@ object Multimodal {
       k: Int = 5, maxBucket: Int = 64): DataFrame =
     Dedup.partnersFromFingerprints(audioPhashFingerprints(documents),
       maxHamming, k, maxBucket)
+
+  /** REAL audio embeddings — the energy-profile descriptor over the
+    * DECODED samples (the Haitsma–Kalker energy bands, kept as
+    * magnitudes instead of reduced to gradient signs): the 64 leading
+    * window sums from the shared WAV encode→decode kernel
+    * ([[audioWindowSums]]) grouped into 8 per-group energy features.
+    * All-integer sums, so the 8-dim cosine's IEEE operands are
+    * cross-engine reproducible and the oracle replays every value from
+    * doc_id arithmetic alone.
+    */
+  def audioEmbeddings(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sums = audioWindowSums(id)
+          val f = new Array[Double](8)
+          var w = 0
+          while (w < 64) { f(w / 8) += sums(w); w += 1 }
+          (id, f)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** REAL video embeddings — the temporal luma profile over the DEMUXED
+    * frames: 64 leading mean-luma values from the shared Y4M kernel
+    * ([[videoMeanLumas]]) grouped into 8 per-group sums. Same integer
+    * contract as [[audioEmbeddings]].
+    */
+  def videoEmbeddings(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val lumas = videoMeanLumas(id)
+          val f = new Array[Double](8)
+          var b = 0
+          while (b < 64) { f(b / 8) += lumas(b); b += 1 }
+          (id, f)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** decode → embed → bounded k-NN join for the AUDIO modality — the
+    * [[imageAnnPartners]] shape over [[audioEmbeddings]], through the
+    * same capped [[graft.operators.Similarity.annPartners]] core. With
+    * this and [[videoAnnPartners]], every modality the engine carries
+    * (text fingerprints, images, audio, video, raw embeddings) serves
+    * BOTH bounded near-dup products: Hamming partners over fingerprints
+    * and cosine partners over real-codec feature vectors.
+    */
+  def audioAnnPartners(documents: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
+    Similarity.annPartners(audioEmbeddings(documents), k, numCentroids,
+      maxCell)
+
+  /** decode → embed → bounded k-NN join for the VIDEO modality (see
+    * [[audioAnnPartners]]). */
+  def videoAnnPartners(documents: DataFrame, k: Int = 5,
+      numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
+    Similarity.annPartners(videoEmbeddings(documents), k, numCentroids,
+      maxCell)
 }

@@ -271,9 +271,10 @@ class PlanSpec extends AnyFunSuite {
     // the two-axis bound (cell cap + per-vector rank cut) must push into
     // the partial window phase, and the cell blocking must stay an
     // equi-join — a nested loop would be the all-pairs O(n²) the IVF
-    // cells exist to avoid. image_ann_partners feeds the decoded-raster
-    // descriptor through the same core, so the same pins must hold.
-    for (q <- Seq("ann_partners", "image_ann_partners")) {
+    // cells exist to avoid. The image/audio/video legs feed real-codec
+    // descriptors through the same core, so the same pins must hold.
+    for (q <- Seq("ann_partners", "image_ann_partners",
+        "audio_ann_partners", "video_ann_partners")) {
       val p = planOf(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q partner cuts not pushed map-side:\n$p")
