@@ -2181,6 +2181,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("queryTopKFromIndex with full probes equals the exact corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    try {
+      graft.sources.TableSink.writeBucketed(
+        operators.Similarity.ivfIndexRelation(emb), "qtki_idx", "cluster_b", 8)
+      val idx = spark.table("qtki_idx")
+      // probing every cell removes the recall question entirely — the
+      // served list must be bit-identical to the exact single-query scan
+      val exact = operators.Similarity.queryTopK(emb, 0L, 10)
+        .select(col("other_id"), col("cos_e6"), col("rk")).collect().toSeq
+      val served = operators.Similarity.queryTopKFromIndex(idx, 0L, 10)
+        .select(col("other_id"), col("cos_e6"), col("rk")).collect().toSeq
+      assert(served == exact,
+        s"full-probe indexed serve drifted from exact:\n$served\nvs\n$exact")
+      // degenerate probe counts fail fast
+      intercept[IllegalArgumentException](
+        operators.Similarity.queryTopKFromIndex(idx, 0L, 5, numProbes = 0))
+      intercept[IllegalArgumentException](
+        operators.Similarity.queryTopKFromIndex(idx, 0L, 5, numProbes = 17))
+      // a query id absent from the index fails fast, not empty-result
+      intercept[IllegalArgumentException](
+        operators.Similarity.queryTopKFromIndex(idx, -1L, 5))
+    } finally spark.sql("DROP TABLE IF EXISTS qtki_idx")
+  }
+
   test("exactRank fails fast when group cardinality exceeds maxGroups") {
     import spark.implicits._
     // a HIGH-cardinality group key (id itself: 2000 groups) — the
