@@ -1589,6 +1589,53 @@ object SparkEntry {
     // modalities: text fingerprints, images, embeddings.
     "ann_partners" -> ((s, dir) =>
       Similarity.annPartners(t(s, dir, "embeddings"))),
+    // the INSERT half of IVF index maintenance (dedup_appended's shape
+    // for ANN): the base four-fifths of the corpus builds the bucketed
+    // index, the remaining fifth is assigned against the centroids
+    // RECOVERED FROM THE INDEX (frozen coarse quantizer — the FAISS
+    // discipline) and APPENDED under the same bucket spec at O(delta)
+    // cost; the serve over the appended table is bit-identical to
+    // probing a one-shot full rebuild, which is exactly the
+    // ann_ivf_persisted oracle text. The base slice keeps every
+    // vec_id < NumCentroids so the recovered quantizer IS the
+    // parameterized full-corpus one.
+    "ann_index_append" -> ((s, dir) => {
+      val tbl = "graft_ivf_index_app"
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 =!= 4 ||
+        col("vec_id") < Similarity.NumCentroids)
+      val delta = emb.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") >= Similarity.NumCentroids)
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
+      graft.sources.TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(delta, s.table(tbl)), tbl, "cluster_b", 8)
+      Similarity.ivfTopKFromIndex(emb, s.table(tbl))
+    }),
+    // PQ encoding (Jégou et al.): per (vector, subspace) the nearest
+    // codeword by squared L2 — 8 subspaces × 16 codewords, flat rows,
+    // broadcast codebook, map-side argmin window. The 64×-compression
+    // complement to quantize_embeddings' scalar int8.
+    "pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"))),
+    // IVF-PQ (IVFADC) serve: IVF-cell candidates scored from their PQ
+    // CODES via the asymmetric-distance lookup table — every LUT entry an
+    // exact floor(d2·1e6) integer, so the ADC sum and ranking are
+    // hash-exact. The corpus side of the serve join carries 4-byte codes
+    // instead of 256-byte vectors — the index-fits-on-disk path at 100 TB.
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfpqTopK(t(s, dir, "embeddings"))),
+    // hard-negative mining for contrastive training: per anchor, the k
+    // highest-cosine DIFFERENT-label vectors — annPartners' bounded
+    // dataflow with a label-mismatch predicate in the candidate join
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"))),
+    // margin-based bitext mining (Artetxe–Schwenk / CCMatrix): best
+    // cross-lingual partner per source doc by cosine normalized against
+    // both sides' k-NN neighborhood averages; IVF-cell-blocked candidate
+    // join, exact-integer margin arithmetic
+    "bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(t(s, dir, "documents"), t(s, dir, "embeddings"))),
     "quantize_embeddings" -> ((s, dir) =>
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
     // the IVF recall knob: queries probe their top-2 cells (index side
@@ -2605,6 +2652,157 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
       |  FROM p)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** The PQ subspace/codebook/distance CTE chain shared by `pq_encode`
+    * and `ann_ivfpq_topk`: 8 contiguous 8-dim subspaces, codewords = the
+    * m-th subvectors of the first 16 vectors, d2_e6 = floor(1e6 · squared
+    * L2) between every (vector, subspace) slice and every codeword —
+    * `dist` doubles as the encode argmin input and the IVFADC lookup
+    * table.
+    */
+  private val pqDistCtes =
+    """, ms AS (
+      |  SELECT CAST(range AS INTEGER) AS m FROM range(0, 8)
+      |), subs AS (
+      |  SELECT vec_id, m, list_transform(range(1, 9), i -> v[m * 8 + i]) AS sv
+      |  FROM n CROSS JOIN ms
+      |), cb AS (
+      |  SELECT m, vec_id AS code_id, sv AS cw FROM subs WHERE vec_id < 16
+      |), dist AS (
+      |  SELECT s.vec_id, s.m, c.code_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) * 1000000.0) AS BIGINT) AS d2_e6
+      |  FROM subs s JOIN cb c ON s.m = c.m
+      |)""".stripMargin
+
+  /** `pq_encode`: the per-(vector, subspace) argmin over the shared
+    * distance relation (ties → lowest codeword id). */
+  private lazy val pqEncodeOracle =
+    embedCte + pqDistCtes +
+      """
+      |SELECT vec_id, m, code_id AS code, d2_e6 FROM dist
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
+      |ORDER BY vec_id, m""".stripMargin
+
+  /** `ann_ivfpq_topk`: IVF cell assignment + PQ codes + the ADC sum over
+    * `dist`-as-LUT, ranked ascending. The sum is CAST to BIGINT — the
+    * DuckDB sum(BIGINT)→HUGEINT escape (the cusum lesson). */
+  private lazy val annIvfpqOracle =
+    embedCte +
+      s""", cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), cscored AS (
+      |  SELECT a.vec_id, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |    FROM cscored) WHERE crk = 1
+      |)""".stripMargin + pqDistCtes +
+      """, codes AS (
+      |  SELECT vec_id AS other_id, m, code_id AS code FROM dist
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
+      |), pairs AS (
+      |  SELECT a.vec_id, b.vec_id AS other_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+      |), adc AS (
+      |  SELECT p.vec_id, p.other_id, CAST(sum(l.d2_e6) AS BIGINT) AS adc_e6
+      |  FROM pairs p
+      |  JOIN codes k ON k.other_id = p.other_id
+      |  JOIN dist l ON l.vec_id = p.vec_id AND l.m = k.m AND l.code_id = k.code
+      |  GROUP BY p.vec_id, p.other_id)
+      |SELECT vec_id, other_id, adc_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) AS rk
+      |  FROM adc)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** `hard_negatives`: the annPartners replay with the anchor's label
+    * carried through and a label-mismatch predicate on the candidate
+    * join; the cell cap is applied BEFORE the label filter (cap on cell
+    * membership, mirroring the operator's bound). */
+  private lazy val hardNegativesOracle =
+    embedCte +
+      """, lab AS (
+      |  SELECT vec_id, label FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT s.vec_id, s.v, s.nrm, l.label, s.cluster FROM (
+      |    SELECT vec_id, v, nrm, cent_id AS cluster FROM (
+      |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |      FROM scored) WHERE crk = 1) s
+      |  JOIN lab l ON s.vec_id = l.vec_id
+      |), capped AS (
+      |  SELECT vec_id, v, nrm, label, cluster FROM assigned
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
+      |), p AS (
+      |  SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM assigned a JOIN capped b
+      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id AND a.label <> b.label)
+      |SELECT vec_id, label, neg_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, neg_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** `bitext_mine`: cell-blocked cross-lingual candidates (positive
+    * cosine only, so both k-NN denominators are positive by
+    * construction), forward/backward top-4 averages as exact-integer
+    * sums over counts, and the margin's one double division replayed in
+    * the same operation order. */
+  private lazy val bitextMineOracle =
+    embedCte +
+      """, cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), cscored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |    FROM cscored) WHERE crk = 1
+      |), el AS (
+      |  SELECT a.vec_id, a.v, a.nrm, a.cluster, d.lang
+      |  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+      |  WHERE d.lang IN ('en', 'de')
+      |), src AS (
+      |  SELECT vec_id AS src_id, v AS va, nrm AS nrm_a, cluster FROM el WHERE lang = 'en'
+      |), tgt AS (
+      |  SELECT vec_id AS tgt_id, v AS vb, nrm AS nrm_b, cluster FROM el WHERE lang = 'de'
+      |), cand AS (
+      |  SELECT s.src_id, t.tgt_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> s.va[i] * t.vb[i])) / (s.nrm_a * t.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM src s JOIN tgt t ON s.cluster = t.cluster
+      |), cpos AS (
+      |  SELECT * FROM cand WHERE cos_e6 > 0
+      |), wnn AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS frk,
+      |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS brk
+      |  FROM cpos
+      |), favg AS (
+      |  SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS f_sum, count(*) AS f_n
+      |  FROM wnn WHERE frk <= 4 GROUP BY src_id
+      |), bavg AS (
+      |  SELECT tgt_id, CAST(sum(cos_e6) AS BIGINT) AS b_sum, count(*) AS b_n
+      |  FROM wnn WHERE brk <= 4 GROUP BY tgt_id
+      |), sc AS (
+      |  SELECT c.src_id, c.tgt_id, c.cos_e6,
+      |    CAST(floor(c.cos_e6 * 2000000.0 / (CAST(f.f_sum AS DOUBLE) / f.f_n + CAST(b.b_sum AS DOUBLE) / b.b_n)) AS BIGINT) AS margin_e6
+      |  FROM cpos c
+      |  JOIN favg f ON c.src_id = f.src_id
+      |  JOIN bavg b ON c.tgt_id = b.tgt_id)
+      |SELECT src_id, tgt_id, cos_e6, margin_e6 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS mrk
+      |  FROM sc)
+      |WHERE mrk = 1 AND margin_e6 >= 1000000
+      |ORDER BY src_id""".stripMargin
 
   /** Image-descriptor replay: pixel k of the 8×8 thumbnail is the text
     * byte at `k·len/64` (PNG grayscale is lossless, so the engine's
@@ -5260,6 +5458,13 @@ object SparkEntry {
     // the persisted-index serve must produce the in-flight serve's exact
     // result — same oracle text
     "ann_ivf_persisted" -> annIvfTopKOracle,
+    // the appended index serves bit-identically to a one-shot rebuild:
+    // same frozen quantizer, same cells, same oracle text
+    "ann_index_append" -> annIvfTopKOracle,
+    "pq_encode" -> pqEncodeOracle,
+    "ann_ivfpq_topk" -> annIvfpqOracle,
+    "hard_negatives" -> hardNegativesOracle,
+    "bitext_mine" -> bitextMineOracle,
     // the streamed probe must equal the one-shot probe of the same query
     // set (mod-10 vectors) against the full-corpus index — the
     // dedup_incremental_stream replay convention

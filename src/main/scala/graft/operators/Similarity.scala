@@ -319,6 +319,36 @@ object Similarity {
         col("nrm").as("nrm_b"), col("cent_id").as("cluster_b"))
   }
 
+  /** Index rows for a DELTA batch of vectors, assigned against the
+    * centroids RECOVERED FROM an existing index (a centroid is its own
+    * cell's nearest member, so the rows with `other_id < numCentroids`
+    * carry exactly the centroid vectors the index was built with — the
+    * same recovery [[ivfTopKFromIndex]] uses for probes). This is the
+    * INSERT half of index maintenance: appending these rows into the
+    * bucketed index table (TableSink.appendBucketed, same bucket spec)
+    * costs O(|delta|) — the base is never rescanned, never reshuffled —
+    * and because assignment depends only on the frozen coarse quantizer,
+    * base + delta rows are bit-identical to a one-shot rebuild over the
+    * union. At 100 TB this is the difference between absorbing a daily
+    * vector batch and re-clustering a billion-row corpus.
+    *
+    * The caller must keep the quantizer frozen (the FAISS discipline:
+    * centroids are trained once, drift is handled by periodic rebuild,
+    * not per-batch retrain) — a delta assigned against different
+    * centroids would land in the wrong buckets and silently corrupt
+    * cell-pruned serving.
+    */
+  def ivfIndexDelta(delta: DataFrame, index: DataFrame,
+      numCentroids: Int = NumCentroids): DataFrame = {
+    val cents = index.filter(col("other_id") < numCentroids)
+      .select(col("other_id").as("cent_id"), col("vb").as("cv"),
+        col("nrm_b").as("cnrm"))
+    assignCells(vectorsWithNorm(delta), cents)
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("other_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cent_id").as("cluster_b"))
+  }
+
   /** Serve IVF top-k from a persisted index relation ([[ivfIndexRelation]]
     * read back from its bucketed table). Identical results to [[ivfTopK]]
     * for the same centroid parameters — the two share arithmetic, and the
@@ -932,5 +962,248 @@ object Similarity {
     Seq((n, k, orthonormal, descending, capture, projMatches))
       .toDF("n_vectors", "k", "comps_orthonormal", "eigvals_descending",
         "capture_ge_uniform", "proj_var_matches")
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search") — the standard 100 TB index-compression step beyond
+  // [[quantizeEmbeddings]]' scalar int8: the 64-dim vector is split into
+  // PqNumSub contiguous subvectors and each is replaced by the id of its
+  // nearest codeword in a per-subspace codebook, so a corpus vector
+  // serves from PqNumSub small integers instead of 64 floats (here
+  // 8 × 4 bits = 4 bytes vs 256 — a 64× compression).
+  // ---------------------------------------------------------------------
+
+  val PqNumSub = 8
+  val PqKs = 16
+
+  /** Per-vector subvectors: one row per (vec_id, m) with the m-th
+    * contiguous slice of the (double-cast) embedding. Row-local explode —
+    * no shuffle; the 8× row growth carries 8-dim arrays, not the vector.
+    */
+  private def pqSubvectors(embeddings: DataFrame, numSub: Int,
+      dims: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subDim = dims / numSub
+    e.withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+  }
+
+  /** Deterministic parameterized codebook — the [[firstNCentroids]]
+    * discipline applied per subspace: subspace m's codewords are the m-th
+    * subvectors of the first `ks` corpus vectors. numSub × ks rows total
+    * (128 by default) — always broadcast. A KMeans-trained codebook swaps
+    * in here without touching the encode or serve dataflow, exactly as
+    * [[ivfTopKTrained]] swaps centroids into the IVF serve.
+    */
+  private def pqCodebook(embeddings: DataFrame, numSub: Int,
+      ks: Int, dims: Int = 64): DataFrame =
+    pqSubvectors(embeddings.filter(col("vec_id") < ks), numSub, dims)
+      .select(col("m"), col("vec_id").as("code_id"), col("sv").as("cw"))
+
+  /** Squared L2 between two equal-length double arrays as a sequential
+    * left fold (zip_with + aggregate) — same IEEE fold order as the
+    * oracle's list_sum(list_transform(...)), so floor(d2·1e6) is
+    * engine-portable exactly like the cosine e6 convention.
+    */
+  private def d2E6(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long")
+
+  /** PQ encoding: per (vector, subspace), the nearest codeword by squared
+    * L2 (ties → lowest codeword id) — FLAT rows (vec_id, m, code, d2_e6),
+    * never a per-vector code array (the driver-harness lesson of
+    * inverted_index), with d2_e6 the subspace reconstruction error the
+    * encode is defined to minimize.
+    *
+    * Scale shape: the codebook (numSub·ks rows) broadcasts, scoring is a
+    * map-side equi-join on m, and the argmin window partitions by
+    * (vec_id, m) — ks rows each, map-side WindowGroupLimit — so the whole
+    * encode is one scan of the corpus with no corpus-sized shuffle.
+    */
+  def pqEncode(embeddings: DataFrame, numSub: Int = PqNumSub,
+      ks: Int = PqKs, dims: Int = 64): DataFrame = {
+    require(numSub >= 1 && dims % numSub == 0,
+      s"numSub must divide $dims, got $numSub")
+    require(ks >= 1, s"ks must be >= 1, got $ks")
+    val subs = pqSubvectors(embeddings, numSub, dims)
+    val cb = pqCodebook(embeddings, numSub, ks, dims)
+    subs.join(broadcast(cb), "m")
+      .withColumn("d2_e6", d2E6(col("sv"), col("cw")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2_e6"), col("code_id"))))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("m"), col("code_id").as("code"), col("d2_e6"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** IVF-PQ (IVFADC) top-k: candidates come from the query's IVF cell
+    * (the [[ivfTopK]] blocking), but each candidate is scored from its PQ
+    * CODES via asymmetric distance computation — the query stays full
+    * precision, and its distance to a candidate is the sum over subspaces
+    * of a precomputed (query, subspace, codeword) lookup-table entry.
+    * This is the FAISS IVFADC serve: the corpus side of the join carries
+    * 4-byte codes instead of 256-byte vectors, which at 100 TB is the
+    * difference between an index that fits the cluster's disks and one
+    * that doesn't.
+    *
+    * Every LUT entry is floor(d2·1e6) — an exact integer — so the ADC sum
+    * is a BIGINT sum of BIGINTs and the ranking is hash-exact for the
+    * oracle to replay. Ranks ascend by (adc_e6, other_id).
+    *
+    * Scale shape: cell assignment is the shared broadcast-cross; the LUT
+    * (corpus_queries × numSub × ks rows — 128 per query) is an equi-join
+    * keyed (vec_id, m, code) that AQE plans against the 8-rows-per-pair
+    * candidate-code relation; no corpus-sized window (per-query rank
+    * partitions are cell-bounded, the same bound as ivf_topk).
+    */
+  def ivfpqTopK(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, numSub: Int = PqNumSub,
+      ks: Int = PqKs, dims: Int = 64): DataFrame = {
+    require(k >= 1, s"ivfpqTopK requires k >= 1, got $k")
+    val e = vectorsWithNorm(embeddings)
+    val assigned = assignCells(e, firstNCentroids(e, numCentroids))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+    val pairs = assigned.join(
+        assigned.select(col("vec_id").as("other_id"),
+          col("cluster").as("cluster_b")),
+        col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
+      .select(col("vec_id"), col("other_id"))
+    val codes = pqEncode(embeddings, numSub, ks, dims)
+      .select(col("vec_id").as("other_id"), col("m"), col("code"))
+    val lut = pqSubvectors(embeddings, numSub, dims)
+      .join(broadcast(pqCodebook(embeddings, numSub, ks, dims)), "m")
+      .select(col("vec_id"), col("m"), col("code_id").as("code"),
+        d2E6(col("sv"), col("cw")).as("lut_e6"))
+    val adc = pairs
+      .join(codes, "other_id")
+      .join(lut, Seq("vec_id", "m", "code"))
+      .groupBy(col("vec_id"), col("other_id"))
+      .agg(sum(col("lut_e6")).as("adc_e6"))
+    adc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("adc_e6"), col("other_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("other_id"), col("adc_e6"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Hard-negative mining for contrastive training (the DPR/SimCLR data
+    * prep step): per anchor vector, the k most cosine-similar corpus
+    * vectors whose LABEL DIFFERS — the negatives a trained encoder finds
+    * hardest. Exactly [[annPartners]]' bounded dataflow (IVF-cell
+    * blocking, capped index side, map-side window cuts) with a label
+    * mismatch predicate in the candidate join: random negatives are free
+    * but easy; in-cell high-cosine negatives are the informative ones,
+    * and the cell blocking is what keeps "highest cosine among millions
+    * of wrong-label vectors" from being a cross join at 100 TB.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      numCentroids: Int = NumCentroids, maxCell: Int = 256): DataFrame = {
+    require(k >= 1, s"hardNegatives requires k >= 1, got $k")
+    val e = vectorsWithNorm(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    val assigned = assignCells(e, firstNCentroids(e, numCentroids))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("cent_id").as("cluster"))
+    val capped = assigned
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .filter(col("cell_rk") <= maxCell)
+      .select(col("vec_id").as("neg_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("label").as("label_b"),
+        col("cluster").as("cluster_b"))
+    val cand = assigned.join(capped,
+        col("cluster") === col("cluster_b") &&
+          col("vec_id") =!= col("neg_id") &&
+          col("label") =!= col("label_b"))
+      .withColumn("cos_e6", floor(dot(col("v"), col("vb")) /
+        (col("nrm") * col("nrm_b")) * lit(1000000.0)).cast("long"))
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_e6").desc, col("neg_id"))))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("label"), col("neg_id"), col("cos_e6"),
+        col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk; the CCMatrix recipe):
+    * mine translation-pair candidates between a source- and a
+    * target-language half of the corpus by MARGIN score — raw cosine
+    * divided by the average cosine of each side's k nearest cross-lingual
+    * neighbors — which cancels the hubness that makes raw-cosine mining
+    * pick the same "central" sentences for everything.
+    *
+    * Candidates are IVF-cell-blocked cross-language pairs with positive
+    * cosine (the quantizer is shared by both sides, so a pair is a
+    * candidate iff both land in the same cell — [[annPartners]]' bound
+    * applied bilingually). For pair (x, y):
+    *   margin = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2)
+    * where each avg is over that side's k best candidates (fewer if the
+    * cell offers fewer). Both averages are ratios of exact e6 integers,
+    * so margin_e6 = floor(2e6·cos / (avgF + avgB)) is engine-portable.
+    * Emitted: each source doc's best target by (margin desc, tgt_id),
+    * kept when margin_e6 clears `minMarginE6` (>1e6 = "closer than the
+    * neighborhood average", the paper's operating region).
+    *
+    * Scale shape: lang arrives by an equi-join from `documents`
+    * (doc_id = vec_id); the pair join is cell-blocked; the forward and
+    * backward k-NN averages are windows over per-vector candidate sets
+    * (cell-bounded, never corpus-sized).
+    */
+  def bitextMine(documents: DataFrame, embeddings: DataFrame,
+      srcLang: String = "en", tgtLang: String = "de", kNN: Int = 4,
+      minMarginE6: Long = 1000000L,
+      numCentroids: Int = NumCentroids): DataFrame = {
+    require(kNN >= 1, s"bitextMine requires kNN >= 1, got $kNN")
+    val lang = documents.select(col("doc_id").as("vec_id"), col("lang"))
+    val e = vectorsWithNorm(embeddings).join(lang, "vec_id")
+      .filter(col("lang").isin(srcLang, tgtLang))
+    val assigned = assignCells(e, firstNCentroids(vectorsWithNorm(embeddings),
+        numCentroids))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("lang"),
+        col("cent_id").as("cluster"))
+    val src = assigned.filter(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("v").as("va"),
+        col("nrm").as("nrm_a"), col("cluster"))
+    val tgt = assigned.filter(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("cluster").as("cluster_b"))
+    val cand = src.join(tgt, col("cluster") === col("cluster_b"))
+      .withColumn("cos_e6", floor(dot(col("va"), col("vb")) /
+        (col("nrm_a") * col("nrm_b")) * lit(1000000.0)).cast("long"))
+      .filter(col("cos_e6") > 0)
+      .select(col("src_id"), col("tgt_id"), col("cos_e6"))
+    val fwd = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_e6").desc, col("tgt_id"))
+    val bwd = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_e6").desc, col("src_id"))
+    val withNN = cand
+      .withColumn("frk", row_number().over(fwd))
+      .withColumn("brk", row_number().over(bwd))
+    val fAvg = withNN.filter(col("frk") <= kNN)
+      .groupBy(col("src_id"))
+      .agg(sum(col("cos_e6")).as("f_sum"), count(lit(1)).as("f_n"))
+    val bAvg = withNN.filter(col("brk") <= kNN)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("cos_e6")).as("b_sum"), count(lit(1)).as("b_n"))
+    val scored = cand.join(fAvg, "src_id").join(bAvg, "tgt_id")
+      .withColumn("margin_e6",
+        floor(col("cos_e6") * lit(2000000.0) /
+          (col("f_sum").cast("double") / col("f_n") +
+            col("b_sum").cast("double") / col("b_n"))).cast("long"))
+    scored.withColumn("mrk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_e6").desc, col("tgt_id"))))
+      .filter(col("mrk") === 1 && col("margin_e6") >= minMarginE6)
+      .select(col("src_id"), col("tgt_id"), col("cos_e6"), col("margin_e6"))
+      .orderBy(col("src_id"))
   }
 }

@@ -2787,6 +2787,147 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count(_._1 == 8L) == 5, s"uncapped k partners: $uncapped")
   }
 
+  test("pqEncode picks the argmin codeword with lowest-id tie-break") {
+    import spark.implicits._
+    // 4-dim vectors, 2 subspaces of 2 dims, 2 codewords per subspace
+    // (the subvectors of vecs 0 and 1)
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 1.0f)),    // cw0: m0=[1,0], m1=[0,1]
+      (1L, Array(0f, 1.0f, 1.0f, 0f)),    // cw1: m0=[0,1], m1=[1,0]
+      (2L, Array(1.0f, 0f, 1.0f, 0f)),    // exact match: code0 then code1
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f)) // equidistant in both subspaces
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(emb, numSub = 2, ks = 2, dims = 4)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 8, s"4 vectors x 2 subspaces: $got")
+    // exact codeword matches have reconstruction error 0
+    assert(got((2L, 0)) == ((0L, 0L)) && got((2L, 1)) == ((1L, 0L)),
+      s"exact-match codes: $got")
+    assert(got((0L, 0)) == ((0L, 0L)) && got((1L, 1)) == ((1L, 0L)),
+      s"codewords must encode themselves: $got")
+    // vec 3 is d2 = 0.5 from BOTH codewords in BOTH subspaces → the tie
+    // breaks to the lowest code id, and d2_e6 is exact (0.5f is binary)
+    assert(got((3L, 0)) == ((0L, 500000L)) && got((3L, 1)) == ((0L, 500000L)),
+      s"tie-break: $got")
+  }
+
+  test("ivfpqTopK with a lossless codebook ranks by true subspace L2") {
+    import spark.implicits._
+    // every vector is its own codeword (ks >= n), so PQ reconstruction is
+    // exact and the ADC distance IS the true squared L2 — the in-cell
+    // neighbor ORDER must match a driver-side exact-L2 replay
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),      // centroid of cell 0
+      (1L, Array(0f, 1.0f, 0f, 0f)),      // centroid of cell 1 (isolated)
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.8f, 0.3f, 0f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0f, 0f))     // cosine tie → lower cent wins
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfpqTopK(emb, k = 4, numCentroids = 2,
+        numSub = 2, ks = 5, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val order = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // cell 0 = {0,2,3,4} (vec 4 ties 0.7071 on both centroids → cent 0);
+    // true squared-L2 orders, e.g. q0: d2(2)=0.02 < d2(3)=0.13 < d2(4)=0.58
+    assert(order == Map(
+      0L -> Seq(2L, 3L, 4L), 2L -> Seq(0L, 3L, 4L),
+      3L -> Seq(2L, 0L, 4L), 4L -> Seq(3L, 2L, 0L)),
+      s"ADC order drifted from exact L2: $order")
+    assert(!order.contains(1L), "the singleton cell must yield no rows")
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      val adc = rows.sortBy(_._4).map(_._3).toSeq
+      assert(adc == adc.sorted, s"adc_e6 not ascending with rank for $v")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"ranks not contiguous for $v")
+    }
+    // lossless codebook: every vector reconstructs exactly (duplicate
+    // subvectors may tie to a LOWER codeword id — e.g. the shared [0,0]
+    // second subspace here — but the error is 0 either way)
+    val codes = Similarity.pqEncode(emb, numSub = 2, ks = 5, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(codes.forall(_._3 == 0L),
+      s"ks >= n must reconstruct with zero error: ${codes.toSeq}")
+  }
+
+  test("hardNegatives excludes the anchor's label and orders by cosine") {
+    val emb = tbl("embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.nonEmpty, "no hard negatives mined from the fixture")
+    got.foreach { case (v, lab, neg, _, _) =>
+      assert(labels(v) == lab, s"anchor label drifted for $v")
+      assert(labels(neg) != lab, s"same-label negative: ($v, $neg)")
+    }
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to rows.length),
+        s"ranks not contiguous for $v")
+      val cos = sorted.map(_._4).toSeq
+      assert(cos == cos.sorted(Ordering[Long].reverse),
+        s"cosines not descending with rank for $v")
+    }
+    // the negatives must be HARD: strictly more similar than the average
+    // random different-label pair would be (cos > 0 for the top ranks
+    // in this corpus) — a weak-but-real guard that the candidate join
+    // actually ranks within cells rather than returning arbitrary rows
+    assert(got.filter(_._5 == 1).count(_._4 > 0) > got.count(_._5 == 1) / 2,
+      "top negatives are not substantially similar — ranking suspect")
+  }
+
+  test("bitextMine kNN=1 mines exactly the mutual-best in-cell pairs") {
+    // with kNN = 1 the margin denominator is (bestF + bestB) / 2, so a
+    // pair clears margin >= 1e6 iff it is BOTH sides' best candidate —
+    // and because all quantities are exact integers the division is
+    // exact: margin_e6 == 1000000 precisely. The expected set is replayed
+    // driver-side from scratch (plain Scala doubles, same left fold).
+    val docs = tbl("documents")
+    val emb = tbl("embeddings")
+    val got = Similarity.bitextMine(docs, emb, kNN = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._4 == 1000000L),
+      s"kNN=1 margins must be exactly 1e6: ${got.filter(_._4 != 1000000L).toSeq}")
+    // driver replay: cells, cross-lang candidates, mutual bests
+    val lang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cents = (0L until Similarity.NumCentroids.toLong)
+      .filter(vecs.contains).map(i => i -> vecs(i))
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) =>
+        (math.floor(dot(v, cv) / (nrm(v) * nrm(cv)) * 1000000.0).toLong, c)
+      }.maxBy(t => (t._1, -t._2))._2
+    }
+    val cand = for {
+      (s, sv) <- vecs.toSeq if lang(s) == "en"
+      (t, tv) <- vecs.toSeq if lang(t) == "de" && cell(s) == cell(t)
+      c = math.floor(dot(sv, tv) / (nrm(sv) * nrm(tv)) * 1000000.0).toLong
+      if c > 0
+    } yield (s, t, c)
+    val bestF = cand.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val bestB = cand.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val expect = cand
+      .filter(p => p._3 == bestF(p._1) && p._3 == bestB(p._2))
+      .groupBy(_._1).map { case (s, ps) =>
+        val p = ps.minBy(_._2); (s, p._2, p._3, 1000000L)
+      }.toSet
+    assert(expect.nonEmpty, "fixture yields no mutual-best pairs")
+    assert(got.toSet == expect,
+      s"mined pairs drifted from the driver replay:\n${got.toSet diff expect}\nvs\n${expect diff got.toSet}")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps cluster minima") {
     import spark.implicits._
     // two exact duplicate pairs plus orthogonal singletons: the duplicate

@@ -158,6 +158,41 @@ class TableSinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF delta append reproduces the one-shot index bit-for-bit") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the registered ann_index_append split: base keeps every centroid id
+    // so the quantizer recovered from the base index IS the full-corpus
+    // parameterized one; the delta is assigned against that frozen
+    // quantizer and appended under the same bucket spec
+    val base = emb.filter(col("vec_id") % 5 =!= 4 ||
+      col("vec_id") < Similarity.NumCentroids)
+    val delta = emb.filter(col("vec_id") % 5 === 4 &&
+      col("vec_id") >= Similarity.NumCentroids)
+    try {
+      TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(base), "ivf_app_t", "cluster_b", 8)
+      val nBase = spark.table("ivf_app_t").count()
+      TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(delta, spark.table("ivf_app_t")),
+        "ivf_app_t", "cluster_b", 8)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("other_id"), col("cluster_b"),
+          floor(col("nrm_b") * lit(1000000.0)).cast("long").as("n6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val appended = key(spark.table("ivf_app_t"))
+      val oneShot = key(Similarity.ivfIndexRelation(emb))
+      assert(appended == oneShot,
+        s"appended index drifted from one-shot rebuild: ${
+          (appended diff oneShot) ++ (oneShot diff appended)}")
+      assert(nBase < appended.size && delta.count() == appended.size - nBase,
+        "append did not add exactly the delta rows")
+      // and the serve over the appended table equals the full rebuild serve
+      assert(Similarity.ivfTopKFromIndex(emb, spark.table("ivf_app_t"))
+        .collect().toSet == Similarity.ivfTopK(emb).collect().toSet)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_app_t")
+  }
+
   test("z-order layout clusters BOTH dimensions; single-col sort only one") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     def spans(dir: String): (Double, Double, Long) = {
