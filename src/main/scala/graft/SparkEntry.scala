@@ -2702,9 +2702,12 @@ object SparkEntry {
       """, codes AS (
       |  SELECT vec_id AS other_id, m, code_id AS code FROM dist
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
+      |), icapped AS (
+      |  SELECT vec_id, cluster FROM assigned
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
       |), pairs AS (
       |  SELECT a.vec_id, b.vec_id AS other_id
-      |  FROM assigned a JOIN assigned b
+      |  FROM assigned a JOIN icapped b
       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
       |), adc AS (
       |  SELECT p.vec_id, p.other_id, CAST(sum(l.d2_e6) AS BIGINT) AS adc_e6
@@ -2752,7 +2755,9 @@ object SparkEntry {
 
   /** `bitext_mine`: cell-blocked cross-lingual candidates (positive
     * cosine only, so both k-NN denominators are positive by
-    * construction), forward/backward top-4 averages as exact-integer
+    * construction), both language sides capped at 256/cell (mirroring
+    * the engine's maxCell bound; inactive at gate scale),
+    * forward/backward top-4 averages as exact-integer
     * sums over counts, and the margin's one double division replayed in
     * the same operation order. */
   private lazy val bitextMineOracle =
@@ -2773,8 +2778,10 @@ object SparkEntry {
       |  WHERE d.lang IN ('en', 'de')
       |), src AS (
       |  SELECT vec_id AS src_id, v AS va, nrm AS nrm_a, cluster FROM el WHERE lang = 'en'
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
       |), tgt AS (
       |  SELECT vec_id AS tgt_id, v AS vb, nrm AS nrm_b, cluster FROM el WHERE lang = 'de'
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
       |), cand AS (
       |  SELECT s.src_id, t.tgt_id,
       |    CAST(floor(list_sum(list_transform(range(1, 65), i -> s.va[i] * t.vb[i])) / (s.nrm_a * t.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6

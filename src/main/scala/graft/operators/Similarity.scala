@@ -1062,14 +1062,26 @@ object Similarity {
     */
   def ivfpqTopK(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, numSub: Int = PqNumSub,
-      ks: Int = PqKs, dims: Int = 64): DataFrame = {
+      ks: Int = PqKs, dims: Int = 64, maxCell: Int = 256): DataFrame = {
     require(k >= 1, s"ivfpqTopK requires k >= 1, got $k")
+    require(maxCell >= 2, s"ivfpqTopK requires maxCell >= 2, got $maxCell")
     val e = vectorsWithNorm(embeddings)
     val assigned = assignCells(e, firstNCentroids(e, numCentroids))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("cent_id").as("cluster"))
+    // annPartners' megacell bound on the INDEX side (deterministic
+    // first-maxCell by id, map-side WindowGroupLimit): with a frozen
+    // coarse quantizer a 10× corpus means 10× cell populations and a
+    // quadratic candidate join — production IVF grows numCentroids with
+    // the corpus instead, and the cap keeps the fixed-parameter
+    // registered form linear until it does. Inactive at gate scale,
+    // mirrored in the oracle.
+    val capped = assigned
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .filter(col("cell_rk") <= maxCell)
     val pairs = assigned.join(
-        assigned.select(col("vec_id").as("other_id"),
+        capped.select(col("vec_id").as("other_id"),
           col("cluster").as("cluster_b")),
         col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
       .select(col("vec_id"), col("other_id"))
@@ -1153,15 +1165,24 @@ object Similarity {
     * neighborhood average", the paper's operating region).
     *
     * Scale shape: lang arrives by an equi-join from `documents`
-    * (doc_id = vec_id); the pair join is cell-blocked; the forward and
-    * backward k-NN averages are windows over per-vector candidate sets
+    * (doc_id = vec_id); the pair join is cell-blocked AND both language
+    * sides are capped at `maxCell` rows per cell (deterministic first-N
+    * by id, map-side `WindowGroupLimit`) — the margin windows are
+    * per-vector on BOTH axes (forward by src, backward by tgt), so a
+    * megacell on either side would otherwise make the candidate join
+    * quadratic; the cap bounds it at maxCell² per cell. Inactive at
+    * gate scale, mirrored in the oracle. The forward and backward k-NN
+    * averages are windows over the capped per-vector candidate sets
     * (cell-bounded, never corpus-sized).
     */
   def bitextMine(documents: DataFrame, embeddings: DataFrame,
       srcLang: String = "en", tgtLang: String = "de", kNN: Int = 4,
       minMarginE6: Long = 1000000L,
-      numCentroids: Int = NumCentroids): DataFrame = {
+      numCentroids: Int = NumCentroids, maxCell: Int = 256): DataFrame = {
     require(kNN >= 1, s"bitextMine requires kNN >= 1, got $kNN")
+    // maxCell = 1 is meaningful here (one candidate per side per cell) —
+    // unlike the self-join caps, the two sides are disjoint by language
+    require(maxCell >= 1, s"bitextMine requires maxCell >= 1, got $maxCell")
     val lang = documents.select(col("doc_id").as("vec_id"), col("lang"))
     val e = vectorsWithNorm(embeddings).join(lang, "vec_id")
       .filter(col("lang").isin(srcLang, tgtLang))
@@ -1171,9 +1192,15 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("lang"),
         col("cent_id").as("cluster"))
     val src = assigned.filter(col("lang") === srcLang)
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .filter(col("cell_rk") <= maxCell)
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         col("nrm").as("nrm_a"), col("cluster"))
     val tgt = assigned.filter(col("lang") === tgtLang)
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .filter(col("cell_rk") <= maxCell)
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
         col("nrm").as("nrm_b"), col("cluster").as("cluster_b"))
     val cand = src.join(tgt, col("cluster") === col("cluster_b"))

@@ -2928,6 +2928,76 @@ class PipelineSpec extends AnyFunSuite {
       s"mined pairs drifted from the driver replay:\n${got.toSet diff expect}\nvs\n${expect diff got.toSet}")
   }
 
+  test("ivfpqTopK maxCell bounds the candidate set deterministically") {
+    import spark.implicits._
+    // same lossless fixture as above; cell 0 = {0,2,3,4}. With
+    // maxCell = 2 the index side keeps only the first 2 ids {0, 2}, so
+    // every query's neighbor set is drawn from {0, 2} minus itself.
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.8f, 0.3f, 0f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfpqTopK(emb, k = 4, numCentroids = 2,
+        numSub = 2, ks = 5, dims = 4, maxCell = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(nbrs == Map(0L -> Set(2L), 2L -> Set(0L),
+      3L -> Set(0L, 2L), 4L -> Set(0L, 2L)),
+      s"maxCell=2 must cut the index side to the first 2 ids per cell: $nbrs")
+  }
+
+  test("bitextMine maxCell cuts both language sides to first-N per cell") {
+    // maxCell = 1: each cell contributes at most (first en id) x
+    // (first de id); with only one candidate per side the kNN averages
+    // equal the pair's own cosine, so every positive-cosine survivor is
+    // emitted with margin exactly 1e6. Replayed driver-side.
+    val docs = tbl("documents")
+    val emb = tbl("embeddings")
+    val base = Similarity.bitextMine(docs, emb, kNN = 1).collect()
+    val wide = Similarity.bitextMine(docs, emb, kNN = 1,
+      maxCell = 1000000).collect()
+    assert(base.map(_.toString).sorted.toSeq ==
+      wide.map(_.toString).sorted.toSeq,
+      "the default cap must be inactive at fixture scale")
+    val got = Similarity.bitextMine(docs, emb, kNN = 1, maxCell = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.forall(_._3 == 1000000L),
+      s"single-candidate margins must be exactly 1e6: ${got.toSeq}")
+    val lang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cents = (0L until Similarity.NumCentroids.toLong)
+      .filter(vecs.contains).map(i => i -> vecs(i))
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) =>
+        (math.floor(dot(v, cv) / (nrm(v) * nrm(cv)) * 1000000.0).toLong, c)
+      }.maxBy(t => (t._1, -t._2))._2
+    }
+    val expect = cell.values.toSeq.distinct.flatMap { cl =>
+      val ss = vecs.keys.filter(id => cell(id) == cl && lang(id) == "en")
+      val ts = vecs.keys.filter(id => cell(id) == cl && lang(id) == "de")
+      for {
+        s <- if (ss.isEmpty) None else Some(ss.min)
+        t <- if (ts.isEmpty) None else Some(ts.min)
+        c = math.floor(dot(vecs(s), vecs(t)) /
+          (nrm(vecs(s)) * nrm(vecs(t))) * 1000000.0).toLong
+        if c > 0
+      } yield (s, t, 1000000L)
+    }.toSet
+    assert(got.toSet == expect,
+      s"maxCell=1 pairs drifted: ${got.toSet diff expect} vs ${expect diff got.toSet}")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps cluster minima") {
     import spark.implicits._
     // two exact duplicate pairs plus orthogonal singletons: the duplicate
