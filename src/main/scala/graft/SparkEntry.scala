@@ -514,6 +514,16 @@ object SparkEntry {
         .select(col("src").as("node"))
       Graph.kHopReach(edges, seeds, k = 3)
     }),
+    // deterministic synchronous label propagation over the same
+    // significant-edge graph: product communities in 3 rounds, every
+    // round a hash-aggregate argmax (min(struct(-cnt, lbl))) — the
+    // oracle unrolls the identical rounds with a QUALIFY argmax
+    "communities_lpa" -> ((s, dir) =>
+      Graph.labelPropagation(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        iterations = 3)),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -2153,6 +2163,34 @@ object SparkEntry {
     head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
   }
 
+  /** Unrolled synchronous label-propagation oracle (mirrors
+    * Graph.labelPropagation over the cnt >= 2 co-occurrence graph):
+    * each round's QUALIFY argmax (ORDER BY c DESC, lbl) is exactly the
+    * engine's min(struct(-cnt, lbl)) — max neighbor-label count, ties to
+    * the smallest label. `adj` is MATERIALIZED: every round re-reads it,
+    * and inlined it would re-expand the whole basket derivation per round.
+    */
+  private def lpaSql(iterations: Int): String = {
+    val head = cooccurCte +
+      """, und AS (
+      |  SELECT DISTINCT least(product, neighbor) AS u,
+      |    greatest(product, neighbor) AS v
+      |  FROM counts WHERE product <> neighbor AND cnt >= 2
+      |), adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM und
+      |  UNION ALL SELECT v, u FROM und
+      |), l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+      |c$i AS (SELECT a.node, l.lbl, count(*) AS c
+      |  FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
+      |l$i AS MATERIALIZED (SELECT node, lbl FROM c$i
+      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT node, lbl AS community FROM l$iterations ORDER BY node"
+  }
+
   /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
     * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
     * separators — the representation in which ONE SQL replace of
@@ -3189,6 +3227,10 @@ object SparkEntry {
         |SELECT node, count(*) AS n_tri FROM (
         |  SELECT unnest([a, b, c]) AS node FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin),
+    // unrolled synchronous LPA twin: same undirected significant-edge
+    // graph, 3 rounds, QUALIFY row_number argmax = the engine's
+    // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)
+    "communities_lpa" -> lpaSql(3),
     // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
     // dedupes (node, hop) pairs so the working set stays bounded on the
     // dense graph, and min(hop) reproduces the anti-join's minimality

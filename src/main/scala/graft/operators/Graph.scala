@@ -156,6 +156,62 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the LPA family GraphX ships as `lib.LabelPropagation`) over an
+    * undirected edge list, made DETERMINISTIC so an oracle can replay it:
+    * every node starts labeled with its own id; each of the fixed
+    * `iterations` rounds relabels EVERY node simultaneously with the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label. Synchronous + deterministic tie-break means the result is a
+    * pure function of the edge set — no resolution order, no randomness —
+    * which is what lets the DuckDB twin unroll the same rounds and
+    * hash-match (asynchronous LPA, the usual formulation, is
+    * schedule-dependent and could never cross the driver's hash gate).
+    *
+    * Scale shape: the bidirectional adjacency relation shuffles ONCE for
+    * the whole run (persisted DISK_ONLY per the [[pageRank]] discipline —
+    * edge relations are corpus-sized and must not pin storage memory);
+    * each round is one equi-join of labels onto it, one (node, label)
+    * count, and one per-node argmax via `min(struct(-cnt, label))` — a
+    * partial-aggregable hash aggregate, never a per-node window, so a hub
+    * node's million neighbor-label rows combine map-side. Iteration count
+    * is a fixed small constant; an open-ended fixpoint would move to the
+    * localCheckpoint discipline of Dedup.nearDupClusters.
+    *
+    * Emits (node, community) — community = the final label, a member
+    * node's id (the per-community minimum in the common converged case).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1, 20] — beyond that use a checkpointed fixpoint")
+    // canonical undirected edge set, then both directions: each node sees
+    // every neighbor exactly once per round regardless of input orientation
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = CacheScope.selfReleasing(
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr"))),
+      StorageLevel.DISK_ONLY)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iterations) {
+      val nbrLabels = adj.join(
+        labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+      labels = nbrLabels
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax(count) with min-label tie-break as ONE struct-min:
+        // min((-c, lbl)) = (max count, then smallest label) — partial-
+        // aggregable, so no per-node window materializes a hub's rows
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Bounded k-hop reachability (multi-source BFS): every node within k
     * directed hops of the seed set, labeled with its MINIMUM hop count.
     *

@@ -2455,6 +2455,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(hubGot == Map("h" -> 1L, "s1" -> 1L, "s2" -> 1L))
   }
 
+  test("labelPropagation finds cliques and replays a driver-local LPA") {
+    import spark.implicits._
+    // two triangles bridged by one edge: with the smallest-label
+    // tie-break each triangle collapses onto its minimum id, and the
+    // bridge is not enough to merge them in 3 synchronous rounds
+    val twoCliques = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val got = Graph.labelPropagation(twoCliques, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == got("b") && got("b") == got("c"),
+      s"triangle 1 must be one community: $got")
+    assert(got("x") == got("y") && got("y") == got("z"),
+      s"triangle 2 must be one community: $got")
+    assert(got("a") != got("x"), s"the bridge must not merge them: $got")
+    // orientation/duplicate invariance + exact synchronous replay on a
+    // messier graph: dup edges both ways, a hub, an isolated-ish pair
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+      ("d", "a"), ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+      ("p", "q")).toDF("src", "dst")
+    val res = Graph.labelPropagation(edges, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val und = Set(("a","b"),("b","c"),("c","d"),("a","d"),("a","h"),
+      ("b","h"),("c","h"),("d","h"),("p","q"))
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    val nbrs = nodes.map(n => n -> und.collect {
+      case (u, v) if u == n => v
+      case (u, v) if v == n => u
+    }).toMap
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val prev = lbl
+      lbl = nodes.map { n =>
+        val counts = nbrs(n).toSeq.map(prev).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    assert(res == lbl, s"synchronous replay drifted: $res vs $lbl")
+  }
+
   test("every registered query has an oracle twin and vice versa") {
     // the driver records a weaker rows-only check for oracle-less queries
     // and a dangling oracle is dead SQL — neither drift should survive CI
