@@ -728,8 +728,20 @@ object Multimodal {
     */
   def imageAnnPartners(documents: DataFrame, k: Int = 5,
       numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
-    Similarity.annPartners(imageEmbeddings(documents), k, numCentroids,
-      maxCell)
+    Similarity.annPartners(decodedOnce(imageEmbeddings(documents)),
+      k, numCentroids, maxCell)
+
+  /** Decode-once discipline for the real-codec ANN legs: annPartners
+    * consumes its embedding input three times (centroid sample, query
+    * side, capped index side), and for these legs every consumption
+    * re-runs the per-doc codec kernel — the dominant cost (measured:
+    * audio_ann_partners spent ~2/3 of its x10 wall-clock re-decoding).
+    * One operator-scoped DISK_ONLY persist makes the decode run once;
+    * results are unchanged and the release needs no caller teardown.
+    */
+  private def decodedOnce(embeddings: DataFrame): DataFrame =
+    CacheScope.selfReleasing(embeddings,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Video-fingerprint geometry: [[videoPhashFingerprints]] synthesizes
     * `VideoFpFrames` constant-luma C420 frames per doc (one more frame
@@ -968,13 +980,13 @@ object Multimodal {
     */
   def audioAnnPartners(documents: DataFrame, k: Int = 5,
       numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
-    Similarity.annPartners(audioEmbeddings(documents), k, numCentroids,
-      maxCell)
+    Similarity.annPartners(decodedOnce(audioEmbeddings(documents)),
+      k, numCentroids, maxCell)
 
   /** decode → embed → bounded k-NN join for the VIDEO modality (see
     * [[audioAnnPartners]]). */
   def videoAnnPartners(documents: DataFrame, k: Int = 5,
       numCentroids: Int = 16, maxCell: Int = 256): DataFrame =
-    Similarity.annPartners(videoEmbeddings(documents), k, numCentroids,
-      maxCell)
+    Similarity.annPartners(decodedOnce(videoEmbeddings(documents)),
+      k, numCentroids, maxCell)
 }
