@@ -953,4 +953,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"reference join shuffled:\n$p")
   }
+
+  test("pq_encode's squared-L2 fold rewrites to the codegen'd native") {
+    // RewriteVectorFolds must fire on the REAL registered query, not just
+    // a synthetic plan: the PQ scoring loop is the hot path the rule is
+    // for, and an interpreted ArrayAggregate surviving there is the
+    // regression this pins against
+    val df = SparkEntry.queries("pq_encode")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.L2SqDistance])) ||
+      opt.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.L2SqDistance]))),
+      s"l2sq_d missing from pq_encode's optimized plan:\n$opt")
+    assert(!opt.exists(_.expressions.exists(_.exists(
+        e => e.getClass.getSimpleName == "ArrayAggregate"))),
+      s"an interpreted fold survived in pq_encode:\n$opt")
+  }
 }
