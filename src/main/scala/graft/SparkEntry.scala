@@ -1635,6 +1635,11 @@ object SparkEntry {
     // instead of 256-byte vectors — the index-fits-on-disk path at 100 TB.
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfpqTopK(t(s, dir, "embeddings"))),
+    // measured IVFADC retrieval quality: exact counts of true/candidate/
+    // hit pairs over the bounded query head — lsh_recall's discipline for
+    // the PQ serve, so quantization-quality regressions fail the hash gate
+    "pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(t(s, dir, "embeddings"))),
     // hard-negative mining for contrastive training: per anchor, the k
     // highest-cosine DIFFERENT-label vectors — annPartners' bounded
     // dataflow with a label-mismatch predicate in the candidate join
@@ -2724,6 +2729,43 @@ object SparkEntry {
   /** `ann_ivfpq_topk`: IVF cell assignment + PQ codes + the ADC sum over
     * `dist`-as-LUT, ranked ascending. The sum is CAST to BIGINT — the
     * DuckDB sum(BIGINT)→HUGEINT escape (the cusum lesson). */
+  /** Exact brute-force cosine top-k over the bounded query head — the
+    * ground-truth relation ann_topk registers and pq_recall reuses.
+    */
+  private lazy val annTopkOracle =
+    embedCte +
+      s""", q AS (
+      |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
+      |), p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM q a JOIN n b ON a.vec_id <> b.vec_id)
+      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** pq_recall: both legs replayed whole (nested WITH inside each CTE
+    * body — truth is [[annTopkOracle]], cand is [[annIvfpqOracle]]
+    * verbatim, so this oracle can never drift from the two it audits),
+    * joined on the truth's bounded query head with the engine's
+    * full-outer presence aggregation.
+    */
+  private lazy val pqRecallOracle =
+    s"""WITH truth AS ($annTopkOracle
+      |), cand0 AS ($annIvfpqOracle
+      |), qs AS (SELECT DISTINCT vec_id FROM truth
+      |), cand AS (
+      |  SELECT c.vec_id, c.other_id FROM cand0 c JOIN qs USING (vec_id)
+      |)
+      |SELECT CAST(sum(tt.t) AS BIGINT) AS n_true,
+      |  CAST(sum(cc.c) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
+      |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
+      |  USING (vec_id, other_id)""".stripMargin
+
   private lazy val annIvfpqOracle =
     embedCte +
       s""", cents AS (
@@ -5426,18 +5468,7 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM cl ORDER BY doc_id""".stripMargin),
-    "ann_topk" ->
-      (embedCte +
-        s""", q AS (
-        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
-        |), p AS (
-        |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM q a JOIN n b ON a.vec_id <> b.vec_id)
-        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_topk" -> annTopkOracle,
     "ann_lsh_topk" ->
       (s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -5512,6 +5543,7 @@ object SparkEntry {
     "ann_index_append" -> annIvfTopKOracle,
     "pq_encode" -> pqEncodeOracle,
     "ann_ivfpq_topk" -> annIvfpqOracle,
+    "pq_recall" -> pqRecallOracle,
     "hard_negatives" -> hardNegativesOracle,
     "bitext_mine" -> bitextMineOracle,
     // the streamed probe must equal the one-shot probe of the same query

@@ -1104,6 +1104,31 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Measured IVFADC retrieval quality — [[Dedup.lshRecall]]'s discipline
+    * for the PQ family: the exact brute-force top-k over the bounded
+    * query head ([[bruteForceTopK]]) is ground truth, [[ivfpqTopK]]'s
+    * code-scored top-k (restricted to the same query head) is the
+    * candidate set, and one full-outer presence aggregation emits exact
+    * counts (n_true, n_candidates, n_hit) — numbers, not booleans, so a
+    * recall regression shows AS A VALUE in the hash gate. An AUDIT
+    * operator: bounded by the ground-truth head by construction (the
+    * exact leg is the deliberately bounded one; the IVFADC leg is the
+    * production path being measured).
+    */
+  def pqRecall(embeddings: DataFrame, k: Int = 5,
+      maxQueries: Int = MaxBruteForceQueries): DataFrame = {
+    val truth = bruteForceTopK(embeddings, k, maxQueries)
+      .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L))
+    val qs = truth.select(col("vec_id")).distinct()
+    val cand = ivfpqTopK(embeddings, k).join(qs, "vec_id")
+      .select(col("vec_id"), col("other_id")).withColumn("c", lit(1L))
+    truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
+      .agg(sum(col("t")).as("n_true"),
+        sum(col("c")).as("n_candidates"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCLR data
     * prep step): per anchor vector, the k most cosine-similar corpus
     * vectors whose LABEL DIFFERS — the negatives a trained encoder finds

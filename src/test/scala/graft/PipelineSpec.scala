@@ -3038,6 +3038,19 @@ class PipelineSpec extends AnyFunSuite {
       s"maxCell=1 pairs drifted: ${got.toSet diff expect} vs ${expect diff got.toSet}")
   }
 
+  test("pqRecall emits exact consistent counts over the bounded head") {
+    val r = Similarity.pqRecall(tbl("embeddings")).head()
+    val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the head is the full bounded query set on both legs; hits are a
+    // subset of each. Recall's VALUE is fixture-dependent (an untrained
+    // 16-cell probe-1 quantizer over structure-free random vectors is
+    // the hard regime) — the hash gate pins it; this pins the algebra.
+    assert(t > 0 && c > 0, s"empty legs: true=$t cand=$c")
+    assert(h >= 0 && h <= math.min(t, c), s"hit=$h of true=$t cand=$c")
+    val r2 = Similarity.pqRecall(tbl("embeddings")).head()
+    assert(r.toSeq == r2.toSeq, "pqRecall must be deterministic")
+  }
+
   test("semanticDedup drops the higher-id twin and keeps cluster minima") {
     import spark.implicits._
     // two exact duplicate pairs plus orthogonal singletons: the duplicate
