@@ -1340,6 +1340,15 @@ object SparkEntry {
           sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("lang"))
     }),
+    // reward-model data prep: per near-dup cluster the (quality argmax,
+    // quality argmin) preference pair — same content both ends, so the
+    // contrast is quality not topic; both extremes one partial-aggregable
+    // groupBy, equal-quality ties (and thus singletons) emit nothing
+    "preference_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.preferencePairs(docs,
+        Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+    }),
     // continuous-ingestion dedup: a mod-10 batch probed against the rest
     // of the corpus as base — no base×base join anywhere in the plan
     "dedup_incremental" -> ((s, dir) => {
@@ -5201,6 +5210,41 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+    // same recursive CC labels; chosen = rank-1 by (q desc, id), rejected
+    // = rank-1 by (q asc, id desc) — the oracle MAY window; the engine's
+    // extremes are window-free partial aggregates. Equal-q ties drop.
+    "preference_pairs" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |labeled AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+        |b AS (
+        |  SELECT cid, doc_id AS chosen_id, n_chars AS chosen_q FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM labeled) WHERE rn = 1),
+        |w AS (
+        |  SELECT cid, doc_id AS rejected_id, n_chars AS rejected_q FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY cid ORDER BY n_chars, doc_id DESC) AS rn
+        |    FROM labeled) WHERE rn = 1)
+        |SELECT b.cid AS cluster_id, chosen_id, chosen_q,
+        |  rejected_id, rejected_q
+        |FROM b JOIN w ON b.cid = w.cid
+        |WHERE chosen_q > rejected_q
+        |ORDER BY cluster_id""".stripMargin),
     // cluster labels via the same recursive CC, then the dataset_split
     // bucket rule keyed on each doc's representative (COALESCE = the
     // Spark side's left-join singleton fallback)

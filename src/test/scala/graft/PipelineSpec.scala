@@ -3038,6 +3038,30 @@ class PipelineSpec extends AnyFunSuite {
       s"maxCell=1 pairs drifted: ${got.toSet diff expect} vs ${expect diff got.toSet}")
   }
 
+  test("preferencePairs picks opposite quality extremes, drops ties") {
+    import spark.implicits._
+    // cluster {1,2,3} (cid 1): chosen = 1 (q=10), rejected = 3 (min q=5,
+    // tie with 2 broken to the LARGER id). Cluster {5,6}: uniform q —
+    // distinct ends but equal quality, dropped. 4 is a singleton: dropped.
+    val docs = Seq((1L, 10L), (2L, 5L), (3L, 5L), (4L, 7L),
+      (5L, 2L), (6L, 2L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.preferencePairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 1L, 10L, 3L, 5L)),
+      s"unexpected pairs: ${got.toSeq}")
+    // every emitted pair on the real fixture is same-cluster, strict-gap
+    val full = Dedup.preferencePairs(tbl("documents"),
+      Dedup.minhashLsh(tbl("documents"))
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))).collect()
+    assert(full.forall(r => r.getLong(2) > r.getLong(4)),
+      "chosen_q must strictly exceed rejected_q")
+    assert(full.forall(r => r.getLong(1) != r.getLong(3)),
+      "chosen and rejected must differ")
+  }
+
   test("pqRecall emits exact consistent counts over the bounded head") {
     val r = Similarity.pqRecall(tbl("embeddings")).head()
     val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
