@@ -1856,10 +1856,15 @@ object SparkEntry {
       val kept = Dedup.keepCanonical(cleaned,
         Dedup.minhashLsh(cleaned).select(col("doc_a"), col("doc_b")))
       val sel = Dsir.dsirSelect(kept, k = 100).select(col("doc_id"))
+      // matchingActions = 2: the BPE trainer's word-type collect is a
+      // legitimate internal Dataset action over this relation — releasing
+      // on it (the default first-match) would recompute the entire
+      // curation chain for the encode action that follows
       val corpus = graft.operators.CacheScope.selfReleasing(
         kept.filter(col("lang") === "en").select(col("doc_id"), col("text"))
           .unionByName(
-            kept.select(col("doc_id"), col("text")).join(sel, Seq("doc_id"))))
+            kept.select(col("doc_id"), col("text")).join(sel, Seq("doc_id"))),
+        matchingActions = 2)
       Packing.packFromLengths(
         TextAnalysis.bpeTrainedEncode(corpus)
           .select(col("doc_id"), col("n_bpe_tokens").as("len")))

@@ -66,9 +66,21 @@ object CacheScope {
   private val armed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[() => Unit]()
 
+  /** `matchingActions`: release on the Nth matching Dataset action
+    * instead of the first — for the rare operator whose consumer runs a
+    * legitimate internal Dataset action over the cached relation BEFORE
+    * the final one (pipeline_dsir_pack: the BPE trainer's word-type
+    * collect consumes the curated corpus, then the encode action reads
+    * it again; releasing on the collect would recompute the whole
+    * curation chain). RDD-surface actions (ExactRank's build-time
+    * collects) fire no listener event and don't count.
+    */
   def selfReleasing(df: DataFrame,
       level: StorageLevel = StorageLevel.DISK_ONLY,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false,
+      matchingActions: Int = 1): DataFrame = {
+    require(matchingActions >= 1,
+      s"matchingActions must be >= 1, got $matchingActions")
     val spark = df.sparkSession
     val persisted = df.persist(level)
     if (eager) persisted.queryExecution.toRdd.count()
@@ -76,6 +88,7 @@ object CacheScope {
     val mgr = spark.listenerManager
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val misses = new java.util.concurrent.atomic.AtomicInteger()
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
     object listener extends QueryExecutionListener {
       val release: () => Unit = () =>
         if (done.compareAndSet(false, true)) {
@@ -84,8 +97,9 @@ object CacheScope {
           armed.remove(release)
         }
       private def maybe(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(marker)))
-          release()
+        if (qe.analyzed.exists(_.sameResult(marker))) {
+          if (hits.incrementAndGet() >= matchingActions) release()
+        }
         else if (misses.incrementAndGet() > MaxStaleActions)
           release() // stale: a plan-only build that never ran
       override def onSuccess(funcName: String, qe: QueryExecution,

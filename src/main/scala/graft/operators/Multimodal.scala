@@ -942,9 +942,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val sums = audioWindowSums(id)
+          // the 64 leading windows (= AudioFpWindows − 1, the same
+          // usable count the fingerprint gradients consume), 8 per group
+          val n = AudioFpWindows - 1
           val f = new Array[Double](8)
           var w = 0
-          while (w < 64) { f(w / 8) += sums(w); w += 1 }
+          while (w < n) { f(w * 8 / n) += sums(w); w += 1 }
           (id, f)
         }
       }.toDF("vec_id", "embedding")
@@ -962,9 +965,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val lumas = videoMeanLumas(id)
+          // the 64 leading frames (= VideoFpFrames − 1), 8 per group
+          val n = VideoFpFrames - 1
           val f = new Array[Double](8)
           var b = 0
-          while (b < 64) { f(b / 8) += lumas(b); b += 1 }
+          while (b < n) { f(b * 8 / n) += lumas(b); b += 1 }
           (id, f)
         }
       }.toDF("vec_id", "embedding")

@@ -202,7 +202,12 @@ object Similarity {
         var d = 0.0
         var i = 0
         while (i < qv.length) { d += qv(i) * cv(i); i += 1 }
-        (d / (qn * r.getDouble(2)), r.getLong(0))
+        // e6-floored rank, NOT raw double: the same floor(cos*1e6) +
+        // cent_id convention every distributed cell ranking uses
+        // (assignCells), so the probed set can't diverge from the
+        // engine's own discipline on a sub-1e-6 tie at the probe cutoff
+        (math.floor(d / (qn * r.getDouble(2)) * 1000000.0).toLong,
+          r.getLong(0))
       }.sortBy { case (s, id) => (-s, id) }
       .take(numProbes).map(_._2).toSeq
     val q = broadcast(index.filter(col("other_id") === queryVecId)
@@ -1085,12 +1090,25 @@ object Similarity {
           col("cluster").as("cluster_b")),
         col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
       .select(col("vec_id"), col("other_id"))
-    val codes = pqEncode(embeddings, numSub, ks, dims)
+    // ONE (vector, subspace, codeword) distance relation feeds both the
+    // encode argmin (the codes) and the IVFADC lookup table — exactly
+    // the oracle's shared `dist` CTE. Without the operator-scoped
+    // persist the two consumers are separate plan subtrees and the
+    // corpus scan + 128×/vector distance expansion executes twice.
+    val dist = CacheScope.selfReleasing(
+      pqSubvectors(embeddings, numSub, dims)
+        .join(broadcast(pqCodebook(embeddings, numSub, ks, dims)), "m")
+        .select(col("vec_id"), col("m"), col("code_id").as("code"),
+          d2E6(col("sv"), col("cw")).as("lut_e6")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // same argmin semantics as pqEncode: (d2_e6, code_id) ascending
+    val codes = dist
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("lut_e6"), col("code"))))
+      .filter(col("ark") === 1)
       .select(col("vec_id").as("other_id"), col("m"), col("code"))
-    val lut = pqSubvectors(embeddings, numSub, dims)
-      .join(broadcast(pqCodebook(embeddings, numSub, ks, dims)), "m")
-      .select(col("vec_id"), col("m"), col("code_id").as("code"),
-        d2E6(col("sv"), col("cw")).as("lut_e6"))
+    val lut = dist
     val adc = pairs
       .join(codes, "other_id")
       .join(lut, Seq("vec_id", "m", "code"))
@@ -1119,7 +1137,11 @@ object Similarity {
       maxQueries: Int = MaxBruteForceQueries): DataFrame = {
     val truth = bruteForceTopK(embeddings, k, maxQueries)
       .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L))
-    val qs = truth.select(col("vec_id")).distinct()
+    // the query head straight from its definition (bruteForceTopK's own
+    // bound) — deriving it from `truth` would put the O(q·n) exact scan
+    // in the plan twice (once as the join side, once as the filter)
+    val qs = embeddings.orderBy(col("vec_id")).limit(maxQueries)
+      .select(col("vec_id"))
     val cand = ivfpqTopK(embeddings, k).join(qs, "vec_id")
       .select(col("vec_id"), col("other_id")).withColumn("c", lit(1L))
     truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
@@ -1142,8 +1164,14 @@ object Similarity {
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, maxCell: Int = 256): DataFrame = {
     require(k >= 1, s"hardNegatives requires k >= 1, got $k")
-    val e = vectorsWithNorm(embeddings)
-      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    // ONE projection carries the label alongside the norm — a join of
+    // the corpus against itself just to recover a column it already has
+    // is an extra full shuffle at the operator's own 100 TB posture
+    VectorFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", norm(col("v")))
     val assigned = assignCells(e, firstNCentroids(e, numCentroids))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("label"),
