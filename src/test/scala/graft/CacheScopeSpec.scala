@@ -61,6 +61,25 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(Seq(1).toDF("x").count() == 1)
   }
 
+  test("matchingActions = 2 survives the first consumer and releases on the second") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    operators.CacheScope.releaseAll()
+    assert(drained(), "baseline leak")
+    val twice = operators.CacheScope.selfReleasing(
+      Seq(1, 2, 3).toDF("x").selectExpr("x * 3 AS y"),
+      matchingActions = 2)
+    twice.count() // matching action #1 — must NOT release
+    // the release path is async; give a wrong early release time to land
+    Thread.sleep(1000)
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "the first matching action must not release a matchingActions=2 persist: " +
+        spark.sparkContext.getPersistentRDDs)
+    twice.count() // matching action #2 — releases
+    assert(drained(), "second matching action failed to release: " +
+      spark.sparkContext.getPersistentRDDs.values.map(_.toString))
+  }
+
   test("a stale armed listener retires itself after MaxStaleActions") {
     import spark.implicits._
     spark.catalog.clearCache()
