@@ -1667,6 +1667,11 @@ object SparkEntry {
     // standard ways to buy ANN recall without growing the index
     "ann_ivf_multiprobe" -> ((s, dir) =>
       Similarity.ivfTopKMultiprobe(t(s, dir, "embeddings"))),
+    // the IVF recall-vs-probe-count curve: exact presence counts per
+    // probe setting vs the brute-force ground truth — recall monotone by
+    // construction, exhaustive at 16 probes (n_hit == n_true, spec-pinned)
+    "ivf_probe_recall" -> ((s, dir) =>
+      Similarity.ivfProbeRecall(t(s, dir, "embeddings"))),
     // KMeans-trained IVF through the same serving dataflow. Lloyd's
     // iterations aren't SQL-expressible, so the driver-facing columns are
     // structural accuracy-contract booleans (approx_stats precedent): the
@@ -2758,6 +2763,67 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
       |  FROM p)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** The multiprobe IVF top-k select, parameterized by the probe count —
+    * the `ann_ivf_multiprobe` oracle (p = 2) and every leg of the
+    * `ivf_probe_recall` curve share this one text, so the curve can
+    * never drift from the serve it measures.
+    */
+  private def multiprobeSql(p: Int): String =
+    embedCte +
+      s""", cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |  FROM scored
+      |), assigned AS (
+      |  SELECT vec_id AS other_id, v AS vb, nrm AS nrm_b, cent_id AS cell
+      |  FROM ranked WHERE crk = 1
+      |), probes AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE crk <= $p
+      |), p AS (
+      |  SELECT q.vec_id AS vec_id, a.other_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.vb[i])) / (q.nrm * a.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM probes q JOIN assigned a
+      |    ON q.cell = a.cell AND q.vec_id <> a.other_id)
+      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** ivf_probe_recall: one presence-count row per probe setting, each
+    * leg the [[multiprobeSql]] text verbatim against the [[annTopkOracle]]
+    * ground truth restricted to the bounded query head.
+    */
+  private def ivfProbeRecallOracle(probes: Seq[Int]): String = {
+    val rows = probes.map { p =>
+      s""",
+      |cand$p AS (SELECT c.vec_id, c.other_id
+      |  FROM (${multiprobeSql(p)}
+      |  ) c JOIN qs USING (vec_id)
+      |), row$p AS (
+      |  SELECT CAST($p AS INTEGER) AS num_probes,
+      |    CAST(sum(tt.t) AS BIGINT) AS n_true,
+      |    CAST(sum(cc.m) AS BIGINT) AS n_candidates,
+      |    CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.m IS NOT NULL
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
+      |  FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS m FROM cand$p) cc
+      |    USING (vec_id, other_id)
+      |)""".stripMargin
+    }.mkString
+    s"""WITH truth AS ($annTopkOracle
+      |), qs AS (
+      |  SELECT vec_id FROM embeddings ORDER BY vec_id
+      |  LIMIT ${Similarity.MaxBruteForceQueries}
+      |)""".stripMargin + rows +
+      probes.map(p => s"SELECT * FROM row$p").mkString(
+        "\n", "\nUNION ALL\n", "\nORDER BY num_probes")
+  }
 
   /** pq_recall: both legs replayed whole (nested WITH inside each CTE
     * body — truth is [[annTopkOracle]], cand is [[annIvfpqOracle]]
@@ -5593,6 +5659,7 @@ object SparkEntry {
     "pq_encode" -> pqEncodeOracle,
     "ann_ivfpq_topk" -> annIvfpqOracle,
     "pq_recall" -> pqRecallOracle,
+    "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),
     "hard_negatives" -> hardNegativesOracle,
     "bitext_mine" -> bitextMineOracle,
     // the streamed probe must equal the one-shot probe of the same query
@@ -5673,31 +5740,7 @@ object SparkEntry {
         |  TRUE AS comps_orthonormal, TRUE AS eigvals_descending,
         |  TRUE AS capture_ge_uniform, TRUE AS proj_var_matches
         |FROM embeddings""".stripMargin,
-    "ann_ivf_multiprobe" ->
-      (embedCte +
-        s""", cents AS (
-        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-        |), scored AS (
-        |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-        |  FROM n a CROSS JOIN cents c
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-        |  FROM scored
-        |), assigned AS (
-        |  SELECT vec_id AS other_id, v AS vb, nrm AS nrm_b, cent_id AS cell
-        |  FROM ranked WHERE crk = 1
-        |), probes AS (
-        |  SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE crk <= 2
-        |), p AS (
-        |  SELECT q.vec_id AS vec_id, a.other_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.vb[i])) / (q.nrm * a.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM probes q JOIN assigned a
-        |    ON q.cell = a.cell AND q.vec_id <> a.other_id)
-        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
+    "ann_ivf_multiprobe" -> multiprobeSql(2),
     "text_cooccur" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS products FROM documents

@@ -1151,6 +1151,49 @@ object Similarity {
           .otherwise(0L)).as("n_hit"))
   }
 
+  /** The IVF recall-vs-probe-count CURVE — the tuning artifact an ANN
+    * serving team actually reads: one exact presence-count row
+    * (num_probes, n_true, n_candidates, n_hit) per probe setting against
+    * the brute-force ground truth over the bounded query head. Recall is
+    * monotone in the probe count by construction (probe sets nest), and
+    * at numProbes = numCentroids the serve is exhaustive so n_hit MUST
+    * equal n_true — both invariants spec-pinned, the values themselves
+    * pinned by the hash gate. Completes the measured-quality family:
+    * lsh_recall (banding), pq_recall (quantization), this (the probe
+    * knob).
+    *
+    * The truth leg (the one deliberately-bounded exact scan) persists
+    * operator-scoped: it feeds every probe setting's full-outer join and
+    * would otherwise execute once per leg.
+    */
+  def ivfProbeRecall(embeddings: DataFrame, k: Int = 5,
+      probes: Seq[Int] = Seq(1, 2, 4),
+      maxQueries: Int = MaxBruteForceQueries,
+      numCentroids: Int = NumCentroids): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes must be >= 1, got $probes")
+    val truth = CacheScope.selfReleasing(
+      bruteForceTopK(embeddings, k, maxQueries)
+        .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L)),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val qs = embeddings.orderBy(col("vec_id")).limit(maxQueries)
+      .select(col("vec_id"))
+    probes.map { p =>
+      val cand = ivfTopKMultiprobe(embeddings, k, numCentroids, p)
+        .join(qs, "vec_id")
+        .select(col("vec_id"), col("other_id")).withColumn("m", lit(1L))
+      truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
+        .agg(sum(col("t")).as("n_true"),
+          sum(col("m")).as("n_candidates"),
+          sum(when(col("t").isNotNull && col("m").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .withColumn("num_probes", lit(p))
+    }.reduce(_ unionByName _)
+      .select(col("num_probes"), col("n_true"), col("n_candidates"),
+        col("n_hit"))
+      .orderBy(col("num_probes"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCLR data
     * prep step): per anchor vector, the k most cosine-similar corpus
     * vectors whose LABEL DIFFERS — the negatives a trained encoder finds

@@ -3062,6 +3062,24 @@ class PipelineSpec extends AnyFunSuite {
       "chosen and rejected must differ")
   }
 
+  test("ivfProbeRecall is monotone in probes and exact at full probe") {
+    val emb = tbl("embeddings")
+    val curve = Similarity.ivfProbeRecall(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4))
+    // probe sets nest, so hits can only grow with the probe count
+    assert(curve.map(_._4).toSeq == curve.map(_._4).sorted.toSeq,
+      s"recall must be monotone in probes: $curve")
+    assert(curve.forall(r => r._4 <= math.min(r._2, r._3)), s"algebra: $curve")
+    // at numProbes = numCentroids every query probes every cell: the
+    // candidate set is the whole corpus and the serve shares the exact
+    // scan's scoring + tie-break, so the top-k sets are IDENTICAL
+    val full = Similarity.ivfProbeRecall(emb, probes = Seq(16)).head()
+    assert(full.getLong(3) == full.getLong(1) &&
+      full.getLong(2) == full.getLong(1),
+      s"full probe must reproduce the exact ground truth: $full")
+  }
+
   test("pqRecall emits exact consistent counts over the bounded head") {
     val r = Similarity.pqRecall(tbl("embeddings")).head()
     val (t, c, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
