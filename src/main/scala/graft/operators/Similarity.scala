@@ -1067,7 +1067,8 @@ object Similarity {
     */
   def ivfpqTopK(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, numSub: Int = PqNumSub,
-      ks: Int = PqKs, dims: Int = 64, maxCell: Int = 256): DataFrame = {
+      ks: Int = PqKs, dims: Int = 64, maxCell: Int = 256,
+      queries: DataFrame = null): DataFrame = {
     require(k >= 1, s"ivfpqTopK requires k >= 1, got $k")
     require(maxCell >= 2, s"ivfpqTopK requires maxCell >= 2, got $maxCell")
     val e = vectorsWithNorm(embeddings)
@@ -1085,7 +1086,15 @@ object Similarity {
       .withColumn("cell_rk", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
       .filter(col("cell_rk") <= maxCell)
-    val pairs = assigned.join(
+    // optional QUERY-side restriction (audits serve only a bounded head:
+    // pq_recall): cuts the candidate join to O(|queries| · cell) while
+    // the index side — capped, codes, LUT sources — stays the full
+    // corpus, so restricted results equal the full serve's rows for
+    // those queries exactly
+    val queryAssigned =
+      if (queries == null) assigned
+      else assigned.join(queries.select(col("vec_id")), "vec_id")
+    val pairs = queryAssigned.join(
         capped.select(col("vec_id").as("other_id"),
           col("cluster").as("cluster_b")),
         col("cluster") === col("cluster_b") && col("vec_id") =!= col("other_id"))
@@ -1142,7 +1151,11 @@ object Similarity {
     // in the plan twice (once as the join side, once as the filter)
     val qs = embeddings.orderBy(col("vec_id")).limit(maxQueries)
       .select(col("vec_id"))
-    val cand = ivfpqTopK(embeddings, k).join(qs, "vec_id")
+    // the IVFADC leg serves ONLY the head (queries = qs): the full-corpus
+    // serve's non-head rows were discarded by the join anyway, and under
+    // a frozen quantizer their candidate work grows quadratically — the
+    // restricted form is linear and row-identical for the head
+    val cand = ivfpqTopK(embeddings, k, queries = qs)
       .select(col("vec_id"), col("other_id")).withColumn("c", lit(1L))
     truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
       .agg(sum(col("t")).as("n_true"),
@@ -1162,25 +1175,47 @@ object Similarity {
     * lsh_recall (banding), pq_recall (quantization), this (the probe
     * knob).
     *
-    * The truth leg (the one deliberately-bounded exact scan) persists
-    * operator-scoped: it feeds every probe setting's full-outer join and
-    * would otherwise execute once per leg.
+    * Only the HEAD probes: serving the whole corpus per leg and then
+    * cutting to the head would do Σ n_cell² candidate work per setting —
+    * under a frozen quantizer that's quadratic in the corpus, and the
+    * first x100 audit of the serve-everything form OOM'd the JVM. The
+    * probe side is head-bounded BEFORE the cell join, so each leg is
+    * O(head · probed-cell populations) — linear in the corpus — and the
+    * result rows are identical (the cut legs were discarded anyway).
+    *
+    * Reuse: the truth leg (the deliberately-bounded exact scan), the
+    * corpus index side, and the head's cell assignment each feed every
+    * probe setting's subtree — all three persist operator-scoped.
     */
   def ivfProbeRecall(embeddings: DataFrame, k: Int = 5,
       probes: Seq[Int] = Seq(1, 2, 4),
       maxQueries: Int = MaxBruteForceQueries,
       numCentroids: Int = NumCentroids): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(probes.nonEmpty && probes.forall(_ >= 1),
       s"probes must be >= 1, got $probes")
     val truth = CacheScope.selfReleasing(
       bruteForceTopK(embeddings, k, maxQueries)
         .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L)),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val qs = embeddings.orderBy(col("vec_id")).limit(maxQueries)
+      StorageLevel.DISK_ONLY)
+    val e = vectorsWithNorm(embeddings)
+    val cents = firstNCentroids(e, numCentroids)
+    val scored = assignCells(e, cents)
+    val indexed = CacheScope.selfReleasing(
+      scored.filter(col("crk") === 1)
+        .select(col("vec_id").as("other_id"), col("v").as("vb"),
+          col("nrm").as("nrm_b"), col("cent_id").as("cluster_b")),
+      StorageLevel.DISK_ONLY)
+    val headIds = embeddings.orderBy(col("vec_id")).limit(maxQueries)
       .select(col("vec_id"))
+    // bounded: maxQueries × numCentroids rows
+    val headScored = CacheScope.selfReleasing(
+      scored.join(headIds, "vec_id"), StorageLevel.DISK_ONLY)
     probes.map { p =>
-      val cand = ivfTopKMultiprobe(embeddings, k, numCentroids, p)
-        .join(qs, "vec_id")
+      val probeSide = headScored.filter(col("crk") <= p)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cluster"))
+      val cand = serveAgainst(probeSide, indexed, k)
         .select(col("vec_id"), col("other_id")).withColumn("m", lit(1L))
       truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
         .agg(sum(col("t")).as("n_true"),
