@@ -524,6 +524,15 @@ object SparkEntry {
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         iterations = 3)),
+    // the CONVERGENCE-TERMINATED fixpoint over the same graph (r13
+    // verdict item 4): monotone update, stop when no label changes,
+    // per-round lineage truncation — oracle replays it as a fixed
+    // unroll (post-convergence rounds are no-ops under monotonicity)
+    "lpa_converged" -> ((s, dir) =>
+      Graph.lpaConverged(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -1223,7 +1232,11 @@ object SparkEntry {
     // top-20 — which spans cells ranked 1st/2nd/4th/12th by the query —
     // needs 12 of 16 probes for recall 1; a real embedding corpus
     // clusters far better and serves from 1-2 probes. Same oracle text
-    // as rrf_fusion — bit-identical at recall 1.
+    // as rrf_fusion — bit-identical at recall 1. The coverage claim is
+    // pinned at the driver's verify scale by PipelineSpec
+    // "rrf_fusion_indexed's numProbes=12 covers recall 1" — a fixture
+    // change fails THERE with a bump-the-probe-count message instead of
+    // an opaque hash mismatch here.
     "rrf_fusion_indexed" -> ((s, dir) => {
       val tbl = "graft_ivf_rrf"
       graft.sources.TableSink.writeBucketed(
@@ -1748,8 +1761,14 @@ object SparkEntry {
     // ---- multimodal column plumbing (stubbed decode) ---------------------
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
     "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
-    "media_embedding" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
-    "media_resize" -> ((s, dir) => Multimodal.resizeMedia(t(s, dir, "documents"))),
+    // *_stub: self-describing registry names (r13 verdict) — these two
+    // serve DETERMINISTIC STUB kernels whose value is the Spark-side
+    // plumbing (mapPartitions codec seam, batch shape, binary in/out);
+    // their REAL twins are registered alongside: image_embed_real (the
+    // ImageIO-decoded embedding) and media_decode_real (the ImageIO
+    // decode → resize → re-decode round trip)
+    "media_embedding_stub" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
+    "media_resize_stub" -> ((s, dir) => Multimodal.resizeMedia(t(s, dir, "documents"))),
     // the REAL javax.imageio kernels, driver-checked (ann_ivf_trained
     // accuracy-contract pattern): synthesize a solid PNG per doc_id,
     // decode → resize → re-decode, emit DECODED dims + exact pixel check;
@@ -2215,6 +2234,40 @@ object SparkEntry {
       s"\nSELECT node, lbl AS community FROM l$iterations ORDER BY node"
   }
 
+  /** Oracle for the CONVERGENCE-TERMINATED monotone LPA
+    * (Graph.lpaConverged): the same per-round argmax as [[lpaSql]],
+    * clamped by `least(current, candidate)`. The engine loops until no
+    * label changes; the oracle replays it as a FIXED unroll — the
+    * monotone update makes post-convergence rounds no-ops, so ANY
+    * unroll count at or above the engine's convergence round yields
+    * the identical labeling. `unrollRounds` must therefore stay >= the
+    * fixture's convergence round (engine asserts convergence within
+    * its own maxRounds=50; PipelineSpec pins the sf0.01 convergence
+    * round well under the unroll).
+    */
+  private def lpaConvergedSql(unrollRounds: Int): String = {
+    val head = cooccurCte +
+      """, und AS (
+      |  SELECT DISTINCT least(product, neighbor) AS u,
+      |    greatest(product, neighbor) AS v
+      |  FROM counts WHERE product <> neighbor AND cnt >= 2
+      |), adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM und
+      |  UNION ALL SELECT v, u FROM und
+      |), l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)""".stripMargin
+    val iters = (1 to unrollRounds).map { i =>
+      s""",
+      |c$i AS (SELECT a.node, l.lbl, count(*) AS c
+      |  FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
+      |m$i AS (SELECT node, lbl AS cand FROM c$i
+      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1),
+      |l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, m.cand) AS lbl
+      |  FROM l${i - 1} l JOIN m$i m ON l.node = m.node)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT node, lbl AS community FROM l$unrollRounds ORDER BY node"
+  }
+
   /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
     * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
     * separators — the representation in which ONE SQL replace of
@@ -2247,8 +2300,15 @@ object SparkEntry {
     * rounds of (pair-count p_i, argmax b_i, greedy-merge e_{i+1}) over
     * the space-encoded form. Shared by bpe_train (emits the b_i rules)
     * and pipeline_tokenizer (applies e_rounds back to the documents).
+    *
+    * `wordCte` names the word-type head CTE — parameterized at the
+    * definition site (r13 advice) so a composing oracle whose WITH list
+    * already binds `w` (pipeline_dsir_pack's DSIR weights) renames it
+    * here instead of post-hoc string surgery that would silently
+    * mis-bind if this chain ever referenced `w` in another form.
     */
-  private def bpeTrainOracleChain(rounds: Int): String = {
+  private def bpeTrainOracleChain(rounds: Int,
+      wordCte: String = "w"): String = {
     // every chain CTE is MATERIALIZED: e_i is referenced twice per round
     // (pair count + next merge) — inlined, the chain re-expands
     // exponentially and re-opens the parquet scan per expansion
@@ -2263,12 +2323,12 @@ object SparkEntry {
       |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
       |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
       |  FROM e$i)""".stripMargin
-    s"""WITH w AS MATERIALIZED (
+    s"""WITH $wordCte AS MATERIALIZED (
       |  SELECT token AS word, count(*) AS freq FROM (
       |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
       |  GROUP BY token),
       |e0 AS MATERIALIZED (SELECT word, freq,
-      |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM w)""".stripMargin +
+      |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM $wordCte)""".stripMargin +
       (0 until rounds).map(round).mkString
   }
 
@@ -3127,7 +3187,8 @@ object SparkEntry {
     * fragment chained into ONE WITH RECURSIVE list, retargeted at the
     * previous stage's output (`chainFrag` strips the fragment's WITH and
     * rebinds its `FROM documents` scans). The BPE chain's word CTE is
-    * renamed `bw` to avoid colliding with DSIR's weight CTE `w`.
+    * named `bw` at its definition site (the `wordCte` parameter) to
+    * avoid colliding with DSIR's weight CTE `w`.
     */
   private lazy val pipelineDsirPackSql: String = {
     def chainFrag(frag: String, src: String): String =
@@ -3137,9 +3198,9 @@ object SparkEntry {
     val quality = gopherC4CleanCte.replaceAll("^WITH ", "")
     val minhash = chainFrag(minhashScoredCte, "cleaned")
     val dsir = chainFrag(dsirWeightsCte, "kept")
-    val bpe = chainFrag(bpeTrainOracleChain(BpeOracleRounds), "corpus")
-      .replace("w AS MATERIALIZED (", "bw AS MATERIALIZED (")
-      .replace("FROM w)", "FROM bw)")
+    val bpe =
+      chainFrag(bpeTrainOracleChain(BpeOracleRounds, wordCte = "bw"),
+        "corpus")
     s"""WITH RECURSIVE $quality, cleaned AS (
       |  SELECT c.doc_id, c.text, d.lang
       |  FROM cl c JOIN documents d USING (doc_id)
@@ -3353,6 +3414,10 @@ object SparkEntry {
     // graph, 3 rounds, QUALIFY row_number argmax = the engine's
     // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)
     "communities_lpa" -> lpaSql(3),
+    // fixed unroll >= the fixture's convergence round (engine loops
+    // until changed==0; monotone no-op rounds make any larger unroll
+    // identical — see lpaConvergedSql)
+    "lpa_converged" -> lpaConvergedSql(16),
     // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
     // dedupes (node, hop) pairs so the working set stays bounded on the
     // dense graph, and min(hop) reproduces the anti-join's minimality
@@ -5897,7 +5962,7 @@ object SparkEntry {
         |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
         |  md5(substr(text, 1, 64)) AS head_sig
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "media_resize" ->
+    "media_resize_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(length(text) AS BIGINT) AS n_units,
@@ -5957,7 +6022,7 @@ object SparkEntry {
         |SELECT doc_id, fr.idx AS frame_idx, md5(fr.frame) AS frame_sig,
         |  CAST(1 + length(fr.frame) % 16 AS INTEGER) AS thumb_w
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "media_embedding" -> {
+    "media_embedding_stub" -> {
       val dims = (0 until Multimodal.EmbedDims).map { i =>
         val a = s"ascii(substr(md5(substr(text, ${1 + i * 7}, 7)), 1, 1))"
         s"CAST(floor(((CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS DOUBLE)) / 15.0 - 0.5) * 1000000.0) AS BIGINT) AS e$i"

@@ -212,6 +212,111 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** CONVERGENCE-TERMINATED label propagation (r13 verdict item 4): the
+    * open-ended fixpoint the fixed-round [[labelPropagation]] scaladoc
+    * defers to. Synchronous and deterministic like its fixed twin, but
+    * with a MONOTONE update — each round every node adopts
+    * `least(current label, argmax-frequency neighbor label)` (the same
+    * `min(struct(-cnt, lbl))` argmax, clamped by the node's current
+    * label) — and the loop stops when NO label changes.
+    *
+    * Monotonicity is what makes "run until no change" well-defined:
+    * plain synchronous LPA oscillates forever on bipartite structure
+    * (a 2-node edge swaps labels every round), so a changed==0 gate
+    * over it would spin to the round cap on trivial graphs. With the
+    * clamp, every node's label is non-increasing over a finite label
+    * set, so a fixpoint EXISTS and is reached in at most
+    * O(label-chain length) rounds; and because the update is a pure
+    * function of the current labeling with f(fixpoint) = fixpoint,
+    * post-convergence rounds are no-ops — which is exactly what lets
+    * the DuckDB oracle replay it as a FIXED unroll (any K at or above
+    * the engine's convergence round yields the identical labeling,
+    * the page_rank unroll discipline extended to an open-ended loop).
+    *
+    * Loop mechanics are [[graft.operators.Dedup.nearDupClusters]]'s
+    * verbatim discipline: per-round lineage truncation through an
+    * explicitly persisted row RDD (the plan would otherwise grow per
+    * round and the optimizer re-walk it in full every round), the
+    * changed-count riding the SAME materializing action via an
+    * accumulator (one job per round, no separate count query; task
+    * retries can only OVER-count, which at worst buys one cheap no-op
+    * round, never early termination), superseded rounds unpersisted as
+    * soon as their successor lands, and an exact recheck before
+    * declaring non-convergence at the round cap.
+    *
+    * Scale shape per round: one equi-join of the bounded label relation
+    * onto the persisted adjacency (shuffled once for the whole run),
+    * two partial-aggregable hash aggregates (a hub's million
+    * neighbor-label rows combine map-side), one bounded labels join.
+    * Emits (node, community), community = the converged label.
+    */
+  def lpaConverged(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // plain persist + explicit unpersist (NOT selfReleasing): the driver
+    // loop below runs one internal action per round, so a listener-based
+    // release would fire on round 1 and every later round would recompute
+    // the adjacency from scratch
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .persist(StorageLevel.DISK_ONLY)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var persisted: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var lastWithOld: DataFrame = null
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // argmax(count) with min-label tie-break — labelPropagation's exact
+      // aggregate — then the monotone clamp against the current label
+      val cand = adj.join(
+          labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("cand"))
+      // every node in `labels` has >= 1 neighbor by adj's construction,
+      // so the inner join drops nothing
+      val next = labels.join(cand, Seq("node"))
+        .select(col("node"), least(col("lbl"), col("cand")).as("lbl"),
+          col("lbl").as("old"))
+      val acc = spark.sparkContext
+        .longAccumulator(s"lpaConverged.changed.r$rounds")
+      val li = next.schema.fieldIndex("lbl")
+      val oi = next.schema.fieldIndex("old")
+      val nextRdd = next.rdd.mapPartitions { it =>
+        it.map { row =>
+          if (row.get(li) != row.get(oi)) acc.add(1L)
+          row
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      nextRdd.count()
+      changed = acc.value
+      if (persisted != null) persisted.unpersist(false)
+      persisted = nextRdd
+      lastWithOld = spark.createDataFrame(nextRdd, next.schema)
+      labels = lastWithOld.drop("old")
+      rounds += 1
+    }
+    adj.unpersist()
+    // accumulator over-count guard (nearDupClusters): re-verify with an
+    // exact count before aborting — failure path only
+    if (changed > 0 &&
+        lastWithOld.filter(col("lbl") =!= col("old")).count() > 0)
+      throw new IllegalStateException(
+        s"lpaConverged did not converge in $maxRounds rounds")
+    val out = CacheScope.selfReleasing(
+      labels.select(col("node"), col("lbl").as("community"))
+        .orderBy(col("node")),
+      StorageLevel.MEMORY_AND_DISK, eager = true)
+    if (persisted != null) persisted.unpersist(false)
+    out
+  }
+
   /** Bounded k-hop reachability (multi-source BFS): every node within k
     * directed hops of the seed set, labeled with its MINIMUM hop count.
     *

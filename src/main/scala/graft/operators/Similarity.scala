@@ -169,12 +169,18 @@ object Similarity {
     *
     * Both driver-side reads are hard-bounded: the centroid table
     * (`numCentroids` rows, recovered from the index itself — the
-    * [[ivfTopKFromIndex]] discipline) and the 1-row query vector. The
-    * payoff of doing the cell choice driver-side is that the probed
-    * cells become LITERALS, so the equality/IN filter on the bucketed
-    * index prunes the scan statically (SelectedBucketsCount) — at
-    * 100 TB the index is the corpus and a serve must read `numProbes`
-    * cells' files, never scan-and-shuffle the index per query.
+    * [[ivfTopKFromIndex]] discipline) and the 1-row query vector. Note
+    * these two recovery reads filter on `other_id`, NOT the bucket
+    * column, so only the CANDIDATE leg below is bucket-pruned; the two
+    * driver-side fetches each scan the index once (bounded output, not
+    * bounded scan). A production deployment persists the centroid
+    * table separately so the serve path never touches the corpus for
+    * metadata. The payoff of doing the cell choice driver-side is that
+    * the probed cells become LITERALS, so the equality/IN filter on the
+    * bucketed index prunes the scan statically (SelectedBucketsCount) —
+    * at 100 TB the index is the corpus and a serve must read
+    * `numProbes` cells' files, never scan-and-shuffle the index per
+    * query.
     *
     * With `numProbes = numCentroids` this is exactly [[queryTopK]]
     * (minus the self-row) served from the index; smaller probe counts
@@ -190,6 +196,12 @@ object Similarity {
     // themselves in their own cells — self-distance 0)
     val cents = index.filter(col("other_id") < numCentroids)
       .select(col("other_id"), col("vb"), col("nrm_b")).collect()
+    // fail fast on a mis-sized or filtered index: a short centroid set
+    // would otherwise silently shrink (or empty) the probed-cell IN
+    // list and serve wrong results instead of raising
+    require(cents.length == numCentroids,
+      s"index carries ${cents.length} centroid rows, expected " +
+        s"$numCentroids — was it built with a different numCentroids?")
     // bounded collect #2: the 1-row query vector
     val qRows = index.filter(col("other_id") === queryVecId)
       .select(col("vb"), col("nrm_b")).collect()

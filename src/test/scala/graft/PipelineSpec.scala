@@ -2794,6 +2794,114 @@ class PipelineSpec extends AnyFunSuite {
       "one ranker contributed nothing — fixture no longer exercises fusion")
   }
 
+  test("lpaConverged reaches the fixpoint a fixed-3-round run genuinely misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // an 8-node path: the monotone argmax floods the min label ONE hop
+    // per round (each internal node's neighbor tie breaks to the lower
+    // side), so convergence takes 7 rounds — fixed-3 can't get there
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val converged = Graph.lpaConverged(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged == (1L to 8L).map(_ -> 1L).toMap,
+      s"path fixpoint is min-label flooding, got $converged")
+    val fixed3 = Graph.labelPropagation(path, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed3 != converged,
+      "fixture no longer separates fixed-3 rounds from convergence")
+
+    // community structure survives (this is NOT connected components):
+    // two 4-cliques bridged by one edge — each clique keeps its own
+    // min label; CC would collapse both sides to 1
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val twoCliques = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))).toDF("src", "dst")
+    val got = Graph.lpaConverged(twoCliques).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), s"left clique: $got")
+    // the right clique's CORE keeps its own community (the bridge
+    // endpoint 10 is pulled by its round-1 neighbor tie, but 11-13's
+    // in-clique majority holds) — CC min-flooding would label ALL of
+    // them 1, so >= 2 surviving communities is the not-just-CC pin
+    assert(Seq(11L, 12L, 13L).forall(got(_) == 10L),
+      s"right clique core absorbed across the bridge (CC behavior): $got")
+
+    // driver-side replay of the monotone update on the bridged fixture —
+    // the exact fixpoint, not just its community shape
+    def replay(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1).map {
+        case (n, ps) => n -> ps.map(_._2)
+      }
+      var lbl = adj.keys.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        val next = adj.map { case (n, nbrs) =>
+          val cand = nbrs.groupBy(lbl).toSeq
+            .map { case (l, g) => (-g.size, l) }.min._2
+          n -> math.min(lbl(n), cand)
+        }
+        changed = next != lbl
+        lbl = next
+      }
+      lbl
+    }
+    assert(got == replay(clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))),
+      "engine fixpoint diverged from the driver replay")
+  }
+
+  test("lpaConverged bounds lineage and converges within the oracle unroll") {
+    import spark.implicits._
+    // lineage: a diameter-11 path needs ~11 rounds; the returned plan
+    // must stay a flat LogicalRDD scan (per-round truncation), not an
+    // 11-round join tree
+    val longPath = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.lpaConverged(longPath)
+    val lines = out.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(lines < 12,
+      s"lineage grew with rounds ($lines plan lines) — truncation broken")
+    assert(out.count() == 12)
+
+    // the registered query's oracle unrolls 16 rounds; lpaConverged with
+    // maxRounds=16 THROWS if the sf0.01 fixture hasn't converged by then,
+    // so this passing pins oracle-unroll >= engine convergence round.
+    // If it fails after a fixture change, raise the unroll in
+    // SparkEntry's lpaConvergedSql(16) binding and this cap together.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val edges = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .filter(col("cnt") >= 2)
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    assert(Graph.lpaConverged(edges, maxRounds = 16).count() > 0)
+  }
+
+  test("rrf_fusion_indexed's numProbes=12 covers recall 1 at the verify scale") {
+    // the registered rrf_fusion_indexed serves from 12 of 16 IVF probes
+    // and is hash-checked against rrf_fusion's EXACT-scan oracle text at
+    // sf0.01 — so the probe count is a recall-1 coverage claim about
+    // that fixture, pinned here. If this fails after a fixture or
+    // scale-factor change, the probe set no longer covers query 0's
+    // true top-20: bump numProbes in SparkEntry's "rrf_fusion_indexed"
+    // binding (and this test), NOT a code regression in the serve.
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    graft.sources.TableSink.writeBucketed(
+      Similarity.ivfIndexRelation(emb), "graft_ivf_rrf_cov",
+      "cluster_b", 8)
+    val exact = Retrieval.rrfFusion(docs, emb).collect().toSeq
+    val indexed = Retrieval.rrfFusionIndexed(docs,
+      spark.table("graft_ivf_rrf_cov"), numProbes = 12).collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_rrf_cov")
+    assert(indexed == exact,
+      "numProbes=12 no longer reaches recall 1 on this fixture — bump " +
+        "the probe count in SparkEntry's rrf_fusion_indexed binding")
+  }
+
   test("annPartners caps the cell index side deterministically; probes stay uncut") {
     import spark.implicits._
     // centroids are vec_id < 4 (axis vectors); 4..8 all land in cell 0,
