@@ -1571,6 +1571,20 @@ object SparkEntry {
         "cluster_b", 8)
       Similarity.ivfTopKFromIndex(t(s, dir, "embeddings"), s.table(tbl))
     }),
+    // the BATCHED indexed serve (r13 verdict item 7): one plan serves a
+    // query batch from the persisted bucketed index — distributed
+    // bounded probe ranking, union-of-probed-cells literal IN (static
+    // multi-cell bucket pruning, plan-pinned), per-query cell-equi join.
+    // Bit-identical per query to the single-query serve at the same
+    // probe count (spec-pinned).
+    "ann_batch_serve" -> ((s, dir) => {
+      val tbl = "graft_ivf_batch"
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
+        "cluster_b", 8)
+      Similarity.queryTopKBatchFromIndex(s.table(tbl), maxQueries = 8,
+        numProbes = 2)
+    }),
     // STREAMING ANN SERVE composition (the dedup_incremental_stream
     // shape for similarity): the IVF index is built ONCE over the corpus
     // and persisted bucketed on the cell id; a checkpointed query-vector
@@ -1644,6 +1658,31 @@ object SparkEntry {
         Similarity.ivfIndexDelta(delta, s.table(tbl)), tbl, "cluster_b", 8)
       Similarity.ivfTopKFromIndex(emb, s.table(tbl))
     }),
+    // the COMPACTION close of the ANN index lifecycle (r13 verdict
+    // item 5): base build + TWO delta append generations (3 file sets
+    // per bucket), then compactBucketed rewrites to ONE file per bucket
+    // under the same spec — the serve over the compacted index is
+    // bit-identical to ann_ivf_persisted's one-shot build (same oracle
+    // text); the file-count drop and preserved bucket pruning are
+    // pinned in TableSinkSpec. At 100 TB this is the OPTIMIZE verb a
+    // daily-append vector index needs before scan task count goes
+    // generation-bound.
+    "ann_index_compacted" -> ((s, dir) => {
+      val tbl = "graft_ivf_index_cmp"
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 < 3 ||
+        col("vec_id") < Similarity.NumCentroids)
+      def gen(r: Int) = emb.filter(col("vec_id") % 5 === r &&
+        col("vec_id") >= Similarity.NumCentroids)
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
+      graft.sources.TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(gen(3), s.table(tbl)), tbl, "cluster_b", 8)
+      graft.sources.TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(gen(4), s.table(tbl)), tbl, "cluster_b", 8)
+      graft.sources.TableSink.compactBucketed(s, tbl, "cluster_b", 8)
+      Similarity.ivfTopKFromIndex(emb, s.table(tbl))
+    }),
     // PQ encoding (Jégou et al.): per (vector, subspace) the nearest
     // codeword by squared L2 — 8 subspaces × 16 codewords, flat rows,
     // broadcast codebook, map-side argmin window. The 64×-compression
@@ -1657,6 +1696,16 @@ object SparkEntry {
     // instead of 256-byte vectors — the index-fits-on-disk path at 100 TB.
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfpqTopK(t(s, dir, "embeddings"))),
+    // the CORPUS-ADAPTIVE twin (r13 verdict item 2): centroid count from
+    // centroidsFor(count) so expected cell population stays constant —
+    // the sizing that keeps the in-cell candidate join LINEAR at x100
+    // where the frozen-16-centroid form grows cell populations 100×.
+    // Oracle mirrors the sizing as a scalar subquery over embeddings.
+    "ann_ivfpq_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()))
+    }),
     // measured IVFADC retrieval quality: exact counts of true/candidate/
     // hit pairs over the bounded query head — lsh_recall's discipline for
     // the PQ serve, so quantization-quality regressions fail the hash gate
@@ -2741,6 +2790,40 @@ object SparkEntry {
       |  FROM p)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
 
+  /** `ann_batch_serve`: the head-query multi-probe replay of
+    * [[annIvfTopKOracle]] — queries are the first 8 corpus vectors, each
+    * probing its top-2 cells (crk <= 2); candidates come from the full
+    * crk = 1 index side. The engine's literal-IN pruning is a scan
+    * optimization with no result-set effect, so the oracle needs no
+    * counterpart for it.
+    */
+  private lazy val annBatchServeOracle =
+    embedCte +
+      s""", cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |), scored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM n a CROSS JOIN cents c
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |  FROM scored
+      |), assigned AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM ranked WHERE crk = 1
+      |), head AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8),
+      |probes AS (
+      |  SELECT r.vec_id, r.v, r.nrm, r.cent_id AS cluster
+      |  FROM ranked r JOIN head h ON r.vec_id = h.vec_id WHERE r.crk <= 2
+      |), p AS (
+      |  SELECT a.vec_id AS vec_id, b.cluster AS cluster, b.vec_id AS other_id,
+      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM probes a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
   /** `ann_partners`: the within-cell all-pairs definition with the
     * index-side cell cap replayed exactly (QUALIFY row_number ≤ maxCell
     * by vec_id — inactive at gate scale, mirrored anyway so the oracle
@@ -2906,10 +2989,20 @@ object SparkEntry {
       |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
       |  USING (vec_id, other_id)""".stripMargin
 
-  private lazy val annIvfpqOracle =
+  private lazy val annIvfpqOracle = annIvfpqOracleWith("vec_id < 16")
+
+  /** `ann_ivfpq_auto` mirrors Similarity.centroidsFor(count): the same
+    * IVFADC body with the centroid count derived from the corpus —
+    * parameterized here at the definition site (the bpeTrainOracleChain
+    * discipline) so the fixed and auto forms can never drift apart.
+    */
+  private lazy val annIvfpqAutoOracle = annIvfpqOracleWith(
+    "vec_id < (SELECT greatest(4, least(4096, count(*) // 256)) FROM embeddings)")
+
+  private def annIvfpqOracleWith(centsWhere: String) =
     embedCte +
       s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE $centsWhere
       |), cscored AS (
       |  SELECT a.vec_id, c.cent_id,
       |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
@@ -5721,8 +5814,12 @@ object SparkEntry {
     // the appended index serves bit-identically to a one-shot rebuild:
     // same frozen quantizer, same cells, same oracle text
     "ann_index_append" -> annIvfTopKOracle,
+    // base + 2 appends + compaction serve == the one-shot build's serve
+    "ann_index_compacted" -> annIvfTopKOracle,
+    "ann_batch_serve" -> annBatchServeOracle,
     "pq_encode" -> pqEncodeOracle,
     "ann_ivfpq_topk" -> annIvfpqOracle,
+    "ann_ivfpq_auto" -> annIvfpqAutoOracle,
     "pq_recall" -> pqRecallOracle,
     "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),
     "hard_negatives" -> hardNegativesOracle,

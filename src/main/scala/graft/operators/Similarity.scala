@@ -245,6 +245,64 @@ object Similarity {
     rankTopK(scored, k, Seq("vec_id", "other_id", "cos_e6", "rk"))
   }
 
+  /** BATCHED indexed serve (r13 verdict item 7): [[queryTopKFromIndex]]
+    * serves ONE query id with a driver-local probe choice; real ANN
+    * serving takes a query batch. This serves the first `maxQueries`
+    * corpus vectors (recovered from the index — the build-once/
+    * probe-many shape) in one plan:
+    *
+    *  1. queries × centroids rank, DISTRIBUTED and bounded
+    *     (maxQueries · numCentroids rows — the headScored shape from
+    *     [[ivfProbeRecall]]), crk ≤ numProbes picks each query's cells
+    *     with the same e6-floored (cscore desc, cent_id) convention the
+    *     single-query serve uses, so per-query results are bit-identical
+    *     to `maxQueries` separate [[queryTopKFromIndex]] calls;
+    *  2. the UNION of probed cells — ≤ maxQueries · numProbes ids, a
+    *     bounded collect — becomes a LITERAL multi-cell IN on the
+    *     bucketed index, so the scan statically prunes to the probed
+    *     cells' files (SelectedBucketsCount, plan-pinned) — ONE pruned
+    *     index read serves the whole batch instead of one scan per
+    *     query;
+    *  3. the per-query cell-equi join ([[serveAgainst]]) then restricts
+    *     each query to ITS probed cells — the IN alone would cross
+    *     queries into each other's cells.
+    *
+    * At 100 TB this is the serving-node batch loop: the index shuffle
+    * was paid at write time, a batch of Q queries reads at most
+    * Q · numProbes cells' files once, and everything after the pruned
+    * scan is bounded by batch size, not corpus size.
+    */
+  def queryTopKBatchFromIndex(index: DataFrame, maxQueries: Int,
+      k: Int = 5, numCentroids: Int = NumCentroids,
+      numProbes: Int = 2): DataFrame = {
+    require(maxQueries >= 1 && k >= 1,
+      s"maxQueries/k must be >= 1, got $maxQueries/$k")
+    require(numProbes >= 1 && numProbes <= numCentroids,
+      s"numProbes must be in [1, $numCentroids], got $numProbes")
+    VectorFunctions.register(index.sparkSession)
+    val cents = index.filter(col("other_id") < numCentroids)
+      .select(col("other_id").as("cent_id"), col("vb").as("cv"),
+        col("nrm_b").as("cnrm"))
+    val queries = index.orderBy(col("other_id")).limit(maxQueries)
+      .select(col("other_id").as("vec_id"), col("vb").as("v"),
+        col("nrm_b").as("nrm"))
+    // two consumers: the probed-cell collect below and the serve join —
+    // matchingActions = 2 keeps the persist through both
+    val probes = CacheScope.selfReleasing(
+      assignCells(queries, cents)
+        .filter(col("crk") <= numProbes)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cluster")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY,
+      matchingActions = 2)
+    // bounded collect: <= maxQueries · numProbes cell ids
+    val cells = probes.select(col("cluster")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    require(cells.nonEmpty,
+      "empty probe set — is the index missing its centroid rows?")
+    serveAgainst(probes, index.filter(col("cluster_b").isin(cells: _*)), k)
+  }
+
   /** The exact-scoring rank tail every ANN variant and the brute-force
     * baseline share: per-query top-k by (cos_e6 desc, other_id). ONE
     * definition of the tie-break, so a ranking change cannot silently
@@ -293,6 +351,28 @@ object Similarity {
     }.reduce(_ + _)
 
   val NumCentroids = 16
+
+  /** Corpus-adaptive IVF sizing (r13 verdict item 2 — the [[planesFor]]
+    * discipline for the centroid count): production IVF grows `nlist`
+    * with the corpus so expected cell population stays CONSTANT, which
+    * is what keeps the in-cell candidate join linear in corpus size —
+    * a frozen centroid count means 10× corpus → 10× cell populations →
+    * quadratic in-cell work (the exact x100 superlinearity the fixed
+    * registered forms cap with `maxCell`). `corpusSize / targetCellPop`
+    * cells, floored at 4 (below that "cells" stop pruning anything)
+    * and capped at 4096 (the deterministic first-N quantizer reserves
+    * ids 0..nc-1 as centroids; a cap keeps the reserved prefix bounded
+    * and the assignment cross-product N·nlist·d manageable — beyond
+    * it, shard the index). The fixed-parameter registered forms stay
+    * as-is for oracle stability; auto-sized twins compute this from a
+    * corpus count and mirror it in SQL as
+    * `greatest(4, least(4096, count(*) // targetCellPop))`.
+    */
+  def centroidsFor(corpusSize: Long, targetCellPop: Int = 256): Int = {
+    require(corpusSize > 0 && targetCellPop > 0,
+      s"centroidsFor needs positive sizes, got $corpusSize/$targetCellPop")
+    math.max(4L, math.min(4096L, corpusSize / targetCellPop)).toInt
+  }
 
   /** IVF-style ANN: assign every vector to its nearest centroid, then
     * search only within the assigned cell. The serving path (assignment

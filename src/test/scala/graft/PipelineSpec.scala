@@ -2879,6 +2879,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Graph.lpaConverged(edges, maxRounds = 16).count() > 0)
   }
 
+  test("batched indexed serve equals per-query serves at the same probe count") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_batch_eq")
+    graft.sources.TableSink.writeBucketed(
+      Similarity.ivfIndexRelation(tbl("embeddings")), "graft_ivf_batch_eq",
+      "cluster_b", 8)
+    val idx = spark.table("graft_ivf_batch_eq")
+    val batch = Similarity.queryTopKBatchFromIndex(idx, maxQueries = 6,
+      numProbes = 3)
+      .select(col("vec_id"), col("other_id"), col("cos_e6"), col("rk"))
+      .collect().toSeq.groupBy(_.getLong(0))
+    assert(batch.keySet == (0L to 5L).toSet, s"head ids: ${batch.keySet}")
+    for (q <- 0L to 5L) {
+      val single = Similarity.queryTopKFromIndex(idx, q, 5, numProbes = 3)
+        .collect().toSeq
+      assert(batch(q).map(_.toSeq) == single.map(_.toSeq),
+        s"batch serve diverged from the single-query serve for query $q")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_batch_eq")
+  }
+
   test("rrf_fusion_indexed's numProbes=12 covers recall 1 at the verify scale") {
     // the registered rrf_fusion_indexed serves from 12 of 16 IVF probes
     // and is hash-checked against rrf_fusion's EXACT-scan oracle text at

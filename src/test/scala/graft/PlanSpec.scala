@@ -243,6 +243,19 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_rrf")
   }
 
+  test("ann_batch_serve statically prunes the index to the probed cells' buckets") {
+    // the batched serve's whole point: the union of probed cells is a
+    // LITERAL multi-cell IN, so ONE pruned index read serves the batch —
+    // never a full index scan per query (r13 verdict item 7)
+    val df = SparkEntry.queries("ann_batch_serve")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(sel.exists(_ < 8),
+      s"index scan not bucket-pruned (SelectedBucketsCount=$sel):\n$p")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_batch")
+  }
+
   test("next_purchase_rules and both phrase queries stay equi-join only") {
     // all are composition joins over derived keys — a silent fallback
     // to a nested loop would be the O(n²) their key derivations exist
@@ -315,13 +328,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("snapshot_diff is one full-outer join, row-local after") {
+    // the scaladoc contract, pinned in full (r13 verdict item 6: its
+    // 0.57 -> 1.07 s bench move claimed "plan unchanged" — with the
+    // join TYPE and cartesian-freedom pinned too, any future drift on
+    // this query is environment by construction)
     val p = planOf("snapshot_diff")
     val joins = SparkEntry.queries("snapshot_diff")(spark, sf)
       .queryExecution.sparkPlan.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
       }
     assert(joins.size == 1, s"snapshot_diff planned ${joins.size} joins:\n$p")
+    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.FullOuter,
+      s"join is ${joins.head.joinType}, not FullOuter:\n$p")
     assert(!p.contains("Window"), s"snapshot_diff grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
 
   test("cdc_upsert applies through one anti join over a materialized feed") {
