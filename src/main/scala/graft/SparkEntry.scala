@@ -1706,6 +1706,17 @@ object SparkEntry {
       Similarity.ivfpqTopK(emb,
         numCentroids = Similarity.centroidsFor(emb.count()))
     }),
+    // the HIERARCHICAL-assignment twin (FAISS IMI shape): auto nlist +
+    // two-level coarse quantization — once nlist grows with the corpus,
+    // the flat N·nlist assignment is the dominant superlinear stage
+    // (measured, BENCH_NOTES r14) and the √nlist-way hierarchy cuts it
+    // to N·2√nlist. Own oracle (two-level argmax replayed exactly).
+    "ann_ivfpq_imi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()),
+        twoLevel = true)
+    }),
     // measured IVFADC retrieval quality: exact counts of true/candidate/
     // hit pairs over the bounded query head — lsh_recall's discipline for
     // the PQ serve, so quantization-quality regressions fail the hash gate
@@ -3011,7 +3022,13 @@ object SparkEntry {
       |  SELECT vec_id, cent_id AS cluster FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
       |    FROM cscored) WHERE crk = 1
-      |)""".stripMargin + pqDistCtes +
+      |)""".stripMargin + ivfpqOracleTail
+
+  /** The IVFADC body shared by every assignment strategy's oracle (flat
+    * fixed/auto, two-level IMI): consumes an `assigned(vec_id, cluster)`
+    * CTE and replays cap → pairs → codes → ADC → top-k.
+    */
+  private lazy val ivfpqOracleTail = pqDistCtes +
       """, codes AS (
       |  SELECT vec_id AS other_id, m, code_id AS code FROM dist
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
@@ -3032,6 +3049,51 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) AS rk
       |  FROM adc)
       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** `ann_ivfpq_imi` mirrors Similarity.twoLevelAssign under the auto
+    * sizing: supers = first ⌈√nc⌉ vectors, cells parented to their
+    * nearest super, each vector routed super-first then within the
+    * chosen super's children — every argmax the shared e6-floored
+    * (score desc, id) convention — then the common IVFADC tail.
+    */
+  private lazy val annIvfpqImiOracle =
+    embedCte +
+      s""", params AS (
+      |  SELECT greatest(4, least(4096, count(*) // 256)) AS nc,
+      |    CAST(ceil(sqrt(greatest(4, least(4096, count(*) // 256)))) AS BIGINT) AS l1
+      |  FROM embeddings
+      |), sups AS (
+      |  SELECT vec_id AS sup_id, v AS sv, nrm AS snrm FROM n
+      |  WHERE vec_id < (SELECT l1 FROM params)
+      |), cents AS (
+      |  SELECT vec_id AS cent_id, v AS cv, cnrm FROM (
+      |    SELECT vec_id, v, nrm AS cnrm FROM n
+      |    WHERE vec_id < (SELECT nc FROM params))
+      |), pscored AS (
+      |  SELECT c.cent_id, c.cv, c.cnrm, s.sup_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i])) / (c.cnrm * s.snrm) * 1000000.0) AS BIGINT) AS sscore
+      |  FROM cents c CROSS JOIN sups s
+      |), parents AS (
+      |  SELECT cent_id, cv, cnrm, sup_id AS parent FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cent_id ORDER BY sscore DESC, sup_id) AS srk
+      |    FROM pscored) WHERE srk = 1
+      |), vscored AS (
+      |  SELECT a.vec_id, a.v, a.nrm, s.sup_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * s.sv[i])) / (a.nrm * s.snrm) * 1000000.0) AS BIGINT) AS sscore
+      |  FROM n a CROSS JOIN sups s
+      |), vsuper AS (
+      |  SELECT vec_id, v, nrm, sup_id AS parent FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, sup_id) AS srk
+      |    FROM vscored) WHERE srk = 1
+      |), cscored AS (
+      |  SELECT x.vec_id, p.cent_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> x.v[i] * p.cv[i])) / (x.nrm * p.cnrm) * 1000000.0) AS BIGINT) AS cscore
+      |  FROM vsuper x JOIN parents p ON x.parent = p.parent
+      |), assigned AS (
+      |  SELECT vec_id, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+      |    FROM cscored) WHERE crk = 1
+      |)""".stripMargin + ivfpqOracleTail
 
   /** `hard_negatives`: the annPartners replay with the anchor's label
     * carried through and a label-mismatch predicate on the candidate
@@ -5820,6 +5882,7 @@ object SparkEntry {
     "pq_encode" -> pqEncodeOracle,
     "ann_ivfpq_topk" -> annIvfpqOracle,
     "ann_ivfpq_auto" -> annIvfpqAutoOracle,
+    "ann_ivfpq_imi" -> annIvfpqImiOracle,
     "pq_recall" -> pqRecallOracle,
     "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),
     "hard_negatives" -> hardNegativesOracle,

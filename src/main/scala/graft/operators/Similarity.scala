@@ -763,6 +763,72 @@ object Similarity {
     * query's `numProbes` nearest cells (one shuffle on the cell id;
     * candidate volume linear in numProbes). numProbes = 1 is classic IVF.
     */
+  /** TWO-LEVEL coarse quantization (the FAISS IMI / inverted-multi-index
+    * idea, r14): assign each vector to a cell through a √nlist-way
+    * hierarchy instead of scoring all nlist centroids flat.
+    *
+    * Why: once [[centroidsFor]] grows nlist ∝ corpus (the sizing that
+    * keeps cell populations — and the candidate join — constant), the
+    * FLAT assignment is N·nlist dots ∝ N² — measured as the dominant
+    * x100 stage of the auto-sized IVFADC (BENCH_NOTES r14: 15.2× vs the
+    * frozen quantizer's 11.9×). Two levels cut it to N·2√nlist ∝ N^1.5
+    * with a 1/√nlist constant: at the x100 corpus that is 11M dots
+    * instead of 156M.
+    *
+    * Deterministic like the flat stub quantizer, so an oracle replays
+    * it: level-1 "super" centroids are the first ⌈√nlist⌉ vectors,
+    * cells the first nlist; every CELL is assigned to its nearest super
+    * (nlist·√nlist — negligible, broadcast both sides); every VECTOR
+    * scores the √nlist supers, takes the argmax (the shared e6-floored
+    * (cscore desc, id) convention), then scores ONLY the cells parented
+    * by that super. A vector's final cell can differ from the flat
+    * argmax (the textbook IMI approximation — a vector near a super
+    * boundary may miss the globally-nearest cell); the registered twin
+    * carries its own oracle replaying exactly this rule.
+    *
+    * Returns (vec_id, cluster) — the [[ivfpqTopK]] assignment shape.
+    */
+  private[graft] def twoLevelAssign(e: DataFrame,
+      numCentroids: Int): DataFrame = {
+    val l1 = math.max(1, math.ceil(math.sqrt(numCentroids.toDouble)).toInt)
+    val supers = e.filter(col("vec_id") < l1)
+      .select(col("vec_id").as("sup_id"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+    val cents = firstNCentroids(e, numCentroids)
+    // cell -> parent super: nlist × √nlist, both sides broadcastable
+    val parents = cents
+      .crossJoin(broadcast(supers))
+      .withColumn("sscore", floor(dot(col("cv"), col("sv")) /
+        (col("cnrm") * col("snrm")) * lit(1000000.0)))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("cent_id"))
+          .orderBy(col("sscore").desc, col("sup_id"))))
+      .filter(col("srk") === 1)
+      .select(col("cent_id"), col("cv"), col("cnrm"),
+        col("sup_id").as("parent"))
+    // level 1: every vector scores √nlist supers — N·√nlist dots
+    val vecSuper = e.crossJoin(broadcast(supers))
+      .withColumn("sscore", floor(dot(col("v"), col("sv")) /
+        (col("nrm") * col("snrm")) * lit(1000000.0)))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sscore").desc, col("sup_id"))))
+      .filter(col("srk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("sup_id").as("parent"))
+    // level 2: score only the chosen super's children — N·(nlist/√nlist)
+    // expected dots; the parent equi-key keeps it a broadcast hash join,
+    // never a cross product
+    vecSuper.join(broadcast(parents), "parent")
+      .withColumn("cscore", floor(dot(col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")) * lit(1000000.0)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+  }
+
   /** Per-vector centroid scores ranked per vec_id — the shared assignment
     * pass. The centroid-count window is fine at any scale: its partitions
     * are per-VECTOR (numCentroids rows each), never corpus-sized. */
@@ -1160,13 +1226,19 @@ object Similarity {
   def ivfpqTopK(embeddings: DataFrame, k: Int = 5,
       numCentroids: Int = NumCentroids, numSub: Int = PqNumSub,
       ks: Int = PqKs, dims: Int = 64, maxCell: Int = 256,
-      queries: DataFrame = null): DataFrame = {
+      queries: DataFrame = null, twoLevel: Boolean = false): DataFrame = {
     require(k >= 1, s"ivfpqTopK requires k >= 1, got $k")
     require(maxCell >= 2, s"ivfpqTopK requires maxCell >= 2, got $maxCell")
     val e = vectorsWithNorm(embeddings)
-    val assigned = assignCells(e, firstNCentroids(e, numCentroids))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cluster"))
+    // twoLevel: route assignment through the hierarchical coarse
+    // quantizer ([[twoLevelAssign]]) — the production-shaped answer once
+    // auto-sizing grows nlist with the corpus and the flat N·nlist
+    // assignment becomes the dominant (quadratic-in-corpus) stage
+    val assigned =
+      if (twoLevel) twoLevelAssign(e, numCentroids)
+      else assignCells(e, firstNCentroids(e, numCentroids))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"))
     // annPartners' megacell bound on the INDEX side (deterministic
     // first-maxCell by id, map-side WindowGroupLimit): with a frozen
     // coarse quantizer a 10× corpus means 10× cell populations and a

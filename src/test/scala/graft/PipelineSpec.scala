@@ -2879,6 +2879,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Graph.lpaConverged(edges, maxRounds = 16).count() > 0)
   }
 
+  test("two-level IMI assignment serves with recall comparable to flat") {
+    import org.apache.spark.sql.functions.col
+    // quality guard for the hierarchical coarse quantizer: the IMI
+    // routing approximation (a vector near a super boundary can miss
+    // the globally-nearest cell) must not collapse retrieval quality —
+    // measured as exact-truth recall of the ADC serve over the bounded
+    // query head, two-level vs flat at the same auto sizing
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val nc = Similarity.centroidsFor(emb.count())
+    val truth = Similarity.bruteForceTopK(emb, 5, maxQueries = 8)
+      .select(col("vec_id"), col("other_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(twoLevel: Boolean): Double = {
+      val head = emb.orderBy(col("vec_id")).limit(8).select(col("vec_id"))
+      val got = Similarity.ivfpqTopK(emb, 5, numCentroids = nc,
+          queries = head, twoLevel = twoLevel)
+        .select(col("vec_id"), col("other_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val flat = recallOf(twoLevel = false)
+    val imi = recallOf(twoLevel = true)
+    info(f"recall@5 over 8 head queries: flat=$flat%.3f imi=$imi%.3f (nc=$nc)")
+    assert(imi >= flat - 0.2,
+      f"two-level routing collapsed recall: imi=$imi%.3f vs flat=$flat%.3f")
+  }
+
   test("batched indexed serve equals per-query serves at the same probe count") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS graft_ivf_batch_eq")
