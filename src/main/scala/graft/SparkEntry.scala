@@ -514,6 +514,20 @@ object SparkEntry {
         .select(col("src").as("node"))
       Graph.kHopReach(edges, seeds, k = 3)
     }),
+    // the CONVERGENCE-TERMINATED closure of the same BFS (r14, the
+    // lpa_converged discipline for reachability): run until the
+    // frontier empties — exact min-hop labels with no horizon, levels
+    // truncated through persisted row RDDs; oracle replays it as a
+    // recursion bounded at the shared 60-round cap (engine throws
+    // beyond it rather than serving a truncated closure)
+    "reach_converged" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.reachConverged(edges, seeds)
+    }),
     // deterministic synchronous label propagation over the same
     // significant-edge graph: product communities in 3 rounds, every
     // round a hash-aggregate argmax (min(struct(-cnt, lbl))) — the
@@ -1635,6 +1649,15 @@ object SparkEntry {
     // modalities: text fingerprints, images, embeddings.
     "ann_partners" -> ((s, dir) =>
       Similarity.annPartners(t(s, dir, "embeddings"))),
+    // the auto-sized twin of the partners product (centroidsFor — the
+    // ann_ivfpq_auto discipline applied to the load-bearing k-NN join;
+    // hard_negatives and bitext_mine ride the same cell-blocked core,
+    // so the sizing transfers to them through this measured form)
+    "ann_partners_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annPartners(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()))
+    }),
     // the INSERT half of IVF index maintenance (dedup_appended's shape
     // for ANN): the base four-fifths of the corpus builds the bucketed
     // index, the remaining fifth is assigned against the centroids
@@ -2845,9 +2868,10 @@ object SparkEntry {
   /** The annPartners replay body over ANY `n(vec_id, v, nrm)` CTE —
     * shared by the raw-embedding and image-descriptor modalities
     * (`dims` only changes the dot-product width). */
-  private def annPartnersOracleBody(dims: Int): String =
+  private def annPartnersOracleBody(dims: Int,
+      centsWhere: String = "vec_id < 16"): String =
       s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE $centsWhere
       |), scored AS (
       |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
       |    CAST(floor(list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
@@ -3585,6 +3609,22 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
         |  WHERE r.hop < 3
+        |)
+        |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
+        |ORDER BY min_hops, node""".stripMargin),
+    // the unbounded closure: recursion capped at the engine's shared
+    // 60-round convergence bound (UNION dedups (node, hop) pairs, so a
+    // cycle contributes at most |V|·60 rows, never an infinite stream);
+    // min(hop) recovers the exact BFS level
+    "reach_converged" ->
+      ("WITH RECURSIVE " + cooccurCte.stripPrefix("WITH ") +
+        """, e AS (
+        |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+        |), reach(node, hop) AS (
+        |  SELECT DISTINCT src, 0 FROM e WHERE CAST(src AS BIGINT) % 100 = 0
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hop < 60
         |)
         |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
         |ORDER BY min_hops, node""".stripMargin),
@@ -5845,6 +5885,8 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_partners" -> annPartnersOracle,
+    "ann_partners_auto" -> (embedCte + annPartnersOracleBody(64,
+      "vec_id < (SELECT greatest(4, least(4096, count(*) // 256)) FROM embeddings)")),
     // decoded-raster features replayed from the text bytes (PNG-lossless)
     "image_embed_real" ->
       (imageEmbedFeatCte +

@@ -364,4 +364,79 @@ object Graph {
     }
     frontiers.reduce(_ unionByName _).orderBy(col("min_hops"), col("node"))
   }
+
+  /** CONVERGENCE-TERMINATED reachability closure (the [[kHopReach]]
+    * scaladoc's deferred "beyond that use a checkpointed fixpoint",
+    * closed with [[lpaConverged]]'s r14 discipline): multi-source BFS
+    * run until the frontier EMPTIES — every node reachable from the
+    * seed set, labeled with its exact minimum hop count, no horizon.
+    *
+    * Per level: ONE frontier-onto-edges equi-join, a distinct, and a
+    * left-anti join against the reached set — the same hub-safe shapes
+    * as the bounded form. What changes is lifecycle: `reached` and the
+    * frontier re-materialize each level through persisted row RDDs
+    * (lineage truncation — an open-ended loop cannot union k cached
+    * frontiers into one lazy plan the way the k-bounded form does,
+    * because the plan and the anti-join's input list would grow with
+    * the discovered diameter), the frontier count rides the SAME
+    * materializing action, and superseded levels unpersist as soon as
+    * their successor lands.
+    *
+    * BFS levels are monotone (a node enters `reached` at its minimal
+    * hop and is anti-joined away forever), so termination is
+    * structural: the frontier strictly shrinks the unreached set. The
+    * `maxRounds` cap exists for the oracle contract — the DuckDB twin
+    * replays the closure as a recursion bounded at the same cap, and
+    * the engine THROWS if the true eccentricity exceeds it instead of
+    * silently serving a truncated closure the oracle would happen to
+    * match.
+    */
+  def reachConverged(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 60): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.DISK_ONLY)
+    def truncate(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd, n)
+    }
+    var (reached, reachedRdd, _) = truncate(
+      seeds.select(col("node")).distinct()
+        .withColumn("min_hops", lit(0)))
+    var frontier = reached
+    var frontierRdd = reachedRdd
+    var frontierN = 1L
+    var i = 0
+    while (frontierN > 0 && i < maxRounds) {
+      i += 1
+      val (nf, nfRdd, nfN) = truncate(
+        frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("min_hops", lit(i)))
+      val (nr, nrRdd, _) = truncate(reached.unionByName(nf))
+      if (frontierRdd ne reachedRdd) frontierRdd.unpersist(false)
+      reachedRdd.unpersist(false)
+      frontier = nf; frontierRdd = nfRdd; frontierN = nfN
+      reached = nr; reachedRdd = nrRdd
+    }
+    e.unpersist()
+    if (frontierN > 0) {
+      frontierRdd.unpersist(false)
+      reachedRdd.unpersist(false)
+      throw new IllegalStateException(
+        s"reachConverged frontier still live after $maxRounds rounds — " +
+          "raise maxRounds (and the oracle's recursion bound) together")
+    }
+    val out = CacheScope.selfReleasing(
+      reached.orderBy(col("min_hops"), col("node")),
+      StorageLevel.MEMORY_AND_DISK, eager = true)
+    frontierRdd.unpersist(false)
+    reachedRdd.unpersist(false)
+    out
+  }
 }

@@ -2853,6 +2853,31 @@ class PipelineSpec extends AnyFunSuite {
       "engine fixpoint diverged from the driver replay")
   }
 
+  test("reachConverged closes the BFS a bounded k misses, exactly and bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a directed 12-chain from seed 1: exact min-hop labels all the way
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.reachConverged(chain, seeds)
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == (1L to 12L).map(n => n -> (n - 1).toInt).toMap,
+      s"closure labels wrong: $got")
+    // lineage truncation: the returned plan is a flat scan, not an
+    // 11-level join tree
+    val lines = out.queryExecution.analyzed.numberedTreeString
+      .linesIterator.size
+    assert(lines < 12, s"lineage grew with levels ($lines plan lines)")
+    // the bounded form genuinely differs on the same fixture
+    val bounded = Graph.kHopReach(chain, seeds, k = 3).collect()
+    assert(bounded.length == 4 && got.size == 12,
+      "fixture no longer separates bounded k from the closure")
+    // past the cap: throw, never a silently truncated closure
+    val e = intercept[IllegalStateException](
+      Graph.reachConverged(chain, seeds, maxRounds = 5))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+  }
+
   test("lpaConverged bounds lineage and converges within the oracle unroll") {
     import spark.implicits._
     // lineage: a diameter-11 path needs ~11 rounds; the returned plan
