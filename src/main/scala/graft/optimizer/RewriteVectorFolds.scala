@@ -100,5 +100,16 @@ object RewriteVectorFolds extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions { case NativeFold(native) => native }
+    // tree-pattern pruning (r14, the drift-attribution fix): every
+    // matchable fold contains a HigherOrderFunction, and TreePattern
+    // bits are cached per node, so plans without one — every non-vector
+    // query in the bench — skip the whole expression walk in O(subtree
+    // checks) instead of paying a full transform per optimizer pass
+    // (measured 21 ms per optimize on a representative join+window
+    // plan, BENCH_NOTES r14; ~0 with the pruning)
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees
+        .TreePattern.HIGH_ORDER_FUNCTION)) {
+      case NativeFold(native) => native
+    }
 }
