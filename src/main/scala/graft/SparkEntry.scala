@@ -1745,6 +1745,20 @@ object SparkEntry {
     // the PQ serve, so quantization-quality regressions fail the hash gate
     "pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(t(s, dir, "embeddings"))),
+    // measured quality for the r14 quantizers (the "quality held" leg of
+    // corpus-adaptive sizing): same exact-count recall row, candidates
+    // from the auto-sized flat and two-level IMI serves respectively
+    "pq_recall_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRecall(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()))
+    }),
+    "pq_recall_imi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRecall(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()),
+        twoLevel = true)
+    }),
     // hard-negative mining for contrastive training: per anchor, the k
     // highest-cosine DIFFERENT-label vectors — annPartners' bounded
     // dataflow with a label-mismatch predicate in the candidate join
@@ -3009,9 +3023,14 @@ object SparkEntry {
     * joined on the truth's bounded query head with the engine's
     * full-outer presence aggregation.
     */
-  private lazy val pqRecallOracle =
+  private lazy val pqRecallOracle = pqRecallOracleWith(annIvfpqOracle)
+
+  /** [[pqRecallOracle]] parameterized by the candidate serve's oracle,
+    * so the auto-sized and IMI quantizers carry their own
+    * measured-quality rows without re-stating the recall aggregation. */
+  private def pqRecallOracleWith(candSql: String) =
     s"""WITH truth AS ($annTopkOracle
-      |), cand0 AS ($annIvfpqOracle
+      |), cand0 AS ($candSql
       |), qs AS (SELECT DISTINCT vec_id FROM truth
       |), cand AS (
       |  SELECT c.vec_id, c.other_id FROM cand0 c JOIN qs USING (vec_id)
@@ -5926,6 +5945,8 @@ object SparkEntry {
     "ann_ivfpq_auto" -> annIvfpqAutoOracle,
     "ann_ivfpq_imi" -> annIvfpqImiOracle,
     "pq_recall" -> pqRecallOracle,
+    "pq_recall_auto" -> pqRecallOracleWith(annIvfpqAutoOracle),
+    "pq_recall_imi" -> pqRecallOracleWith(annIvfpqImiOracle),
     "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),
     "hard_negatives" -> hardNegativesOracle,
     "bitext_mine" -> bitextMineOracle,

@@ -1233,12 +1233,18 @@ object Similarity {
     // twoLevel: route assignment through the hierarchical coarse
     // quantizer ([[twoLevelAssign]]) — the production-shaped answer once
     // auto-sizing grows nlist with the corpus and the flat N·nlist
-    // assignment becomes the dominant (quadratic-in-corpus) stage
-    val assigned =
+    // assignment becomes the dominant (quadratic-in-corpus) stage.
+    // Operator-scoped persist (r14): `assigned` feeds BOTH the query
+    // side and the capped index side of the candidate join below —
+    // without it the whole assignment chain (N·nlist scores + rank
+    // window; three windows in the two-level form) executes twice
+    // inside the one consuming action.
+    val assigned = CacheScope.selfReleasing(
       if (twoLevel) twoLevelAssign(e, numCentroids)
       else assignCells(e, firstNCentroids(e, numCentroids))
         .filter(col("crk") === 1)
-        .select(col("vec_id"), col("cent_id").as("cluster"))
+        .select(col("vec_id"), col("cent_id").as("cluster")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // annPartners' megacell bound on the INDEX side (deterministic
     // first-maxCell by id, map-side WindowGroupLimit): with a frozen
     // coarse quantizer a 10× corpus means 10× cell populations and a
@@ -1307,7 +1313,9 @@ object Similarity {
     * production path being measured).
     */
   def pqRecall(embeddings: DataFrame, k: Int = 5,
-      maxQueries: Int = MaxBruteForceQueries): DataFrame = {
+      maxQueries: Int = MaxBruteForceQueries,
+      numCentroids: Int = NumCentroids,
+      twoLevel: Boolean = false): DataFrame = {
     val truth = bruteForceTopK(embeddings, k, maxQueries)
       .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L))
     // the query head straight from its definition (bruteForceTopK's own
@@ -1318,8 +1326,11 @@ object Similarity {
     // the IVFADC leg serves ONLY the head (queries = qs): the full-corpus
     // serve's non-head rows were discarded by the join anyway, and under
     // a frozen quantizer their candidate work grows quadratically — the
-    // restricted form is linear and row-identical for the head
-    val cand = ivfpqTopK(embeddings, k, queries = qs)
+    // restricted form is linear and row-identical for the head.
+    // numCentroids/twoLevel pass through so the auto-sized and IMI
+    // quantizers carry their own measured-quality rows (r14).
+    val cand = ivfpqTopK(embeddings, k, numCentroids = numCentroids,
+        queries = qs, twoLevel = twoLevel)
       .select(col("vec_id"), col("other_id")).withColumn("c", lit(1L))
     truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
       .agg(sum(col("t")).as("n_true"),
