@@ -15,7 +15,10 @@ problems; both views matter). Queries under 0.3 s in BOTH maps are
 summarized, not listed — at that size the host's scheduling jitter is
 larger than any plan change.
 """
-import sys, json
+import sys, json, signal
+
+# die quietly when piped into `head` instead of tracebacking on SIGPIPE
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 NOISE_FLOOR_SEC = 0.3
 
