@@ -514,6 +514,60 @@ object SparkEntry {
         .select(col("src").as("node"))
       Graph.kHopReach(edges, seeds, k = 3)
     }),
+    // COST-BASED OPTIMIZATION as a first-class surface (r14 — the
+    // "statistics" line of SURVEY §2.1): catalog tables ANALYZEd with
+    // column stats, CBO + join-reorder enabled, a 3-way star join whose
+    // logical order the optimizer re-derives from cardinalities instead
+    // of FROM order. The conf flags are scoped to THIS plan: the
+    // executedPlan materializes inside the try (logical optimization —
+    // where CBO reorder runs — is cached on the QueryExecution), so the
+    // finally-restore cannot leak CBO into neighboring queries' plans.
+    // Result is plan-independent; the driver hashes it like any query.
+    "cbo_reorder" -> ((s, dir) => {
+      for (n <- Seq("customer", "orders", "lineitem")) {
+        graft.sources.TableSink.saveTable(t(s, dir, n), s"graft_cbo_$n")
+        s.sql(s"ANALYZE TABLE graft_cbo_$n COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      val prev = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled").map(k => k -> s.conf.get(k))
+      prev.foreach { case (k, _) => s.conf.set(k, "true") }
+      try {
+        val df = s.sql(
+          """SELECT c_nationkey,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+            |  count(*) AS n_items
+            |FROM graft_cbo_lineitem
+            |JOIN graft_cbo_orders ON l_orderkey = o_orderkey
+            |JOIN graft_cbo_customer ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+        df.queryExecution.executedPlan // pin the CBO-optimized plan now
+        df
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+    // Spark 4's RECURSIVE CTE front end as a first-class surface (r14):
+    // a per-order integer decay schedule — bal_{n+1} = bal_n − (bal_n·3
+    // div 100), 24 steps. The per-step floor makes it NON-LINEAR (no
+    // closed form, no window rewrite): this is the computation class
+    // recursion genuinely buys. Scale shape: acyclic, out-degree 1,
+    // depth fixed at 24 — each recursion level is one linear scan of
+    // the previous level, so total work is 24·|orders|, never the
+    // path-enumeration blowup the kHopReach scaladoc warns recursive
+    // UNION ALL invites on cyclic graphs (Spark 4.1 supports only
+    // UNION ALL recursion, so graph closures stay on the anti-join BFS
+    // operators; THIS shape is what the SQL front end is for).
+    "sql_recursive_decay" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_rec")
+      s.sql("""WITH RECURSIVE sched(o_orderkey, m, bal) AS (
+        |  SELECT o_orderkey, 0, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |  FROM graft_orders_rec WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, m + 1, bal - (bal * 3 div 100)
+        |  FROM sched WHERE m < 24
+        |)
+        |SELECT o_orderkey, max(bal) AS start_cents, min(bal) AS final_cents
+        |FROM sched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    }),
     // the CONVERGENCE-TERMINATED closure of the same BFS (r14, the
     // lpa_converged discipline for reachability): run until the
     // frontier empties — exact min-hop labels with no horizon, levels
@@ -805,6 +859,25 @@ object SparkEntry {
           from_json(col("props"), "k BIGINT", new java.util.HashMap[String, String]())
             .getField("k").as("k_struct"))
         .withColumn("k_mod", col("k_path") % 7)
+        .orderBy(col("event_id"))
+    }),
+    // Spark 4's VARIANT type (r14): the semi-structured column path —
+    // parse once into the binary variant encoding, extract typed
+    // scalars lazily (the open-schema ingestion shape: at 100 TB you
+    // parse JSON text ONCE at ingest and every downstream reader does
+    // cheap typed extraction instead of re-parsing strings). Registered
+    // presentation extracts scalars, so the driver can hash them; the
+    // oracle is the equivalent JSON-path read.
+    "variant_funcs" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      ev.select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_id"), col("event_type"),
+          try_variant_get(col("v"), "$.k", "long").as("k_var"),
+          // a missing path extracts to SQL NULL, never an error — the
+          // open-schema contract
+          try_variant_get(col("v"), "$.missing", "long").isNull
+            .as("missing_is_null"))
         .orderBy(col("event_id"))
     }),
     // as-of join (backward): latest purchase at-or-before each click.
@@ -3631,6 +3704,28 @@ object SparkEntry {
         |)
         |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
         |ORDER BY min_hops, node""".stripMargin),
+    // the same 24-step integer decay, DuckDB's // = Spark's div on
+    // positive BIGINTs; floor(o_totalprice * 100) is the same double
+    // expression on both sides
+    "cbo_reorder" ->
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "sql_recursive_decay" ->
+      """WITH RECURSIVE sched(o_orderkey, m, bal) AS (
+        |  SELECT o_orderkey, 0, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, m + 1, bal - ((bal * 3) // 100)
+        |  FROM sched WHERE m < 24
+        |)
+        |SELECT o_orderkey, max(bal) AS start_cents, min(bal) AS final_cents
+        |FROM sched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     // the unbounded closure: recursion capped at the engine's shared
     // 60-round convergence bound (UNION dedups (node, hop) pairs, so a
     // cycle contributes at most |V|·60 rows, never an infinite stream);
@@ -4489,6 +4584,11 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "variant_funcs" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+        |  json_extract_string(props, '$.missing') IS NULL AS missing_is_null
         |FROM events ORDER BY event_id""".stripMargin,
     "asof_join" -> asofOracleSql,
     // the bucketized variant is semantics-identical, so it shares the

@@ -283,6 +283,14 @@ object Similarity {
     val cents = index.filter(col("other_id") < numCentroids)
       .select(col("other_id").as("cent_id"), col("vb").as("cv"),
         col("nrm_b").as("cnrm"))
+    // the single-query serve's index-integrity guard (r13 advice),
+    // mirrored: a mis-built or filtered index must fail fast, not rank
+    // probes against a silently-shrunken centroid set. One bounded job
+    // over numCentroids rows at batch-build time.
+    val nCents = cents.count()
+    require(nCents == numCentroids,
+      s"index carries $nCents centroid rows, expected $numCentroids — " +
+        "was it built with a different numCentroids?")
     val queries = index.orderBy(col("other_id")).limit(maxQueries)
       .select(col("other_id").as("vec_id"), col("vb").as("v"),
         col("nrm_b").as("nrm"))

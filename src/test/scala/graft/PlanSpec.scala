@@ -243,6 +243,31 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_rrf")
   }
 
+  test("cbo_reorder sees ANALYZE stats, restores conf, and stays equi-join") {
+    val df = SparkEntry.queries("cbo_reorder")(spark, sf)
+    // the ANALYZE actually landed: catalog-level row counts on every
+    // joined table (plan-level rowCount only surfaces while
+    // cbo.enabled is on, which the builder scopes to its own plan —
+    // so pin the catalog, the stats' source of truth)
+    for (n <- Seq("customer", "orders", "lineitem")) {
+      val statsRow = spark.sql(s"DESCRIBE EXTENDED graft_cbo_$n")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Statistics")
+        .collect()
+      assert(statsRow.nonEmpty && statsRow(0).getString(1).contains("rows"),
+        s"graft_cbo_$n has no row-count statistic after ANALYZE: " +
+          statsRow.mkString(","))
+    }
+    // the builder's conf scoping held: CBO flags are back to default
+    // for neighboring queries
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "cbo_reorder leaked spark.sql.cbo.enabled=true into the session")
+    // and the star join planned clean under CBO
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"cartesian under CBO:\n$p")
+    for (n <- Seq("customer", "orders", "lineitem"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$n")
+  }
+
   test("ann_batch_serve statically prunes the index to the probed cells' buckets") {
     // the batched serve's whole point: the union of probed cells is a
     // LITERAL multi-cell IN, so ONE pruned index read serves the batch —
