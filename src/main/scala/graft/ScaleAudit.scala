@@ -169,6 +169,29 @@ object ScaleAudit {
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
       }
+      // customer: replicated IN STEP with orders' o_custkey shift, so
+      // customer-joining queries (cbo_reorder, q3_topk, ...) audit too
+      // (r14 — previously missing, caught by cbo_reorder's x10 row)
+      if (missing("customer")) {
+        val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+        (0 until 10).map { i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * userShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/customer.parquet")
+      }
+      // part: in step with lineitem's l_partkey shift
+      if (missing("part")) {
+        val part = spark.read.parquet(s"$srcDir/part.parquet")
+        (0 until 10).map { i =>
+          part.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * orderShift))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dstDir/part.parquet")
+      }
+      // dimension tables: copied verbatim — no replicated key references
+      // them with a shift (c_nationkey / l_suppkey are never shifted)
+      for (dim <- Seq("nation", "region", "supplier") if missing(dim))
+        spark.read.parquet(s"$srcDir/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$dstDir/$dim.parquet")
     }
     val out100Dir = sys.env.getOrElse("SPARK_GRAFT_X100_DIR", "/tmp/graft_sf10")
     replicateDecade(sfDir, outDir,

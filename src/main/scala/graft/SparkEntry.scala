@@ -558,6 +558,12 @@ object SparkEntry {
     // operators; THIS shape is what the SQL front end is for).
     "sql_recursive_decay" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("graft_orders_rec")
+      // the inner LIMIT is Spark's per-reference recursion allowance
+      // (lifts the 1M-row spark.sql.cteRecursionRowLimit guardrail
+      // without a session-conf leak — caught by the x10 audit at 3.75M
+      // rows); it never truncates: 25·|orders/10| stays far under it
+      // through the x100 notch, and past that the engine should fail
+      // loudly rather than silently truncate a schedule
       s.sql("""WITH RECURSIVE sched(o_orderkey, m, bal) AS (
         |  SELECT o_orderkey, 0, CAST(floor(o_totalprice * 100) AS BIGINT)
         |  FROM graft_orders_rec WHERE o_orderkey % 10 = 0
@@ -566,7 +572,8 @@ object SparkEntry {
         |  FROM sched WHERE m < 24
         |)
         |SELECT o_orderkey, max(bal) AS start_cents, min(bal) AS final_cents
-        |FROM sched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+        |FROM (SELECT * FROM sched LIMIT 100000000)
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
     }),
     // the CONVERGENCE-TERMINATED closure of the same BFS (r14, the
     // lpa_converged discipline for reachability): run until the
