@@ -608,6 +608,20 @@ object SparkEntry {
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // K-CORE decomposition (r14): peel nodes with in-survivor degree < 2
+    // to the unique maximal 2-core (the cycle-containing skeleton) — the
+    // densification filter before community/centrality passes. k = 2 is
+    // the significant-edge graph's interesting core (its 3-core is EMPTY
+    // at the verify scale; k=2 cascades 1632 → 837 nodes over 8 rounds).
+    // Convergence-terminated (exact per-round counts ARE the test:
+    // survivors only shrink); oracle replays it as a fixed unroll,
+    // post-convergence rounds are no-ops
+    "kcore_decompose" -> ((s, dir) =>
+      Graph.kcoreDecompose(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        k = 2)),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -1839,6 +1853,42 @@ object SparkEntry {
         numCentroids = Similarity.centroidsFor(emb.count()),
         twoLevel = true)
     }),
+    // RESIDUAL PQ (the true FAISS IVFADC): codes encode v − centroid[cell]
+    // — residuals are centered, so the same 4-byte budget spends itself on
+    // a tighter distribution. Codebook = residual slices of vectors 16..31
+    // (the first 16 ARE the centroids; their residuals are zero).
+    "pq_encode_residual" -> ((s, dir) =>
+      Similarity.pqEncodeResidual(t(s, dir, "embeddings"))),
+    // the residual-space IVFADC serve: query LUT and candidate codes both
+    // in residual space — the shared centroid cancels, so the ADC sum
+    // estimates ||q−b||². Wins when the corpus clusters (production
+    // embeddings); measurably loses on the near-isotropic fixture —
+    // pq_residual_gain / pq_recall_residual carry the honest numbers.
+    "ann_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfpqResidualTopK(t(s, dir, "embeddings"))),
+    // ADC shortlist (top-20 by codes) + full-precision cosine rerank —
+    // the standard two-stage IVFPQ serve; the rerank join touches kAdc
+    // vectors per query, never the cell population
+    "ann_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.ivfpqRerankTopK(t(s, dir, "embeddings"))),
+    // the residual-vs-raw coding tradeoff as ONE row of exact integers:
+    // total reconstruction error under the same codebook budget (raw wins
+    // on the near-isotropic fixture, residual wins on clustered corpora —
+    // the row makes the choice a measurement, not an assumption)
+    "pq_residual_gain" -> ((s, dir) =>
+      Similarity.pqResidualGain(t(s, dir, "embeddings"))),
+    // measured-quality rows for the two new serves (exact presence counts
+    // against the brute-force ground truth, candidates head-restricted)
+    "pq_recall_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRecallWith(emb,
+        qs => Similarity.ivfpqResidualTopK(emb, queries = qs))
+    }),
+    "pq_recall_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRecallWith(emb,
+        qs => Similarity.ivfpqRerankTopK(emb, queries = qs))
+    }),
     // hard-negative mining for contrastive training: per anchor, the k
     // highest-cosine DIFFERENT-label vectors — annPartners' bounded
     // dataflow with a label-mismatch predicate in the candidate join
@@ -2445,6 +2495,40 @@ object SparkEntry {
       s"\nSELECT node, lbl AS community FROM l$unrollRounds ORDER BY node"
   }
 
+  /** Oracle for kcore_decompose (Graph.kcoreDecompose): a fixed unroll
+    * of the synchronous peel — each round keeps exactly the nodes with
+    * >= k surviving neighbors. Post-convergence rounds are no-ops
+    * (dropping nobody leaves every degree unchanged), so any unroll at
+    * or above the engine's convergence round is the identical core;
+    * PipelineSpec pins sf0.01 convergence within the unroll (the
+    * lpaConvergedSql contract).
+    */
+  private def kcoreSql(k: Int, unrollRounds: Int): String = {
+    val head = cooccurCte +
+      """, und AS (
+      |  SELECT DISTINCT least(product, neighbor) AS u,
+      |    greatest(product, neighbor) AS v
+      |  FROM counts WHERE product <> neighbor AND cnt >= 2
+      |), adj AS MATERIALIZED (
+      |  SELECT u AS node, v AS nbr FROM und
+      |  UNION ALL SELECT v, u FROM und
+      |), n0 AS (SELECT DISTINCT node FROM adj)""".stripMargin
+    val iters = (1 to unrollRounds).map { i =>
+      s""",
+      |n$i AS MATERIALIZED (
+      |  SELECT a.node FROM adj a
+      |  JOIN n${i - 1} s ON a.node = s.node
+      |  JOIN n${i - 1} t ON a.nbr = t.node
+      |  GROUP BY a.node HAVING count(*) >= $k)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+      |SELECT a.node, count(*) AS core_deg FROM adj a
+      |JOIN n$unrollRounds s ON a.node = s.node
+      |JOIN n$unrollRounds t ON a.nbr = t.node
+      |GROUP BY a.node ORDER BY a.node""".stripMargin
+  }
+
   /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
     * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
     * separators — the representation in which ONE SQL replace of
@@ -2994,14 +3078,24 @@ object SparkEntry {
     * `dist` doubles as the encode argmin input and the IVFADC lookup
     * table.
     */
-  private val pqDistCtes =
-    """, ms AS (
+  private val pqDistCtes = pqDistCtesFrom("n")
+
+  /** [[pqDistCtes]] parameterized by the vector source CTE and the
+    * codebook row filter — the seam the RESIDUAL variants use to slice
+    * `v - centroid` (CTE `rn`) with codewords from vectors 16..31
+    * (the first 16 are the centroids themselves, whose residuals are
+    * identically zero). Defaults reproduce the raw text byte-for-byte.
+    */
+  private def pqDistCtesFrom(src: String,
+      cbWhere: String = "vec_id < 16",
+      codeIdExpr: String = "vec_id"): String =
+    s""", ms AS (
       |  SELECT CAST(range AS INTEGER) AS m FROM range(0, 8)
       |), subs AS (
       |  SELECT vec_id, m, list_transform(range(1, 9), i -> v[m * 8 + i]) AS sv
-      |  FROM n CROSS JOIN ms
+      |  FROM $src CROSS JOIN ms
       |), cb AS (
-      |  SELECT m, vec_id AS code_id, sv AS cw FROM subs WHERE vec_id < 16
+      |  SELECT m, $codeIdExpr AS code_id, sv AS cw FROM subs WHERE $cbWhere
       |), dist AS (
       |  SELECT s.vec_id, s.m, c.code_id,
       |    CAST(floor(list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) * 1000000.0) AS BIGINT) AS d2_e6
@@ -3134,7 +3228,12 @@ object SparkEntry {
     "vec_id < (SELECT greatest(4, least(4096, count(*) // 256)) FROM embeddings)")
 
   private def annIvfpqOracleWith(centsWhere: String) =
-    embedCte +
+    embedCte + ivfAssignHeader(centsWhere) + ivfpqOracleTail
+
+  /** The flat-quantizer cell-assignment CTEs (cents → cscored →
+    * assigned) — shared by the raw, auto-sized, and residual IVFADC
+    * oracles. */
+  private def ivfAssignHeader(centsWhere: String) =
       s""", cents AS (
       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE $centsWhere
       |), cscored AS (
@@ -3145,13 +3244,84 @@ object SparkEntry {
       |  SELECT vec_id, cent_id AS cluster FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
       |    FROM cscored) WHERE crk = 1
-      |)""".stripMargin + ivfpqOracleTail
+      |)""".stripMargin
+
+  /** The residual relation: every vector minus its assigned cell's
+    * centroid, shaped (vec_id, v) so [[pqDistCtesFrom]] slices it
+    * exactly like the raw `n`. */
+  private val residualCte =
+      """, rn AS (
+      |  SELECT a.vec_id, list_transform(range(1, 65), i -> b.v[i] - c.cv[i]) AS v
+      |  FROM assigned a JOIN n b ON a.vec_id = b.vec_id
+      |  JOIN cents c ON a.cluster = c.cent_id
+      |)""".stripMargin
+
+  /** The residual PQ distance chain: [[pqDistCtesFrom]] over `rn` with
+    * codewords = residual slices of vectors 16..31 renumbered 0..15
+    * (the first 16 vectors ARE the centroids — zero residuals). */
+  private val residualDistCtes = pqDistCtesFrom("rn",
+    cbWhere = "vec_id >= 16 AND vec_id < 32", codeIdExpr = "vec_id - 16")
+
+  /** `pq_encode_residual`: the per-(vector, subspace) argmin over the
+    * residual distance relation — pqEncodeOracle's text with the
+    * residual chain swapped in. */
+  private lazy val pqEncodeResidualOracle =
+    embedCte + ivfAssignHeader("vec_id < 16") + residualCte +
+      residualDistCtes +
+      """
+      |SELECT vec_id, m, code_id AS code, d2_e6 FROM dist
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
+      |ORDER BY vec_id, m""".stripMargin
+
+  /** `ann_ivfpq_residual`: the IVFADC serve with codes and LUT both in
+    * residual space — assignment header + residual distance chain + the
+    * shared ADC tail verbatim. */
+  private lazy val annIvfpqResidualOracle =
+    embedCte + ivfAssignHeader("vec_id < 16") + residualCte +
+      residualDistCtes + ivfpqAdcCtes + ivfpqTopSelect(5)
+
+  /** `ann_ivfpq_rerank`: the raw IVFADC chain kept as CTEs with the
+    * shortlist cut at kAdc = 20, then each (query, candidate) joins
+    * back its full-precision vectors and re-ranks by exact cosine. */
+  private lazy val annIvfpqRerankOracle =
+    embedCte + ivfAssignHeader("vec_id < 16") + pqDistCtes +
+      ivfpqAdcCtes +
+      """, shortlist AS (
+      |  SELECT vec_id, other_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) <= 20
+      |), rr AS (
+      |  SELECT s.vec_id, s.other_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
+      |  FROM shortlist s JOIN n a ON s.vec_id = a.vec_id
+      |  JOIN n b ON s.other_id = b.vec_id)
+      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
+      |  FROM rr)
+      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+
+  /** `pq_residual_gain`: both encodes replayed whole (nested WITH, the
+    * pqRecall discipline) and reduced to one row of exact integer
+    * totals — the residual-coding win as a hash-gated VALUE. */
+  private lazy val pqResidualGainOracle =
+    s"""WITH raw AS ($pqEncodeOracle
+      |), res AS ($pqEncodeResidualOracle
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS n_rows,
+      |  (SELECT CAST(sum(d2_e6) AS BIGINT) FROM raw) AS raw_err_e6,
+      |  (SELECT CAST(sum(d2_e6) AS BIGINT) FROM res) AS residual_err_e6""".stripMargin
 
   /** The IVFADC body shared by every assignment strategy's oracle (flat
     * fixed/auto, two-level IMI): consumes an `assigned(vec_id, cluster)`
     * CTE and replays cap → pairs → codes → ADC → top-k.
     */
-  private lazy val ivfpqOracleTail = pqDistCtes +
+  private lazy val ivfpqOracleTail = pqDistCtes + ivfpqAdcCtes +
+    ivfpqTopSelect(5)
+
+  /** The ADC chain as CTEs (codes → cap → pairs → adc) — consumes
+    * `assigned` and `dist`, shared verbatim by every quantizer's serve
+    * oracle; the rerank oracle keeps composing after `adc` instead of
+    * selecting, which is why the final SELECT lives apart. */
+  private val ivfpqAdcCtes =
       """, codes AS (
       |  SELECT vec_id AS other_id, m, code_id AS code FROM dist
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
@@ -3167,11 +3337,14 @@ object SparkEntry {
       |  FROM pairs p
       |  JOIN codes k ON k.other_id = p.other_id
       |  JOIN dist l ON l.vec_id = p.vec_id AND l.m = k.m AND l.code_id = k.code
-      |  GROUP BY p.vec_id, p.other_id)
+      |  GROUP BY p.vec_id, p.other_id)""".stripMargin
+
+  private def ivfpqTopSelect(k: Int): String =
+      s"""
       |SELECT vec_id, other_id, adc_e6, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) AS rk
       |  FROM adc)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+      |WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
 
   /** `ann_ivfpq_imi` mirrors Similarity.twoLevelAssign under the auto
     * sizing: supers = first ⌈√nc⌉ vectors, cells parented to their
@@ -3696,6 +3869,9 @@ object SparkEntry {
     // until changed==0; monotone no-op rounds make any larger unroll
     // identical — see lpaConvergedSql)
     "lpa_converged" -> lpaConvergedSql(16),
+    // same fixed-unroll discipline for the peel: any unroll >= the
+    // engine's convergence round (8 at sf0.01) yields the identical core
+    "kcore_decompose" -> kcoreSql(2, 16),
     // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
     // dedupes (node, hop) pairs so the working set stays bounded on the
     // dense graph, and min(hop) reproduces the anti-join's minimality
@@ -6051,6 +6227,12 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annIvfpqOracle,
     "ann_ivfpq_auto" -> annIvfpqAutoOracle,
     "ann_ivfpq_imi" -> annIvfpqImiOracle,
+    "pq_encode_residual" -> pqEncodeResidualOracle,
+    "ann_ivfpq_residual" -> annIvfpqResidualOracle,
+    "ann_ivfpq_rerank" -> annIvfpqRerankOracle,
+    "pq_residual_gain" -> pqResidualGainOracle,
+    "pq_recall_residual" -> pqRecallOracleWith(annIvfpqResidualOracle),
+    "pq_recall_rerank" -> pqRecallOracleWith(annIvfpqRerankOracle),
     "pq_recall" -> pqRecallOracle,
     "pq_recall_auto" -> pqRecallOracleWith(annIvfpqAutoOracle),
     "pq_recall_imi" -> pqRecallOracleWith(annIvfpqImiOracle),

@@ -317,6 +317,92 @@ object Graph {
     out
   }
 
+  /** K-CORE decomposition at fixed k: the maximal subgraph in which
+    * every node has (undirected) degree >= k — the standard graph
+    * DENSIFICATION filter before community/centrality analysis, and at
+    * LLM-data scale the cheap way to strip the long tail of weakly
+    * connected products/documents before the expensive graph passes.
+    *
+    * Synchronous peeling to a FIXPOINT: each round drops every node
+    * whose degree among current survivors is < k. The k-core is unique
+    * and peeling order-independent, so the synchronous schedule is
+    * safe; survivors only shrink (next ⊆ current by construction), so
+    * an unchanged COUNT is an unchanged SET and the exact per-round
+    * count doubles as the convergence test — no accumulator
+    * approximation to recheck. Post-convergence rounds are no-ops
+    * (dropping nobody leaves degrees unchanged), which lets the DuckDB
+    * oracle replay the loop as a FIXED unroll, the [[lpaConverged]]
+    * discipline.
+    *
+    * Loop mechanics are [[lpaConverged]]'s: the survivor set
+    * materializes per round through a persisted row RDD (lineage
+    * truncation — it feeds BOTH sides of the next round's degree join),
+    * superseded rounds unpersist as soon as their successor lands, and
+    * the adjacency persists once for the whole run. Scale shape per
+    * round: two equi-joins of the bounded survivor relation onto the
+    * persisted adjacency + one partial-aggregable count — a hub's
+    * million edge rows combine map-side, never a per-node window.
+    *
+    * Emits (node, core_deg) for k-core members — core_deg is the
+    * degree WITHIN the core (>= k by the fixpoint), the per-node
+    * density certificate.
+    */
+  def kcoreDecompose(edges: DataFrame, k: Int = 3,
+      maxRounds: Int = 60): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // plain persist + explicit unpersist (the lpaConverged rationale:
+    // the loop runs one internal action per round)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .persist(StorageLevel.DISK_ONLY)
+    var nodes = adj.select(col("node")).distinct()
+    // materialize the starting survivor set: it feeds both sides of
+    // round 1's join, and its exact count seeds the convergence compare
+    var persisted = nodes.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = persisted.count()
+    nodes = spark.createDataFrame(persisted, nodes.schema)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val surv = adj
+        .join(nodes, "node")
+        .join(nodes.select(col("node").as("nbr")), "nbr")
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      val rdd = surv.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      // peeling only removes nodes, so equal count ⇒ equal set ⇒ done
+      changed = n != prev
+      prev = n
+      persisted.unpersist(false)
+      persisted = rdd
+      nodes = spark.createDataFrame(rdd, surv.schema)
+      rounds += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"kcoreDecompose did not converge in maxRounds=$maxRounds rounds")
+    // in-core degrees over the converged survivor set (>= k for all by
+    // the fixpoint). Eager: the plan reads `adj` and the survivor RDD,
+    // both unpersisted right after this materializes.
+    val out = CacheScope.selfReleasing(
+      adj.join(nodes, "node")
+        .join(nodes.select(col("node").as("nbr")), "nbr")
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("node")),
+      StorageLevel.MEMORY_AND_DISK, eager = true)
+    adj.unpersist()
+    persisted.unpersist(false)
+    out
+  }
+
   /** Bounded k-hop reachability (multi-source BFS): every node within k
     * directed hops of the seed set, labeled with its MINIMUM hop count.
     *

@@ -2904,6 +2904,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Graph.lpaConverged(edges, maxRounds = 16).count() > 0)
   }
 
+  test("kcoreDecompose peels to the exact maximal core, cascades included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 4-clique with a 2-node tail off node 4: the 3-core is exactly
+    // the clique (tail nodes peel in one round; node 4's degree then
+    // FALLS from 5 to 3 but stays in) — every member's in-core degree 3
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val g = (clique(Seq(1L, 2L, 3L, 4L)) ++ Seq((4L, 5L), (5L, 6L)))
+      .toDF("src", "dst")
+    val got = Graph.kcoreDecompose(g, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core of clique+tail: $got")
+
+    // CASCADE: an 8-node path under k=2 peels one endpoint pair per
+    // round to the EMPTY core — multi-round convergence, no throw
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kcoreDecompose(path, k = 2).count() == 0,
+      "a path has no 2-core")
+    // but a cycle is its own 2-core (every degree exactly 2)
+    val cycle = ((1L to 7L).map(i => (i, i + 1)) :+ ((8L, 1L)))
+      .toDF("src", "dst")
+    val cyc = Graph.kcoreDecompose(cycle, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc == (1L to 8L).map(_ -> 2L).toMap, s"cycle 2-core: $cyc")
+    // a cap below the cascade depth throws rather than serving a
+    // half-peeled "core"
+    val e = intercept[IllegalStateException](
+      Graph.kcoreDecompose(path, k = 2, maxRounds = 2))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+
+    // the registered query's oracle unrolls 16 rounds; maxRounds=16 on
+    // the sf0.01 graph THROWS if convergence needs more — this passing
+    // pins oracle-unroll >= engine convergence round (raise both
+    // together after a fixture change: kcoreSql(2, 16) and this cap).
+    // k = 2 deliberately: the significant-edge graph's 3-core is EMPTY
+    // at this scale, while k=2 cascades 1632 → 837 nodes over 8 rounds
+    val dir = "/root/testdata/sf0.01"
+    val edges = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .filter(col("cnt") >= 2)
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    val core = Graph.kcoreDecompose(edges, k = 2, maxRounds = 16)
+    assert(core.count() == 837, "sf0.01 2-core drifted from 837 nodes")
+    assert(core.filter(col("core_deg") < 2).count() == 0,
+      "fixpoint violated: a core member with degree < 2")
+  }
+
   test("two-level IMI assignment serves with recall comparable to flat") {
     import org.apache.spark.sql.functions.col
     // quality guard for the hierarchical coarse quantizer: the IMI
@@ -3273,6 +3322,125 @@ class PipelineSpec extends AnyFunSuite {
     assert(h >= 0 && h <= math.min(t, c), s"hit=$h of true=$t cand=$c")
     val r2 = Similarity.pqRecall(tbl("embeddings")).head()
     assert(r.toSeq == r2.toSeq, "pqRecall must be deterministic")
+  }
+
+  test("pqEncodeResidual encodes residuals against the offset codebook") {
+    import spark.implicits._
+    // 2 centroids (vecs 0, 1), codebook = residuals of vecs 2, 3
+    // renumbered to codes 0, 1. All values binary-exact.
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),     // centroid 0 — residual = 0
+      (1L, Array(0f, 1.0f, 0f, 0f)),     // centroid 1 — residual = 0
+      (2L, Array(1.0f, 0.5f, 0f, 0f)),   // cell 0, residual (0,.5,0,0)
+      (3L, Array(0.5f, 1.0f, 0f, 0f))    // cell 1, residual (.5,0,0,0)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncodeResidual(emb, numSub = 2, ks = 2,
+        dims = 4, numCentroids = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 8, s"4 vectors x 2 subspaces: $got")
+    // codebook vectors encode their own residuals exactly
+    assert(got((2L, 0)) == ((0L, 0L)) && got((3L, 0)) == ((1L, 0L)),
+      s"codebook self-encode: $got")
+    // second subspace: every residual is (0,0) and both codewords are
+    // (0,0) → error 0, tie-break to code 0
+    assert(Seq(0L, 1L, 2L, 3L).forall(v => got((v, 1)) == ((0L, 0L))),
+      s"zero subspace: $got")
+    // centroids have ZERO residuals (they are their own cell's nearest
+    // member): m0 distance to both codewords is 0.25 exactly → code 0
+    assert(got((0L, 0)) == ((0L, 250000L)) && got((1L, 0)) == ((0L, 250000L)),
+      s"zero-residual centroids: $got")
+  }
+
+  test("ivfpqResidualTopK quantizes candidates to residual codewords") {
+    import spark.implicits._
+    // cell 0 holds {0,2,3,4}; codebook = residuals of vecs 2..4 (ks = 3).
+    // Vectors 2, 3, 4 reconstruct their own residuals exactly, so their
+    // pairwise ADC is the TRUE ||q-b||² (same-cell centroids cancel).
+    // The CENTROID (vec 0) has residual (0,0) — not a codeword — and
+    // quantizes to code 0 (vec 2's residual, d2 = 0.02, the argmin), so
+    // as a CANDIDATE it aliases vec 2: its ADC equals vec 2's exactly
+    // (same LUT rows) and ties break to the lower other_id. Every
+    // expected rank below is that driver-side replay.
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.8f, 0.3f, 0f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfpqResidualTopK(emb, k = 4, numCentroids = 2,
+        numSub = 2, ks = 3, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val order = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // q0: exact d2 to 2/3/4 = .02/.13/.58 → (2,3,4)
+    // q2: candidate 0 aliases res2 → adc 0 beats 3 (.05) and 4 (.40)
+    // q3: candidates 0 and 2 share LUT rows (code 0) → tie at .05 → 0 first
+    // q4: 3 at .17; 0 ties 2 at .40 → (3,0,2)
+    assert(order == Map(
+      0L -> Seq(2L, 3L, 4L), 2L -> Seq(0L, 3L, 4L),
+      3L -> Seq(0L, 2L, 4L), 4L -> Seq(3L, 0L, 2L)),
+      s"residual ADC order drifted from the replay: $order")
+    assert(!order.contains(1L), "the singleton cell must yield no rows")
+    // the aliasing claim, asserted directly: ADC(3→0) == ADC(3→2) and
+    // ADC(4→0) == ADC(4→2) as exact integers
+    val adc = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(adc((3L, 0L)) == adc((3L, 2L)) && adc((4L, 0L)) == adc((4L, 2L)),
+      s"centroid must alias vec 2's codes: $adc")
+  }
+
+  test("ivfpqRerankTopK with a covering shortlist is exact in-cell cosine") {
+    import spark.implicits._
+    // kAdc = 20 exceeds every cell population, so the shortlist is ALL
+    // in-cell candidates and the rerank must reproduce the exact-cosine
+    // in-cell ranking regardless of how lossy the ADC scores are.
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.8f, 0.3f, 0f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfpqRerankTopK(emb, k = 4, kAdc = 20,
+        numCentroids = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val order = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // exact cosine order within cell 0 (driver math): q0 → 2,3,4;
+    // q2 → 0,3,4; q3 → 2,4,0 (cos(3,4)=.9105 > cos(3,0)=.9363? no:
+    // cos(3,0)=.8/.854=.9363 > .9105) → 2,0,4; q4 → 3,2,0
+    assert(order == Map(
+      0L -> Seq(2L, 3L, 4L), 2L -> Seq(0L, 3L, 4L),
+      3L -> Seq(2L, 0L, 4L), 4L -> Seq(3L, 2L, 0L)),
+      s"rerank order drifted from exact cosine: $order")
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      val cos = rows.sortBy(_._4).map(_._3).toSeq
+      assert(cos == cos.sorted(Ordering[Long].reverse),
+        s"cos_e6 not descending with rank for $v")
+    }
+  }
+
+  test("rerank recall dominates plain ADC recall; gain row is consistent") {
+    val emb = tbl("embeddings")
+    // a true top-5 neighbor hit by ADC@5 is in the ADC@20 shortlist, and
+    // at most 4 corpus vectors beat it on exact cosine — so it survives
+    // the rerank cut: rerank n_hit >= ADC n_hit is an INVARIANT, not a
+    // fixture accident (the hash gate pins the values: 268 → 468 at
+    // sf0.01).
+    val adc = Similarity.pqRecall(emb).head()
+    val rr = Similarity.pqRecallWith(emb,
+      qs => Similarity.ivfpqRerankTopK(emb, queries = qs)).head()
+    assert(rr.getLong(0) == adc.getLong(0), "same ground truth")
+    assert(rr.getLong(2) >= adc.getLong(2),
+      s"rerank must not lose hits: adc=${adc.getLong(2)} rr=${rr.getLong(2)}")
+    // the gain row: 8 sub-rows per vector on both legs, totals positive.
+    // No ordering assertion: residual WINS on clustered corpora and
+    // LOSES on this deliberately near-isotropic fixture (measured —
+    // see the operator scaladoc); the hash gate pins the values.
+    val g = Similarity.pqResidualGain(emb).head()
+    assert(g.getLong(0) == 8L * emb.count(), s"n_rows: $g")
+    assert(g.getLong(1) > 0L && g.getLong(2) > 0L, s"totals: $g")
   }
 
   test("semanticDedup drops the higher-id twin and keeps cluster minima") {
