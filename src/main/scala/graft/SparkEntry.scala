@@ -1141,6 +1141,12 @@ object SparkEntry {
         "shard", 4)
       Sketches.hllServe(s.table("graft_hll_compact"), li)
     }),
+    // sketch-set INTERSECTION via inclusion-exclusion over three
+    // one-scan conditional sketches (HLL can't intersect directly —
+    // registers only max-merge into unions); exact count oracle-checked,
+    // the IE accuracy band a structural boolean (r14)
+    "hll_intersect" -> ((s, dir) =>
+      Sketches.hllIntersect(t(s, dir, "lineitem"))),
     // 2-D Pareto frontier via mergeable per-partition frontiers (linear
     // scans, frontier-sized merge task; exact-cents dominance)
     "skyline" -> ((s, dir) => Relational.skyline(t(s, dir, "orders"))),
@@ -2233,6 +2239,15 @@ object SparkEntry {
     // window-free exactPrefixSum (a hot source must not single-task)
     "token_budget_mix" -> ((s, dir) =>
       Sampling.tokenBudgetMix(t(s, dir, "documents"))),
+    // UniMax epoch planning (r14): ascending-size water-fill of a
+    // corpus-derived token budget under a per-domain epoch cap — the
+    // published fair-sampling answer to temperature mixing's unbounded
+    // rare-domain oversampling. Emits the epoch PLAN (one row per
+    // domain); the 1.9×-total budget + 2-epoch cap land 7 of the 20
+    // fixture sources on the cap branch and 13 on the budget branch.
+    // Oracle replays the sequential recurrence as a recursive CTE.
+    "unimax_mix" -> ((s, dir) =>
+      Sampling.unimaxMix(t(s, dir, "documents"))),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) =>
@@ -4237,6 +4252,14 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
         |FROM lineitem""".stripMargin,
+    // exact intersection via INTERSECT; the inclusion-exclusion band is
+    // the structural boolean (hll_sharded's posture)
+    "hll_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS ie_within_10pct
+        |FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |      INTERSECT
+        |      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')""".stripMargin,
     // the NOT-EXISTS dominance DEFINITION; the engine's two-phase
     // frontier merge must be invisible in the result
     "skyline" ->
@@ -7055,6 +7078,41 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, tokens_before
         |FROM o WHERE tokens_before < 600
         |ORDER BY doc_id""".stripMargin,
+    // the UniMax water-fill as a recursive CTE: `ranked` orders domains
+    // ascending by size (name tie-break), the recursion carries the
+    // remaining budget b (post-allocation), and row i's allotment uses
+    // the PRE-allocation b with floor division — the engine's exact
+    // integer recurrence. The i=0 seed row is arithmetic-only and
+    // filtered out.
+    "unimax_mix" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT source AS domain,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), params AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(n_tokens) * 1900 // 1000 AS BIGINT) AS b0
+        |  FROM counts
+        |), ranked AS (
+        |  SELECT domain, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, domain) AS BIGINT) AS i
+        |  FROM counts
+        |), fill AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, (SELECT b0 FROM params) AS b,
+        |    CAST(NULL AS VARCHAR) AS domain, CAST(0 AS BIGINT) AS n_tokens,
+        |    CAST(0 AS BIGINT) AS alloc, CAST(NULL AS VARCHAR) AS bound
+        |  UNION ALL
+        |  SELECT r.i,
+        |    f.b - least(r.n_tokens * 2, f.b // ((SELECT d FROM params) - f.i)),
+        |    r.domain, r.n_tokens,
+        |    least(r.n_tokens * 2, f.b // ((SELECT d FROM params) - f.i)),
+        |    CASE WHEN r.n_tokens * 2 <= f.b // ((SELECT d FROM params) - f.i)
+        |         THEN 'epoch_cap' ELSE 'budget' END
+        |  FROM fill f JOIN ranked r ON r.i = f.i + 1
+        |)
+        |SELECT domain, n_tokens, alloc AS alloc_tokens,
+        |  CAST(alloc * 1000000 // n_tokens AS BIGINT) AS epochs_e6, bound
+        |FROM fill WHERE i > 0 ORDER BY domain""".stripMargin,
     "temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang

@@ -283,6 +283,60 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** UniMax domain mixing (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): allocate a total token budget across
+    * domains in ASCENDING size order with a per-domain epoch cap —
+    * each domain receives min(n_tokens · maxEpochs, remaining-budget /
+    * remaining-domains). Small domains are upsampled up to the cap
+    * (never the unbounded oversampling temperature mixing gives rare
+    * strata); what the cap leaves unspent redistributes evenly over the
+    * larger domains. Complements [[temperatureMix]] (probabilistic
+    * reweighting) and [[tokenBudgetMix]] (per-source prefix cuts): this
+    * emits the EPOCH PLAN itself — (domain, n_tokens, alloc_tokens,
+    * epochs_e6, bound) — the artifact a data-mixing team reviews.
+    *
+    * All-integer arithmetic (floor division at every step, BigInt for
+    * the e6 scaling) so a DuckDB recursive CTE replays it exactly.
+    * The budget is corpus-derived (`budgetPerMille` of total tokens)
+    * so the mixed cap/budget regime survives scale-factor changes.
+    *
+    * Scale shape: ONE partial-aggregable count per domain, then a
+    * bounded collect of |domains| rows (a corpus has O(100) sources,
+    * never O(rows)) and a driver loop over them — the sequential
+    * water-filling recurrence is inherently ordered, |domains|-sized,
+    * and the wrong thing to distribute.
+    */
+  def unimaxMix(documents: DataFrame, budgetPerMille: Int = 1900,
+      maxEpochs: Int = 2, source: String = "source"): DataFrame = {
+    require(budgetPerMille >= 1, "budgetPerMille must be >= 1")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // bounded collect: one row per domain
+    val counts = documents
+      .select(col(source).as("domain"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("domain")).agg(sum(col("n")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (dom, t) => (t, dom) } // ascending size, name ties
+    val total = counts.map(_._2).sum
+    var b = total * budgetPerMille / 1000L
+    val d = counts.length
+    val rows = counts.zipWithIndex.map { case ((dom, t), i) =>
+      val u = b / (d - i)
+      val cap = t * maxEpochs.toLong
+      val alloc = math.min(cap, u)
+      b -= alloc
+      (dom, t, alloc, (BigInt(alloc) * 1000000 / t).toLong,
+        if (cap <= u) "epoch_cap" else "budget")
+    }
+    rows.toSeq
+      .toDF("domain", "n_tokens", "alloc_tokens", "epochs_e6", "bound")
+      .orderBy(col("domain"))
+  }
+
   /** Deterministic global training-order shuffle: every document gets its
     * exact position in the md5-of-doc_id total order — the corpus-wide
     * shuffled epoch order a training run consumes — plus its output

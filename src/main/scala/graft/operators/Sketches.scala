@@ -131,6 +131,45 @@ object Sketches {
         col("n_exact") * 0.05).as("est_within_5pct"))
   }
 
+  /** Sketch-set INTERSECTION cardinality — the question HLL unions
+    * can't answer directly (HLL registers max-merge into unions only),
+    * answered the standard way: inclusion-exclusion over three sketch
+    * estimates, |A∩B| ≈ est(A) + est(B) − est(A∪B), cross-checked
+    * against the oracle-exact intersection count.
+    *
+    * A = parts shipped with returnflag 'R', B = with 'A'. ONE corpus
+    * scan fits all three sketches (conditional sketch_agg columns —
+    * the dsir_weights one-scan discipline); the exact leg is a
+    * partial-aggregable groupBy(l_partkey) with two flag maxes. The
+    * IE error bound is looser than a single sketch's (three ±1.6%
+    * estimates difference against a possibly-small intersection), so
+    * the boolean band is 10% and the fixture's overlap is large by
+    * construction — a real pipeline reads the band boolean before
+    * trusting the estimate, which is exactly what the row teaches.
+    */
+  def hllIntersect(lineitem: DataFrame, lgK: Int = 12): DataFrame = {
+    val flagged = lineitem.filter(col("l_returnflag").isin("R", "A"))
+    val ests = flagged.agg(
+      expr(s"hll_sketch_estimate(hll_sketch_agg(" +
+        s"CASE WHEN l_returnflag = 'R' THEN l_partkey END, $lgK))")
+        .as("est_a"),
+      expr(s"hll_sketch_estimate(hll_sketch_agg(" +
+        s"CASE WHEN l_returnflag = 'A' THEN l_partkey END, $lgK))")
+        .as("est_b"),
+      expr(s"hll_sketch_estimate(hll_sketch_agg(l_partkey, $lgK))")
+        .as("est_union"))
+    val exact = flagged.groupBy(col("l_partkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ra"),
+        max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("rb"))
+      .agg(sum(when(col("ra") === 1 && col("rb") === 1, 1L)
+        .otherwise(0L)).as("n_exact"))
+    // 1-row × 1-row: the house bounded crossJoin
+    ests.crossJoin(exact).select(
+      col("n_exact"),
+      (abs(col("est_a") + col("est_b") - col("est_union") -
+        col("n_exact")) <= col("n_exact") * 0.10).as("ie_within_10pct"))
+  }
+
   /** CMS parameters: depth (independent hash rows) and width (counters
     * per row). Shared with the oracle text in SparkEntry.
     */

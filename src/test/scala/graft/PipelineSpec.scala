@@ -2309,6 +2309,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("unimaxMix water-fills ascending with the epoch cap binding small domains") {
+    import spark.implicits._
+    // three domains of 4 / 40 / 400 tokens; budget = 444·1900/1000 = 843,
+    // maxEpochs = 2. Driver replay: a and b cap at 2 epochs (8, 80);
+    // c gets the remaining 755 of its 800 cap → budget-bound, 1.8875
+    // epochs exactly (755·1e6/400 = 1_887_500)
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("tok").mkString(" "))
+    val docs = (Seq(doc(1, "a", 4)) ++
+      (1 to 4).map(i => doc(10 + i, "b", 10)) ++
+      (1 to 8).map(i => doc(20 + i, "c", 50))).toDF("doc_id", "source", "text")
+    val got = Sampling.unimaxMix(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == Map(
+      "a" -> ((4L, 8L, 2000000L, "epoch_cap")),
+      "b" -> ((40L, 80L, 2000000L, "epoch_cap")),
+      "c" -> ((400L, 755L, 1887500L, "budget"))),
+      s"water-fill drifted from the replay: $got")
+    // global invariants on the real fixture: the budget is spent exactly
+    // when any domain is budget-bound, no domain exceeds its cap, and
+    // ties in size cannot reorder allocations (name tie-break)
+    val dir = "/root/testdata/sf0.01"
+    val real = Sampling.unimaxMix(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val total = real.map(_._2).sum
+    assert(real.map(_._3).sum == total * 1900 / 1000,
+      "budget not fully spent despite budget-bound domains")
+    assert(real.forall(r => r._3 <= 2 * r._2), "epoch cap exceeded")
+    assert(real.exists(_._5 == "epoch_cap") && real.exists(_._5 == "budget"),
+      "fixture no longer exercises both bound branches")
+  }
+
   test("public exactRank handles null group values like the window form") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -3641,6 +3676,24 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("count").desc, col("l_partkey")).limit(20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == trueTop)
+  }
+
+  test("hllIntersect is exact in sparse mode and banded on the fixture") {
+    import spark.implicits._
+    // parts 1..100 flagged R, 51..150 flagged A → intersection exactly
+    // 50; at these cardinalities every sketch is still in its exact
+    // coupon-set mode, so inclusion-exclusion lands on 50 precisely and
+    // the band boolean must hold with zero slack
+    val li = ((1L to 100L).map(p => (p, "R")) ++
+      (51L to 150L).map(p => (p, "A")) ++
+      (1L to 30L).map(p => (p, "N"))) // noise flag: must be ignored
+      .toDF("l_partkey", "l_returnflag")
+    val r = Sketches.hllIntersect(li).collect()(0)
+    assert(r.getLong(0) == 50L, s"exact intersection: $r")
+    assert(r.getBoolean(1), s"IE estimate off the band in sparse mode: $r")
+    // and on the real fixture the band holds too (hash gate pins it)
+    val real = Sketches.hllIntersect(tbl("lineitem")).collect()(0)
+    assert(real.getLong(0) > 0 && real.getBoolean(1), s"sf fixture: $real")
   }
 
   test("hllShardedDistinct: merge transparency holds for any shard layout") {
