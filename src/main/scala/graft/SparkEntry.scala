@@ -492,6 +492,15 @@ object SparkEntry {
       Graph.pageRank(
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // the CONVERGENCE-TERMINATED fixpoint pageRank's guard rail defers
+    // to (r14): same exact integer recurrence, run until NO rank_e9
+    // changes — an exact fixpoint exists on the finite integer lattice
+    // and lands at round 31 on this graph (BENCH_NOTES); oracle replays
+    // it as a fixed 40-round unroll (post-convergence rounds are no-ops)
+    "pagerank_converged" -> ((s, dir) =>
+      Graph.pageRankConverged(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // exact triangle counts over the SIGNIFICANT co-occurrence edges
     // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
     // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket
@@ -2424,24 +2433,30 @@ object SparkEntry {
     * BIGINT keep it value- and dtype-identical to Spark's `div` on LONG.
     */
   private def pageRankSql(iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000L, edgesWith: String = null): String = {
+      scale: Long = 1000000000L, edgesWith: String = null,
+      materialize: Boolean = false): String = {
     val base = (100L - dampingPct) * scale / 100L
     // default edge relation: the co-occurrence graph; callers may swap
     // in any WITH-prefix that defines edges(src, dst) — link_rank feeds
     // the crawl link graph through the identical rank recurrence
     val prefix = Option(edgesWith).getOrElse(cooccurCte +
       ", edges AS (SELECT product AS src, neighbor AS dst FROM counts)")
+    // long unrolls (pagerank_converged's 40 rounds) MATERIALIZE the
+    // shared relations and every round — inlined, DuckDB's binder
+    // re-expands the whole upstream chain per round and the plan grows
+    // superlinearly; the short unrolls keep their original inlined text
+    val m = if (materialize) " MATERIALIZED" else ""
     val head = prefix +
       s""",
       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-      |wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |wd AS$m (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+      |nodes AS$m (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_e9 FROM nodes)""".stripMargin
     val iters = (1 to iterations).map { i =>
       s""",
       |s$i AS (SELECT wd.dst, CAST(sum(rank_e9 // deg) AS BIGINT) AS s
       |  FROM wd JOIN r${i - 1} ON wd.src = r${i - 1}.node GROUP BY wd.dst),
-      |r$i AS (SELECT node, CAST($base AS BIGINT) +
+      |r$i AS$m (SELECT node, CAST($base AS BIGINT) +
       |  CAST(($dampingPct * coalesce(s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank_e9
       |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
     }.mkString
@@ -3859,6 +3874,11 @@ object SparkEntry {
         |FROM agg LEFT JOIN p34 ON agg.product = p34.product
         |ORDER BY agg.product""".stripMargin),
     "page_rank" -> pageRankSql(3),
+    // fixed unroll >= the graph's measured integer-fixpoint round (31 at
+    // sf0.01, margin to 40; engine loops until changed==0 and no-op
+    // rounds make any larger unroll identical — the lpaConvergedSql
+    // argument applied to the rank lattice)
+    "pagerank_converged" -> pageRankSql(40, materialize = true),
     // same triangles, enumerated by the id-ordered a<b<c form (join order
     // differs, the counted set is identical — that's the point)
     "triangle_count" ->

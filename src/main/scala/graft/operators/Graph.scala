@@ -317,6 +317,95 @@ object Graph {
     out
   }
 
+  /** CONVERGENCE-TERMINATED PageRank — the checkpointed fixpoint
+    * [[pageRank]]'s own guard rail points at ("beyond [20 iterations]
+    * use a checkpointed fixpoint"). Same exact integer recurrence
+    * (BIGINT e9 ranks, div splits, DECIMAL(38,0) damping multiply),
+    * run until NO rank changes.
+    *
+    * Why an EXACT fixpoint exists at all: the update is a contraction
+    * on a FINITE integer lattice — floor divisions only discard mass —
+    * so iterates cannot cycle through fresh values forever; measured on
+    * the sf0.01 co-occurrence graph the recurrence lands on a
+    * bit-stable fixpoint at round 31 and stays (changed = 0 through
+    * round 60, BENCH_NOTES). Because the update is a pure function of
+    * the current ranks, post-convergence rounds are no-ops — the
+    * lpaConverged argument — so the DuckDB oracle replays the
+    * open-ended loop as a FIXED unroll at or above the convergence
+    * round. A graph whose integer recurrence cycles instead of fixing
+    * hits `maxRounds` and THROWS (the exact recheck guards accumulator
+    * over-count); it can never serve a half-converged ranking.
+    *
+    * Loop mechanics are [[lpaConverged]]'s verbatim: per-round lineage
+    * truncation through persisted row RDDs, the changed-count riding
+    * the SAME materializing action via an accumulator (over-count can
+    * only buy a no-op round, never early termination), superseded
+    * rounds unpersisted as their successor lands, degree-annotated
+    * edges and the node relation persisted once for the whole run.
+    */
+  def pageRankConverged(edges: DataFrame, dampingPct: Int = 85,
+      scale: Long = 1000000000L, maxRounds: Int = 60): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct is an integer percentage")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // plain persist + explicit unpersist (the lpaConverged rationale:
+    // the loop runs one internal action per round)
+    val withDeg = e.join(outDeg, "src").persist(StorageLevel.DISK_ONLY)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    val base = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.withColumn("rank_e9", lit(scale))
+    var persisted: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var lastWithOld: DataFrame = null
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // pageRank's exact round body (decimal damping multiply, long sum)
+      val sums = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_e9 div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      val next = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"($dampingPct * CAST(coalesce(s, 0) AS DECIMAL(38,0))) div 100"))
+          .as("rank_e9"))
+        .join(ranks.withColumnRenamed("rank_e9", "old"), "node")
+      val acc = spark.sparkContext
+        .longAccumulator(s"pageRankConverged.changed.r$rounds")
+      val ri = next.schema.fieldIndex("rank_e9")
+      val oi = next.schema.fieldIndex("old")
+      val nextRdd = next.rdd.mapPartitions { it =>
+        it.map { row =>
+          if (row.get(ri) != row.get(oi)) acc.add(1L)
+          row
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      nextRdd.count()
+      changed = acc.value
+      if (persisted != null) persisted.unpersist(false)
+      persisted = nextRdd
+      lastWithOld = spark.createDataFrame(nextRdd, next.schema)
+      ranks = lastWithOld.drop("old")
+      rounds += 1
+    }
+    // accumulator over-count guard: re-verify exactly before aborting
+    if (changed > 0 &&
+        lastWithOld.filter(col("rank_e9") =!= col("old")).count() > 0)
+      throw new IllegalStateException(
+        s"pageRankConverged did not converge in maxRounds=$maxRounds rounds")
+    val out = CacheScope.selfReleasing(
+      ranks.select(col("node"), col("rank_e9")).orderBy(col("node")),
+      StorageLevel.MEMORY_AND_DISK, eager = true)
+    withDeg.unpersist()
+    nodes.unpersist()
+    if (persisted != null) persisted.unpersist(false)
+    out
+  }
+
   /** K-CORE decomposition at fixed k: the maximal subgraph in which
     * every node has (undirected) degree >= k — the standard graph
     * DENSIFICATION filter before community/centrality analysis, and at

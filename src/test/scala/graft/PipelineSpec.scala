@@ -2939,6 +2939,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(Graph.lpaConverged(edges, maxRounds = 16).count() > 0)
   }
 
+  test("pageRankConverged reaches the exact integer fixpoint fixed-3 misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two directed 4-cliques bridged 4↔10: dense and aperiodic, so the
+    // integer recurrence fixpoints fast (round 10, driver-replayed) —
+    // a long directed cycle instead circulates mass and needs ~100
+    // rounds (measured), which is exactly why the engine THROWS at the
+    // cap rather than serving a slowly-oscillating ranking
+    def diClique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edgeSeq = diClique(Seq(1L, 2L, 3L, 4L)) ++
+      diClique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L), (10L, 4L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val got = Graph.pageRankConverged(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay of the exact recurrence to ITS OWN fixpoint
+    def replay(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val deg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      var r = nodes.map(_ -> 1000000000L).toMap
+      var changed = true
+      var guard = 0
+      while (changed) {
+        guard += 1
+        assert(guard < 200, "driver replay failed to fixpoint")
+        val sums = es.groupBy(_._2).map { case (d, g) =>
+          d -> g.map { case (s, _) => r(s) / deg(s) }.sum
+        }
+        val next = nodes.map { n =>
+          n -> (150000000L +
+            (BigInt(85) * BigInt(sums.getOrElse(n, 0L)) / 100).toLong)
+        }.toMap
+        changed = next != r
+        r = next
+      }
+      r
+    }
+    assert(got == replay(edgeSeq), s"fixpoint diverged from the replay: $got")
+    val fixed3 = Graph.pageRank(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed3 != got,
+      "fixture no longer separates fixed-3 from the fixpoint")
+    // lineage: the returned plan must be flat, not a per-round join tree
+    val out = Graph.pageRankConverged(edges)
+    assert(out.queryExecution.analyzed.numberedTreeString
+      .linesIterator.size < 12, "lineage grew with rounds")
+    // a cap below the convergence round throws, never a half-converged
+    // ranking
+    val e = intercept[IllegalStateException](
+      Graph.pageRankConverged(edges, maxRounds = 2))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+
+    // the registered oracle unrolls 40 rounds; maxRounds=40 on the
+    // sf0.01 graph THROWS if the fixpoint needs more (measured: 31) —
+    // raise kcoreSql-style both together after a fixture change
+    val dir = "/root/testdata/sf0.01"
+    val real = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    assert(Graph.pageRankConverged(real, maxRounds = 40).count() > 0)
+  }
+
   test("kcoreDecompose peels to the exact maximal core, cascades included") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
