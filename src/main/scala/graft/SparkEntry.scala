@@ -495,12 +495,21 @@ object SparkEntry {
     // the CONVERGENCE-TERMINATED fixpoint pageRank's guard rail defers
     // to (r14): same exact integer recurrence, run until NO rank_e9
     // changes — an exact fixpoint exists on the finite integer lattice
-    // and lands at round 31 on this graph (BENCH_NOTES); oracle replays
-    // it as a fixed 40-round unroll (post-convergence rounds are no-ops)
+    // (post-convergence rounds are no-ops, so the oracle replays the
+    // open-ended loop as a fixed 80-round unroll). Over the SIGNIFICANT
+    // graph like the other converged ops — measured convergence is
+    // structure-dependent, not size-dependent: the sparse sf0.01 graph
+    // needs 55 rounds, the denser sf0.1 graph 5, and the UNFILTERED
+    // graph costs 53 s at sf0.1 for the same fixpoint semantics
+    // (BENCH_NOTES). A coarser e6 lattice is NOT the cheap way out: it
+    // oscillates in a limit cycle at sf0.1 (measured) — exactness is
+    // what makes "run until no change" well-defined here.
     "pagerank_converged" -> ((s, dir) =>
       Graph.pageRankConverged(
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
-          .select(col("product").as("src"), col("neighbor").as("dst")))),
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        maxRounds = 80)),
     // exact triangle counts over the SIGNIFICANT co-occurrence edges
     // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
     // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket
@@ -3874,11 +3883,13 @@ object SparkEntry {
         |FROM agg LEFT JOIN p34 ON agg.product = p34.product
         |ORDER BY agg.product""".stripMargin),
     "page_rank" -> pageRankSql(3),
-    // fixed unroll >= the graph's measured integer-fixpoint round (31 at
-    // sf0.01, margin to 40; engine loops until changed==0 and no-op
-    // rounds make any larger unroll identical — the lpaConvergedSql
-    // argument applied to the rank lattice)
-    "pagerank_converged" -> pageRankSql(40, materialize = true),
+    // fixed unroll >= the graph's measured integer-fixpoint round (55 at
+    // sf0.01 on the significant graph, margin to 80; engine loops until
+    // changed==0 and no-op rounds make any larger unroll identical — the
+    // lpaConvergedSql argument applied to the rank lattice)
+    "pagerank_converged" -> pageRankSql(80, materialize = true,
+      edgesWith = cooccurCte +
+        ", edges AS (SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2)"),
     // same triangles, enumerated by the id-ordered a<b<c form (join order
     // differs, the counted set is identical — that's the point)
     "triangle_count" ->

@@ -294,6 +294,9 @@ object Graph {
           row
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      // depth-constant task closures at any round count (the
+      // pageRankConverged stack-overflow lesson, applied defensively)
+      nextRdd.localCheckpoint()
       nextRdd.count()
       changed = acc.value
       if (persisted != null) persisted.unpersist(false)
@@ -384,6 +387,18 @@ object Graph {
           row
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      // REAL lineage truncation, not just recompute-bounding: a persisted
+      // round still CHAINS its predecessors through the task closure's
+      // object graph, and at this operator's round depth (~31+ at the
+      // verify scale, more at 10×) the serialized task graph overflows
+      // the deserializer's stack — measured as a fleet of executor
+      // StackOverflowErrors at round ~45 on the x10 corpus.
+      // localCheckpoint replaces the dependency chain with the
+      // materialized blocks, so every round's closures are depth-constant.
+      // (The shallow LPA/k-core fixpoints got the same treatment
+      // defensively; a cluster deployment would use a reliable checkpoint
+      // dir, same mechanics.)
+      nextRdd.localCheckpoint()
       nextRdd.count()
       changed = acc.value
       if (persisted != null) persisted.unpersist(false)
@@ -466,6 +481,9 @@ object Graph {
         .filter(col("deg") >= k)
         .select(col("node"))
       val rdd = surv.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      // depth-constant task closures at any round count (the
+      // pageRankConverged stack-overflow lesson, applied defensively)
+      rdd.localCheckpoint()
       val n = rdd.count()
       // peeling only removes nodes, so equal count ⇒ equal set ⇒ done
       changed = n != prev

@@ -1015,4 +1015,39 @@ class PlanSpec extends AnyFunSuite {
         e => e.getClass.getSimpleName == "ArrayAggregate"))),
       s"an interpreted fold survived in pq_encode:\n$opt")
   }
+
+  test("pq_encode_residual rides the rewrite and broadcasts its codebook") {
+    // the residual chain must inherit both raw-PQ plan properties: the
+    // fold rewrite (the residual d2 loop is the same hot path) and the
+    // broadcast codebook join — a shuffled codebook would add a
+    // corpus-sized exchange to every encode
+    val df = SparkEntry.queries("pq_encode_residual")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.L2SqDistance]))),
+      s"l2sq_d missing from the residual encode:\n$opt")
+    val p = planOf("pq_encode_residual")
+    assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")
+    // the only nested-loop joins allowed are the DESIGNED broadcast
+    // crosses (≤ numCentroids rows: cell assignment); a CartesianProduct
+    // means a corpus-sized side lost its broadcast
+    assert(!p.contains("CartesianProduct"),
+      s"residual join degenerated:\n$p")
+  }
+
+  test("ann_ivfpq_rerank's second stage is equi-joined, shortlist-bounded") {
+    // the rerank joins full-precision vectors back by ID onto the ADC
+    // shortlist — equi hash joins only; a nested-loop or cartesian here
+    // means the shortlist bound was lost and the stage is corpus²
+    val p = planOf("ann_ivfpq_rerank")
+    // broadcast crosses (the ≤16-centroid assignment) are designed; a
+    // CartesianProduct means the shortlist bound was lost
+    assert(!p.contains("CartesianProduct"),
+      s"rerank stage degenerated past the equi joins:\n$p")
+    // the only windows allowed are the per-(vec,m) argmin, the per-cell
+    // cap, and the two per-query top-k ranks — all bounded partitions;
+    // WindowGroupLimit must push the rank cut map-side
+    assert(p.contains("WindowGroupLimit"),
+      s"rank cuts lost their map-side group limit:\n$p")
+  }
 }
