@@ -504,12 +504,23 @@ object SparkEntry {
     // (BENCH_NOTES). A coarser e6 lattice is NOT the cheap way out: it
     // oscillates in a limit cycle at sf0.1 (measured) — exactness is
     // what makes "run until no change" well-defined here.
-    "pagerank_converged" -> ((s, dir) =>
-      Graph.pageRankConverged(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
-          .filter(col("cnt") >= 2)
-          .select(col("product").as("src"), col("neighbor").as("dst")),
-        maxRounds = 80)),
+    // materialized to a FIXED catalog table (the streaming queries'
+    // convention): pageRankConverged's deep-fixpoint lineage truncation
+    // makes its direct return single-consumption (see its scaladoc's
+    // consumption contract) — the saveTable write is that one
+    // consumption, and the returned table scan is durable,
+    // re-consumable, and recompute-free. Also the honest economics: a
+    // 55-round fixpoint is an artifact you store, not a view.
+    "pagerank_converged" -> ((s, dir) => {
+      graft.sources.TableSink.saveTable(
+        Graph.pageRankConverged(
+          CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+            .filter(col("cnt") >= 2)
+            .select(col("product").as("src"), col("neighbor").as("dst")),
+          maxRounds = 80),
+        "graft_pagerank_converged")
+      s.table("graft_pagerank_converged").orderBy(col("node"))
+    }),
     // exact triangle counts over the SIGNIFICANT co-occurrence edges
     // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
     // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket
@@ -531,6 +542,67 @@ object SparkEntry {
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
         .select(col("src").as("node"))
       Graph.kHopReach(edges, seeds, k = 3)
+    }),
+    // PERSONALIZED PageRank (r14 — Haveliwala's topic-sensitive walk):
+    // page_rank's exact integer recurrence with the teleport term
+    // restricted to the khop seed set, ranking every product by graph
+    // proximity to the seeds — the link-graph analogue of DSIR's
+    // importance weights for relevance-targeted selection. Seed
+    // membership is annotated once on the node relation; each round adds
+    // one row-local CASE to the fixed-point update, so the oracle
+    // unrolls bit-exactly like page_rank's.
+    "ppr_seeded" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.personalizedPageRank(edges, seeds)
+    }),
+    // HyperANF (r14 — Boldi–Vigna approximate neighborhood function):
+    // per-node HLL ball sketches grown one radius per round by
+    // max-merging successor registers — ball sizes at the scale where
+    // reach_converged's exact closure is quadratic. All-integer
+    // register math (md5 bucket/rho, Σ2^(48−M) harmonic denominator,
+    // DECIMAL(38,0) estimate floor), so the oracle replays every row.
+    "hyperanf" -> ((s, dir) =>
+      Graph.hyperAnf(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // the neighborhood function + effective-diameter flag over those
+    // sketches (Boldi–Vigna's headline statistic, exact-integer 90%
+    // cross-multiplication — one tiny broadcast join, window-free)
+    "anf_function" -> ((s, dir) =>
+      Graph.anfFunction(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // DETERMINISTIC random walks (r14 — DeepWalk/node2vec corpus prep):
+    // two 4-step walks per khop seed over the significant co-occurrence
+    // graph, each step a seeded hash-ARGMIN over the current node's
+    // neighbors — min(struct(md5, dst)) is partial-aggregable, so hub
+    // fan-out never single-tasks the step (the LPA argmax discipline);
+    // the oracle replays the walk verbatim.
+    "random_walks" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.randomWalks(edges, seeds)
+    }),
+    // skip-gram windowing over those walk sequences (the word2vec step
+    // of DeepWalk): (center, context, cnt) pairs within ±2 walk
+    // positions — the bounded per-walk self-join, output linear in the
+    // walk corpus. The relation a graph-embedding trainer consumes.
+    "walk_skipgram" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.walkSkipgramPairs(Graph.randomWalks(edges, seeds))
     }),
     // COST-BASED OPTIMIZATION as a first-class surface (r14 — the
     // "statistics" line of SURVEY §2.1): catalog tables ANALYZEd with
@@ -1824,6 +1896,34 @@ object SparkEntry {
       graft.sources.TableSink.compactBucketed(s, tbl, "cluster_b", 8)
       Similarity.ivfTopKFromIndex(emb, s.table(tbl))
     }),
+    // the HEAD-BOUNDED audit twin of the index LIFECYCLE (the r13
+    // pq_recall treatment, applied where the r14 x100 notch caught the
+    // serve-everything form going quadratic under a frozen quantizer —
+    // BENCH_NOTES r14): the same base build + two append generations +
+    // compaction as ann_index_compacted, but served through the BOUNDED
+    // batch serve (first-8 query head, 2 probes) instead of probing
+    // every corpus vector. Work is build O(N·nlist) + serve O(head ·
+    // cell-pop), so the lifecycle finally has honest x100 rows. Append
+    // and compaction preserve the index ROWS bit-exactly (frozen
+    // quantizer + rewrite-in-place), so the serve is bit-identical to
+    // ann_batch_serve over the one-shot index — same oracle text.
+    "ann_lifecycle_serve" -> ((s, dir) => {
+      val tbl = "graft_ivf_index_lc"
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 < 3 ||
+        col("vec_id") < Similarity.NumCentroids)
+      def gen(r: Int) = emb.filter(col("vec_id") % 5 === r &&
+        col("vec_id") >= Similarity.NumCentroids)
+      graft.sources.TableSink.writeBucketed(
+        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
+      graft.sources.TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(gen(3), s.table(tbl)), tbl, "cluster_b", 8)
+      graft.sources.TableSink.appendBucketed(
+        Similarity.ivfIndexDelta(gen(4), s.table(tbl)), tbl, "cluster_b", 8)
+      graft.sources.TableSink.compactBucketed(s, tbl, "cluster_b", 8)
+      Similarity.queryTopKBatchFromIndex(s.table(tbl), maxQueries = 8,
+        numProbes = 2)
+    }),
     // PQ encoding (Jégou et al.): per (vector, subspace) the nearest
     // codeword by squared L2 — 8 subspaces × 16 codewords, flat rows,
     // broadcast codebook, map-side argmin window. The 64×-compression
@@ -2088,6 +2188,33 @@ object SparkEntry {
       Multimodal.audioPhashPartners(t(s, dir, "documents"))),
     // ---- deterministic sampling / splits (training-data pipeline) --------
     "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
+    // CURRICULUM ordering (r14 — Bengio et al.'s easy-to-hard schedule
+    // as a data-prep relation): documents ranked globally by a
+    // difficulty proxy (subword token count, the house tokenizer
+    // convention), cut into EXACT quartile tiers via the window-free
+    // ExactRank global pass — ((rnk−1)·4) div n is pure integer math, so
+    // tier boundaries are hash-exact — then md5-shuffled WITHIN each
+    // tier (a second ExactRank pass, 4 groups) so each curriculum phase
+    // streams in deterministic shuffled order. No global ORDER BY
+    // window anywhere: both passes parallelize at partition width.
+    "curriculum_order" -> ((s, dir) => {
+      val c = t(s, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_subword_tokens"))
+        .withColumn("g", lit(0))
+      val ranked = ExactRank.exactRank(c, Seq("g"),
+        Seq("n_subword_tokens", "doc_id"))
+      val tiered = ranked
+        .withColumn("tier", expr("CAST(((rnk - 1) * 4) div n_group AS INT)"))
+        .withColumn("k", md5(concat_ws("|", lit("cur"), col("doc_id"))))
+        .select(col("doc_id"), col("n_subword_tokens"), col("tier"), col("k"))
+      ExactRank.exactRank(tiered, Seq("tier"), Seq("k", "doc_id"),
+          rankCol = "pos_in_tier")
+        .select(col("doc_id"), col("n_subword_tokens"), col("tier"),
+          col("pos_in_tier"))
+        .orderBy(col("tier"), col("pos_in_tier"))
+    }),
     // DSIR importance weighting: hashed-ngram target/raw log ratio — one
     // scan fits BOTH distributions (conditional agg), 256-row broadcast
     // model, integer-e6 scores; selection is a bounded TakeOrdered
@@ -2470,6 +2597,154 @@ object SparkEntry {
       |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
     }.mkString
     head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
+  }
+
+  /** Unrolled PERSONALIZED-PageRank oracle (mirrors
+    * Graph.personalizedPageRank over the cnt >= 2 co-occurrence graph,
+    * khop's round-hundred seed rule): [[pageRankSql]]'s exact integer
+    * recurrence with r0 mass and the per-round base term gated on seed
+    * membership — both row-local CASEs over the seed-annotated node
+    * relation, so the unroll stays bit-exact.
+    */
+  private def pprSql(iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000L): String = {
+    val base = (100L - dampingPct) * scale / 100L
+    val head = cooccurCte +
+      s""", edges AS (
+      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+      |),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+      |nodes0 AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |seeds AS (SELECT DISTINCT src AS node FROM edges
+      |  WHERE CAST(src AS BIGINT) % 100 = 0),
+      |nodes AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+      |  FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node),
+      |r0 AS (SELECT node, is_seed,
+      |  CAST(CASE WHEN is_seed THEN $scale ELSE 0 END AS BIGINT) AS rank_e9
+      |  FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+      |s$i AS (SELECT wd.dst, CAST(sum(rank_e9 // deg) AS BIGINT) AS s
+      |  FROM wd JOIN r${i - 1} ON wd.src = r${i - 1}.node GROUP BY wd.dst),
+      |r$i AS (SELECT node, is_seed,
+      |  CAST(CASE WHEN is_seed THEN $base ELSE 0 END AS BIGINT) +
+      |  CAST(($dampingPct * coalesce(s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank_e9
+      |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
+    }.mkString
+    head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
+  }
+
+  /** Unrolled HyperANF oracle (mirrors Graph.hyperAnf over the cnt >= 2
+    * co-occurrence graph): the singleton register per node from the
+    * house md5 idiom (hex bucket + leading-zero-bit rho via
+    * leading-'0' strip and a 3-bit CASE), `rounds` max-merge rounds,
+    * and per radius the exact integer harmonic denominator and the
+    * HUGEINT-floored estimate — every column integer, every row
+    * hash-comparable.
+    */
+  private def hyperAnfSql(rounds: Int): String =
+    hyperAnfCte(rounds) +
+      """
+      |SELECT node, radius, n_regs, s_scaled,
+      |  CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
+      |    (10 * s_scaled) AS BIGINT) AS ball_e2
+      |FROM b ORDER BY node, radius""".stripMargin
+
+  /** `anf_function`: the per-radius aggregate of [[hyperAnfSql]]'s ball
+    * relation — the neighborhood function N(r) plus the effective-
+    * diameter flag (first radius whose mass reaches 90% of the final
+    * radius's, checked in exact integer cross-multiplication).
+    */
+  private def anfFunctionSql(rounds: Int): String =
+    hyperAnfCte(rounds) +
+      s""",
+      |est AS (
+      |  SELECT radius, node,
+      |    CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
+      |      (10 * s_scaled) AS BIGINT) AS ball_e2
+      |  FROM b
+      |), nf AS (
+      |  SELECT radius, count(*) AS n_nodes,
+      |    CAST(sum(ball_e2) AS BIGINT) AS sum_ball_e2
+      |  FROM est GROUP BY radius
+      |), fin AS (SELECT sum_ball_e2 AS total FROM nf WHERE radius = $rounds)
+      |SELECT radius, n_nodes, sum_ball_e2,
+      |  (sum_ball_e2 * 10 >= total * 9) AS reached_90pct
+      |FROM nf CROSS JOIN fin ORDER BY radius""".stripMargin
+
+  private def hyperAnfCte(rounds: Int): String = {
+    val head = cooccurCte +
+      s""", edges AS MATERIALIZED (
+      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+      |),
+      |anodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |g0 AS MATERIALIZED (
+      |  SELECT node,
+      |    CAST(('0x' || substr(h, 1, 1)) AS BIGINT) AS j,
+      |    CASE WHEN st = '' THEN 41
+      |      ELSE (10 - length(st)) * 4 + 1 +
+      |        CASE WHEN substr(st, 1, 1) = '1' THEN 3
+      |          WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+      |          WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |          ELSE 0 END
+      |    END AS m
+      |  FROM (SELECT node, h, ltrim(substr(h, 2, 10), '0') AS st
+      |    FROM (SELECT node, md5(concat_ws('|', 'anf', node)) AS h
+      |      FROM anodes))
+      |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s""",
+      |g$r AS MATERIALIZED (
+      |  SELECT x.node, x.j, max(x.m) AS m FROM (
+      |    SELECT e.src AS node, p.j, p.m
+      |    FROM edges e JOIN g${r - 1} p ON p.node = e.dst
+      |    UNION ALL SELECT node, j, m FROM g${r - 1}) x
+      |  GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val balls = (0 to rounds).map { r =>
+      s"""SELECT node, CAST($r AS INTEGER) AS radius, count(*) AS n_regs,
+      |    (16 - count(*)) * (CAST(1 AS BIGINT) << 48) +
+      |      sum(CAST(1 AS BIGINT) << (48 - m)) AS s_scaled
+      |  FROM g$r GROUP BY node""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    head + iters +
+      s""",
+      |b AS (
+      |  $balls
+      |)""".stripMargin
+  }
+
+  /** Shared walk unroll for `random_walks` / `walk_skipgram` (mirrors
+    * Graft.randomWalks over the cnt >= 2 co-occurrence graph, khop's
+    * seed rule, 2 reps × 4 steps): per step, each walker's next node is
+    * the neighbor minimizing md5(salt|seed|rep|step|dst) — the engine's
+    * min(struct(h, dst)) argmin is exactly QUALIFY row_number() ORDER BY
+    * (h, dst) = 1. Ends with `walks AS (seed, rep, step, node)`.
+    */
+  private def walkCte(steps: Int, reps: Int, salt: String = "walk"): String = {
+    val repVals = (0 until reps).map(r => s"($r)").mkString(", ")
+    val head = cooccurCte +
+      s""", edges AS (
+      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+      |),
+      |seeds AS (SELECT DISTINCT src AS node FROM edges
+      |  WHERE CAST(src AS BIGINT) % 100 = 0),
+      |w0 AS (SELECT s.node AS seed, r.rep, s.node AS cur
+      |  FROM seeds s CROSS JOIN (VALUES $repVals) AS r(rep))""".stripMargin
+    val iters = (1 to steps).map { i =>
+      s""",
+      |c$i AS (SELECT w.seed, w.rep, e.dst,
+      |  md5(concat_ws('|', '$salt', w.seed, CAST(w.rep AS VARCHAR),
+      |    '$i', e.dst)) AS h
+      |  FROM w${i - 1} w JOIN edges e ON w.cur = e.src),
+      |w$i AS (SELECT seed, rep, dst AS cur FROM c$i
+      |  QUALIFY row_number() OVER (PARTITION BY seed, rep ORDER BY h, dst) = 1)""".stripMargin
+    }.mkString
+    val union = (0 to steps).map { i =>
+      s"SELECT seed, rep, $i AS step, cur AS node FROM w$i"
+    }.mkString("\n  UNION ALL ")
+    head + iters + s",\nwalks AS (\n  $union\n)"
   }
 
   /** Unrolled synchronous label-propagation oracle (mirrors
@@ -3883,6 +4158,23 @@ object SparkEntry {
         |FROM agg LEFT JOIN p34 ON agg.product = p34.product
         |ORDER BY agg.product""".stripMargin),
     "page_rank" -> pageRankSql(3),
+    // personalized PageRank: the same unrolled recurrence with seed-gated
+    // teleport mass (khop's round-hundred seed rule)
+    "ppr_seeded" -> pprSql(3),
+    // HyperANF: the register relation and integer estimate replayed
+    "hyperanf" -> hyperAnfSql(3),
+    "anf_function" -> anfFunctionSql(3),
+    // the hash-argmin walk replayed step by step
+    "random_walks" -> (walkCte(4, 2) +
+      "\nSELECT seed, rep, step, node FROM walks ORDER BY seed, rep, step"),
+    // skip-gram windowing over the identical walk relation
+    "walk_skipgram" -> (walkCte(4, 2) +
+      """
+      |SELECT a.node AS center, b.node AS context, count(*) AS cnt
+      |FROM walks a JOIN walks b
+      |  ON a.seed = b.seed AND a.rep = b.rep AND a.step <> b.step
+      |  AND abs(b.step - a.step) <= 2
+      |GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
     // fixed unroll >= the graph's measured integer-fixpoint round (55 at
     // sf0.01 on the significant graph, margin to 80; engine loops until
     // changed==0 and no-op rounds make any larger unroll identical — the
@@ -6277,6 +6569,9 @@ object SparkEntry {
     // base + 2 appends + compaction serve == the one-shot build's serve
     "ann_index_compacted" -> annIvfTopKOracle,
     "ann_batch_serve" -> annBatchServeOracle,
+    // append + compaction preserve index rows exactly, so the lifecycle
+    // twin's bounded serve == the one-shot batch serve — same oracle text
+    "ann_lifecycle_serve" -> annBatchServeOracle,
     "pq_encode" -> pqEncodeOracle,
     "ann_ivfpq_topk" -> annIvfpqOracle,
     "ann_ivfpq_auto" -> annIvfpqAutoOracle,
@@ -6618,6 +6913,26 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(bucket % 8 AS INTEGER) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+    // global difficulty rank → exact integer quartile tiers → md5
+    // shuffle within tier (row_number windows replay ExactRank exactly)
+    "curriculum_order" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_subword_tokens,
+        |    row_number() OVER (ORDER BY n_subword_tokens, doc_id) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM c
+        |), t AS (
+        |  SELECT doc_id, n_subword_tokens,
+        |    CAST(((rnk - 1) * 4) // n AS INTEGER) AS tier,
+        |    md5(concat_ws('|', 'cur', CAST(doc_id AS VARCHAR))) AS k
+        |  FROM r)
+        |SELECT doc_id, n_subword_tokens, tier,
+        |  CAST(row_number() OVER (PARTITION BY tier ORDER BY k, doc_id) AS BIGINT) AS pos_in_tier
+        |FROM t ORDER BY tier, pos_in_tier""".stripMargin,
     // hashed uni+bigram features, one conditional agg builds target AND
     // raw bucket counts, add-one-smoothed log ratio floored to e6
     // integers MODEL-SIDE (unigram_logprob's parity pattern) so doc

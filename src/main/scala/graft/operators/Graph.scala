@@ -27,7 +27,7 @@ object Graph {
     * the whole run, not once per iteration) and one aggregation on the
     * destination key. Iteration count is a fixed small constant, so plain
     * lineage suffices — an open-ended fixpoint would reuse the
-    * localCheckpoint discipline of Dedup.nearDupClusters.
+    * persisted-row-RDD truncation discipline of Dedup.nearDupClusters.
     *
     * Overflow posture: the damping multiply runs in DECIMAL(38,0)
     * (matching the oracle's HUGEINT) and only the final integral-divide
@@ -81,6 +81,67 @@ object Graph {
         .select(col("node"), (lit(base) +
           expr(s"($dampingPct * CAST(coalesce(s, 0) AS DECIMAL(38,0))) div 100"))
           .as("rank_e9"))
+    }
+    ranks.select(col("node"), col("rank_e9")).orderBy(col("node"))
+  }
+
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002): [[pageRank]]'s exact
+    * integer recurrence with the teleport term restricted to a SEED set —
+    * rank mass drains toward the seeds' neighborhoods instead of spreading
+    * uniformly, so the result ranks every node by graph proximity to the
+    * seeds. The LLM-data use is relevance-weighted selection: seed the
+    * walk with a curated document/product set and harvest the corpus by
+    * PPR score (the link-graph analogue of DSIR's importance weights).
+    *
+    * Arithmetic is [[pageRank]]'s verbatim — BIGINT e9 ranks, `div`
+    * contribution splits, DECIMAL(38,0) damping multiply — with two
+    * deltas, both exact: r0 gives `scale` to seed nodes and 0 elsewhere,
+    * and the per-round base term `(100−d)·scale/100` lands ONLY on seeds
+    * (a non-seed node's rank is purely damped inbound mass). Total mass
+    * stays ≤ |seeds|·scale, so the overflow bound is the same ~9.2e9
+    * argument. The oracle unrolls the identical recurrence with a seed
+    * CASE.
+    *
+    * Scale shape: identical to [[pageRank]] (one equi-join + one agg per
+    * round over the once-shuffled degree-annotated edges) plus one
+    * broadcast-sized membership join per round — seeds are a curated set,
+    * orders of magnitude smaller than the corpus, and arrive as a
+    * DataFrame so a large seed relation still plans as a shuffle join
+    * rather than failing.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iterations >= 1 && iterations <= 20,
+      "iterations must be in [1, 20] — beyond that use a checkpointed fixpoint")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct is an integer percentage")
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = CacheScope.selfReleasing(
+      e.join(outDeg, "src"), StorageLevel.DISK_ONLY)
+    // node relation annotated ONCE with seed membership (left join +
+    // flag), so every round's base term is a row-local CASE, not a join
+    val nodes = CacheScope.selfReleasing(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(seeds.select(col("node")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
+      StorageLevel.DISK_ONLY)
+    val base = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.withColumn("rank_e9",
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val sums = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_e9 div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * CAST(coalesce(s, 0) AS DECIMAL(38,0))) div 100"))
+            .as("rank_e9"))
     }
     ranks.select(col("node"), col("rank_e9")).orderBy(col("node"))
   }
@@ -176,7 +237,7 @@ object Graph {
     * partial-aggregable hash aggregate, never a per-node window, so a hub
     * node's million neighbor-label rows combine map-side. Iteration count
     * is a fixed small constant; an open-ended fixpoint would move to the
-    * localCheckpoint discipline of Dedup.nearDupClusters.
+    * persisted-row-RDD truncation discipline of Dedup.nearDupClusters.
     *
     * Emits (node, community) — community = the final label, a member
     * node's id (the per-community minimum in the common converged case).
@@ -294,9 +355,16 @@ object Graph {
           row
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      // depth-constant task closures at any round count (the
-      // pageRankConverged stack-overflow lesson, applied defensively)
-      nextRdd.localCheckpoint()
+      // persist-only lineage truncation — deliberately NO localCheckpoint
+      // (the pageRankConverged device): a checkpointed round is
+      // UNRECOMPUTABLE once unpersisted, which turns a released result
+      // cache into a landmine for a second consumer action (measured as
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the kcore spec). LPA's
+      // monotone fixpoint converges in O(label-chain) rounds — shallow,
+      // structure-bounded — so the persisted-RDD task graph stays well
+      // under the ~45-round serialization depth where pageRankConverged
+      // measured its deserializer stack overflow; recompute after the
+      // result cache retires walks plain lineage, slow but correct.
       nextRdd.count()
       changed = acc.value
       if (persisted != null) persisted.unpersist(false)
@@ -344,7 +412,29 @@ object Graph {
     * the SAME materializing action via an accumulator (over-count can
     * only buy a no-op round, never early termination), superseded
     * rounds unpersisted as their successor lands, degree-annotated
-    * edges and the node relation persisted once for the whole run.
+    * edges and the node relation persisted once for the whole run —
+    * PLUS `localCheckpoint()` per round: at this operator's depth
+    * (55 rounds at sf0.01) the persisted-RDD task closures alone chain
+    * the full round history through the RDD object graph, and the
+    * serialized task graph overflowed the deserializer's stack at round
+    * ~45 on the x10 corpus (measured). The checkpoint replaces each
+    * round's dependency chain with its materialized blocks —
+    * depth-constant closures at any round count.
+    *
+    * CONSUMPTION CONTRACT (the price of truncated lineage): the
+    * returned relation is served from an operator-scoped cache;
+    * consecutive consumer actions hit that cache, but once it releases
+    * (first consuming action, or staleness) the relation CANNOT be
+    * lazily recomputed — the checkpointed loop rounds it would replay
+    * through are gone (Spark fails with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, loudly, never wrong data). A
+    * consumer that needs the ranks more than once should persist them
+    * durably — the registered `pagerank_converged` query writes the
+    * result to a catalog table and serves reads from that, which is
+    * also the honest economics: a 55-round fixpoint is an ARTIFACT you
+    * store, not a view you recompute. The shallow fixpoints
+    * ([[lpaConverged]], [[kcoreDecompose]], [[reachConverged]]) stay
+    * persist-only and recomputable precisely to avoid this contract.
     */
   def pageRankConverged(edges: DataFrame, dampingPct: Int = 85,
       scale: Long = 1000000000L, maxRounds: Int = 60): DataFrame = {
@@ -421,6 +511,184 @@ object Graph {
     out
   }
 
+  /** HyperANF (Boldi–Vigna, WWW 2011): the APPROXIMATE neighborhood
+    * function — per node, an HLL sketch of its r-ball, grown one radius
+    * per round by max-merging successors' sketches. This is how ball
+    * sizes / effective-diameter questions get answered at 100 TB: the
+    * exact closure ([[reachConverged]]) materializes reached SETS
+    * (O(V²) worst case on a dense web graph), while a register sketch
+    * is 16 small integers per node FOREVER — per round one equi-join +
+    * one partial-aggregable max, independent of how large the balls get.
+    *
+    * Everything is EXACT integer arithmetic so the DuckDB oracle
+    * replays it bit-for-bit (the CMS discipline, not the DataSketches
+    * structural-boolean one): the hash is the house md5 idiom — bucket
+    * j = first hex digit, rho = 1 + leading zero BITS of the next 10 hex
+    * digits (leading-'0' strip + a 3-bit CASE on the first nonzero
+    * digit; all-zero tail caps at 41) — and the harmonic denominator
+    * Σ 2^−M_j is carried as the INTEGER S = Σ 2^(48−M_j) (absent
+    * registers contribute 2^48), so the raw HLL estimate
+    * α₁₆·m²·2^48/S floors to `ball_e2` in DECIMAL(38,0)/HUGEINT — no
+    * float ever touches the relation. (Raw estimator, no small-range
+    * linear-counting correction: that needs ln(), whose last-ulp is
+    * libm-dependent — the registers themselves are the checkable
+    * artifact; the estimate column is derived integer math.)
+    *
+    * Emits (node, radius, n_regs, s_scaled, ball_e2) for radius
+    * 0..rounds — ball_e2 ≈ 100·|ball(node, radius)|.
+    */
+  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1 && rounds <= 12,
+      s"rounds must be in [1, 12], got $rounds — deeper needs the " +
+        "checkpointed-loop discipline")
+    val e = CacheScope.selfReleasing(
+      edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // one-row-per-node singleton sketch: the node's own (j, rho)
+    val regs0 = nodes
+      .withColumn("h", md5(concat_ws("|", lit("anf"), col("node"))))
+      .withColumn("j", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("tail", substring(col("h"), 2, 10))
+      .withColumn("st", expr("trim(LEADING '0' FROM tail)"))
+      .withColumn("m", when(col("st") === "", lit(41)).otherwise(
+        (lit(10) - length(col("st"))) * 4 + lit(1) +
+          when(substring(col("st"), 1, 1) === "1", 3)
+            .when(substring(col("st"), 1, 1).isin("2", "3"), 2)
+            .when(substring(col("st"), 1, 1).isin("4", "5", "6", "7"), 1)
+            .otherwise(0)))
+      .select(col("node"), col("j"), col("m"))
+    def ball(regs: DataFrame, radius: Int): DataFrame = regs
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - m)")).as("sp"))
+      .select(col("node"), lit(radius).as("radius"),
+        col("n_regs"),
+        ((lit(16L) - col("n_regs")) * lit(281474976710656L) + col("sp"))
+          .as("s_scaled"))
+      .withColumn("ball_e2",
+        expr("CAST((CAST(172288 AS DECIMAL(38,0)) * 281474976710656)" +
+          " div (10 * s_scaled) AS BIGINT)"))
+    // each round's registers are read TWICE within the one output plan
+    // (next round's merge + this radius's ball rows) — a single
+    // consuming action materializes each cache once and reuses it
+    // across both subtrees (the pageRank discipline)
+    var regs = CacheScope.selfReleasing(regs0, StorageLevel.DISK_ONLY)
+    var out = ball(regs, 0)
+    for (r <- 1 to rounds) {
+      // successors' sketches flow INTO each node: B_r(v) = B_{r-1}(v) ∪
+      // ⋃_{v→w} B_{r-1}(w); one equi-join + one map-side-combining max
+      val merged = e.join(regs.withColumnRenamed("node", "nbr"),
+          col("dst") === col("nbr"))
+        .select(col("src").as("node"), col("j"), col("m"))
+        .unionAll(regs)
+        .groupBy(col("node"), col("j")).agg(max(col("m")).as("m"))
+      regs = if (r < rounds)
+        CacheScope.selfReleasing(merged, StorageLevel.DISK_ONLY)
+      else merged
+      out = out.unionAll(ball(regs, r))
+    }
+    out.orderBy(col("node"), col("radius"))
+  }
+
+  /** The NEIGHBORHOOD FUNCTION N(r) over [[hyperAnf]]'s ball relation —
+    * per radius, how much of the graph the average node can see — plus
+    * the effective-diameter flag (the first radius whose total estimated
+    * mass reaches 90% of the final radius's, Boldi–Vigna's headline
+    * statistic, checked in exact integer cross-multiplication so the
+    * row stays hash-exact). Both consumers of the ball relation sit in
+    * ONE plan: hyperAnf's operator-scoped register caches serve the
+    * second traversal, so the sketch rounds run once.
+    */
+  def anfFunction(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val balls = hyperAnf(edges, rounds)
+    val nf = balls.groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("ball_e2")).as("sum_ball_e2"))
+    val fin = nf.filter(col("radius") === rounds)
+      .select(col("sum_ball_e2").as("total"))
+    nf.crossJoin(broadcast(fin))
+      .select(col("radius"), col("n_nodes"), col("sum_ball_e2"),
+        (col("sum_ball_e2") * 10 >= col("total") * 9).as("reached_90pct"))
+      .orderBy(col("radius"))
+  }
+
+  /** DETERMINISTIC random walks (the corpus-prep half of DeepWalk /
+    * node2vec: walk sequences are the "sentences" a skip-gram embedding
+    * trains on). Each seed starts `walksPerSeed` walks of `steps` steps;
+    * at every step the walker moves to the neighbor minimizing
+    * `md5(salt|seed|rep|step|dst)` — a seeded hash-argmin, so the walk is
+    * a pure function of the edge set and reproducible on any engine (the
+    * oracle replays it verbatim), uniform-ish because each neighbor is
+    * equally likely to carry the minimal hash. Dead ends terminate the
+    * walk (the standard truncation).
+    *
+    * Why hash-ARGMIN and not indexed choice: "pick neighbor number
+    * hash mod degree" needs per-source neighbor numbering — a per-node
+    * window that single-tasks on hub vertices. The argmin is
+    * `min(struct(h, dst))` — partial-aggregable, hub-safe, and immune to
+    * duplicate edge rows (duplicates cannot change a min). Per step the
+    * work is ONE equi-join of the live walkers onto the once-persisted
+    * edge relation + one partial agg; `steps` is a small constant, so
+    * plain lineage suffices (the [[pageRank]] argument).
+    *
+    * Returns (seed, rep, step, node): step 0 is the seed itself.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+      walksPerSeed: Int = 2, salt: String = "walk"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(steps >= 1 && steps <= 16,
+      s"steps must be in [1, 16], got $steps — longer walks want a " +
+        "checkpointed loop")
+    require(walksPerSeed >= 1 && walksPerSeed <= 8,
+      s"walksPerSeed must be in [1, 8], got $walksPerSeed")
+    // every step rejoins this — one shuffle for the whole walk set
+    val e = CacheScope.selfReleasing(
+      edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
+    var state = seeds.select(col("node").as("seed")).distinct()
+      .withColumn("rep",
+        explode(sequence(lit(0), lit(walksPerSeed - 1))))
+      .withColumn("cur", col("seed"))
+    var out = state.select(col("seed"), col("rep"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (i <- 1 to steps) {
+      val cand = state.join(e, state("cur") === e("src"))
+        .withColumn("h", md5(concat_ws("|",
+          lit(salt), col("seed"), col("rep"), lit(i), col("dst"))))
+      state = cand.groupBy(col("seed"), col("rep"))
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("seed"), col("rep"), col("m.dst").as("cur"))
+      out = out.union(state.select(col("seed"), col("rep"),
+        lit(i).as("step"), col("cur").as("node")))
+    }
+    out.orderBy(col("seed"), col("rep"), col("step"))
+  }
+
+  /** Skip-gram training pairs from [[randomWalks]] sequences (the
+    * word2vec windowing step of DeepWalk): for every walk position, each
+    * node within `window` steps on EITHER side becomes a (center,
+    * context) pair; pairs aggregate to (center, context, cnt) — the
+    * co-occurrence relation a graph-embedding trainer consumes. The
+    * self-join is per-walk on a BOUNDED key range (|step diff| ≤ window
+    * over ≤ steps+1 rows per walk), so its output is ≤ 2·window·|walk
+    * rows| — linear in the walk corpus, never quadratic in the graph.
+    */
+  def walkSkipgramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"window must be in [1, 8], got $window")
+    val a = walks.select(col("seed"), col("rep"),
+      col("step").as("step_a"), col("node").as("center"))
+    val b = walks.select(col("seed"), col("rep"),
+      col("step").as("step_b"), col("node").as("context"))
+    a.join(b, Seq("seed", "rep"))
+      .filter(col("step_b") =!= col("step_a") &&
+        abs(col("step_b") - col("step_a")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("center"), col("context"))
+  }
+
   /** K-CORE decomposition at fixed k: the maximal subgraph in which
     * every node has (undirected) degree >= k — the standard graph
     * DENSIFICATION filter before community/centrality analysis, and at
@@ -481,9 +749,14 @@ object Graph {
         .filter(col("deg") >= k)
         .select(col("node"))
       val rdd = surv.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      // depth-constant task closures at any round count (the
-      // pageRankConverged stack-overflow lesson, applied defensively)
-      rdd.localCheckpoint()
+      // persist-only truncation — deliberately NO localCheckpoint (see
+      // lpaConverged: a checkpointed-then-unpersisted round makes the
+      // returned relation unrecomputable after its cache retires — the
+      // kcore spec's second action CRASHED on exactly that). Peeling
+      // depth is the cascade length — shallow and structure-bounded
+      // (8 rounds at the verify scale), nowhere near the ~45-round
+      // closure-serialization depth that forced pageRankConverged's
+      // checkpoint.
       val n = rdd.count()
       // peeling only removes nodes, so equal count ⇒ equal set ⇒ done
       changed = n != prev
@@ -535,7 +808,7 @@ object Graph {
     * and unpersists it on completion — no caller teardown. k is a
     * small fixed constant per the [[pageRank]]
     * discipline — an open-ended fixpoint would move to
-    * localCheckpoint like Dedup.nearDupClusters.
+    * the persisted-row-RDD truncation of Dedup.nearDupClusters.
     */
   def kHopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
