@@ -592,6 +592,21 @@ object SparkEntry {
         .select(col("src").as("node"))
       Graph.randomWalks(edges, seeds)
     }),
+    // the BIASED second-order walk (r14 — Grover–Leskovec node2vec at
+    // p=4, q=2): next hop weighted by its relation to the PREVIOUS node
+    // (return 1 / common 4 / outward 2), the weights realized EXACTLY
+    // as min-over-w-hash-draws (P(win) = w/Σw for the min of iid
+    // uniforms) — faithful weighted sampling that stays a pure function
+    // of the edge set. One candidates join + one adjacency-flag join +
+    // a ≤4-way row-local explode per step.
+    "node2vec_walks" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.node2vecWalks(edges, seeds)
+    }),
     // skip-gram windowing over those walk sequences (the word2vec step
     // of DeepWalk): (center, context, cnt) pairs within ±2 walk
     // positions — the bounded per-walk self-join, output linear in the
@@ -698,6 +713,17 @@ object SparkEntry {
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // Newman modularity of those converged communities (r14 — the
+    // measure-don't-guess row for community detection, the lsh_recall
+    // discipline): per community the EXACT integer numerator
+    // 4·m·e_in − d_tot² (Q = Σ/4m²) — a labeling change shows up as
+    // value drift, not vibes. Oracle shares lpa_converged's label CTEs.
+    "modularity_lpa" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      Graph.modularity(edges, Graph.lpaConverged(edges))
+    }),
     // K-CORE decomposition (r14): peel nodes with in-survivor degree < 2
     // to the unique maximal 2-core (the cycle-containing skeleton) — the
     // densification filter before community/centrality passes. k = 2 is
@@ -811,6 +837,12 @@ object SparkEntry {
     // rows live in groups smaller than k)
     "k_anonymity" -> ((s, dir) =>
       Relational.kAnonymity(t(s, dir, "customer"))),
+    // the diversity half of the privacy audit (r14 — the attack
+    // k-anonymity misses: a uniform-sensitive group discloses even at
+    // size k): distinct l-diversity over the balance band, with the
+    // skew count as an exact-integer entropy stand-in
+    "l_diversity" -> ((s, dir) =>
+      Relational.lDiversity(t(s, dir, "customer"))),
     // privacy gate, release half: ε-DP Laplace-noised corpus histogram
     // with a seeded (oracle-replayable) noise derivation
     "dp_histogram" -> ((s, dir) =>
@@ -2747,6 +2779,53 @@ object SparkEntry {
     head + iters + s",\nwalks AS (\n  $union\n)"
   }
 
+  /** Unrolled node2vec-walk oracle (mirrors Graph.node2vecWalks over
+    * the cnt >= 2 graph, khop's seeds, 2 reps × 4 steps): per step the
+    * candidate weight is the return/common/outward CASE off the
+    * previous node (NULL prev at step 1 fails both tests → uniform 2),
+    * draws come from a 4-row VALUES table filtered t < wt, and the
+    * engine's min(struct(h, dst)) is QUALIFY row_number ORDER BY
+    * (h, dst) = 1.
+    */
+  private def node2vecSql(steps: Int, reps: Int,
+      salt: String = "n2v"): String = {
+    val repVals = (0 until reps).map(r => s"($r)").mkString(", ")
+    val head = cooccurCte +
+      s""", edges AS MATERIALIZED (
+      |  SELECT DISTINCT product AS src, neighbor AS dst
+      |  FROM counts WHERE cnt >= 2
+      |),
+      |seeds AS (SELECT DISTINCT src AS node FROM edges
+      |  WHERE CAST(src AS BIGINT) % 100 = 0),
+      |tt(t) AS (VALUES (0), (1), (2), (3)),
+      |v0 AS (SELECT s.node AS seed, r.rep,
+      |    CAST(NULL AS VARCHAR) AS prev, s.node AS cur
+      |  FROM seeds s CROSS JOIN (VALUES $repVals) AS r(rep))""".stripMargin
+    val iters = (1 to steps).map { i =>
+      s""",
+      |vc$i AS (
+      |  SELECT w.seed, w.rep, w.cur, e.dst,
+      |    CASE WHEN e.dst = w.prev THEN 1
+      |      WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS wt
+      |  FROM v${i - 1} w
+      |  JOIN edges e ON w.cur = e.src
+      |  LEFT JOIN edges a ON a.src = w.prev AND a.dst = e.dst),
+      |v$i AS (
+      |  SELECT seed, rep, cur AS prev, dst AS cur FROM (
+      |    SELECT c.seed, c.rep, c.cur, c.dst,
+      |      md5(concat_ws('|', '$salt', c.seed, CAST(c.rep AS VARCHAR),
+      |        '$i', c.dst, CAST(tt.t AS VARCHAR))) AS h
+      |    FROM vc$i c JOIN tt ON tt.t < c.wt)
+      |  QUALIFY row_number() OVER (PARTITION BY seed, rep ORDER BY h, dst) = 1)""".stripMargin
+    }.mkString
+    val union = (0 to steps).map { i =>
+      s"SELECT seed, rep, $i AS step, cur AS node FROM v$i"
+    }.mkString("\n  UNION ALL ")
+    head + iters +
+      s"\nSELECT seed, rep, step, node FROM (\n  $union\n)" +
+      "\nORDER BY seed, rep, step"
+  }
+
   /** Unrolled synchronous label-propagation oracle (mirrors
     * Graph.labelPropagation over the cnt >= 2 co-occurrence graph):
     * each round's QUALIFY argmax (ORDER BY c DESC, lbl) is exactly the
@@ -2786,7 +2865,7 @@ object SparkEntry {
     * its own maxRounds=50; PipelineSpec pins the sf0.01 convergence
     * round well under the unroll).
     */
-  private def lpaConvergedSql(unrollRounds: Int): String = {
+  private def lpaConvergedCte(unrollRounds: Int): String = {
     val head = cooccurCte +
       """, und AS (
       |  SELECT DISTINCT least(product, neighbor) AS u,
@@ -2806,8 +2885,44 @@ object SparkEntry {
       |  FROM l${i - 1} l JOIN m$i m ON l.node = m.node)""".stripMargin
     }.mkString
     head + iters +
-      s"\nSELECT node, lbl AS community FROM l$unrollRounds ORDER BY node"
+      s",\nlabels AS (SELECT node, lbl AS community FROM l$unrollRounds)"
   }
+
+  /** `modularity_lpa`: Newman modularity of the converged LPA
+    * communities over the same undirected significant graph, in EXACT
+    * integer arithmetic — per community c the numerator
+    * q_num = 4·m·e_c − d_c² (HUGEINT/DECIMAL(38,0) multiply, BIGINT
+    * result), where Q = Σ_c q_num / (4m²). The `und`/`labels` CTEs come
+    * from [[lpaConvergedCte]] verbatim, so the community definition
+    * cannot drift between the two queries.
+    */
+  private def modularityLpaSql(unrollRounds: Int): String =
+    lpaConvergedCte(unrollRounds) +
+      """,
+      |mm AS (SELECT count(*) AS m FROM und),
+      |ec AS (
+      |  SELECT lu.community, count(*) AS e_in
+      |  FROM und
+      |  JOIN labels lu ON und.u = lu.node
+      |  JOIN labels lv ON und.v = lv.node
+      |  WHERE lu.community = lv.community
+      |  GROUP BY 1
+      |), dc AS (
+      |  SELECT l.community, count(*) AS d_tot FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
+      |  JOIN labels l ON x.node = l.node GROUP BY 1
+      |), nn AS (
+      |  SELECT community, count(*) AS n_nodes FROM labels GROUP BY 1)
+      |SELECT nn.community, nn.n_nodes,
+      |  CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in,
+      |  CAST(dc.d_tot AS BIGINT) AS d_tot,
+      |  CAST(CAST(4 AS HUGEINT) * mm.m * coalesce(ec.e_in, 0) -
+      |    CAST(dc.d_tot AS HUGEINT) * dc.d_tot AS BIGINT) AS q_num
+      |FROM nn
+      |JOIN dc ON nn.community = dc.community
+      |LEFT JOIN ec ON nn.community = ec.community
+      |CROSS JOIN mm
+      |ORDER BY nn.community""".stripMargin
 
   /** Oracle for kcore_decompose (Graph.kcoreDecompose): a fixed unroll
     * of the synchronous peel — each round keeps exactly the nodes with
@@ -2815,7 +2930,7 @@ object SparkEntry {
     * (dropping nobody leaves every degree unchanged), so any unroll at
     * or above the engine's convergence round is the identical core;
     * PipelineSpec pins sf0.01 convergence within the unroll (the
-    * lpaConvergedSql contract).
+    * lpaConvergedCte contract).
     */
   private def kcoreSql(k: Int, unrollRounds: Int): String = {
     val head = cooccurCte +
@@ -4167,6 +4282,8 @@ object SparkEntry {
     // the hash-argmin walk replayed step by step
     "random_walks" -> (walkCte(4, 2) +
       "\nSELECT seed, rep, step, node FROM walks ORDER BY seed, rep, step"),
+    // the biased second-order walk with its draw table replayed
+    "node2vec_walks" -> node2vecSql(4, 2),
     // skip-gram windowing over the identical walk relation
     "walk_skipgram" -> (walkCte(4, 2) +
       """
@@ -4178,7 +4295,7 @@ object SparkEntry {
     // fixed unroll >= the graph's measured integer-fixpoint round (55 at
     // sf0.01 on the significant graph, margin to 80; engine loops until
     // changed==0 and no-op rounds make any larger unroll identical — the
-    // lpaConvergedSql argument applied to the rank lattice)
+    // lpaConvergedCte argument applied to the rank lattice)
     "pagerank_converged" -> pageRankSql(80, materialize = true,
       edgesWith = cooccurCte +
         ", edges AS (SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2)"),
@@ -4205,8 +4322,10 @@ object SparkEntry {
     "communities_lpa" -> lpaSql(3),
     // fixed unroll >= the fixture's convergence round (engine loops
     // until changed==0; monotone no-op rounds make any larger unroll
-    // identical — see lpaConvergedSql)
-    "lpa_converged" -> lpaConvergedSql(16),
+    // identical — see lpaConvergedCte)
+    "lpa_converged" -> (lpaConvergedCte(16) +
+      "\nSELECT node, community FROM labels ORDER BY node"),
+    "modularity_lpa" -> modularityLpaSql(16),
     // same fixed-unroll discipline for the peel: any unroll >= the
     // engine's convergence round (8 at sf0.01) yields the identical core
     "kcore_decompose" -> kcoreSql(2, 16),
@@ -4494,6 +4613,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
         |  CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
+    // the same two nested aggregates; the band shift keeps the integral
+    // divide positive so // (floor) and div (truncate) agree
+    "l_diversity" ->
+      """WITH cell AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+        |      // 100000 AS band,
+        |    count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n,
+        |    count(*) AS n_sens, CAST(max(cnt) AS BIGINT) AS max_freq
+        |  FROM cell GROUP BY 1, 2)
+        |SELECT CAST(3 AS INT) AS l,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity_groups,
+        |  CAST(sum(CASE WHEN n_sens < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(n_sens) AS BIGINT) AS min_distinct_sensitive,
+        |  CAST(sum(CASE WHEN max_freq * 3 > n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skewed_groups
         |FROM g""".stripMargin,
     // the seeded-Laplace derivation is shared verbatim: md5-prefix
     // uniform -> inverse CDF, e6 round absorbs last-ulp ln divergence

@@ -117,6 +117,12 @@ object Graph {
       "iterations must be in [1, 20] — beyond that use a checkpointed fixpoint")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct is an integer percentage")
+    // the raw edge relation appears four times below (degree agg,
+    // degree join, both node-union arms) — deliberately NOT cached: a
+    // probed DISK_ONLY cache here MEASURED SLOWER at both decade
+    // notches (x10 4.45 → 6.40 s, x100 53.5 → 75.1 s) — under AQE the
+    // repeated chain's shuffle stages reuse/recompute cheaper than the
+    // extra disk round-trip (BENCH_NOTES r14)
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = CacheScope.selfReleasing(
@@ -592,6 +598,51 @@ object Graph {
     out.orderBy(col("node"), col("radius"))
   }
 
+  /** Newman MODULARITY of a community labeling, in EXACT integer
+    * arithmetic — the standard quality metric for [[lpaConverged]]'s
+    * output (is the partition denser inside communities than a random
+    * graph with the same degrees?). Per community c over the undirected
+    * edge set: emits n_nodes, e_in (internal edges), d_tot (total
+    * degree), and the exact numerator q_num = 4·m·e_c − d_c², where
+    * Q = Σ_c q_num / (4m²) ∈ [−1/2, 1) — the division is left to the
+    * consumer so every emitted value is an integer (the multiply runs
+    * in DECIMAL(38,0), the pageRank overflow posture: 4·m·e_c wraps
+    * long beyond ~1.5e9 edges).
+    *
+    * Scale shape: the undirected dedup, two label equi-joins for e_c
+    * (community sides must MATCH — the filter, not a cross), one
+    * unionAll+join for degrees, all partial-aggregable; m is a 1-row
+    * broadcast.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = labels.select(col("node"), col("community"))
+    val undC = CacheScope.selfReleasing(und,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val m = undC.agg(count(lit(1)).as("m"))
+    val ec = undC
+      .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .select(col("cu").as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("e_in"))
+    val dc = undC.select(col("u").as("node"))
+      .unionAll(undC.select(col("v").as("node")))
+      .join(lab, "node")
+      .groupBy(col("community")).agg(count(lit(1)).as("d_tot"))
+    val nn = lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    nn.join(dc, "community")
+      .join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        expr("CAST(CAST(4 AS DECIMAL(38,0)) * m * coalesce(e_in, 0) -" +
+          " CAST(d_tot AS DECIMAL(38,0)) * d_tot AS BIGINT)").as("q_num"))
+      .orderBy(col("community"))
+  }
+
   /** The NEIGHBORHOOD FUNCTION N(r) over [[hyperAnf]]'s ball relation —
     * per radius, how much of the graph the average node can see — plus
     * the effective-diameter flag (the first radius whose total estimated
@@ -659,6 +710,85 @@ object Graph {
       state = cand.groupBy(col("seed"), col("rep"))
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("seed"), col("rep"), col("m.dst").as("cur"))
+      out = out.union(state.select(col("seed"), col("rep"),
+        lit(i).as("step"), col("cur").as("node")))
+    }
+    out.orderBy(col("seed"), col("rep"), col("step"))
+  }
+
+  /** NODE2VEC biased walks (Grover & Leskovec, KDD 2016): second-order
+    * walks where the next hop is weighted by its relation to the
+    * PREVIOUS node — return (dst = prev, weight 1), common neighbor
+    * (prev→dst edge exists, weight 4), outward (weight 2) — i.e.
+    * p = 4, q = 2 in integer form: the walk prefers staying local
+    * (BFS-ish) over backtracking or fleeing (DFS-ish), the mixture the
+    * paper shows trains the best embeddings.
+    *
+    * Deterministic EXACT weighted choice: each candidate gets `weight`
+    * hash draws (md5(salt|seed|rep|step|dst|t), t < weight) and the
+    * global argmin wins — for the minimum over iid uniform draws,
+    * P(candidate wins) = weight/Σweights EXACTLY, so this is faithful
+    * weighted sampling, not an approximation, while staying a pure
+    * function of the edge set (the oracle replays it; the
+    * [[randomWalks]] argmin discipline with a draw dimension).
+    *
+    * Scale shape per step: one equi-join of walkers onto the
+    * once-persisted edge relation (candidates), one LEFT equi-join on
+    * (prev, dst) for the common-neighbor flag, a row-local ≤4-way
+    * explode for draws, and one partial-aggregable min(struct) — no
+    * windows, hub-safe. The first step has no prev: its NULL matches
+    * neither the return test nor the adjacency join, so every candidate
+    * weighs 2 — a uniform first hop, the standard convention.
+    *
+    * Returns (seed, rep, step, node); step 0 is the seed.
+    */
+  def node2vecWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+      walksPerSeed: Int = 2, salt: String = "n2v"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(steps >= 1 && steps <= 16,
+      s"steps must be in [1, 16], got $steps")
+    require(walksPerSeed >= 1 && walksPerSeed <= 8,
+      s"walksPerSeed must be in [1, 8], got $walksPerSeed")
+    // distinct: a duplicated edge row cannot change an argmin, but it
+    // WOULD duplicate rows through the adjacency flag join
+    val e = CacheScope.selfReleasing(
+      edges.select(col("src"), col("dst")).distinct(),
+      StorageLevel.DISK_ONLY)
+    // both self-join sides pre-renamed into the walker's own column
+    // vocabulary so every join is a NATURAL join on names — qualified
+    // Dataset references across a repeated self-join trip Spark's
+    // ambiguity detection (state itself derives from e after round 1)
+    val eStep = e.select(col("src").as("cur"), col("dst").as("nxt"))
+    val adj = e.select(col("src").as("prev"), col("dst").as("nxt"),
+      lit(1).as("is_adj"))
+    var state = seeds.select(col("node").as("seed")).distinct()
+      .withColumn("rep", explode(sequence(lit(0), lit(walksPerSeed - 1))))
+      // typed NULL that follows the node type (string products, long
+      // fixture ids) — when(false, seed) is NULL with seed's type
+      .withColumn("prev", when(lit(false), col("seed")))
+      .withColumn("cur", col("seed"))
+    var out = state.select(col("seed"), col("rep"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (i <- 1 to steps) {
+      // NULL prev never matches a join key, so step 1's adjacency
+      // probe is vacuously empty — uniform weights, as documented
+      val cand = state.join(eStep, Seq("cur"))
+        .join(adj, Seq("prev", "nxt"), "left")
+        .withColumn("wt",
+          when(col("nxt") === col("prev"), 1)
+            .when(col("is_adj") === 1, 4)
+            .otherwise(2))
+      val draws = cand
+        .withColumn("t", explode(sequence(lit(0), lit(3))))
+        .filter(col("t") < col("wt"))
+        .withColumn("h", md5(concat_ws("|", lit(salt), col("seed"),
+          col("rep"), lit(i), col("nxt"), col("t"))))
+      // cur is constant per walker, so grouping on it just carries it
+      // into the next state's prev
+      state = draws.groupBy(col("seed"), col("rep"), col("cur"))
+        .agg(min(struct(col("h"), col("nxt"))).as("m"))
+        .select(col("seed"), col("rep"), col("cur").as("prev"),
+          col("m.nxt").as("cur"))
       out = out.union(state.select(col("seed"), col("rep"),
         lit(i).as("step"), col("cur").as("node")))
     }

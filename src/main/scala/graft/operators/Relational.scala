@@ -663,6 +663,46 @@ object Relational {
           .as("n_risky_rows"),
         min(col("n")).as("min_group_size"))
 
+  /** Distinct l-DIVERSITY audit (Machanavajjhala et al., ICDE 2006 —
+    * the attack [[kAnonymity]] misses: a group of k rows that all share
+    * ONE sensitive value is k-anonymous yet fully disclosing). Per
+    * quasi-identifier group (nation, segment) over the sensitive
+    * account-balance BAND: the group passes iff it carries ≥ l distinct
+    * sensitive values; the summary also counts SKEWED groups where the
+    * modal band dominates (max_freq · l > n — the exact-integer
+    * cross-multiplication stand-in for entropy l-diversity, whose ln()
+    * would be libm-dependent).
+    *
+    * The band is exact money math: cents through DECIMAL(18,2) (the
+    * house parity convention), shifted positive before the integral
+    * divide so Spark's truncate-toward-zero and DuckDB's floor division
+    * can never disagree on a negative balance.
+    *
+    * Scale shape: two nested partial-aggregable hash aggregates
+    * ((QI, band) then QI) and a 1-row summary — no windows, no joins.
+    */
+  def lDiversity(customer: DataFrame, l: Int = 3): DataFrame = {
+    val band = expr(
+      "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)" +
+        " div 100000")
+    val cell = customer
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    cell.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_sens"),
+        max(col("cnt")).as("max_freq"))
+      .agg(lit(l).as("l"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_sens") < l, 1).otherwise(0))
+          .as("n_low_diversity_groups"),
+        sum(when(col("n_sens") < l, col("n")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        min(col("n_sens")).as("min_distinct_sensitive"),
+        sum(when(col("max_freq") * l > col("n"), 1).otherwise(0))
+          .as("n_skewed_groups"))
+  }
+
   /** Differentially-private release of a group-count histogram —
     * the Laplace mechanism (Dwork et al. 2006, public) over the
     * (lang, source) corpus composition, the privacy gate's release

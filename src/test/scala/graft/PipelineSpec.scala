@@ -2929,7 +2929,7 @@ class PipelineSpec extends AnyFunSuite {
     // maxRounds=16 THROWS if the sf0.01 fixture hasn't converged by then,
     // so this passing pins oracle-unroll >= engine convergence round.
     // If it fails after a fixture change, raise the unroll in
-    // SparkEntry's lpaConvergedSql(16) binding and this cap together.
+    // SparkEntry's lpaConvergedCte(16) binding and this cap together.
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
     val edges = operators.CoOccurrence.counts(
@@ -3054,6 +3054,33 @@ class PipelineSpec extends AnyFunSuite {
       s"64-clique 1-ball estimates out of band: ${c1.toSeq}")
   }
 
+  test("modularity emits the exact integer numerators (2-clique Q = 1/2)") {
+    import spark.implicits._
+    // two disjoint undirected 4-cliques: LPA converges to one community
+    // per clique; m = 12, each community e_in = 6, d_tot = 12 →
+    // q_num = 4·12·6 − 12² = 144 each, Q = Σ/4m² = 288/576 = 1/2 —
+    // the textbook disjoint-cliques modularity
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L))).toDF("src", "dst")
+    val labels = Graph.lpaConverged(edges)
+    val got = Graph.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(1L -> (4L, 6L, 12L, 144L),
+      10L -> (4L, 6L, 12L, 144L)), s"modularity drifted: $got")
+    // a deliberately BAD labeling (everything one community) scores the
+    // degenerate q_num = 4m·m − (2m)² = 0 — worse than the true split
+    val lab1 = labels.select(
+      org.apache.spark.sql.functions.col("node"),
+      org.apache.spark.sql.functions.lit(1L).as("community"))
+    val bad = Graph.modularity(edges, lab1).collect()
+      .map(r => r.getLong(4)).sum
+    assert(bad == 0L && got.values.map(_._4).sum > bad,
+      s"degenerate labeling must score zero: $bad")
+  }
+
   test("anfFunction aggregates monotone mass and flags the 90% radius") {
     import spark.implicits._
     // directed 8-cycle: every ball grows by one node per radius, so the
@@ -3166,6 +3193,56 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(rows.sorted.toSeq == again.sorted.toSeq,
       "walks changed across rebuild/duplication")
+  }
+
+  test("node2vecWalks replays the exact weighted draw arithmetic") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // bidirectional 4-clique + a pendant path off node 4: all three
+    // weight classes occur (return to prev, common neighbor inside the
+    // clique, outward onto the path)
+    def diClique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edgeSeq = diClique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((4L, 10L), (10L, 4L), (10L, 11L), (11L, 12L))
+    val edgeSet = edgeSeq.toSet
+    def replay(seed: Long, rep: Int, steps: Int): Seq[Long] = {
+      var prev: Option[Long] = None
+      var cur = seed
+      val buf = scala.collection.mutable.ArrayBuffer(seed)
+      var i = 1
+      var alive = true
+      while (i <= steps && alive) {
+        val cands = edgeSeq.filter(_._1 == cur).map(_._2).distinct
+        if (cands.isEmpty) alive = false
+        else {
+          val scored = for {
+            d <- cands
+            w = if (prev.contains(d)) 1
+              else if (prev.exists(p => edgeSet((p, d)))) 4 else 2
+            t <- 0 until w
+          } yield (md5hex(s"n2v|$seed|$rep|$i|$d|$t"), d)
+          val nxt = scored.min._2
+          prev = Some(cur); cur = nxt; buf += cur
+        }
+        i += 1
+      }
+      buf.toSeq
+    }
+    val got = Graph.node2vecWalks(edgeSeq.toDF("src", "dst"),
+        Seq(1L, 10L, 12L).toDF("node"), steps = 4, walksPerSeed = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> g.sortBy(_._3).map(_._4).toSeq }
+    for (seed <- Seq(1L, 10L, 12L); rep <- 0 to 1)
+      assert(got((seed, rep)) == replay(seed, rep, 4),
+        s"walk ($seed, $rep) diverged: ${got((seed, rep))} vs " +
+          s"${replay(seed, rep, 4)}")
+    // seed 12 is a sink: walk is the bare step-0 row (dead-end rule)
+    assert(got((12L, 0)) == Seq(12L))
   }
 
   test("walkSkipgramPairs windows every walk position both ways") {
