@@ -847,6 +847,18 @@ object SparkEntry {
     // with a seeded (oracle-replayable) noise derivation
     "dp_histogram" -> ((s, dir) =>
       Relational.dpHistogram(t(s, dir, "documents"))),
+    // BAND join (r14 — fuzzy numeric matching as an EQUI-join: bucket
+    // blocking at bucket width = band, supplier side exploded ±1, exact
+    // |diff| filter on candidates — a bare range predicate would plan
+    // as BroadcastNestedLoopJoin, O(|S|·|C|))
+    "band_join" -> ((s, dir) =>
+      Relational.bandJoin(t(s, dir, "supplier"), t(s, dir, "customer"))),
+    // POISSON bootstrap CI replicates (r14 — the distributed bootstrap:
+    // per-row Poisson(1) weights from the house md5 uniform through a
+    // precomputed e6 inverse-CDF ladder, so the resample is row-local,
+    // deterministic, and oracle-replayable; B ordered means ARE the CI)
+    "bootstrap_ci" -> ((s, dir) =>
+      Relational.bootstrapCi(t(s, dir, "orders"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
     // rank (Spearman) correlation: monotone-invariant dependence via two
@@ -1273,6 +1285,10 @@ object SparkEntry {
     // scans, frontier-sized merge task; exact-cents dominance)
     "skyline" -> ((s, dir) => Relational.skyline(t(s, dir, "orders"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // Flesch reading ease in exact e6 cross-multiplication (r14 — the
+    // classic difficulty signal corpus filters bucket on); row-local
+    "readability_flesch" -> ((s, dir) =>
+      TextAnalysis.readabilityFlesch(t(s, dir, "documents"))),
     // columnar-format breadth: ORC sink partitioned by language, read
     // back through the native ORC source with the lang predicate
     // landing as PARTITION PRUNING (only the en/ directory is read) —
@@ -4637,6 +4653,40 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN max_freq * 3 > n THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_skewed_groups
         |FROM g""".stripMargin,
+    // the oracle states the SEMANTICS directly (a plain range-predicate
+    // join — fine at oracle scale; the bucketing is the engine's plan,
+    // invisible to the result)
+    "band_join" ->
+      """SELECT s_suppkey, c_custkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) -
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS diff_cents
+        |FROM supplier JOIN customer
+        |  ON abs(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) -
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) <= 100
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    // the Poisson(1) weights replayed through the same md5-prefix
+    // uniform and the precomputed e6 CDF ladder — no exp() at query time
+    "bootstrap_ci" ->
+      """WITH b AS (
+        |  SELECT CAST(t.rep AS INTEGER) AS rep,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    ('0x' || substr(md5(concat_ws('|', 'boot',
+        |      CAST(o_orderkey AS VARCHAR), CAST(t.rep AS VARCHAR))), 1, 8))::BIGINT
+        |      % 1000000 AS u
+        |  FROM orders CROSS JOIN range(0, 32) t(rep)
+        |), w AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |      WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+        |      WHEN u < 999998 THEN 8 ELSE 9 END AS w
+        |  FROM b)
+        |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  CAST((CAST(sum(w * cents) AS HUGEINT) * 1000000) //
+        |    (100 * sum(w)) AS BIGINT) AS mean_e6
+        |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
     // the seeded-Laplace derivation is shared verbatim: md5-prefix
     // uniform -> inverse CDF, e6 round absorbs last-ulp ln divergence
     "dp_histogram" ->
@@ -5589,6 +5639,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_ws_tokens, n_subword_tokens, n_chars,
         |  CAST(n_chars AS DOUBLE) / CAST(n_subword_tokens AS DOUBLE) AS chars_per_subword
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // each division floors independently — that IS the contract
+    "readability_flesch" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835000 - (1015000 * n_words) // n_sentences -
+        |    (84600000 * n_syllables) // n_words AS flesch_e6
         |FROM c ORDER BY doc_id""".stripMargin,
     "quality_repetition" ->
       """WITH toks AS (

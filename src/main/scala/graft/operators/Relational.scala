@@ -703,6 +703,90 @@ object Relational {
           .as("n_skewed_groups"))
   }
 
+  /** BAND JOIN on a numeric attribute (|s.value − c.value| ≤ band) via
+    * BUCKET BLOCKING — the fuzzy numeric matching every entity-resolution
+    * pipeline needs (here: suppliers to customers with balances within
+    * $1), planned as an EQUI-join: Spark turns a bare range predicate
+    * into BroadcastNestedLoopJoin — O(|S|·|C|), the scale killer — so
+    * one side explodes to its bucket ±1 (bucket width = band ⇒ every
+    * qualifying pair shares a bucket; ±1 covers boundary straddle) and
+    * the exact |diff| ≤ band filter runs on candidates only. The 3×
+    * row inflation on ONE side buys a hash join on the bucket key —
+    * the interval_join/asof discipline applied to values instead of
+    * time.
+    *
+    * Money math: cents through DECIMAL(18,2), shifted positive before
+    * the bucket divide (the [[lDiversity]] rule) so floor and truncate
+    * division agree on negative balances. A (supplier, customer) pair
+    * can match through at most one bucket (the customer side has
+    * exactly one), so no dedup pass is needed.
+    */
+  def bandJoin(supplier: DataFrame, customer: DataFrame,
+      bandCents: Long = 100): DataFrame = {
+    require(bandCents >= 1, s"bandCents must be >= 1, got $bandCents")
+    val sc = supplier
+      .select(col("s_suppkey"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("s_cents"))
+      .withColumn("bkt", explode(array((-1 to 1).map(d =>
+        expr(s"(s_cents + 100000) div $bandCents + $d")): _*)))
+    val cc = customer
+      .select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("c_cents"))
+      .withColumn("bkt", expr(s"(c_cents + 100000) div $bandCents"))
+    sc.join(cc, "bkt")
+      .filter(abs(col("s_cents") - col("c_cents")) <= bandCents)
+      .select(col("s_suppkey"), col("c_custkey"),
+        (col("s_cents") - col("c_cents")).as("diff_cents"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+  }
+
+  /** POISSON BOOTSTRAP confidence-interval replicates (the distributed
+    * bootstrap: classic resampling draws n rows WITH replacement — a
+    * global operation — but for large n the per-row resample count
+    * converges to Poisson(1), which is ROW-LOCAL: each row just needs
+    * an independent weight, so the whole bootstrap is one map + one
+    * partial-aggregable groupBy on the replicate id; the shuffle
+    * carries B rows per partition regardless of corpus size).
+    *
+    * Everything is deterministic and integer-exact: the weight comes
+    * from the house md5-prefix uniform (u = hash mod 1e6) pushed
+    * through the Poisson(1) inverse CDF as a CASE ladder over
+    * PRECOMPUTED e6-floored cumulative thresholds (367879 = ⌊e⁻¹·1e6⌋,
+    * …) — no exp()/ln() at query time, so the oracle replays weights
+    * bit-for-bit. Per replicate the emitted row is (rep, n_eff,
+    * sum_cents, mean_e6) with the mean floored from a DECIMAL(38,0)
+    * cross-multiplication — the caller reads the CI off the B ordered
+    * means (e.g. replicates 1 and 30 of 32 ≈ a 94% interval).
+    */
+  def bootstrapCi(orders: DataFrame, replicates: Int = 32): DataFrame = {
+    require(replicates >= 2 && replicates <= 256,
+      s"replicates must be in [2, 256], got $replicates")
+    // cumulative Poisson(1) CDF, e6-floored; u >= 999998 caps at 8
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+      999916L, 999989L, 999998L)
+    val ladder = cdf.zipWithIndex.foldRight(lit(9)) { case ((t, k), els) =>
+      when(col("u") < t, k).otherwise(els)
+    }
+    orders
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("u",
+        conv(substring(md5(concat_ws("|", lit("boot"), col("o_orderkey"),
+          col("rep"))), 1, 8), 16, 10).cast("long") % 1000000L)
+      .withColumn("w", ladder)
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_cents"))
+      .withColumn("mean_e6",
+        expr("CAST((CAST(sum_cents AS DECIMAL(38,0)) * 1000000)" +
+          " div (100 * n_eff) AS BIGINT)"))
+      .orderBy(col("rep"))
+  }
+
   /** Differentially-private release of a group-count histogram —
     * the Laplace mechanism (Dwork et al. 2006, public) over the
     * (lang, source) corpus composition, the privacy gate's release

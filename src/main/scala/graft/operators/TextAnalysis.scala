@@ -393,6 +393,36 @@ object TextAnalysis {
     * Ratios divide exact integer operands in a fixed order, so the
     * doubles — and the driver hash — are bit-identical to the oracle.
     */
+  /** FLESCH READING EASE in exact e6 integers (Flesch 1948; the
+    * classic difficulty signal corpus filters bucket on — FineWeb-Edu-
+    * style educational scoring is a learned refinement of exactly this
+    * shape). Score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), computed entirely by integer
+    * cross-multiplication — flesch_e6 = 206835000 −
+    * (1015000·W) div S − (84600000·Y) div W — so the oracle replays it
+    * bit-for-bit (each division floors independently; that's the
+    * CONTRACT, not an approximation to the float form).
+    *
+    * Counts are deliberately simple, shared with the oracle: words =
+    * single-space split (the house n_ws_tokens rule), sentences =
+    * [.!?]+ runs floored at 1, syllables = [aeiouy]+ vowel groups over
+    * the lowercased text (summing per-word groups equals one global
+    * count). Row-local projection — no shuffle at any size.
+    */
+  def readabilityFlesch(documents: DataFrame): DataFrame = {
+    val w = size(split(col("text"), " ")).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val y = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    documents.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .withColumn("flesch_e6",
+        lit(206835000L) - expr("(1015000 * n_words) div n_sentences") -
+          expr("(84600000 * n_syllables) div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   def gopherQuality(documents: DataFrame,
       minWords: Int = 50, maxWords: Int = 100000,
       stopList: Seq[String] = gopherStopwords,

@@ -3054,6 +3054,30 @@ class PipelineSpec extends AnyFunSuite {
       s"64-clique 1-ball estimates out of band: ${c1.toSeq}")
   }
 
+  test("bootstrapCi replicates hover around the exact mean") {
+    import org.apache.spark.sql.functions.col
+    val orders = tbl("orders")
+    val n = orders.count()
+    val exact = orders.selectExpr(
+      "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))" +
+        " AS DOUBLE) / count(*) / 100.0").collect()(0).getDouble(0)
+    val reps = Relational.bootstrapCi(orders).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(reps.length == 32 && reps.map(_._1).toSeq == (0 until 32))
+    // Poisson(1) weights: each replicate's effective n is Binomial-ish
+    // around n (sd ≈ √n) — 6 sigma bounds catch a broken CDF ladder
+    val sd = math.sqrt(n.toDouble)
+    assert(reps.forall(r => math.abs(r._2 - n) <= 6 * sd),
+      s"n_eff drifted from n=$n: ${reps.map(_._2).toSeq}")
+    // every replicate mean within ±5% of the exact mean, and the means
+    // must actually VARY (a constant column means the resample is dead)
+    // mean_e6 = floor(dollars · 1e6): sum_cents·1e6 div (100·n_eff)
+    val means = reps.map(_._3 / 1e6)
+    assert(means.forall(m => math.abs(m - exact) / exact < 0.05),
+      s"replicate means left the 5% band around $exact")
+    assert(means.distinct.length > 16, "replicate means are degenerate")
+  }
+
   test("modularity emits the exact integer numerators (2-clique Q = 1/2)") {
     import spark.implicits._
     // two disjoint undirected 4-cliques: LPA converges to one community

@@ -1035,6 +1035,19 @@ class PlanSpec extends AnyFunSuite {
       s"residual join degenerated:\n$p")
   }
 
+  test("band_join plans as a bucket equi-join, never a nested loop") {
+    // the operator's entire value is turning a range predicate into a
+    // hash-joinable bucket key: a BroadcastNestedLoopJoin or
+    // CartesianProduct here means the range predicate leaked into the
+    // join and the plan is O(|S|·|C|)
+    val p = planOf("band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"band_join degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"band_join degenerated to a cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"no hash join on the bucket key:\n$p")
+  }
+
   test("ann_ivfpq_rerank's second stage is equi-joined, shortlist-bounded") {
     // the rerank joins full-precision vectors back by ID onto the ADC
     // shortlist — equi hash joins only; a nested-loop or cartesian here
