@@ -578,6 +578,15 @@ object SparkEntry {
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // approximate harmonic centrality off the same sketches (Boldi–
+    // Vigna's application): Σ_r Δball/r per node — quadratic all-pairs
+    // distances read off a linear sketch pass; the lag window runs
+    // over constant 4-row per-node partitions, the safe window shape
+    "harmonic_centrality" -> ((s, dir) =>
+      Graph.harmonicCentrality(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // DETERMINISTIC random walks (r14 — DeepWalk/node2vec corpus prep):
     // two 4-step walks per khop seed over the significant co-occurrence
     // graph, each step a seeded hash-ARGMIN over the current node's
@@ -2721,6 +2730,25 @@ object SparkEntry {
       |  (sum_ball_e2 * 10 >= total * 9) AS reached_90pct
       |FROM nf CROSS JOIN fin ORDER BY radius""".stripMargin
 
+  /** `harmonic_centrality`: per node Σ_r Δball_e2/r off the shared
+    * ball CTE — the lag window replays the engine's constant-4-row
+    * per-node partitions.
+    */
+  private def harmonicCentralitySql(rounds: Int): String =
+    hyperAnfCte(rounds) +
+      """,
+      |est AS (
+      |  SELECT node, radius,
+      |    CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
+      |      (10 * s_scaled) AS BIGINT) AS ball_e2
+      |  FROM b
+      |), d AS (
+      |  SELECT node, radius, ball_e2,
+      |    lag(ball_e2) OVER (PARTITION BY node ORDER BY radius) AS prev
+      |  FROM est)
+      |SELECT node, CAST(sum((ball_e2 - prev) // radius) AS BIGINT) AS harmonic_e2
+      |FROM d WHERE radius > 0 GROUP BY node ORDER BY node""".stripMargin
+
   private def hyperAnfCte(rounds: Int): String = {
     val head = cooccurCte +
       s""", edges AS MATERIALIZED (
@@ -4295,6 +4323,7 @@ object SparkEntry {
     // HyperANF: the register relation and integer estimate replayed
     "hyperanf" -> hyperAnfSql(3),
     "anf_function" -> anfFunctionSql(3),
+    "harmonic_centrality" -> harmonicCentralitySql(3),
     // the hash-argmin walk replayed step by step
     "random_walks" -> (walkCte(4, 2) +
       "\nSELECT seed, rep, step, node FROM walks ORDER BY seed, rep, step"),

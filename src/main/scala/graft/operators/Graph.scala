@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge-list DataFrames — the second graph
@@ -714,6 +715,29 @@ object Graph {
         lit(i).as("step"), col("cur").as("node")))
     }
     out.orderBy(col("seed"), col("rep"), col("step"))
+  }
+
+  /** APPROXIMATE HARMONIC CENTRALITY from [[hyperAnf]]'s ball sketches
+    * (Boldi–Vigna's own application of ANF): H(v) ≈ Σ_r (|ball(v,r)| −
+    * |ball(v,r−1)|)/r — nodes that reach much of the graph in FEW hops
+    * score high. Exact closeness needs all-pairs distances (quadratic);
+    * this reads it off the per-radius ball estimates in one pass.
+    * Integer-exact by construction: ball_e2 is monotone in the radius
+    * (max-merge only grows sketches), so each delta is a non-negative
+    * integer and `div radius` floors deterministically.
+    *
+    * The per-node lag window is over CONSTANT-size partitions (rounds+1
+    * rows per node) — the safe window shape: parallelism is the node
+    * count, no partition can be hot.
+    */
+  def harmonicCentrality(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("node")).orderBy(col("radius"))
+    hyperAnf(edges, rounds)
+      .withColumn("prev", lag(col("ball_e2"), 1).over(w))
+      .filter(col("radius") > 0)
+      .withColumn("contrib_e2", expr("(ball_e2 - prev) div radius"))
+      .groupBy(col("node")).agg(sum(col("contrib_e2")).as("harmonic_e2"))
+      .orderBy(col("node"))
   }
 
   /** NODE2VEC biased walks (Grover & Leskovec, KDD 2016): second-order
