@@ -1353,6 +1353,29 @@ object SparkEntry {
     "c4_line_filter" -> ((s, dir) =>
       TextAnalysis.c4LineFilter(t(s, dir, "documents"), minLineWords = 50,
         requireTerminalPunct = false)),
+    // FILTER ABLATION report (r14 — the curation question every gate
+    // pipeline answers first: which filters remove what, exclusively
+    // and jointly?): the three registered doc-level gates — Gopher
+    // keep, C4 line-survival, language-ID correctness — cross-tabbed
+    // into the 8-cell overlap cube. Three row-local gate projections +
+    // two doc_id equi-joins + one partial-aggregable rollup; the
+    // oracle composes the three gates' own oracle texts verbatim, so
+    // the ablation can never drift from the gates it reports on.
+    "quality_ablation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
+        .select(col("doc_id"), col("keep").as("gopher_pass"))
+      val c = TextAnalysis.c4LineFilter(docs, minLineWords = 50,
+          requireTerminalPunct = false)
+        .select(col("doc_id"), col("keep").as("c4_pass"))
+      val l = TextAnalysis.langId(docs)
+        .select(col("doc_id"),
+          (col("lang_pred") === col("lang_label")).as("lang_pass"))
+      g.join(c, "doc_id").join(l, "doc_id")
+        .groupBy(col("gopher_pass"), col("c4_pass"), col("lang_pass"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("gopher_pass"), col("c4_pass"), col("lang_pass"))
+    }),
     // full Gopher ruleset (word/line/symbol/stopword rules + keep verdict).
     // stopList localized to the synthetic corpus's function words — its
     // vocabulary contains only 'the'/'a' from any natural stop lexicon, so
@@ -4222,6 +4245,73 @@ object SparkEntry {
         |  FROM cs WHERE len(kept) >= 1
         |)""".stripMargin
 
+  private lazy val c4LineFilterOracle: String =
+    """WITH c AS (
+          |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
+          |), s AS (
+          |  SELECT doc_id, ln,
+          |    list_filter(ln, l -> len(string_split(l, ' ')) >= 50
+          |      AND NOT contains(lower(l), 'javascript')
+          |      AND NOT contains(lower(l), 'lorem ipsum')
+          |      AND NOT contains(l, '{')) AS kept
+          |  FROM c
+          |)
+          |SELECT doc_id,
+          |  CAST(len(ln) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          |  len(kept) >= 1 AS keep
+          |FROM s ORDER BY doc_id""".stripMargin
+
+  private lazy val gopherQualityOracleSql: String =
+    """WITH c AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS w,
+          |    string_split(text, chr(10)) AS ln
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id,
+          |    CAST(len(w) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+          |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+          |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+          |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+          |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
+          |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
+          |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
+          |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
+          |    CAST(len(list_filter(['the','a'],
+          |      y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
+          |  FROM c
+          |)
+          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+          |  ellipsis_frac, alpha_frac, n_stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+          |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+          |   AND n_stop_hits >= 2) AS keep
+          |FROM s ORDER BY doc_id""".stripMargin
+
+  private lazy val langIdOracleSql: String =
+    """WITH c AS (
+          |  SELECT doc_id, lang AS lang_label,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> list_contains(['the','a','and','of','to','is'], x))) AS BIGINT) AS score_en,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> list_contains(['el','la','de','los','que','y'], x))) AS BIGINT) AS score_es,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> list_contains(['de5','shi4','zai4'], x))) AS BIGINT) AS score_zh
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang_label, score_en, score_es, score_zh,
+          |  CASE WHEN score_es > score_en AND score_es > score_zh THEN 'es'
+          |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
+          |       ELSE 'en' END AS lang_pred
+          |FROM c ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlMap
 
   private lazy val oracleSqlMap: Map[String, String] = distinctKeys("oracleSql", Seq(
@@ -5431,22 +5521,7 @@ object SparkEntry {
         |    + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
         |    + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
-    "lang_id" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang AS lang_label,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['the','a','and','of','to','is'], x))) AS BIGINT) AS score_en,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['el','la','de','los','que','y'], x))) AS BIGINT) AS score_es,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['de5','shi4','zai4'], x))) AS BIGINT) AS score_zh
-        |  FROM documents
-        |)
-        |SELECT doc_id, lang_label, score_en, score_es, score_zh,
-        |  CASE WHEN score_es > score_en AND score_es > score_zh THEN 'es'
-        |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
-        |       ELSE 'en' END AS lang_pred
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "lang_id" -> langIdOracleSql,
     // Cavnar–Trenkle: per-lang and per-doc top-100 2-/3-gram rank
     // profiles, out-of-place distance, argmin with lexicographic ties
     // lp (profile training) reads only the bounded doc_id < 2000 sample
@@ -5698,54 +5773,18 @@ object SparkEntry {
         |  count(*) AS n_distinct_trigrams,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "c4_line_filter" ->
-      """WITH c AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
-        |), s AS (
-        |  SELECT doc_id, ln,
-        |    list_filter(ln, l -> len(string_split(l, ' ')) >= 50
-        |      AND NOT contains(lower(l), 'javascript')
-        |      AND NOT contains(lower(l), 'lorem ipsum')
-        |      AND NOT contains(l, '{')) AS kept
-        |  FROM c
-        |)
-        |SELECT doc_id,
-        |  CAST(len(ln) AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
-        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
-        |  len(kept) >= 1 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
-    "gopher_quality" ->
-      """WITH c AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w,
-        |    string_split(text, chr(10)) AS ln
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
-        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
-        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
-        |    CAST(len(list_filter(['the','a'],
-        |      y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
-        |  FROM c
-        |)
-        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-        |  ellipsis_frac, alpha_frac, n_stop_hits,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
-        |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
-        |   AND n_stop_hits >= 2) AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "c4_line_filter" -> c4LineFilterOracle,
+    "gopher_quality" -> gopherQualityOracleSql,
+    // the three gates' oracle texts composed VERBATIM as CTEs — the
+    // ablation cannot drift from the gates it reports on
+    "quality_ablation" ->
+      s"""WITH g AS ($gopherQualityOracleSql),
+      |c4 AS ($c4LineFilterOracle),
+      |l AS ($langIdOracleSql)
+      |SELECT g.keep AS gopher_pass, c4.keep AS c4_pass,
+      |  (l.lang_pred = l.lang_label) AS lang_pass, count(*) AS n_docs
+      |FROM g JOIN c4 ON g.doc_id = c4.doc_id JOIN l ON g.doc_id = l.doc_id
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "script_profile" ->
       """WITH s AS (
         |  SELECT doc_id,
