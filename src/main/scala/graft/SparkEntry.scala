@@ -2295,6 +2295,29 @@ object SparkEntry {
           col("pos_in_tier"))
         .orderBy(col("tier"), col("pos_in_tier"))
     }),
+    // the curriculum TRAINING LAYOUT (r14 — pack_sequences composed
+    // with curriculum_order): each difficulty tier is its own token
+    // stream, laid in the tier's shuffled order and cut every 512
+    // tokens — the per-phase loader relation a curriculum schedule
+    // consumes. One grouped window-free prefix-sum pass (4 groups).
+    "pack_curriculum" -> ((s, dir) => {
+      val c = t(s, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_subword_tokens"))
+        .withColumn("g", lit(0))
+      val ranked = ExactRank.exactRank(c, Seq("g"),
+        Seq("n_subword_tokens", "doc_id"))
+      val tiered = ranked
+        .withColumn("tier", expr("CAST(((rnk - 1) * 4) div n_group AS INT)"))
+        .withColumn("k", md5(concat_ws("|", lit("cur"), col("doc_id"))))
+        .select(col("doc_id"), col("n_subword_tokens"), col("tier"), col("k"))
+      val cur = ExactRank.exactRank(tiered, Seq("tier"), Seq("k", "doc_id"),
+        rankCol = "pos_in_tier")
+      Packing.packGrouped(cur.select(col("tier").as("grp"),
+        col("pos_in_tier").as("ord"), col("doc_id"),
+        col("n_subword_tokens").as("len")))
+    }),
     // DSIR importance weighting: hashed-ngram target/raw log ratio — one
     // scan fits BOTH distributions (conditional agg), 256-row broadcast
     // model, integer-e6 scores; selection is a bounded TakeOrdered
@@ -4311,6 +4334,25 @@ object SparkEntry {
           |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
           |       ELSE 'en' END AS lang_pred
           |FROM c ORDER BY doc_id""".stripMargin
+
+  private lazy val curriculumOrderOracleSql: String =
+    """WITH c AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens
+          |  FROM documents
+          |), r AS (
+          |  SELECT doc_id, n_subword_tokens,
+          |    row_number() OVER (ORDER BY n_subword_tokens, doc_id) AS rnk,
+          |    count(*) OVER () AS n
+          |  FROM c
+          |), t AS (
+          |  SELECT doc_id, n_subword_tokens,
+          |    CAST(((rnk - 1) * 4) // n AS INTEGER) AS tier,
+          |    md5(concat_ws('|', 'cur', CAST(doc_id AS VARCHAR))) AS k
+          |  FROM r)
+          |SELECT doc_id, n_subword_tokens, tier,
+          |  CAST(row_number() OVER (PARTITION BY tier ORDER BY k, doc_id) AS BIGINT) AS pos_in_tier
+          |FROM t ORDER BY tier, pos_in_tier""".stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlMap
 
@@ -7188,24 +7230,25 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     // global difficulty rank → exact integer quartile tiers → md5
     // shuffle within tier (row_number windows replay ExactRank exactly)
-    "curriculum_order" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens
-        |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, n_subword_tokens,
-        |    row_number() OVER (ORDER BY n_subword_tokens, doc_id) AS rnk,
-        |    count(*) OVER () AS n
-        |  FROM c
-        |), t AS (
-        |  SELECT doc_id, n_subword_tokens,
-        |    CAST(((rnk - 1) * 4) // n AS INTEGER) AS tier,
-        |    md5(concat_ws('|', 'cur', CAST(doc_id AS VARCHAR))) AS k
-        |  FROM r)
-        |SELECT doc_id, n_subword_tokens, tier,
-        |  CAST(row_number() OVER (PARTITION BY tier ORDER BY k, doc_id) AS BIGINT) AS pos_in_tier
-        |FROM t ORDER BY tier, pos_in_tier""".stripMargin,
+    "curriculum_order" -> curriculumOrderOracleSql,
+    // per-tier prefix-sum window over the curriculum oracle's own CTE —
+    // the layout cannot drift from the ordering it packs
+    "pack_curriculum" ->
+      s"""WITH cur AS ($curriculumOrderOracleSql),
+      |o AS (
+      |  SELECT tier AS grp, doc_id, n_subword_tokens AS len,
+      |    CAST(coalesce(sum(n_subword_tokens) OVER (PARTITION BY tier
+      |      ORDER BY pos_in_tier, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM cur
+      |), p AS (
+      |  SELECT grp, doc_id, len, off,
+      |    unnest(generate_series(off // 512, (off + len - 1) // 512)) AS seq_id
+      |  FROM o WHERE len > 0)
+      |SELECT grp, seq_id, doc_id,
+      |  greatest(0, seq_id * 512 - off) AS tok_begin,
+      |  least(len, (seq_id + 1) * 512 - off) AS tok_end
+      |FROM p ORDER BY grp, seq_id, doc_id""".stripMargin,
     // hashed uni+bigram features, one conditional agg builds target AND
     // raw bucket counts, add-one-smoothed log ratio floored to e6
     // integers MODEL-SIDE (unigram_logprob's parity pattern) so doc

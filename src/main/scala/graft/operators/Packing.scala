@@ -69,6 +69,38 @@ object Packing {
       .orderBy(col("seq_id"), col("doc_id"))
   }
 
+  /** GROUPED packing: [[packFromLengths]] with one independent token
+    * stream PER GROUP, each laid in a caller-chosen order — the
+    * curriculum layout (`pack_curriculum`: group = difficulty tier,
+    * order = the tier's shuffled position) and, in production, any
+    * per-domain / per-epoch stream. Input is `(grp, ord, doc_id, len)`;
+    * emits `(grp, seq_id, doc_id, tok_begin, tok_end)` with seq_id
+    * numbered within its group's stream. Same window-free machinery:
+    * ONE exactPrefixSum pass grouped on `grp` (bounded group count —
+    * the ExactRank contract), then row-local span arithmetic + a
+    * bounded explode. Zero-length documents occupy no positions.
+    */
+  def packGrouped(lengths: DataFrame, seqLen: Int = 512,
+      maxGroups: Int = 64): DataFrame = {
+    require(seqLen >= 1, s"packGrouped requires seqLen >= 1, got $seqLen")
+    val offs = ExactRank.exactPrefixSum(
+      lengths.select(col("grp"), col("ord").cast("long").as("ord"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("len").cast("long").as("len")),
+      Seq("grp"), Seq("ord", "doc_id"), "len",
+      beforeCol = "off", totalCol = "grp_total", maxGroups = maxGroups)
+    val s = seqLen.toLong
+    offs.filter(col("len") > 0)
+      .select(col("grp"), col("doc_id"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $s"),
+          expr(s"(off + len - 1) div $s"))).as("seq_id"))
+      .select(col("grp"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * s - col("off")).as("tok_begin"),
+        least(col("len"), (col("seq_id") + 1L) * s - col("off"))
+          .as("tok_end"))
+      .orderBy(col("grp"), col("seq_id"), col("doc_id"))
+  }
+
   /** Continuous-ingestion packing — the dedup_incremental discipline
     * applied to sequence assembly: a `delta` batch packs onto the END of
     * an already-packed `base` corpus's token stream, continuing mid-

@@ -3054,6 +3054,24 @@ class PipelineSpec extends AnyFunSuite {
       s"64-clique 1-ball estimates out of band: ${c1.toSeq}")
   }
 
+  test("packGrouped lays one independent full-sequence stream per group") {
+    import spark.implicits._
+    // grp 0: two 300-token docs → seq 0 fills to exactly 512 (doc 2
+    // splits); grp 1: one 600-token doc on ITS OWN stream from offset 0
+    val lengths = Seq((0, 1L, 1L, 300L), (0, 2L, 2L, 300L),
+      (1, 1L, 3L, 600L)).toDF("grp", "ord", "doc_id", "len")
+    val rows = operators.Packing.packGrouped(lengths).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (0, 0L, 1L, 0L, 300L),   // doc 1 wholly in grp0/seq0
+      (0, 0L, 2L, 0L, 212L),   // doc 2 tops seq0 up to exactly 512
+      (0, 1L, 2L, 212L, 300L), // …and spills into seq1
+      (1, 0L, 3L, 0L, 512L),   // grp1 restarts at offset 0
+      (1, 1L, 3L, 512L, 600L))
+    assert(rows == want, s"grouped packing drifted: $rows")
+  }
+
   test("bootstrapCi replicates hover around the exact mean") {
     import org.apache.spark.sql.functions.col
     val orders = tbl("orders")
