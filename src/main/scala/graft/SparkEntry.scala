@@ -1505,6 +1505,16 @@ object SparkEntry {
     // sentinels, (input, target) pair assembly via doc-bounded windows
     "span_corruption" -> ((s, dir) =>
       TextAnalysis.spanCorruption(t(s, dir, "documents"))),
+    // fill-in-the-middle: md5 coin picks causal vs FIM per doc, two md5
+    // cuts split prefix/middle/suffix, PSM sentinel reassembly — pure
+    // row-local projection, zero shuffle
+    "fim_transform" -> ((s, dir) =>
+      TextAnalysis.fimTransform(t(s, dir, "documents"))),
+    // BERT masked-LM corruption: 15% positions selected, 80/10/10
+    // mask/random/keep off disjoint windows of ONE md5 per (doc, pos);
+    // row-local (random replacement indexes the SAME doc's tokens)
+    "mlm_mask" -> ((s, dir) =>
+      TextAnalysis.mlmMask(t(s, dir, "documents"))),
     // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
     // rank-only signal, two-term INTEGER fusion, bounded final window
     "rrf_fusion" -> ((s, dir) =>
@@ -6294,6 +6304,74 @@ object SparkEntry {
         |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
         |  CAST(sum(new_run) AS BIGINT) AS n_spans
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // FIM: the same md5 streams, DuckDB 1-based inclusive list slices
+    // mirror Spark's slice(arr, start, len); nullif drops empty pieces
+    // from the sentinel join exactly like the engine's when()
+    "fim_transform" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT % 100 < 50
+        |      AS is_fim
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, t, n, is_fim,
+        |    ('0x' || substr(md5('fimcut1:' || doc_id), 1, 8))::BIGINT % (n + 1) AS c1,
+        |    ('0x' || substr(md5('fimcut2:' || doc_id), 1, 8))::BIGINT % (n + 1) AS c2
+        |  FROM b
+        |), s AS (
+        |  SELECT doc_id, text, t, n, is_fim,
+        |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN is_fim THEN 'fim' ELSE 'causal' END AS mode,
+        |  n AS n_tokens,
+        |  CASE WHEN is_fim THEN lo END AS cut_lo,
+        |  CASE WHEN is_fim THEN hi END AS cut_hi,
+        |  CASE WHEN is_fim THEN concat_ws(' ', '<fim_prefix>',
+        |      nullif(array_to_string(t[1:lo], ' '), ''),
+        |      '<fim_suffix>', nullif(array_to_string(t[hi+1:n], ' '), ''),
+        |      '<fim_middle>', nullif(array_to_string(t[lo+1:hi], ' '), ''))
+        |    ELSE text END AS fim_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // MLM: one md5 per (doc, pos); selection / action / replacement
+    // index read hex windows [1,8], [9,8], [17,8] of it — the oracle
+    // explodes positions where the engine stays row-local
+    "mlm_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |), h AS (
+        |  SELECT doc_id, pos, tok, t, n,
+        |    md5('mlm:' || doc_id || ':' || pos) AS hh
+        |  FROM toks
+        |), d AS (
+        |  SELECT doc_id, pos, tok, n,
+        |    ('0x' || substr(hh, 1, 8))::BIGINT % 100 < 15 AS sel,
+        |    ('0x' || substr(hh, 9, 8))::BIGINT % 10 AS sub,
+        |    t[CAST(('0x' || substr(hh, 17, 8))::BIGINT % n AS INTEGER) + 1]
+        |      AS rtok
+        |  FROM h
+        |), m AS (
+        |  SELECT doc_id, pos, tok, n, sel,
+        |    CASE WHEN NOT sel THEN tok
+        |         WHEN sub < 8 THEN '[MASK]'
+        |         WHEN sub = 8 THEN rtok
+        |         ELSE tok END AS mtok,
+        |    CASE WHEN sel AND sub < 8 THEN 1 ELSE 0 END AS is_m,
+        |    CASE WHEN sel AND sub = 8 THEN 1 ELSE 0 END AS is_r,
+        |    CASE WHEN sel AND sub = 9 THEN 1 ELSE 0 END AS is_k
+        |  FROM d)
+        |SELECT doc_id, max(n) AS n_tokens,
+        |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(sum(is_m) AS BIGINT) AS n_masked,
+        |  CAST(sum(is_r) AS BIGINT) AS n_random,
+        |  CAST(sum(is_k) AS BIGINT) AS n_kept,
+        |  string_agg(mtok, ' ' ORDER BY pos) AS masked_text,
+        |  COALESCE(string_agg(CASE WHEN sel THEN pos || ':' || tok END,
+        |    ' ' ORDER BY pos), '') AS labels
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
     // query vec 0 (sem list) + the two-term integer RRF sum
     "rrf_fusion" -> rrfFusionSql,

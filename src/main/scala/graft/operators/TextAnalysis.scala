@@ -75,6 +75,108 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al., 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the
+    * code/infilling training-data op: a deterministic md5 coin decides
+    * per document whether it trains causal (text unchanged) or FIM; FIM
+    * documents draw two md5 cut points in [0, n_tokens], split into
+    * prefix/middle/suffix, and reassemble in PSM sentinel order
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` so the model learns
+    * to generate the middle conditioned on both sides. Every decision
+    * replays bit-for-bit from md5(salt:doc_id) — the corpus_shuffle
+    * discipline; a production run swaps the salt per epoch.
+    *
+    * Scale shape: a pure row-local projection (split, two hashes, three
+    * array slices, one concat) — single codegen'd scan+project stage,
+    * no shuffle at any corpus size beyond the presentation sort.
+    */
+  def fimTransform(documents: DataFrame, fimPct: Int = 50): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, s"fimPct in [0,100]: $fimPct")
+    val tks = split(col("text"), " ")
+    val n = size(tks).cast("long")
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val isFim = h("fim:") % 100 < fimPct
+    val c1 = h("fimcut1:") % (n + lit(1L))
+    val c2 = h("fimcut2:") % (n + lit(1L))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    // 1-based inclusive slices; empty pieces drop out of the sentinel
+    // join via the nullif-style when() so the token stream never holds
+    // a doubled separator
+    def piece(c: Column): Column = when(c =!= "", c)
+    val prefix = array_join(slice(tks, lit(1), lo.cast("int")), " ")
+    val middle = array_join(
+      slice(tks, (lo + lit(1L)).cast("int"), (hi - lo).cast("int")), " ")
+    val suffix = array_join(
+      slice(tks, (hi + lit(1L)).cast("int"), (n - hi).cast("int")), " ")
+    documents.select(
+        col("doc_id"),
+        when(isFim, "fim").otherwise("causal").as("mode"),
+        n.as("n_tokens"),
+        when(isFim, lo).as("cut_lo"),
+        when(isFim, hi).as("cut_hi"),
+        when(isFim, concat_ws(" ", array_compact(array(
+            lit("<fim_prefix>"), piece(prefix),
+            lit("<fim_suffix>"), piece(suffix),
+            lit("<fim_middle>"), piece(middle)))))
+          .otherwise(col("text")).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BERT-style masked-LM corruption (Devlin et al., NAACL 2019 §3.1):
+    * each token position draws an md5 coin — `selPct`% of positions are
+    * selected, and a selected position is 80% replaced by `[MASK]`,
+    * 10% replaced by a pseudo-random token FROM THE SAME DOCUMENT
+    * (md5-indexed, so the replacement is row-local — no vocabulary
+    * join), 10% kept verbatim. The three decisions read DISJOINT 32-bit
+    * windows of ONE md5 per (doc, pos), so selection, action, and
+    * replacement index are independent yet replay bit-for-bit on any
+    * engine. `labels` carries the `pos:original` pairs a masked-LM loss
+    * trains against.
+    *
+    * Scale shape: entirely row-local — one `transform` over the token
+    * array builds a per-row (tok, sel, sub, rtok) struct array and every
+    * output derives from it, so the plan is a single codegen'd
+    * scan+project with zero shuffle (the span_corruption semantics
+    * WITHOUT its per-doc windows: MLM masking has no cross-token runs).
+    */
+  def mlmMask(documents: DataFrame, selPct: Int = 15): DataFrame = {
+    require(selPct >= 1 && selPct <= 99, s"selPct in [1,99]: $selPct")
+    val tks = split(col("text"), " ")
+    val z = transform(tks, (tok, i) => {
+      val full = md5(concat(lit("mlm:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string")))
+      val sel = conv(substring(full, 1, 8), 16, 10).cast("long") % 100 < selPct
+      val sub = conv(substring(full, 9, 8), 16, 10).cast("long") % 10
+      val ridx = conv(substring(full, 17, 8), 16, 10).cast("long") % size(tks)
+      struct(tok.as("tok"), sel.as("sel"), sub.as("sub"),
+        element_at(tks, (ridx + 1).cast("int")).as("rtok"),
+        (i + 1).cast("long").as("pos"))
+    })
+    def cnt(p: Column => Column): Column =
+      size(filter(col("z"), p)).cast("long")
+    documents.select(col("doc_id"), size(tks).cast("long").as("n_tokens"),
+        z.as("z"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        cnt(e => e.getField("sel")).as("n_selected"),
+        cnt(e => e.getField("sel") && e.getField("sub") < 8).as("n_masked"),
+        cnt(e => e.getField("sel") && e.getField("sub") === 8).as("n_random"),
+        cnt(e => e.getField("sel") && e.getField("sub") === 9)
+          .as("n_kept"),
+        concat_ws(" ", transform(col("z"), e =>
+          when(!e.getField("sel"), e.getField("tok"))
+            .when(e.getField("sub") < 8, lit("[MASK]"))
+            .when(e.getField("sub") === 8, e.getField("rtok"))
+            .otherwise(e.getField("tok")))).as("masked_text"),
+        concat_ws(" ", array_compact(transform(col("z"), e =>
+          when(e.getField("sel"), concat(e.getField("pos").cast("string"),
+            lit(":"), e.getField("tok")))))).as("labels"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 

@@ -4426,6 +4426,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(totalSpans > 0, "fixture produced no corruption spans")
   }
 
+  test("fimTransform round-trips: P+M+S reassembles the original tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.fimTransform(docs).collect()
+    assert(rows.length == texts.size, "a document went missing")
+    var nFim = 0
+    rows.foreach { r =>
+      val (id, mode, n, txt) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(5))
+      assert(n == texts(id).split(" ", -1).length.toLong,
+        s"doc $id n_tokens wrong")
+      if (mode == "causal") {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"doc $id causal has cuts")
+        assert(txt == texts(id), s"doc $id causal text mutated")
+      } else {
+        nFim += 1
+        val (lo, hi) = (r.getLong(3), r.getLong(4))
+        assert(0 <= lo && lo <= hi && hi <= n, s"doc $id cuts out of range")
+        // parse the PSM layout back into the three pieces
+        val pi = txt.indexOf("<fim_prefix>")
+        val si = txt.indexOf("<fim_suffix>")
+        val mi = txt.indexOf("<fim_middle>")
+        assert(pi == 0 && si > pi && mi > si, s"doc $id sentinel order broke")
+        def toks(s: String) = s.split(" ", -1).filter(_.nonEmpty).toSeq
+        val p = toks(txt.substring(pi + 12, si))
+        val sfx = toks(txt.substring(si + 12, mi))
+        val m = toks(txt.substring(mi + 12))
+        assert((p ++ m ++ sfx) == texts(id).split(" ", -1).toSeq
+            .filter(_.nonEmpty),
+          s"doc $id P+M+S failed to round-trip")
+        assert(p.length == lo && m.length == (hi - lo).toInt,
+          s"doc $id piece sizes disagree with the cuts " +
+            s"(p=${p.length} m=${m.length} lo=$lo hi=$hi)")
+      }
+    }
+    // the 50% coin must genuinely split the fixture both ways
+    assert(nFim > 0 && nFim < rows.length,
+      s"fim coin degenerate: $nFim of ${rows.length}")
+  }
+
+  test("mlmMask: labels restore the original text; counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl("documents")
+    val texts = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.mlmMask(docs).collect()
+    assert(rows.length == texts.size, "a document went missing")
+    var (sel, msk) = (0L, 0L)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (n, nSel, nMask, nRand, nKeep) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      val masked = r.getString(6).split(" ", -1)
+      val labels = r.getString(7)
+      assert(nSel == nMask + nRand + nKeep, s"doc $id action split leaks")
+      assert(masked.length.toLong == n, s"doc $id length changed")
+      assert(masked.count(_ == "[MASK]").toLong == nMask ||
+        texts(id).split(" ", -1).contains("[MASK]"),
+        s"doc $id [MASK] count drifted")
+      // substituting each labeled original back must rebuild the text
+      val orig = texts(id).split(" ", -1)
+      val patched = masked.clone()
+      labels.split(" ", -1).filter(_.nonEmpty).foreach { l =>
+        val i = l.indexOf(':')
+        val pos = l.substring(0, i).toInt - 1
+        patched(pos) = l.substring(i + 1)
+      }
+      // non-selected positions must be untouched; selected restore
+      assert(patched.toSeq == orig.toSeq, s"doc $id labels cannot rebuild")
+      sel += nSel; msk += nMask
+    }
+    // the 15% / 80% rates must bite on the fixture
+    assert(sel > 0 && msk > 0, "masking never fired on the fixture")
+  }
+
   test("knBigramLogProb matches the interpolated Kneser-Ney formula on a micro corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c a"))
