@@ -852,6 +852,12 @@ object SparkEntry {
     // skew count as an exact-integer entropy stand-in
     "l_diversity" -> ((s, dir) =>
       Relational.lDiversity(t(s, dir, "customer"))),
+    // the distribution half of the privacy audit (the attack
+    // l-diversity misses: a diverse group whose sensitive distribution
+    // skews far from the table's): ordered-EMD t-closeness over the
+    // same balance band, e6-quantized exact-integer arithmetic
+    "t_closeness" -> ((s, dir) =>
+      Relational.tCloseness(t(s, dir, "customer"))),
     // privacy gate, release half: ε-DP Laplace-noised corpus histogram
     // with a seeded (oracle-replayable) noise derivation
     "dp_histogram" -> ((s, dir) =>
@@ -4824,6 +4830,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN max_freq * 3 > n THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_skewed_groups
         |FROM g""".stripMargin,
+    // ordered EMD over the dense (group × band) grid; e6-quantized
+    // integer distributions so cumulative terms replay exactly; // is
+    // DuckDB floor division = Spark div on the non-negative operands
+    "t_closeness" ->
+      """WITH cell AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+        |      // 100000 AS band,
+        |    count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_g
+        |  FROM cell GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT band, CAST(sum(cnt) AS BIGINT) AS cnt_v FROM cell GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt_v) AS BIGINT) AS n_total, count(*) AS m
+        |  FROM bands
+        |), grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, b.band, g.n_g, t.m,
+        |    COALESCE(c.cnt, 0) * 1000000 // g.n_g AS p_e6,
+        |    b.cnt_v * 1000000 // t.n_total AS q_e6
+        |  FROM g CROSS JOIN bands b CROSS JOIN tot t
+        |  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+        |), cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_g, m,
+        |    sum(p_e6 - q_e6) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid
+        |), dist AS (
+        |  SELECT c_nationkey, c_mktsegment, max(n_g) AS n_g,
+        |    CAST(sum(abs(cum)) // (max(m) - 1) AS BIGINT) AS emd_e6
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT CAST(200000 AS BIGINT) AS t_e6,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN emd_e6 > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN emd_e6 > 200000 THEN n_g ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  max(emd_e6) AS max_emd_e6
+        |FROM dist""".stripMargin,
     // the oracle states the SEMANTICS directly (a plain range-predicate
     // join — fine at oracle scale; the bucketing is the engine's plan,
     // invisible to the result)

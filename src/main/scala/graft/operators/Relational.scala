@@ -703,6 +703,70 @@ object Relational {
           .as("n_skewed_groups"))
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    * attack [[lDiversity]] misses: a group can be diverse yet still
+    * disclosing when its sensitive DISTRIBUTION skews far from the
+    * table's, e.g. 90% of one band where the population holds 20%).
+    * Per QI group (nation, segment) over the same ordered acctbal band
+    * as [[lDiversity]], the distance is the paper's ORDERED Earth
+    * Mover's Distance: EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m − 1) over the
+    * band domain in band order. Distributions are e6-QUANTIZED integers
+    * (`p_e6 = cnt·1e6 div n_g`) so every cumulative term is exact
+    * integer arithmetic both engines replay bit-for-bit — the
+    * cross-multiplication alternative keeps true rationals but its
+    * `cnt_gv·N` products overflow BIGINT past ~3e9 rows, while the
+    * quantized form is bounded by m·1e6 at ANY corpus size (the
+    * quantization error is ≤ m/1e6 per group — documented, not hidden).
+    * A group violates when its EMD_e6 exceeds `tMilli·1000`.
+    *
+    * Scale shape: two partial-aggregable hash aggregates sized by
+    * QI-cardinality and band-domain cardinality, a broadcast cross join
+    * building the DENSE (group × band) grid — dimension-bound: its row
+    * count is QI·m regardless of fact size — a left join of the grid
+    * onto the cell counts, one window over the dimension-bound grid
+    * (partitions = groups, rows per partition = m), and a 1-row
+    * summary. The fact table is touched exactly once.
+    */
+  def tCloseness(customer: DataFrame, tMilli: Int = 200): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 999, s"tMilli in [1,999]: $tMilli")
+    import org.apache.spark.sql.expressions.Window
+    val band = expr(
+      "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)" +
+        " div 100000")
+    val cell = customer
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val groups = cell.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("n_g"))
+    val bands = cell.groupBy(col("band")).agg(sum(col("cnt")).as("cnt_v"))
+    val total = bands.agg(sum(col("cnt_v")).as("n_total"),
+      count(lit(1)).as("m"))
+    val grid = groups.crossJoin(broadcast(bands))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+        col("n_g"), col("m"),
+        expr("cnt * 1000000 div n_g").as("p_e6"),
+        expr("cnt_v * 1000000 div n_total").as("q_e6"))
+    val byGroup = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = grid
+      .withColumn("cum", sum(col("p_e6") - col("q_e6")).over(byGroup))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(max(col("n_g")).as("n_g"),
+        expr("sum(abs(cum)) div (max(m) - 1)").as("emd_e6"))
+    dist.agg(lit(tMilli * 1000L).as("t_e6"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("emd_e6") > tMilli * 1000L, 1).otherwise(0))
+        .as("n_violating_groups"),
+      sum(when(col("emd_e6") > tMilli * 1000L, col("n_g"))
+        .otherwise(lit(0L))).as("n_rows_at_risk"),
+      max(col("emd_e6")).as("max_emd_e6"))
+  }
+
   /** BAND JOIN on a numeric attribute (|s.value − c.value| ≤ band) via
     * BUCKET BLOCKING — the fuzzy numeric matching every entity-resolution
     * pipeline needs (here: suppliers to customers with balances within

@@ -1207,6 +1207,23 @@ class PipelineSpec extends AnyFunSuite {
       s"audit wrong: $r")
   }
 
+  test("t_closeness computes the hand-worked ordered EMD per QI group") {
+    import spark.implicits._
+    // bands: (cents + 100000) div 100000 — 0.00 -> 1, 1000.00 -> 2.
+    // groups: (1,A) all band1; (2,B) all band2; (3,A) split 50/50.
+    // global: 5 of each band -> q = (500000, 500000), m = 2.
+    //   (1,A): p=(1e6,0)   cum=(+500000, 0) -> EMD_e6 500000  VIOLATES
+    //   (2,B): p=(0,1e6)   cum=(-500000, 0) -> EMD_e6 500000  VIOLATES
+    //   (3,A): p=(5e5,5e5) cum=(0, 0)       -> EMD_e6 0       ok
+    val rows = Seq.fill(4)((1, "A", 0.00)) ++ Seq.fill(4)((2, "B", 1000.00)) ++
+      Seq((3, "A", 0.00), (3, "A", 1000.00))
+    val df = rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val r = Relational.tCloseness(df, tMilli = 200).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((200000L, 3L, 2L, 8L, 500000L)),
+      s"audit wrong: $r")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
