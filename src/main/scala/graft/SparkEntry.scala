@@ -2556,6 +2556,18 @@ object SparkEntry {
         .distinct()
       Graph.pageRank(edges)
     }),
+    // Kleinberg HITS over the SAME resolved doc->host edge relation:
+    // docs are hubs, hosts authorities — unnormalized exact-BIGINT
+    // sweeps (ranking-identical to the L2-normalized form at any fixed
+    // round count), oracle unrolls the two sweeps verbatim
+    "hits_scores" -> ((s, dir) => {
+      val edges = Url.resolveLinks(htmlFixturePages(s, dir))
+        .filter(col("url_norm").isNotNull)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("src"),
+          col("host").as("dst"))
+        .distinct()
+      Graph.hits(edges)
+    }),
   )
 
   /** Deterministic messy-URL corpus for the URL operators: both engines
@@ -7690,6 +7702,28 @@ object SparkEntry {
         |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
         |    host AS dst
         |  FROM rlinks WHERE url_norm IS NOT NULL)""".stripMargin),
+    // the two HITS sweeps unrolled: a1 = indegree (h0 = 1), h1, a2, h2
+    "hits_scores" -> (resolvedLinksCte +
+      """, edges AS (
+        |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
+        |    host AS dst
+        |  FROM rlinks WHERE url_norm IS NOT NULL
+        |), a1 AS (
+        |  SELECT dst, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY dst
+        |), h1 AS (
+        |  SELECT src, CAST(sum(a1.a) AS BIGINT) AS h
+        |  FROM edges JOIN a1 USING (dst) GROUP BY src
+        |), a2 AS (
+        |  SELECT dst, CAST(sum(h1.h) AS BIGINT) AS a
+        |  FROM edges JOIN h1 USING (src) GROUP BY dst
+        |), h2 AS (
+        |  SELECT src, CAST(sum(a2.a) AS BIGINT) AS h
+        |  FROM edges JOIN a2 USING (dst) GROUP BY src)
+        |SELECT side, node, score FROM (
+        |  SELECT 'hub' AS side, src AS node, h AS score FROM h2
+        |  UNION ALL
+        |  SELECT 'auth' AS side, dst AS node, a AS score FROM a2)
+        |ORDER BY side, node""".stripMargin),
   ) ++ oracleSqlRest2
 
   /** Deterministic real-shaped HTML fixture pages (messy absolute links

@@ -86,6 +86,52 @@ object Graph {
     ranks.select(col("node"), col("rank_e9")).orderBy(col("node"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the OTHER classic
+    * link-analysis recurrence: a good hub links to good authorities, a
+    * good authority is linked from good hubs. Scores are UNNORMALIZED
+    * BIGINTs — h₀ = 1 per source, then `rounds` alternating sweeps
+    * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v) — because Kleinberg's
+    * per-round L2 normalization only rescales (the RANKING after any
+    * fixed round count is identical with or without it) and dropping it
+    * keeps every operation exact integer arithmetic the oracle unrolls
+    * verbatim (the [[pageRank]] hash-gate argument; a float-normalized
+    * HITS could never hash-match).
+    *
+    * Overflow posture: one sweep multiplies score mass by at most the
+    * max degree-product, so after r rounds scores are bounded by
+    * (d_out·d_in)^r·|E|-ish terms — with the default 2 rounds, BIGINT
+    * holds to ~1e4 average degree at 1e9 edges. Past that (or past
+    * rounds=4, the cap), rescale between sweeps with an integral `div`
+    * — the guard require documents it.
+    *
+    * Scale shape: per sweep, one equi-join of the once-persisted edge
+    * relation onto the score relation plus one partial-aggregable
+    * groupBy on the opposite key — identical economics to [[pageRank]]
+    * (edges shuffle once for the run, DISK_ONLY, operator-scoped
+    * release). No window, no collect.
+    */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1 && rounds <= 4,
+      "rounds in [1,4] — unnormalized BIGINT scores overflow beyond that; " +
+        "rescale between sweeps (integral div) for deeper runs")
+    val e = CacheScope.selfReleasing(
+      edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
+    var hub = e.select(col("src")).distinct().withColumn("h", lit(1L))
+    var auth = e.select(col("dst")).distinct().withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      auth = e.join(hub, "src").groupBy(col("dst"))
+        .agg(sum(col("h")).as("a"))
+      hub = e.join(auth, "dst").groupBy(col("src"))
+        .agg(sum(col("a")).as("h"))
+    }
+    hub.select(lit("hub").as("side"), col("src").as("node"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("auth").as("side"),
+        col("dst").as("node"), col("a").as("score")))
+      .orderBy(col("side"), col("node"))
+  }
+
   /** PERSONALIZED PageRank (Haveliwala, WWW 2002): [[pageRank]]'s exact
     * integer recurrence with the teleport term restricted to a SEED set —
     * rank mass drains toward the seeds' neighborhoods instead of spreading

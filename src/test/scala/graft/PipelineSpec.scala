@@ -2485,6 +2485,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(stat == Set(1000000000L))
   }
 
+  test("hits matches hand-unrolled sweeps and the normalized-float ranking") {
+    import spark.implicits._
+    // d1 -> {h1, h2}, d2 -> {h2}, d3 -> {h2, h3}
+    // a1 = indeg: h1=1, h2=3, h3=1
+    // h1(d1)=1+3=4, h1(d2)=3, h1(d3)=3+1=4
+    // a2: h1=4, h2=4+3+4=11, h3=4
+    // h2: d1=4+11=15, d2=11, d3=11+4=15
+    val edges = Seq(("d1", "h1"), ("d1", "h2"), ("d2", "h2"),
+      ("d3", "h2"), ("d3", "h3")).toDF("src", "dst")
+    val got = Graph.hits(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("hub", "d1") -> 15L, ("hub", "d2") -> 11L, ("hub", "d3") -> 15L,
+      ("auth", "h1") -> 4L, ("auth", "h2") -> 11L, ("auth", "h3") -> 4L),
+      s"got $got")
+    // ranking-identity vs the L2-normalized float recurrence on a less
+    // symmetric graph: normalization rescales, never reorders
+    val g2 = Seq(("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"),
+      ("c", "z"), ("d", "z"), ("d", "x"), ("b", "x")).toDF("src", "dst")
+    val ours = Graph.hits(g2, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val es = Seq(("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"),
+      ("c", "z"), ("d", "z"), ("d", "x"), ("b", "x"))
+    var h = es.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to 3) {
+      a = es.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(e => h(e._1)).sum }
+      val an = math.sqrt(a.values.map(x => x * x).sum)
+      a = a.view.mapValues(_ / an).toMap
+      h = es.groupBy(_._1).map { case (u, out) =>
+        u -> out.map(e => a(e._2)).sum }
+      val hn = math.sqrt(h.values.map(x => x * x).sum)
+      h = h.view.mapValues(_ / hn).toMap
+    }
+    def rank(xs: Seq[(String, Double)]) =
+      xs.sortBy { case (n, s) => (-s, n) }.map(_._1)
+    val hubOurs = rank(ours.filter(_._1 == "hub")
+      .map(t => t._2 -> t._3.toDouble).toSeq)
+    val authOurs = rank(ours.filter(_._1 == "auth")
+      .map(t => t._2 -> t._3.toDouble).toSeq)
+    assert(hubOurs == rank(h.toSeq), "hub ranking diverged from normalized")
+    assert(authOurs == rank(a.toSeq), "auth ranking diverged from normalized")
+  }
+
   test("triangleCounts enumerates each triangle once, at any orientation") {
     import spark.implicits._
     // K4 on {a,b,c,d} = 4 triangles, every vertex in exactly 3; edge list
