@@ -1486,6 +1486,11 @@ object SparkEntry {
     // the public ExactRank under a constant group — no corpus ntile
     "perplexity_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
+    // CCNet selection end-to-end: per-LANGUAGE bigram LM, documents
+    // scored by their own language's model, per-language thirds via the
+    // window-free ExactRank, keep = head+middle
+    "ccnet_select" -> ((s, dir) =>
+      TextAnalysis.ccnetSelect(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
     // the search-serving complement: FLAT postings (one row per
@@ -6161,6 +6166,51 @@ object SparkEntry {
         |    / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE)
         |    AS mean_surprisal_e6
         |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // bigramDocScoresCte with every model relation conditioned on lang,
+    // then the per-language ranked thirds (the oracle's window states
+    // the SEMANTICS; the engine's ExactRank must be invisible)
+    "ccnet_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang, t[i - 1] AS w1, t[i] AS w2
+        |  FROM (SELECT doc_id, lang, t, unnest(range(2, len(t) + 1)) AS i
+        |        FROM toks)
+        |), model AS (
+        |  SELECT lang, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3
+        |), ctx AS (
+        |  SELECT lang, w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+        |  FROM model GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT lang, count(DISTINCT tok) AS v FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY lang
+        |), scored AS (
+        |  SELECT m.lang, m.w1, m.w2,
+        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
+        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM model m JOIN ctx c USING (lang, w1) JOIN voc USING (lang)
+        |), doc_scores AS (
+        |  SELECT doc_id, lang, count(*) AS n_bigrams,
+        |    CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
+        |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avg_surprisal_e6
+        |  FROM bg JOIN scored USING (lang, w1, w2) GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_surprisal_e6, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
+        |  FROM doc_scores
+        |), lab AS (
+        |  SELECT *, CASE WHEN rnk * 3 <= n_group THEN 'head'
+        |    WHEN rnk * 3 <= n_group * 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |  FROM ranked)
+        |SELECT doc_id, lang, n_bigrams, surprisal_e6, rnk, n_group,
+        |  bucket, bucket != 'tail' AS kept
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -1440,6 +1440,66 @@ object TextAnalysis {
           .when(col("rnk") * 3 <= col("n_group") * 2, "middle")
           .otherwise("tail"))
 
+  /** CCNet language-conditioned selection (Wenzek et al., LREC 2020) —
+    * the pipeline CCNet actually runs, composed end-to-end: a bigram LM
+    * is trained PER LANGUAGE (CCNet trains one KenLM per language; the
+    * corpus-global [[bigramLogProb]] model would score every non-modal
+    * language as "tail" on vocabulary mismatch alone), each document is
+    * scored by ITS OWN language's model, ranked within its language, cut
+    * into head/middle/tail thirds, and kept iff not tail — CCNet's keep
+    * rule. Emits the per-document selection relation (score, rank,
+    * bucket, kept) a curation run materializes.
+    *
+    * Scale shape: model relations are (lang × bigram-type)-sized
+    * aggregates off one corpus pass — the model persists DISK_ONLY,
+    * operator-scoped, so context derivation and the enrich join replay
+    * nothing; the vocab relation is lang-cardinality and rides an
+    * AQE-broadcast join. The per-language ranking is the window-free
+    * [[ExactRank.exactRank]] (range-partitioned parallelism; a
+    * `row_number() over (partition by lang)` would single-task each
+    * language — the modal language IS the corpus at 100 TB). Documents
+    * with fewer than two tokens are unscoreable and absent, per
+    * [[bigramLogProb]].
+    */
+  def ccnetSelect(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val bigrams = docs.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1"), col("bg.w2"))
+    val model = graft.operators.CacheScope.selfReleasing(
+      bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = model.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang")).agg(count_distinct(col("tok")).as("v"))
+    val scoredModel = model.join(ctx, Seq("lang", "w1"))
+      .join(vocab, Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        floor(-log((col("cnt").cast("double") + lit(1.0)) /
+            (col("ctx_cnt").cast("double") + col("v").cast("double")))
+          * lit(1000000.0)).cast("long").as("s_e6"))
+    val docScores = bigrams.join(scoredModel, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_e6")).as("surprisal_e6"))
+      .withColumn("avg_surprisal_e6",
+        col("surprisal_e6").cast("double") / col("n_bigrams").cast("double"))
+    ExactRank.exactRank(docScores, Seq("lang"),
+        Seq("avg_surprisal_e6", "doc_id"))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_group"), "head")
+          .when(col("rnk") * 3 <= col("n_group") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("surprisal_e6"), col("rnk"), col("n_group"), col("bucket"),
+        (col("bucket") =!= "tail").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Default BPE merge table for [[bpeEncode]]: a small fixed vocabulary
     * over common English digraphs, rank = position. Includes a two-level
     * chain ((t,h) then (th,e)) so the table exercises merges whose left

@@ -1207,6 +1207,37 @@ class PipelineSpec extends AnyFunSuite {
       s"audit wrong: $r")
   }
 
+  test("ccnet_select ranks within each language by its own LM") {
+    import spark.implicits._
+    // lang X, vocab {a,b}: model counts (a,a)=5 (a,b)=1 (b,b)=1 (b,a)=1,
+    // ctx(a)=6 ctx(b)=2, v=2 ->
+    //   x1 = pure (a,a): avg -ln(6/8)            -> head
+    //   x3 = (b,b),(b,a): avg ln 2               -> middle
+    //   x2 = (a,a),(a,b): avg (0.288+1.386)/2    -> tail
+    // lang Y mirrors with vocab {c,d} — disjoint, so any cross-language
+    // leakage into the model would reorder the buckets
+    val docs = Seq(
+      (1L, "a a a a a", "X"), (2L, "a a b", "X"), (3L, "b b a", "X"),
+      (4L, "c c c c c", "Y"), (5L, "c c d", "Y"), (6L, "d d c", "Y")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.ccnetSelect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(6), r.getBoolean(7)))).toMap
+    assert(got == Map(
+      1L -> (("head", true)), 3L -> (("middle", true)), 2L -> (("tail", false)),
+      4L -> (("head", true)), 6L -> (("middle", true)), 5L -> (("tail", false))),
+      s"got $got")
+    // thirds invariant on the real fixture: per language, bucket sizes
+    // follow the exact integer-rank cuts
+    val real = TextAnalysis.ccnetSelect(tbl("documents")).collect()
+      .map(r => (r.getString(1), r.getLong(4), r.getLong(5), r.getString(6)))
+    real.foreach { case (lang, rnk, n, b) =>
+      val expect = if (rnk * 3 <= n) "head"
+        else if (rnk * 3 <= n * 2) "middle" else "tail"
+      assert(b == expect, s"lang $lang rnk $rnk/$n bucket $b != $expect")
+    }
+    assert(real.map(_._1).distinct.length > 1, "fixture has one language")
+  }
+
   test("t_closeness computes the hand-worked ordered EMD per QI group") {
     import spark.implicits._
     // bands: (cents + 100000) div 100000 — 0.00 -> 1, 1000.00 -> 2.
