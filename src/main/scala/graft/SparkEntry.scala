@@ -1228,6 +1228,12 @@ object SparkEntry {
     // trained-tokenizer budget a real pipeline runs
     "pipeline_tokenizer" -> ((s, dir) =>
       TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))),
+    // SentencePiece-style unigram-LM tokenizer training: substring seed
+    // vocab, 2 hard-EM rounds of distributed Viterbi (score table in
+    // the task closure) + vocab-sized usage aggregates; only
+    // vocab-bounded relations reach the driver
+    "unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation
@@ -3188,6 +3194,94 @@ object SparkEntry {
       .map(j => s"SELECT * FROM u$j").mkString(" UNION ALL ")
     bpeVocabWordsCte + (0 until rounds).map(round).mkString + batches +
       s"\nSELECT * FROM ($finalSel) ORDER BY round"
+  }
+
+  /** The unrolled unigram-LM hard-EM oracle (Kudo 2018; engine twin
+    * [[operators.TextAnalysis.unigramTrain]]): seed-substring vocab →
+    * per round, a `maxWordLen`-level Viterbi DP chain (dp level i =
+    * best-scoring segmentation of each word's length-i prefix, argmax
+    * by `ORDER BY sc DESC, seg` — exactly the engine's tie-break) →
+    * usage counts → re-scored pieces. Every dp level is MATERIALIZED:
+    * levels are referenced by up to `maxPieceLen` successors, and
+    * inlined they would re-expand exponentially (the
+    * [[bpeTrainOracleChain]] lesson).
+    */
+  private def unigramOracleSql(vocabSize: Int = 256, rounds: Int = 2,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): String = {
+    def dpChain(r: Int, scoreCte: String): String = {
+      val sb = new StringBuilder
+      sb.append(s""",
+        |d${r}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS sc, '' AS seg
+        |  FROM words)""".stripMargin)
+      for (i <- 1 to maxWordLen) {
+        val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
+          s"""      SELECT d.word, d.freq, d.sc + w.s_e6 AS sc,
+             |        CASE WHEN d.seg = '' THEN substr(d.word, ${j + 1}, ${i - j})
+             |          ELSE d.seg || ' ' || substr(d.word, ${j + 1}, ${i - j}) END AS seg
+             |      FROM d${r}_$j d JOIN $scoreCte w
+             |        ON w.piece = substr(d.word, ${j + 1}, ${i - j})
+             |      WHERE length(d.word) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        sb.append(s""",
+          |d${r}_$i AS MATERIALIZED (
+          |  SELECT word, freq, sc, seg FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY word
+          |      ORDER BY sc DESC, seg) AS rn
+          |    FROM (
+          |$branches
+          |    )
+          |  ) WHERE rn = 1)""".stripMargin)
+      }
+      sb.append(s""",
+        |seg$r AS MATERIALIZED (
+        |""".stripMargin +
+        (1 to maxWordLen).map(i =>
+          s"  SELECT word, freq, seg FROM d${r}_$i WHERE length(word) = $i")
+          .mkString("\n  UNION ALL\n") + "),")
+      sb.append(s"""
+        |usage$r AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+        |    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg$r)
+        |  GROUP BY piece),
+        |t$r AS (SELECT CAST(sum(usage) AS BIGINT) AS tot FROM usage$r),
+        |w$r AS MATERIALIZED (
+        |  SELECT piece, CAST(floor(ln(CAST(usage AS DOUBLE)
+        |    / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
+        |  FROM usage$r CROSS JOIN t$r)""".stripMargin)
+      sb.toString
+    }
+    val head = s"""WITH words AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+      |    FROM documents)
+      |  WHERE length(word) <= $maxWordLen GROUP BY word),
+      |seeds AS MATERIALIZED (
+      |  SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (
+      |    SELECT word, freq, i, l FROM
+      |      (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+      |       FROM words)
+      |      CROSS JOIN (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l)
+      |    WHERE i + l - 1 <= length(word))
+      |  GROUP BY 1),
+      |chars AS MATERIALIZED (
+      |  SELECT piece, cnt FROM seeds WHERE length(piece) = 1),
+      |multi AS (SELECT piece, cnt FROM (
+      |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS r
+      |    FROM seeds WHERE length(piece) >= 2)
+      |  WHERE r <= $vocabSize - (SELECT count(*) FROM chars)),
+      |v0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+      |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v0),
+      |w0 AS MATERIALIZED (
+      |  SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE)
+      |    / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
+      |  FROM v0 CROSS JOIN t0)""".stripMargin
+    val chains = (1 to rounds)
+      .map(r => dpChain(r, s"w${r - 1}")).mkString
+    head + chains + s"""
+      |SELECT u.piece, u.usage, w.s_e6 AS score_e6
+      |FROM usage$rounds u JOIN w$rounds w USING (piece)
+      |ORDER BY piece""".stripMargin
   }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
@@ -5702,6 +5796,9 @@ object SparkEntry {
     // the vocabulary-scale exact-parity leg: 256 unrolled rounds over the
     // partkey word types, rules hash-checked one by one
     "bpe_train_vocab" -> bpeVocabOracleSql(BpeVocabRounds),
+    // two generated 16-level Viterbi DP chains (one per EM round), each
+    // level MATERIALIZED — the same unroll discipline as bpe_train
+    "unigram_train" -> unigramOracleSql(),
     // structural contract for the 1024-merge leg: n_rules literal (the
     // partkey vocabulary exhausts at ~1990, so all 1024 rounds must
     // produce a rule), first_cnt recomputed EXACTLY with one unchained

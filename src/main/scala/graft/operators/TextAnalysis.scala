@@ -1889,6 +1889,129 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** Unigram-LM tokenizer training (Kudo, ACL 2018 — the SentencePiece
+    * algorithm BPE competes with), hard-EM (Viterbi) variant in exact
+    * integers: seed vocabulary = every ≤`maxPieceLen`-char substring of
+    * the word types (all single chars kept unconditionally + the top
+    * frequency-ranked multi-char pieces up to `vocabSize`), piece
+    * scores are `floor(ln(count/total)·1e6)` BIGINTs, and each EM round
+    * (1) segments every word type by Viterbi under the current scores —
+    * argmax ties broken to the lexicographically SMALLEST segmentation,
+    * so the DP is a pure function of the score table — and (2)
+    * re-scores pieces from their usage (pieces with zero usage are
+    * pruned; a word type that becomes unsegmentable under the pruned
+    * vocabulary drops out of the E-step, the honest hard-EM analogue of
+    * SentencePiece's char-coverage floor).
+    *
+    * Scale shape: UNLIKE [[bpeTrainRules]] (whose merge loop is
+    * inherently sequential, so the type relation localizes), every
+    * unigram stage distributes: ONE corpus pass builds the word-TYPE
+    * relation (Heaps-bounded, persisted DISK_ONLY operator-scoped for
+    * its `rounds + 1` consumers), the seed relation is a
+    * substring-explode + partial-aggregable groupBy off it, and each
+    * E-step is a mapPartitions Viterbi with the ≤`vocabSize` score
+    * table riding the task closure, followed by a vocab-sized groupBy.
+    * Only vocab-bounded relations (≤ `vocabSize` rows) ever reach the
+    * driver. The DuckDB oracle unrolls the Viterbi DP per round as a
+    * `maxWordLen`-level CTE chain (the bpe_train generated-oracle
+    * discipline) — which is why `maxWordLen` caps training words: the
+    * cap is the oracle's unroll depth, and real tokenizer trainers trim
+    * pathological long types the same way.
+    */
+  def unigramTrain(documents: DataFrame, vocabSize: Int = 256,
+      rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    require(vocabSize >= 2 && rounds >= 1 && maxPieceLen >= 1 &&
+      maxWordLen >= 1, "degenerate unigram-train parameters")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val types = graft.operators.CacheScope.selfReleasing(
+      documents
+        .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"),
+          lit(0))).as("word"))
+        .filter(length(col("word")) <= maxWordLen)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")),
+      matchingActions = rounds + 1)
+    // seed pieces: all substrings of length 1..maxPieceLen, corpus-weighted
+    val seeds = graft.operators.CacheScope.selfReleasing(
+      types.select(col("freq"), explode(expr(
+          s"""flatten(transform(sequence(1, length(word)),
+             |  i -> transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})),
+             |    j -> substr(word, i, j - i + 1))))""".stripMargin))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")),
+      matchingActions = 2)
+    val charRows: Array[(String, Long)] = seeds
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect() // bounded: the charset
+    val multiRows: Array[(String, Long)] = seeds
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(math.max(0, vocabSize - charRows.length))
+      .as[(String, Long)].collect() // bounded: <= vocabSize
+    val kept = charRows ++ multiRows
+    if (kept.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("piece", "usage", "score_e6")
+    def e6Log(u: Long, tot: Long): Long =
+      math.floor(math.log(u.toDouble / tot.toDouble) * 1e6).toLong
+    val tot0 = kept.map(_._2).sum
+    var scores: Map[String, Long] =
+      kept.map { case (p, c) => p -> e6Log(c, tot0) }.toMap
+    var usageArr: Array[(String, Long)] = Array.empty
+    val mpl = maxPieceLen
+    for (_ <- 1 to rounds) {
+      val sc = scores // stable closure capture per round
+      usageArr = types.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          unigramViterbi(w, sc, mpl).toSeq.flatten.map(p => (p, f)) }
+        .toDF("piece", "f")
+        .groupBy(col("piece")).agg(sum(col("f")).as("usage"))
+        .as[(String, Long)].collect() // bounded: <= vocabSize
+      val tot = usageArr.map(_._2).sum
+      scores = usageArr.map { case (p, u) => p -> e6Log(u, tot) }.toMap
+    }
+    usageArr.sortBy(_._1).toSeq
+      .map { case (p, u) => (p, u, scores(p)) }
+      .toDF("piece", "usage", "score_e6")
+  }
+
+  /** Max-score segmentation of one word under an e6-integer score
+    * table: dp over prefix lengths, pieces capped at `maxPieceLen`
+    * chars, ties broken to the lexicographically smallest segmentation
+    * string — the deterministic argmax both engines replay state by
+    * state. None when no piece path covers the word (possible once the
+    * EM prunes a character's singleton piece).
+    */
+  private[graft] def unigramViterbi(w: String, sc: Map[String, Long],
+      maxPieceLen: Int): Option[Seq[String]] = {
+    val n = w.length
+    val bs = Array.fill(n + 1)(Long.MinValue)
+    val bg = new Array[String](n + 1)
+    bs(0) = 0L; bg(0) = ""
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (bs(j) != Long.MinValue) {
+          sc.get(w.substring(j, i)) match {
+            case Some(s) =>
+              val cs = bs(j) + s
+              val cg = if (bg(j).isEmpty) w.substring(j, i)
+                else bg(j) + " " + w.substring(j, i)
+              if (cs > bs(i) || (cs == bs(i) && cg < bg(i))) {
+                bs(i) = cs; bg(i) = cg
+              }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (bs(n) == Long.MinValue) None else Some(bg(n).split(" ").toSeq)
+  }
+
   /** Vocabulary-scale BPE induction CONTRACT row — the structural-oracle
     * form (`ann_ivf_trained` pattern) that lets the hash gate check a
     * merge count DuckDB cannot unroll (its binder caps a CTE dependency

@@ -1255,6 +1255,39 @@ class PipelineSpec extends AnyFunSuite {
       s"audit wrong: $r")
   }
 
+  test("unigramViterbi: argmax segmentation with the lexicographic tie-break") {
+    // higher joint score wins: one piece beats two at equal per-piece cost
+    assert(TextAnalysis.unigramViterbi("ab",
+      Map("a" -> -1L, "b" -> -1L, "ab" -> -1L), 4).get == Seq("ab"))
+    // exact tie (-4 both paths): smallest segmentation string wins
+    // ("a b" < "ab" since ' ' < 'b')
+    assert(TextAnalysis.unigramViterbi("ab",
+      Map("a" -> -2L, "b" -> -2L, "ab" -> -4L), 4).get == Seq("a", "b"))
+    // no covering path -> None (the post-prune hard-EM case)
+    assert(TextAnalysis.unigramViterbi("ab", Map("b" -> -1L), 4).isEmpty)
+    // pieces longer than maxPieceLen are never considered
+    assert(TextAnalysis.unigramViterbi("abcde",
+      Map("abcde" -> 0L, "a" -> -1L, "b" -> -1L, "c" -> -1L, "d" -> -1L,
+        "e" -> -1L), 4).get.length == 5)
+  }
+
+  test("unigram_train: M-step scores reconcile with usage; deterministic") {
+    val out = TextAnalysis.unigramTrain(tbl("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "empty vocabulary")
+    assert(out.map(_._1).distinct.length == out.length, "duplicate pieces")
+    assert(out.forall(_._2 > 0L), "zero-usage piece survived the prune")
+    val tot = out.map(_._2).sum
+    out.foreach { case (p, u, s) =>
+      val expect =
+        math.floor(math.log(u.toDouble / tot.toDouble) * 1e6).toLong
+      assert(s == expect, s"piece $p: score $s != floor(ln($u/$tot)e6)")
+    }
+    val again = TextAnalysis.unigramTrain(tbl("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq, "training is not deterministic")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
