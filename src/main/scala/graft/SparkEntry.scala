@@ -1234,6 +1234,11 @@ object SparkEntry {
     // vocab-bounded relations reach the driver
     "unigram_train" -> ((s, dir) =>
       TextAnalysis.unigramTrain(t(s, dir, "documents"))),
+    // the unigram induction->application composition (bpeTrainedEncode's
+    // twin): per-doc subword budgets under the LEARNED scores, doc-local
+    // mapPartitions with a per-partition word->pieces memo
+    "unigram_fertility" -> ((s, dir) =>
+      TextAnalysis.unigramFertility(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation
@@ -3207,8 +3212,10 @@ object SparkEntry {
     * [[bpeTrainOracleChain]] lesson).
     */
   private def unigramOracleSql(vocabSize: Int = 256, rounds: Int = 2,
-      maxPieceLen: Int = 4, maxWordLen: Int = 16): String = {
-    def dpChain(r: Int, scoreCte: String): String = {
+      maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      fertility: Boolean = false): String = {
+    def dpChain(r: Int, scoreCte: String,
+        withScores: Boolean = true): String = {
       val sb = new StringBuilder
       sb.append(s""",
         |d${r}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS sc, '' AS seg
@@ -3237,8 +3244,8 @@ object SparkEntry {
         |""".stripMargin +
         (1 to maxWordLen).map(i =>
           s"  SELECT word, freq, seg FROM d${r}_$i WHERE length(word) = $i")
-          .mkString("\n  UNION ALL\n") + "),")
-      sb.append(s"""
+          .mkString("\n  UNION ALL\n") + (if (withScores) ")," else ")"))
+      if (withScores) sb.append(s"""
         |usage$r AS MATERIALIZED (
         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
         |    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg$r)
@@ -3278,10 +3285,36 @@ object SparkEntry {
       |  FROM v0 CROSS JOIN t0)""".stripMargin
     val chains = (1 to rounds)
       .map(r => dpChain(r, s"w${r - 1}")).mkString
-    head + chains + s"""
-      |SELECT u.piece, u.usage, w.s_e6 AS score_e6
-      |FROM usage$rounds u JOIN w$rounds w USING (piece)
-      |ORDER BY piece""".stripMargin
+    if (!fertility)
+      head + chains + s"""
+        |SELECT u.piece, u.usage, w.s_e6 AS score_e6
+        |FROM usage$rounds u JOIN w$rounds w USING (piece)
+        |ORDER BY piece""".stripMargin
+    else {
+      // one more Viterbi chain under the LEARNED scores (no re-score),
+      // then per-document budgets over the word occurrences; words the
+      // pruned vocab cannot segment (or >maxWordLen chars) are
+      // uncovered — they never reach seg${rounds + 1}
+      val app = dpChain(rounds + 1, s"w$rounds", withScores = false)
+      head + chains + app + s""",
+        |pp AS MATERIALIZED (
+        |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT)
+        |    AS n_pieces
+        |  FROM seg${rounds + 1}),
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |    AS word
+        |  FROM documents)
+        |SELECT doc_id,
+        |  count(*) AS n_words,
+        |  CAST(sum(CASE WHEN pp.n_pieces IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(coalesce(sum(pp.n_pieces), 0) AS BIGINT) AS n_pieces,
+        |  CAST(coalesce(sum(CASE WHEN pp.n_pieces IS NOT NULL
+        |    THEN length(docw.word) END), 0) AS BIGINT) AS n_chars_covered
+        |FROM docw LEFT JOIN pp USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   }
 
   /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
@@ -5799,6 +5832,9 @@ object SparkEntry {
     // two generated 16-level Viterbi DP chains (one per EM round), each
     // level MATERIALIZED — the same unroll discipline as bpe_train
     "unigram_train" -> unigramOracleSql(),
+    // the same chains + a THIRD (application) chain under the learned
+    // scores, joined back onto the per-document word occurrences
+    "unigram_fertility" -> unigramOracleSql(fertility = true),
     // structural contract for the 1024-merge leg: n_rules literal (the
     // partkey vocabulary exhausts at ~1990, so all 1024 rounds must
     // produce a rule), first_cnt recomputed EXACTLY with one unchained

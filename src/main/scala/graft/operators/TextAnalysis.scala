@@ -1921,6 +1921,23 @@ object TextAnalysis {
   def unigramTrain(documents: DataFrame, vocabSize: Int = 256,
       rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16)
       : DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (usageArr, scores) =
+      unigramTrainCore(documents, vocabSize, rounds, maxPieceLen, maxWordLen)
+    usageArr.sortBy(_._1).toSeq
+      .map { case (p, u) => (p, u, scores(p)) }
+      .toDF("piece", "usage", "score_e6")
+  }
+
+  /** [[unigramTrain]]'s distributed EM core, returning the final-round
+    * (usage, score) state for composing consumers ([[unigramFertility]]
+    * applies the learned scores back to the corpus).
+    */
+  private[graft] def unigramTrainCore(documents: DataFrame,
+      vocabSize: Int = 256, rounds: Int = 2, maxPieceLen: Int = 4,
+      maxWordLen: Int = 16)
+      : (Array[(String, Long)], Map[String, Long]) = {
     require(vocabSize >= 2 && rounds >= 1 && maxPieceLen >= 1 &&
       maxWordLen >= 1, "degenerate unigram-train parameters")
     val spark = documents.sparkSession
@@ -1950,9 +1967,7 @@ object TextAnalysis {
       .limit(math.max(0, vocabSize - charRows.length))
       .as[(String, Long)].collect() // bounded: <= vocabSize
     val kept = charRows ++ multiRows
-    if (kept.isEmpty)
-      return Seq.empty[(String, Long, Long)]
-        .toDF("piece", "usage", "score_e6")
+    if (kept.isEmpty) return (Array.empty, Map.empty)
     def e6Log(u: Long, tot: Long): Long =
       math.floor(math.log(u.toDouble / tot.toDouble) * 1e6).toLong
     val tot0 = kept.map(_._2).sum
@@ -1971,9 +1986,55 @@ object TextAnalysis {
       val tot = usageArr.map(_._2).sum
       scores = usageArr.map { case (p, u) => p -> e6Log(u, tot) }.toMap
     }
-    usageArr.sortBy(_._1).toSeq
-      .map { case (p, u) => (p, u, scores(p)) }
-      .toDF("piece", "usage", "score_e6")
+    (usageArr, scores)
+  }
+
+  /** The unigram induction→application composition (the
+    * [[bpeTrainedEncode]] twin for the unigram tokenizer): train with
+    * [[unigramTrainCore]], then Viterbi-segment every document's words
+    * under the LEARNED scores and report per-document subword budgets —
+    * `n_words`, `n_covered` (words the pruned vocabulary can still
+    * segment; >`maxWordLen`-char words count as uncovered, exactly as
+    * training skipped them), `n_pieces` over covered words (the
+    * fertility numerator), and `n_chars_covered`.
+    *
+    * Scale shape: training is [[unigramTrain]]'s distributed EM;
+    * application is doc-local mapPartitions with the ≤`vocabSize` score
+    * table riding the task closure plus a per-partition word→piece-count
+    * memo (Zipf: each partition segments each word TYPE once). The only
+    * exchange is the presentation sort.
+    */
+  def unigramFertility(documents: DataFrame, vocabSize: Int = 256,
+      rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (_, scores) =
+      unigramTrainCore(documents, vocabSize, rounds, maxPieceLen, maxWordLen)
+    val (mpl, mwl) = (maxPieceLen, maxWordLen)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          var nW = 0L; var nCov = 0L; var nP = 0L; var nC = 0L
+          if (text != null) {
+            val m = re.matcher(text)
+            while (m.find()) {
+              val word = m.group()
+              val np = memo.getOrElseUpdate(word,
+                if (word.length > mwl) -1L
+                else unigramViterbi(word, scores, mpl)
+                  .map(_.length.toLong).getOrElse(-1L))
+              nW += 1
+              if (np >= 0L) { nCov += 1; nP += np; nC += word.length }
+            }
+          }
+          (id, nW, nCov, nP, nC)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_covered", "n_pieces", "n_chars_covered")
+      .orderBy(col("doc_id"))
   }
 
   /** Max-score segmentation of one word under an e6-integer score

@@ -1288,6 +1288,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "training is not deterministic")
   }
 
+  test("unigram_fertility: per-doc budgets are internally consistent") {
+    val rows = TextAnalysis.unigramFertility(tbl("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nW, nCov, nP, nC) =>
+      assert(nCov <= nW, s"doc $id covered > words")
+      assert(nP >= nCov, s"doc $id: a covered word produced no piece")
+      assert(nP <= nC, s"doc $id: more pieces than covered chars")
+    }
+    // the learned vocabulary must genuinely segment the fixture
+    assert(rows.map(_._3).sum > 0, "zero pieces corpus-wide")
+    assert(rows.map(_._2).sum > 0, "zero coverage corpus-wide")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
