@@ -2073,6 +2073,11 @@ object SparkEntry {
     // measured IVFADC retrieval quality: exact counts of true/candidate/
     // hit pairs over the bounded query head — lsh_recall's discipline for
     // the PQ serve, so quantization-quality regressions fail the hash gate
+    // Matryoshka truncation recall: full-dim exact top-k vs the same
+    // scan on the first 16 dims — the measured-quality row for serving
+    // prefix embeddings (pq_recall's discipline, truncation knob)
+    "matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaEval(t(s, dir, "embeddings"))),
     "pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(t(s, dir, "embeddings"))),
     // measured quality for the r14 quantizers (the "quality held" leg of
@@ -3895,6 +3900,46 @@ object SparkEntry {
       |FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
       |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
       |  USING (vec_id, other_id)""".stripMargin
+
+  /** Matryoshka recall: annTopkOracle is truth; the candidate leg is
+    * the same exact scan with vectors sliced to the first 16 dims
+    * BEFORE the norm, so cosine geometry is the truncated space's own.
+    */
+  private lazy val matryoshkaOracle = {
+    val d = 16
+    s"""WITH truth AS ($annTopkOracle
+      |), cand AS (
+      |  WITH e AS (
+      |    SELECT vec_id,
+      |      list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings
+      |  ), n AS (
+      |    SELECT vec_id, v,
+      |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+      |  ), q AS (
+      |    SELECT * FROM n ORDER BY vec_id
+      |    LIMIT ${operators.Similarity.MaxBruteForceQueries}
+      |  ), p AS (
+      |    SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+      |      CAST(floor(list_sum(list_transform(range(1, ${d + 1}),
+      |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0)
+      |        AS BIGINT) AS cos_e6
+      |    FROM q a JOIN n b ON a.vec_id <> b.vec_id)
+      |  SELECT vec_id, other_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_e6 DESC, other_id) AS rk
+      |    FROM p)
+      |  WHERE rk <= 5
+      |)
+      |SELECT CAST($d AS INT) AS dims,
+      |  CAST(sum(tt.t) AS BIGINT) AS n_true,
+      |  CAST(sum(cc.c) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
+      |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
+      |  USING (vec_id, other_id)""".stripMargin
+  }
 
   private lazy val annIvfpqOracle = annIvfpqOracleWith("vec_id < 16")
 
@@ -7220,6 +7265,7 @@ object SparkEntry {
     "pq_recall_residual" -> pqRecallOracleWith(annIvfpqResidualOracle),
     "pq_recall_rerank" -> pqRecallOracleWith(annIvfpqRerankOracle),
     "pq_recall" -> pqRecallOracle,
+    "matryoshka_recall" -> matryoshkaOracle,
     "pq_recall_auto" -> pqRecallOracleWith(annIvfpqAutoOracle),
     "pq_recall_imi" -> pqRecallOracleWith(annIvfpqImiOracle),
     "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),

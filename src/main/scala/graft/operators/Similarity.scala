@@ -1543,6 +1543,38 @@ object Similarity {
           .otherwise(0L)).as("n_hit"))
   }
 
+  /** MATRYOSHKA truncation quality (Kusupati et al., NeurIPS 2022):
+    * the retrieval cost of serving a PREFIX of the embedding — MRL
+    * deployments cut 64-dim vectors to 16 for the candidate pass and
+    * need the measured recall of that cut, exactly like [[pqRecall]]
+    * measures quantization. Ground truth = the full-dim exact top-k
+    * over the bounded query head ([[bruteForceTopK]]); candidate = the
+    * SAME exact scan with cosine computed over only the first `dims`
+    * dimensions; one full-outer presence aggregation emits exact counts
+    * so a recall regression shows as a VALUE in the hash gate.
+    *
+    * Scale shape: an AUDIT operator — two O(q·n) broadcast-head scans
+    * (q = `maxQueries`, the brute-force bound) and a q·k-row presence
+    * join. The truncation itself is the production win being measured:
+    * a `dims`/64 fraction of the dot-product FLOPs and scan bytes.
+    */
+  def matryoshkaEval(embeddings: DataFrame, k: Int = 5, dims: Int = 16,
+      maxQueries: Int = MaxBruteForceQueries): DataFrame = {
+    require(dims >= 1, s"dims >= 1: $dims")
+    val truth = bruteForceTopK(embeddings, k, maxQueries)
+      .select(col("vec_id"), col("other_id")).withColumn("t", lit(1L))
+    val trunc = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val cand = bruteForceTopK(trunc, k, maxQueries)
+      .select(col("vec_id"), col("other_id")).withColumn("c", lit(1L))
+    truth.join(cand, Seq("vec_id", "other_id"), "full_outer")
+      .agg(lit(dims).as("dims"),
+        sum(col("t")).as("n_true"),
+        sum(col("c")).as("n_candidates"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+  }
+
   /** The IVF recall-vs-probe-count CURVE — the tuning artifact an ANN
     * serving team actually reads: one exact presence-count row
     * (num_probes, n_true, n_candidates, n_hit) per probe setting against

@@ -1288,6 +1288,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "training is not deterministic")
   }
 
+  test("matryoshka_recall: full-dim truncation is exact; counts reconcile") {
+    val emb = tbl("embeddings")
+    // dims = 64 is the identity cut: candidate leg IS the truth leg
+    val full = Similarity.matryoshkaEval(emb, dims = 64).collect()(0)
+    assert(full.getLong(1) == full.getLong(3),
+      s"full-dim cut lost recall: $full")
+    assert(full.getLong(1) == full.getLong(2), "leg sizes differ at 64")
+    val cut = Similarity.matryoshkaEval(emb, dims = 16).collect()(0)
+    assert(cut.getLong(1) == cut.getLong(2), "leg sizes differ at 16")
+    assert(cut.getLong(3) >= 0 && cut.getLong(3) <= cut.getLong(1))
+    assert(cut.getLong(1) > 0, "empty truth leg")
+  }
+
   test("unigram_fertility: per-doc budgets are internally consistent") {
     val rows = TextAnalysis.unigramFertility(tbl("documents")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
