@@ -876,6 +876,10 @@ object SparkEntry {
       Relational.bootstrapCi(t(s, dir, "orders"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // CUPED variance-reduced experiment readout: md5-bucket assignment,
+    // pre-period covariate, pooled theta from exact DECIMAL moments
+    "cuped_adjust" -> ((s, dir) =>
+      Relational.cupedAdjust(t(s, dir, "orders"))),
     // rank (Spearman) correlation: monotone-invariant dependence via two
     // window-free ExactRank passes + exact long moments (e6 contract)
     "spearman_corr" -> ((s, dir) =>
@@ -5278,6 +5282,50 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    * 1e6 + 0.5) AS BIGINT) AS spearman_e6
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // per-user exact cents, HUGEINT pooled moments (= the engine's
+    // DECIMAL(38,0)), every double derived in the engine's operand order
+    "cuped_adjust" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1998-06-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN o_orderdate >= DATE '1998-06-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    CASE WHEN ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |        % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM orders GROUP BY o_custkey
+        |), pool AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per
+        |), byv AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    sum(CAST(x AS HUGEINT)) AS svx, sum(CAST(y AS HUGEINT)) AS svy
+        |  FROM per GROUP BY variant
+        |), j AS (
+        |  SELECT variant, n_users, n, sx, svx, svy,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+        |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      END AS theta
+        |  FROM byv CROSS JOIN pool
+        |)
+        |SELECT variant, n_users,
+        |  CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_y,
+        |  theta,
+        |  CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+        |    - theta * ((CAST(svx AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+        |    AS mean_y_cuped
+        |FROM j ORDER BY variant""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -459,6 +459,77 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013) — the adjustment every large experimentation
+    * platform applies before reading a treatment effect: per user the
+    * PRE-period metric x is a covariate for the post-period metric y,
+    * θ = cov(x,y)/var(x) is fit on the pooled population, and each
+    * variant's adjusted mean is mean(y) − θ·(mean(x) − mean(x_pool)) —
+    * same expectation, variance shrunk by corr(x,y)². Assignment is the
+    * md5 bucket of the customer key (deterministic, append-stable — the
+    * [[graft.operators.Sampling.bucket100]] contract), so the whole
+    * readout replays bit-for-bit.
+    *
+    * Parity: per-user sums are exact cents; θ's moments are
+    * DECIMAL(19,0)×DECIMAL(19,0) products summed in DECIMAL(38,0) (the
+    * [[corrStats]] discipline, product widened BEFORE the sum because
+    * per-user totals square past long range at corpus scale); every
+    * double derives from those exact sums in one fixed operand order.
+    *
+    * Scale shape: one partial-aggregable groupBy(custkey) builds the
+    * per-user (x, y) relation (persisted DISK_ONLY, operator-scoped,
+    * two consumers), then a 1-row pooled-moment aggregate broadcast
+    * onto the 2-row per-variant aggregate. No window, no join on fact
+    * keys.
+    */
+  def cupedAdjust(orders: DataFrame,
+      splitDate: String = "1998-06-01"): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val per = graft.operators.CacheScope.selfReleasing(
+      orders.select(col("o_custkey"),
+          when(col("o_orderdate") < lit(splitDate), cents)
+            .otherwise(lit(0L)).as("xc"),
+          when(col("o_orderdate") >= lit(splitDate), cents)
+            .otherwise(lit(0L)).as("yc"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+        .withColumn("variant",
+          when(Sampling.bucket100(col("o_custkey")) < 50, "A")
+            .otherwise("B")),
+      matchingActions = 2)
+    val pool = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d19) * col("x").cast(d19)).cast(d38)).as("sxx"),
+      sum((col("x").cast(d19) * col("y").cast(d19)).cast(d38)).as("sxy"))
+    val byv = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(d38)).as("svx"),
+        sum(col("y").cast(d38)).as("svy"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxx, sxy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxx").cast("double"),
+      col("sxy").cast("double"))
+    val nv = col("n_users").cast("double")
+    val (svx, svy) = (col("svx").cast("double"), col("svy").cast("double"))
+    // zero pre-period variance = no covariate signal: NULL theta (the
+    // regressionStats degenerate-fit convention), never a div-by-zero
+    val theta = when(nd * sxx - sx * sx =!= lit(0.0),
+      (nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+    byv.crossJoin(broadcast(pool))
+      .withColumn("theta", theta)
+      .select(col("variant"), col("n_users"),
+        (svy / nv / lit(100.0)).as("mean_y"),
+        col("theta"),
+        (svy / nv / lit(100.0) -
+          col("theta") * ((svx / nv - sx / nd) / lit(100.0)))
+          .as("mean_y_cuped"))
+      .orderBy(col("variant"))
+  }
+
   /** Exact per-group simple linear regression (OLS price ~ quantity):
     * slope, intercept, and R² per return flag, from the SAME five exact
     * power sums as [[corrStats]] — one partial-aggregable pass, no

@@ -1288,6 +1288,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "training is not deterministic")
   }
 
+  test("cuped_adjust: theta is exact on a linear fixture; invariance holds") {
+    import spark.implicits._
+    import java.sql.Date
+    // y = 2x per user exactly (cents exact, power-of-2 factor), so
+    // theta = cov/var = 2.0 EXACTLY in IEEE arithmetic
+    val pre = Date.valueOf("1998-01-01"); val post = Date.valueOf("1998-12-01")
+    val rows = (1L to 40L).flatMap { c =>
+      val p = 100.0 + c
+      Seq((c, pre, p), (c, post, 2 * p))
+    }
+    val df = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.cupedAdjust(df).collect()
+    assert(got.length == 2, "expected one row per variant")
+    got.foreach { r => assert(r.getDouble(3) == 2.0,
+      s"theta ${r.getDouble(3)} != 2.0 on the linear fixture") }
+    // weighted invariance: sum_v n_v*(mean_y_cuped_v) == sum_v n_v*mean_y_v
+    // (the adjustment terms cancel when weighted by population)
+    val raw = got.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val adj = got.map(r => r.getLong(1) * r.getDouble(4)).sum
+    assert(math.abs(raw - adj) < 1e-6, s"CUPED shifted the pooled mean: $raw vs $adj")
+    // degenerate pre-period (zero variance) -> NULL theta, never an error
+    val flat = (1L to 10L).map(c => (c, post, 50.0 + c))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val d = Relational.cupedAdjust(flat).collect()
+    assert(d.forall(_.isNullAt(3)), "zero-variance pool must yield NULL theta")
+  }
+
   test("matryoshka_recall: full-dim truncation is exact; counts reconcile") {
     val emb = tbl("embeddings")
     // dims = 64 is the identity cut: candidate leg IS the truth leg
