@@ -1625,6 +1625,9 @@ object SparkEntry {
     "span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
     // index-quality audit: LSH candidates vs the exact n-gram ground truth
     "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
+    // the empirical S-curve: one row per banding config of the same
+    // 16 hashes — analytic threshold beside measured volume + recall
+    "lsh_scurve" -> ((s, dir) => Dedup.lshScurve(t(s, dir, "documents"))),
     "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     // the bounded Jaccard near-dup product: per-doc k nearest by
     // est_jaccard over the SAME capped band candidates — both cut axes
@@ -2077,6 +2080,10 @@ object SparkEntry {
     // measured IVFADC retrieval quality: exact counts of true/candidate/
     // hit pairs over the bounded query head — lsh_recall's discipline for
     // the PQ serve, so quantization-quality regressions fail the hash gate
+    // k-NN majority-vote label quality over the exact neighbor lists:
+    // exact counts + e6 accuracy, argmin-struct vote (no window)
+    "knn_label_eval" -> ((s, dir) =>
+      Similarity.knnLabelEval(t(s, dir, "embeddings"))),
     // Matryoshka truncation recall: full-dim exact top-k vs the same
     // scan on the first 16 dims — the measured-quality row for serving
     // prefix embeddings (pq_recall's discipline, truncation knob)
@@ -6830,6 +6837,7 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
     "minhash_lsh" -> minhashLshSql,
+    "lsh_scurve" -> lshScurveSql,
     "minhash_partners" -> minhashPartnersSql,
     "lsh_recall" ->
       (shinglesCte +
@@ -7033,6 +7041,74 @@ object SparkEntry {
         |  FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
         |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25)
         |""".stripMargin
+  }
+
+  /** The S-curve oracle: ONE signature relation, one exact-Jaccard
+    * truth, then per banding config the capped band self-join (QUALIFY
+    * row_number ≤ maxBucket — the engine's WindowGroupLimit cut) with
+    * NO est-Jaccard filter, presence-joined against truth.
+    */
+  private lazy val lshScurveSql: String = {
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    val mins = (0 until Dedup.NumHashes).map(k =>
+      s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
+      .mkString(",\n    ")
+    def cfg(b: Int, r: Int): String = {
+      val bandRows = (0 until b).map { i =>
+        val cols = (0 until r).map(q => s"mh${i * r + q} AS b$q")
+          .mkString(", ")
+        s"  SELECT doc_id, $i AS band, $cols FROM mh"
+      }.mkString("\n  UNION ALL\n")
+      val keyCols = (0 until r).map(q => s"b$q").mkString(", ")
+      val joinCond = (0 until r).map(q => s"x.b$q = y.b$q").mkString(" AND ")
+      val thrE6 = math.floor(Dedup.lshThreshold(b, r) * 1e6).toLong
+      s""",
+        |bands_${b}_$r AS MATERIALIZED (
+        |$bandRows),
+        |capped_${b}_$r AS MATERIALIZED (
+        |  SELECT doc_id, band, $keyCols FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY band, $keyCols
+        |      ORDER BY doc_id) AS rk
+        |    FROM bands_${b}_$r) WHERE rk <= ${Dedup.MaxBandBucket}),
+        |row_${b}_$r AS (
+        |  SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+        |    CAST($thrE6 AS BIGINT) AS threshold_e6,
+        |    CAST(sum(tt.t) AS BIGINT) AS n_true,
+        |    CAST(sum(cc.c) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM (SELECT doc_a, doc_b, 1 AS t FROM truth) tt
+        |  FULL OUTER JOIN (
+        |    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 1 AS c
+        |    FROM capped_${b}_$r x JOIN capped_${b}_$r y
+        |      ON x.band = y.band AND $joinCond AND x.doc_id < y.doc_id
+        |  ) cc USING (doc_a, doc_b))""".stripMargin
+    }
+    shinglesCte +
+      s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
+        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
+        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
+        |), mh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $mins
+        |  FROM hs GROUP BY doc_id
+        |)""".stripMargin +
+      configs.map { case (b, r) => cfg(b, r) }.mkString +
+      "\n" +
+      configs.map { case (b, r) => s"SELECT * FROM row_${b}_$r" }
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY bands"
   }
 
   private lazy val minhashLshSql: String =
@@ -7314,6 +7390,25 @@ object SparkEntry {
     "pq_recall_rerank" -> pqRecallOracleWith(annIvfpqRerankOracle),
     "pq_recall" -> pqRecallOracle,
     "matryoshka_recall" -> matryoshkaOracle,
+    // neighbor lists from annTopkOracle; vote = row_number over
+    // (cnt DESC, label) = the engine's min(struct(-cnt, label))
+    "knn_label_eval" ->
+      (s"""WITH t AS ($annTopkOracle
+        |), lab AS (SELECT vec_id, label FROM embeddings
+        |), v AS (
+        |  SELECT t.vec_id, l.label, count(*) AS c
+        |  FROM t JOIN lab l ON l.vec_id = t.other_id GROUP BY 1, 2
+        |), p AS (
+        |  SELECT vec_id, label AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c DESC, label) AS r FROM v)
+        |  WHERE r = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS accuracy_e6
+        |FROM p JOIN lab l USING (vec_id)""".stripMargin),
     "pq_recall_auto" -> pqRecallOracleWith(annIvfpqAutoOracle),
     "pq_recall_imi" -> pqRecallOracleWith(annIvfpqImiOracle),
     "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),

@@ -1575,6 +1575,41 @@ object Similarity {
           .otherwise(0L)).as("n_hit"))
   }
 
+  /** k-NN LABEL quality — the weak-supervision / embedding-quality
+    * audit a labeling pipeline runs before trusting neighbor-propagated
+    * labels: each head query's label is predicted by MAJORITY VOTE over
+    * its exact top-k cosine neighbors (ties to the smallest label — the
+    * communities_lpa argmin convention, `min(struct(-cnt, label))`, a
+    * partial-aggregable aggregate, never a per-query window), and the
+    * readout is exact counts (n_queries, n_correct, accuracy_e6) so an
+    * embedding regression shows as a VALUE in the hash gate.
+    *
+    * Scale shape: an AUDIT operator — one O(q·n) broadcast-head exact
+    * scan ([[bruteForceTopK]]'s bound), a q·k-row label equi-join
+    * (labels side is the corpus, join key unique), one q·labels
+    * aggregate, a 1-row summary.
+    */
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5,
+      maxQueries: Int = MaxBruteForceQueries): DataFrame = {
+    val nn = bruteForceTopK(embeddings, k, maxQueries)
+      .select(col("vec_id"), col("other_id"))
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = nn
+      .join(labels.withColumnRenamed("vec_id", "other_id"), Seq("other_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+        .as("best"))
+      .select(col("vec_id"), col("best.l").as("pred"))
+    votes.join(labels, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_queries"), col("n_correct"),
+        expr("n_correct * 1000000 div n_queries").as("accuracy_e6"))
+  }
+
   /** The IVF recall-vs-probe-count CURVE — the tuning artifact an ANN
     * serving team actually reads: one exact presence-count row
     * (num_probes, n_true, n_candidates, n_hit) per probe setting against

@@ -1288,6 +1288,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "training is not deterministic")
   }
 
+  test("lsh_scurve: thresholds fall and recall rises with the band count") {
+    val rows = Dedup.lshScurve(tbl("documents")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows.map(_._4).distinct.length == 1,
+      "ground truth must be config-independent")
+    rows.foreach { case (b, r, thr, nt, nc, nh) =>
+      assert(b * r == Dedup.NumHashes)
+      assert(thr == math.floor(Dedup.lshThreshold(b, r) * 1e6).toLong)
+      assert(nh <= nt && nh <= nc, s"config ($b,$r) counts inconsistent")
+    }
+    // analytic: thresholds strictly decrease as bands increase;
+    // empirical on the fixture: candidate volume and hits never shrink
+    assert(rows.map(_._3).toSeq.sliding(2).forall { case Seq(a, b) => a > b },
+      "thresholds not decreasing")
+    assert(rows.map(_._5).toSeq.sliding(2).forall { case Seq(a, b) => a <= b },
+      "candidate volume shrank as bands grew")
+    assert(rows.map(_._6).toSeq.sliding(2).forall { case Seq(a, b) => a <= b },
+      "recall shrank as bands grew")
+  }
+
+  test("knn_label_eval: exact counts reconcile") {
+    val r = Similarity.knnLabelEval(tbl("embeddings")).collect()(0)
+    val (nq, nc, acc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nq > 0 && nc >= 0 && nc <= nq)
+    assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
+  }
+
   test("cuped_adjust: theta is exact on a linear fixture; invariance holds") {
     import spark.implicits._
     import java.sql.Date
