@@ -628,6 +628,18 @@ object SparkEntry {
         .select(col("src").as("node"))
       Graph.walkSkipgramPairs(Graph.randomWalks(edges, seeds))
     }),
+    // word2vec negatives for those skip-gram pairs: freq^(3/4) tempered
+    // context distribution (sqrt-composed — IEEE-exact), md5 uniforms
+    // inverted through the exact CDF ladder as a bucketized EQUI-join
+    "skipgram_negatives" -> ((s, dir) => {
+      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        .filter(col("cnt") >= 2)
+        .select(col("product").as("src"), col("neighbor").as("dst"))
+      val seeds = edges.filter(col("src").cast("long") % 100 === 0)
+        .select(col("src").as("node"))
+      Graph.skipgramNegatives(
+        Graph.walkSkipgramPairs(Graph.randomWalks(edges, seeds)))
+    }),
     // COST-BASED OPTIMIZATION as a first-class surface (r14 — the
     // "statistics" line of SURVEY §2.1): catalog tables ANALYZEd with
     // column stats, CBO + join-reorder enabled, a 3-way star join whose
@@ -1353,6 +1365,21 @@ object SparkEntry {
           sum(col("source").isNull.cast("long")).as("n_legacy"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
+    }),
+    // snapshot time travel: v1 = base write, v2 = append; the pinned v1
+    // read resolves through its manifest only, so it never sees v2's
+    // files — snapshot isolation from immutability + manifest indirection
+    "table_time_travel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = freshStageDir("graft_timetravel")
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root, 1)
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, 2)
+      def at(v: Int) = graft.sources.TableSink.readSnapshot(s, root, v)
+        .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      at(1).unionByName(at(2)).orderBy(col("version"))
     }),
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
@@ -4685,6 +4712,43 @@ object SparkEntry {
       |  ON a.seed = b.seed AND a.rep = b.rep AND a.step <> b.step
       |  AND abs(b.step - a.step) <= 2
       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
+    // the oracle inverts the same CDF with a plain range join (fine at
+    // oracle scale; the engine's bucketization must be invisible);
+    // freq^(3/4) via composed sqrt — correctly rounded on both engines
+    "skipgram_negatives" -> (walkCte(4, 2) +
+      """, sg_pairs AS (
+      |  SELECT a.node AS center, b.node AS context, count(*) AS cnt
+      |  FROM walks a JOIN walks b
+      |    ON a.seed = b.seed AND a.rep = b.rep AND a.step <> b.step
+      |    AND abs(b.step - a.step) <= 2
+      |  GROUP BY 1, 2
+      |), freqs AS (
+      |  SELECT context AS node, CAST(sum(cnt) AS BIGINT) AS freq
+      |  FROM sg_pairs GROUP BY 1
+      |), wts AS (
+      |  SELECT node,
+      |    CAST(floor(sqrt(CAST(freq AS DOUBLE))
+      |      * sqrt(sqrt(CAST(freq AS DOUBLE))) * 1000.0) AS BIGINT) AS w
+      |  FROM freqs
+      |), ladder AS (
+      |  SELECT node, w,
+      |    CAST(coalesce(sum(w) OVER (ORDER BY node
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS w_before,
+      |    CAST(sum(w) OVER () AS BIGINT) AS wt
+      |  FROM wts
+      |), draws AS (
+      |  SELECT center, context, j,
+      |    ('0x' || substr(md5('neg:' || center || ':' || context || ':' || j),
+      |      1, 14))::BIGINT % (SELECT max(wt) FROM ladder) AS u
+      |  FROM sg_pairs CROSS JOIN (SELECT unnest(range(1, 3)) AS j)
+      |)
+      |SELECT d.center, d.context, CAST(d.j AS INT) AS j,
+      |  l.node AS negative,
+      |  (l.node = d.center OR l.node = d.context) AS is_collision
+      |FROM draws d JOIN ladder l
+      |  ON d.u >= l.w_before AND d.u < l.w_before + l.w
+      |ORDER BY center, context, j""".stripMargin),
     // fixed unroll >= the graph's measured integer-fixpoint round (55 at
     // sf0.01 on the significant graph, margin to 80; engine loops until
     // changed==0 and no-op rounds make any larger unroll identical — the
@@ -6028,6 +6092,17 @@ object SparkEntry {
         |    AS n_legacy,
         |  count(DISTINCT source) AS n_sources
         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+    // the oracle states snapshot semantics over the source rows: as-of
+    // v1 = the base split only, as-of v2 = base plus the append
+    "table_time_travel" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents)
+        |ORDER BY version""".stripMargin,
     // roundtrip invariance: the ORC write→pruned-read cycle must be
     // value-transparent, so the oracle aggregates the parquet original
     "orc_roundtrip" ->

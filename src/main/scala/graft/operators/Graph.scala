@@ -919,6 +919,73 @@ object Graph {
     * degree WITHIN the core (>= k by the fixpoint), the per-node
     * density certificate.
     */
+  /** word2vec NEGATIVE SAMPLING over skip-gram pairs (Mikolov et al.,
+    * NeurIPS 2013 §2.2): each (center, context) pair draws `m` negatives
+    * from the tempered unigram CONTEXT distribution — weight =
+    * freq^(3/4), computed as `sqrt(f)·sqrt(sqrt(f))` because IEEE-754
+    * guarantees sqrt CORRECTLY ROUNDED (bit-identical on any engine)
+    * while pow/exp are only faithfully rounded; e3-floored to integer
+    * weights. The draw is an md5 uniform in [0, W) inverted through the
+    * exact CDF ladder.
+    *
+    * Scale shape: the ladder is the window-free
+    * [[ExactRank.exactPrefixSum]] under a constant group; CDF inversion
+    * is an EQUI-join, not a range join — ladder segments explode into
+    * covered buckets of width ≈ W/|vocab| (total bucket rows ≈ 2·|vocab|
+    * regardless of skew: a hot node spans many buckets, each bucket
+    * holds few nodes), draws hash to their bucket, and the exact
+    * `w_before ≤ u < w_before + w` predicate filters the ≤ 2 candidates
+    * per draw. A broadcast-NL range join here would be O(pairs·vocab) —
+    * the scale killer this layout designs out. Collisions with the
+    * pair's own nodes are FLAGGED, not resampled (resampling is a
+    * sequential loop; the flag keeps the relation deterministic and the
+    * consumer drops or keeps them — word2vec's own implementations
+    * tolerate them).
+    */
+  def skipgramNegatives(pairs: DataFrame, m: Int = 2): DataFrame = {
+    require(m >= 1 && m <= 16, s"m in [1,16]: $m")
+    val pairsP = CacheScope.selfReleasing(
+      pairs.select(col("center"), col("context"), col("cnt")),
+      matchingActions = 2)
+    val freqs = pairsP.groupBy(col("context").as("node"))
+      .agg(sum(col("cnt")).as("freq"))
+    val fd = col("freq").cast("double")
+    val weighted = freqs
+      .withColumn("w",
+        floor(sqrt(fd) * sqrt(sqrt(fd)) * lit(1000.0)).cast("long"))
+      .withColumn("g", lit(1))
+    val ladder = CacheScope.selfReleasing(
+      ExactRank.exactPrefixSum(weighted, Seq("g"), Seq("node"), "w"),
+      matchingActions = 2)
+    val stats = ladder.agg(max(col("w_total")).as("wt"),
+      count(lit(1)).as("nn"))
+    val bucket = "(wt div nn + 1)"
+    val lb = ladder.crossJoin(broadcast(stats))
+      .withColumn("bkt", explode(sequence(
+        expr(s"w_before div $bucket"),
+        expr(s"(w_before + w - 1) div $bucket"))))
+      .select(col("node"), col("w_before"), col("w"), col("bkt"))
+    val draws = pairsP.select(col("center"), col("context"))
+      .crossJoin(broadcast(stats))
+      .withColumn("j", explode(sequence(lit(1), lit(m))))
+      .withColumn("u", conv(substring(md5(concat(lit("neg:"),
+          col("center").cast("string"), lit(":"),
+          col("context").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 14), 16, 10).cast("long")
+        % col("wt"))
+      .withColumn("bkt", expr(s"u div $bucket"))
+      .select(col("center"), col("context"), col("j"), col("u"),
+        col("bkt"))
+    draws.join(lb, Seq("bkt"))
+      .filter(col("w_before") <= col("u") &&
+        col("u") < col("w_before") + col("w"))
+      .select(col("center"), col("context"), col("j").cast("int").as("j"),
+        col("node").as("negative"),
+        (col("node") === col("center") || col("node") === col("context"))
+          .as("is_collision"))
+      .orderBy(col("center"), col("context"), col("j"))
+  }
+
   def kcoreDecompose(edges: DataFrame, k: Int = 3,
       maxRounds: Int = 60): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -222,6 +222,70 @@ object TableSink {
     * partition if they are frequent. Only all-null columns are rejected
     * (by [[writeZOrdered]]'s stats require).
     */
+  /** SNAPSHOT-VERSIONED table writes — the Iceberg/Delta time-travel
+    * mechanism in miniature: each version's data lands in its OWN
+    * immutable file set under `data/v<N>/`, and a per-version MANIFEST
+    * (`manifests/v<N>.txt`, one data directory per line) lists exactly
+    * the directories visible AT that version — an append's manifest is
+    * the previous manifest plus its own directory. Readers resolve a
+    * version through its manifest only, so a reader pinned to v1 never
+    * sees v2's files no matter how many appends land after it — snapshot
+    * isolation from immutability + manifest indirection, no locks.
+    *
+    * `version` 1 RESETS the table (deletes the root) so the build is
+    * idempotent across reruns (the Soak double-pass contract); higher
+    * versions require the predecessor manifest — an append can't
+    * silently fork history.
+    *
+    * Scale shape: an append writes only its delta (O(|delta|)) and one
+    * manifest line-set; as-of reads open exactly the listed directories
+    * — no full-table scan to reconstruct any version, no copy-on-write.
+    */
+  def writeSnapshot(df: DataFrame, root: String, version: Int): Unit = {
+    require(version >= 1, s"versions start at 1, got $version")
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (version == 1 && fs.exists(rootPath)) fs.delete(rootPath, true)
+    val prev =
+      if (version == 1) Seq.empty[String]
+      else readManifest(fs, root, version - 1)
+    val dataDir = s"$root/data/v$version"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val manifest = prev :+ dataDir
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/manifests/v$version.txt"), true)
+    out.write(manifest.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Read the table AS OF `version`: exactly the data directories its
+    * manifest lists, unioned by Spark's multi-path parquet reader.
+    */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Int): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val dirs = readManifest(fs, root, version)
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/manifests/v$version.txt")
+    require(fs.exists(p),
+      s"snapshot v$version has no manifest under $root — appends must " +
+        "follow an existing predecessor")
+    val in = fs.open(p)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    val lines = Iterator.continually(reader.readLine())
+      .takeWhile(_ != null).toList
+    reader.close()
+    lines.filter(_.nonEmpty)
+  }
+
   def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
       bits: Int = 12): Column = {
     val n = cols.size

@@ -1288,6 +1288,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "training is not deterministic")
   }
 
+  test("skipgram_negatives: exactly m draws per pair, all from the vocab") {
+    import spark.implicits._
+    // a deterministic pair relation with a skewed context distribution:
+    // context "hot" carries 12 of 15 mass, so its ladder segment spans
+    // multiple buckets — exercising the multi-bucket explode path
+    val pairs = Seq(
+      ("a", "hot", 12L), ("b", "cold", 1L), ("c", "cool", 1L),
+      ("d", "hot", 1L)).toDF("center", "context", "cnt")
+    val got = Graph.skipgramNegatives(pairs, m = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getBoolean(4)))
+    // 4 pairs x 3 draws, each draw resolves to EXACTLY ONE ladder node
+    assert(got.length == 12, s"expected 12 draws, got ${got.length}")
+    assert(got.map(t => (t._1, t._2, t._3)).distinct.length == 12,
+      "a draw resolved to more than one node or vanished")
+    val vocab = Set("hot", "cold", "cool")
+    got.foreach { case (c, x, _, neg, coll) =>
+      assert(vocab(neg), s"negative $neg outside the context vocab")
+      assert(coll == (neg == c || neg == x), "collision flag wrong")
+    }
+    // the tempered distribution must favor the hot node on this fixture
+    val hotShare = got.count(_._4 == "hot")
+    assert(hotShare >= 6, s"hot node drew only $hotShare of 12")
+    // determinism
+    val again = Graph.skipgramNegatives(pairs, m = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("lsh_scurve: thresholds fall and recall rises with the band count") {
     val rows = Dedup.lshScurve(tbl("documents")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),

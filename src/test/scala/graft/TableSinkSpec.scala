@@ -27,6 +27,35 @@ class TableSinkSpec extends AnyFunSuite {
       li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("snapshot time travel: a pinned version never sees later appends") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val base = (1L to 80L).map(i => (i, s"d$i")).toDF("id", "v")
+    val delta = (81L to 100L).map(i => (i, s"d$i")).toDF("id", "v")
+    TableSink.writeSnapshot(base, root, 1)
+    // capture v1's resolved reader BEFORE the append, then append
+    TableSink.writeSnapshot(delta, root, 2)
+    val v1 = TableSink.readSnapshot(spark, root, 1)
+    val v2 = TableSink.readSnapshot(spark, root, 2)
+    assert(v1.count() == 80L, "v1 sees appended rows — isolation broke")
+    assert(v2.count() == 100L, "v2 missed the append")
+    assert(v1.agg(max(col("id"))).collect()(0).getLong(0) == 80L)
+    // manifests nest: v2's directory list strictly extends v1's
+    def manifest(n: Int) = scala.io.Source
+      .fromFile(s"$root/manifests/v$n.txt").getLines().toSeq
+    val (m1, m2) = (manifest(1), manifest(2))
+    assert(m2.startsWith(m1) && m2.length == m1.length + 1,
+      s"manifest v2 is not v1 + one append: $m1 vs $m2")
+    // version 1 resets history: a rebuild must not inherit old files
+    TableSink.writeSnapshot(base.limit(10), root, 1)
+    assert(TableSink.readSnapshot(spark, root, 1).count() == 10L,
+      "v1 rebuild inherited stale data files")
+    // an append without its predecessor manifest must refuse
+    intercept[IllegalArgumentException] {
+      TableSink.writeSnapshot(delta, root, 3)
+    }
+  }
+
   test("ORC partitioned layout round-trips and prunes like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
