@@ -892,6 +892,10 @@ object SparkEntry {
     // pre-period covariate, pooled theta from exact DECIMAL moments
     "cuped_adjust" -> ((s, dir) =>
       Relational.cupedAdjust(t(s, dir, "orders"))),
+    // Codex pass@k estimator: per problem 1 - C(n-c,k)/C(n,k) via the
+    // k-step sequentially-floored e6 product (BIGINT-safe at any n)
+    "pass_at_k" -> ((s, dir) =>
+      Relational.passAtK(t(s, dir, "orders"))),
     // rank (Spearman) correlation: monotone-invariant dependence via two
     // window-free ExactRank passes + exact long moments (e6 contract)
     "spearman_corr" -> ((s, dir) =>
@@ -5353,6 +5357,39 @@ object SparkEntry {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    * 1e6 + 0.5) AS BIGINT) AS spearman_e6
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // the same k-step floored product, // = div on non-negative operands;
+    // lower median via the identical rank selection
+    "pass_at_k" -> {
+      def rExpr(k: Int) = (0 until k).foldLeft("1000000") { (acc, i) =>
+        s"(($acc * greatest(n - c - $i, 0)) // (n - $i))" }
+      def row(k: Int) =
+        s"""SELECT CAST($k AS INT) AS k,
+           |  count(*) AS n_problems,
+           |  CAST(sum(1000000 - ${rExpr(k)}) AS BIGINT) AS sum_pass_e6,
+           |  CAST(sum(1000000 - ${rExpr(k)}) // count(*) AS BIGINT)
+           |    AS mean_pass_e6
+           |FROM per WHERE n >= $k""".stripMargin
+      s"""WITH cents AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), med AS (
+        |  SELECT min(cents) AS median_cents FROM (
+        |    SELECT cents, row_number() OVER (ORDER BY cents) AS rnk,
+        |      count(*) OVER () AS n
+        |    FROM cents)
+        |  WHERE rnk * 2 = n OR rnk * 2 = n + 1
+        |), per AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN cents > (SELECT median_cents FROM med)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM cents GROUP BY o_custkey
+        |)
+        |SELECT * FROM (
+        |${row(1)}
+        |UNION ALL
+        |${row(5)})
+        |ORDER BY k""".stripMargin
+    },
     // per-user exact cents, HUGEINT pooled moments (= the engine's
     // DECIMAL(38,0)), every double derived in the engine's operand order
     "cuped_adjust" ->

@@ -530,6 +530,62 @@ object Relational {
       .orderBy(col("variant"))
   }
 
+  /** pass@k evaluation (Chen et al. 2021, the Codex estimator) — the
+    * readout every LLM-eval pipeline computes over (problem, sample,
+    * correct) relations: per problem with n samples and c correct,
+    * pass@k = 1 − C(n−c,k)/C(n,k), the unbiased probability that at
+    * least one of k drawn samples is correct. The ratio is computed as
+    * a k-step SEQUENTIALLY-FLOORED e6 product
+    * (r ← r·(n−c−i) div (n−i), r₀ = 1e6) — each step stays ≤ 1e6·n so
+    * BIGINT holds to ~9e12 samples per problem where the single
+    * cross-multiplied form overflows past n ≈ 2000 at k = 5; the floor
+    * sequence is the stated contract, identical on both engines. When
+    * n − c < k a factor hits zero and pass@k = 1 exactly, the paper's
+    * own boundary. Problems with n < k are excluded (the estimator is
+    * undefined there).
+    *
+    * Fixture semantics: problems = customers, samples = their orders,
+    * correct = the order beat the global median price (computed
+    * exactly, the exact_median discipline) — deterministic, no labels
+    * needed.
+    *
+    * Scale shape: one partial-aggregable groupBy(problem) with a
+    * conditional count, a broadcast 1-row median, row-local unrolled
+    * k-step arithmetic, and a |ks|-row summary — no window, no join on
+    * fact keys.
+    */
+  def passAtK(orders: DataFrame, ks: Seq[Int] = Seq(1, 5)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 16),
+      s"ks in [1,16]: $ks")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val med = ExactRank.exactRank(
+        orders.select(cents.as("cents")).withColumn("g", lit(1)),
+        Seq("g"), Seq("cents"))
+      .filter(col("rnk") * 2 === col("n_group") ||
+        col("rnk") * 2 === col("n_group") + 1)
+      .agg(min(col("cents")).as("median_cents"))
+    val per = orders.select(col("o_custkey"), cents.as("cents"))
+      .crossJoin(broadcast(med))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") > col("median_cents"), 1L).otherwise(0L))
+          .as("c"))
+    val perP = graft.operators.CacheScope.selfReleasing(per,
+      matchingActions = ks.size)
+    ks.map { k =>
+      // unrolled k-step floored product; (n−c−i) hits ≤0 → r = 0
+      val rExpr = (0 until k).foldLeft("1000000"){ (acc, i) =>
+        s"(($acc * greatest(n - c - $i, 0)) div (n - $i))" }
+      perP.filter(col("n") >= k)
+        .select(col("o_custkey"), col("n"), col("c"),
+          (lit(1000000L) - expr(rExpr)).as("pass_e6"))
+        .agg(lit(k).as("k"),
+          count(lit(1)).as("n_problems"),
+          sum(col("pass_e6")).as("sum_pass_e6"),
+          expr("sum(pass_e6) div count(1)").as("mean_pass_e6"))
+    }.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
   /** Exact per-group simple linear regression (OLS price ~ quantity):
     * slope, intercept, and R² per return flag, from the SAME five exact
     * power sums as [[corrStats]] — one partial-aggregable pass, no

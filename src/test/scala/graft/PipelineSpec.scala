@@ -1348,6 +1348,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
   }
 
+  test("pass_at_k matches the hand-worked Codex estimator") {
+    import spark.implicits._
+    // 15 orders, median(=8th of 15) is 50.00, "correct" = the 100.00s:
+    //   A: n=4 c=2 -> pass@1 = 1 - 2/4 = .5; n<5 so excluded from k=5
+    //   B: n=5 c=0 -> pass@1 = 0; pass@5 = 0
+    //   C: n=6 c=2 -> pass@1 seq-floor: 1e6 - (4e6 div 6) = 333334
+    //                 pass@5: factor (n-c-4)=0 zeroes the product -> 1e6
+    val rows =
+      Seq.fill(2)(("A", 100.0)) ++ Seq.fill(2)(("A", 50.0)) ++
+      Seq.fill(5)(("B", 50.0)) ++
+      Seq.fill(2)(("C", 100.0)) ++ Seq.fill(4)(("C", 50.0))
+    val df = rows.toDF("o_custkey", "o_totalprice")
+    val got = Relational.passAtK(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((1, 3L, 833334L, 277778L)), s"k=1 row: ${got(0)}")
+    assert(got(1) == ((5, 2L, 1000000L, 500000L)), s"k=5 row: ${got(1)}")
+  }
+
   test("cuped_adjust: theta is exact on a linear fixture; invariance holds") {
     import spark.implicits._
     import java.sql.Date
