@@ -1023,6 +1023,11 @@ object SparkEntry {
     // ordered funnel: earliest per-stage timestamps with stage-order
     // constraints (view → click → purchase), per user
     "funnel_steps" -> ((s, dir) => Events.funnelSteps(eventsTable(s, dir))),
+    // U-shaped attribution: per purchase journey 40/20/40 exact-e6
+    // credit over its touches, remainder to the last touch, rolled up
+    // by channel — credit conserves to 1e6 per attributed journey
+    "attribution_touch" -> ((s, dir) =>
+      Events.attributionTouch(eventsTable(s, dir))),
     // first-order Markov transition matrix over per-user event streams
     "event_transitions" -> ((s, dir) => Events.transitionMatrix(eventsTable(s, dir))),
     // first-seen day cohorts x activity-day offsets with retention rates
@@ -5751,6 +5756,42 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the same journey segmentation and credit CASE; // = div on the
+    // non-negative credit operands; remainder-to-last keeps every
+    // journey's credit summing to exactly 1e6
+    "attribution_touch" ->
+      """WITH tagged AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+        |    COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS journey
+        |  FROM events
+        |), touches AS (
+        |  SELECT * FROM tagged
+        |  WHERE event_type IN ('view', 'click', 'signup')
+        |), convs AS (
+        |  SELECT DISTINCT user_id, journey FROM tagged WHERE is_conv = 1
+        |), pos AS (
+        |  SELECT t.user_id, t.journey, t.event_type,
+        |    row_number() OVER (PARTITION BY t.user_id, t.journey
+        |      ORDER BY t.ts, t.event_id) AS p,
+        |    count(*) OVER (PARTITION BY t.user_id, t.journey) AS n
+        |  FROM touches t JOIN convs USING (user_id, journey)
+        |), cr AS (
+        |  SELECT event_type AS channel, p, n,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN p = 1 THEN 400000
+        |         WHEN p = n THEN 400000 + (200000 - (n - 2) * (200000 // (n - 2)))
+        |         ELSE 200000 // (n - 2) END AS credit_e6
+        |  FROM pos)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN p = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(credit_e6) AS BIGINT) AS credit_e6
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
     "funnel_steps" ->
       """WITH s0 AS (
         |  SELECT user_id, min(ts) AS view_ts FROM events

@@ -215,6 +215,57 @@ object Events {
     * probability divides the two exact counts, so it is bit-identical
     * across engines.
     */
+  /** POSITION-BASED (U-shaped) marketing attribution — the credit model
+    * a growth-analytics stack runs after [[funnelSteps]] says the funnel
+    * converts: each purchase's credit splits over the touches (view /
+    * click / signup) in its JOURNEY — the touches since the user's
+    * previous purchase, a segmentation with no arbitrary lookback
+    * constant — 40% first touch, 40% last, 20% spread over the middles.
+    * All credit in exact e6 integers: a journey's credit sums to
+    * EXACTLY 1e6 (the middle split's integer remainder lands on the
+    * last touch, the stated contract), so the per-channel rollup is
+    * conservation-checkable. Single-touch journeys take the full 1e6;
+    * two-touch journeys split 50/50 (no middle exists).
+    *
+    * Scale shape: journey assignment is one running sum over per-user
+    * windows (user-activity-bounded partitions, the [[sessionize]]
+    * class), attribution is an equi-join of touches onto the (user,
+    * journey) conversion keys, position/credit are per-journey windows
+    * (journey-bounded partitions), and the rollup is one
+    * partial-aggregable groupBy(channel).
+    */
+  def attributionTouch(events: DataFrame): DataFrame = {
+    val tagged = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("is_conv", (col("event_type") === "purchase").cast("long"))
+      .withColumn("journey", coalesce(sum(col("is_conv"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = tagged
+      .filter(col("event_type").isin("view", "click", "signup"))
+    val convs = tagged.filter(col("is_conv") === 1L)
+      .select(col("user_id"), col("journey"))
+    val byJourney = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts"), col("event_id"))
+    val mid = expr("200000 div (n - 2)")
+    touches.join(convs, Seq("user_id", "journey"))
+      .withColumn("p", row_number().over(byJourney))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("journey"))))
+      .withColumn("credit_e6",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("p") === 1, lit(400000L))
+          .when(col("p") === col("n"),
+            lit(400000L) + (lit(200000L) - (col("n") - 2) * mid))
+          .otherwise(mid))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("p") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("p") === col("n"), 1L).otherwise(0L)).as("n_last"),
+        sum(col("credit_e6")).as("credit_e6"))
+      .orderBy(col("channel"))
+  }
+
   def transitionMatrix(events: DataFrame): DataFrame = {
     val counts = events
       .withColumn("to_type", lead(col("event_type"), 1).over(byUser))

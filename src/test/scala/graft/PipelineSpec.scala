@@ -1348,6 +1348,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
   }
 
+  test("attribution_touch conserves exactly 1e6 credit per journey") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: v c s -> purchase (n=3: 400k/200k/400k by position),
+    //          then v -> purchase (n=1: 1e6)
+    // user 2: v c -> purchase (n=2: 500k/500k)
+    // user 3: c with NO following purchase -> unattributed, dropped
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (2L, t(2), 1L, "click"),
+      (3L, t(3), 1L, "signup"), (4L, t(4), 1L, "purchase"),
+      (5L, t(5), 1L, "view"), (6L, t(6), 1L, "purchase"),
+      (7L, t(1), 2L, "view"), (8L, t(2), 2L, "click"),
+      (9L, t(3), 2L, "purchase"),
+      (10L, t(1), 3L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.attributionTouch(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // view: u1j0 first (400k) + u1j1 single (1e6, both first AND last)
+    //       + u2 first (500k)
+    // click: u1j0 middle (200k) + u2 last (500k); u3 dropped
+    // signup: u1j0 last (400k)
+    assert(got("view") == ((3L, 3L, 1L, 1900000L)), s"view ${got("view")}")
+    assert(got("click") == ((2L, 0L, 1L, 700000L)), s"click ${got("click")}")
+    assert(got("signup") == ((1L, 0L, 1L, 400000L)), s"signup ${got("signup")}")
+    // conservation: 3 attributed journeys -> exactly 3e6 total credit
+    assert(got.values.map(_._4).sum == 3000000L, "credit not conserved")
+    // conservation holds on the real fixture too (remainder-to-last)
+    val real = Events.attributionTouch(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .agg(org.apache.spark.sql.functions.sum("credit_e6")).collect()(0).getLong(0)
+    assert(real % 1000000L == 0L, s"real-fixture credit $real not a 1e6 multiple")
+  }
+
   test("pass_at_k matches the hand-worked Codex estimator") {
     import spark.implicits._
     // 15 orders, median(=8th of 15) is 50.00, "correct" = the 100.00s:
