@@ -2475,6 +2475,48 @@ object SparkEntry {
     // phase + maxFilesPerTrigger=1 pins batch composition, so the
     // replayed union is deterministic and the oracle replays it as a
     // (phase, doc_id)-ordered prefix sum.
+    // STREAMING writes into the snapshot-versioned table: base = v1,
+    // each micro-batch upserts version batch_id+2 (idempotent across the
+    // forced restart — a replayed batch overwrites its own version), and
+    // the result reads every version through its manifest. freshStageDir
+    // (not withStreamStage): the returned plan reads the table lazily.
+    "snapshot_stream" -> ((s, dir) => {
+      val stage = freshStageDir("graft_snap_s")
+      val in = stage + "/in"; val ckpt = stage + "/ckpt"
+      val root = stage + "/tbl"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(col("doc_id") % 10 =!= 0), root, 1)
+      def run(): Unit = {
+        val stream = s.readStream.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_chars",
+                org.apache.spark.sql.types.LongType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sources.TableSink.writeSnapshotUpsert(b, root, id.toInt + 2)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      delta.filter(col("doc_id") % 20 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      run() // phase 1: batch 0 -> v2, clean stop
+      delta.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      run() // phase 2: restart from the checkpoint -> batch 1 -> v3
+      (1 to 3).map(v =>
+          graft.sources.TableSink.readSnapshot(s, root, v)
+            .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars")))
+        .reduce(_.unionByName(_)).orderBy(col("version"))
+    }),
     "pack_stream" -> ((s, dir) =>
       withStreamStage("graft_pack_s") { stage =>
       val in = stage + "/in"; val sink = stage + "/sink"
@@ -8040,6 +8082,20 @@ object SparkEntry {
     // the streamed union replayed: phase-1 docs (doc_id%20=0) packed
     // first, phase-2 docs after — a (phase, doc_id)-ordered prefix sum
     // from the base total, same span arithmetic
+    // snapshot semantics over the source rows: v1 = base split, v2 adds
+    // phase-1 deltas (doc_id % 20 = 0), v3 = everything
+    "snapshot_stream" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 != 0 OR doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents)
+        |ORDER BY version""".stripMargin,
     "pack_stream" ->
       """WITH docs AS (
         |  SELECT doc_id,

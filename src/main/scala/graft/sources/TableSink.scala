@@ -260,6 +260,30 @@ object TableSink {
     out.close()
   }
 
+  /** [[writeSnapshot]] with UPSERT semantics for one version — the
+    * exactly-once convention a streaming writer needs: a REPLAYED batch
+    * (same version, deterministic content) overwrites its own data
+    * directory and manifest instead of erroring, so a crash between
+    * data and manifest writes heals on replay. Versions other than the
+    * replayed one are untouched — the append-only history contract
+    * holds for every committed predecessor.
+    */
+  def writeSnapshotUpsert(df: DataFrame, root: String, version: Int): Unit = {
+    require(version >= 1, s"versions start at 1, got $version")
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val prev =
+      if (version == 1) Seq.empty[String]
+      else readManifest(fs, root, version - 1)
+    val dataDir = s"$root/data/v$version"
+    df.write.mode("overwrite").parquet(dataDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/manifests/v$version.txt"), true)
+    out.write((prev :+ dataDir).mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
   /** Read the table AS OF `version`: exactly the data directories its
     * manifest lists, unioned by Spark's multi-path parquet reader.
     */

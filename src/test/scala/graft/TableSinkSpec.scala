@@ -56,6 +56,27 @@ class TableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot upsert: a replayed version heals, committed history intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ttu").toString
+    TableSink.writeSnapshot((1L to 50L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 1)
+    TableSink.writeSnapshotUpsert((51L to 60L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 2)
+    // the replay: same version, same deterministic content — overwrites
+    // its own directory instead of erroring, result unchanged
+    TableSink.writeSnapshotUpsert((51L to 60L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 2)
+    assert(TableSink.readSnapshot(spark, root, 2).count() == 60L)
+    assert(TableSink.readSnapshot(spark, root, 1).count() == 50L,
+      "the replay touched the committed predecessor")
+    // upsert still refuses to fork history past a missing predecessor
+    intercept[IllegalArgumentException] {
+      TableSink.writeSnapshotUpsert((1L to 5L).map(i => (i, s"d$i"))
+        .toDF("id", "v"), root, 4)
+    }
+  }
+
   test("ORC partitioned layout round-trips and prunes like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
