@@ -1544,6 +1544,10 @@ object SparkEntry {
       TextAnalysis.ccnetSelect(t(s, dir, "documents"))),
     "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
     "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
+    // RM3-lite pseudo-relevance feedback: pass-1 top-10 docs nominate
+    // 3 expansion terms, pass 2 re-ranks with the expanded set — one
+    // lazy plan, no driver round-trip between passes
+    "bm25_prf" -> ((s, dir) => TextAnalysis.bm25Prf(t(s, dir, "documents"))),
     // the search-serving complement: FLAT postings (one row per
     // token x doc — never a per-token array, the stop-word skew bomb)
     // and exact phrase serving via row-local position intersection.
@@ -6784,6 +6788,60 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rk,
         |  doc_id, n_terms_matched, bm25_e6
         |FROM scored ORDER BY rk""".stripMargin,
+    // the same formula text instantiated twice (pass 1 on q0, pass 2 on
+    // the expanded set) so the two passes can never drift apart
+    "bm25_prf" -> {
+      val q = operators.TextAnalysis.DefaultBm25Query
+      val banned = (q ++ operators.TextAnalysis.stopwords)
+        .map(t => s"'$t'").mkString(", ")
+      val qList = q.map(t => s"'$t'").mkString(", ")
+      def pass(sfx: String, termsFrom: String) = s""",
+        |tf$sfx AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
+        |  WHERE tok IN (SELECT tok FROM $termsFrom) GROUP BY doc_id, tok
+        |), df$sfx AS (SELECT tok, count(*) AS df FROM tf$sfx GROUP BY tok),
+        |per$sfx AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+        |                / (CAST(d.df AS DOUBLE) + 0.5)))
+        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |            + 0.75 * (CAST(l.dl AS DOUBLE)
+        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS term_e6
+        |  FROM tf$sfx t JOIN df$sfx d USING (tok) JOIN dl l USING (doc_id)
+        |  CROSS JOIN st s
+        |), scored$sfx AS (
+        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6,
+        |    count(*) AS n_terms_matched
+        |  FROM per$sfx GROUP BY doc_id)""".stripMargin
+      s"""WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT count(*) FROM tokens) AS total_tok
+        |), q0 AS (SELECT unnest([$qList]) AS tok)""".stripMargin +
+        pass("1", "q0") + s""",
+        |fb AS (
+        |  SELECT doc_id FROM scored1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10
+        |), fbtoks AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt
+        |    FROM tokens JOIN fb USING (doc_id)
+        |    WHERE tok NOT IN ($banned)
+        |    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 3)
+        |), qe AS (SELECT tok FROM q0 UNION ALL SELECT tok FROM fbtoks)""".stripMargin +
+        pass("2", "qe") + s""",
+        |top AS (
+        |  SELECT doc_id, bm25_e6, n_terms_matched FROM scored2
+        |  ORDER BY bm25_e6 DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
+        |    AS BIGINT) AS rk,
+        |  doc_id, n_terms_matched, bm25_e6
+        |FROM top ORDER BY rk""".stripMargin
+    },
     // positions via 1-based list indexing (the bigram-oracle pattern);
     // the flat (token, doc) grain mirrors the skew-safe engine relation
     "inverted_index" ->

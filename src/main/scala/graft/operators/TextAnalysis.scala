@@ -1202,6 +1202,83 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Lavrenko & Croft's
+    * relevance-model idea in its deterministic core): pass 1 ranks with
+    * the original query, the top `fbDocs` documents nominate the
+    * `fbTerms` most frequent non-query non-stopword terms, and pass 2
+    * re-ranks with the EXPANDED term set (uniform weights — the RM3
+    * interpolation is a weight column away, deliberately omitted to
+    * keep every score an exact e6 integer sum). The classic recall
+    * booster for sparse retrieval: ONE lazy plan end to end, no driver
+    * round-trip between passes.
+    *
+    * Scale shape: both passes share [[bm25]]'s economics (tiny term
+    * relation broadcast onto the tf scan; corpus-wide work is the
+    * token aggregation) and the feedback-term selection is a bounded
+    * TakeOrdered over the feedback docs' token counts — the feedback
+    * set is `fbDocs` rows, so pass 2's term relation stays
+    * broadcast-sized by construction.
+    */
+  def bm25Prf(documents: DataFrame,
+      queryTerms: Seq[String] = DefaultBm25Query,
+      k1: Double = 1.2, b: Double = 0.75,
+      fbDocs: Int = 10, fbTerms: Int = 3, topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && fbDocs >= 1 && fbTerms >= 1)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val q0 = queryTerms.toDF("tok")
+    val pass1 = bm25ScoredAgainst(documents, q0, k1, b)
+      .orderBy(col("bm25_e6").desc, col("doc_id")).limit(fbDocs)
+      .select(col("doc_id"))
+    val banned = queryTerms ++ stopwords
+    val fbToks = documents.join(pass1, Seq("doc_id"))
+      .select(explode(toks).as("tok"))
+      .filter(!col("tok").isInCollection(banned))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(fbTerms)
+      .select(col("tok"))
+    val scored = bm25ScoredAgainst(documents, q0.unionByName(fbToks), k1, b)
+      .orderBy(col("bm25_e6").desc, col("doc_id")).limit(topN)
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_terms_matched"),
+        col("bm25_e6"))
+      .orderBy(col("rk"))
+  }
+
+  /** [[bm25]]'s scoring core against a term RELATION instead of a
+    * literal set — the seam [[bm25Prf]]'s second pass needs, since its
+    * terms are data-derived. Same formula, same e6-floor-before-sum
+    * contract; the terms side broadcasts (bounded by construction).
+    */
+  private def bm25ScoredAgainst(documents: DataFrame, terms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val tokens = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = tokens.join(broadcast(terms), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = documents.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tokens.agg(count(lit(1)).as("total_tok")))
+    val avgdl = col("total_tok").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) + ((col("n_docs").cast("double") -
+      col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))))
+    val tfD = col("tf").cast("double")
+    val num = tfD * lit(k1 + 1.0)
+    val den = tfD + lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val matched = tf.join(broadcast(docFreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+    dl.join(broadcast(matched), Seq("doc_id"))
+      .withColumn("term_e6", floor(idf * (num / den) * lit(1000000.0))
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_e6")).as("bm25_e6"),
+        count(lit(1)).as("n_terms_matched"))
+  }
+
   /** [[contamination]] with a Bloom-filter runtime pre-filter — the shape
     * the check takes when the benchmark shingle set outgrows a broadcast
     * HASH relation: a Bloom filter over the benchmark shingles is orders

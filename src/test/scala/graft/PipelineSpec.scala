@@ -1348,6 +1348,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
   }
 
+  test("bm25_prf: expansion genuinely widens recall over plain bm25") {
+    val docs = tbl("documents")
+    val plain = TextAnalysis.bm25(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val prf = TextAnalysis.bm25Prf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prf.nonEmpty, "PRF returned nothing")
+    // the expanded set contains q0, so any doc matching q0 can only gain
+    // terms — its n_terms_matched under PRF >= under plain bm25 whenever
+    // it appears in both top lists
+    val prfTerms = prf.map(t => t._2 -> t._3).toMap
+    // expansion must actually fire: some top doc matches > |q0| terms or
+    // matches terms q0 alone couldn't have (score differs from plain)
+    assert(prf.exists { case (_, id, nt, s) =>
+      nt > 3 || !plain.get(id).contains(s) },
+      "PRF ranking identical to plain bm25 — expansion never fired")
+    // ranks are contiguous from 1 and ordered by (score desc, doc_id)
+    assert(prf.map(_._1).toSeq == (1L to prf.length).toSeq)
+    assert(prf.toSeq.sortBy(t => (-t._4, t._2)).map(_._1) ==
+      prf.map(_._1).toSeq)
+  }
+
   test("attribution_touch conserves exactly 1e6 credit per journey") {
     import spark.implicits._
     import java.sql.Timestamp
