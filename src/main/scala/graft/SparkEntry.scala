@@ -1390,6 +1390,28 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
       at(1).unionByName(at(2)).orderBy(col("version"))
     }),
+    // PSI drift report: baseline quartile edges (ExactRank), smoothed
+    // e6 shares, per-bin terms floored before summation
+    "psi_drift" -> ((s, dir) =>
+      Profile.psiDrift(t(s, dir, "documents"))),
+    // retention close of the time-travel lifecycle: expire v1..v2 (their
+    // manifests delete; data directories survive wherever a live
+    // manifest still references them), newest version stays readable
+    "snapshot_expire" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = freshStageDir("graft_snapexp")
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root, 1)
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), root, 2)
+      graft.sources.TableSink.writeSnapshot(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+          pmod(col("doc_id"), lit(20)) =!= 0), root, 3)
+      graft.sources.TableSink.expireSnapshots(s, root, 2)
+      graft.sources.TableSink.readSnapshot(s, root, 3)
+        .agg(lit(3).as("version"), count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
     // vocab-coverage gate: per-doc out-of-vocabulary fraction against
     // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
     "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
@@ -6216,6 +6238,55 @@ object SparkEntry {
         |    AS n_legacy,
         |  count(DISTINCT source) AS n_sources
         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+    // the same quartile-edge binning and smoothed-share arithmetic;
+    // floor-before-sum keeps PSI an integer relation
+    "psi_drift" ->
+      """WITH base AS (
+        |  SELECT n_chars AS x, doc_id FROM documents WHERE doc_id % 2 = 0
+        |), cur AS (
+        |  SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 1
+        |), ranked AS (
+        |  SELECT x, ((row_number() OVER (ORDER BY x, doc_id) - 1) * 4)
+        |      // (count(*) OVER ()) AS tier
+        |  FROM base
+        |), edges AS (
+        |  SELECT max(CASE WHEN tier = 0 THEN x END) AS e1,
+        |    max(CASE WHEN tier = 1 THEN x END) AS e2,
+        |    max(CASE WHEN tier = 2 THEN x END) AS e3
+        |  FROM ranked
+        |), bb AS (
+        |  SELECT CASE WHEN x <= e1 THEN 0 WHEN x <= e2 THEN 1
+        |    WHEN x <= e3 THEN 2 ELSE 3 END AS bin, count(*) AS n_base
+        |  FROM base CROSS JOIN edges GROUP BY 1
+        |), cb AS (
+        |  SELECT CASE WHEN x <= e1 THEN 0 WHEN x <= e2 THEN 1
+        |    WHEN x <= e3 THEN 2 ELSE 3 END AS bin, count(*) AS n_cur
+        |  FROM cur CROSS JOIN edges GROUP BY 1
+        |), dense AS (
+        |  SELECT CAST(b.bin AS INTEGER) AS bin,
+        |    CAST(coalesce(bb.n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM (SELECT unnest(range(0, 4)) AS bin) b
+        |  LEFT JOIN bb ON bb.bin = b.bin LEFT JOIN cb ON cb.bin = b.bin
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM dense
+        |), sh AS (
+        |  SELECT bin, n_base, n_cur,
+        |    CAST((n_base + 1) * 1000000 // (tb + 4) AS BIGINT) AS p_e6,
+        |    CAST((n_cur + 1) * 1000000 // (tc + 4) AS BIGINT) AS q_e6
+        |  FROM dense CROSS JOIN tot)
+        |SELECT bin, n_base, n_cur, p_e6, q_e6,
+        |  CAST(floor(
+        |    (CAST(p_e6 - q_e6 AS DOUBLE) / 1000000.0)
+        |    * ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS term_e6
+        |FROM sh ORDER BY bin""".stripMargin,
+    // post-expiry the newest snapshot must still serve the full corpus
+    "snapshot_expire" ->
+      """SELECT CAST(3 AS INT) AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     // the oracle states snapshot semantics over the source rows: as-of
     // v1 = the base split only, as-of v2 = base plus the append
     "table_time_travel" ->

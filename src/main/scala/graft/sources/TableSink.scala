@@ -295,6 +295,35 @@ object TableSink {
     spark.read.parquet(dirs: _*)
   }
 
+  /** SNAPSHOT RETENTION — the expire/vacuum half of the time-travel
+    * lifecycle: versions ≤ `upTo` become unreadable (their manifests
+    * delete) and every data directory REFERENCED ONLY by expired
+    * manifests is reclaimed. Directories shared with surviving versions
+    * stay — an expired v1's base files live on inside v2+'s manifests,
+    * exactly like Iceberg's expire_snapshots. The newest version must
+    * survive (`upTo` < latest), so history never empties.
+    */
+  def expireSnapshots(spark: SparkSession, root: String, upTo: Int): Unit = {
+    require(upTo >= 1, s"upTo >= 1: $upTo")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    val versions = fs.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName).filter(_.matches("v\\d+\\.txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
+    require(versions.nonEmpty && upTo < versions.max,
+      s"expire up to $upTo would delete the newest snapshot " +
+        s"(versions: $versions)")
+    val (dead, live) = versions.partition(_ <= upTo)
+    val liveDirs = live.flatMap(v => readManifest(fs, root, v)).toSet
+    dead.foreach { v =>
+      readManifest(fs, root, v).filterNot(liveDirs)
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt"), false)
+    }
+  }
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: String, version: Int): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/manifests/v$version.txt")

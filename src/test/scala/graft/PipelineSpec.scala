@@ -1348,6 +1348,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
   }
 
+  test("psi_drift: zero on identical populations, positive under drift") {
+    import spark.implicits._
+    // identical distributions on both parities -> every bin has p == q
+    // (equal counts + equal totals), so every term is exactly 0
+    val same = (0L until 200L).map(i => (i, 10L + (i / 2) % 50))
+      .toDF("doc_id", "n_chars")
+    val z = Profile.psiDrift(same).collect()
+    assert(z.map(_.getLong(5)).sum == 0L, s"iid PSI != 0: ${z.mkString}")
+    z.foreach(r => assert(r.getLong(3) == r.getLong(4), "p != q on iid"))
+    // drifted: odd docs are uniformly longer -> mass moves to high bins
+    val drift = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) 10L + i % 40 else 200L + i % 40))
+      .toDF("doc_id", "n_chars")
+    val d = Profile.psiDrift(drift).collect()
+    d.foreach(r => assert(r.getLong(5) >= 0L, "a PSI term went negative"))
+    assert(d.map(_.getLong(5)).sum > 500000L,
+      s"gross drift scored too low: ${d.map(_.getLong(5)).sum}")
+    // the real fixture: terms non-negative, all four bins populated
+    val real = Profile.psiDrift(tbl("documents")).collect()
+    assert(real.length == 4)
+    real.foreach(r => assert(r.getLong(5) >= 0L))
+  }
+
   test("bm25_prf: expansion genuinely widens recall over plain bm25") {
     val docs = tbl("documents")
     val plain = TextAnalysis.bm25(docs).collect()

@@ -77,6 +77,33 @@ class TableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot expire: old manifests die, shared data files live on") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ttx").toString
+    TableSink.writeSnapshot((1L to 30L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 1)
+    TableSink.writeSnapshot((31L to 40L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 2)
+    TableSink.writeSnapshot((41L to 45L).map(i => (i, s"d$i"))
+      .toDF("id", "v"), root, 3)
+    // the newest version must survive an expire
+    intercept[IllegalArgumentException] {
+      TableSink.expireSnapshots(spark, root, 3)
+    }
+    TableSink.expireSnapshots(spark, root, 2)
+    // expired versions are unreadable; the survivor serves everything
+    // (its manifest still references v1/v2's data directories, so those
+    // files MUST have survived the expire)
+    intercept[IllegalArgumentException] {
+      TableSink.readSnapshot(spark, root, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TableSink.readSnapshot(spark, root, 2)
+    }
+    assert(TableSink.readSnapshot(spark, root, 3).count() == 45L,
+      "expire reclaimed a data directory a live manifest references")
+  }
+
   test("ORC partitioned layout round-trips and prunes like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
