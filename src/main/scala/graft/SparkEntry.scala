@@ -1253,6 +1253,31 @@ object SparkEntry {
     // trained-tokenizer budget a real pipeline runs
     "pipeline_tokenizer" -> ((s, dir) =>
       TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))),
+    // the tokenizer BAKE-OFF: BPE (64 learned merges) vs unigram-LM
+    // (2-round hard EM) trained on the SAME corpus, head-to-head on
+    // corpus fertility — exact integer totals + e6 fertilities + the
+    // per-doc win count on fully-covered docs
+    "tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val uni = TextAnalysis.unigramFertility(docs)
+        .select(col("doc_id"), col("n_covered"), col("n_pieces"),
+          col("n_words").as("u_words"))
+      val bpe = TextAnalysis.bpeTrainedEncode(docs)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      uni.join(bpe, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          sum(col("n_covered")).as("uni_covered"),
+          sum(col("n_pieces")).as("uni_pieces"),
+          expr("sum(n_bpe_tokens) * 1000000 div sum(n_words)")
+            .as("bpe_fert_e6"),
+          expr("sum(n_pieces) * 1000000 div sum(n_covered)")
+            .as("uni_fert_e6"),
+          sum(when(col("n_covered") === col("u_words") &&
+            col("n_pieces") < col("n_bpe_tokens"), 1L).otherwise(0L))
+            .as("n_docs_uni_wins"))
+    }),
     // SentencePiece-style unigram-LM tokenizer training: substring seed
     // vocab, 2 hard-EM rounds of distributed Viterbi (score table in
     // the task closure) + vocab-sized usage aggregates; only
@@ -6145,6 +6170,40 @@ object SparkEntry {
     // the same chains + a THIRD (application) chain under the learned
     // scores, joined back onto the per-document word occurrences
     "unigram_fertility" -> unigramOracleSql(fertility = true),
+    // both tokenizers' FULL oracle chains nested as CTEs (scoped WITHs,
+    // no name crosstalk) joined per doc — the bake-off can't drift from
+    // either tokenizer's own oracle
+    "tokenizer_compare" -> {
+      val bpeSql = bpeTrainOracleChain(BpeOracleRounds) + s""",
+        |v AS (SELECT word,
+        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe,
+        |  CAST(length(word) AS BIGINT) AS n_char FROM e$BpeOracleRounds),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+        |  FROM d JOIN v USING (word) GROUP BY doc_id)
+        |SELECT documents.doc_id,
+        |  coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+        |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
+      s"""WITH uni AS (${unigramOracleSql(fertility = true)}
+        |), bpe AS ($bpeSql
+        |)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(u.n_covered) AS BIGINT) AS uni_covered,
+        |  CAST(sum(u.n_pieces) AS BIGINT) AS uni_pieces,
+        |  CAST(sum(b.n_bpe_tokens) * 1000000 // sum(b.n_words) AS BIGINT)
+        |    AS bpe_fert_e6,
+        |  CAST(sum(u.n_pieces) * 1000000 // sum(u.n_covered) AS BIGINT)
+        |    AS uni_fert_e6,
+        |  CAST(sum(CASE WHEN u.n_covered = u.n_words
+        |    AND u.n_pieces < b.n_bpe_tokens THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_uni_wins
+        |FROM uni u JOIN bpe b USING (doc_id)""".stripMargin
+    },
     // structural contract for the 1024-merge leg: n_rules literal (the
     // partkey vocabulary exhausts at ~1990, so all 1024 rounds must
     // produce a rule), first_cnt recomputed EXACTLY with one unchained

@@ -1348,6 +1348,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc == nc * 1000000L / nq, "accuracy_e6 drifted from counts")
   }
 
+  test("tokenizer_compare: the bake-off row is internally consistent") {
+    val r = SparkEntry.queries("tokenizer_compare")(spark, sf).collect()(0)
+    val (nd, nw, bpe, cov, uni) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val (bf, uf, wins) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(nd > 0 && cov <= nw && wins <= nd)
+    // every word yields at least one token under either tokenizer
+    assert(bpe >= nw && uni >= cov)
+    assert(bf == bpe * 1000000L / nw, "bpe fertility drifted from totals")
+    assert(uf == uni * 1000000L / cov, "uni fertility drifted from totals")
+  }
+
   test("psi_drift: zero on identical populations, positive under drift") {
     import spark.implicits._
     // identical distributions on both parities -> every bin has p == q
