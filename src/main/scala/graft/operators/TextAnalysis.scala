@@ -144,20 +144,33 @@ object TextAnalysis {
     */
   def mlmMask(documents: DataFrame, selPct: Int = 15): DataFrame = {
     require(selPct >= 1 && selPct <= 99, s"selPct in [1,99]: $selPct")
-    val tks = split(col("text"), " ")
-    val z = transform(tks, (tok, i) => {
-      val full = md5(concat(lit("mlm:"), col("doc_id").cast("string"),
-        lit(":"), (i + 1).cast("string")))
+    // TWO transform stages so the md5 runs ONCE per token: lambda
+    // bodies get no common-subexpression elimination, so deriving sel /
+    // sub / ridx straight off the digest expression would hash three
+    // times per token (caught by the PlanSpec pin). Stage 1 carries the
+    // digest; stage 2 reads cheap hex windows of the carried field. The
+    // token array rides as its OWN column so the random-replacement
+    // lookup references an attribute, not a per-element re-split.
+    val pre = transform(col("t"), (tok, i) => struct(tok.as("tok"),
+      (i + 1).cast("long").as("pos"),
+      md5(concat(lit("mlm:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))).as("hx")))
+    val z = transform(col("pre"), e => {
+      val full = e.getField("hx")
       val sel = conv(substring(full, 1, 8), 16, 10).cast("long") % 100 < selPct
       val sub = conv(substring(full, 9, 8), 16, 10).cast("long") % 10
-      val ridx = conv(substring(full, 17, 8), 16, 10).cast("long") % size(tks)
-      struct(tok.as("tok"), sel.as("sel"), sub.as("sub"),
-        element_at(tks, (ridx + 1).cast("int")).as("rtok"),
-        (i + 1).cast("long").as("pos"))
+      val ridx = conv(substring(full, 17, 8), 16, 10).cast("long") %
+        size(col("t"))
+      struct(e.getField("tok").as("tok"), sel.as("sel"), sub.as("sub"),
+        element_at(col("t"), (ridx + 1).cast("int")).as("rtok"),
+        e.getField("pos").as("pos"))
     })
     def cnt(p: Column => Column): Column =
       size(filter(col("z"), p)).cast("long")
-    documents.select(col("doc_id"), size(tks).cast("long").as("n_tokens"),
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), pre.as("pre"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         z.as("z"))
       .select(
         col("doc_id"), col("n_tokens"),

@@ -142,6 +142,35 @@ class PlanSpec extends AnyFunSuite {
       s"ann_lsh_multi lost WindowGroupLimit pushdown:\n$p")
   }
 
+  test("mlm_mask computes its md5 struct array exactly once") {
+    // the per-row (tok, sel, sub, rtok) array feeds SEVEN outputs; if
+    // CollapseProject ever inlined it, the md5 chain would replicate
+    // 7x per row (and blow the 64KB codegen budget). Pin: the salt
+    // literal appears in exactly one plan expression.
+    val p = planOf("mlm_mask")
+    val hits = p.sliding("mlm:".length).count(_ == "mlm:")
+    assert(hits == 1, s"mlm md5 chain appears $hits times:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a row-local projection grew a hash shuffle:\n$p")
+  }
+
+  test("skipgram_negatives inverts the CDF with an equi-join, never a nested loop") {
+    // the ladder lookup is the operator's reason to exist: a bare range
+    // predicate would plan an INNER BroadcastNestedLoopJoin —
+    // O(pairs·vocab). The 1-row stats broadcasts legitimately plan as
+    // Cross nested loops; only a non-Cross NL or a cartesian is a bug.
+    val p = planOf("skipgram_negatives")
+    // tree lines carry "<type> Build<side>"; the details section repeats
+    // bare node names — only the tree lines carry the join type
+    val badNl = p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Build") &&
+        !l.contains("Cross"))
+    assert(!badNl && !p.contains("CartesianProduct"),
+      s"CDF inversion fell back to a nested loop:\n$p")
+    assert(p.contains("Left keys [1]: [bkt"),
+      s"the ladder lookup lost its bkt equi-join key:\n$p")
+  }
+
   test("cooccur_counts_plan executes through the custom CoOccurWindowExec node") {
     // the whole-operator extension must actually plan to its physical
     // node (a silent fallback to some other strategy would make the
