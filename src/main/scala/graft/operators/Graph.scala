@@ -945,8 +945,7 @@ object Graph {
   def skipgramNegatives(pairs: DataFrame, m: Int = 2): DataFrame = {
     require(m >= 1 && m <= 16, s"m in [1,16]: $m")
     val pairsP = CacheScope.selfReleasing(
-      pairs.select(col("center"), col("context"), col("cnt")),
-      matchingActions = 2)
+      pairs.select(col("center"), col("context"), col("cnt")))
     val freqs = pairsP.groupBy(col("context").as("node"))
       .agg(sum(col("cnt")).as("freq"))
     val fd = col("freq").cast("double")
@@ -955,8 +954,7 @@ object Graph {
         floor(sqrt(fd) * sqrt(sqrt(fd)) * lit(1000.0)).cast("long"))
       .withColumn("g", lit(1))
     val ladder = CacheScope.selfReleasing(
-      ExactRank.exactPrefixSum(weighted, Seq("g"), Seq("node"), "w"),
-      matchingActions = 2)
+      ExactRank.exactPrefixSum(weighted, Seq("g"), Seq("node"), "w"))
     val stats = ladder.agg(max(col("w_total")).as("wt"),
       count(lit(1)).as("nn"))
     val bucket = "(wt div nn + 1)"

@@ -570,8 +570,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(when(col("cents") > col("median_cents"), 1L).otherwise(0L))
           .as("c"))
-    val perP = graft.operators.CacheScope.selfReleasing(per,
-      matchingActions = ks.size)
+    val perP = graft.operators.CacheScope.selfReleasing(per)
     ks.map { k =>
       // unrolled k-step floored product; (n−c−i) hits ≤0 → r = 0
       val rExpr = (0 until k).foldLeft("1000000"){ (acc, i) =>

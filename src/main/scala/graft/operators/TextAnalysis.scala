@@ -2038,7 +2038,9 @@ object TextAnalysis {
           lit(0))).as("word"))
         .filter(length(col("word")) <= maxWordLen)
         .groupBy(col("word")).agg(count(lit(1)).as("freq")),
-      matchingActions = rounds + 1)
+      // the char collect, the multi collect, and every EM round's usage
+      // collect all carry the type subtree in their analyzed plans
+      matchingActions = rounds + 2)
     // seed pieces: all substrings of length 1..maxPieceLen, corpus-weighted
     val seeds = graft.operators.CacheScope.selfReleasing(
       types.select(col("freq"), explode(expr(
