@@ -1023,6 +1023,11 @@ object SparkEntry {
     // ordered funnel: earliest per-stage timestamps with stage-order
     // constraints (view → click → purchase), per user
     "funnel_steps" -> ((s, dir) => Events.funnelSteps(eventsTable(s, dir))),
+    // PrefixSpan-semantics sequential patterns up to length 3 over
+    // per-user event sequences — containment via position summaries,
+    // O(t^2) per user, never a subsequence scan
+    "seq_patterns" -> ((s, dir) =>
+      Events.seqPatterns(eventsTable(s, dir))),
     // U-shaped attribution: per purchase journey 40/20/40 exact-e6
     // credit over its touches, remainder to the last touch, rolled up
     // by channel — credit conserves to 1e6 per attributed journey
@@ -5849,6 +5854,48 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the same position-summary containment algebra; the oracle states
+    // it over first/last/min-after summaries exactly like the engine
+    "seq_patterns" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS pos
+        |  FROM events
+        |), fp AS (
+        |  SELECT user_id, event_type, min(pos) AS first_pos,
+        |    max(pos) AS last_pos
+        |  FROM pos GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT CAST(1 AS INT) AS length, event_type AS pattern,
+        |    count(*) AS support
+        |  FROM fp GROUP BY 2
+        |), l2 AS (
+        |  SELECT CAST(2 AS INT) AS length,
+        |    a.event_type || '>' || b.event_type AS pattern,
+        |    count(*) AS support
+        |  FROM fp a JOIN fp b USING (user_id)
+        |  WHERE a.first_pos < b.last_pos
+        |  GROUP BY 2
+        |), mab AS (
+        |  SELECT p.user_id, a.event_type AS a, p.event_type AS b,
+        |    min(p.pos) AS mab
+        |  FROM pos p JOIN fp a USING (user_id)
+        |  WHERE p.pos > a.first_pos
+        |  GROUP BY 1, 2, 3
+        |), l3 AS (
+        |  SELECT CAST(3 AS INT) AS length,
+        |    m.a || '>' || m.b || '>' || c.event_type AS pattern,
+        |    count(*) AS support
+        |  FROM mab m JOIN fp c USING (user_id)
+        |  WHERE c.last_pos > m.mab
+        |  GROUP BY 2
+        |)
+        |SELECT length, pattern, CAST(support AS BIGINT) AS support FROM (
+        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |  UNION ALL SELECT * FROM l3)
+        |WHERE support >= 3
+        |ORDER BY length, pattern""".stripMargin,
     // the same journey segmentation and credit CASE; // = div on the
     // non-negative credit operands; remainder-to-last keeps every
     // journey's credit summing to exactly 1e6

@@ -1405,6 +1405,39 @@ class PipelineSpec extends AnyFunSuite {
       prf.map(_._1).toSeq)
   }
 
+  test("seq_patterns matches MLlib PrefixSpan on single-item itemsets") {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val nUsers = ev.select("user_id").distinct().count()
+    // MLlib wants Seq[Seq[item]] per sequence, ordered
+    val seqs = ev
+      .withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, event_type)))," +
+        " x -> array(x.event_type))").as("sequence"))
+    val mllib = new PrefixSpan().setMinSupport(3.0 / nUsers)
+      .setMaxPatternLength(3).setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .collect()
+      .map { r =>
+        val pat = r.getSeq[scala.collection.Seq[String]](0)
+          .map(_.head).mkString(">")
+        pat -> r.getLong(1)
+      }.toMap
+    val ours = Events.seqPatterns(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(ours.nonEmpty && mllib.nonEmpty)
+    assert(ours.keySet == mllib.keySet,
+      s"pattern sets differ: ours-only=${(ours.keySet -- mllib.keySet).take(5)}" +
+        s" mllib-only=${(mllib.keySet -- ours.keySet).take(5)}")
+    ours.foreach { case (p, sup) =>
+      assert(mllib(p) == sup, s"pattern $p: ours $sup vs mllib ${mllib(p)}")
+    }
+  }
+
   test("attribution_touch conserves exactly 1e6 credit per journey") {
     import spark.implicits._
     import java.sql.Timestamp
