@@ -856,6 +856,10 @@ object SparkEntry {
       Relational.dqChecks(t(s, dir, "lineitem"), t(s, dir, "orders"))),
     // privacy gate: quasi-identifier group-size audit (re-identifiable
     // rows live in groups smaller than k)
+    // MDM survivorship after entity resolution: field-level survivors
+    // by explicit rules (richest-member identity, field max, mode)
+    "golden_record" -> ((s, dir) =>
+      Relational.goldenRecord(t(s, dir, "customer"))),
     "k_anonymity" -> ((s, dir) =>
       Relational.kAnonymity(t(s, dir, "customer"))),
     // the diversity half of the privacy audit (r14 — the attack
@@ -2628,6 +2632,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
       Sampling.leakageSafeSplit(docs, Dedup.nearDupClusters(pairs))
+    }),
+    // grouped K-fold: every near-dup cluster in ONE fold (md5 of the
+    // representative, mod 5) — leakage-safe cross-validation splits
+    "group_kfold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+      Sampling.groupKFold(docs, Dedup.nearDupClusters(pairs))
     }),
     "weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(t(s, dir, "documents"))),
@@ -5168,6 +5179,37 @@ object SparkEntry {
         |    ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
         |  END AS quantile
         |FROM r ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    // the richest-member argmax = ORDER BY (cents DESC, custkey) LIMIT 1
+    // per entity; mode = (cnt DESC, segment) — both replayed as windows
+    "golden_record" ->
+      """WITH base AS (
+        |  SELECT c_custkey // 3 AS entity_id, c_custkey, c_name,
+        |    c_nationkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer
+        |), rich AS (
+        |  SELECT entity_id, c_custkey AS golden_custkey,
+        |    c_name AS golden_name, c_nationkey AS golden_nation
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY entity_id
+        |      ORDER BY cents DESC, c_custkey) AS rn
+        |    FROM base) WHERE rn = 1
+        |), agg AS (
+        |  SELECT entity_id, count(*) AS n_members,
+        |    CAST(max(cents) AS DOUBLE) / 100.0 AS golden_acctbal
+        |  FROM base GROUP BY 1
+        |), mode AS (
+        |  SELECT entity_id, c_mktsegment AS golden_segment
+        |  FROM (
+        |    SELECT entity_id, c_mktsegment,
+        |      row_number() OVER (PARTITION BY entity_id
+        |        ORDER BY count(*) DESC, c_mktsegment) AS rn
+        |    FROM base GROUP BY entity_id, c_mktsegment) WHERE rn = 1
+        |)
+        |SELECT a.entity_id, a.n_members, r.golden_custkey, r.golden_name,
+        |  r.golden_nation, a.golden_acctbal, m.golden_segment
+        |FROM agg a JOIN rich r USING (entity_id) JOIN mode m USING (entity_id)
+        |ORDER BY entity_id""".stripMargin,
     "k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS n
@@ -7395,6 +7437,27 @@ object SparkEntry {
     // cluster labels via the same recursive CC, then the dataset_split
     // bucket rule keyed on each doc's representative (COALESCE = the
     // Spark side's left-join singleton fallback)
+    // the same cluster-representative chain, folds = bucket % 5
+    "group_kfold" ->
+      (s"""WITH RECURSIVE
+        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |cl AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |r AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 % 5 AS INTEGER) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin),
     "leakage_safe_split" ->
       (s"""WITH RECURSIVE
         |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),

@@ -459,6 +459,53 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** GOLDEN-RECORD survivorship — the MDM step after entity resolution
+    * clusters duplicate records: per entity, field-level survivors by
+    * explicit deterministic rules rather than keep-first —
+    *  - identity fields (custkey, name, nation) come from the RICHEST
+    *    member (max balance, ties to the smallest key): one
+    *    `max(struct(cents, −custkey, …))` argmax;
+    *  - the balance is the FIELD-LEVEL max across members;
+    *  - the segment is the cluster MODE (ties to the smallest value):
+    *    the communities_lpa `min(struct(−cnt, v))` argmin over a
+    *    (entity, segment) count.
+    * Entities are synthesized deterministically (custkey div 3 — every
+    * three customers one entity with conflicting fields), the messyUrls
+    * discipline: the oracle replays the same synthesis, so the gate
+    * checks real survivorship arithmetic.
+    *
+    * Scale shape: two partial-aggregable aggregates (member argmax;
+    * segment mode via a nested groupBy) joined on the entity key — no
+    * window, megacluster-safe (a million-member entity collapses
+    * map-side in both paths).
+    */
+  def goldenRecord(customer: DataFrame): DataFrame = {
+    val cents =
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = customer.select(
+      expr("c_custkey div 3").as("entity_id"),
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"), cents.as("cents"))
+    val rich = base.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("cents"), (-col("c_custkey")).as("nk"),
+          col("c_name").as("name"),
+          col("c_nationkey").as("nation"))).as("r"),
+        max(col("cents")).as("max_cents"))
+      .select(col("entity_id"), col("n_members"),
+        (-col("r.nk")).as("golden_custkey"),
+        col("r.name").as("golden_name"),
+        col("r.nation").as("golden_nation"),
+        (col("max_cents").cast("double") / lit(100.0)).as("golden_acctbal"))
+    val mode = base.groupBy(col("entity_id"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("entity_id"))
+      .agg(min(struct((-col("cnt")).as("nc"),
+        col("c_mktsegment").as("seg"))).as("m"))
+      .select(col("entity_id"), col("m.seg").as("golden_segment"))
+    rich.join(mode, Seq("entity_id")).orderBy(col("entity_id"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
     * Walker, WSDM 2013) — the adjustment every large experimentation
     * platform applies before reading a treatment effect: per user the

@@ -68,6 +68,30 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** GROUP K-FOLD assignment — [[leakageSafeSplit]]'s discipline for
+    * cross-validation: every member of a near-duplicate cluster lands in
+    * the SAME fold (fold = md5 bucket of the cluster representative,
+    * mod k), so no fold's holdout ever contains a near-copy of another
+    * fold's training data — the grouped K-fold sklearn calls GroupKFold,
+    * with the group structure coming from dedup instead of a label
+    * column. Append-stable like every md5 assignment here.
+    *
+    * Scale shape: identical to [[leakageSafeSplit]] — one LEFT equi-join
+    * of the corpus onto the (much smaller) cluster-label relation, then
+    * a row-local projection.
+    */
+  def groupKFold(documents: DataFrame, clusters: DataFrame,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    documents.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("fold", (bucket100(col("rep_id")) % k).cast("int"))
+      .select(col("doc_id"), col("rep_id"), col("fold"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Size-balanced output sharding: documents sort by byte size
     * descending (doc_id tie-break) and deal round-robin into
     * `numShards` shards — the classic longest-first balancing that

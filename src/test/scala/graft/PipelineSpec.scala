@@ -1405,6 +1405,41 @@ class PipelineSpec extends AnyFunSuite {
       prf.map(_._1).toSeq)
   }
 
+  test("golden_record applies each survivorship rule on a hand fixture") {
+    import spark.implicits._
+    // entity 1 = custkeys 3,4,5: richest is 4 (200.00) -> identity from
+    // 4; balance = field max (200.00); segment mode = 'A' (2 of 3)
+    val df = Seq(
+      (3L, "n3", 7, "A", 50.0), (4L, "n4", 8, "B", 200.0),
+      (5L, "n5", 9, "A", 100.0),
+      // entity 2 = custkeys 6,7: balance TIE -> smaller custkey wins
+      // identity; segment tie 'A' vs 'B' -> mode tie to smallest 'A'
+      (6L, "n6", 1, "B", 75.0), (7L, "n7", 2, "A", 75.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Relational.goldenRecord(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getDouble(5), r.getString(6)))).toMap
+    assert(got(1L) == ((3L, 4L, "n4", 8, 200.0, "A")), s"e1 ${got(1L)}")
+    assert(got(2L) == ((2L, 6L, "n6", 1, 75.0, "A")), s"e2 ${got(2L)}")
+  }
+
+  test("group_kfold keeps every near-dup cluster inside one fold") {
+    val docs = tbl("documents")
+    val pairs = Dedup.minhashLsh(docs)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    val folds = Sampling.groupKFold(docs, Dedup.nearDupClusters(pairs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(folds.nonEmpty)
+    // same representative => same fold, for every document
+    folds.values.groupBy(_._1).foreach { case (rep, members) =>
+      assert(members.map(_._2).toSet.size == 1,
+        s"cluster $rep spans folds ${members.map(_._2).toSet}")
+    }
+    assert(folds.values.map(_._2).toSet.subsetOf((0 to 4).toSet))
+  }
+
   test("seq_patterns matches MLlib PrefixSpan on single-item itemsets") {
     import org.apache.spark.ml.fpm.PrefixSpan
     import org.apache.spark.sql.functions._
