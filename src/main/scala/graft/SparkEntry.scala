@@ -878,6 +878,10 @@ object SparkEntry {
     // with a seeded (oracle-replayable) noise derivation
     "dp_histogram" -> ((s, dir) =>
       Relational.dpHistogram(t(s, dir, "documents"))),
+    // the selection half of the DP release pair: seeded-Laplace noisy
+    // counts, top-k by noisy count (repeated noisy-max)
+    "dp_topk" -> ((s, dir) =>
+      Relational.dpTopK(t(s, dir, "documents"))),
     // BAND join (r14 — fuzzy numeric matching as an EQUI-join: bucket
     // blocking at bucket width = band, supplier side exploded ±1, exact
     // |diff| filter on candidates — a bare range predicate would plan
@@ -5336,6 +5340,29 @@ object SparkEntry {
         |    -(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
         |    AS BIGINT) AS noisy_e6
         |FROM n ORDER BY lang, source""".stripMargin,
+    // same noise derivation keyed per token; top-k = the engine's
+    // TakeOrdered cut replayed as an ORDER BY ... LIMIT
+    "dp_topk" ->
+      """WITH g AS (
+        |  SELECT token, count(*) AS n_exact FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |    FROM documents)
+        |  GROUP BY token
+        |), n AS (
+        |  SELECT token, n_exact,
+        |    (('0x' || substr(md5('dptk_' || token), 1, 8))::BIGINT
+        |       % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM g
+        |), s AS (
+        |  SELECT token, n_exact,
+        |    CAST(floor((n_exact +
+        |      -(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
+        |      AS BIGINT) AS noisy_e6
+        |  FROM n ORDER BY noisy_e6 DESC, token LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY noisy_e6 DESC, token)
+        |    AS BIGINT) AS rk,
+        |  token, n_exact, noisy_e6
+        |FROM s ORDER BY rk""".stripMargin,
     // the CMS build/probe is replayed EXACTLY (shared md5 bucket hash):
     // counters = one GROUP BY (seed,bucket); estimate = min over seeds
     "cms_heavy" -> {

@@ -1067,6 +1067,43 @@ object Relational {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** ε-DP TOP-K release ([[dpHistogram]]'s selection sibling — the
+    * "what are the most common tokens" query a privacy-gated corpus
+    * answers without exposing exact tails): per-token Laplace-noised
+    * counts with the same seeded (oracle-replayable) md5-uniform →
+    * inverse-CDF noise derivation, then the top `k` by noisy count —
+    * repeated noisy-max, the standard composition-accounted release
+    * (a production deployment splits ε across the k selections; the
+    * fixed seed here is the hash-gate determinism contract, exactly as
+    * documented on [[dpHistogram]]).
+    *
+    * Scale shape: one partial-aggregable token count (vocabulary-sized
+    * result), row-local noise, and a TakeOrderedAndProject at k —
+    * never a global sort.
+    */
+  def dpTopK(documents: DataFrame, epsilon: Double = 1.0,
+      k: Int = 10): DataFrame = {
+    val b = 1.0 / epsilon
+    val h = conv(substring(md5(concat(lit("dptk_"), col("token"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (pmod(h, lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val noise = -lit(b) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    val scored = documents
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"),
+        lit(0))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .select(col("token"), col("n_exact"),
+        floor((col("n_exact") + noise) * 1e6 + 0.5).cast("long")
+          .as("noisy_e6"))
+      .orderBy(col("noisy_e6").desc, col("token")).limit(k)
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("noisy_e6").desc, col("token"))).cast("long"))
+      .select(col("rk"), col("token"), col("n_exact"), col("noisy_e6"))
+      .orderBy(col("rk"))
+  }
+
   /** Exact per-group quantile normalization — the rank-based feature
     * transform (each value maps to its empirical quantile
     * `(rank−1)/(n−1)` within its group; a singleton group maps to 0.5).

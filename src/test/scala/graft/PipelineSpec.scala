@@ -1405,6 +1405,24 @@ class PipelineSpec extends AnyFunSuite {
       prf.map(_._1).toSeq)
   }
 
+  test("dp_topk: seeded Laplace noise is bounded and the cut is ranked") {
+    val rows = Relational.dpTopK(tbl("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    rows.foreach { case (_, tok, exact, noisy) =>
+      // Laplace(1/eps=1) noise at the md5-uniform extremes stays within
+      // ln(1e6) ~ 13.8 of the exact count
+      assert(math.abs(noisy / 1e6 - exact) < 14.0,
+        s"token $tok noise out of bounds: $exact vs $noisy")
+    }
+    assert(rows.toSeq.sortBy(t => (-t._4, t._2)).map(_._1) ==
+      rows.map(_._1).toSeq, "rank order broke")
+    val again = Relational.dpTopK(tbl("documents")).collect()
+      .map(r => r.getLong(3))
+    assert(rows.map(_._4).toSeq == again.toSeq, "seeded noise drifted")
+  }
+
   test("golden_record applies each survivorship rule on a hand fixture") {
     import spark.implicits._
     // entity 1 = custkeys 3,4,5: richest is 4 (200.00) -> identity from
