@@ -896,6 +896,10 @@ object SparkEntry {
       Relational.bootstrapCi(t(s, dir, "orders"))),
     // exact moments→correlation: deterministic twin of corr/covar_pop
     "corr_stats" -> ((s, dir) => Relational.corrStats(t(s, dir, "lineitem"))),
+    // Theil-Sen robust slope over a bounded deterministic head: exact
+    // lower median of pairwise IEEE slopes (29% contamination tolerance
+    // where one corrupt row moves OLS arbitrarily)
+    "theil_sen" -> ((s, dir) => Relational.theilSen(t(s, dir, "lineitem"))),
     // CUPED variance-reduced experiment readout: md5-bucket assignment,
     // pre-period covariate, pooled theta from exact DECIMAL moments
     "cuped_adjust" -> ((s, dir) =>
@@ -2637,6 +2641,10 @@ object SparkEntry {
       val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
       Sampling.leakageSafeSplit(docs, Dedup.nearDupClusters(pairs))
     }),
+    // exactly k per stratum: md5-ranked window-free cut (the count
+    // request the fraction samplers can't answer)
+    "sample_exact_k" -> ((s, dir) =>
+      Sampling.sampleExactK(t(s, dir, "documents"))),
     // grouped K-fold: every near-dup cluster in ONE fold (md5 of the
     // representative, mod 5) — leakage-safe cross-validation splits
     "group_kfold" -> ((s, dir) => {
@@ -5606,6 +5614,30 @@ object SparkEntry {
         |          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
         |    AS mean_y_cuped
         |FROM j ORDER BY variant""".stripMargin,
+    // the same bounded head, pair orientation and lower-median rank rule
+    "theil_sen" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |      CAST(l_partkey AS VARCHAR)) AS i
+        |  FROM lineitem
+        |  ORDER BY l_orderkey, l_linenumber, CAST(l_partkey AS VARCHAR)
+        |  LIMIT 200
+        |), slopes AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      AS slope,
+        |    a.i AS ia, b.i AS ib
+        |  FROM pts a JOIN pts b ON a.x < b.x
+        |), r AS (
+        |  SELECT slope,
+        |    row_number() OVER (ORDER BY slope, ia, ib) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM slopes)
+        |SELECT CAST(200 AS INT) AS n_points,
+        |  CAST(max(n) AS BIGINT) AS n_pairs,
+        |  min(slope) AS ts_slope
+        |FROM r WHERE rnk * 2 = n OR rnk * 2 = n + 1""".stripMargin,
     "corr_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,
@@ -7464,6 +7496,19 @@ object SparkEntry {
     // cluster labels via the same recursive CC, then the dataset_split
     // bucket rule keyed on each doc's representative (COALESCE = the
     // Spark side's left-join singleton fallback)
+    // the oracle's per-stratum window states the semantics; the
+    // engine's range-partitioned ExactRank must be invisible
+    "sample_exact_k" ->
+      """WITH kx AS (
+        |  SELECT doc_id, lang, md5('exk_' || doc_id) AS h FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
+        |  FROM kx)
+        |SELECT doc_id, lang, rnk, n_group FROM r
+        |WHERE rnk <= 100 ORDER BY doc_id""".stripMargin,
     // the same cluster-representative chain, folds = bucket % 5
     "group_kfold" ->
       (s"""WITH RECURSIVE

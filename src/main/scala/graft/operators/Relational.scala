@@ -1067,6 +1067,54 @@ object Relational {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** THEIL–SEN robust slope (Sen 1968) — the median of pairwise slopes,
+    * the outlier-resistant regression [[regressionStats]]' OLS is not
+    * (one corrupted row moves OLS arbitrarily; Theil–Sen tolerates 29%
+    * contamination). An AUDIT operator over a BOUNDED deterministic
+    * head (the brute-force-queries discipline): n points make n²/2
+    * pairs, so the full estimator cannot be a registered 100 TB query —
+    * the head is the exactness contract, and a production run feeds a
+    * reservoir instead. Pairs orient x-ascending so every slope is one
+    * exact IEEE division of integer cents by integer quantity
+    * (equal-x pairs drop, per the definition); the median is the
+    * [[ExactRank]] lower median over (slope, pair-id) total order —
+    * no floor-vs-truncate hazard anywhere.
+    */
+  def theilSen(lineitem: DataFrame, maxPoints: Int = 200): DataFrame = {
+    require(maxPoints >= 2 && maxPoints <= 2000,
+      s"maxPoints in [2,2000] — pairs are quadratic in it: $maxPoints")
+    val pts = lineitem
+      .select(round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("string").as("pk"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pk"))
+      .limit(maxPoints)
+      .withColumn("g", lit(1))
+    val idx = graft.operators.CacheScope.selfReleasing(
+      ExactRank.exactRank(pts, Seq("g"),
+        Seq("l_orderkey", "l_linenumber", "pk"), rankCol = "i"))
+    val a = idx.select(col("i").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = idx.select(col("i").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val slopes = a.join(b, col("xa") < col("xb"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double")).as("slope"),
+        col("ia"), col("ib"))
+      .withColumn("g", lit(1))
+    val ranked = ExactRank.exactRank(slopes, Seq("g"),
+      Seq("slope", "ia", "ib"))
+    ranked
+      .filter(col("rnk") * 2 === col("n_group") ||
+        col("rnk") * 2 === col("n_group") + 1)
+      .agg(count(lit(1)).as("n_median_rows"),
+        max(col("n_group")).as("n_pairs"),
+        min(col("slope")).as("ts_slope"))
+      .select(lit(maxPoints).as("n_points"), col("n_pairs"),
+        col("ts_slope"))
+  }
+
   /** ε-DP TOP-K release ([[dpHistogram]]'s selection sibling — the
     * "what are the most common tokens" query a privacy-gated corpus
     * answers without exposing exact tails): per-token Laplace-noised

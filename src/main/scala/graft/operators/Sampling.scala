@@ -68,6 +68,33 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** EXACT-k per-stratum sample — the "give me exactly 1000 documents
+    * per language" request fraction-based [[stratifiedSample]] can't
+    * answer (its md5-threshold keeps a proportion, never a count):
+    * documents rank within their stratum by md5(salted id) via the
+    * window-free [[ExactRank.exactRank]] and the first `k` survive.
+    * Deterministic and REPRODUCIBLE but — unlike the fraction samplers —
+    * deliberately NOT append-stable: a fixed-size sample cannot be (new
+    * docs must displace old ones to hold k); the md5 order makes the
+    * displacement unbiased. Strata smaller than k keep everything.
+    *
+    * Scale shape: one ExactRank pass grouped by stratum (range-
+    * partitioned parallelism — a hot stratum never single-tasks the way
+    * `row_number() OVER (PARTITION BY lang)` would), then a row-local
+    * rank filter.
+    */
+  def sampleExactK(documents: DataFrame, stratum: String = "lang",
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val keyed = documents.select(col("doc_id"), col(stratum))
+      .withColumn("h",
+        md5(concat(lit("exk_"), col("doc_id").cast("string"))))
+    ExactRank.exactRank(keyed, Seq(stratum), Seq("h", "doc_id"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col(stratum), col("rnk"), col("n_group"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GROUP K-FOLD assignment — [[leakageSafeSplit]]'s discipline for
     * cross-validation: every member of a near-duplicate cluster lands in
     * the SAME fold (fold = md5 bucket of the cluster representative,

@@ -1405,6 +1405,27 @@ class PipelineSpec extends AnyFunSuite {
       prf.map(_._1).toSeq)
   }
 
+  test("theil_sen shrugs off the outlier that swings OLS") {
+    import spark.implicits._
+    // 20 clean points on y = 2x (cents: y = 200x dollars?) plus ONE
+    // wild outlier; Theil-Sen median slope stays 2.00/unit in cents
+    // (200.0), OLS does not
+    val rows = (1 to 20).map(i =>
+      (i.toLong, 1, i.toDouble, 2.0 * i, i.toLong)) :+
+      ((21L, 1, 21.0, 100000.0, 21L))
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_partkey")
+    val r = Relational.theilSen(df).collect()(0)
+    assert(r.getLong(1) > 0)
+    assert(r.getDouble(2) == 200.0,
+      s"median slope ${r.getDouble(2)} != 200.0 cents/unit")
+    // sanity: the outlier would pull a mean-of-slopes far above 200
+    val sanity = Relational.theilSen(
+      rows.dropRight(1).toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_partkey")).collect()(0)
+    assert(sanity.getDouble(2) == 200.0, "clean fixture slope wrong")
+  }
+
   test("dp_topk: seeded Laplace noise is bounded and the cut is ranked") {
     val rows = Relational.dpTopK(tbl("documents")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
