@@ -13,7 +13,7 @@ import graft.operators._
   * is SQL-expressible. Column names are aliased identically on both sides
   * (the driver's compare sorts columns by name before hashing).
   */
-object SparkEntry {
+object SparkEntry extends SparkEntryOracleMain {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline computation: P(neighbor | product) over
@@ -23,9 +23,6 @@ object SparkEntry {
     crystalballPairs(spark, "/root/testdata/sf0.001")
 
   // ---- helpers ----------------------------------------------------------
-
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.Tables.load(spark, dir, name)
 
   /** Timestamp-encoding normalization (nanos-as-long / NTZ / UTC µs —
     * the driver's generator has shipped all three) lives in
@@ -552,9 +549,20 @@ object SparkEntry {
     // one row-local CASE to the fixed-point update, so the oracle
     // unrolls bit-exactly like page_rank's.
     "ppr_seeded" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
-        .filter(col("cnt") >= 2)
-        .select(col("product").as("src"), col("neighbor").as("dst"))
+      // edge relation MATERIALIZED to a catalog table first (r14 verdict
+      // item 5, the pagerank_converged economics): the operator traverses
+      // its edges five times (degree agg/join, two node-union arms,
+      // seeds) and a DISK_ONLY persist of the co-occurrence chain
+      // measured SLOWER at both decade notches (BENCH_NOTES r14) — but a
+      // one-shot parquet write turns every later traversal into a
+      // compact columnar scan instead of either a chain recompute or a
+      // row-format disk cache read. Same relation, same oracle.
+      graft.sources.TableSink.saveTable(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        "graft_ppr_edges")
+      val edges = s.table("graft_ppr_edges")
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
         .select(col("src").as("node"))
       Graph.personalizedPageRank(edges, seeds)
@@ -578,6 +586,25 @@ object SparkEntry {
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // the PRODUCTION register count (r14 verdict item 4): 256 registers
+    // cut the standard error 4× (1.04/√256 ≈ ±6.5% vs ±26% at 16) — the
+    // width a 100 TB diameter instrument actually runs at. Same integer
+    // idiom (s_scaled tops at 2^56, BIGINT-safe), same per-round
+    // economics (register rows per node scale 16×, the merge join and
+    // max-agg shapes are unchanged); GraphSpec pins the clique-accuracy
+    // tightening vs the 16-register miniature.
+    "hyperanf_256" -> ((s, dir) =>
+      Graph.hyperAnf(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        registers = 256)),
+    "anf_function_256" -> ((s, dir) =>
+      Graph.anfFunction(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        registers = 256)),
     // approximate harmonic centrality off the same sketches (Boldi–
     // Vigna's application): Σ_r Δball/r per node — quadratic all-pairs
     // distances read off a linear sketch pass; the lag window runs
@@ -740,10 +767,20 @@ object SparkEntry {
     // 4·m·e_in − d_tot² (Q = Σ/4m²) — a labeling change shows up as
     // value drift, not vibes. Oracle shares lpa_converged's label CTEs.
     "modularity_lpa" -> ((s, dir) => {
+      // converged labels MATERIALIZED to a catalog table first (r14
+      // verdict item 6): modularity joins the labeling THREE times
+      // (both edge endpoints + community sizes), and feeding it the
+      // lpaConverged frame directly replays the full fixpoint per
+      // consumer — the most expensive audit row in the r14 fleet
+      // (149.9 s at x100). A converged labeling is an artifact you
+      // store (the pagerank_converged economics): fixpoint once, three
+      // parquet scans. Same labels, same oracle.
       val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
-      Graph.modularity(edges, Graph.lpaConverged(edges))
+      graft.sources.TableSink.saveTable(
+        Graph.lpaConverged(edges), "graft_lpa_labels")
+      Graph.modularity(edges, s.table("graft_lpa_labels"))
     }),
     // K-CORE decomposition (r14): peel nodes with in-survivor degree < 2
     // to the unique maximal 2-core (the cycle-containing skeleton) — the
@@ -2227,6 +2264,37 @@ object SparkEntry {
     // vectors per query, never the cell population
     "ann_ivfpq_rerank" -> ((s, dir) =>
       Similarity.ivfpqRerankTopK(t(s, dir, "embeddings"))),
+    // THE REGISTERED PRIMARIES of the IVFPQ family (r14 verdict item 3):
+    // same index math as the serve-everything twins above, answered for
+    // the bounded first-ServeHead query batch — build O(N·assign) +
+    // serve O(head·cell) instead of the O(N·cell) every-vector-a-query
+    // audit shape (which stays registered for oracle continuity). This
+    // is the 100 TB serving economics: the index side never depends on
+    // how many queries arrive.
+    "ann_ivfpq_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb, queries = Similarity.serveHead(emb))
+    }),
+    "ann_ivfpq_auto_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()),
+        queries = Similarity.serveHead(emb))
+    }),
+    "ann_ivfpq_imi_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb,
+        numCentroids = Similarity.centroidsFor(emb.count()),
+        twoLevel = true, queries = Similarity.serveHead(emb))
+    }),
+    "ann_ivfpq_residual_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqResidualTopK(emb, queries = Similarity.serveHead(emb))
+    }),
+    "ann_ivfpq_rerank_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqRerankTopK(emb, queries = Similarity.serveHead(emb))
+    }),
     // the residual-vs-raw coding tradeoff as ONE row of exact integers:
     // total reconstruction error under the same codebook budget (raw wins
     // on the near-isotropic fixture, residual wins on clustered corpora —
@@ -2350,8 +2418,10 @@ object SparkEntry {
     // their REAL twins are registered alongside: image_embed_real (the
     // ImageIO-decoded embedding) and media_decode_real (the ImageIO
     // decode → resize → re-decode round trip)
-    "media_embedding_stub" -> ((s, dir) => Multimodal.mediaEmbedding(t(s, dir, "documents"))),
-    "media_resize_stub" -> ((s, dir) => Multimodal.resizeMedia(t(s, dir, "documents"))),
+    // the stub codecs (embedStub / resizeMedia) stay as TEST SEAMS only —
+    // PipelineSpec pins them against their Catalyst twins; every
+    // REGISTERED media path runs the real kernels (media_decode_real,
+    // audio_decode_real, video_decode_real, media_hamming/cosine families)
     // the REAL javax.imageio kernels, driver-checked (ann_ivf_trained
     // accuracy-contract pattern): synthesize a solid PNG per doc_id,
     // decode → resize → re-decode, emit DECODED dims + exact pixel check;
@@ -2766,6151 +2836,8 @@ object SparkEntry {
     * doc_id%6 picks the mess class, doc_id%5 the host — ~30 hosts, enough
     * population per host for the cap to bite.
     */
-  private def messyUrls(docs: DataFrame): DataFrame = {
-    val m = pmod(col("doc_id"), lit(6))
-    val k = pmod(col("doc_id"), lit(5)).cast("string")
-    val id = col("doc_id").cast("string")
-    docs.select(col("doc_id"),
-      when(m === 0, concat(lit("HTTP://WWW.Example"), k,
-          lit(".COM:80/path/"), id, lit("?a=1#frag")))
-        .when(m === 1, concat(lit("https://user:pw@Sub.Example"), k,
-          lit(".org:443/Article/"), id))
-        .when(m === 2, concat(lit("https://example"), k,
-          lit(".net:8443/x?q="), id, lit("&b=2")))
-        .when(m === 3, concat(lit("http://example"), k, lit(".com")))
-        .when(m === 4, concat(lit("ftp://Files.example"), k,
-          lit(".io/pub/"), id, lit("#sec")))
-        .otherwise(concat(lit("not a url "), id)).as("url"))
-  }
-
-  /** DuckDB oracle twins. Shared SQL prelude for basket derivation mirrors
-    * BasketSource.fromLineitem / CoOccurrence exactly (FIXTURES.md §2).
-    */
-  private val basketsCte =
-    """WITH baskets AS (
-      |  SELECT CAST(l_orderkey AS VARCHAR) AS customer,
-      |         list(CAST(l_partkey AS VARCHAR)
-      |              ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS products
-      |  FROM lineitem GROUP BY l_orderkey
-      |)""".stripMargin
-
-  /** Oracle twin of [[messyUrls]] + [[Url.normalize]]'s parse stage: the
-    * CASE arms mirror the Spark when-chain byte-for-byte and the regexes
-    * are the [[Url]] constants verbatim (Java/RE2-shared subset).
-    */
-  private val urlParseCte: String = {
-    val (sc, au, pa, qu, ui, po) = (Url.SchemeRe, Url.AuthorityRe,
-      Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe)
-    // NOTE: the queries embed this via a second stripMargin, so no line
-    // here may BEGIN with '|' (a leading '||' would lose a pipe there)
-    s"""WITH urls AS (
-      |  SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
-      |    WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |      '.COM:80/path/' || CAST(doc_id AS VARCHAR) || '?a=1#frag'
-      |    WHEN 1 THEN 'https://user:pw@Sub.Example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |      '.org:443/Article/' || CAST(doc_id AS VARCHAR)
-      |    WHEN 2 THEN 'https://example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |      '.net:8443/x?q=' || CAST(doc_id AS VARCHAR) || '&b=2'
-      |    WHEN 3 THEN 'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-      |    WHEN 4 THEN 'ftp://Files.example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |      '.io/pub/' || CAST(doc_id AS VARCHAR) || '#sec'
-      |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
-      |  FROM documents
-      |), p AS (
-      |  SELECT doc_id, url,
-      |    lower(regexp_extract(url, '$sc', 1)) AS scheme,
-      |    regexp_replace(regexp_extract(url, '$au', 1), '$ui', '') AS hostport
-      |  FROM urls
-      |), p2 AS (
-      |  SELECT doc_id, url, scheme,
-      |    lower(regexp_replace(hostport, '$po', '')) AS host,
-      |    regexp_extract(hostport, '$po', 1) AS port,
-      |    regexp_extract(url, '$pa', 1) AS raw_path,
-      |    regexp_extract(url, '$qu', 1) AS query
-      |  FROM p
-      |), n AS (
-      |  SELECT doc_id, url, scheme, host,
-      |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
-      |    CASE WHEN (scheme = 'http' AND port = '80')
-      |         OR (scheme = 'https' AND port = '443')
-      |         OR port = '' THEN '' ELSE ':' || port END AS kept_port,
-      |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
-      |  FROM p2
-      |)""".stripMargin
-  }
-
-  private val cooccurCte =
-    basketsCte +
-      """, exploded AS (
-      |  SELECT customer AS bid, unnest(products) AS product,
-      |         generate_subscripts(products, 1) AS pos
-      |  FROM baskets
-      |), currents AS (
-      |  SELECT bid, product, pos,
-      |         lead(pos) OVER (PARTITION BY bid, product ORDER BY pos) AS next_same
-      |  FROM exploded
-      |), pairs AS (
-      |  SELECT a.product, b.product AS neighbor
-      |  FROM currents a JOIN exploded b
-      |    ON a.bid = b.bid AND b.pos > a.pos
-      |   AND (a.next_same IS NULL OR b.pos < a.next_same)
-      |), counts AS (
-      |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
-      |)""".stripMargin
-
-  /** [[cooccurCte]] with the maxWindow cap expressed as a position-delta
-    * predicate: CoOccurrence.windowPairs scans j in (i, i+cap], so the SQL
-    * twin keeps exactly the pairs with b.pos - a.pos <= cap (before the
-    * first-repeat termination, which is cap-independent).
-    */
-  private def cooccurCappedCte(cap: Int) =
-    basketsCte +
-      s""", exploded AS (
-      |  SELECT customer AS bid, unnest(products) AS product,
-      |         generate_subscripts(products, 1) AS pos
-      |  FROM baskets
-      |), currents AS (
-      |  SELECT bid, product, pos,
-      |         lead(pos) OVER (PARTITION BY bid, product ORDER BY pos) AS next_same
-      |  FROM exploded
-      |), pairs AS (
-      |  SELECT a.product, b.product AS neighbor
-      |  FROM currents a JOIN exploded b
-      |    ON a.bid = b.bid AND b.pos > a.pos AND b.pos - a.pos <= $cap
-      |   AND (a.next_same IS NULL OR b.pos < a.next_same)
-      |), counts AS (
-      |  SELECT product, neighbor, count(*) AS cnt FROM pairs GROUP BY 1, 2
-      |)""".stripMargin
-
-  /** Unrolled fixed-point PageRank oracle over the co-occurrence graph
-    * (mirrors Graph.pageRank: integer e9 ranks, `div` per-edge splits,
-    * dangling mass leaks). DuckDB sums BIGINT into HUGEINT and its `//`
-    * is floor division — all ranks are non-negative, so CASTs back to
-    * BIGINT keep it value- and dtype-identical to Spark's `div` on LONG.
-    */
-  private def pageRankSql(iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000L, edgesWith: String = null,
-      materialize: Boolean = false): String = {
-    val base = (100L - dampingPct) * scale / 100L
-    // default edge relation: the co-occurrence graph; callers may swap
-    // in any WITH-prefix that defines edges(src, dst) — link_rank feeds
-    // the crawl link graph through the identical rank recurrence
-    val prefix = Option(edgesWith).getOrElse(cooccurCte +
-      ", edges AS (SELECT product AS src, neighbor AS dst FROM counts)")
-    // long unrolls (pagerank_converged's 40 rounds) MATERIALIZE the
-    // shared relations and every round — inlined, DuckDB's binder
-    // re-expands the whole upstream chain per round and the plan grows
-    // superlinearly; the short unrolls keep their original inlined text
-    val m = if (materialize) " MATERIALIZED" else ""
-    val head = prefix +
-      s""",
-      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-      |wd AS$m (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-      |nodes AS$m (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_e9 FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-      |s$i AS (SELECT wd.dst, CAST(sum(rank_e9 // deg) AS BIGINT) AS s
-      |  FROM wd JOIN r${i - 1} ON wd.src = r${i - 1}.node GROUP BY wd.dst),
-      |r$i AS$m (SELECT node, CAST($base AS BIGINT) +
-      |  CAST(($dampingPct * coalesce(s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank_e9
-      |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
-    }.mkString
-    head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
-  }
-
-  /** Unrolled PERSONALIZED-PageRank oracle (mirrors
-    * Graph.personalizedPageRank over the cnt >= 2 co-occurrence graph,
-    * khop's round-hundred seed rule): [[pageRankSql]]'s exact integer
-    * recurrence with r0 mass and the per-round base term gated on seed
-    * membership — both row-local CASEs over the seed-annotated node
-    * relation, so the unroll stays bit-exact.
-    */
-  private def pprSql(iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000L): String = {
-    val base = (100L - dampingPct) * scale / 100L
-    val head = cooccurCte +
-      s""", edges AS (
-      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
-      |),
-      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-      |wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-      |nodes0 AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      |seeds AS (SELECT DISTINCT src AS node FROM edges
-      |  WHERE CAST(src AS BIGINT) % 100 = 0),
-      |nodes AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
-      |  FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node),
-      |r0 AS (SELECT node, is_seed,
-      |  CAST(CASE WHEN is_seed THEN $scale ELSE 0 END AS BIGINT) AS rank_e9
-      |  FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-      |s$i AS (SELECT wd.dst, CAST(sum(rank_e9 // deg) AS BIGINT) AS s
-      |  FROM wd JOIN r${i - 1} ON wd.src = r${i - 1}.node GROUP BY wd.dst),
-      |r$i AS (SELECT node, is_seed,
-      |  CAST(CASE WHEN is_seed THEN $base ELSE 0 END AS BIGINT) +
-      |  CAST(($dampingPct * coalesce(s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS rank_e9
-      |  FROM nodes LEFT JOIN s$i ON nodes.node = s$i.dst)""".stripMargin
-    }.mkString
-    head + iters + s"\nSELECT node, rank_e9 FROM r$iterations ORDER BY node"
-  }
-
-  /** Unrolled HyperANF oracle (mirrors Graph.hyperAnf over the cnt >= 2
-    * co-occurrence graph): the singleton register per node from the
-    * house md5 idiom (hex bucket + leading-zero-bit rho via
-    * leading-'0' strip and a 3-bit CASE), `rounds` max-merge rounds,
-    * and per radius the exact integer harmonic denominator and the
-    * HUGEINT-floored estimate — every column integer, every row
-    * hash-comparable.
-    */
-  private def hyperAnfSql(rounds: Int): String =
-    hyperAnfCte(rounds) +
-      """
-      |SELECT node, radius, n_regs, s_scaled,
-      |  CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
-      |    (10 * s_scaled) AS BIGINT) AS ball_e2
-      |FROM b ORDER BY node, radius""".stripMargin
-
-  /** `anf_function`: the per-radius aggregate of [[hyperAnfSql]]'s ball
-    * relation — the neighborhood function N(r) plus the effective-
-    * diameter flag (first radius whose mass reaches 90% of the final
-    * radius's, checked in exact integer cross-multiplication).
-    */
-  private def anfFunctionSql(rounds: Int): String =
-    hyperAnfCte(rounds) +
-      s""",
-      |est AS (
-      |  SELECT radius, node,
-      |    CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
-      |      (10 * s_scaled) AS BIGINT) AS ball_e2
-      |  FROM b
-      |), nf AS (
-      |  SELECT radius, count(*) AS n_nodes,
-      |    CAST(sum(ball_e2) AS BIGINT) AS sum_ball_e2
-      |  FROM est GROUP BY radius
-      |), fin AS (SELECT sum_ball_e2 AS total FROM nf WHERE radius = $rounds)
-      |SELECT radius, n_nodes, sum_ball_e2,
-      |  (sum_ball_e2 * 10 >= total * 9) AS reached_90pct
-      |FROM nf CROSS JOIN fin ORDER BY radius""".stripMargin
-
-  /** `harmonic_centrality`: per node Σ_r Δball_e2/r off the shared
-    * ball CTE — the lag window replays the engine's constant-4-row
-    * per-node partitions.
-    */
-  private def harmonicCentralitySql(rounds: Int): String =
-    hyperAnfCte(rounds) +
-      """,
-      |est AS (
-      |  SELECT node, radius,
-      |    CAST((CAST(172288 AS HUGEINT) * 281474976710656) //
-      |      (10 * s_scaled) AS BIGINT) AS ball_e2
-      |  FROM b
-      |), d AS (
-      |  SELECT node, radius, ball_e2,
-      |    lag(ball_e2) OVER (PARTITION BY node ORDER BY radius) AS prev
-      |  FROM est)
-      |SELECT node, CAST(sum((ball_e2 - prev) // radius) AS BIGINT) AS harmonic_e2
-      |FROM d WHERE radius > 0 GROUP BY node ORDER BY node""".stripMargin
-
-  private def hyperAnfCte(rounds: Int): String = {
-    val head = cooccurCte +
-      s""", edges AS MATERIALIZED (
-      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
-      |),
-      |anodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      |g0 AS MATERIALIZED (
-      |  SELECT node,
-      |    CAST(('0x' || substr(h, 1, 1)) AS BIGINT) AS j,
-      |    CASE WHEN st = '' THEN 41
-      |      ELSE (10 - length(st)) * 4 + 1 +
-      |        CASE WHEN substr(st, 1, 1) = '1' THEN 3
-      |          WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
-      |          WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
-      |          ELSE 0 END
-      |    END AS m
-      |  FROM (SELECT node, h, ltrim(substr(h, 2, 10), '0') AS st
-      |    FROM (SELECT node, md5(concat_ws('|', 'anf', node)) AS h
-      |      FROM anodes))
-      |)""".stripMargin
-    val iters = (1 to rounds).map { r =>
-      s""",
-      |g$r AS MATERIALIZED (
-      |  SELECT x.node, x.j, max(x.m) AS m FROM (
-      |    SELECT e.src AS node, p.j, p.m
-      |    FROM edges e JOIN g${r - 1} p ON p.node = e.dst
-      |    UNION ALL SELECT node, j, m FROM g${r - 1}) x
-      |  GROUP BY 1, 2)""".stripMargin
-    }.mkString
-    val balls = (0 to rounds).map { r =>
-      s"""SELECT node, CAST($r AS INTEGER) AS radius, count(*) AS n_regs,
-      |    (16 - count(*)) * (CAST(1 AS BIGINT) << 48) +
-      |      sum(CAST(1 AS BIGINT) << (48 - m)) AS s_scaled
-      |  FROM g$r GROUP BY node""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    head + iters +
-      s""",
-      |b AS (
-      |  $balls
-      |)""".stripMargin
-  }
-
-  /** Shared walk unroll for `random_walks` / `walk_skipgram` (mirrors
-    * Graft.randomWalks over the cnt >= 2 co-occurrence graph, khop's
-    * seed rule, 2 reps × 4 steps): per step, each walker's next node is
-    * the neighbor minimizing md5(salt|seed|rep|step|dst) — the engine's
-    * min(struct(h, dst)) argmin is exactly QUALIFY row_number() ORDER BY
-    * (h, dst) = 1. Ends with `walks AS (seed, rep, step, node)`.
-    */
-  private def walkCte(steps: Int, reps: Int, salt: String = "walk"): String = {
-    val repVals = (0 until reps).map(r => s"($r)").mkString(", ")
-    val head = cooccurCte +
-      s""", edges AS (
-      |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
-      |),
-      |seeds AS (SELECT DISTINCT src AS node FROM edges
-      |  WHERE CAST(src AS BIGINT) % 100 = 0),
-      |w0 AS (SELECT s.node AS seed, r.rep, s.node AS cur
-      |  FROM seeds s CROSS JOIN (VALUES $repVals) AS r(rep))""".stripMargin
-    val iters = (1 to steps).map { i =>
-      s""",
-      |c$i AS (SELECT w.seed, w.rep, e.dst,
-      |  md5(concat_ws('|', '$salt', w.seed, CAST(w.rep AS VARCHAR),
-      |    '$i', e.dst)) AS h
-      |  FROM w${i - 1} w JOIN edges e ON w.cur = e.src),
-      |w$i AS (SELECT seed, rep, dst AS cur FROM c$i
-      |  QUALIFY row_number() OVER (PARTITION BY seed, rep ORDER BY h, dst) = 1)""".stripMargin
-    }.mkString
-    val union = (0 to steps).map { i =>
-      s"SELECT seed, rep, $i AS step, cur AS node FROM w$i"
-    }.mkString("\n  UNION ALL ")
-    head + iters + s",\nwalks AS (\n  $union\n)"
-  }
-
-  /** Unrolled node2vec-walk oracle (mirrors Graph.node2vecWalks over
-    * the cnt >= 2 graph, khop's seeds, 2 reps × 4 steps): per step the
-    * candidate weight is the return/common/outward CASE off the
-    * previous node (NULL prev at step 1 fails both tests → uniform 2),
-    * draws come from a 4-row VALUES table filtered t < wt, and the
-    * engine's min(struct(h, dst)) is QUALIFY row_number ORDER BY
-    * (h, dst) = 1.
-    */
-  private def node2vecSql(steps: Int, reps: Int,
-      salt: String = "n2v"): String = {
-    val repVals = (0 until reps).map(r => s"($r)").mkString(", ")
-    val head = cooccurCte +
-      s""", edges AS MATERIALIZED (
-      |  SELECT DISTINCT product AS src, neighbor AS dst
-      |  FROM counts WHERE cnt >= 2
-      |),
-      |seeds AS (SELECT DISTINCT src AS node FROM edges
-      |  WHERE CAST(src AS BIGINT) % 100 = 0),
-      |tt(t) AS (VALUES (0), (1), (2), (3)),
-      |v0 AS (SELECT s.node AS seed, r.rep,
-      |    CAST(NULL AS VARCHAR) AS prev, s.node AS cur
-      |  FROM seeds s CROSS JOIN (VALUES $repVals) AS r(rep))""".stripMargin
-    val iters = (1 to steps).map { i =>
-      s""",
-      |vc$i AS (
-      |  SELECT w.seed, w.rep, w.cur, e.dst,
-      |    CASE WHEN e.dst = w.prev THEN 1
-      |      WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS wt
-      |  FROM v${i - 1} w
-      |  JOIN edges e ON w.cur = e.src
-      |  LEFT JOIN edges a ON a.src = w.prev AND a.dst = e.dst),
-      |v$i AS (
-      |  SELECT seed, rep, cur AS prev, dst AS cur FROM (
-      |    SELECT c.seed, c.rep, c.cur, c.dst,
-      |      md5(concat_ws('|', '$salt', c.seed, CAST(c.rep AS VARCHAR),
-      |        '$i', c.dst, CAST(tt.t AS VARCHAR))) AS h
-      |    FROM vc$i c JOIN tt ON tt.t < c.wt)
-      |  QUALIFY row_number() OVER (PARTITION BY seed, rep ORDER BY h, dst) = 1)""".stripMargin
-    }.mkString
-    val union = (0 to steps).map { i =>
-      s"SELECT seed, rep, $i AS step, cur AS node FROM v$i"
-    }.mkString("\n  UNION ALL ")
-    head + iters +
-      s"\nSELECT seed, rep, step, node FROM (\n  $union\n)" +
-      "\nORDER BY seed, rep, step"
-  }
-
-  /** Unrolled synchronous label-propagation oracle (mirrors
-    * Graph.labelPropagation over the cnt >= 2 co-occurrence graph):
-    * each round's QUALIFY argmax (ORDER BY c DESC, lbl) is exactly the
-    * engine's min(struct(-cnt, lbl)) — max neighbor-label count, ties to
-    * the smallest label. `adj` is MATERIALIZED: every round re-reads it,
-    * and inlined it would re-expand the whole basket derivation per round.
-    */
-  private def lpaSql(iterations: Int): String = {
-    val head = cooccurCte +
-      """, und AS (
-      |  SELECT DISTINCT least(product, neighbor) AS u,
-      |    greatest(product, neighbor) AS v
-      |  FROM counts WHERE product <> neighbor AND cnt >= 2
-      |), adj AS MATERIALIZED (
-      |  SELECT u AS node, v AS nbr FROM und
-      |  UNION ALL SELECT v, u FROM und
-      |), l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-      |c$i AS (SELECT a.node, l.lbl, count(*) AS c
-      |  FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
-      |l$i AS MATERIALIZED (SELECT node, lbl FROM c$i
-      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)""".stripMargin
-    }.mkString
-    head + iters +
-      s"\nSELECT node, lbl AS community FROM l$iterations ORDER BY node"
-  }
-
-  /** Oracle for the CONVERGENCE-TERMINATED monotone LPA
-    * (Graph.lpaConverged): the same per-round argmax as [[lpaSql]],
-    * clamped by `least(current, candidate)`. The engine loops until no
-    * label changes; the oracle replays it as a FIXED unroll — the
-    * monotone update makes post-convergence rounds no-ops, so ANY
-    * unroll count at or above the engine's convergence round yields
-    * the identical labeling. `unrollRounds` must therefore stay >= the
-    * fixture's convergence round (engine asserts convergence within
-    * its own maxRounds=50; PipelineSpec pins the sf0.01 convergence
-    * round well under the unroll).
-    */
-  private def lpaConvergedCte(unrollRounds: Int): String = {
-    val head = cooccurCte +
-      """, und AS (
-      |  SELECT DISTINCT least(product, neighbor) AS u,
-      |    greatest(product, neighbor) AS v
-      |  FROM counts WHERE product <> neighbor AND cnt >= 2
-      |), adj AS MATERIALIZED (
-      |  SELECT u AS node, v AS nbr FROM und
-      |  UNION ALL SELECT v, u FROM und
-      |), l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)""".stripMargin
-    val iters = (1 to unrollRounds).map { i =>
-      s""",
-      |c$i AS (SELECT a.node, l.lbl, count(*) AS c
-      |  FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
-      |m$i AS (SELECT node, lbl AS cand FROM c$i
-      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1),
-      |l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, m.cand) AS lbl
-      |  FROM l${i - 1} l JOIN m$i m ON l.node = m.node)""".stripMargin
-    }.mkString
-    head + iters +
-      s",\nlabels AS (SELECT node, lbl AS community FROM l$unrollRounds)"
-  }
-
-  /** `modularity_lpa`: Newman modularity of the converged LPA
-    * communities over the same undirected significant graph, in EXACT
-    * integer arithmetic — per community c the numerator
-    * q_num = 4·m·e_c − d_c² (HUGEINT/DECIMAL(38,0) multiply, BIGINT
-    * result), where Q = Σ_c q_num / (4m²). The `und`/`labels` CTEs come
-    * from [[lpaConvergedCte]] verbatim, so the community definition
-    * cannot drift between the two queries.
-    */
-  private def modularityLpaSql(unrollRounds: Int): String =
-    lpaConvergedCte(unrollRounds) +
-      """,
-      |mm AS (SELECT count(*) AS m FROM und),
-      |ec AS (
-      |  SELECT lu.community, count(*) AS e_in
-      |  FROM und
-      |  JOIN labels lu ON und.u = lu.node
-      |  JOIN labels lv ON und.v = lv.node
-      |  WHERE lu.community = lv.community
-      |  GROUP BY 1
-      |), dc AS (
-      |  SELECT l.community, count(*) AS d_tot FROM (
-      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
-      |  JOIN labels l ON x.node = l.node GROUP BY 1
-      |), nn AS (
-      |  SELECT community, count(*) AS n_nodes FROM labels GROUP BY 1)
-      |SELECT nn.community, nn.n_nodes,
-      |  CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in,
-      |  CAST(dc.d_tot AS BIGINT) AS d_tot,
-      |  CAST(CAST(4 AS HUGEINT) * mm.m * coalesce(ec.e_in, 0) -
-      |    CAST(dc.d_tot AS HUGEINT) * dc.d_tot AS BIGINT) AS q_num
-      |FROM nn
-      |JOIN dc ON nn.community = dc.community
-      |LEFT JOIN ec ON nn.community = ec.community
-      |CROSS JOIN mm
-      |ORDER BY nn.community""".stripMargin
-
-  /** Oracle for kcore_decompose (Graph.kcoreDecompose): a fixed unroll
-    * of the synchronous peel — each round keeps exactly the nodes with
-    * >= k surviving neighbors. Post-convergence rounds are no-ops
-    * (dropping nobody leaves every degree unchanged), so any unroll at
-    * or above the engine's convergence round is the identical core;
-    * PipelineSpec pins sf0.01 convergence within the unroll (the
-    * lpaConvergedCte contract).
-    */
-  private def kcoreSql(k: Int, unrollRounds: Int): String = {
-    val head = cooccurCte +
-      """, und AS (
-      |  SELECT DISTINCT least(product, neighbor) AS u,
-      |    greatest(product, neighbor) AS v
-      |  FROM counts WHERE product <> neighbor AND cnt >= 2
-      |), adj AS MATERIALIZED (
-      |  SELECT u AS node, v AS nbr FROM und
-      |  UNION ALL SELECT v, u FROM und
-      |), n0 AS (SELECT DISTINCT node FROM adj)""".stripMargin
-    val iters = (1 to unrollRounds).map { i =>
-      s""",
-      |n$i AS MATERIALIZED (
-      |  SELECT a.node FROM adj a
-      |  JOIN n${i - 1} s ON a.node = s.node
-      |  JOIN n${i - 1} t ON a.nbr = t.node
-      |  GROUP BY a.node HAVING count(*) >= $k)""".stripMargin
-    }.mkString
-    head + iters +
-      s"""
-      |SELECT a.node, count(*) AS core_deg FROM adj a
-      |JOIN n$unrollRounds s ON a.node = s.node
-      |JOIN n$unrollRounds t ON a.nbr = t.node
-      |GROUP BY a.node ORDER BY a.node""".stripMargin
-  }
-
-  /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
-    * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
-    * separators — the representation in which ONE SQL replace of
-    * `' a  b '` by `' ab '` is exactly one left-to-right greedy merge
-    * pass (the consumed trailing space regenerates as the replacement's
-    * trailing space, so chains like `aaaa` → `aa aa` fall out of plain
-    * scan-order replacement). Merges fold in rank order — the same
-    * sequential semantics the engine's token-array loop implements.
-    */
-  private val bpeEncodedExpr: String =
-    graft.operators.TextAnalysis.DefaultMerges
-      .foldLeft("regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") {
-        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
-      }
-
-  /** Rounds the bpe_train / pipeline_tokenizer oracles unroll — must
-    * equal TextAnalysis.bpeTrain's default merges.
-    */
-  private val BpeOracleRounds = 64
-
-  /** Rounds the vocabulary-scale twin unrolls: the largest chain
-    * DuckDB's binder accepts is ~300 dependent CTE rounds (max
-    * expression depth 1000, ~3 per round), so the exact-parity leg runs
-    * at 256 and the 1024-merge leg (`bpe_train_1k`) verifies
-    * structurally.
-    */
-  private val BpeVocabRounds = 256
-
-  /** The unrolled BPE-training CTE chain: word-type relation → `rounds`
-    * rounds of (pair-count p_i, argmax b_i, greedy-merge e_{i+1}) over
-    * the space-encoded form. Shared by bpe_train (emits the b_i rules)
-    * and pipeline_tokenizer (applies e_rounds back to the documents).
-    *
-    * `wordCte` names the word-type head CTE — parameterized at the
-    * definition site (r13 advice) so a composing oracle whose WITH list
-    * already binds `w` (pipeline_dsir_pack's DSIR weights) renames it
-    * here instead of post-hoc string surgery that would silently
-    * mis-bind if this chain ever referenced `w` in another form.
-    */
-  private def bpeTrainOracleChain(rounds: Int,
-      wordCte: String = "w"): String = {
-    // every chain CTE is MATERIALIZED: e_i is referenced twice per round
-    // (pair count + next merge) — inlined, the chain re-expands
-    // exponentially and re-opens the parquet scan per expansion
-    def round(i: Int) = s""",
-      |p$i AS MATERIALIZED (
-      |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
-      |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
-      |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
-      |  GROUP BY 1, 2),
-      |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-      |e${i + 1} AS MATERIALIZED (SELECT word, freq,
-      |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
-      |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
-      |  FROM e$i)""".stripMargin
-    s"""WITH $wordCte AS MATERIALIZED (
-      |  SELECT token AS word, count(*) AS freq FROM (
-      |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
-      |  GROUP BY token),
-      |e0 AS MATERIALIZED (SELECT word, freq,
-      |  regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS enc FROM $wordCte)""".stripMargin +
-      (0 until rounds).map(round).mkString
-  }
-
-  /** The partkey word-type head (shared by both vocabulary-scale BPE
-    * oracles): each lineitem row contributes its partkey string as one
-    * word occurrence — the exact relation the engine trains on.
-    */
-  private val bpeVocabWordsCte =
-    // NOT s-interpolated, so \1 below is already the literal backslash-1
-    // the DuckDB replacement needs (the s"" interpolator would require \\1)
-    """WITH w AS MATERIALIZED (
-      |  SELECT CAST(l_partkey AS VARCHAR) AS word, count(*) AS freq
-      |  FROM lineitem GROUP BY 1),
-      |e0 AS MATERIALIZED (SELECT word, freq,
-      |  regexp_replace(word, '(?s)(.)', ' \1 ', 'g') AS enc FROM w)""".stripMargin
-
-  /** [[bpeTrainOracleChain]] over the partkey vocabulary with the final
-    * rule union BATCHED through intermediate CTEs (64 per batch): a flat
-    * 256-way UNION ALL parses as a left-deep tree and trips DuckDB's
-    * max-expression-depth on its own, independent of the CTE chain.
-    */
-  private def bpeVocabOracleSql(rounds: Int): String = {
-    def round(i: Int) = s""",
-      |p$i AS MATERIALIZED (
-      |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
-      |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
-      |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e$i))
-      |  GROUP BY 1, 2),
-      |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-      |e${i + 1} AS MATERIALIZED (SELECT word, freq,
-      |  replace(enc, ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
-      |               ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS enc
-      |  FROM e$i)""".stripMargin
-    val batchSize = 64
-    val starts = 0 until rounds by batchSize
-    val batches = starts.map { s =>
-      val u = (s until math.min(s + batchSize, rounds)).map { i =>
-        s"SELECT CAST(${i + 1} AS INT) AS round, a AS sym_a, b AS sym_b, " +
-          s"CAST(cnt AS BIGINT) AS cnt FROM b$i"
-      }.mkString(" UNION ALL ")
-      s",\nu${s / batchSize} AS MATERIALIZED ($u)"
-    }.mkString
-    val finalSel = starts.indices
-      .map(j => s"SELECT * FROM u$j").mkString(" UNION ALL ")
-    bpeVocabWordsCte + (0 until rounds).map(round).mkString + batches +
-      s"\nSELECT * FROM ($finalSel) ORDER BY round"
-  }
-
-  /** The unrolled unigram-LM hard-EM oracle (Kudo 2018; engine twin
-    * [[operators.TextAnalysis.unigramTrain]]): seed-substring vocab →
-    * per round, a `maxWordLen`-level Viterbi DP chain (dp level i =
-    * best-scoring segmentation of each word's length-i prefix, argmax
-    * by `ORDER BY sc DESC, seg` — exactly the engine's tie-break) →
-    * usage counts → re-scored pieces. Every dp level is MATERIALIZED:
-    * levels are referenced by up to `maxPieceLen` successors, and
-    * inlined they would re-expand exponentially (the
-    * [[bpeTrainOracleChain]] lesson).
-    */
-  private def unigramOracleSql(vocabSize: Int = 256, rounds: Int = 2,
-      maxPieceLen: Int = 4, maxWordLen: Int = 16,
-      fertility: Boolean = false): String = {
-    def dpChain(r: Int, scoreCte: String,
-        withScores: Boolean = true): String = {
-      val sb = new StringBuilder
-      sb.append(s""",
-        |d${r}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS sc, '' AS seg
-        |  FROM words)""".stripMargin)
-      for (i <- 1 to maxWordLen) {
-        val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
-          s"""      SELECT d.word, d.freq, d.sc + w.s_e6 AS sc,
-             |        CASE WHEN d.seg = '' THEN substr(d.word, ${j + 1}, ${i - j})
-             |          ELSE d.seg || ' ' || substr(d.word, ${j + 1}, ${i - j}) END AS seg
-             |      FROM d${r}_$j d JOIN $scoreCte w
-             |        ON w.piece = substr(d.word, ${j + 1}, ${i - j})
-             |      WHERE length(d.word) >= $i""".stripMargin
-        }.mkString("\n      UNION ALL\n")
-        sb.append(s""",
-          |d${r}_$i AS MATERIALIZED (
-          |  SELECT word, freq, sc, seg FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY word
-          |      ORDER BY sc DESC, seg) AS rn
-          |    FROM (
-          |$branches
-          |    )
-          |  ) WHERE rn = 1)""".stripMargin)
-      }
-      sb.append(s""",
-        |seg$r AS MATERIALIZED (
-        |""".stripMargin +
-        (1 to maxWordLen).map(i =>
-          s"  SELECT word, freq, seg FROM d${r}_$i WHERE length(word) = $i")
-          .mkString("\n  UNION ALL\n") + (if (withScores) ")," else ")"))
-      if (withScores) sb.append(s"""
-        |usage$r AS MATERIALIZED (
-        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
-        |    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg$r)
-        |  GROUP BY piece),
-        |t$r AS (SELECT CAST(sum(usage) AS BIGINT) AS tot FROM usage$r),
-        |w$r AS MATERIALIZED (
-        |  SELECT piece, CAST(floor(ln(CAST(usage AS DOUBLE)
-        |    / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM usage$r CROSS JOIN t$r)""".stripMargin)
-      sb.toString
-    }
-    val head = s"""WITH words AS MATERIALIZED (
-      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-      |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-      |    FROM documents)
-      |  WHERE length(word) <= $maxWordLen GROUP BY word),
-      |seeds AS MATERIALIZED (
-      |  SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
-      |  FROM (
-      |    SELECT word, freq, i, l FROM
-      |      (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
-      |       FROM words)
-      |      CROSS JOIN (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l)
-      |    WHERE i + l - 1 <= length(word))
-      |  GROUP BY 1),
-      |chars AS MATERIALIZED (
-      |  SELECT piece, cnt FROM seeds WHERE length(piece) = 1),
-      |multi AS (SELECT piece, cnt FROM (
-      |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS r
-      |    FROM seeds WHERE length(piece) >= 2)
-      |  WHERE r <= $vocabSize - (SELECT count(*) FROM chars)),
-      |v0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
-      |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v0),
-      |w0 AS MATERIALIZED (
-      |  SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE)
-      |    / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
-      |  FROM v0 CROSS JOIN t0)""".stripMargin
-    val chains = (1 to rounds)
-      .map(r => dpChain(r, s"w${r - 1}")).mkString
-    if (!fertility)
-      head + chains + s"""
-        |SELECT u.piece, u.usage, w.s_e6 AS score_e6
-        |FROM usage$rounds u JOIN w$rounds w USING (piece)
-        |ORDER BY piece""".stripMargin
-    else {
-      // one more Viterbi chain under the LEARNED scores (no re-score),
-      // then per-document budgets over the word occurrences; words the
-      // pruned vocab cannot segment (or >maxWordLen chars) are
-      // uncovered — they never reach seg${rounds + 1}
-      val app = dpChain(rounds + 1, s"w$rounds", withScores = false)
-      head + chains + app + s""",
-        |pp AS MATERIALIZED (
-        |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT)
-        |    AS n_pieces
-        |  FROM seg${rounds + 1}),
-        |docw AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+'))
-        |    AS word
-        |  FROM documents)
-        |SELECT doc_id,
-        |  count(*) AS n_words,
-        |  CAST(sum(CASE WHEN pp.n_pieces IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_covered,
-        |  CAST(coalesce(sum(pp.n_pieces), 0) AS BIGINT) AS n_pieces,
-        |  CAST(coalesce(sum(CASE WHEN pp.n_pieces IS NOT NULL
-        |    THEN length(docw.word) END), 0) AS BIGINT) AS n_chars_covered
-        |FROM docw LEFT JOIN pp USING (word)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
-  }
-
-  /** Distinct token-trigram shingles per document (mirrors Dedup.shingles). */
-  /** Per-document bigram-LM scores (shared by bigram_logprob and
-    * perplexity_buckets): add-one-smoothed conditional surprisal, e6
-    * integer contract.
-    */
-  /** DSIR per-doc log-importance scores (`doc_scores`): hashed
-    * unigram+bigram features, ONE conditional aggregate for both the
-    * target (lang='en') and raw bucket counts, add-one smoothing over
-    * the 256-bucket space, per-bucket log ratio floored to an e6
-    * integer model-side so document scores are exact integer sums.
-    */
-  private val dsirWeightsCte =
-    """WITH arrs AS (
-      |  SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS arr
-      |  FROM documents
-      |), uni AS (
-      |  SELECT doc_id, is_target, unnest(arr) AS feat FROM arrs
-      |), bi AS (
-      |  SELECT doc_id, is_target, arr[i - 1] || ' ' || arr[i] AS feat
-      |  FROM (SELECT doc_id, is_target, arr, unnest(range(2, len(arr) + 1)) AS i
-      |        FROM arrs)
-      |), feats AS (
-      |  SELECT * FROM uni UNION ALL SELECT * FROM bi
-      |), counts AS (
-      |  SELECT substr(md5(feat), 1, 2) AS bkt, count(*) AS rc,
-      |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
-      |  FROM feats GROUP BY 1
-      |), tot AS (
-      |  SELECT CAST(sum(rc) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt
-      |  FROM counts
-      |), w AS (
-      |  SELECT bkt,
-      |    CAST(floor((ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
-      |              - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)))
-      |      * 1000000.0) AS BIGINT) AS w_e6
-      |  FROM counts CROSS JOIN tot
-      |), doc_scores AS (
-      |  SELECT f.doc_id, bool_or(f.is_target) AS is_target,
-      |    count(*) AS n_feats, CAST(sum(w.w_e6) AS BIGINT) AS score_e6
-      |  FROM feats f JOIN w ON substr(md5(f.feat), 1, 2) = w.bkt
-      |  GROUP BY f.doc_id)
-      |""".stripMargin
-
-  private val bigramDocScoresCte =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |), bg AS (
-      |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
-      |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
-      |), model AS (
-      |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
-      |), ctx AS (
-      |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
-      |), voc AS (
-      |  SELECT count(DISTINCT tok) AS v FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      |), scored AS (
-      |  SELECT m.w1, m.w2,
-      |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
-      |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
-      |      * 1000000.0) AS BIGINT) AS s_e6
-      |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
-      |), doc_scores AS (
-      |  SELECT doc_id, count(*) AS n_bigrams,
-      |    CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
-      |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-      |      AS avg_surprisal_e6
-      |  FROM bg JOIN scored USING (w1, w2)
-      |  GROUP BY doc_id
-      |)
-      |""".stripMargin
-
-  private val shinglesCte =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-      |  FROM toks
-      |)""".stripMargin
-
-  private lazy val phraseSearchSql: String =
-    """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        |), p AS (
-        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
-        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
-        |), a AS (
-        |  SELECT doc_id, list(pos ORDER BY pos) AS pa FROM p
-        |  WHERE token = 'table' GROUP BY doc_id
-        |), b AS (
-        |  SELECT doc_id, list(pos ORDER BY pos) AS pb FROM p
-        |  WHERE token = 'hash' GROUP BY doc_id
-        |), hits AS (
-        |  SELECT a.doc_id,
-        |    CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb)) AS BIGINT) AS n_hits
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
-        |ORDER BY doc_id""".stripMargin
-
-  private lazy val ngramCoverageSql: String =
-    shinglesCte +
-      """, owner AS (
-      |  SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle
-      |), per AS (
-      |  SELECT s.doc_id, count(*) AS n_shingles,
-      |    CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-      |  FROM sh s JOIN owner o USING (shingle) GROUP BY s.doc_id)
-      |SELECT doc_id, n_shingles, n_novel,
-      |  CAST(sum(n_novel) OVER (ORDER BY doc_id) AS BIGINT) AS cum_novel
-      |FROM per ORDER BY doc_id""".stripMargin
-
-  /** Positional 8-gram span CTE (substring-dedup family) — every window of
-    * 8 consecutive whitespace tokens, occurrences kept (no DISTINCT:
-    * unlike shingle sets, substring dedup counts every occurrence).
-    */
-  private val spansCte =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |), g AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, len(t) - 6),
-      |      i -> array_to_string(t[i:i+7], ' '))) AS gram
-      |  FROM toks
-      |)
-      |""".stripMargin
-
-  /** Contamination oracle, shared by the broadcast-join and Bloom-filter
-    * engine paths (both produce the identical exact result).
-    */
-  private val contaminationSql =
-    shinglesCte +
-      s""", bench AS (SELECT DISTINCT shingle FROM sh
-      |  WHERE doc_id % 97 = 0 AND doc_id <= ${TextAnalysis.MaxBenchmarkDocId}),
-      |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-      |hits AS (
-      |  SELECT s.doc_id, count(*) AS n_contaminated
-      |  FROM sh s JOIN bench USING (shingle) GROUP BY s.doc_id)
-      |SELECT t.doc_id, t.n_shingles,
-      |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-      |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS contamination,
-      |  t.doc_id % 97 = 0 AND t.doc_id <= ${TextAnalysis.MaxBenchmarkDocId} AS is_benchmark
-      |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
-      |ORDER BY t.doc_id""".stripMargin
-
-  /** Generated SQL for the 64-bit SimHash fingerprint (mirrors
-    * Dedup.simhash's ascii-decoded md5 nibble bits exactly).
-    */
-  /** Oracle twin of `Multimodal.phashFingerprints`: the engine's hash
-    * reads PNG-decoded raster samples, but PNG grayscale is lossless, so
-    * the decoded pixel IS the synthesized byte — replayed here as
-    * positional text bytes (pixel k = byte at the downsampled position
-    * k·len/72, integer floor on both sides). Bit y·8+x of the 64-bit
-    * dHash is pixel(x+1,y) > pixel(x,y); chunks c0..c3 are 16-bit slices.
-    */
-  private lazy val phashFpCte: String = {
-    val n = Multimodal.PhashPixels
-    val hw = Multimodal.HashW
-    val pxCols = (0 until n).map(k =>
-      s"ascii(substr(text, 1 + (($k * length(text)) // $n), 1)) AS p$k")
-      .mkString(",\n    ")
-    def chunk(j: Int) = (0 until 16).map { b =>
-      val k = j * 16 + b
-      val y = k / (hw - 1)
-      val x = k % (hw - 1)
-      s"(CASE WHEN p${y * hw + x + 1} > p${y * hw + x} THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
-    val chunkCols = (0 until 4).map(j =>
-      s"CAST(${chunk(j)} AS BIGINT) AS c$j").mkString(",\n    ")
-    s"""WITH imgs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, '~' || substr(text, 2)
-      |  FROM documents WHERE doc_id % 50 = 0
-      |), px AS (
-      |  SELECT doc_id,
-      |    $pxCols
-      |  FROM imgs
-      |), fp AS (
-      |  SELECT doc_id,
-      |    $chunkCols
-      |  FROM px
-      |)""".stripMargin
-  }
-
-  /** Shared gradient-fingerprint CTE generator for the synthetic
-    * media fixtures: per doc, 64 gradient-sign bits of the sequence
-    * `(doc_id·mult + step·i) mod m`, packed as the family's 4×16-bit
-    * chunks (c0..c3). `video_phash_partners` replays the Y4M mean-luma
-    * recipe with (7, 13, 220); `audio_phash_partners` replays the WAV
-    * window-energy recipe with (11, 17, 199). A broken container
-    * writer, parser, frame-walk, or sample decode on the Spark side
-    * flips bits and fails the hash gate.
-    */
-  private def gradientFpCte(mult: Int, step: Int, mod: Int): String = {
-    def chunk(c: Int) =
-      s"""CAST(list_sum(list_transform(range(0, 16), b ->
-         |      CASE WHEN (doc_id * $mult + $step * (16 * $c + b + 1)) % $mod
-         |              > (doc_id * $mult + $step * (16 * $c + b)) % $mod
-         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END))
-         |      AS BIGINT) AS c$c""".stripMargin
-    s"""WITH fp AS (
-       |  SELECT doc_id,
-       |    ${(0 until 4).map(chunk).mkString(",\n    ")}
-       |  FROM documents
-       |)""".stripMargin
-  }
-
-  private lazy val videoFpCte: String = gradientFpCte(7, 13, 220)
-  private lazy val audioFpCte: String = gradientFpCte(11, 17, 199)
-
-  /** The capped-partner replay shared by `simhash_partners`,
-    * `phash_partners`, `video_phash_partners` and `audio_phash_partners`
-    * — identical SQL over
-    * whichever fingerprint CTE defines `fp(doc_id, c0..c3)`: first
-    * maxBucket=64 members per (chunk, value) bucket, pairs within the
-    * cap, Hamming ≤ 12, per-doc top-5 by (hamming, partner). */
-  private val partnersReplaySql: String =
-    """, ch AS (
-      |  SELECT doc_id, 0 AS ci, c0 AS cv FROM fp
-      |  UNION ALL SELECT doc_id, 1, c1 FROM fp
-      |  UNION ALL SELECT doc_id, 2, c2 FROM fp
-      |  UNION ALL SELECT doc_id, 3, c3 FROM fp),
-      |capped AS (
-      |  SELECT doc_id, ci, cv FROM (
-      |    SELECT doc_id, ci, cv,
-      |      row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) AS br
-      |    FROM ch) WHERE br <= 64),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM capped x JOIN capped y
-      |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
-      |r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-      |pairs AS (
-      |  SELECT c.doc_a, c.doc_b,
-      |    CAST(bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-      |       + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) AS INTEGER) AS hamming
-      |  FROM cand c JOIN fp f ON f.doc_id = c.doc_a
-      |    JOIN r ON r.doc_b = c.doc_b
-      |  WHERE bit_count(xor(f.c0, r.d0)) + bit_count(xor(f.c1, r.d1))
-      |      + bit_count(xor(f.c2, r.d2)) + bit_count(xor(f.c3, r.d3)) <= 12),
-      |mirrored AS (
-      |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
-      |  UNION ALL
-      |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
-      |SELECT doc_id, partner, hamming, rk FROM (
-      |  SELECT doc_id, partner, hamming,
-      |    CAST(row_number() OVER (PARTITION BY doc_id
-      |      ORDER BY hamming, partner) AS INTEGER) AS rk
-      |  FROM mirrored)
-      |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
-
-  private val simhashFpCte: String = {
-    val hvs = (1 to 16).map { nib =>
-      s"(ascii(substr(m, $nib, 1)) - CASE WHEN ascii(substr(m, $nib, 1)) >= 97 THEN 87 ELSE 48 END) AS hv$nib"
-    }.mkString(",\n    ")
-    val votes = (0 until 64).map { b =>
-      s"sum(CASE WHEN ((hv${b / 4 + 1} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-    }.mkString(",\n    ")
-    val chunks = (0 until 4).map { c =>
-      val bits = (0 until 16)
-        .map(i => s"(CASE WHEN v${c * 16 + i} > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"CAST($bits AS BIGINT) AS c$c"
-    }.mkString(",\n    ")
-    s"""WITH tokens AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |), h AS (
-       |  SELECT doc_id, md5(tok) AS m FROM tokens
-       |), hx AS (
-       |  SELECT doc_id,
-       |    $hvs
-       |  FROM h
-       |), votes AS (
-       |  SELECT doc_id,
-       |    $votes
-       |  FROM hx GROUP BY doc_id
-       |), fp AS (
-       |  SELECT doc_id,
-       |    $chunks
-       |  FROM votes
-       |)""".stripMargin
-  }
-
-  /** Generated SQL for the 8-plane sign-random-projection bucket (mirrors
-    * Similarity.bucketOf: md5-derived weights, 0-based dims). `table`
-    * selects the independent hash table (globally-numbered planes, same
-    * as the engine's OR-construction).
-    */
-  private def lshBucketExprFor(table: Int): String =
-    (0 until Similarity.NumPlanes).map { p =>
-      val plane = table * Similarity.NumPlanes + p
-      val w = s"((ascii(substr(md5('${plane}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - " +
-        s"CASE WHEN ascii(substr(md5('${plane}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) >= 97 THEN 87 ELSE 48 END) - 7.5)"
-      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $w)) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
-
-  private val lshBucketExpr: String = lshBucketExprFor(0)
-
-  private val embedCte =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), n AS (
-      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-      |)""".stripMargin
-
-  private val dotExpr =
-    "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
-
-  /** Shared by `cusum_alerts` and `cusum_stream`: the streaming replay
-    * must reproduce the batch fold bit-for-bit, so both rows hold to
-    * one text — the max(0,·) recurrence unrolled to prefix sums minus
-    * a running min over exact integer cents.
-    */
-  private lazy val cusumOracleSql: String =
-    s"""WITH c AS (
-      |  SELECT user_id, ts, event_id,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      |  FROM events
-      |), k AS (
-      |  SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
-      |    AS kk FROM c
-      |), p AS (
-      |  SELECT user_id, ts, event_id,
-      |    sum(cents - kk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
-      |  FROM c CROSS JOIN k
-      |), r AS (
-      |  SELECT user_id,
-      |    pf - least(min(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
-      |  FROM p)
-      |SELECT user_id, count(*) AS n_events,
-      |  CAST(max(cusum) AS BIGINT) AS max_cusum_cents,
-      |  CAST(sum(CASE WHEN cusum >= ${operators.Events.CusumThresholdCents}
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
-      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** Shared by `ann_ivf_topk` and `ann_ivf_persisted`: the persisted-index
-    * serve is defined to reproduce the in-flight serve bit-for-bit. */
-  private lazy val annIvfTopKOracle =
-    embedCte +
-      s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-      |), scored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), assigned AS (
-      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |    FROM scored) WHERE crk = 1
-      |), p AS (
-      |  SELECT a.vec_id AS vec_id, a.cluster AS cluster, b.vec_id AS other_id,
-      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM assigned a JOIN assigned b
-      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-      |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** `ann_batch_serve`: the head-query multi-probe replay of
-    * [[annIvfTopKOracle]] — queries are the first 8 corpus vectors, each
-    * probing its top-2 cells (crk <= 2); candidates come from the full
-    * crk = 1 index side. The engine's literal-IN pruning is a scan
-    * optimization with no result-set effect, so the oracle needs no
-    * counterpart for it.
-    */
-  private lazy val annBatchServeOracle =
-    embedCte +
-      s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-      |), scored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |  FROM scored
-      |), assigned AS (
-      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM ranked WHERE crk = 1
-      |), head AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8),
-      |probes AS (
-      |  SELECT r.vec_id, r.v, r.nrm, r.cent_id AS cluster
-      |  FROM ranked r JOIN head h ON r.vec_id = h.vec_id WHERE r.crk <= 2
-      |), p AS (
-      |  SELECT a.vec_id AS vec_id, b.cluster AS cluster, b.vec_id AS other_id,
-      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM probes a JOIN assigned b
-      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-      |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** `ann_partners`: the within-cell all-pairs definition with the
-    * index-side cell cap replayed exactly (QUALIFY row_number ≤ maxCell
-    * by vec_id — inactive at gate scale, mirrored anyway so the oracle
-    * stays definitionally in lockstep with the operator's bound). */
-  private lazy val annPartnersOracle =
-    embedCte + annPartnersOracleBody(64)
-
-  /** The annPartners replay body over ANY `n(vec_id, v, nrm)` CTE —
-    * shared by the raw-embedding and image-descriptor modalities
-    * (`dims` only changes the dot-product width). */
-  private def annPartnersOracleBody(dims: Int,
-      centsWhere: String = "vec_id < 16"): String =
-      s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE $centsWhere
-      |), scored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), assigned AS (
-      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |    FROM scored) WHERE crk = 1
-      |), capped AS (
-      |  SELECT vec_id, v, nrm, cluster FROM assigned
-      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
-      |), p AS (
-      |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-      |    CAST(floor(list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM assigned a JOIN capped b
-      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** The PQ subspace/codebook/distance CTE chain shared by `pq_encode`
-    * and `ann_ivfpq_topk`: 8 contiguous 8-dim subspaces, codewords = the
-    * m-th subvectors of the first 16 vectors, d2_e6 = floor(1e6 · squared
-    * L2) between every (vector, subspace) slice and every codeword —
-    * `dist` doubles as the encode argmin input and the IVFADC lookup
-    * table.
-    */
-  private val pqDistCtes = pqDistCtesFrom("n")
-
-  /** [[pqDistCtes]] parameterized by the vector source CTE and the
-    * codebook row filter — the seam the RESIDUAL variants use to slice
-    * `v - centroid` (CTE `rn`) with codewords from vectors 16..31
-    * (the first 16 are the centroids themselves, whose residuals are
-    * identically zero). Defaults reproduce the raw text byte-for-byte.
-    */
-  private def pqDistCtesFrom(src: String,
-      cbWhere: String = "vec_id < 16",
-      codeIdExpr: String = "vec_id"): String =
-    s""", ms AS (
-      |  SELECT CAST(range AS INTEGER) AS m FROM range(0, 8)
-      |), subs AS (
-      |  SELECT vec_id, m, list_transform(range(1, 9), i -> v[m * 8 + i]) AS sv
-      |  FROM $src CROSS JOIN ms
-      |), cb AS (
-      |  SELECT m, $codeIdExpr AS code_id, sv AS cw FROM subs WHERE $cbWhere
-      |), dist AS (
-      |  SELECT s.vec_id, s.m, c.code_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) * 1000000.0) AS BIGINT) AS d2_e6
-      |  FROM subs s JOIN cb c ON s.m = c.m
-      |)""".stripMargin
-
-  /** `pq_encode`: the per-(vector, subspace) argmin over the shared
-    * distance relation (ties → lowest codeword id). */
-  private lazy val pqEncodeOracle =
-    embedCte + pqDistCtes +
-      """
-      |SELECT vec_id, m, code_id AS code, d2_e6 FROM dist
-      |QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
-      |ORDER BY vec_id, m""".stripMargin
-
-  /** `ann_ivfpq_topk`: IVF cell assignment + PQ codes + the ADC sum over
-    * `dist`-as-LUT, ranked ascending. The sum is CAST to BIGINT — the
-    * DuckDB sum(BIGINT)→HUGEINT escape (the cusum lesson). */
-  /** Exact brute-force cosine top-k over the bounded query head — the
-    * ground-truth relation ann_topk registers and pq_recall reuses.
-    */
-  private lazy val annTopkOracle =
-    embedCte +
-      s""", q AS (
-      |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
-      |), p AS (
-      |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-      |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM q a JOIN n b ON a.vec_id <> b.vec_id)
-      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** The multiprobe IVF top-k select, parameterized by the probe count —
-    * the `ann_ivf_multiprobe` oracle (p = 2) and every leg of the
-    * `ivf_probe_recall` curve share this one text, so the curve can
-    * never drift from the serve it measures.
-    */
-  private def multiprobeSql(p: Int): String =
-    embedCte +
-      s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-      |), scored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |  FROM scored
-      |), assigned AS (
-      |  SELECT vec_id AS other_id, v AS vb, nrm AS nrm_b, cent_id AS cell
-      |  FROM ranked WHERE crk = 1
-      |), probes AS (
-      |  SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE crk <= $p
-      |), p AS (
-      |  SELECT q.vec_id AS vec_id, a.other_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.vb[i])) / (q.nrm * a.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM probes q JOIN assigned a
-      |    ON q.cell = a.cell AND q.vec_id <> a.other_id)
-      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** ivf_probe_recall: one presence-count row per probe setting, each
-    * leg the [[multiprobeSql]] text verbatim against the [[annTopkOracle]]
-    * ground truth restricted to the bounded query head.
-    */
-  private def ivfProbeRecallOracle(probes: Seq[Int]): String = {
-    val rows = probes.map { p =>
-      s""",
-      |cand$p AS (SELECT c.vec_id, c.other_id
-      |  FROM (${multiprobeSql(p)}
-      |  ) c JOIN qs USING (vec_id)
-      |), row$p AS (
-      |  SELECT CAST($p AS INTEGER) AS num_probes,
-      |    CAST(sum(tt.t) AS BIGINT) AS n_true,
-      |    CAST(sum(cc.m) AS BIGINT) AS n_candidates,
-      |    CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.m IS NOT NULL
-      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-      |  FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
-      |  FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS m FROM cand$p) cc
-      |    USING (vec_id, other_id)
-      |)""".stripMargin
-    }.mkString
-    s"""WITH truth AS ($annTopkOracle
-      |), qs AS (
-      |  SELECT vec_id FROM embeddings ORDER BY vec_id
-      |  LIMIT ${Similarity.MaxBruteForceQueries}
-      |)""".stripMargin + rows +
-      probes.map(p => s"SELECT * FROM row$p").mkString(
-        "\n", "\nUNION ALL\n", "\nORDER BY num_probes")
-  }
-
-  /** pq_recall: both legs replayed whole (nested WITH inside each CTE
-    * body — truth is [[annTopkOracle]], cand is [[annIvfpqOracle]]
-    * verbatim, so this oracle can never drift from the two it audits),
-    * joined on the truth's bounded query head with the engine's
-    * full-outer presence aggregation.
-    */
-  private lazy val pqRecallOracle = pqRecallOracleWith(annIvfpqOracle)
-
-  /** [[pqRecallOracle]] parameterized by the candidate serve's oracle,
-    * so the auto-sized and IMI quantizers carry their own
-    * measured-quality rows without re-stating the recall aggregation. */
-  private def pqRecallOracleWith(candSql: String) =
-    s"""WITH truth AS ($annTopkOracle
-      |), cand0 AS ($candSql
-      |), qs AS (SELECT DISTINCT vec_id FROM truth
-      |), cand AS (
-      |  SELECT c.vec_id, c.other_id FROM cand0 c JOIN qs USING (vec_id)
-      |)
-      |SELECT CAST(sum(tt.t) AS BIGINT) AS n_true,
-      |  CAST(sum(cc.c) AS BIGINT) AS n_candidates,
-      |  CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
-      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-      |FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
-      |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
-      |  USING (vec_id, other_id)""".stripMargin
-
-  /** Matryoshka recall: annTopkOracle is truth; the candidate leg is
-    * the same exact scan with vectors sliced to the first 16 dims
-    * BEFORE the norm, so cosine geometry is the truncated space's own.
-    */
-  private lazy val matryoshkaOracle = {
-    val d = 16
-    s"""WITH truth AS ($annTopkOracle
-      |), cand AS (
-      |  WITH e AS (
-      |    SELECT vec_id,
-      |      list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS v
-      |    FROM embeddings
-      |  ), n AS (
-      |    SELECT vec_id, v,
-      |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-      |  ), q AS (
-      |    SELECT * FROM n ORDER BY vec_id
-      |    LIMIT ${operators.Similarity.MaxBruteForceQueries}
-      |  ), p AS (
-      |    SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-      |      CAST(floor(list_sum(list_transform(range(1, ${d + 1}),
-      |        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0)
-      |        AS BIGINT) AS cos_e6
-      |    FROM q a JOIN n b ON a.vec_id <> b.vec_id)
-      |  SELECT vec_id, other_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY cos_e6 DESC, other_id) AS rk
-      |    FROM p)
-      |  WHERE rk <= 5
-      |)
-      |SELECT CAST($d AS INT) AS dims,
-      |  CAST(sum(tt.t) AS BIGINT) AS n_true,
-      |  CAST(sum(cc.c) AS BIGINT) AS n_candidates,
-      |  CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-      |FROM (SELECT vec_id, other_id, 1 AS t FROM truth) tt
-      |FULL OUTER JOIN (SELECT vec_id, other_id, 1 AS c FROM cand) cc
-      |  USING (vec_id, other_id)""".stripMargin
-  }
-
-  private lazy val annIvfpqOracle = annIvfpqOracleWith("vec_id < 16")
-
-  /** `ann_ivfpq_auto` mirrors Similarity.centroidsFor(count): the same
-    * IVFADC body with the centroid count derived from the corpus —
-    * parameterized here at the definition site (the bpeTrainOracleChain
-    * discipline) so the fixed and auto forms can never drift apart.
-    */
-  private lazy val annIvfpqAutoOracle = annIvfpqOracleWith(
-    "vec_id < (SELECT greatest(4, least(4096, count(*) // 256)) FROM embeddings)")
-
-  private def annIvfpqOracleWith(centsWhere: String) =
-    embedCte + ivfAssignHeader(centsWhere) + ivfpqOracleTail
-
-  /** The flat-quantizer cell-assignment CTEs (cents → cscored →
-    * assigned) — shared by the raw, auto-sized, and residual IVFADC
-    * oracles. */
-  private def ivfAssignHeader(centsWhere: String) =
-      s""", cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE $centsWhere
-      |), cscored AS (
-      |  SELECT a.vec_id, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), assigned AS (
-      |  SELECT vec_id, cent_id AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |    FROM cscored) WHERE crk = 1
-      |)""".stripMargin
-
-  /** The residual relation: every vector minus its assigned cell's
-    * centroid, shaped (vec_id, v) so [[pqDistCtesFrom]] slices it
-    * exactly like the raw `n`. */
-  private val residualCte =
-      """, rn AS (
-      |  SELECT a.vec_id, list_transform(range(1, 65), i -> b.v[i] - c.cv[i]) AS v
-      |  FROM assigned a JOIN n b ON a.vec_id = b.vec_id
-      |  JOIN cents c ON a.cluster = c.cent_id
-      |)""".stripMargin
-
-  /** The residual PQ distance chain: [[pqDistCtesFrom]] over `rn` with
-    * codewords = residual slices of vectors 16..31 renumbered 0..15
-    * (the first 16 vectors ARE the centroids — zero residuals). */
-  private val residualDistCtes = pqDistCtesFrom("rn",
-    cbWhere = "vec_id >= 16 AND vec_id < 32", codeIdExpr = "vec_id - 16")
-
-  /** `pq_encode_residual`: the per-(vector, subspace) argmin over the
-    * residual distance relation — pqEncodeOracle's text with the
-    * residual chain swapped in. */
-  private lazy val pqEncodeResidualOracle =
-    embedCte + ivfAssignHeader("vec_id < 16") + residualCte +
-      residualDistCtes +
-      """
-      |SELECT vec_id, m, code_id AS code, d2_e6 FROM dist
-      |QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
-      |ORDER BY vec_id, m""".stripMargin
-
-  /** `ann_ivfpq_residual`: the IVFADC serve with codes and LUT both in
-    * residual space — assignment header + residual distance chain + the
-    * shared ADC tail verbatim. */
-  private lazy val annIvfpqResidualOracle =
-    embedCte + ivfAssignHeader("vec_id < 16") + residualCte +
-      residualDistCtes + ivfpqAdcCtes + ivfpqTopSelect(5)
-
-  /** `ann_ivfpq_rerank`: the raw IVFADC chain kept as CTEs with the
-    * shortlist cut at kAdc = 20, then each (query, candidate) joins
-    * back its full-precision vectors and re-ranks by exact cosine. */
-  private lazy val annIvfpqRerankOracle =
-    embedCte + ivfAssignHeader("vec_id < 16") + pqDistCtes +
-      ivfpqAdcCtes +
-      """, shortlist AS (
-      |  SELECT vec_id, other_id FROM adc
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) <= 20
-      |), rr AS (
-      |  SELECT s.vec_id, s.other_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM shortlist s JOIN n a ON s.vec_id = a.vec_id
-      |  JOIN n b ON s.other_id = b.vec_id)
-      |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-      |  FROM rr)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** `pq_residual_gain`: both encodes replayed whole (nested WITH, the
-    * pqRecall discipline) and reduced to one row of exact integer
-    * totals — the residual-coding win as a hash-gated VALUE. */
-  private lazy val pqResidualGainOracle =
-    s"""WITH raw AS ($pqEncodeOracle
-      |), res AS ($pqEncodeResidualOracle
-      |)
-      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS n_rows,
-      |  (SELECT CAST(sum(d2_e6) AS BIGINT) FROM raw) AS raw_err_e6,
-      |  (SELECT CAST(sum(d2_e6) AS BIGINT) FROM res) AS residual_err_e6""".stripMargin
-
-  /** The IVFADC body shared by every assignment strategy's oracle (flat
-    * fixed/auto, two-level IMI): consumes an `assigned(vec_id, cluster)`
-    * CTE and replays cap → pairs → codes → ADC → top-k.
-    */
-  private lazy val ivfpqOracleTail = pqDistCtes + ivfpqAdcCtes +
-    ivfpqTopSelect(5)
-
-  /** The ADC chain as CTEs (codes → cap → pairs → adc) — consumes
-    * `assigned` and `dist`, shared verbatim by every quantizer's serve
-    * oracle; the rerank oracle keeps composing after `adc` instead of
-    * selecting, which is why the final SELECT lives apart. */
-  private val ivfpqAdcCtes =
-      """, codes AS (
-      |  SELECT vec_id AS other_id, m, code_id AS code FROM dist
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e6, code_id) = 1
-      |), icapped AS (
-      |  SELECT vec_id, cluster FROM assigned
-      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
-      |), pairs AS (
-      |  SELECT a.vec_id, b.vec_id AS other_id
-      |  FROM assigned a JOIN icapped b
-      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-      |), adc AS (
-      |  SELECT p.vec_id, p.other_id, CAST(sum(l.d2_e6) AS BIGINT) AS adc_e6
-      |  FROM pairs p
-      |  JOIN codes k ON k.other_id = p.other_id
-      |  JOIN dist l ON l.vec_id = p.vec_id AND l.m = k.m AND l.code_id = k.code
-      |  GROUP BY p.vec_id, p.other_id)""".stripMargin
-
-  private def ivfpqTopSelect(k: Int): String =
-      s"""
-      |SELECT vec_id, other_id, adc_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY adc_e6, other_id) AS rk
-      |  FROM adc)
-      |WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
-
-  /** `ann_ivfpq_imi` mirrors Similarity.twoLevelAssign under the auto
-    * sizing: supers = first ⌈√nc⌉ vectors, cells parented to their
-    * nearest super, each vector routed super-first then within the
-    * chosen super's children — every argmax the shared e6-floored
-    * (score desc, id) convention — then the common IVFADC tail.
-    */
-  private lazy val annIvfpqImiOracle =
-    embedCte +
-      s""", params AS (
-      |  SELECT greatest(4, least(4096, count(*) // 256)) AS nc,
-      |    CAST(ceil(sqrt(greatest(4, least(4096, count(*) // 256)))) AS BIGINT) AS l1
-      |  FROM embeddings
-      |), sups AS (
-      |  SELECT vec_id AS sup_id, v AS sv, nrm AS snrm FROM n
-      |  WHERE vec_id < (SELECT l1 FROM params)
-      |), cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, cnrm FROM (
-      |    SELECT vec_id, v, nrm AS cnrm FROM n
-      |    WHERE vec_id < (SELECT nc FROM params))
-      |), pscored AS (
-      |  SELECT c.cent_id, c.cv, c.cnrm, s.sup_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i])) / (c.cnrm * s.snrm) * 1000000.0) AS BIGINT) AS sscore
-      |  FROM cents c CROSS JOIN sups s
-      |), parents AS (
-      |  SELECT cent_id, cv, cnrm, sup_id AS parent FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY cent_id ORDER BY sscore DESC, sup_id) AS srk
-      |    FROM pscored) WHERE srk = 1
-      |), vscored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, s.sup_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * s.sv[i])) / (a.nrm * s.snrm) * 1000000.0) AS BIGINT) AS sscore
-      |  FROM n a CROSS JOIN sups s
-      |), vsuper AS (
-      |  SELECT vec_id, v, nrm, sup_id AS parent FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, sup_id) AS srk
-      |    FROM vscored) WHERE srk = 1
-      |), cscored AS (
-      |  SELECT x.vec_id, p.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> x.v[i] * p.cv[i])) / (x.nrm * p.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM vsuper x JOIN parents p ON x.parent = p.parent
-      |), assigned AS (
-      |  SELECT vec_id, cent_id AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |    FROM cscored) WHERE crk = 1
-      |)""".stripMargin + ivfpqOracleTail
-
-  /** `hard_negatives`: the annPartners replay with the anchor's label
-    * carried through and a label-mismatch predicate on the candidate
-    * join; the cell cap is applied BEFORE the label filter (cap on cell
-    * membership, mirroring the operator's bound). */
-  private lazy val hardNegativesOracle =
-    embedCte +
-      """, lab AS (
-      |  SELECT vec_id, label FROM embeddings
-      |), cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-      |), scored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), assigned AS (
-      |  SELECT s.vec_id, s.v, s.nrm, l.label, s.cluster FROM (
-      |    SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-      |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |      FROM scored) WHERE crk = 1) s
-      |  JOIN lab l ON s.vec_id = l.vec_id
-      |), capped AS (
-      |  SELECT vec_id, v, nrm, label, cluster FROM assigned
-      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
-      |), p AS (
-      |  SELECT a.vec_id, a.label, b.vec_id AS neg_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM assigned a JOIN capped b
-      |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id AND a.label <> b.label)
-      |SELECT vec_id, label, neg_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, neg_id) AS rk
-      |  FROM p)
-      |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
-
-  /** `bitext_mine`: cell-blocked cross-lingual candidates (positive
-    * cosine only, so both k-NN denominators are positive by
-    * construction), both language sides capped at 256/cell (mirroring
-    * the engine's maxCell bound; inactive at gate scale),
-    * forward/backward top-4 averages as exact-integer
-    * sums over counts, and the margin's one double division replayed in
-    * the same operation order. */
-  private lazy val bitextMineOracle =
-    embedCte +
-      """, cents AS (
-      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-      |), cscored AS (
-      |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-      |  FROM n a CROSS JOIN cents c
-      |), assigned AS (
-      |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-      |    FROM cscored) WHERE crk = 1
-      |), el AS (
-      |  SELECT a.vec_id, a.v, a.nrm, a.cluster, d.lang
-      |  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
-      |  WHERE d.lang IN ('en', 'de')
-      |), src AS (
-      |  SELECT vec_id AS src_id, v AS va, nrm AS nrm_a, cluster FROM el WHERE lang = 'en'
-      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
-      |), tgt AS (
-      |  SELECT vec_id AS tgt_id, v AS vb, nrm AS nrm_b, cluster FROM el WHERE lang = 'de'
-      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 256
-      |), cand AS (
-      |  SELECT s.src_id, t.tgt_id,
-      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> s.va[i] * t.vb[i])) / (s.nrm_a * t.nrm_b) * 1000000.0) AS BIGINT) AS cos_e6
-      |  FROM src s JOIN tgt t ON s.cluster = t.cluster
-      |), cpos AS (
-      |  SELECT * FROM cand WHERE cos_e6 > 0
-      |), wnn AS (
-      |  SELECT *,
-      |    row_number() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS frk,
-      |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS brk
-      |  FROM cpos
-      |), favg AS (
-      |  SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS f_sum, count(*) AS f_n
-      |  FROM wnn WHERE frk <= 4 GROUP BY src_id
-      |), bavg AS (
-      |  SELECT tgt_id, CAST(sum(cos_e6) AS BIGINT) AS b_sum, count(*) AS b_n
-      |  FROM wnn WHERE brk <= 4 GROUP BY tgt_id
-      |), sc AS (
-      |  SELECT c.src_id, c.tgt_id, c.cos_e6,
-      |    CAST(floor(c.cos_e6 * 2000000.0 / (CAST(f.f_sum AS DOUBLE) / f.f_n + CAST(b.b_sum AS DOUBLE) / b.b_n)) AS BIGINT) AS margin_e6
-      |  FROM cpos c
-      |  JOIN favg f ON c.src_id = f.src_id
-      |  JOIN bavg b ON c.tgt_id = b.tgt_id)
-      |SELECT src_id, tgt_id, cos_e6, margin_e6 FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS mrk
-      |  FROM sc)
-      |WHERE mrk = 1 AND margin_e6 >= 1000000
-      |ORDER BY src_id""".stripMargin
-
-  /** Image-descriptor replay: pixel k of the 8×8 thumbnail is the text
-    * byte at `k·len/64` (PNG grayscale is lossless, so the engine's
-    * decoded-raster features equal this byte math bit-for-bit); quadrant
-    * q = (k div 32)·2 + (k mod 8 div 4); features are luminance sums and
-    * in-patch |horizontal gradient| sums — all exact integers, making the
-    * 8-dim cosine's IEEE operands cross-engine reproducible. */
-  private val imageEmbedFeatCte =
-    """WITH px AS (
-      |  SELECT doc_id, k,
-      |    ascii(text[CAST(least((k * length(text)) // 64,
-      |      length(text) - 1) + 1 AS BIGINT)]) AS p
-      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
-      |), g AS (
-      |  SELECT doc_id, k, p,
-      |    lead(p) OVER (PARTITION BY doc_id ORDER BY k) AS pn
-      |  FROM px
-      |), feat AS (
-      |  SELECT doc_id, (k // 32) * 2 + ((k % 8) // 4) AS q,
-      |    sum(p) AS lum,
-      |    sum(CASE WHEN k % 4 < 3 THEN abs(pn - p) ELSE 0 END) AS grad
-      |  FROM g GROUP BY doc_id, q
-      |)""".stripMargin
-
-  private lazy val imageAnnPartnersOracle =
-    imageEmbedFeatCte +
-      """, n AS (
-      |  SELECT doc_id AS vec_id,
-      |    list_transform(list(lum ORDER BY q) || list(grad ORDER BY q),
-      |      x -> CAST(x AS DOUBLE)) AS v,
-      |    sqrt(list_sum(list_transform(
-      |      list(lum ORDER BY q) || list(grad ORDER BY q),
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM feat GROUP BY doc_id
-      |)""".stripMargin +
-      annPartnersOracleBody(8)
-
-  /** Audio/video embedding replay: the codecs are lossless (PCM-in-WAV;
-    * constant-luma C420 planes), so the per-index decoded value is pure
-    * doc_id arithmetic; 64 leading windows/frames group into 8 sum
-    * features (`feat`) and assemble into the `n(vec_id, v, nrm)` shape
-    * the shared annPartners body consumes.
-    */
-  private def docArithmeticEmbedCte(valueExpr: String): String =
-    s"""WITH wins AS (
-      |  SELECT doc_id, w, $valueExpr AS s
-      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS w)
-      |), feat AS (
-      |  SELECT doc_id, w // 8 AS q, CAST(sum(s) AS DOUBLE) AS f
-      |  FROM wins GROUP BY doc_id, q
-      |), n AS (
-      |  SELECT doc_id AS vec_id, list(f ORDER BY q) AS v,
-      |    sqrt(list_sum(list_transform(list(f ORDER BY q), x -> x * x))) AS nrm
-      |  FROM feat GROUP BY doc_id
-      |)""".stripMargin
-
-  // window w holds AudioFpWinSamples (4) identical decoded samples of
-  // value (doc_id*11 + w*17) mod 199 — the audioWindowSums recipe
-  private val audioEmbedValueExpr = "4 * ((doc_id * 11 + w * 17) % 199)"
-  // frame w's constant-plane mean luma — the videoMeanLumas recipe
-  private val videoEmbedValueExpr = "16 + (doc_id * 7 + w * 13) % 220"
-
-  private def mediaEmbedScalarsSql(valueExpr: String): String =
-    docArithmeticEmbedCte(valueExpr) +
-      """
-      |SELECT doc_id,
-      |  CAST(max(CASE WHEN q = 0 THEN f END) AS BIGINT) AS f0,
-      |  CAST(max(CASE WHEN q = 1 THEN f END) AS BIGINT) AS f1,
-      |  CAST(max(CASE WHEN q = 2 THEN f END) AS BIGINT) AS f2,
-      |  CAST(max(CASE WHEN q = 3 THEN f END) AS BIGINT) AS f3,
-      |  CAST(max(CASE WHEN q = 4 THEN f END) AS BIGINT) AS f4,
-      |  CAST(max(CASE WHEN q = 5 THEN f END) AS BIGINT) AS f5,
-      |  CAST(max(CASE WHEN q = 6 THEN f END) AS BIGINT) AS f6,
-      |  CAST(max(CASE WHEN q = 7 THEN f END) AS BIGINT) AS f7
-      |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Shared by `asof_join` and `asof_join_bucketized` (identical
-    * semantics by construction — TemporalJoinSpec pins the equivalence).
-    */
-  private val asofOracleSql =
-    """WITH c AS (
-      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-      |), p AS (
-      |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-      |  FROM events WHERE event_type = 'purchase'
-      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
-      |)
-      |SELECT c.event_id, c.user_id, c.value,
-      |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value
-      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-      |ORDER BY c.event_id""".stripMargin
-
-  /** Shared by `rrf_fusion` and `rrf_fusion_indexed` (identical
-    * results by construction at gate scale — the probe set covers the
-    * true top-20, so the indexed serve is bit-identical).
-    */
-  private lazy val rrfFusionSql: String =
-    """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
-        |tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
-        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
-        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |st AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |         (SELECT count(*) FROM tokens) AS total_tok
-        |), per AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |                / (CAST(d.df AS DOUBLE) + 0.5)))
-        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |            + 0.75 * (CAST(l.dl AS DOUBLE)
-        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
-        |      * 1000000.0) AS BIGINT) AS term_e6
-        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
-        |), lexs AS (
-        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6
-        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
-        |), lex AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS lex_rk
-        |  FROM lexs
-        |), e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), nn AS (
-        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-        |), qv AS (SELECT * FROM nn WHERE vec_id = 0),
-        |p AS (
-        |  SELECT b.vec_id AS doc_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-        |      / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM qv a JOIN nn b ON b.vec_id <> a.vec_id
-        |), sems AS (
-        |  SELECT doc_id, cos_e6,
-        |    CAST(row_number() OVER (ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS sem_rk
-        |  FROM p
-        |), sem AS (SELECT doc_id, sem_rk FROM sems WHERE sem_rk <= 20),
-        |fused AS (
-        |  SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, l.lex_rk, s2.sem_rk,
-        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rk)) AS BIGINT), 0) +
-        |    COALESCE(CAST(floor(1000000.0 / (60 + s2.sem_rk)) AS BIGINT), 0) AS rrf_e6
-        |  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id
-        |), ranked AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rk,
-        |    doc_id, lex_rk, sem_rk, rrf_e6
-        |  FROM fused)
-        |SELECT rk, doc_id, lex_rk, sem_rk, rrf_e6
-        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
-
-  /** The full-pipeline composition oracle: every stage's existing CTE
-    * fragment chained into ONE WITH RECURSIVE list, retargeted at the
-    * previous stage's output (`chainFrag` strips the fragment's WITH and
-    * rebinds its `FROM documents` scans). The BPE chain's word CTE is
-    * named `bw` at its definition site (the `wordCte` parameter) to
-    * avoid colliding with DSIR's weight CTE `w`.
-    */
-  private lazy val pipelineDsirPackSql: String = {
-    def chainFrag(frag: String, src: String): String =
-      frag.replaceAll("^WITH RECURSIVE ", "").replaceAll("^WITH ", "")
-        .replace("FROM documents", s"FROM $src")
-        .replaceAll("\\s+$", "")
-    val quality = gopherC4CleanCte.replaceAll("^WITH ", "")
-    val minhash = chainFrag(minhashScoredCte, "cleaned")
-    val dsir = chainFrag(dsirWeightsCte, "kept")
-    val bpe =
-      chainFrag(bpeTrainOracleChain(BpeOracleRounds, wordCte = "bw"),
-        "corpus")
-    s"""WITH RECURSIVE $quality, cleaned AS (
-      |  SELECT c.doc_id, c.text, d.lang
-      |  FROM cl c JOIN documents d USING (doc_id)
-      |), $minhash, pairs AS (
-      |  SELECT doc_a, doc_b FROM scored
-      |), edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
-      |), reach AS (
-      |  SELECT src AS node, dst AS r FROM edges
-      |  UNION
-      |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-      |), ccl AS (
-      |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-      |  FROM reach GROUP BY node
-      |), kept AS (
-      |  SELECT c.* FROM cleaned c
-      |  WHERE c.doc_id NOT IN (SELECT doc_id FROM ccl WHERE doc_id <> cluster_id)
-      |), $dsir, sel AS (
-      |  SELECT doc_id FROM doc_scores WHERE NOT is_target
-      |  ORDER BY score_e6 DESC, doc_id LIMIT 100
-      |), corpus AS (
-      |  SELECT doc_id, text FROM kept WHERE lang = 'en'
-      |  UNION ALL
-      |  SELECT k.doc_id, k.text FROM kept k JOIN sel USING (doc_id)
-      |), $bpe, v AS (
-      |  SELECT word, CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe
-      |  FROM e$BpeOracleRounds
-      |), dw AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-      |  FROM corpus
-      |), agg AS (
-      |  SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
-      |  FROM dw JOIN v USING (word) GROUP BY doc_id
-      |), lens AS (
-      |  SELECT corpus.doc_id, coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS len
-      |  FROM corpus LEFT JOIN agg USING (doc_id)
-      |), offs AS (
-      |  SELECT doc_id, len,
-      |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-      |  FROM lens
-      |), sp AS (
-      |  SELECT doc_id, len, off,
-      |    unnest(range(CAST(off // 512 AS BIGINT),
-      |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-      |  FROM offs WHERE len > 0)
-      |SELECT seq_id, doc_id,
-      |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
-      |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-      |FROM sp ORDER BY seq_id, doc_id""".stripMargin
-  }
-
-  /** Gopher document gate + C4 line repair over `documents`, ending at
-    * `cl(doc_id, text)` (the repaired surviving corpus) — the shared
-    * quality prefix of pipeline_quality and pipeline_dsir_pack. */
-  private val gopherC4CleanCte: String =
-    """WITH gc AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w,
-        |    string_split(text, chr(10)) AS ln
-        |  FROM documents
-        |), gs AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
-        |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-        |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-        |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
-        |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
-        |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-        |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
-        |    CAST(len(list_filter(['the','a'], y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
-        |  FROM gc
-        |), gk AS (
-        |  SELECT doc_id FROM gs
-        |  WHERE n_words >= 50 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
-        |    AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
-        |    AND n_stop_hits >= 2
-        |), cs AS (
-        |  SELECT d.doc_id,
-        |    list_filter(string_split(d.text, chr(10)),
-        |      l -> len(string_split(l, ' ')) >= 50
-        |        AND NOT contains(lower(l), 'javascript')
-        |        AND NOT contains(lower(l), 'lorem ipsum')
-        |        AND NOT contains(l, '{')) AS kept
-        |  FROM documents d JOIN gk USING (doc_id)
-        |), cl AS (
-        |  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
-        |  FROM cs WHERE len(kept) >= 1
-        |)""".stripMargin
-
-  private lazy val c4LineFilterOracle: String =
-    """WITH c AS (
-          |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
-          |), s AS (
-          |  SELECT doc_id, ln,
-          |    list_filter(ln, l -> len(string_split(l, ' ')) >= 50
-          |      AND NOT contains(lower(l), 'javascript')
-          |      AND NOT contains(lower(l), 'lorem ipsum')
-          |      AND NOT contains(l, '{')) AS kept
-          |  FROM c
-          |)
-          |SELECT doc_id,
-          |  CAST(len(ln) AS BIGINT) AS n_lines,
-          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
-          |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
-          |  len(kept) >= 1 AS keep
-          |FROM s ORDER BY doc_id""".stripMargin
-
-  private lazy val gopherQualityOracleSql: String =
-    """WITH c AS (
-          |  SELECT doc_id, text, string_split(text, ' ') AS w,
-          |    string_split(text, chr(10)) AS ln
-          |  FROM documents
-          |), s AS (
-          |  SELECT doc_id,
-          |    CAST(len(w) AS BIGINT) AS n_words,
-          |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-          |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
-          |    CAST(CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-          |       + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
-          |       AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-          |    CAST(len(list_filter(ln, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
-          |      / CAST(len(ln) AS DOUBLE) AS bullet_frac,
-          |    CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
-          |      / CAST(len(ln) AS DOUBLE) AS ellipsis_frac,
-          |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-          |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
-          |    CAST(len(list_filter(['the','a'],
-          |      y -> list_contains(w, y))) AS BIGINT) AS n_stop_hits
-          |  FROM c
-          |)
-          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-          |  ellipsis_frac, alpha_frac, n_stop_hits,
-          |  (n_words >= 50 AND n_words <= 100000
-          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-          |   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
-          |   AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
-          |   AND n_stop_hits >= 2) AS keep
-          |FROM s ORDER BY doc_id""".stripMargin
-
-  private lazy val langIdOracleSql: String =
-    """WITH c AS (
-          |  SELECT doc_id, lang AS lang_label,
-          |    CAST(len(list_filter(string_split(text, ' '),
-          |      x -> list_contains(['the','a','and','of','to','is'], x))) AS BIGINT) AS score_en,
-          |    CAST(len(list_filter(string_split(text, ' '),
-          |      x -> list_contains(['el','la','de','los','que','y'], x))) AS BIGINT) AS score_es,
-          |    CAST(len(list_filter(string_split(text, ' '),
-          |      x -> list_contains(['de5','shi4','zai4'], x))) AS BIGINT) AS score_zh
-          |  FROM documents
-          |)
-          |SELECT doc_id, lang_label, score_en, score_es, score_zh,
-          |  CASE WHEN score_es > score_en AND score_es > score_zh THEN 'es'
-          |       WHEN score_zh > score_en AND score_zh >= score_es THEN 'zh'
-          |       ELSE 'en' END AS lang_pred
-          |FROM c ORDER BY doc_id""".stripMargin
-
-  private lazy val curriculumOrderOracleSql: String =
-    """WITH c AS (
-          |  SELECT doc_id,
-          |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens
-          |  FROM documents
-          |), r AS (
-          |  SELECT doc_id, n_subword_tokens,
-          |    row_number() OVER (ORDER BY n_subword_tokens, doc_id) AS rnk,
-          |    count(*) OVER () AS n
-          |  FROM c
-          |), t AS (
-          |  SELECT doc_id, n_subword_tokens,
-          |    CAST(((rnk - 1) * 4) // n AS INTEGER) AS tier,
-          |    md5(concat_ws('|', 'cur', CAST(doc_id AS VARCHAR))) AS k
-          |  FROM r)
-          |SELECT doc_id, n_subword_tokens, tier,
-          |  CAST(row_number() OVER (PARTITION BY tier ORDER BY k, doc_id) AS BIGINT) AS pos_in_tier
-          |FROM t ORDER BY tier, pos_in_tier""".stripMargin
-
   def oracleSql: Map[String, String] = oracleSqlMap
 
-  private lazy val oracleSqlMap: Map[String, String] = distinctKeys("oracleSql", Seq(
-    "baskets" ->
-      (basketsCte +
-        "\nSELECT customer, array_to_string(products, ' ') AS products" +
-        "\nFROM baskets ORDER BY customer"),
-    "cooccur_counts" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    "cooccur_counts_capped" ->
-      (cooccurCappedCte(5) +
-        "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    "cooccur_counts_sql" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // merge-of-partials must equal the FULL recompute — same oracle text
-    "cooccur_incremental" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // persisted-partials IVM must equal the full recompute — same oracle
-    "cooccur_persisted" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // base + INSERTed generation + delta must equal the full recompute
-    "cooccur_appended" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // the streaming run must equal the batch computation — same oracle text
-    "cooccur_stream" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // stream->table ingest across a restart must equal the batch
-    // aggregate — same oracle text as hourly_counts
-    "events_table_stream" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    // streaming twin of hourly_counts — same oracle text as the batch
-    "hourly_counts_stream" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    // streaming dedup admits each distinct fingerprint exactly once
-    "dedup_stream" ->
-      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
-    // within one watermark window the bounded form admits exactly the
-    // distinct keys — the window-crossing TTL behavior is spec-held
-    "dedup_stream_bounded" ->
-      "SELECT DISTINCT md5(event_type) AS fp FROM events ORDER BY fp",
-    "cooccur_counts_gen" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    // the custom-LogicalPlan form answers to the same window semantics
-    "cooccur_counts_plan" ->
-      (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
-    "crystalball_pairs" ->
-      (cooccurCte +
-        """
-        |SELECT product, neighbor, cnt,
-        |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
-        |FROM counts ORDER BY product, neighbor""".stripMargin),
-    "crystalball_totals" ->
-      (cooccurCte +
-        """
-        |SELECT product, neighbor, cnt,
-        |       CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
-        |FROM counts ORDER BY product, neighbor""".stripMargin),
-    "salted_agg" ->
-      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "skew_join" ->
-      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    "crystalball_stripes" ->
-      (cooccurCte +
-        """, probs AS (
-        |  SELECT product, neighbor, cnt,
-        |         CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
-        |  FROM counts
-        |)
-        |SELECT product,
-        |       count(*) OVER (PARTITION BY product) AS n_neighbors,
-        |       row_number() OVER (PARTITION BY product ORDER BY neighbor) - 1 AS pos,
-        |       neighbor, prob
-        |FROM probs ORDER BY product, pos""".stripMargin),
-    "stripe_lookup" ->
-      (cooccurCte +
-        """, probs AS (
-        |  SELECT product, neighbor,
-        |         CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY product) AS DOUBLE) AS prob
-        |  FROM counts
-        |), agg AS (
-        |  SELECT product, count(*) AS n_neighbors FROM probs GROUP BY product
-        |), p34 AS (
-        |  SELECT product, prob AS p34 FROM probs WHERE neighbor = '34'
-        |)
-        |SELECT agg.product, agg.n_neighbors, p34.p34
-        |FROM agg LEFT JOIN p34 ON agg.product = p34.product
-        |ORDER BY agg.product""".stripMargin),
-    "page_rank" -> pageRankSql(3),
-    // personalized PageRank: the same unrolled recurrence with seed-gated
-    // teleport mass (khop's round-hundred seed rule)
-    "ppr_seeded" -> pprSql(3),
-    // HyperANF: the register relation and integer estimate replayed
-    "hyperanf" -> hyperAnfSql(3),
-    "anf_function" -> anfFunctionSql(3),
-    "harmonic_centrality" -> harmonicCentralitySql(3),
-    // the hash-argmin walk replayed step by step
-    "random_walks" -> (walkCte(4, 2) +
-      "\nSELECT seed, rep, step, node FROM walks ORDER BY seed, rep, step"),
-    // the biased second-order walk with its draw table replayed
-    "node2vec_walks" -> node2vecSql(4, 2),
-    // skip-gram windowing over the identical walk relation
-    "walk_skipgram" -> (walkCte(4, 2) +
-      """
-      |SELECT a.node AS center, b.node AS context, count(*) AS cnt
-      |FROM walks a JOIN walks b
-      |  ON a.seed = b.seed AND a.rep = b.rep AND a.step <> b.step
-      |  AND abs(b.step - a.step) <= 2
-      |GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
-    // the oracle inverts the same CDF with a plain range join (fine at
-    // oracle scale; the engine's bucketization must be invisible);
-    // freq^(3/4) via composed sqrt — correctly rounded on both engines
-    "skipgram_negatives" -> (walkCte(4, 2) +
-      """, sg_pairs AS (
-      |  SELECT a.node AS center, b.node AS context, count(*) AS cnt
-      |  FROM walks a JOIN walks b
-      |    ON a.seed = b.seed AND a.rep = b.rep AND a.step <> b.step
-      |    AND abs(b.step - a.step) <= 2
-      |  GROUP BY 1, 2
-      |), freqs AS (
-      |  SELECT context AS node, CAST(sum(cnt) AS BIGINT) AS freq
-      |  FROM sg_pairs GROUP BY 1
-      |), wts AS (
-      |  SELECT node,
-      |    CAST(floor(sqrt(CAST(freq AS DOUBLE))
-      |      * sqrt(sqrt(CAST(freq AS DOUBLE))) * 1000.0) AS BIGINT) AS w
-      |  FROM freqs
-      |), ladder AS (
-      |  SELECT node, w,
-      |    CAST(coalesce(sum(w) OVER (ORDER BY node
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |      AS BIGINT) AS w_before,
-      |    CAST(sum(w) OVER () AS BIGINT) AS wt
-      |  FROM wts
-      |), draws AS (
-      |  SELECT center, context, j,
-      |    ('0x' || substr(md5('neg:' || center || ':' || context || ':' || j),
-      |      1, 14))::BIGINT % (SELECT max(wt) FROM ladder) AS u
-      |  FROM sg_pairs CROSS JOIN (SELECT unnest(range(1, 3)) AS j)
-      |)
-      |SELECT d.center, d.context, CAST(d.j AS INT) AS j,
-      |  l.node AS negative,
-      |  (l.node = d.center OR l.node = d.context) AS is_collision
-      |FROM draws d JOIN ladder l
-      |  ON d.u >= l.w_before AND d.u < l.w_before + l.w
-      |ORDER BY center, context, j""".stripMargin),
-    // fixed unroll >= the graph's measured integer-fixpoint round (55 at
-    // sf0.01 on the significant graph, margin to 80; engine loops until
-    // changed==0 and no-op rounds make any larger unroll identical — the
-    // lpaConvergedCte argument applied to the rank lattice)
-    "pagerank_converged" -> pageRankSql(80, materialize = true,
-      edgesWith = cooccurCte +
-        ", edges AS (SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2)"),
-    // same triangles, enumerated by the id-ordered a<b<c form (join order
-    // differs, the counted set is identical — that's the point)
-    "triangle_count" ->
-      (cooccurCte +
-        """, und AS (
-        |  SELECT DISTINCT least(product, neighbor) AS u,
-        |    greatest(product, neighbor) AS v
-        |  FROM counts WHERE product <> neighbor AND cnt >= 2
-        |), tri AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM und e1
-        |  JOIN und e2 ON e2.u = e1.v
-        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
-        |)
-        |SELECT node, count(*) AS n_tri FROM (
-        |  SELECT unnest([a, b, c]) AS node FROM tri)
-        |GROUP BY node ORDER BY node""".stripMargin),
-    // unrolled synchronous LPA twin: same undirected significant-edge
-    // graph, 3 rounds, QUALIFY row_number argmax = the engine's
-    // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)
-    "communities_lpa" -> lpaSql(3),
-    // fixed unroll >= the fixture's convergence round (engine loops
-    // until changed==0; monotone no-op rounds make any larger unroll
-    // identical — see lpaConvergedCte)
-    "lpa_converged" -> (lpaConvergedCte(16) +
-      "\nSELECT node, community FROM labels ORDER BY node"),
-    "modularity_lpa" -> modularityLpaSql(16),
-    // same fixed-unroll discipline for the peel: any unroll >= the
-    // engine's convergence round (8 at sf0.01) yields the identical core
-    "kcore_decompose" -> kcoreSql(2, 16),
-    // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
-    // dedupes (node, hop) pairs so the working set stays bounded on the
-    // dense graph, and min(hop) reproduces the anti-join's minimality
-    "khop_reach" ->
-      ("WITH RECURSIVE " + cooccurCte.stripPrefix("WITH ") +
-        """, e AS (
-        |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
-        |), reach(node, hop) AS (
-        |  SELECT DISTINCT src, 0 FROM e WHERE CAST(src AS BIGINT) % 100 = 0
-        |  UNION
-        |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
-        |  WHERE r.hop < 3
-        |)
-        |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
-        |ORDER BY min_hops, node""".stripMargin),
-    // the same 24-step integer decay, DuckDB's // = Spark's div on
-    // positive BIGINTs; floor(o_totalprice * 100) is the same double
-    // expression on both sides
-    "cbo_reorder" ->
-      """SELECT c_nationkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-    "sql_recursive_decay" ->
-      """WITH RECURSIVE sched(o_orderkey, m, bal) AS (
-        |  SELECT o_orderkey, 0, CAST(floor(o_totalprice * 100) AS BIGINT)
-        |  FROM orders WHERE o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, m + 1, bal - ((bal * 3) // 100)
-        |  FROM sched WHERE m < 24
-        |)
-        |SELECT o_orderkey, max(bal) AS start_cents, min(bal) AS final_cents
-        |FROM sched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-    // the unbounded closure: recursion capped at the engine's shared
-    // 60-round convergence bound (UNION dedups (node, hop) pairs, so a
-    // cycle contributes at most |V|·60 rows, never an infinite stream);
-    // min(hop) recovers the exact BFS level
-    "reach_converged" ->
-      ("WITH RECURSIVE " + cooccurCte.stripPrefix("WITH ") +
-        """, e AS (
-        |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
-        |), reach(node, hop) AS (
-        |  SELECT DISTINCT src, 0 FROM e WHERE CAST(src AS BIGINT) % 100 = 0
-        |  UNION
-        |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.node
-        |  WHERE r.hop < 60
-        |)
-        |SELECT node, min(hop) AS min_hops FROM reach GROUP BY node
-        |ORDER BY min_hops, node""".stripMargin),
-    "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q3_topk" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-        |  AND c_mktsegment = 'BUILDING'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
-    "join_bcast_region" ->
-      """SELECT r_name, count(*) AS n_customers,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "semi_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "rollup_agg" ->
-      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-        |  coalesce(l_linestatus, '(all)') AS linestatus,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin,
-    "cube_agg" ->
-      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
-        |  coalesce(o_orderpriority, '(all)') AS orderpriority,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY orderstatus, orderpriority""".stripMargin,
-    "approx_stats" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        |  TRUE AS approx_parts_within_5pct,
-        |  TRUE AS approx_median_within_decile
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "distinct_agg" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "set_ops" ->
-      """WITH ordered AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
-        |rich AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
-        |SELECT custkey, 'both' AS tag
-        |FROM (SELECT custkey FROM ordered INTERSECT SELECT custkey FROM rich)
-        |UNION ALL
-        |SELECT custkey, 'rich_no_orders' AS tag
-        |FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM ordered)
-        |ORDER BY tag, custkey""".stripMargin,
-    "topk_orders" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
-    "outer_join_agg" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), CAST(0 AS DOUBLE)) AS total_spent
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-    "full_outer_presence" ->
-      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
-        |           WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
-        |b AS (SELECT DISTINCT o_custkey AS k FROM orders
-        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
-        |SELECT coalesce(a.k, b.k) AS custkey,
-        |  CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS early,
-        |  CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS late
-        |FROM a FULL JOIN b ON a.k = b.k ORDER BY custkey""".stripMargin,
-    "above_avg_orders" ->
-      """WITH g AS (
-        |  SELECT o_custkey AS k, count(*) AS n,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
-        |  FROM orders GROUP BY 1)
-        |SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders JOIN g ON o_custkey = g.k
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > total
-        |ORDER BY o_orderkey""".stripMargin,
-    "pivot_status" ->
-      ("""SELECT o_orderstatus,""" +
-        Relational.OrderPriorities.map(p =>
-          s"""\n  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
-          .mkString(",") +
-        "\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
-    "unpivot_status" ->
-      (s"""WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
-        |pr AS (SELECT unnest([${Relational.OrderPriorities.map(p => s"'$p'").mkString(", ")}]) AS priority),
-        |c AS (SELECT o_orderstatus, o_orderpriority AS priority, count(*) AS n
-        |      FROM orders GROUP BY 1, 2)
-        |SELECT s.o_orderstatus, pr.priority, coalesce(c.n, 0) AS n
-        |FROM s CROSS JOIN pr
-        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.priority = pr.priority
-        |ORDER BY s.o_orderstatus, pr.priority""".stripMargin),
-    "array_funcs" ->
-      (basketsCte +
-        """
-        |SELECT customer,
-        |  CAST(len(products) AS BIGINT) AS n_products,
-        |  array_to_string(products[1:3], ' ') AS first3,
-        |  array_to_string(list_sort(products), ' ') AS sorted_products,
-        |  CAST(len(list_distinct(products)) AS BIGINT) AS n_distinct,
-        |  list_contains(products, '34') AS has_34,
-        |  len(list_filter(products, p -> regexp_matches(p, '^[0-9]+$'))) = len(products) AS all_numeric,
-        |  CAST(coalesce(list_sum(list_transform(products, p -> length(p))), 0) AS BIGINT) AS total_chars
-        |FROM baskets ORDER BY customer""".stripMargin),
-    "above_nation_avg" ->
-      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
-        |      (SELECT count(*) FROM customer c2
-        |       WHERE c2.c_nationkey = c.c_nationkey)
-        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
-        |       WHERE c2.c_nationkey = c.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "lateral_topk" ->
-      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        |FROM customer c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-        |         WHERE o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
-    "date_funcs" ->
-      """SELECT o_orderkey,
-        |  CAST(year(o_orderdate) AS INTEGER) AS y,
-        |  CAST(month(o_orderdate) AS INTEGER) AS m,
-        |  CAST(day(o_orderdate) AS INTEGER) AS d,
-        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
-        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        |  last_day(o_orderdate) AS month_end,
-        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
-        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "scalar_funcs" ->
-      """SELECT p_partkey, upper(p_name) AS name_upper,
-        |  length(p_name) AS name_len,
-        |  substr(p_brand, 1, 5) AS brand_prefix,
-        |  concat_ws('/', p_brand, p_type) AS brand_type,
-        |  abs(p_size - 25) AS size_dist,
-        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-        |  p_size % 7 AS size_mod,
-        |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
-        |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "regex_funcs" ->
-      """SELECT p_partkey,
-        |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
-        |  regexp_extract(p_brand, '[0-9]+') AS brand_num,
-        |  regexp_matches(p_name, '[0-9]') AS name_has_digits,
-        |  CAST(length(regexp_replace(p_brand, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars,
-        |  string_split(p_type, ' ')[1] AS type_head
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "set_ops_all" ->
-      """WITH early AS (SELECT o_orderpriority AS priority FROM orders
-        |               WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
-        |late AS (SELECT o_orderpriority AS priority FROM orders
-        |         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
-        |i AS (SELECT priority FROM early INTERSECT ALL SELECT priority FROM late),
-        |e AS (SELECT priority FROM early EXCEPT ALL SELECT priority FROM late)
-        |SELECT priority, count(*) AS n, 'intersect_all' AS op FROM i GROUP BY priority
-        |UNION ALL
-        |SELECT priority, count(*) AS n, 'except_all' AS op FROM e GROUP BY priority
-        |ORDER BY op, priority""".stripMargin,
-    "grouping_sets" ->
-      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-        |  coalesce(l_linestatus, '(all)') AS linestatus,
-        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY returnflag, linestatus""".stripMargin,
-    "exact_median" ->
-      """WITH r AS (
-        |  SELECT l_returnflag, l_quantity,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem
-        |)
-        |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
-        |FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
-    "exact_quantiles" ->
-      """WITH r AS (
-        |  SELECT l_returnflag, l_quantity,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem
-        |), q AS (SELECT unnest([25, 50, 75, 95]) AS q_pct)
-        |SELECT l_returnflag, q.q_pct, l_quantity AS qty, n AS n_rows
-        |FROM r, q WHERE rn = greatest(1, (n * q.q_pct + 99) // 100)
-        |ORDER BY l_returnflag, q_pct""".stripMargin,
-    "order_rank" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  row_number() OVER (PARTITION BY o_orderstatus
-        |    ORDER BY o_totalprice, o_orderkey) AS rnk,
-        |  count(*) OVER (PARTITION BY o_orderstatus) AS n_group
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "quantile_normalize" ->
-      """WITH r AS (
-        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_orderstatus
-        |      ORDER BY o_totalprice, o_orderkey) AS rnk,
-        |    count(*) OVER (PARTITION BY o_orderstatus) AS n_group
-        |  FROM orders)
-        |SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |  CASE WHEN n_group = 1 THEN 0.5
-        |    ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
-        |  END AS quantile
-        |FROM r ORDER BY o_orderstatus, o_orderkey""".stripMargin,
-    // the richest-member argmax = ORDER BY (cents DESC, custkey) LIMIT 1
-    // per entity; mode = (cnt DESC, segment) — both replayed as windows
-    "golden_record" ->
-      """WITH base AS (
-        |  SELECT c_custkey // 3 AS entity_id, c_custkey, c_name,
-        |    c_nationkey, c_mktsegment,
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM customer
-        |), rich AS (
-        |  SELECT entity_id, c_custkey AS golden_custkey,
-        |    c_name AS golden_name, c_nationkey AS golden_nation
-        |  FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY entity_id
-        |      ORDER BY cents DESC, c_custkey) AS rn
-        |    FROM base) WHERE rn = 1
-        |), agg AS (
-        |  SELECT entity_id, count(*) AS n_members,
-        |    CAST(max(cents) AS DOUBLE) / 100.0 AS golden_acctbal
-        |  FROM base GROUP BY 1
-        |), mode AS (
-        |  SELECT entity_id, c_mktsegment AS golden_segment
-        |  FROM (
-        |    SELECT entity_id, c_mktsegment,
-        |      row_number() OVER (PARTITION BY entity_id
-        |        ORDER BY count(*) DESC, c_mktsegment) AS rn
-        |    FROM base GROUP BY entity_id, c_mktsegment) WHERE rn = 1
-        |)
-        |SELECT a.entity_id, a.n_members, r.golden_custkey, r.golden_name,
-        |  r.golden_nation, a.golden_acctbal, m.golden_segment
-        |FROM agg a JOIN rich r USING (entity_id) JOIN mode m USING (entity_id)
-        |ORDER BY entity_id""".stripMargin,
-    "k_anonymity" ->
-      """WITH g AS (
-        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT CAST(5 AS INT) AS k,
-        |  count(*) AS n_groups,
-        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
-        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
-        |  CAST(min(n) AS BIGINT) AS min_group_size
-        |FROM g""".stripMargin,
-    // the same two nested aggregates; the band shift keeps the integral
-    // divide positive so // (floor) and div (truncate) agree
-    "l_diversity" ->
-      """WITH cell AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
-        |      // 100000 AS band,
-        |    count(*) AS cnt
-        |  FROM customer GROUP BY 1, 2, 3
-        |), g AS (
-        |  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n,
-        |    count(*) AS n_sens, CAST(max(cnt) AS BIGINT) AS max_freq
-        |  FROM cell GROUP BY 1, 2)
-        |SELECT CAST(3 AS INT) AS l,
-        |  count(*) AS n_groups,
-        |  CAST(sum(CASE WHEN n_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_low_diversity_groups,
-        |  CAST(sum(CASE WHEN n_sens < 3 THEN n ELSE 0 END) AS BIGINT)
-        |    AS n_rows_at_risk,
-        |  CAST(min(n_sens) AS BIGINT) AS min_distinct_sensitive,
-        |  CAST(sum(CASE WHEN max_freq * 3 > n THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_skewed_groups
-        |FROM g""".stripMargin,
-    // ordered EMD over the dense (group × band) grid; e6-quantized
-    // integer distributions so cumulative terms replay exactly; // is
-    // DuckDB floor division = Spark div on the non-negative operands
-    "t_closeness" ->
-      """WITH cell AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
-        |      // 100000 AS band,
-        |    count(*) AS cnt
-        |  FROM customer GROUP BY 1, 2, 3
-        |), g AS (
-        |  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_g
-        |  FROM cell GROUP BY 1, 2
-        |), bands AS (
-        |  SELECT band, CAST(sum(cnt) AS BIGINT) AS cnt_v FROM cell GROUP BY 1
-        |), tot AS (
-        |  SELECT CAST(sum(cnt_v) AS BIGINT) AS n_total, count(*) AS m
-        |  FROM bands
-        |), grid AS (
-        |  SELECT g.c_nationkey, g.c_mktsegment, b.band, g.n_g, t.m,
-        |    COALESCE(c.cnt, 0) * 1000000 // g.n_g AS p_e6,
-        |    b.cnt_v * 1000000 // t.n_total AS q_e6
-        |  FROM g CROSS JOIN bands b CROSS JOIN tot t
-        |  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
-        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
-        |), cum AS (
-        |  SELECT c_nationkey, c_mktsegment, n_g, m,
-        |    sum(p_e6 - q_e6) OVER (PARTITION BY c_nationkey, c_mktsegment
-        |      ORDER BY band
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM grid
-        |), dist AS (
-        |  SELECT c_nationkey, c_mktsegment, max(n_g) AS n_g,
-        |    CAST(sum(abs(cum)) // (max(m) - 1) AS BIGINT) AS emd_e6
-        |  FROM cum GROUP BY 1, 2)
-        |SELECT CAST(200000 AS BIGINT) AS t_e6,
-        |  count(*) AS n_groups,
-        |  CAST(sum(CASE WHEN emd_e6 > 200000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_violating_groups,
-        |  CAST(sum(CASE WHEN emd_e6 > 200000 THEN n_g ELSE 0 END) AS BIGINT)
-        |    AS n_rows_at_risk,
-        |  max(emd_e6) AS max_emd_e6
-        |FROM dist""".stripMargin,
-    // the oracle states the SEMANTICS directly (a plain range-predicate
-    // join — fine at oracle scale; the bucketing is the engine's plan,
-    // invisible to the result)
-    "band_join" ->
-      """SELECT s_suppkey, c_custkey,
-        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) -
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS diff_cents
-        |FROM supplier JOIN customer
-        |  ON abs(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) -
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) <= 100
-        |ORDER BY s_suppkey, c_custkey""".stripMargin,
-    // the Poisson(1) weights replayed through the same md5-prefix
-    // uniform and the precomputed e6 CDF ladder — no exp() at query time
-    "bootstrap_ci" ->
-      """WITH b AS (
-        |  SELECT CAST(t.rep AS INTEGER) AS rep,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    ('0x' || substr(md5(concat_ws('|', 'boot',
-        |      CAST(o_orderkey AS VARCHAR), CAST(t.rep AS VARCHAR))), 1, 8))::BIGINT
-        |      % 1000000 AS u
-        |  FROM orders CROSS JOIN range(0, 32) t(rep)
-        |), w AS (
-        |  SELECT rep, cents,
-        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-        |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-        |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
-        |      WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
-        |      WHEN u < 999998 THEN 8 ELSE 9 END AS w
-        |  FROM b)
-        |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
-        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
-        |  CAST((CAST(sum(w * cents) AS HUGEINT) * 1000000) //
-        |    (100 * sum(w)) AS BIGINT) AS mean_e6
-        |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
-    // the seeded-Laplace derivation is shared verbatim: md5-prefix
-    // uniform -> inverse CDF, e6 round absorbs last-ulp ln divergence
-    "dp_histogram" ->
-      """WITH g AS (
-        |  SELECT lang, source, count(*) AS n_exact
-        |  FROM documents GROUP BY 1, 2
-        |), n AS (
-        |  SELECT lang, source, n_exact,
-        |    (('0x' || substr(md5('dp_' || lang || '_' || source), 1, 8))::BIGINT
-        |       % 1000000 + 0.5) / 1000000.0 AS u
-        |  FROM g)
-        |SELECT lang, source, n_exact,
-        |  CAST(floor((n_exact +
-        |    -(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
-        |    AS BIGINT) AS noisy_e6
-        |FROM n ORDER BY lang, source""".stripMargin,
-    // same noise derivation keyed per token; top-k = the engine's
-    // TakeOrdered cut replayed as an ORDER BY ... LIMIT
-    "dp_topk" ->
-      """WITH g AS (
-        |  SELECT token, count(*) AS n_exact FROM (
-        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
-        |    FROM documents)
-        |  GROUP BY token
-        |), n AS (
-        |  SELECT token, n_exact,
-        |    (('0x' || substr(md5('dptk_' || token), 1, 8))::BIGINT
-        |       % 1000000 + 0.5) / 1000000.0 AS u
-        |  FROM g
-        |), s AS (
-        |  SELECT token, n_exact,
-        |    CAST(floor((n_exact +
-        |      -(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
-        |      AS BIGINT) AS noisy_e6
-        |  FROM n ORDER BY noisy_e6 DESC, token LIMIT 10)
-        |SELECT CAST(row_number() OVER (ORDER BY noisy_e6 DESC, token)
-        |    AS BIGINT) AS rk,
-        |  token, n_exact, noisy_e6
-        |FROM s ORDER BY rk""".stripMargin,
-    // the CMS build/probe is replayed EXACTLY (shared md5 bucket hash):
-    // counters = one GROUP BY (seed,bucket); estimate = min over seeds
-    "cms_heavy" -> {
-      val eps = math.E / operators.Sketches.CmsWidth
-      val w = operators.Sketches.CmsWidth
-      s"""WITH items AS (SELECT l_partkey AS key FROM lineitem),
-        |tot AS (SELECT count(*) AS n_total FROM items),
-        |exact AS (SELECT key, count(*) AS exact_cnt FROM items GROUP BY key),
-        |topk AS (
-        |  SELECT key, exact_cnt FROM exact
-        |  ORDER BY exact_cnt DESC, key LIMIT 20),
-        |seeds AS (SELECT unnest([0, 1, 2]) AS seed),
-        |counters AS (
-        |  SELECT s.seed,
-        |    ('0x' || substr(md5(CAST(i.key AS VARCHAR)), s.seed * 8 + 1, 8))
-        |      ::BIGINT % $w AS bucket,
-        |    count(*) AS c
-        |  FROM items i CROSS JOIN seeds s GROUP BY 1, 2),
-        |est AS (
-        |  SELECT t.key, t.exact_cnt, min(c.c) AS cms_est
-        |  FROM topk t CROSS JOIN seeds s
-        |  JOIN counters c ON c.seed = s.seed AND c.bucket =
-        |    ('0x' || substr(md5(CAST(t.key AS VARCHAR)), s.seed * 8 + 1, 8))
-        |      ::BIGINT % $w
-        |  GROUP BY 1, 2)
-        |SELECT e.key AS l_partkey, e.exact_cnt, e.cms_est,
-        |  (e.cms_est >= e.exact_cnt AND e.cms_est <= e.exact_cnt +
-        |     CAST(ceil($eps * t.n_total) AS BIGINT)) AS within_bound
-        |FROM est e CROSS JOIN tot t
-        |ORDER BY e.exact_cnt DESC, l_partkey""".stripMargin
-    },
-    // xxhash64 isn't replayable in DuckDB: top-k keys/counts are
-    // oracle-exact, the sketch-quality checks are structural booleans
-    // (est_ge_exact is the CMS no-undercount theorem; within_bound the
-    // deterministic e/w*N check the md5 twin carries as data)
-    "cms_heavy_fast" ->
-      """SELECT l_partkey, exact_cnt,
-        |  TRUE AS est_ge_exact, TRUE AS within_bound
-        |FROM (SELECT l_partkey, count(*) AS exact_cnt
-        |      FROM lineitem GROUP BY 1)
-        |ORDER BY exact_cnt DESC, l_partkey LIMIT 20""".stripMargin,
-    // DataSketches estimates aren't SQL-expressible: n_exact is
-    // oracle-exact, the merge-transparency invariants are structural
-    "hll_sharded" ->
-      """SELECT count(DISTINCT l_partkey) AS n_exact,
-        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
-        |FROM lineitem""".stripMargin,
-    // the persisted+appended serve must satisfy the same contract as
-    // the in-flight union — same oracle text
-    "hll_persisted" ->
-      """SELECT count(DISTINCT l_partkey) AS n_exact,
-        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
-        |FROM lineitem""".stripMargin,
-    // per-group n_exact oracle-exact; the per-group merge/accuracy
-    // invariants are the same structural booleans as the global row
-    "hll_by_group" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
-        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    // compaction must be invisible to the serve — same oracle text again
-    "hll_compacted" ->
-      """SELECT count(DISTINCT l_partkey) AS n_exact,
-        |  TRUE AS merge_near_direct, TRUE AS est_within_5pct
-        |FROM lineitem""".stripMargin,
-    // exact intersection via INTERSECT; the inclusion-exclusion band is
-    // the structural boolean (hll_sharded's posture)
-    "hll_intersect" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_exact,
-        |  TRUE AS ie_within_10pct
-        |FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
-        |      INTERSECT
-        |      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')""".stripMargin,
-    // the NOT-EXISTS dominance DEFINITION; the engine's two-phase
-    // frontier merge must be invisible in the result
-    "skyline" ->
-      """WITH c AS (
-        |  SELECT o_custkey, count(*) AS n_orders,
-        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-        |      AS max_order_cents
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey, n_orders, max_order_cents
-        |FROM c a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM c b
-        |  WHERE b.n_orders >= a.n_orders
-        |    AND b.max_order_cents >= a.max_order_cents
-        |    AND (b.n_orders > a.n_orders
-        |      OR b.max_order_cents > a.max_order_cents))
-        |ORDER BY o_custkey""".stripMargin,
-    // same unrolled Morton term list, DuckDB operator spelling
-    "zorder_stats" -> {
-      val z = operators.Layout.mortonExprSql("x", "y")
-      val shift = 2 * operators.Layout.ZBits - 2 * 5
-      val dom = 1L << operators.Layout.ZBits
-      s"""WITH b AS (
-        |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
-        |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
-        |  FROM lineitem
-        |), m AS (
-        |  SELECT ((l_partkey - minp) * $dom) // (maxp - minp + 1) AS x,
-        |         ((l_suppkey - mins) * $dom) // (maxs - mins + 1) AS y
-        |  FROM lineitem CROSS JOIN b
-        |), z AS (
-        |  SELECT x, y, ($z) >> $shift AS zbucket FROM m)
-        |SELECT zbucket, count(*) AS n_rows,
-        |  max(x) - min(x) AS span_part,
-        |  max(y) - min(y) AS span_supp
-        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
-    },
-    "dq_checks" ->
-      """WITH li AS (
-        |  SELECT count(*) AS n_rows,
-        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_oob,
-        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_nonpos
-        |  FROM lineitem),
-        |o AS (SELECT count(*) AS n_orders,
-        |    count(DISTINCT o_orderkey) AS n_distinct_keys FROM orders),
-        |orph AS (SELECT count(*) AS n_orphans FROM lineitem l
-        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                    WHERE o.o_orderkey = l.l_orderkey))
-        |SELECT check_name, metric, passed FROM (
-        |  SELECT 'row_count_positive' AS check_name,
-        |    CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed FROM li
-        |  UNION ALL SELECT 'quantity_complete', CAST(null_qty AS DOUBLE),
-        |    null_qty = 0 FROM li
-        |  UNION ALL SELECT 'quantity_in_range', CAST(qty_oob AS DOUBLE),
-        |    qty_oob = 0 FROM li
-        |  UNION ALL SELECT 'price_positive', CAST(price_nonpos AS DOUBLE),
-        |    price_nonpos = 0 FROM li
-        |  UNION ALL SELECT 'orderkey_unique',
-        |    CAST(n_orders - n_distinct_keys AS DOUBLE),
-        |    n_orders = n_distinct_keys FROM o
-        |  UNION ALL SELECT 'orderkey_referential', CAST(n_orphans AS DOUBLE),
-        |    n_orphans = 0 FROM orph)
-        |ORDER BY check_name""".stripMargin,
-    // the window DEFINITION of the same two rank total-orders; moments
-    // exact BIGINT, final ρ arithmetic in the same IEEE op order
-    "spearman_corr" ->
-      """WITH b AS (
-        |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
-        |         l_orderkey, l_linenumber, l_partkey, l_suppkey
-        |  FROM lineitem
-        |), r AS (
-        |  SELECT g,
-        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x,
-        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rx,
-        |    CAST(row_number() OVER (PARTITION BY g ORDER BY y,
-        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS ry
-        |  FROM b
-        |), m AS (
-        |  SELECT g, count(*) AS n,
-        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-        |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
-        |    CAST(sum(rx * rx) AS BIGINT) AS sx2,
-        |    CAST(sum(ry * ry) AS BIGINT) AS sy2
-        |  FROM r GROUP BY g)
-        |SELECT g AS l_returnflag, n,
-        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |      (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |    * 1e6 + 0.5) AS BIGINT) AS spearman_e6
-        |FROM m ORDER BY l_returnflag""".stripMargin,
-    // the same k-step floored product, // = div on non-negative operands;
-    // lower median via the identical rank selection
-    "pass_at_k" -> {
-      def rExpr(k: Int) = (0 until k).foldLeft("1000000") { (acc, i) =>
-        s"(($acc * greatest(n - c - $i, 0)) // (n - $i))" }
-      def row(k: Int) =
-        s"""SELECT CAST($k AS INT) AS k,
-           |  count(*) AS n_problems,
-           |  CAST(sum(1000000 - ${rExpr(k)}) AS BIGINT) AS sum_pass_e6,
-           |  CAST(sum(1000000 - ${rExpr(k)}) // count(*) AS BIGINT)
-           |    AS mean_pass_e6
-           |FROM per WHERE n >= $k""".stripMargin
-      s"""WITH cents AS (
-        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders
-        |), med AS (
-        |  SELECT min(cents) AS median_cents FROM (
-        |    SELECT cents, row_number() OVER (ORDER BY cents) AS rnk,
-        |      count(*) OVER () AS n
-        |    FROM cents)
-        |  WHERE rnk * 2 = n OR rnk * 2 = n + 1
-        |), per AS (
-        |  SELECT o_custkey, count(*) AS n,
-        |    CAST(sum(CASE WHEN cents > (SELECT median_cents FROM med)
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS c
-        |  FROM cents GROUP BY o_custkey
-        |)
-        |SELECT * FROM (
-        |${row(1)}
-        |UNION ALL
-        |${row(5)})
-        |ORDER BY k""".stripMargin
-    },
-    // per-user exact cents, HUGEINT pooled moments (= the engine's
-    // DECIMAL(38,0)), every double derived in the engine's operand order
-    "cuped_adjust" ->
-      """WITH per AS (
-        |  SELECT o_custkey,
-        |    CAST(sum(CASE WHEN o_orderdate < DATE '1998-06-01'
-        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS x,
-        |    CAST(sum(CASE WHEN o_orderdate >= DATE '1998-06-01'
-        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS y,
-        |    CASE WHEN ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
-        |        % 100 < 50
-        |      THEN 'A' ELSE 'B' END AS variant
-        |  FROM orders GROUP BY o_custkey
-        |), pool AS (
-        |  SELECT count(*) AS n,
-        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
-        |    sum(CAST(x AS HUGEINT) * y) AS sxy
-        |  FROM per
-        |), byv AS (
-        |  SELECT variant, count(*) AS n_users,
-        |    sum(CAST(x AS HUGEINT)) AS svx, sum(CAST(y AS HUGEINT)) AS svy
-        |  FROM per GROUP BY variant
-        |), j AS (
-        |  SELECT variant, n_users, n, sx, svx, svy,
-        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
-        |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      END AS theta
-        |  FROM byv CROSS JOIN pool
-        |)
-        |SELECT variant, n_users,
-        |  CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS mean_y,
-        |  theta,
-        |  CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
-        |    - theta * ((CAST(svx AS DOUBLE) / CAST(n_users AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
-        |    AS mean_y_cuped
-        |FROM j ORDER BY variant""".stripMargin,
-    // the same bounded head, pair orientation and lower-median rank rule
-    "theil_sen" ->
-      """WITH pts AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
-        |      CAST(l_partkey AS VARCHAR)) AS i
-        |  FROM lineitem
-        |  ORDER BY l_orderkey, l_linenumber, CAST(l_partkey AS VARCHAR)
-        |  LIMIT 200
-        |), slopes AS (
-        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
-        |      AS slope,
-        |    a.i AS ia, b.i AS ib
-        |  FROM pts a JOIN pts b ON a.x < b.x
-        |), r AS (
-        |  SELECT slope,
-        |    row_number() OVER (ORDER BY slope, ia, ib) AS rnk,
-        |    count(*) OVER () AS n
-        |  FROM slopes)
-        |SELECT CAST(200 AS INT) AS n_points,
-        |  CAST(max(n) AS BIGINT) AS n_pairs,
-        |  min(slope) AS ts_slope
-        |FROM r WHERE rnk * 2 = n OR rnk * 2 = n + 1""".stripMargin,
-    "corr_stats" ->
-      """WITH m AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
-        |  FROM lineitem
-        |), a AS (
-        |  SELECT l_returnflag, count(*) AS n_rows,
-        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
-        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
-        |    sum(CAST(p AS HUGEINT) * p) AS spp,
-        |    sum(CAST(q AS HUGEINT) * p) AS sqp
-        |  FROM m GROUP BY l_returnflag
-        |)
-        |SELECT l_returnflag, n_rows,
-        |  CAST(sq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_qty,
-        |  CAST(sp AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_price,
-        |  (CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
-        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) / 100.0
-        |    AS cov_qty_price,
-        |  (CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
-        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-        |    / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sqq AS DOUBLE)
-        |          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |       * sqrt(CAST(n_rows AS DOUBLE) * CAST(spp AS DOUBLE)
-        |            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
-        |    AS corr_qty_price
-        |FROM a ORDER BY l_returnflag""".stripMargin,
-    // same exact-power-sum pass as corr_stats; degenerate-variance test
-    // on the EXACT hugeint sums, closed forms in the Spark operand order
-    "regression_stats" ->
-      """WITH m AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
-        |  FROM lineitem
-        |), a AS (
-        |  SELECT l_returnflag, count(*) AS n_rows,
-        |    sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
-        |    sum(CAST(q AS HUGEINT) * q) AS sqq,
-        |    sum(CAST(p AS HUGEINT) * p) AS spp,
-        |    sum(CAST(q AS HUGEINT) * p) AS sqp
-        |  FROM m GROUP BY l_returnflag
-        |), d AS (
-        |  SELECT l_returnflag, n_rows,
-        |    (sqq * n_rows = sq * sq OR spp * n_rows = sp * sp) AS degen,
-        |    CAST(n_rows AS DOUBLE) AS nd,
-        |    CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd,
-        |    CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
-        |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) AS cov_num,
-        |    CAST(n_rows AS DOUBLE) * CAST(sqq AS DOUBLE)
-        |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS var_x,
-        |    CAST(n_rows AS DOUBLE) * CAST(spp AS DOUBLE)
-        |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS var_y
-        |  FROM a
-        |)
-        |SELECT l_returnflag, n_rows,
-        |  CASE WHEN degen THEN NULL
-        |    ELSE cov_num / var_x / 100.0 END AS slope,
-        |  CASE WHEN degen THEN NULL
-        |    ELSE (spd / nd - cov_num / var_x * (sqd / nd)) / 100.0 END
-        |    AS intercept,
-        |  CASE WHEN degen THEN NULL
-        |    ELSE cov_num * cov_num / (var_x * var_y) END AS r2
-        |FROM d ORDER BY l_returnflag""".stripMargin,
-    // exact order-statistic thresholds (exactQuantiles' ceil convention),
-    // then a pure-selection clamp — no arithmetic, exact on doubles
-    "winsorize" ->
-      """WITH r AS (
-        |  SELECT event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id) AS rnk,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
-        |), thr AS (
-        |  SELECT event_type,
-        |    max(CASE WHEN rnk = greatest(1, (n * 5 + 99) // 100) THEN value END) AS lo,
-        |    max(CASE WHEN rnk = greatest(1, (n * 95 + 99) // 100) THEN value END) AS hi
-        |  FROM r GROUP BY event_type
-        |)
-        |SELECT r.event_id, r.event_type, r.value, t.lo, t.hi,
-        |  greatest(t.lo, least(t.hi, r.value)) AS value_w,
-        |  (r.value < t.lo OR r.value > t.hi) AS clipped
-        |FROM r JOIN thr t USING (event_type)
-        |ORDER BY r.event_id""".stripMargin,
-    // lower medians via row_number (NOT median(), which interpolates):
-    // identical picked rows -> identical IEEE operands in the z formula
-    "robust_zscore" ->
-      """WITH ranked AS (
-        |  SELECT event_type, value, event_id,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY value, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
-        |), med AS (
-        |  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
-        |), dev AS (
-        |  SELECT e.event_id, e.event_type, e.value, m.med,
-        |    abs(e.value - m.med) AS absdev
-        |  FROM events e JOIN med m USING (event_type)
-        |), dranked AS (
-        |  SELECT event_type, absdev, event_id,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY absdev, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM dev
-        |), mad AS (
-        |  SELECT event_type, absdev AS mad FROM dranked WHERE rn = (n + 1) // 2
-        |)
-        |SELECT d.event_id, d.event_type, d.value,
-        |  CASE WHEN t.mad = 0 THEN NULL
-        |       ELSE 0.6745 * (d.value - d.med) / t.mad END AS robust_z,
-        |  CASE WHEN t.mad = 0 THEN NULL
-        |       ELSE abs(0.6745 * (d.value - d.med) / t.mad) > 3.5
-        |  END AS is_outlier
-        |FROM dev d JOIN mad t USING (event_type)
-        |ORDER BY d.event_id""".stripMargin,
-    "profile_table" -> {
-      val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderpriority")
-      profiled.map(c =>
-        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-           |  count(*) - count($c) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_value,
-           |  CAST(max($c) AS VARCHAR) AS max_value
-           |FROM orders""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    },
-    "scd2_apply" ->
-      """WITH cur AS (
-        |  SELECT c_custkey, c_name, c_acctbal,
-        |    TIMESTAMP '1995-01-01' AS valid_from,
-        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-        |  FROM customer
-        |), upd AS (
-        |  SELECT c_custkey, c_name,
-        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
-        |         ELSE c_acctbal END AS c_acctbal,
-        |    TIMESTAMP '1997-06-01' AS change_ts
-        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
-        |), chg AS (
-        |  SELECT u.c_custkey, u.c_name, u.c_acctbal, u.change_ts
-        |  FROM upd u JOIN cur c ON u.c_custkey = c.c_custkey
-        |  WHERE NOT (u.c_acctbal IS NOT DISTINCT FROM c.c_acctbal
-        |         AND u.c_name IS NOT DISTINCT FROM c.c_name)
-        |)
-        |SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
-        |  ch.change_ts AS valid_to, FALSE AS is_current
-        |FROM cur c JOIN chg ch ON c.c_custkey = ch.c_custkey
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, change_ts AS valid_from,
-        |  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-        |FROM chg
-        |UNION ALL
-        |SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
-        |  c.valid_to, c.is_current
-        |FROM cur c
-        |WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = c.c_custkey)
-        |ORDER BY c_custkey, valid_from""".stripMargin,
-    // the oracle compares columns directly where the engine compares
-    // fingerprints — classification must agree (orders has no NULLs and
-    // the doubled price always differs)
-    "snapshot_diff" ->
-      """WITH oldS AS (
-        |  SELECT * FROM orders WHERE o_orderkey % 89 <> 0
-        |), newS AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
-        |         ELSE o_totalprice END AS o_totalprice,
-        |    o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |)
-        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
-        |       WHEN b.o_orderkey IS NULL THEN 'delete'
-        |       ELSE 'update' END AS change
-        |FROM oldS a FULL OUTER JOIN newS b ON a.o_orderkey = b.o_orderkey
-        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
-        |   OR a.o_totalprice <> b.o_totalprice
-        |ORDER BY o_orderkey""".stripMargin,
-    // round-trip identity: the applied feed IS the new snapshot
-    "cdc_upsert" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
-        |       ELSE o_totalprice END AS o_totalprice,
-        |  o_orderdate, o_orderpriority
-        |FROM orders WHERE o_orderkey % 97 <> 0
-        |ORDER BY o_orderkey""".stripMargin,
-    "string_agg" ->
-      """SELECT n_name, count(*) AS n_suppliers,
-        |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_acctbal > 9000.0
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "value_histogram" ->
-      """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
-        |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "window_rank" ->
-      """SELECT event_id, user_id, event_type, value,
-        |  CAST(row_number() OVER w AS INTEGER) AS rn,
-        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
-        |  lag(value, 1) OVER w AS prev_value,
-        |  lead(event_type, 1) OVER w AS next_type,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin,
-    "window_frames" ->
-      """SELECT event_id, user_id, value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
-        |       OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum4,
-        |  count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_n,
-        |  first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
-        |  last_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_type,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin,
-    "window_distributions" ->
-      """SELECT event_id, user_id, value,
-        |  percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank,
-        |  cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cume,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
-        |    (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum_10min,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS range_n_10min
-        |FROM events ORDER BY user_id, event_id""".stripMargin,
-    "sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), s AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
-        |), sid AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
-        |)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
-        |  CAST((max(us) - min(us)) / 1000000 AS DOUBLE) AS duration_sec,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
-    "q5_local_supplier" ->
-      """SELECT n_name, count(*) AS n_lineitems,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "session_window_agg" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), s AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
-        |), sid AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
-        |)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
-    // the streaming session merge must equal the batch session_window_agg
-    "session_window_stream" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), s AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
-        |), sid AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
-        |)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
-    "locf_fill" ->
-      """SELECT event_id, user_id, ts, event_type,
-        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
-        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-        |FROM events ORDER BY event_id""".stripMargin,
-    "hourly_counts" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    // merge(partials, delta) must equal the full recompute exactly
-    "hourly_counts_incremental" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    "latest_events" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  arg_min(event_type, ts) AS first_type,
-        |  arg_max(event_type, ts) AS last_type,
-        |  arg_max(value, ts) AS last_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "sliding_counts" ->
-      """WITH w AS (
-        |  SELECT event_type, value,
-        |    unnest([to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800 - 1800),
-        |            to_timestamp((epoch_us(ts) // 1000000 // 1800) * 1800)]) AS win_start
-        |  FROM events)
-        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
-    // the same position-summary containment algebra; the oracle states
-    // it over first/last/min-after summaries exactly like the engine
-    "seq_patterns" ->
-      """WITH pos AS (
-        |  SELECT user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS pos
-        |  FROM events
-        |), fp AS (
-        |  SELECT user_id, event_type, min(pos) AS first_pos,
-        |    max(pos) AS last_pos
-        |  FROM pos GROUP BY 1, 2
-        |), l1 AS (
-        |  SELECT CAST(1 AS INT) AS length, event_type AS pattern,
-        |    count(*) AS support
-        |  FROM fp GROUP BY 2
-        |), l2 AS (
-        |  SELECT CAST(2 AS INT) AS length,
-        |    a.event_type || '>' || b.event_type AS pattern,
-        |    count(*) AS support
-        |  FROM fp a JOIN fp b USING (user_id)
-        |  WHERE a.first_pos < b.last_pos
-        |  GROUP BY 2
-        |), mab AS (
-        |  SELECT p.user_id, a.event_type AS a, p.event_type AS b,
-        |    min(p.pos) AS mab
-        |  FROM pos p JOIN fp a USING (user_id)
-        |  WHERE p.pos > a.first_pos
-        |  GROUP BY 1, 2, 3
-        |), l3 AS (
-        |  SELECT CAST(3 AS INT) AS length,
-        |    m.a || '>' || m.b || '>' || c.event_type AS pattern,
-        |    count(*) AS support
-        |  FROM mab m JOIN fp c USING (user_id)
-        |  WHERE c.last_pos > m.mab
-        |  GROUP BY 2
-        |)
-        |SELECT length, pattern, CAST(support AS BIGINT) AS support FROM (
-        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
-        |  UNION ALL SELECT * FROM l3)
-        |WHERE support >= 3
-        |ORDER BY length, pattern""".stripMargin,
-    // the same journey segmentation and credit CASE; // = div on the
-    // non-negative credit operands; remainder-to-last keeps every
-    // journey's credit summing to exactly 1e6
-    "attribution_touch" ->
-      """WITH tagged AS (
-        |  SELECT event_id, ts, user_id, event_type,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
-        |    COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS journey
-        |  FROM events
-        |), touches AS (
-        |  SELECT * FROM tagged
-        |  WHERE event_type IN ('view', 'click', 'signup')
-        |), convs AS (
-        |  SELECT DISTINCT user_id, journey FROM tagged WHERE is_conv = 1
-        |), pos AS (
-        |  SELECT t.user_id, t.journey, t.event_type,
-        |    row_number() OVER (PARTITION BY t.user_id, t.journey
-        |      ORDER BY t.ts, t.event_id) AS p,
-        |    count(*) OVER (PARTITION BY t.user_id, t.journey) AS n
-        |  FROM touches t JOIN convs USING (user_id, journey)
-        |), cr AS (
-        |  SELECT event_type AS channel, p, n,
-        |    CASE WHEN n = 1 THEN 1000000
-        |         WHEN n = 2 THEN 500000
-        |         WHEN p = 1 THEN 400000
-        |         WHEN p = n THEN 400000 + (200000 - (n - 2) * (200000 // (n - 2)))
-        |         ELSE 200000 // (n - 2) END AS credit_e6
-        |  FROM pos)
-        |SELECT channel, count(*) AS n_touches,
-        |  CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
-        |  CAST(sum(CASE WHEN p = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
-        |  CAST(sum(credit_e6) AS BIGINT) AS credit_e6
-        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
-    "funnel_steps" ->
-      """WITH s0 AS (
-        |  SELECT user_id, min(ts) AS view_ts FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), s1 AS (
-        |  SELECT e.user_id, min(e.ts) AS click_ts
-        |  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.view_ts
-        |  WHERE e.event_type = 'click' GROUP BY e.user_id
-        |), s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS purchase_ts
-        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.click_ts
-        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
-        |), u AS (SELECT DISTINCT user_id FROM events)
-        |SELECT u.user_id, s0.view_ts, s1.click_ts, s2.purchase_ts,
-        |  CAST(CASE WHEN s0.view_ts IS NULL THEN 0 ELSE 1 END
-        |     + CASE WHEN s1.click_ts IS NULL THEN 0 ELSE 1 END
-        |     + CASE WHEN s2.purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_stages,
-        |  CASE WHEN s2.purchase_ts IS NOT NULL THEN 'purchase'
-        |       WHEN s1.click_ts IS NOT NULL THEN 'click'
-        |       WHEN s0.view_ts IS NOT NULL THEN 'view'
-        |       ELSE 'none' END AS furthest
-        |FROM u
-        |LEFT JOIN s0 ON u.user_id = s0.user_id
-        |LEFT JOIN s1 ON u.user_id = s1.user_id
-        |LEFT JOIN s2 ON u.user_id = s2.user_id
-        |ORDER BY u.user_id""".stripMargin,
-    "event_transitions" ->
-      """WITH nxt AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events
-        |), c AS (
-        |  SELECT from_type, to_type, count(*) AS cnt
-        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
-        |)
-        |SELECT from_type, to_type, cnt,
-        |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
-    "cohort_retention" ->
-      """WITH first_seen AS (
-        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
-        |  FROM events GROUP BY 1
-        |), activity AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |), agg AS (
-        |  SELECT f.cohort_day,
-        |    CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
-        |    count(*) AS active_users
-        |  FROM activity a JOIN first_seen f USING (user_id)
-        |  GROUP BY 1, 2
-        |)
-        |SELECT cohort_day, day_offset, active_users,
-        |  CAST(active_users AS DOUBLE) /
-        |    CAST(max(CASE WHEN day_offset = 0 THEN active_users END)
-        |      OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention
-        |FROM agg ORDER BY cohort_day, day_offset""".stripMargin,
-    // exact-integer EWMA twin: same cents quantization (identical IEEE
-    // ops), same left fold — list_prepend injects the 0 init. The step
-    // must FLOOR like the Spark side's shiftright (DuckDB's // truncates
-    // toward zero and diverges on negative values); floor((a+b)/2.0) is
-    // exact here because the state is bounded by max |cents|, far below
-    // the 2^53 double-integer ceiling
-    "ewma_value" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT user_id,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
-        |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // the max(0,·) recurrence unrolled: s_t = p_t − min(0, min_{j≤t} p_j)
-    // over exact integer cents — provably equal to the engine's fold.
-    // cusum_stream's bounded replay must reproduce the batch fold
-    // exactly — same oracle text.
-    "cusum_stream" -> cusumOracleSql,
-    "cusum_alerts" -> cusumOracleSql,
-    // the streaming EWMA's bounded replay must reproduce the batch fold
-    // exactly — same oracle text as ewma_value
-    "ewma_stream" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT user_id,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  list_reduce(list_prepend(0, list(cents ORDER BY ts, event_id)),
-        |    (a, b) -> CAST(floor((a + b) / 2.0) AS BIGINT)) AS ewma_cents
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // per-(user,hour) latest value by the total (ts, event_id) order —
-    // the HUGEINT composite key mirrors Spark's max_by struct key
-    // (event_id stays far below the 1e9 multiplier)
-    "resample_ffill" ->
-      """WITH bounds AS (
-        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
-        |    date_trunc('hour', max(ts)) AS t1
-        |  FROM events GROUP BY 1),
-        |grid AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
-        |  FROM bounds),
-        |hourly AS (
-        |  SELECT user_id, date_trunc('hour', ts) AS grid_ts,
-        |    max_by("value", epoch_us(ts)::HUGEINT * 1000000000 + event_id) AS hv
-        |  FROM events GROUP BY 1, 2)
-        |SELECT g.user_id, g.grid_ts,
-        |  last_value(h.hv IGNORE NULLS) OVER (
-        |    PARTITION BY g.user_id ORDER BY g.grid_ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "value",
-        |  h.hv IS NULL AS filled
-        |FROM grid g LEFT JOIN hourly h
-        |  ON g.user_id = h.user_id AND g.grid_ts = h.grid_ts
-        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
-    "json_funcs" ->
-      """SELECT event_id, event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
-        |FROM events ORDER BY event_id""".stripMargin,
-    "variant_funcs" ->
-      """SELECT event_id, event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
-        |  json_extract_string(props, '$.missing') IS NULL AS missing_is_null
-        |FROM events ORDER BY event_id""".stripMargin,
-    "asof_join" -> asofOracleSql,
-    // the bucketized variant is semantics-identical, so it shares the
-    // native ASOF JOIN oracle verbatim
-    "asof_join_bucketized" -> asofOracleSql,
-    "proximity_pairs" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
-        |)
-        |SELECT a.user_id, a.event_id AS event_a, a.event_type AS type_a,
-        |  b.event_id AS event_b, b.event_type AS type_b, b.us - a.us AS delta_us
-        |FROM e a JOIN e b ON a.user_id = b.user_id
-        |  AND b.us >= a.us AND b.us - a.us <= 300000000
-        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
-        |  AND a.event_id <> b.event_id
-        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
-    "interval_join" ->
-      """WITH c AS (
-        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
-        |         value AS purchase_value
-        |  FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT c.user_id, c.click_id, p.purchase_id,
-        |  p.rus - c.lus AS delta_us, p.purchase_value
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
-    // the stream-stream run must equal the batch interval join — same
-    // oracle text
-    "interval_join_stream" ->
-      """WITH c AS (
-        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
-        |         value AS purchase_value
-        |  FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT c.user_id, c.click_id, p.purchase_id,
-        |  p.rus - c.lus AS delta_us, p.purchase_value
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
-    // the left-outer twin: matched rows as above; an unmatched click
-    // emits NULLs only when its 5-minute window fell fully behind the
-    // final watermark W = min(max click, max purchase) − 1 h — the
-    // withheld tail is the streaming-correct answer, encoded here in µs
-    "interval_join_stream_outer" ->
-      """WITH c AS (
-        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS lus
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS rus,
-        |         value AS purchase_value
-        |  FROM events WHERE event_type = 'purchase'
-        |), w AS (
-        |  SELECT least((SELECT max(lus) FROM c), (SELECT max(rus) FROM p))
-        |    - 3600000000 - 300000000 AS cut
-        |), m AS (
-        |  SELECT c.user_id, c.click_id, p.purchase_id,
-        |    p.rus - c.lus AS delta_us, p.purchase_value
-        |  FROM c JOIN p ON c.user_id = p.user_id
-        |    AND p.rus >= c.lus AND p.rus - c.lus <= 300000000
-        |), um AS (
-        |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
-        |    CAST(NULL AS BIGINT) AS delta_us,
-        |    CAST(NULL AS DOUBLE) AS purchase_value
-        |  FROM c CROSS JOIN w
-        |  WHERE c.lus < w.cut AND NOT EXISTS (
-        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
-        |      AND p.rus >= c.lus AND p.rus - c.lus <= 300000000)
-        |)
-        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
-        |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin,
-    "text_stats" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS BIGINT) AS n_stopwords
-        |  FROM documents
-        |)
-        |SELECT doc_id, lang, source, n_chars, n_tokens, n_distinct_tokens, n_stopwords,
-        |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-        |  CAST(0.4 AS DOUBLE) * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-        |    + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
-        |    + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
-        |FROM c ORDER BY doc_id""".stripMargin,
-    "lang_id" -> langIdOracleSql,
-    // Cavnar–Trenkle: per-lang and per-doc top-100 2-/3-gram rank
-    // profiles, out-of-place distance, argmin with lexicographic ties
-    // lp (profile training) reads only the bounded doc_id < 2000 sample
-    // — the engine's LangIdTrainDocs cut, shared verbatim
-    "lang_id_ngram" ->
-      s"""WITH g AS MATERIALIZED (
-        |  SELECT doc_id, lang, unnest(list_concat(
-        |    CASE WHEN length(text) >= 2 THEN
-        |      list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
-        |      ELSE [] END,
-        |    CASE WHEN length(text) >= 3 THEN
-        |      list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
-        |      ELSE [] END)) AS gram
-        |  FROM documents),
-        |lp AS MATERIALIZED (
-        |  SELECT lang, gram, r FROM (
-        |    SELECT lang, gram,
-        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS r
-        |    FROM g WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}
-        |    GROUP BY lang, gram) WHERE r <= 100),
-        |dp AS MATERIALIZED (
-        |  SELECT doc_id, gram, r FROM (
-        |    SELECT doc_id, gram,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r
-        |    FROM g GROUP BY doc_id, gram) WHERE r <= 100),
-        |langs AS (SELECT DISTINCT lang FROM documents
-        |          WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}),
-        |d AS (
-        |  SELECT dp.doc_id, langs.lang,
-        |    sum(CASE WHEN lp.r IS NULL THEN 100 ELSE abs(dp.r - lp.r) END) AS dist
-        |  FROM dp CROSS JOIN langs
-        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
-        |  GROUP BY 1, 2),
-        |best AS (
-        |  SELECT doc_id, lang, dist,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rb
-        |  FROM d)
-        |SELECT documents.doc_id, documents.lang AS lang_label,
-        |  coalesce(best.lang, (SELECT min(lang) FROM langs)) AS lang_pred,
-        |  CAST(coalesce(best.dist, 0) AS BIGINT) AS best_dist
-        |FROM documents
-        |LEFT JOIN best ON best.doc_id = documents.doc_id AND best.rb = 1
-        |ORDER BY documents.doc_id""".stripMargin,
-    "token_freq" ->
-      """SELECT token, count(*) AS freq
-        |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
-        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
-    // 64 unrolled training rounds over the space-encoded form; the
-    // string replace IS the greedy left-to-right merge (bpe_tokens'
-    // own oracle convention), and argmax ties break lexicographically
-    "bpe_train" -> {
-      bpeTrainOracleChain(BpeOracleRounds) + "\n" +
-        (0 until BpeOracleRounds).map { i =>
-          if (i == 0)
-            s"SELECT CAST(1 AS INT) AS round, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS cnt FROM b0"
-          else
-            s"UNION ALL SELECT ${i + 1}, a, b, CAST(cnt AS BIGINT) FROM b$i"
-        }.mkString("\n") + "\nORDER BY round"
-    },
-    // the vocabulary-scale exact-parity leg: 256 unrolled rounds over the
-    // partkey word types, rules hash-checked one by one
-    "bpe_train_vocab" -> bpeVocabOracleSql(BpeVocabRounds),
-    // two generated 16-level Viterbi DP chains (one per EM round), each
-    // level MATERIALIZED — the same unroll discipline as bpe_train
-    "unigram_train" -> unigramOracleSql(),
-    // the same chains + a THIRD (application) chain under the learned
-    // scores, joined back onto the per-document word occurrences
-    "unigram_fertility" -> unigramOracleSql(fertility = true),
-    // both tokenizers' FULL oracle chains nested as CTEs (scoped WITHs,
-    // no name crosstalk) joined per doc — the bake-off can't drift from
-    // either tokenizer's own oracle
-    "tokenizer_compare" -> {
-      val bpeSql = bpeTrainOracleChain(BpeOracleRounds) + s""",
-        |v AS (SELECT word,
-        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe,
-        |  CAST(length(word) AS BIGINT) AS n_char FROM e$BpeOracleRounds),
-        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-        |  FROM documents),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
-        |  FROM d JOIN v USING (word) GROUP BY doc_id)
-        |SELECT documents.doc_id,
-        |  coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
-        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-        |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
-      s"""WITH uni AS (${unigramOracleSql(fertility = true)}
-        |), bpe AS ($bpeSql
-        |)
-        |SELECT count(*) AS n_docs,
-        |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
-        |  CAST(sum(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
-        |  CAST(sum(u.n_covered) AS BIGINT) AS uni_covered,
-        |  CAST(sum(u.n_pieces) AS BIGINT) AS uni_pieces,
-        |  CAST(sum(b.n_bpe_tokens) * 1000000 // sum(b.n_words) AS BIGINT)
-        |    AS bpe_fert_e6,
-        |  CAST(sum(u.n_pieces) * 1000000 // sum(u.n_covered) AS BIGINT)
-        |    AS uni_fert_e6,
-        |  CAST(sum(CASE WHEN u.n_covered = u.n_words
-        |    AND u.n_pieces < b.n_bpe_tokens THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_docs_uni_wins
-        |FROM uni u JOIN bpe b USING (doc_id)""".stripMargin
-    },
-    // structural contract for the 1024-merge leg: n_rules literal (the
-    // partkey vocabulary exhausts at ~1990, so all 1024 rounds must
-    // produce a rule), first_cnt recomputed EXACTLY with one unchained
-    // round, invariants as literal TRUE (bpeTrainSummary's contract)
-    "bpe_train_1k" ->
-      (bpeVocabWordsCte +
-        """,
-        |p0 AS (
-        |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM (
-        |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM
-        |      (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e0))
-        |  GROUP BY 1, 2)
-        |SELECT CAST(1024 AS BIGINT) AS n_rules,
-        |  (SELECT CAST(max(cnt) AS BIGINT) FROM p0) AS first_cnt,
-        |  TRUE AS rounds_contiguous, TRUE AS counts_nonincreasing,
-        |  TRUE AS merges_distinct""".stripMargin),
-    // the composed tokenizer: the SAME 64-round training chain, then the
-    // final word-type encoding (e64) applied back to every document's
-    // regex words — per-doc word/char/BPE-token budgets under the
-    // learned vocabulary
-    "pipeline_tokenizer" -> {
-      bpeTrainOracleChain(BpeOracleRounds) + s""",
-        |v AS (SELECT word,
-        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe,
-        |  CAST(length(word) AS BIGINT) AS n_char FROM e$BpeOracleRounds),
-        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-        |  FROM documents),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
-        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
-        |  FROM d JOIN v USING (word) GROUP BY doc_id)
-        |SELECT documents.doc_id,
-        |  coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
-        |  coalesce(agg.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
-        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-        |FROM documents LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
-    },
-    // same smoothing, same IEEE ops, same e6 floor as the Spark side
-    "token_drift" ->
-      """WITH t AS (
-        |  SELECT doc_id % 2 = 0 AS half_a,
-        |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
-        |  FROM documents),
-        |c AS (
-        |  SELECT token,
-        |    sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS cnt_a,
-        |    sum(CASE WHEN half_a THEN 0 ELSE 1 END) AS cnt_b
-        |  FROM t GROUP BY token),
-        |tot AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b,
-        |  count(*) AS v FROM c)
-        |SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a,
-        |  CAST(cnt_b AS BIGINT) AS cnt_b,
-        |  CAST(floor(1000000.0 *
-        |    (CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)) *
-        |    ln((CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)) /
-        |       (CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
-        |    AS BIGINT) AS contrib_e6
-        |FROM c, tot
-        |ORDER BY contrib_e6 DESC, token LIMIT 20""".stripMargin,
-    "heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-        |), n AS (SELECT count(*) AS n_tokens FROM t)
-        |SELECT token, count(*) AS freq,
-        |  (SELECT n_tokens FROM n) AS n_tokens
-        |FROM t GROUP BY token
-        |HAVING count(*) * 100 > (SELECT n_tokens FROM n)
-        |ORDER BY freq DESC, token""".stripMargin,
-    "heavy_hitters_by_lang" ->
-      """WITH tk AS (
-        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
-        |), n AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY lang
-        |), f AS (
-        |  SELECT lang, token, count(*) AS freq FROM tk GROUP BY lang, token
-        |)
-        |SELECT f.lang, f.token, f.freq, n.n_tokens
-        |FROM f JOIN n USING (lang)
-        |WHERE f.freq * 60 > n.n_tokens
-        |ORDER BY lang, freq DESC, token""".stripMargin,
-    // the oracle states the reconciliation: v1 rows carry NULL source
-    "schema_evolution" ->
-      """WITH u AS (
-        |  SELECT doc_id, lang, NULL AS source FROM documents
-        |  WHERE doc_id % 2 = 0
-        |  UNION ALL
-        |  SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_legacy,
-        |  count(DISTINCT source) AS n_sources
-        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
-    // the same quartile-edge binning and smoothed-share arithmetic;
-    // floor-before-sum keeps PSI an integer relation
-    "psi_drift" ->
-      """WITH base AS (
-        |  SELECT n_chars AS x, doc_id FROM documents WHERE doc_id % 2 = 0
-        |), cur AS (
-        |  SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 1
-        |), ranked AS (
-        |  SELECT x, ((row_number() OVER (ORDER BY x, doc_id) - 1) * 4)
-        |      // (count(*) OVER ()) AS tier
-        |  FROM base
-        |), edges AS (
-        |  SELECT max(CASE WHEN tier = 0 THEN x END) AS e1,
-        |    max(CASE WHEN tier = 1 THEN x END) AS e2,
-        |    max(CASE WHEN tier = 2 THEN x END) AS e3
-        |  FROM ranked
-        |), bb AS (
-        |  SELECT CASE WHEN x <= e1 THEN 0 WHEN x <= e2 THEN 1
-        |    WHEN x <= e3 THEN 2 ELSE 3 END AS bin, count(*) AS n_base
-        |  FROM base CROSS JOIN edges GROUP BY 1
-        |), cb AS (
-        |  SELECT CASE WHEN x <= e1 THEN 0 WHEN x <= e2 THEN 1
-        |    WHEN x <= e3 THEN 2 ELSE 3 END AS bin, count(*) AS n_cur
-        |  FROM cur CROSS JOIN edges GROUP BY 1
-        |), dense AS (
-        |  SELECT CAST(b.bin AS INTEGER) AS bin,
-        |    CAST(coalesce(bb.n_base, 0) AS BIGINT) AS n_base,
-        |    CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur
-        |  FROM (SELECT unnest(range(0, 4)) AS bin) b
-        |  LEFT JOIN bb ON bb.bin = b.bin LEFT JOIN cb ON cb.bin = b.bin
-        |), tot AS (
-        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
-        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM dense
-        |), sh AS (
-        |  SELECT bin, n_base, n_cur,
-        |    CAST((n_base + 1) * 1000000 // (tb + 4) AS BIGINT) AS p_e6,
-        |    CAST((n_cur + 1) * 1000000 // (tc + 4) AS BIGINT) AS q_e6
-        |  FROM dense CROSS JOIN tot)
-        |SELECT bin, n_base, n_cur, p_e6, q_e6,
-        |  CAST(floor(
-        |    (CAST(p_e6 - q_e6 AS DOUBLE) / 1000000.0)
-        |    * ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE))
-        |    * 1000000.0) AS BIGINT) AS term_e6
-        |FROM sh ORDER BY bin""".stripMargin,
-    // post-expiry the newest snapshot must still serve the full corpus
-    "snapshot_expire" ->
-      """SELECT CAST(3 AS INT) AS version, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents""".stripMargin,
-    // the oracle states snapshot semantics over the source rows: as-of
-    // v1 = the base split only, as-of v2 = base plus the append
-    "table_time_travel" ->
-      """SELECT * FROM (
-        |  SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
-        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |  FROM documents WHERE doc_id % 10 != 0
-        |  UNION ALL
-        |  SELECT CAST(2 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
-        |  FROM documents)
-        |ORDER BY version""".stripMargin,
-    // roundtrip invariance: the ORC write→pruned-read cycle must be
-    // value-transparent, so the oracle aggregates the parquet original
-    "orc_roundtrip" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin,
-    // the vocab boundary is a (count DESC, token) total order on both
-    // sides, so the top-V cut is deterministic
-    "oov_rate" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), tk AS (
-        |  SELECT doc_id, tok FROM t WHERE tok <> ''
-        |), cnt AS (
-        |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
-        |), vocab AS (
-        |  SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000
-        |), pd AS (
-        |  SELECT tk.doc_id, count(*) AS n_tokens,
-        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_oov
-        |  FROM tk LEFT JOIN vocab v USING (tok) GROUP BY tk.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-        |  coalesce(p.n_oov, CAST(0 AS BIGINT)) AS n_oov,
-        |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(floor(CAST(p.n_oov AS DOUBLE) /
-        |      CAST(p.n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END
-        |    AS oov_e6
-        |FROM documents d LEFT JOIN pd p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    // the same three positional-postings probes; DuckDB's 1-based
-    // subscripts vs Spark's 0-based posexplode are internal only
-    "phrase_trigram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-        |), idx AS (
-        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-        |  FROM toks WHERE len(ts) >= 3
-        |), tri AS (
-        |  SELECT array_to_string(ts[i:i+2], ' ') AS phrase FROM idx
-        |), top AS (
-        |  SELECT phrase FROM tri GROUP BY phrase
-        |  ORDER BY count(*) DESC, phrase LIMIT 1
-        |), w AS (
-        |  SELECT phrase, string_split(phrase, ' ') AS ws FROM top
-        |), post AS (
-        |  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok
-        |  FROM toks)
-        |SELECT p1.doc_id, w.phrase, count(*) AS n_matches
-        |FROM post p1 CROSS JOIN w
-        |JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
-        |JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
-        |WHERE p1.tok = ws[1] AND p2.tok = ws[2] AND p3.tok = ws[3]
-        |GROUP BY p1.doc_id, w.phrase ORDER BY p1.doc_id""".stripMargin,
-    "token_counts" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM documents)
-        |SELECT doc_id, n_ws_tokens, n_subword_tokens, n_chars,
-        |  CAST(n_chars AS DOUBLE) / CAST(n_subword_tokens AS DOUBLE) AS chars_per_subword
-        |FROM c ORDER BY doc_id""".stripMargin,
-    // each division floors independently — that IS the contract
-    "readability_flesch" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    greatest(CAST(1 AS BIGINT),
-        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
-        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
-        |  FROM documents)
-        |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  206835000 - (1015000 * n_words) // n_sentences -
-        |    (84600000 * n_syllables) // n_words AS flesch_e6
-        |FROM c ORDER BY doc_id""".stripMargin,
-    "quality_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), tri AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
-        |  FROM toks WHERE len(t) >= 3
-        |), c AS (
-        |  SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2
-        |)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
-        |  CAST(max(c) AS BIGINT) AS max_trigram,
-        |  count(*) AS n_distinct_trigrams,
-        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "c4_line_filter" -> c4LineFilterOracle,
-    "gopher_quality" -> gopherQualityOracleSql,
-    // the three gates' oracle texts composed VERBATIM as CTEs — the
-    // ablation cannot drift from the gates it reports on
-    "quality_ablation" ->
-      s"""WITH g AS ($gopherQualityOracleSql),
-      |c4 AS ($c4LineFilterOracle),
-      |l AS ($langIdOracleSql)
-      |SELECT g.keep AS gopher_pass, c4.keep AS c4_pass,
-      |  (l.lang_pred = l.lang_label) AS lang_pass, count(*) AS n_docs
-      |FROM g JOIN c4 ON g.doc_id = c4.doc_id JOIN l ON g.doc_id = l.doc_id
-      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-    "script_profile" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    repeat(chr(1072), CAST(doc_id % 40 AS INTEGER)) ||
-        |    repeat('a', CAST(doc_id % 23 AS INTEGER)) ||
-        |    repeat(chr(20320), CAST(doc_id % 17 AS INTEGER)) ||
-        |    repeat('7', CAST(doc_id % 5 AS INTEGER)) AS t
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_cp,
-        |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-        |    CAST(length(t) - length(regexp_replace(t,
-        |      '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS BIGINT) AS n_cyrillic,
-        |    CAST(length(t) - length(regexp_replace(t,
-        |      '[' || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS BIGINT) AS n_cjk,
-        |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
-        |  FROM s
-        |)
-        |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_cjk, n_digit,
-        |  n_cp - n_latin - n_cyrillic - n_cjk - n_digit AS n_other,
-        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
-        |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant
-        |FROM c ORDER BY doc_id""".stripMargin,
-    "nfc_normalize" ->
-      """WITH r AS (
-        |  SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || chr(233)
-        |    || 'cole A' || chr(778) || 'ngstro' || chr(776) || 'm' AS raw
-        |  FROM documents
-        |)
-        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
-        |  nfc_normalize(raw) = raw AS already_nfc,
-        |  CAST(length(raw) AS BIGINT) AS n_cp_raw,
-        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
-        |FROM r ORDER BY doc_id""".stripMargin,
-    "fingerprints" ->
-      """SELECT doc_id, md5(text) AS content_md5,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // same seeded damage classes, same length-difference occurrence
-    // arithmetic (both engines count code points)
-    "mojibake_stats" ->
-      """WITH seeded AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 40 = 0 THEN ' cafÃ© Âfoo'
-        |         WHEN doc_id % 40 = 1 THEN ' donâ€™t'
-        |         WHEN doc_id % 40 = 2 THEN ' bad�char'
-        |         ELSE '' END AS text
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST((length(text) - length(replace(text, 'Ã', '')))
-        |       + (length(text) - length(replace(text, 'Â', ''))) AS BIGINT)
-        |      AS n_latin1_utf8,
-        |    CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
-        |      AS n_broken_punct,
-        |    CAST(length(text) - length(replace(text, '�', '')) AS BIGINT)
-        |      AS n_replacement
-        |  FROM seeded)
-        |SELECT doc_id, n_latin1_utf8, n_broken_punct, n_replacement,
-        |  (n_latin1_utf8 = 0 AND n_broken_punct = 0 AND n_replacement = 0)
-        |    AS is_clean
-        |FROM c ORDER BY doc_id""".stripMargin,
-    "scrub_pii" -> {
-      val (e, i, n) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re,
-        TextAnalysis.LongNumRe)
-      s"""WITH m AS (
-        |  SELECT doc_id, text,
-        |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS em
-        |  FROM documents
-        |), m2 AS (
-        |  SELECT doc_id, text, em,
-        |    regexp_replace(em, '$i', '<IP>', 'g') AS ipm
-        |  FROM m
-        |), c AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
-        |    CAST(len(regexp_extract_all(em, '$i')) AS BIGINT) AS n_ips,
-        |    CAST(len(regexp_extract_all(ipm, '$n')) AS BIGINT) AS n_long_numbers,
-        |    md5(regexp_replace(ipm, '$n', '<NUM>', 'g')) AS masked_md5
-        |  FROM m2
-        |)
-        |SELECT doc_id, n_emails, n_ips, n_long_numbers, masked_md5,
-        |  n_emails + n_ips + n_long_numbers = 0 AS clean
-        |FROM c ORDER BY doc_id""".stripMargin
-    },
-    "html_extract" -> {
-      val (sc, st, cm, bl, tg) = (TextAnalysis.HtmlScriptRe,
-        TextAnalysis.HtmlStyleRe, TextAnalysis.HtmlCommentRe,
-        TextAnalysis.HtmlBlockTagRe, TextAnalysis.HtmlTagRe)
-      s"""WITH pages AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc</title><style>body{color:#333} .nav{display:none}</style></head><body><script type="text/javascript">var lt = 1 < 2 && 3 > 2;</script><h1>Doc '
-        |    || CAST(doc_id AS VARCHAR) || '</h1><p>'
-        |    || regexp_replace(text, '\\. ', '.</p><p>', 'g')
-        |    || '</p><div class="nav"><ul><li>Home</li><li>About &amp; &lt;contact&gt; &quot;mail&#39;s&quot;&nbsp;here</li></ul></div><!-- footer'
-        |    || chr(10) || 'comment --></body></html>' AS html
-        |  FROM documents
-        |), s1 AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(html,
-        |    '$sc', ' ', 'g'), '$st', ' ', 'g'), '$cm', ' ', 'g'),
-        |    '\\s+', ' ', 'g') AS x
-        |  FROM pages
-        |), s2 AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(x,
-        |    '$bl', chr(10), 'g'), '$tg', '', 'g') AS x FROM s1
-        |), s3 AS (
-        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |    '&nbsp;', ' '), '&amp;', '&') AS x FROM s2
-        |)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(x,
-        |    ' +', ' ', 'g'), ' ?(\\n ?)+', chr(10), 'g'),
-        |    '^\\s+|\\s+$$', '', 'g') AS text
-        |FROM s3 ORDER BY doc_id""".stripMargin
-    },
-    "chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), s AS (
-        |  SELECT doc_id, toks,
-        |    list_filter(range(1, len(toks) + 1, 24),
-        |      x -> x = 1 OR x + 8 <= len(toks)) AS starts
-        |  FROM t
-        |), c AS (
-        |  SELECT doc_id, toks, unnest(starts) AS start,
-        |    generate_subscripts(starts, 1) - 1 AS chunk_idx
-        |  FROM s
-        |)
-        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        |  CAST(start AS BIGINT) AS start_token,
-        |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
-        |  md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "bpe_tokens" ->
-      s"""WITH words AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-        |), enc AS (
-        |  SELECT doc_id, length(w) AS nc,
-        |         len(string_split($bpeEncodedExpr, '  ')) AS nb
-        |  FROM words WHERE w <> ''
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_words,
-        |         CAST(sum(nc) AS BIGINT) AS n_char_tokens,
-        |         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
-        |  FROM enc GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
-        |  coalesce(a.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
-        |  coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    // per-language rollup of the same per-doc encode: the two ratios
-    // are single IEEE divisions under the e6 contract
-    "tokenizer_fertility" ->
-      s"""WITH words AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-        |), enc AS (
-        |  SELECT doc_id, length(w) AS nc,
-        |         len(string_split($bpeEncodedExpr, '  ')) AS nb
-        |  FROM words WHERE w <> ''
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_words,
-        |         CAST(sum(nc) AS BIGINT) AS n_char_tokens,
-        |         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
-        |  FROM enc GROUP BY doc_id
-        |), perdoc AS (
-        |  SELECT d.doc_id, d.lang,
-        |    coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
-        |    coalesce(a.n_char_tokens, CAST(0 AS BIGINT)) AS n_char_tokens,
-        |    coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-        |  FROM documents d LEFT JOIN agg a USING (doc_id))
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_words) AS BIGINT) AS n_words,
-        |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
-        |  CAST(floor(CAST(sum(n_bpe_tokens) AS DOUBLE) /
-        |    CAST(sum(n_words) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-        |    AS fertility_e6,
-        |  CAST(floor(CAST(sum(n_char_tokens) AS DOUBLE) /
-        |    CAST(sum(n_bpe_tokens) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-        |    AS chars_per_token_e6
-        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
-    "unigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), freq AS (
-        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
-        |), tot AS (
-        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq
-        |), scored AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
-        |)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
-        |  CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    AS avg_surprisal_e6
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // bigrams via 1-based list indexing over range(2, len+1) — empty for
-    // single-token docs, matching the Spark side's size>=2 guard
-    "bigram_logprob" ->
-      (bigramDocScoresCte +
-        """SELECT doc_id, n_bigrams, surprisal_e6, avg_surprisal_e6
-        |FROM doc_scores ORDER BY doc_id""".stripMargin),
-    // the oracle MAY window globally (single-engine check); the Spark
-    // side must not — exact integer-rank thirds, bucket means as ratios
-    // of exact integer sums
-    "kn_bigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
-        |), model AS (
-        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
-        |), ctx AS (
-        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
-        |    count(*) AS n1fwd FROM model GROUP BY w1
-        |), np AS (
-        |  SELECT w2, count(*) AS nprec FROM model GROUP BY w2
-        |), ty AS (
-        |  SELECT count(*) AS n_types FROM model
-        |), scored AS (
-        |  SELECT m.w1, m.w2,
-        |    CAST(floor(-ln(
-        |      ((CAST(m.cnt AS DOUBLE) - 0.75) / CAST(c.ctx_cnt AS DOUBLE))
-        |      + ((0.75 * CAST(c.n1fwd AS DOUBLE)) / CAST(c.ctx_cnt AS DOUBLE))
-        |        * (CAST(p.nprec AS DOUBLE) / CAST(ty.n_types AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM model m JOIN ctx c USING (w1) JOIN np p ON p.w2 = m.w2
-        |  CROSS JOIN ty
-        |), doc AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(s.s_e6) AS BIGINT) AS surprisal_e6
-        |  FROM bg b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
-        |  GROUP BY b.doc_id)
-        |SELECT doc_id, n_bigrams, surprisal_e6,
-        |  CAST(surprisal_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-        |    AS avg_surprisal_e6
-        |FROM doc ORDER BY doc_id""".stripMargin,
-    "perplexity_buckets" ->
-      (bigramDocScoresCte +
-        """, ranked AS (
-        |  SELECT *, row_number() OVER (ORDER BY avg_surprisal_e6, doc_id) AS rnk,
-        |    count(*) OVER () AS n
-        |  FROM doc_scores
-        |), lab AS (
-        |  SELECT *, CASE WHEN rnk * 3 <= n THEN 'head'
-        |    WHEN rnk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |  FROM ranked
-        |)
-        |SELECT bucket, count(*) AS n_docs,
-        |  min(avg_surprisal_e6) AS min_avg_e6,
-        |  max(avg_surprisal_e6) AS max_avg_e6,
-        |  CAST(sum(surprisal_e6) AS BIGINT) AS sum_surprisal_e6,
-        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
-        |  CAST(CAST(sum(surprisal_e6) AS BIGINT) AS DOUBLE)
-        |    / CAST(CAST(sum(n_bigrams) AS BIGINT) AS DOUBLE)
-        |    AS mean_surprisal_e6
-        |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin),
-    // bigramDocScoresCte with every model relation conditioned on lang,
-    // then the per-language ranked thirds (the oracle's window states
-    // the SEMANTICS; the engine's ExactRank must be invisible)
-    "ccnet_select" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, lang, t[i - 1] AS w1, t[i] AS w2
-        |  FROM (SELECT doc_id, lang, t, unnest(range(2, len(t) + 1)) AS i
-        |        FROM toks)
-        |), model AS (
-        |  SELECT lang, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3
-        |), ctx AS (
-        |  SELECT lang, w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
-        |  FROM model GROUP BY 1, 2
-        |), voc AS (
-        |  SELECT lang, count(DISTINCT tok) AS v FROM (
-        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents) GROUP BY lang
-        |), scored AS (
-        |  SELECT m.lang, m.w1, m.w2,
-        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
-        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM model m JOIN ctx c USING (lang, w1) JOIN voc USING (lang)
-        |), doc_scores AS (
-        |  SELECT doc_id, lang, count(*) AS n_bigrams,
-        |    CAST(sum(s_e6) AS BIGINT) AS surprisal_e6,
-        |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE)
-        |      / CAST(count(*) AS DOUBLE) AS avg_surprisal_e6
-        |  FROM bg JOIN scored USING (lang, w1, w2) GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT *,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY avg_surprisal_e6, doc_id) AS BIGINT) AS rnk,
-        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
-        |  FROM doc_scores
-        |), lab AS (
-        |  SELECT *, CASE WHEN rnk * 3 <= n_group THEN 'head'
-        |    WHEN rnk * 3 <= n_group * 2 THEN 'middle'
-        |    ELSE 'tail' END AS bucket
-        |  FROM ranked)
-        |SELECT doc_id, lang, n_bigrams, surprisal_e6, rnk, n_group,
-        |  bucket, bucket != 'tail' AS kept
-        |FROM lab ORDER BY doc_id""".stripMargin,
-    "corpus_shuffle" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-        |      AS BIGINT) AS pos
-        |  FROM documents)
-        |SELECT doc_id, pos, CAST((pos - 1) % 8 AS INTEGER) AS shard
-        |FROM p ORDER BY doc_id""".stripMargin,
-    "contamination" -> contaminationSql,
-    // the Bloom pre-filter has no false negatives and the exact join
-    // removes false positives, so the result is bit-identical to the
-    // plain contamination check — ONE oracle for both engine paths
-    "contamination_bloom" -> contaminationSql,
-    "passage_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), st AS (
-        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
-        |), ex AS (
-        |  SELECT doc_id, t, unnest(starts) AS s,
-        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
-        |  FROM st
-        |), p AS (
-        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
-        |), fo AS (
-        |  SELECT doc_id, pos, passage,
-        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
-        |  FROM p
-        |), rebuilt AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(passage, ' ' ORDER BY pos) AS clean_text
-        |  FROM fo WHERE rn = 1 GROUP BY doc_id
-        |), totals AS (
-        |  SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id
-        |)
-        |SELECT t.doc_id, t.n_passages,
-        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(r.clean_text, '') AS clean_text
-        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
-    "token_entropy" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), tf AS (
-        |  SELECT doc_id, tok, count(*) AS c FROM tokens GROUP BY doc_id, tok
-        |), n AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id
-        |)
-        |SELECT t.doc_id, max(n.n) AS n_tokens, count(*) AS n_distinct,
-        |  CAST(sum(CAST(floor(-1000000.0 *
-        |    (CAST(t.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
-        |    ln(CAST(t.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS entropy_e6
-        |FROM tf t JOIN n ON t.doc_id = n.doc_id
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
-    "cdc_chunks" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), ex AS (
-        |  SELECT doc_id, unnest(t) AS tok,
-        |    CAST(generate_subscripts(t, 1) AS INTEGER) AS pos
-        |  FROM toks
-        |), h AS (
-        |  SELECT doc_id, tok, pos,
-        |    CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 = 0
-        |         THEN 1 ELSE 0 END AS bnd
-        |  FROM ex
-        |), c AS (
-        |  SELECT doc_id, tok, pos,
-        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-        |  FROM h
-        |)
-        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
-        |  count(*) AS n_tokens,
-        |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-        |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""".stripMargin,
-    "boilerplate_filter" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), st AS (
-        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
-        |), ex AS (
-        |  SELECT doc_id, t, unnest(starts) AS s,
-        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
-        |  FROM st
-        |), p AS (
-        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
-        |), df AS (
-        |  SELECT passage, count(DISTINCT doc_id) AS df FROM p GROUP BY passage
-        |)
-        |SELECT p.doc_id, count(*) AS n_passages,
-        |  CAST(sum(CASE WHEN d.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  coalesce(string_agg(CASE WHEN d.df <= 1 THEN p.passage END, ' ' ORDER BY p.pos), '') AS clean_text
-        |FROM p JOIN df d ON p.passage = d.passage
-        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
-    "tfidf_topk" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY doc_id, tok
-        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id, t.tok, t.tf, d.df,
-        |    CAST(floor(CAST(t.tf AS DOUBLE) *
-        |      ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) *
-        |      1000000.0) AS BIGINT) AS tfidf_e6
-        |  FROM tf t JOIN df d USING (tok) CROSS JOIN nd n
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf_e6 DESC, tok) AS rk
-        |  FROM scored
-        |)
-        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf_e6
-        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    "bm25_rank" ->
-      """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
-        |tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
-        |  WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok
-        |), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |st AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |         (SELECT count(*) FROM tokens) AS total_tok
-        |), per AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |                / (CAST(d.df AS DOUBLE) + 0.5)))
-        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |            + 0.75 * (CAST(l.dl AS DOUBLE)
-        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
-        |      * 1000000.0) AS BIGINT) AS term_e6
-        |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN st s
-        |), scored AS (
-        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6,
-        |    count(*) AS n_terms_matched
-        |  FROM per GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 20
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rk,
-        |  doc_id, n_terms_matched, bm25_e6
-        |FROM scored ORDER BY rk""".stripMargin,
-    // the same formula text instantiated twice (pass 1 on q0, pass 2 on
-    // the expanded set) so the two passes can never drift apart
-    "bm25_prf" -> {
-      val q = operators.TextAnalysis.DefaultBm25Query
-      val banned = (q ++ operators.TextAnalysis.stopwords)
-        .map(t => s"'$t'").mkString(", ")
-      val qList = q.map(t => s"'$t'").mkString(", ")
-      def pass(sfx: String, termsFrom: String) = s""",
-        |tf$sfx AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM tokens
-        |  WHERE tok IN (SELECT tok FROM $termsFrom) GROUP BY doc_id, tok
-        |), df$sfx AS (SELECT tok, count(*) AS df FROM tf$sfx GROUP BY tok),
-        |per$sfx AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-        |                / (CAST(d.df AS DOUBLE) + 0.5)))
-        |      * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |         / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |            + 0.75 * (CAST(l.dl AS DOUBLE)
-        |              / (CAST(s.total_tok AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
-        |      * 1000000.0) AS BIGINT) AS term_e6
-        |  FROM tf$sfx t JOIN df$sfx d USING (tok) JOIN dl l USING (doc_id)
-        |  CROSS JOIN st s
-        |), scored$sfx AS (
-        |  SELECT doc_id, CAST(sum(term_e6) AS BIGINT) AS bm25_e6,
-        |    count(*) AS n_terms_matched
-        |  FROM per$sfx GROUP BY doc_id)""".stripMargin
-      s"""WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
-        |st AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |         (SELECT count(*) FROM tokens) AS total_tok
-        |), q0 AS (SELECT unnest([$qList]) AS tok)""".stripMargin +
-        pass("1", "q0") + s""",
-        |fb AS (
-        |  SELECT doc_id FROM scored1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10
-        |), fbtoks AS (
-        |  SELECT tok FROM (
-        |    SELECT tok, count(*) AS cnt
-        |    FROM tokens JOIN fb USING (doc_id)
-        |    WHERE tok NOT IN ($banned)
-        |    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 3)
-        |), qe AS (SELECT tok FROM q0 UNION ALL SELECT tok FROM fbtoks)""".stripMargin +
-        pass("2", "qe") + s""",
-        |top AS (
-        |  SELECT doc_id, bm25_e6, n_terms_matched FROM scored2
-        |  ORDER BY bm25_e6 DESC, doc_id LIMIT 20)
-        |SELECT CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
-        |    AS BIGINT) AS rk,
-        |  doc_id, n_terms_matched, bm25_e6
-        |FROM top ORDER BY rk""".stripMargin
-    },
-    // positions via 1-based list indexing (the bigram-oracle pattern);
-    // the flat (token, doc) grain mirrors the skew-safe engine relation
-    "inverted_index" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        |), p AS (
-        |  SELECT doc_id, arr[i] AS token, CAST(i - 1 AS BIGINT) AS pos
-        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t)
-        |)
-        |SELECT token, doc_id, count(*) AS n_occ,
-        |  array_to_string(list(pos ORDER BY pos), ',') AS positions
-        |FROM p GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
-    "phrase_search" -> phraseSearchSql,
-    // persisted-bucketed serve must be bit-identical to the in-flight
-    // serve (the ann_ivf_persisted convention) — same oracle text
-    "phrase_persisted" -> phraseSearchSql,
-    // every masking decision replayed from the md5(doc_id:pos) PRNG;
-    // run structure via the same lag/sum window chain; pair assembly =
-    // ordered string_agg (engine: in-aggregate array_sort)
-    "span_corruption" ->
-      """WITH toks AS (
-        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-        |), f AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 8))::BIGINT % 100 < 15
-        |      THEN 1 ELSE 0 END AS anchor
-        |  FROM toks
-        |), m AS (
-        |  SELECT doc_id, pos, tok,
-        |    max(anchor) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
-        |  FROM f
-        |), r AS (
-        |  SELECT doc_id, pos, tok, masked,
-        |    CASE WHEN masked AND NOT COALESCE(
-        |        lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
-        |      THEN 1 ELSE 0 END AS new_run
-        |  FROM m
-        |), rr AS (
-        |  SELECT doc_id, pos, tok, masked, new_run,
-        |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-        |  FROM r
-        |), p AS (
-        |  SELECT doc_id, pos, new_run,
-        |    CASE WHEN NOT masked THEN tok
-        |         WHEN new_run = 1
-        |           THEN '<extra_id_' || (run_id - 1) || '>' END AS in_piece,
-        |    CASE WHEN masked AND new_run = 1
-        |           THEN '<extra_id_' || (run_id - 1) || '>' || ' ' || tok
-        |         WHEN masked THEN tok END AS tgt_piece
-        |  FROM rr)
-        |SELECT doc_id,
-        |  COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
-        |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
-        |  CAST(sum(new_run) AS BIGINT) AS n_spans
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // FIM: the same md5 streams, DuckDB 1-based inclusive list slices
-    // mirror Spark's slice(arr, start, len); nullif drops empty pieces
-    // from the sentinel join exactly like the engine's when()
-    "fim_transform" ->
-      """WITH b AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-        |    ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT % 100 < 50
-        |      AS is_fim
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, text, t, n, is_fim,
-        |    ('0x' || substr(md5('fimcut1:' || doc_id), 1, 8))::BIGINT % (n + 1) AS c1,
-        |    ('0x' || substr(md5('fimcut2:' || doc_id), 1, 8))::BIGINT % (n + 1) AS c2
-        |  FROM b
-        |), s AS (
-        |  SELECT doc_id, text, t, n, is_fim,
-        |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
-        |  FROM c)
-        |SELECT doc_id,
-        |  CASE WHEN is_fim THEN 'fim' ELSE 'causal' END AS mode,
-        |  n AS n_tokens,
-        |  CASE WHEN is_fim THEN lo END AS cut_lo,
-        |  CASE WHEN is_fim THEN hi END AS cut_hi,
-        |  CASE WHEN is_fim THEN concat_ws(' ', '<fim_prefix>',
-        |      nullif(array_to_string(t[1:lo], ' '), ''),
-        |      '<fim_suffix>', nullif(array_to_string(t[hi+1:n], ' '), ''),
-        |      '<fim_middle>', nullif(array_to_string(t[lo+1:hi], ' '), ''))
-        |    ELSE text END AS fim_text
-        |FROM s ORDER BY doc_id""".stripMargin,
-    // MLM: one md5 per (doc, pos); selection / action / replacement
-    // index read hex windows [1,8], [9,8], [17,8] of it — the oracle
-    // explodes positions where the engine stays row-local
-    "mlm_mask" ->
-      """WITH toks AS (
-        |  SELECT doc_id, i AS pos, t[i] AS tok, t, CAST(len(t) AS BIGINT) AS n
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-        |), h AS (
-        |  SELECT doc_id, pos, tok, t, n,
-        |    md5('mlm:' || doc_id || ':' || pos) AS hh
-        |  FROM toks
-        |), d AS (
-        |  SELECT doc_id, pos, tok, n,
-        |    ('0x' || substr(hh, 1, 8))::BIGINT % 100 < 15 AS sel,
-        |    ('0x' || substr(hh, 9, 8))::BIGINT % 10 AS sub,
-        |    t[CAST(('0x' || substr(hh, 17, 8))::BIGINT % n AS INTEGER) + 1]
-        |      AS rtok
-        |  FROM h
-        |), m AS (
-        |  SELECT doc_id, pos, tok, n, sel,
-        |    CASE WHEN NOT sel THEN tok
-        |         WHEN sub < 8 THEN '[MASK]'
-        |         WHEN sub = 8 THEN rtok
-        |         ELSE tok END AS mtok,
-        |    CASE WHEN sel AND sub < 8 THEN 1 ELSE 0 END AS is_m,
-        |    CASE WHEN sel AND sub = 8 THEN 1 ELSE 0 END AS is_r,
-        |    CASE WHEN sel AND sub = 9 THEN 1 ELSE 0 END AS is_k
-        |  FROM d)
-        |SELECT doc_id, max(n) AS n_tokens,
-        |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-        |  CAST(sum(is_m) AS BIGINT) AS n_masked,
-        |  CAST(sum(is_r) AS BIGINT) AS n_random,
-        |  CAST(sum(is_k) AS BIGINT) AS n_kept,
-        |  string_agg(mtok, ' ' ORDER BY pos) AS masked_text,
-        |  COALESCE(string_agg(CASE WHEN sel THEN pos || ':' || tok END,
-        |    ' ' ORDER BY pos), '') AS labels
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // bm25_rank's chain (lex list) + ann_topk's cosine chain pinned to
-    // query vec 0 (sem list) + the two-term integer RRF sum
-    "rrf_fusion" -> rrfFusionSql,
-    // the persisted-IVF-probed serve must produce the exact-scan serve's
-    // result at gate scale (probe set covers the true top-20 — recall 1)
-    // — same oracle text (the phrase_persisted convention)
-    "rrf_fusion_indexed" -> rrfFusionSql,
-    "dedup_exact" ->
-      """SELECT md5(text) AS content_md5, count(*) AS n_copies,
-        |  min(doc_id) AS canonical_id
-        |FROM documents GROUP BY content_md5 ORDER BY canonical_id""".stripMargin,
-    // the oracle states the DEFINITION (rank-window self-join); the
-    // engine's block decomposition must be invisible in the result
-    "sorted_neighborhood" ->
-      """WITH k AS (
-        |  SELECT doc_id,
-        |    substr(regexp_replace(lower(coalesce(text, '')), '\s+', '', 'g'),
-        |      1, 24) AS sort_key
-        |  FROM documents
-        |), r AS (
-        |  SELECT doc_id, sort_key,
-        |    row_number() OVER (ORDER BY sort_key, doc_id) AS rnk
-        |  FROM k)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  b.rnk - a.rnk AS gap, a.sort_key = b.sort_key AS same_key
-        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // SNM candidates -> levenshtein verification (shared 10%-capped-at-
-    // 58 budget) -> the house recursive-CC formulation
-    "entity_clusters" ->
-      """WITH RECURSIVE k AS (
-        |  SELECT doc_id,
-        |    substr(regexp_replace(lower(coalesce(text, '')), '\s+', '', 'g'),
-        |      1, 24) AS sort_key
-        |  FROM documents
-        |), rnks AS (
-        |  SELECT doc_id, sort_key,
-        |    row_number() OVER (ORDER BY sort_key, doc_id) AS rnk
-        |  FROM k
-        |), cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM rnks a JOIN rnks b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
-        |), v AS (
-        |  SELECT c.doc_a, c.doc_b
-        |  FROM cand c JOIN documents da ON da.doc_id = c.doc_a
-        |              JOIN documents db ON db.doc_id = c.doc_b
-        |  WHERE levenshtein(da.text, db.text) * 10 <=
-        |        least(greatest(length(da.text), length(db.text)), 580)
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM v
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM v
-        |), reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
-        |), cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
-        |FROM cl ORDER BY doc_id""".stripMargin,
-    // the all-pairs DEFINITION — the engine's prefix filtering must be
-    // invisible in the result (lossless), so the oracle carries none of it
-    "fuzzy_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE abs(length(a.title) - length(b.title)) <= 2
-        |  AND levenshtein(a.title, b.title) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-    "repeated_spans" ->
-      (spansCte +
-        """SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
-          |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-          |ORDER BY gram""".stripMargin),
-    "span_dedup" ->
-      (spansCte +
-        """, rep AS (SELECT gram FROM g GROUP BY gram
-          |    HAVING count(DISTINCT doc_id) >= 2),
-          |per AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id),
-          |repc AS (SELECT doc_id, count(*) AS n_repeated
-          |  FROM g JOIN rep USING (gram) GROUP BY doc_id)
-          |SELECT d.doc_id, coalesce(per.n_spans, 0) AS n_spans,
-          |  coalesce(repc.n_repeated, 0) AS n_repeated,
-          |  coalesce(repc.n_repeated, 0) = 0 AS keep
-          |FROM documents d
-          |LEFT JOIN per USING (doc_id) LEFT JOIN repc USING (doc_id)
-          |ORDER BY doc_id""".stripMargin),
-    "ngram_jaccard" ->
-      (shinglesCte +
-        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
-        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
-        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common,
-        |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
-        |ORDER BY doc_a, doc_b""".stripMargin),
-    "ngram_containment" ->
-      (shinglesCte +
-        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
-        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
-        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common,
-        |  CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin),
-    "minhash_lsh" -> minhashLshSql,
-    "lsh_scurve" -> lshScurveSql,
-    "minhash_partners" -> minhashPartnersSql,
-    "lsh_recall" ->
-      (shinglesCte +
-        s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
-        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
-        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |truth AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
-        |cand AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |j AS (SELECT t.doc_a IS NOT NULL AS has_t, c.doc_a IS NOT NULL AS has_c
-        |      FROM truth t FULL OUTER JOIN cand c
-        |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
-        |SELECT CAST(sum(CASE WHEN has_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-        |  CAST(sum(CASE WHEN has_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
-        |  CAST(sum(CASE WHEN has_t AND has_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |FROM j""".stripMargin),
-    "dedup_clusters" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
-        |FROM cl ORDER BY doc_id""".stripMargin),
-    "dedup_keep" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node),
-        |kept AS (
-        |  SELECT d.* FROM documents d
-        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id))
-        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
-        |  max(doc_id) AS max_doc
-        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
-    // same recursive CC labels; best member = rank-1 by (n_chars desc,
-    // doc_id) within each label (the oracle MAY window; the engine's
-    // argmax is the window-free partial aggregate)
-    "ngram_coverage" -> ngramCoverageSql,
-    "dedup_keep_best" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node),
-        |labeled AS (
-        |  SELECT d.doc_id, d.lang, d.n_chars,
-        |    COALESCE(c.cluster_id, d.doc_id) AS cid
-        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
-        |best AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (
-        |      PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS rn
-        |    FROM labeled) WHERE rn = 1),
-        |kept AS (
-        |  SELECT d.* FROM documents d JOIN best b ON d.doc_id = b.doc_id)
-        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
-        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
-        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
-    // same recursive CC labels; chosen = rank-1 by (q desc, id), rejected
-    // = rank-1 by (q asc, id desc) — the oracle MAY window; the engine's
-    // extremes are window-free partial aggregates. Equal-q ties drop.
-    "preference_pairs" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node),
-        |labeled AS (
-        |  SELECT d.doc_id, d.n_chars,
-        |    COALESCE(c.cluster_id, d.doc_id) AS cid
-        |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
-        |b AS (
-        |  SELECT cid, doc_id AS chosen_id, n_chars AS chosen_q FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY cid ORDER BY n_chars DESC, doc_id) AS rn
-        |    FROM labeled) WHERE rn = 1),
-        |w AS (
-        |  SELECT cid, doc_id AS rejected_id, n_chars AS rejected_q FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY cid ORDER BY n_chars, doc_id DESC) AS rn
-        |    FROM labeled) WHERE rn = 1)
-        |SELECT b.cid AS cluster_id, chosen_id, chosen_q,
-        |  rejected_id, rejected_q
-        |FROM b JOIN w ON b.cid = w.cid
-        |WHERE chosen_q > rejected_q
-        |ORDER BY cluster_id""".stripMargin),
-    // cluster labels via the same recursive CC, then the dataset_split
-    // bucket rule keyed on each doc's representative (COALESCE = the
-    // Spark side's left-join singleton fallback)
-    // the oracle's per-stratum window states the semantics; the
-    // engine's range-partitioned ExactRank must be invisible
-    "sample_exact_k" ->
-      """WITH kx AS (
-        |  SELECT doc_id, lang, md5('exk_' || doc_id) AS h FROM documents
-        |), r AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
-        |      AS BIGINT) AS rnk,
-        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
-        |  FROM kx)
-        |SELECT doc_id, lang, rnk, n_group FROM r
-        |WHERE rnk <= 100 ORDER BY doc_id""".stripMargin,
-    // the same cluster-representative chain, folds = bucket % 5
-    "group_kfold" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node),
-        |r AS (
-        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
-        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
-        |SELECT doc_id, rep_id,
-        |  CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT
-        |    % 100 % 5 AS INTEGER) AS fold
-        |FROM r ORDER BY doc_id""".stripMargin),
-    "leakage_safe_split" ->
-      (s"""WITH RECURSIVE
-        |pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node),
-        |r AS (
-        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
-        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
-        |b AS (
-        |  SELECT doc_id, rep_id,
-        |    ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-        |  FROM r)
-        |SELECT doc_id, rep_id, bucket,
-        |  CASE WHEN bucket < 90 THEN 'train'
-        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin),
-  ) ++ oracleSqlRest)
-
-  /** MinHash+LSH near-dup pair SQL (mirrors Dedup.minhashLsh) — also the
-    * edge relation for the clustering oracle's recursive CTE.
-    */
-  /** Shared MinHash replay prefix: shingles → 56-bit md5 hash → 16
-    * universal-hash min aggregates → capped band rows → undirected
-    * candidate pairs (`cand`), with `mh` in scope for scoring and
-    * `scored` the threshold-filtered est_jaccard pair relation.
-    */
-  private lazy val minhashScoredCte: String = {
-      val mins = (0 until Dedup.NumHashes).map(k =>
-        s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
-        .mkString(",\n    ")
-      val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
-      val bandRows = (0 until Dedup.NumBands).map { b =>
-        val cols = (0 until rowsPerBand)
-          .map(r => s"mh${b * rowsPerBand + r} AS b$r").mkString(", ")
-        s"SELECT doc_id, $b AS band, $cols FROM mh"
-      }.mkString("\n  UNION ALL ")
-      val bandJoin = (0 until rowsPerBand)
-        .map(r => s"x.b$r = y.b$r").mkString(" AND ")
-      val agree = (0 until Dedup.NumHashes)
-        .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      shinglesCte +
-        s""", hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
-        |), mh AS (
-        |  SELECT doc_id,
-        |    $mins
-        |  FROM hs GROUP BY doc_id
-        |), bands_all AS (
-        |  $bandRows
-        |), bands AS (
-        |  -- the hot-bucket cap, replayed exactly: first MaxBandBucket
-        |  -- members per (band, b0..b3) bucket by doc_id, mirroring
-        |  -- minhashLsh's pre-join WindowGroupLimit cut
-        |  SELECT doc_id, band, ${(0 until rowsPerBand).map(r => s"b$r").mkString(", ")} FROM bands_all
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY band, ${(0 until rowsPerBand).map(r => s"b$r").mkString(", ")}
-        |    ORDER BY doc_id) <= ${Dedup.MaxBandBucket}
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND $bandJoin AND x.doc_id < y.doc_id
-        |), scored AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
-        |  FROM cand JOIN mh a ON a.doc_id = doc_a JOIN mh b ON b.doc_id = doc_b
-        |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25)
-        |""".stripMargin
-  }
-
-  /** The S-curve oracle: ONE signature relation, one exact-Jaccard
-    * truth, then per banding config the capped band self-join (QUALIFY
-    * row_number ≤ maxBucket — the engine's WindowGroupLimit cut) with
-    * NO est-Jaccard filter, presence-joined against truth.
-    */
-  private lazy val lshScurveSql: String = {
-    val configs = Seq((2, 8), (4, 4), (8, 2))
-    val mins = (0 until Dedup.NumHashes).map(k =>
-      s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
-      .mkString(",\n    ")
-    def cfg(b: Int, r: Int): String = {
-      val bandRows = (0 until b).map { i =>
-        val cols = (0 until r).map(q => s"mh${i * r + q} AS b$q")
-          .mkString(", ")
-        s"  SELECT doc_id, $i AS band, $cols FROM mh"
-      }.mkString("\n  UNION ALL\n")
-      val keyCols = (0 until r).map(q => s"b$q").mkString(", ")
-      val joinCond = (0 until r).map(q => s"x.b$q = y.b$q").mkString(" AND ")
-      val thrE6 = math.floor(Dedup.lshThreshold(b, r) * 1e6).toLong
-      s""",
-        |bands_${b}_$r AS MATERIALIZED (
-        |$bandRows),
-        |capped_${b}_$r AS MATERIALIZED (
-        |  SELECT doc_id, band, $keyCols FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY band, $keyCols
-        |      ORDER BY doc_id) AS rk
-        |    FROM bands_${b}_$r) WHERE rk <= ${Dedup.MaxBandBucket}),
-        |row_${b}_$r AS (
-        |  SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
-        |    CAST($thrE6 AS BIGINT) AS threshold_e6,
-        |    CAST(sum(tt.t) AS BIGINT) AS n_true,
-        |    CAST(sum(cc.c) AS BIGINT) AS n_candidates,
-        |    CAST(sum(CASE WHEN tt.t IS NOT NULL AND cc.c IS NOT NULL
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |  FROM (SELECT doc_a, doc_b, 1 AS t FROM truth) tt
-        |  FULL OUTER JOIN (
-        |    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, 1 AS c
-        |    FROM capped_${b}_$r x JOIN capped_${b}_$r y
-        |      ON x.band = y.band AND $joinCond AND x.doc_id < y.doc_id
-        |  ) cc USING (doc_a, doc_b))""".stripMargin
-    }
-    shinglesCte +
-      s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle
-        |           HAVING count(*) <= ${Dedup.MaxShingleDocFreq}),
-        |shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |truth AS MATERIALIZED (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
-        |hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
-        |), mh AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    $mins
-        |  FROM hs GROUP BY doc_id
-        |)""".stripMargin +
-      configs.map { case (b, r) => cfg(b, r) }.mkString +
-      "\n" +
-      configs.map { case (b, r) => s"SELECT * FROM row_${b}_$r" }
-        .mkString("\nUNION ALL\n") +
-      "\nORDER BY bands"
-  }
-
-  private lazy val minhashLshSql: String =
-    minhashScoredCte +
-      """SELECT doc_a, doc_b, est_jaccard
-      |FROM scored ORDER BY doc_a, doc_b""".stripMargin
-
-  // both orientations of the undirected scored pairs, per-doc top-k by
-  // (est_jaccard desc, partner id) — minhashPartners' rank cut replayed
-  private lazy val minhashPartnersSql: String =
-    minhashScoredCte +
-      """, directed AS (
-      |  SELECT doc_a AS doc_id, doc_b AS partner_id, est_jaccard FROM scored
-      |  UNION ALL
-      |  SELECT doc_b AS doc_id, doc_a AS partner_id, est_jaccard FROM scored
-      |)
-      |SELECT doc_id, partner_id, est_jaccard,
-      |  CAST(row_number() OVER (PARTITION BY doc_id
-      |    ORDER BY est_jaccard DESC, partner_id) AS BIGINT) AS rk
-      |FROM directed
-      |QUALIFY rk <= 5
-      |ORDER BY doc_id, rk""".stripMargin
-
-  // a minhash signature depends only on its own doc, so the oracle
-  // computes signatures corpus-wide and splits by the mod-10 predicate;
-  // ties on est_jaccard (exact multiples of 1/16) resolve to min base id
-  private lazy val minhashIncrementalSql: String = {
-    val mins = (0 until Dedup.NumHashes).map(k =>
-      s"min((h * ${Dedup.minhashA(k)} + ${Dedup.minhashB(k)}) % ${Dedup.MinhashP}) AS mh$k")
-      .mkString(",\n    ")
-    val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
-    val bandRows = (0 until Dedup.NumBands).map { b =>
-      val cols = (0 until rowsPerBand)
-        .map(r => s"mh${b * rowsPerBand + r} AS b$r").mkString(", ")
-      s"SELECT doc_id, $b AS band, $cols FROM mh"
-    }.mkString("\n  UNION ALL ")
-    val bandJoin = (0 until rowsPerBand)
-      .map(r => s"x.b$r = y.b$r").mkString(" AND ")
-    val agree = (0 until Dedup.NumHashes)
-      .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    shinglesCte +
-      s""", hs AS (
-      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
-      |), mh AS (
-      |  SELECT doc_id,
-      |    $mins
-      |  FROM hs GROUP BY doc_id
-      |), bands AS (
-      |  $bandRows
-      |), cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
-      |  FROM bands x JOIN bands y
-      |    ON x.band = y.band AND $bandJoin
-      |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
-      |), matched AS (
-      |  SELECT cand.doc_id, cand.dup_of,
-      |    CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
-      |  FROM cand JOIN mh a ON a.doc_id = cand.doc_id
-      |    JOIN mh b ON b.doc_id = cand.dup_of
-      |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25
-      |), best AS (
-      |  SELECT doc_id, max(est_jaccard) AS est_jaccard
-      |  FROM matched GROUP BY doc_id
-      |)
-      |SELECT m.doc_id, min(m.dup_of) AS dup_of, m.est_jaccard
-      |FROM matched m JOIN best USING (doc_id, est_jaccard)
-      |GROUP BY m.doc_id, m.est_jaccard
-      |ORDER BY doc_id""".stripMargin
-  }
-
-  private lazy val oracleSqlRest: Seq[(String, String)] = Seq(
-    "dedup_incremental" -> minhashIncrementalSql,
-    // the persisted-index probe must produce the in-flight probe's exact
-    // result — same oracle text (the ann_ivf_persisted convention)
-    "dedup_persisted" -> minhashIncrementalSql,
-    "dedup_appended" -> minhashIncrementalSql,
-    // the checkpointed micro-batch replay across a stop/restart must
-    // reproduce the one-shot probe bit-for-bit — same oracle text
-    "dedup_incremental_stream" -> minhashIncrementalSql,
-    "simhash" ->
-      (simhashFpCte + "\nSELECT doc_id, c0, c1, c2, c3 FROM fp ORDER BY doc_id"),
-    "simhash_pairs" ->
-      (simhashFpCte +
-        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-        |cand AS (
-        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
-        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
-        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3))
-        |SELECT doc_id AS doc_a, doc_b,
-        |  CAST(bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
-        |     + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) AS INTEGER) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
-        |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin),
-    // per-document k nearest partners over HOT-BUCKET-CAPPED banded
-    // candidates (first maxBucket=64 members per (chunk, value), then
-    // pairs within the cap) — the identical deterministic cut
-    "simhash_partners" ->
-      (simhashFpCte + partnersReplaySql),
-    // simhash_partners' capped-candidate + rank-cut replay over the
-    // dHash fingerprint CTE
-    "phash_partners" ->
-      (phashFpCte + partnersReplaySql),
-    // temporal-dHash fingerprints from doc_id arithmetic + the same
-    // capped-partner replay (simhash_partners' SQL over videoFpCte)
-    "video_phash_partners" ->
-      (videoFpCte + partnersReplaySql),
-    // window-energy gradient fingerprints from doc_id arithmetic + the
-    // same capped-partner replay (simhash_partners' SQL over audioFpCte)
-    "audio_phash_partners" ->
-      (audioFpCte + partnersReplaySql),
-    // the cluster composition: banded candidates -> Hamming pairs ->
-    // transitive closure (cosine_clusters' recursive-CTE pattern over
-    // the dHash fingerprint CTE)
-    "phash_clusters" ->
-      ("WITH RECURSIVE" + phashFpCte.stripPrefix("WITH") +
-        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-        |cand AS (
-        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
-        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
-        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3)),
-        |pairs AS (
-        |  SELECT doc_id AS doc_a, doc_b FROM cand
-        |  WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
-        |      + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
-        |FROM cl ORDER BY doc_id""".stripMargin),
-    // same banded-candidate replay as simhash_pairs over the dHash
-    // fingerprint CTE (PNG-lossless decode = byte math, see phashFpCte)
-    "phash_pairs" ->
-      (phashFpCte +
-        """, r AS (SELECT doc_id AS doc_b, c0 AS d0, c1 AS d1, c2 AS d2, c3 AS d3 FROM fp),
-        |cand AS (
-        |  SELECT DISTINCT f.doc_id, r.doc_b, f.c0, f.c1, f.c2, f.c3, r.d0, r.d1, r.d2, r.d3
-        |  FROM fp f JOIN r ON f.doc_id < r.doc_b
-        |    AND (f.c0 = r.d0 OR f.c1 = r.d1 OR f.c2 = r.d2 OR f.c3 = r.d3))
-        |SELECT doc_id AS doc_a, doc_b,
-        |  CAST(bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
-        |     + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) AS INTEGER) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
-        |    + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin),
-    "cosine_pairs" ->
-      (embedCte +
-        s""", s AS (
-        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
-        |), p AS (
-        |  SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
-        |SELECT vec_id, other_id, cos_e6 FROM p
-        |WHERE cos_e6 >= 400000 ORDER BY vec_id, other_id""".stripMargin),
-    "cosine_clusters" ->
-      ("WITH RECURSIVE" + embedCte.stripPrefix("WITH") +
-        s""", s AS (
-        |  SELECT * FROM n ORDER BY vec_id LIMIT ${Similarity.MaxBruteForceQueries}
-        |), p AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
-        |pairs AS (SELECT doc_a, doc_b FROM p WHERE cos_e6 >= 400000),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |cl AS (
-        |  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |  FROM reach GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
-        |FROM cl ORDER BY doc_id""".stripMargin),
-    "ann_topk" -> annTopkOracle,
-    "ann_lsh_topk" ->
-      (s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), wb AS (
-        |  SELECT vec_id, v, $lshBucketExpr AS bucket FROM e
-        |), n AS (
-        |  SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM wb
-        |), p AS (
-        |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        |SELECT vec_id, bucket, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
-    "ann_lsh_multi" ->
-      (s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), wb AS (
-        |  SELECT vec_id, v, ${lshBucketExprFor(0)} AS bt0,
-        |    ${lshBucketExprFor(1)} AS bt1 FROM e
-        |), n AS (
-        |  SELECT vec_id, v, bt0, bt1,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM wb
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS other_id
-        |  FROM n a JOIN n b
-        |    ON (a.bt0 = b.bt0 OR a.bt1 = b.bt1) AND a.vec_id <> b.vec_id
-        |), p AS (
-        |  SELECT c.vec_id, c.other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM cand c JOIN n a ON a.vec_id = c.vec_id
-        |  JOIN n b ON b.vec_id = c.other_id)
-        |SELECT vec_id, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
-    "ann_ivf_topk" -> annIvfTopKOracle,
-    "ann_partners" -> annPartnersOracle,
-    "ann_partners_auto" -> (embedCte + annPartnersOracleBody(64,
-      "vec_id < (SELECT greatest(4, least(4096, count(*) // 256)) FROM embeddings)")),
-    // decoded-raster features replayed from the text bytes (PNG-lossless)
-    "image_embed_real" ->
-      (imageEmbedFeatCte +
-        """
-        |SELECT doc_id,
-        |  CAST(max(CASE WHEN q = 0 THEN lum END) AS BIGINT) AS f0,
-        |  CAST(max(CASE WHEN q = 1 THEN lum END) AS BIGINT) AS f1,
-        |  CAST(max(CASE WHEN q = 2 THEN lum END) AS BIGINT) AS f2,
-        |  CAST(max(CASE WHEN q = 3 THEN lum END) AS BIGINT) AS f3,
-        |  CAST(max(CASE WHEN q = 0 THEN grad END) AS BIGINT) AS f4,
-        |  CAST(max(CASE WHEN q = 1 THEN grad END) AS BIGINT) AS f5,
-        |  CAST(max(CASE WHEN q = 2 THEN grad END) AS BIGINT) AS f6,
-        |  CAST(max(CASE WHEN q = 3 THEN grad END) AS BIGINT) AS f7
-        |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    // the decode→embed→bounded-kNN composition over the 8-dim descriptor
-    "image_ann_partners" -> imageAnnPartnersOracle,
-    // decoded-sample energy profile replayed from doc_id arithmetic
-    // (PCM-in-WAV lossless)
-    "audio_embed_real" -> mediaEmbedScalarsSql(audioEmbedValueExpr),
-    "audio_ann_partners" ->
-      (docArithmeticEmbedCte(audioEmbedValueExpr) + annPartnersOracleBody(8)),
-    // demuxed constant-plane luma profile replayed from doc_id arithmetic
-    "video_embed_real" -> mediaEmbedScalarsSql(videoEmbedValueExpr),
-    "video_ann_partners" ->
-      (docArithmeticEmbedCte(videoEmbedValueExpr) + annPartnersOracleBody(8)),
-    // the persisted-index serve must produce the in-flight serve's exact
-    // result — same oracle text
-    "ann_ivf_persisted" -> annIvfTopKOracle,
-    // the appended index serves bit-identically to a one-shot rebuild:
-    // same frozen quantizer, same cells, same oracle text
-    "ann_index_append" -> annIvfTopKOracle,
-    // base + 2 appends + compaction serve == the one-shot build's serve
-    "ann_index_compacted" -> annIvfTopKOracle,
-    "ann_batch_serve" -> annBatchServeOracle,
-    // append + compaction preserve index rows exactly, so the lifecycle
-    // twin's bounded serve == the one-shot batch serve — same oracle text
-    "ann_lifecycle_serve" -> annBatchServeOracle,
-    "pq_encode" -> pqEncodeOracle,
-    "ann_ivfpq_topk" -> annIvfpqOracle,
-    "ann_ivfpq_auto" -> annIvfpqAutoOracle,
-    "ann_ivfpq_imi" -> annIvfpqImiOracle,
-    "pq_encode_residual" -> pqEncodeResidualOracle,
-    "ann_ivfpq_residual" -> annIvfpqResidualOracle,
-    "ann_ivfpq_rerank" -> annIvfpqRerankOracle,
-    "pq_residual_gain" -> pqResidualGainOracle,
-    "pq_recall_residual" -> pqRecallOracleWith(annIvfpqResidualOracle),
-    "pq_recall_rerank" -> pqRecallOracleWith(annIvfpqRerankOracle),
-    "pq_recall" -> pqRecallOracle,
-    "matryoshka_recall" -> matryoshkaOracle,
-    // neighbor lists from annTopkOracle; vote = row_number over
-    // (cnt DESC, label) = the engine's min(struct(-cnt, label))
-    "knn_label_eval" ->
-      (s"""WITH t AS ($annTopkOracle
-        |), lab AS (SELECT vec_id, label FROM embeddings
-        |), v AS (
-        |  SELECT t.vec_id, l.label, count(*) AS c
-        |  FROM t JOIN lab l ON l.vec_id = t.other_id GROUP BY 1, 2
-        |), p AS (
-        |  SELECT vec_id, label AS pred FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY c DESC, label) AS r FROM v)
-        |  WHERE r = 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-        |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_correct,
-        |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END)
-        |    * 1000000 // count(*) AS BIGINT) AS accuracy_e6
-        |FROM p JOIN lab l USING (vec_id)""".stripMargin),
-    "pq_recall_auto" -> pqRecallOracleWith(annIvfpqAutoOracle),
-    "pq_recall_imi" -> pqRecallOracleWith(annIvfpqImiOracle),
-    "ivf_probe_recall" -> ivfProbeRecallOracle(Seq(1, 2, 4)),
-    "hard_negatives" -> hardNegativesOracle,
-    "bitext_mine" -> bitextMineOracle,
-    // the streamed probe must equal the one-shot probe of the same query
-    // set (mod-10 vectors) against the full-corpus index — the
-    // dedup_incremental_stream replay convention
-    "ann_ivf_stream" ->
-      (embedCte +
-        s""", cents AS (
-        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
-        |), scored AS (
-        |  SELECT a.vec_id, a.v, a.nrm, c.cent_id,
-        |    CAST(floor(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i])) / (a.nrm * c.cnrm) * 1000000.0) AS BIGINT) AS cscore
-        |  FROM n a CROSS JOIN cents c
-        |), assigned AS (
-        |  SELECT vec_id, v, nrm, cent_id AS cluster FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
-        |    FROM scored) WHERE crk = 1
-        |), p AS (
-        |  SELECT a.vec_id AS vec_id, a.cluster AS cluster, b.vec_id AS other_id,
-        |    CAST(floor($dotExpr / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS cos_e6
-        |  FROM assigned a JOIN assigned b
-        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 10 = 0)
-        |SELECT vec_id, cluster, other_id, cos_e6, CAST(rk AS INTEGER) AS rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, other_id) AS rk
-        |  FROM p)
-        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin),
-    "ann_ivf_trained" ->
-      """SELECT TRUE AS rk_contiguous, TRUE AS one_cluster_per_query,
-        |  TRUE AS recall_ge_10pct""".stripMargin,
-    // split sizes are oracle-exact; the accuracy contract is structural
-    // (L-BFGS isn't SQL-expressible) — a degenerate model flips a boolean
-    "quality_model" ->
-      """SELECT CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
-        |  TRUE AS holdout_acc_ge_70pct, TRUE AS beats_majority,
-        |  TRUE AS probs_in_unit
-        |FROM documents""".stripMargin,
-    "semantic_dedup" ->
-      """SELECT count(*) AS n_total, TRUE AS cluster_min_kept,
-        |  TRUE AS clusters_in_range FROM embeddings""".stripMargin,
-    "quantize_embeddings" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), m AS (
-        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e
-        |), q AS (
-        |  SELECT vec_id, mx,
-        |    list_transform(v, x -> greatest(least(CAST(floor(x * 127.0 / mx) AS BIGINT), 127), -127)) AS qv
-        |  FROM m WHERE mx > 0
-        |)
-        |SELECT vec_id, CAST(floor(mx * 1000000.0) AS BIGINT) AS maxabs_e6,
-        |  list_max(list_transform(qv, x -> abs(x))) AS max_abs_q,
-        |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ' ')) AS q_md5
-        |FROM q ORDER BY vec_id""".stripMargin,
-    // same md5-derived plane weights as the LSH bucket oracles, same
-    // IEEE fold — the e6 floor is exact on both engines
-    "random_projection" -> {
-      val scale = 1.0 / math.sqrt(8.0)
-      val cols = (0 until 8).map { p =>
-        val a = s"ascii(substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1))"
-        val w = s"(($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END) - 7.5)"
-        s"CAST(floor(list_sum(list_transform(range(1, 65), i -> v[i] * $w)) * $scale * 1000000.0) AS BIGINT) AS rp$p"
-      }.mkString(",\n    ")
-      s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT vec_id,
-        |    $cols
-        |FROM e ORDER BY vec_id""".stripMargin
-    },
-    // spectral solve isn't SQL-expressible: counts are oracle-exact,
-    // the spectral contract + distributed variance cross-check are
-    // structural booleans (ann_ivf_trained pattern)
-    "pca_summary" ->
-      """SELECT count(*) AS n_vectors, CAST(4 AS INT) AS k,
-        |  TRUE AS comps_orthonormal, TRUE AS eigvals_descending,
-        |  TRUE AS capture_ge_uniform, TRUE AS proj_var_matches
-        |FROM embeddings""".stripMargin,
-    "ann_ivf_multiprobe" -> multiprobeSql(2),
-    "text_cooccur" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS products FROM documents
-        |), exploded AS (
-        |  SELECT doc_id AS bid, unnest(products) AS product,
-        |         generate_subscripts(products, 1) AS pos
-        |  FROM toks
-        |), currents AS (
-        |  SELECT bid, product, pos,
-        |         lead(pos) OVER (PARTITION BY bid, product ORDER BY pos) AS next_same
-        |  FROM exploded
-        |), pairs AS (
-        |  SELECT a.product, b.product AS neighbor
-        |  FROM currents a JOIN exploded b
-        |    ON a.bid = b.bid AND b.pos > a.pos
-        |   AND (a.next_same IS NULL OR b.pos < a.next_same)
-        |), counts AS (
-        |  SELECT product AS term, neighbor AS coterm, count(*) AS cnt
-        |  FROM pairs GROUP BY 1, 2
-        |)
-        |SELECT term, coterm, cnt FROM counts
-        |ORDER BY cnt DESC, term, coterm LIMIT 50""".stripMargin,
-    "pipeline_clean" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS BIGINT) AS n_stopwords
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id, lang,
-        |    CAST(0.4 AS DOUBLE) * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-        |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0)
-        |      + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
-        |  FROM c
-        |), f AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_md5
-        |  FROM documents
-        |), s AS (
-        |  SELECT q.doc_id, q.lang, q.quality, f.bag_md5
-        |  FROM q JOIN f USING (doc_id) WHERE q.quality >= 0.22
-        |), d AS (
-        |  SELECT *, row_number() OVER (PARTITION BY bag_md5 ORDER BY doc_id) AS rk FROM s
-        |)
-        |SELECT lang, count(*) AS n_docs, min(quality) AS min_quality,
-        |  max(quality) AS max_quality
-        |FROM d WHERE rk = 1 GROUP BY lang ORDER BY lang""".stripMargin,
-    "next_purchase_rules" ->
-      """WITH seq AS (
-        |  SELECT o_custkey, o_orderkey,
-        |    lead(o_orderkey) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS next_o
-        |  FROM orders
-        |), op AS (
-        |  SELECT o_orderkey AS prev_o, next_o FROM seq WHERE next_o IS NOT NULL
-        |), it AS (
-        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item
-        |  FROM lineitem
-        |), tr AS (
-        |  SELECT a.item AS antecedent, b.item AS consequent
-        |  FROM op JOIN it a ON a.basket = op.prev_o
-        |          JOIN it b ON b.basket = op.next_o
-        |), cnt AS (
-        |  SELECT antecedent, consequent, count(*) AS n_trans
-        |  FROM tr GROUP BY antecedent, consequent
-        |), fa AS (
-        |  SELECT antecedent, count(*) AS n_from FROM tr GROUP BY antecedent)
-        |SELECT c.antecedent, c.consequent, c.n_trans,
-        |  CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS confidence
-        |FROM cnt c JOIN fa f USING (antecedent)
-        |WHERE c.n_trans >= 2
-        |ORDER BY antecedent, consequent""".stripMargin,
-    "assoc_rules" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
-        |nb AS (SELECT count(DISTINCT basket) AS n FROM items),
-        |supp AS (SELECT item, count(*) AS supp FROM items GROUP BY item),
-        |pairs AS (
-        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
-        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |j AS (
-        |  SELECT p.item_a, p.item_b, p.pair_cnt, sa.supp AS supp_a, sb.supp AS supp_b,
-        |         (SELECT n FROM nb) AS n
-        |  FROM pairs p JOIN supp sa ON p.item_a = sa.item JOIN supp sb ON p.item_b = sb.item)
-        |SELECT * FROM (
-        |  SELECT item_a AS antecedent, item_b AS consequent, pair_cnt,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence,
-        |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(supp_a * supp_b AS DOUBLE) AS lift
-        |  FROM j
-        |  UNION ALL
-        |  SELECT item_b AS antecedent, item_a AS consequent, pair_cnt,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE) AS confidence,
-        |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(supp_a * supp_b AS DOUBLE) AS lift
-        |  FROM j)
-        |ORDER BY antecedent, consequent""".stripMargin,
-    "fpgrowth_rules" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
-        |nb AS (SELECT count(DISTINCT basket) AS n FROM items),
-        |supp AS (SELECT item, count(*) AS supp FROM items GROUP BY item),
-        |pairs AS (
-        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
-        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
-        |  GROUP BY 1, 2
-        |  HAVING count(*) >= ceil(1.0e-4 * (SELECT n FROM nb))),
-        |j AS (
-        |  SELECT p.item_a, p.item_b, p.pair_cnt, sa.supp AS supp_a, sb.supp AS supp_b,
-        |         (SELECT n FROM nb) AS n
-        |  FROM pairs p JOIN supp sa ON p.item_a = sa.item JOIN supp sb ON p.item_b = sb.item)
-        |SELECT * FROM (
-        |  SELECT item_a AS antecedent, item_b AS consequent,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence,
-        |    (CAST(pair_cnt AS DOUBLE) / CAST(supp_a AS DOUBLE)) / (CAST(supp_b AS DOUBLE) / CAST(n AS DOUBLE)) AS lift,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
-        |  FROM j
-        |  UNION ALL
-        |  SELECT item_b AS antecedent, item_a AS consequent,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE) AS confidence,
-        |    (CAST(pair_cnt AS DOUBLE) / CAST(supp_b AS DOUBLE)) / (CAST(supp_a AS DOUBLE) / CAST(n AS DOUBLE)) AS lift,
-        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
-        |  FROM j)
-        |ORDER BY antecedent, consequent""".stripMargin,
-    "rolling_fingerprint" -> {
-      val horner = (0 until TextAnalysis.RollWindow).foldLeft("0")((acc, k) =>
-        s"(($acc * ${TextAnalysis.RollB} + vals[i + $k]) % ${TextAnalysis.RollP})")
-      s"""WITH v AS (
-        |  SELECT doc_id,
-        |    list_transform(string_split(text, ' '),
-        |      tok -> ('0x' || substr(md5(tok), 1, 14))::BIGINT % ${TextAnalysis.RollP}) AS vals
-        |  FROM documents
-        |), w AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(vals) >= ${TextAnalysis.RollWindow}
-        |         THEN list_transform(range(1, len(vals) - ${TextAnalysis.RollWindow - 2}), i -> $horner)
-        |         ELSE [] END AS wh
-        |  FROM v
-        |)
-        |SELECT doc_id, CAST(len(wh) AS BIGINT) AS n_windows,
-        |  CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows,
-        |  list_min(wh) AS min_window_hash
-        |FROM w ORDER BY doc_id""".stripMargin
-    },
-    "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
-        |  3 AS channels,
-        |  CAST(len(list_filter(range(1, CAST(len(string_split(text, ' ')) AS BIGINT) + 1),
-        |    i -> ((i - 1) % 4) = 0)) AS INTEGER) AS n_frames,
-        |  md5(substr(text, 1, 64)) AS head_sig
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "media_resize_stub" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(length(text) AS BIGINT) AS n_units,
-        |  CAST(least(64, length(text)) AS BIGINT) AS out_units,
-        |  CAST(octet_length(encode(substring(text, 1, 64))) AS BIGINT) AS out_bytes,
-        |  md5(substring(text, 1, 64)) AS thumb_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // the real-kernel round trip: dims recomputed from doc_id with the
-    // same integer floor arithmetic as ImageIoCodec.resize; color_ok is
-    // the literal-TRUE accuracy contract (exact, solid-color fixture)
-    "media_decode_real" ->
-      """WITH f AS (
-        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 9 AS h
-        |  FROM documents
-        |)
-        |SELECT doc_id, w, h,
-        |  CASE WHEN greatest(w, h) <= 4 THEN w
-        |       ELSE greatest(1, w * 4 // greatest(w, h)) END AS out_w,
-        |  CASE WHEN greatest(w, h) <= 4 THEN h
-        |       ELSE greatest(1, h * 4 // greatest(w, h)) END AS out_h,
-        |  TRUE AS color_ok
-        |FROM f ORDER BY doc_id""".stripMargin,
-    "audio_decode_real" ->
-      """SELECT doc_id,
-        |  CAST(8000 AS BIGINT) AS sample_rate,
-        |  CAST(1 AS BIGINT) AS channels,
-        |  CAST(16 AS BIGINT) AS bits,
-        |  CAST(1 + doc_id % 32 AS BIGINT) AS n_frames,
-        |  TRUE AS pcm_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // one row per SAMPLED frame (stride 2, inclusive upper bound id%6 =
-    // n_frames-1); constant planes make the mean luma integer-exact
-    "video_decode_real" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, CAST(1 + doc_id % 6 AS BIGINT), 2)) AS fidx
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST(2 * (1 + doc_id % 8) AS INT) AS w,
-        |  CAST(2 * (1 + doc_id % 5) AS INT) AS h,
-        |  CAST(1 + doc_id % 6 AS BIGINT) AS n_frames,
-        |  CAST(fidx AS BIGINT) AS frame_idx,
-        |  CAST(16 + (doc_id * 7 + fidx * 13) % 220 AS BIGINT) AS luma,
-        |  TRUE AS plane_ok
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "media_frames" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), f AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(
-        |      list_transform(range(1, len(toks) + 1),
-        |        i -> {'idx': CAST(i - 1 AS BIGINT), 'frame': toks[i]}),
-        |      s -> s.idx % 4 = 0)) AS fr
-        |  FROM t)
-        |SELECT doc_id, fr.idx AS frame_idx, md5(fr.frame) AS frame_sig,
-        |  CAST(1 + length(fr.frame) % 16 AS INTEGER) AS thumb_w
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "media_embedding_stub" -> {
-      val dims = (0 until Multimodal.EmbedDims).map { i =>
-        val a = s"ascii(substr(md5(substr(text, ${1 + i * 7}, 7)), 1, 1))"
-        s"CAST(floor(((CAST($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END AS DOUBLE)) / 15.0 - 0.5) * 1000000.0) AS BIGINT) AS e$i"
-      }.mkString(",\n  ")
-      s"""SELECT doc_id,
-         |  $dims
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "shard_rebalance" ->
-      """WITH s AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents),
-        |r AS (
-        |  SELECT n_bytes,
-        |    row_number() OVER (ORDER BY -n_bytes, doc_id) AS rnk
-        |  FROM s)
-        |SELECT CAST((rnk - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
-        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
-        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
-    "dataset_split" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-        |  FROM documents)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 90 THEN 'train'
-        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
-        |  CAST(bucket % 8 AS INTEGER) AS shard
-        |FROM b ORDER BY doc_id""".stripMargin,
-    // global difficulty rank → exact integer quartile tiers → md5
-    // shuffle within tier (row_number windows replay ExactRank exactly)
-    "curriculum_order" -> curriculumOrderOracleSql,
-    // per-tier prefix-sum window over the curriculum oracle's own CTE —
-    // the layout cannot drift from the ordering it packs
-    "pack_curriculum" ->
-      s"""WITH cur AS ($curriculumOrderOracleSql),
-      |o AS (
-      |  SELECT tier AS grp, doc_id, n_subword_tokens AS len,
-      |    CAST(coalesce(sum(n_subword_tokens) OVER (PARTITION BY tier
-      |      ORDER BY pos_in_tier, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-      |  FROM cur
-      |), p AS (
-      |  SELECT grp, doc_id, len, off,
-      |    unnest(generate_series(off // 512, (off + len - 1) // 512)) AS seq_id
-      |  FROM o WHERE len > 0)
-      |SELECT grp, seq_id, doc_id,
-      |  greatest(0, seq_id * 512 - off) AS tok_begin,
-      |  least(len, (seq_id + 1) * 512 - off) AS tok_end
-      |FROM p ORDER BY grp, seq_id, doc_id""".stripMargin,
-    // hashed uni+bigram features, one conditional agg builds target AND
-    // raw bucket counts, add-one-smoothed log ratio floored to e6
-    // integers MODEL-SIDE (unigram_logprob's parity pattern) so doc
-    // scores are integer sums
-    "dsir_weights" ->
-      (dsirWeightsCte +
-        """SELECT doc_id, is_target, n_feats, score_e6
-        |FROM doc_scores ORDER BY doc_id""".stripMargin),
-    "dsir_select" ->
-      (dsirWeightsCte +
-        """, sel AS (
-        |  SELECT doc_id, n_feats, score_e6,
-        |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
-        |  FROM doc_scores WHERE NOT is_target)
-        |SELECT rk, doc_id, n_feats, score_e6
-        |FROM sel WHERE rk <= 100 ORDER BY rk""".stripMargin),
-    // global stream offset = window cumsum (oracle scale is fine with
-    // the single-task window; the ENGINE uses the window-free prefix
-    // sum), then the same span arithmetic; range() is end-exclusive
-    // where Spark's sequence() is inclusive, hence the +1
-    "pack_spans" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len
-        |  FROM documents
-        |), offs AS (
-        |  SELECT doc_id, len,
-        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM docs
-        |), sp AS (
-        |  SELECT doc_id, len, off,
-        |    unnest(range(CAST(off // 512 AS BIGINT),
-        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-        |  FROM offs WHERE len > 0)
-        |SELECT seq_id, doc_id,
-        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
-        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-        |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
-    "pack_summary" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len
-        |  FROM documents
-        |), offs AS (
-        |  SELECT doc_id, len,
-        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM docs
-        |), sp AS (
-        |  SELECT doc_id, len, off,
-        |    unnest(range(CAST(off // 512 AS BIGINT),
-        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-        |  FROM offs WHERE len > 0
-        |), spans AS (
-        |  SELECT seq_id, doc_id,
-        |    GREATEST(0, seq_id * 512 - off) AS tok_begin,
-        |    LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-        |  FROM sp)
-        |SELECT seq_id, count(*) AS n_docs,
-        |  CAST(sum(tok_end - tok_begin) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN tok_begin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
-        |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin,
-    // the 64-round learned-tokenizer chain (pipeline_tokenizer's own
-    // CTEs) producing per-doc BPE budgets, then the same packing window
-    // the full curated-pretraining composition (quality -> dedup ->
-    // DSIR -> pack on the corpus-trained tokenizer), every stage's
-    // fragment chained and retargeted — see pipelineDsirPackSql
-    "pipeline_dsir_pack" -> pipelineDsirPackSql,
-    "pack_bpe" -> {
-      bpeTrainOracleChain(BpeOracleRounds) + s""",
-        |v AS (SELECT word,
-        |  CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_bpe
-        |  FROM e$BpeOracleRounds),
-        |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
-        |  FROM documents),
-        |agg AS (SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
-        |  FROM dw JOIN v USING (word) GROUP BY doc_id),
-        |lens AS (SELECT documents.doc_id,
-        |  coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS len
-        |  FROM documents LEFT JOIN agg USING (doc_id)),
-        |offs AS (
-        |  SELECT doc_id, len,
-        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM lens
-        |), sp AS (
-        |  SELECT doc_id, len, off,
-        |    unnest(range(CAST(off // 512 AS BIGINT),
-        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-        |  FROM offs WHERE len > 0)
-        |SELECT seq_id, doc_id,
-        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
-        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-        |FROM sp ORDER BY seq_id, doc_id""".stripMargin
-    },
-    // the delta's spans continue the base stream: same span arithmetic,
-    // offsets shifted by the base's total token count
-    "pack_incremental" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len,
-        |    (doc_id % 10 = 0) AS is_delta
-        |  FROM documents
-        |), bt AS (
-        |  SELECT CAST(COALESCE(sum(len), 0) AS BIGINT) AS base_off
-        |  FROM docs WHERE NOT is_delta
-        |), offs AS (
-        |  SELECT doc_id, len,
-        |    CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_off
-        |  FROM docs WHERE is_delta
-        |), sp AS (
-        |  SELECT doc_id, len, d_off + (SELECT base_off FROM bt) AS off
-        |  FROM offs WHERE len > 0
-        |), u AS (
-        |  SELECT doc_id, len, off,
-        |    unnest(range(CAST(off // 512 AS BIGINT),
-        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-        |  FROM sp)
-        |SELECT seq_id, doc_id,
-        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
-        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-        |FROM u ORDER BY seq_id, doc_id""".stripMargin,
-    // the streamed union replayed: phase-1 docs (doc_id%20=0) packed
-    // first, phase-2 docs after — a (phase, doc_id)-ordered prefix sum
-    // from the base total, same span arithmetic
-    // snapshot semantics over the source rows: v1 = base split, v2 adds
-    // phase-1 deltas (doc_id % 20 = 0), v3 = everything
-    "snapshot_stream" ->
-      """SELECT * FROM (
-        |  SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
-        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |  FROM documents WHERE doc_id % 10 != 0
-        |  UNION ALL
-        |  SELECT CAST(2 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
-        |  FROM documents WHERE doc_id % 10 != 0 OR doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT CAST(3 AS INT), count(*), CAST(sum(n_chars) AS BIGINT)
-        |  FROM documents)
-        |ORDER BY version""".stripMargin,
-    "pack_stream" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS len,
-        |    (doc_id % 10 = 0) AS is_delta,
-        |    CASE WHEN doc_id % 20 = 0 THEN 0 ELSE 1 END AS phase
-        |  FROM documents
-        |), bt AS (
-        |  SELECT CAST(COALESCE(sum(len), 0) AS BIGINT) AS base_off
-        |  FROM docs WHERE NOT is_delta
-        |), offs AS (
-        |  SELECT doc_id, len,
-        |    CAST(COALESCE(sum(len) OVER (ORDER BY phase, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_off
-        |  FROM docs WHERE is_delta
-        |), sp AS (
-        |  SELECT doc_id, len, d_off + (SELECT base_off FROM bt) AS off
-        |  FROM offs WHERE len > 0
-        |), u AS (
-        |  SELECT doc_id, len, off,
-        |    unnest(range(CAST(off // 512 AS BIGINT),
-        |                 CAST((off + len - 1) // 512 + 1 AS BIGINT))) AS seq_id
-        |  FROM sp)
-        |SELECT seq_id, doc_id,
-        |  GREATEST(0, seq_id * 512 - off) AS tok_begin,
-        |  LEAST(len, (seq_id + 1) * 512 - off) AS tok_end
-        |FROM u ORDER BY seq_id, doc_id""".stripMargin,
-    "pipeline_quality" ->
-      (gopherC4CleanCte + """, toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM cl
-        |), bg AS (
-        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM toks)
-        |), model AS (
-        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
-        |), ctx AS (
-        |  SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM model GROUP BY w1
-        |), voc AS (
-        |  SELECT count(DISTINCT tok) AS v FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM cl)
-        |), scored AS (
-        |  SELECT m.w1, m.w2,
-        |    CAST(floor(-ln((CAST(m.cnt AS DOUBLE) + 1.0)
-        |        / (CAST(c.ctx_cnt AS DOUBLE) + CAST(voc.v AS DOUBLE)))
-        |      * 1000000.0) AS BIGINT) AS s_e6
-        |  FROM model m JOIN ctx c USING (w1) CROSS JOIN voc
-        |), doc_scores AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(CAST(sum(s_e6) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |      AS avg_surprisal_e6
-        |  FROM bg JOIN scored USING (w1, w2)
-        |  GROUP BY doc_id
-        |), ranked AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY avg_surprisal_e6, doc_id) AS rnk,
-        |    count(*) OVER () AS n
-        |  FROM doc_scores
-        |), lm AS (
-        |  SELECT doc_id FROM ranked WHERE rnk * 3 <= n * 2
-        |), pt AS (
-        |  SELECT tk.doc_id, tk.t FROM toks tk JOIN lm USING (doc_id)
-        |), st AS (
-        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM pt
-        |), ex AS (
-        |  SELECT doc_id, t, unnest(starts) AS s,
-        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
-        |  FROM st
-        |), pg AS (
-        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
-        |), fo AS (
-        |  SELECT doc_id, pos, passage,
-        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
-        |  FROM pg
-        |), rebuilt AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(passage, ' ' ORDER BY pos) AS clean_text
-        |  FROM fo WHERE rn = 1 GROUP BY doc_id
-        |), totals AS (
-        |  SELECT doc_id, count(*) AS n_passages FROM pg GROUP BY doc_id
-        |)
-        |SELECT t.doc_id, t.n_passages,
-        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(r.clean_text, '') AS clean_text
-        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
-        |ORDER BY t.doc_id""".stripMargin),
-    "pipeline_pretrain" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), st AS (
-        |  SELECT doc_id, t, range(1, len(t) + 1, 10) AS starts FROM toks
-        |), ex AS (
-        |  SELECT doc_id, t, unnest(starts) AS s,
-        |    CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS pos
-        |  FROM st
-        |), pg AS (
-        |  SELECT doc_id, pos, array_to_string(t[s:s+9], ' ') AS passage FROM ex
-        |), fo AS (
-        |  SELECT doc_id, pos, passage,
-        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
-        |  FROM pg
-        |), cleaned AS (
-        |  SELECT doc_id,
-        |    coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos), '') AS text
-        |  FROM fo GROUP BY doc_id
-        |), w AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-        |  FROM cleaned
-        |), kept AS (
-        |  SELECT doc_id FROM w
-        |  WHERE bucket < least(CAST(100 AS BIGINT),
-        |    CAST(floor(n_tokens * 100.0 / 64.0) AS BIGINT))
-        |), d AS (
-        |  SELECT c.doc_id, CAST(c.doc_id % 8 AS INTEGER) AS shard,
-        |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM cleaned c JOIN kept k ON c.doc_id = k.doc_id
-        |), pk AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS tokens_before
-        |  FROM d
-        |)
-        |SELECT doc_id, shard, n_tokens,
-        |  tokens_before // 512 AS chunk,
-        |  tokens_before % 512 AS chunk_offset
-        |FROM pk ORDER BY doc_id""".stripMargin,
-    "weighted_sample" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, n_tokens, bucket,
-        |    least(CAST(100 AS BIGINT),
-        |      CAST(floor(n_tokens * 100.0 / 64.0) AS BIGINT)) AS keep_thr
-        |  FROM b
-        |)
-        |SELECT doc_id, n_tokens, bucket, keep_thr
-        |FROM t WHERE bucket < keep_thr ORDER BY doc_id""".stripMargin,
-    "pack_sequences" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), p AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS tokens_before
-        |  FROM d
-        |)
-        |SELECT doc_id, shard, n_tokens,
-        |  tokens_before // 512 AS chunk,
-        |  tokens_before % 512 AS chunk_offset
-        |FROM p ORDER BY doc_id""".stripMargin,
-    "domain_cap" ->
-      """WITH r AS (
-        |  SELECT doc_id, source,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
-        |  FROM documents)
-        |SELECT doc_id, source, rn FROM r WHERE rn <= 10
-        |ORDER BY doc_id""".stripMargin,
-    "url_normalize" ->
-      s"""$urlParseCte
-        |SELECT doc_id, url, scheme, host, path,
-        |  CASE WHEN scheme = '' OR host = '' THEN NULL
-        |       ELSE scheme || '://' || host || kept_port || path || kept_query
-        |  END AS url_norm
-        |FROM n ORDER BY doc_id""".stripMargin,
-    "html_links" ->
-      (htmlLinksCte + """
-        |SELECT doc_id, pos, href, host, url_norm
-        |FROM links ORDER BY doc_id, pos""".stripMargin),
-    "html_links_resolved" ->
-      (resolvedLinksCte + """
-        |SELECT doc_id, pos, href, host, url_norm
-        |FROM rlinks ORDER BY doc_id, pos""".stripMargin),
-    // the crawl-authority composition: the SAME rank recurrence as
-    // page_rank, fed by the RESOLVED link edge relation (doc -> host)
-    "link_rank" -> pageRankSql(3, edgesWith = resolvedLinksCte +
-      """, edges AS (
-        |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
-        |    host AS dst
-        |  FROM rlinks WHERE url_norm IS NOT NULL)""".stripMargin),
-    // the two HITS sweeps unrolled: a1 = indegree (h0 = 1), h1, a2, h2
-    "hits_scores" -> (resolvedLinksCte +
-      """, edges AS (
-        |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
-        |    host AS dst
-        |  FROM rlinks WHERE url_norm IS NOT NULL
-        |), a1 AS (
-        |  SELECT dst, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY dst
-        |), h1 AS (
-        |  SELECT src, CAST(sum(a1.a) AS BIGINT) AS h
-        |  FROM edges JOIN a1 USING (dst) GROUP BY src
-        |), a2 AS (
-        |  SELECT dst, CAST(sum(h1.h) AS BIGINT) AS a
-        |  FROM edges JOIN h1 USING (src) GROUP BY dst
-        |), h2 AS (
-        |  SELECT src, CAST(sum(a2.a) AS BIGINT) AS h
-        |  FROM edges JOIN a2 USING (dst) GROUP BY src)
-        |SELECT side, node, score FROM (
-        |  SELECT 'hub' AS side, src AS node, h AS score FROM h2
-        |  UNION ALL
-        |  SELECT 'auth' AS side, dst AS node, a AS score FROM a2)
-        |ORDER BY side, node""".stripMargin),
-  ) ++ oracleSqlRest2
-
-  /** Deterministic real-shaped HTML fixture pages (messy absolute links
-    * with default ports, root-/path-relative + protocol-relative +
-    * fragment-only + QUERY-only + mailto: links, a single-QUOTED href
-    * with a dot-segment, and a per-page base URL) — shared by
-    * html_links, html_links_resolved and link_rank;
-    * [[htmlLinksCte]]/[[resolvedLinksCte]] are the byte-identical SQL
-    * twins. The mailto row exercises the authority-less-scheme
-    * quarantine; the "?p=" row exercises RFC 3986 §5.3 query-only
-    * resolution.
-    */
-  private def htmlFixturePages(s: SparkSession, dir: String): DataFrame = {
-    val k = pmod(col("doc_id"), lit(5)).cast("string")
-    val k2 = pmod(col("doc_id"), lit(7)).cast("string")
-    val k3 = pmod(col("doc_id"), lit(9)).cast("string")
-    val k4 = pmod(col("doc_id"), lit(3)).cast("string")
-    val id = col("doc_id").cast("string")
-    t(s, dir, "documents").select(col("doc_id"),
-      concat(lit("https://site"), k3, lit(".org/a/"), k4,
-        lit("/page.html")).as("base_url"),
-      concat(
-        lit("<div><a href=\"HTTP://WWW.Example"), k, lit(".COM:80/p/"), id,
-        lit("\">x</a> <a href=\"/rel/"), id,
-        lit("\">y</a> <a href='sub/dir/../"), id,
-        lit("'>q</a> <a href=\"https://example"), k2, lit(".net/x?q="), id,
-        lit("#f\">z</a> <a href=\"//cdn.example"), k2,
-        lit(".net/lib.js\">c</a> <a href=\"#top\">t</a>"),
-        lit(" <a href=\"mailto:u"), k, lit("@ex.org\">m</a>"),
-        lit(" <a href=\"?p="), id,
-        lit("\">g</a></div>")).as("html"))
-  }
-
-  /** [[htmlFixturePages]]' SQL twin plus quote-stripped href extraction,
-    * ending in `l2(doc_id, base_url, pos, href)` — the shared front half
-    * of [[htmlLinksCte]] and [[resolvedLinksCte]].
-    */
-  private lazy val htmlPagesCte: String = {
-    val hr = Url.HrefRe.replace("'", "''")
-    s"""WITH pages AS (
-      |  SELECT doc_id,
-      |    'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.org/a/' ||
-      |      CAST(doc_id % 3 AS VARCHAR) || '/page.html' AS base_url,
-      |    '<div><a href="HTTP://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |    '.COM:80/p/' || CAST(doc_id AS VARCHAR) ||
-      |    '">x</a> <a href="/rel/' || CAST(doc_id AS VARCHAR) ||
-      |    '">y</a> <a href=''sub/dir/../' || CAST(doc_id AS VARCHAR) ||
-      |    '''>q</a> <a href="https://example' || CAST(doc_id % 7 AS VARCHAR) ||
-      |    '.net/x?q=' || CAST(doc_id AS VARCHAR) ||
-      |    '#f">z</a> <a href="//cdn.example' || CAST(doc_id % 7 AS VARCHAR) ||
-      |    '.net/lib.js">c</a> <a href="#top">t</a>' ||
-      |    ' <a href="mailto:u' || CAST(doc_id % 5 AS VARCHAR) ||
-      |    '@ex.org">m</a> <a href="?p=' || CAST(doc_id AS VARCHAR) ||
-      |    '">g</a></div>' AS html
-      |  FROM documents
-      |), l AS (
-      |  SELECT doc_id, base_url,
-      |    unnest(regexp_extract_all(html, '$hr', 1)) AS qhref,
-      |    CAST(generate_subscripts(regexp_extract_all(html, '$hr', 1), 1) - 1
-      |      AS INTEGER) AS pos
-      |  FROM pages
-      |), l2 AS (
-      |  SELECT doc_id, base_url, pos,
-      |    substr(qhref, 2, length(qhref) - 2) AS href
-      |  FROM l
-      |)""".stripMargin
-  }
-
-  /** The normalize() regex chain over a `(doc_id, pos, href, u)` input
-    * CTE named `$src` with URL column `$urlCol`, ending in
-    * `$out(doc_id, pos, href, host, url_norm)`.
-    */
-  private def urlNormChain(src: String, urlCol: String, out: String,
-      tag: String): String = {
-    val (sc, au, pa, qu, ui, po) = (Url.SchemeRe, Url.AuthorityRe,
-      Url.PathRe, Url.QueryRe, Url.UserinfoRe, Url.PortRe)
-    s""", p$tag AS (
-      |  SELECT doc_id, pos, href,
-      |    lower(regexp_extract($urlCol, '$sc', 1)) AS scheme,
-      |    regexp_replace(regexp_extract($urlCol, '$au', 1), '$ui', '') AS hostport,
-      |    regexp_extract($urlCol, '$pa', 1) AS raw_path,
-      |    regexp_extract($urlCol, '$qu', 1) AS query
-      |  FROM $src
-      |), n$tag AS (
-      |  SELECT doc_id, pos, href, scheme,
-      |    lower(regexp_replace(hostport, '$po', '')) AS host,
-      |    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
-      |    CASE WHEN (scheme = 'http' AND regexp_extract(hostport, '$po', 1) = '80')
-      |         OR (scheme = 'https' AND regexp_extract(hostport, '$po', 1) = '443')
-      |         OR regexp_extract(hostport, '$po', 1) = '' THEN ''
-      |         ELSE ':' || regexp_extract(hostport, '$po', 1) END AS kept_port,
-      |    CASE WHEN query = '' THEN '' ELSE '?' || query END AS kept_query
-      |  FROM p$tag
-      |), $out AS (
-      |  SELECT doc_id, pos, href, host,
-      |    CASE WHEN scheme = '' OR host = '' THEN NULL
-      |         ELSE scheme || '://' || host || kept_port || path || kept_query
-      |    END AS url_norm
-      |  FROM n$tag
-      |)""".stripMargin
-  }
-
-  /** The html_links dataflow as a reusable CTE chain ending in
-    * `links(doc_id, pos, href, host, url_norm)` — shared by the
-    * html_links oracle and link_rank's edge relation.
-    */
-  private lazy val htmlLinksCte: String =
-    htmlPagesCte + urlNormChain("l2", "href", "links", "u")
-
-  /** Url.DotSegmentPasses as a nested regexp_replace SQL expression. */
-  private def dotRemoveSql(e: String): String =
-    Url.DotSegmentPasses.foldLeft(e) { case (acc, (p, r)) =>
-      s"regexp_replace($acc, '$p', '$r', 'g')"
-    }
-
-  /** The html_links_resolved dataflow — RFC 3986 §5.2 reference
-    * resolution against each page's base URL (Url.resolveLinks' twin),
-    * ending in `rlinks(doc_id, pos, href, host, url_norm)`.
-    */
-  private lazy val resolvedLinksCte: String = {
-    val (sc, au, pa, ui, qr, asc) =
-      (Url.SchemeRe, Url.AuthorityRe, Url.PathRe, Url.UserinfoRe,
-        Url.QueryRe, Url.AnySchemeRe)
-    val merged = dotRemoveSql(
-      "regexp_replace(b_path, '[^/]*$', '', 'g') || href")
-    htmlPagesCte + s""", b AS (
-      |  SELECT doc_id, pos, href,
-      |    lower(regexp_extract(base_url, '$sc', 1)) AS b_scheme,
-      |    regexp_replace(regexp_extract(base_url, '$au', 1), '$ui', '') AS b_hostport,
-      |    CASE WHEN regexp_extract(base_url, '$pa', 1) = '' THEN '/'
-      |         ELSE regexp_extract(base_url, '$pa', 1) END AS b_path,
-      |    CASE WHEN regexp_extract(base_url, '$qr', 1) <> ''
-      |         THEN '?' || regexp_extract(base_url, '$qr', 1)
-      |         ELSE '' END AS b_query
-      |  FROM l2
-      |), r AS (
-      |  SELECT doc_id, pos, href,
-      |    CASE WHEN regexp_extract(href, '$asc', 1) <> '' THEN href
-      |         WHEN href LIKE '//%' THEN b_scheme || ':' || href
-      |         WHEN href LIKE '/%' THEN b_scheme || '://' || b_hostport || href
-      |         WHEN href LIKE '?%'
-      |           THEN b_scheme || '://' || b_hostport || b_path || href
-      |         WHEN href = '' OR href LIKE '#%'
-      |           THEN b_scheme || '://' || b_hostport || b_path || b_query
-      |         ELSE b_scheme || '://' || b_hostport || $merged
-      |    END AS abs_url
-      |  FROM b
-      |)""".stripMargin + urlNormChain("r", "abs_url", "rlinks", "r")
-  }
-
-  private lazy val oracleSqlRest2: Seq[(String, String)] = Seq(
-    "host_cap" ->
-      s"""$urlParseCte, valid AS (
-        |  SELECT doc_id, host FROM n WHERE NOT (scheme = '' OR host = '')
-        |), r AS (
-        |  SELECT doc_id, host,
-        |    CAST(row_number() OVER (PARTITION BY host
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
-        |  FROM valid)
-        |SELECT doc_id, host, rn FROM r WHERE rn <= 10
-        |ORDER BY doc_id""".stripMargin,
-    "token_budget_mix" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), o AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS tokens_before
-        |  FROM d
-        |)
-        |SELECT doc_id, source, n_tokens, tokens_before
-        |FROM o WHERE tokens_before < 600
-        |ORDER BY doc_id""".stripMargin,
-    // the UniMax water-fill as a recursive CTE: `ranked` orders domains
-    // ascending by size (name tie-break), the recursion carries the
-    // remaining budget b (post-allocation), and row i's allotment uses
-    // the PRE-allocation b with floor division — the engine's exact
-    // integer recurrence. The i=0 seed row is arithmetic-only and
-    // filtered out.
-    "unimax_mix" ->
-      """WITH RECURSIVE counts AS (
-        |  SELECT source AS domain,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source
-        |), params AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS d,
-        |    CAST(sum(n_tokens) * 1900 // 1000 AS BIGINT) AS b0
-        |  FROM counts
-        |), ranked AS (
-        |  SELECT domain, n_tokens,
-        |    CAST(row_number() OVER (ORDER BY n_tokens, domain) AS BIGINT) AS i
-        |  FROM counts
-        |), fill AS (
-        |  SELECT CAST(0 AS BIGINT) AS i, (SELECT b0 FROM params) AS b,
-        |    CAST(NULL AS VARCHAR) AS domain, CAST(0 AS BIGINT) AS n_tokens,
-        |    CAST(0 AS BIGINT) AS alloc, CAST(NULL AS VARCHAR) AS bound
-        |  UNION ALL
-        |  SELECT r.i,
-        |    f.b - least(r.n_tokens * 2, f.b // ((SELECT d FROM params) - f.i)),
-        |    r.domain, r.n_tokens,
-        |    least(r.n_tokens * 2, f.b // ((SELECT d FROM params) - f.i)),
-        |    CASE WHEN r.n_tokens * 2 <= f.b // ((SELECT d FROM params) - f.i)
-        |         THEN 'epoch_cap' ELSE 'budget' END
-        |  FROM fill f JOIN ranked r ON r.i = f.i + 1
-        |)
-        |SELECT domain, n_tokens, alloc AS alloc_tokens,
-        |  CAST(alloc * 1000000 // n_tokens AS BIGINT) AS epochs_e6, bound
-        |FROM fill WHERE i > 0 ORDER BY domain""".stripMargin,
-    "temperature_mix" ->
-      """WITH c AS (
-        |  SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang
-        |), m AS (
-        |  SELECT lang, CAST(n_stratum AS BIGINT) AS n_stratum,
-        |    CAST(floor(100.0 * sqrt(CAST(n_stratum AS DOUBLE) /
-        |      CAST(max(n_stratum) OVER () AS DOUBLE))) AS BIGINT) AS thr
-        |  FROM c
-        |), b AS (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-        |  FROM documents
-        |)
-        |SELECT b.doc_id, b.lang, m.n_stratum, m.thr, b.bucket
-        |FROM b JOIN m ON b.lang = m.lang
-        |WHERE b.bucket < m.thr ORDER BY b.doc_id""".stripMargin,
-    "stratified_sample" ->
-      """WITH r AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS n_stratum
-        |  FROM documents)
-        |SELECT doc_id, lang, rn, n_stratum FROM r
-        |WHERE rn <= CAST(ceil(0.2 * n_stratum) AS BIGINT)
-        |ORDER BY lang, rn""".stripMargin,
-  )
+  private lazy val oracleSqlMap: Map[String, String] =
+    distinctKeys("oracleSql", oracleSqlMain ++ oracleSqlRest)
 }

@@ -118,8 +118,14 @@ object Graph {
     val e = CacheScope.selfReleasing(
       edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
     var hub = e.select(col("src")).distinct().withColumn("h", lit(1L))
-    var auth = e.select(col("dst")).distinct().withColumn("a", lit(0L))
-    for (_ <- 1 to rounds) {
+    // auth participates in the recurrence only FROM the first sweep's
+    // result (h0 = 1 is the sole seed), so it starts as that sweep rather
+    // than a zero-filled relation that nothing ever reads
+    var auth = e.join(hub, "src").groupBy(col("dst"))
+      .agg(sum(col("h")).as("a"))
+    hub = e.join(auth, "dst").groupBy(col("src"))
+      .agg(sum(col("a")).as("h"))
+    for (_ <- 2 to rounds) {
       auth = e.join(hub, "src").groupBy(col("dst"))
         .agg(sum(col("h")).as("a"))
       hub = e.join(auth, "dst").groupBy(col("src"))
@@ -589,12 +595,28 @@ object Graph {
     *
     * Emits (node, radius, n_regs, s_scaled, ball_e2) for radius
     * 0..rounds — ball_e2 ≈ 100·|ball(node, radius)|.
+    *
+    * `registers` picks the sketch width: 16 (4 bucket bits — the
+    * oracle-replayable miniature, ±26% standard error) or 256 (8 bucket
+    * bits — 1.04/√256 ≈ ±6.5%, the production diameter instrument; the
+    * r14 verdict item 4). The 256 bucket id is the first TWO hex digits;
+    * rho reads the same 10-hex-digit window starting one digit later,
+    * and s_scaled tops out at 256·2^48 = 2^56 — still BIGINT-safe with
+    * the same integer idiom. α·m²·1000: 0.673·256·1000 = 172288 exactly
+    * for m=16; floor(0.7213/(1+1.079/256)·65536·1000) = 47072712 for
+    * m=256 (the standard HLL bias constants, Flajolet et al. 2007).
     */
-  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def hyperAnf(edges: DataFrame, rounds: Int = 3,
+      registers: Int = 16): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(rounds >= 1 && rounds <= 12,
       s"rounds must be in [1, 12], got $rounds — deeper needs the " +
         "checkpointed-loop discipline")
+    require(registers == 16 || registers == 256,
+      s"registers must be 16 or 256, got $registers — the two published " +
+        "alpha constants wired here")
+    val bucketHex = if (registers == 16) 1 else 2
+    val alphaM2E3 = if (registers == 16) 172288L else 47072712L
     val e = CacheScope.selfReleasing(
       edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
     val nodes = e.select(col("src").as("node"))
@@ -602,8 +624,9 @@ object Graph {
     // one-row-per-node singleton sketch: the node's own (j, rho)
     val regs0 = nodes
       .withColumn("h", md5(concat_ws("|", lit("anf"), col("node"))))
-      .withColumn("j", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
-      .withColumn("tail", substring(col("h"), 2, 10))
+      .withColumn("j",
+        conv(substring(col("h"), 1, bucketHex), 16, 10).cast("int"))
+      .withColumn("tail", substring(col("h"), 1 + bucketHex, 10))
       .withColumn("st", expr("trim(LEADING '0' FROM tail)"))
       .withColumn("m", when(col("st") === "", lit(41)).otherwise(
         (lit(10) - length(col("st"))) * 4 + lit(1) +
@@ -618,10 +641,10 @@ object Graph {
         sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - m)")).as("sp"))
       .select(col("node"), lit(radius).as("radius"),
         col("n_regs"),
-        ((lit(16L) - col("n_regs")) * lit(281474976710656L) + col("sp"))
-          .as("s_scaled"))
+        ((lit(registers.toLong) - col("n_regs")) * lit(281474976710656L)
+          + col("sp")).as("s_scaled"))
       .withColumn("ball_e2",
-        expr("CAST((CAST(172288 AS DECIMAL(38,0)) * 281474976710656)" +
+        expr(s"CAST((CAST($alphaM2E3 AS DECIMAL(38,0)) * 281474976710656)" +
           " div (10 * s_scaled) AS BIGINT)"))
     // each round's registers are read TWICE within the one output plan
     // (next round's merge + this radius's ball rows) — a single
@@ -699,8 +722,9 @@ object Graph {
     * ONE plan: hyperAnf's operator-scoped register caches serve the
     * second traversal, so the sketch rounds run once.
     */
-  def anfFunction(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val balls = hyperAnf(edges, rounds)
+  def anfFunction(edges: DataFrame, rounds: Int = 3,
+      registers: Int = 16): DataFrame = {
+    val balls = hyperAnf(edges, rounds, registers)
     val nf = balls.groupBy(col("radius"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(col("ball_e2")).as("sum_ball_e2"))

@@ -61,6 +61,24 @@ object Similarity {
     */
   val MaxBruteForceQueries = 1000
 
+  /** The registered-primary serve batch (r14 verdict item 3): production
+    * ANN serving answers a bounded query batch against a corpus-sized
+    * index — it never ranks every corpus vector as a query. The
+    * `*_serve` registered forms pass this head as `queries`, cutting the
+    * candidate join to O(head · cell) while the index side (assignment,
+    * codes, LUT) stays the full corpus; the serve-everything twins stay
+    * registered for oracle/audit continuity of the index math.
+    */
+  val ServeHead = 64
+
+  /** The deterministic bounded query head the `*_serve` primaries pass
+    * as `queries`: the first `n` corpus vec_ids — the same convention as
+    * [[bruteForceTopK]]'s query bound, mirrored in the oracles as
+    * `ORDER BY vec_id LIMIT n`.
+    */
+  def serveHead(embeddings: DataFrame, n: Int = ServeHead): DataFrame =
+    embeddings.orderBy(col("vec_id")).limit(n).select(col("vec_id"))
+
   /** Prefix of the truncation-probe metric; each [[cosinePairs]] call
     * derives a UNIQUE name (`prefix.<seq>`) so two cosinePairs frames can
     * be composed into one query — Spark rejects a plan that defines the

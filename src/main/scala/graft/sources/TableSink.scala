@@ -308,6 +308,8 @@ object TableSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val manifestDir = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    require(fs.exists(manifestDir),
+      s"no snapshot table at $root — nothing to expire (missing manifests/)")
     val versions = fs.listStatus(manifestDir).toSeq
       .map(_.getPath.getName).filter(_.matches("v\\d+\\.txt"))
       .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
@@ -316,11 +318,16 @@ object TableSink {
         s"(versions: $versions)")
     val (dead, live) = versions.partition(_ <= upTo)
     val liveDirs = live.flatMap(v => readManifest(fs, root, v)).toSet
+    // Crash-ordering: manifest FIRST, data second. A crash after the
+    // manifest delete leaves orphaned-but-harmless data dirs (a rerun
+    // reclaims nothing but readSnapshot fails with the clean 'no
+    // manifest' require); the reverse order would leave a live-looking
+    // manifest pointing at deleted directories — an opaque read error.
     dead.foreach { v =>
-      readManifest(fs, root, v).filterNot(liveDirs)
-        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      val deadDirs = readManifest(fs, root, v).filterNot(liveDirs)
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt"), false)
+      deadDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
   }
 

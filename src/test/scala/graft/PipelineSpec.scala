@@ -3513,6 +3513,28 @@ class PipelineSpec extends AnyFunSuite {
       s"64-clique 1-ball estimates out of band: ${c1.toSeq}")
   }
 
+  test("hyperAnf 256 registers tighten the ball estimate (production width)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // star hub: 0 -> 1..3000, so ball(0, 1) holds 3001 nodes — far above
+    // 2.5·m for BOTH widths, so the raw (no-linear-counting) estimator is
+    // in its design range at 16 and at 256 registers. Registers are
+    // deterministic md5, so both errors are fixed values; the pin holds
+    // the production claim: 256 registers (σ ≈ 1.04/√256 ≈ 6.5%) beat 16
+    // (σ ≈ 26%) on the same ball, and land inside a 2σ-ish band.
+    val star = (1L to 3000L).map(i => (0L, i)).toDF("src", "dst")
+    def hubEst(registers: Int): Long =
+      Graph.hyperAnf(star, rounds = 1, registers = registers)
+        .filter(col("radius") === 1 && col("node") === 0L)
+        .select(col("ball_e2")).collect().head.getLong(0)
+    val truthE2 = 300100.0 // 100 · |ball| = 100 · 3001
+    val err16 = math.abs(hubEst(16) - truthE2) / truthE2
+    val err256 = math.abs(hubEst(256) - truthE2) / truthE2
+    assert(err256 < err16,
+      s"256-register error $err256 not tighter than 16-register $err16")
+    assert(err256 <= 0.15, s"256-register estimate off by $err256")
+  }
+
   test("packGrouped lays one independent full-sequence stream per group") {
     import spark.implicits._
     // grp 0: two 300-token docs → seq 0 fills to exactly 512 (doc 2

@@ -23,9 +23,11 @@ def norm(v):
 
 def table(rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()
-    return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in rows]
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(norm(r[i]) for i in order) for r in rows])
 
 def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
@@ -41,12 +43,18 @@ def main(out_dir, sf_dir, only=()):
         if not files:
             print(f"MISSING RESULT  {name}"); n_bad += 1; continue
         try:
-            scols, srows = table(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-            ocols, orows = table(con.sql(sql))
+            scols, stypes, srows = table(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            ocols, otypes, orows = table(con.sql(sql))
         except Exception as e:
             print(f"ERROR  {name}: {e}"); n_bad += 1; continue
         if scols != ocols:
             print(f"SCHEMA MISMATCH  {name}: spark={scols} oracle={ocols}"); n_bad += 1; continue
+        if stypes != otypes:
+            # The driver's hash is type-sensitive (e.g. DuckDB sum() widening
+            # BIGINT -> HUGEINT flips the hash even when every value matches),
+            # so a type gap here is a real red row, not cosmetics.
+            pairs = [(c, a, b) for c, a, b in zip(scols, stypes, otypes) if a != b]
+            print(f"TYPE MISMATCH  {name}: {pairs}"); n_bad += 1; continue
         if len(srows) != len(orows):
             print(f"ROWCOUNT MISMATCH  {name}: spark={len(srows)} oracle={len(orows)}"); n_bad += 1; continue
         if srows != orows:
