@@ -919,6 +919,12 @@ object SparkEntry extends SparkEntryOracleMain {
     // counts, top-k by noisy count (repeated noisy-max)
     "dp_topk" -> ((s, dir) =>
       Relational.dpTopK(t(s, dir, "documents"))),
+    // the numeric third of the DP release family (r15): clipped-sum
+    // mean with sensitivity clip/n, the same seeded md5-Laplace
+    // derivation — verification artifact, not a private release (the
+    // dp_histogram contract)
+    "dp_mean" -> ((s, dir) =>
+      Relational.dpMean(t(s, dir, "documents"))),
     // BAND join (r14 — fuzzy numeric matching as an EQUI-join: bucket
     // blocking at bucket width = band, supplier side exploded ±1, exact
     // |diff| filter on candidates — a bare range predicate would plan
@@ -941,6 +947,13 @@ object SparkEntry extends SparkEntryOracleMain {
     // pre-period covariate, pooled theta from exact DECIMAL moments
     "cuped_adjust" -> ((s, dir) =>
       Relational.cupedAdjust(t(s, dir, "orders"))),
+    // RFM customer segmentation (r15 — the classic retail value cut in
+    // the reference's own market-basket domain): recency/frequency/
+    // monetary per customer, each scored into EXACT quartiles via three
+    // window-free ExactRank passes (the curriculum_order tier idiom),
+    // composed into the 3-digit RFM code
+    "rfm_segment" -> ((s, dir) =>
+      Relational.rfmSegment(t(s, dir, "orders"))),
     // Codex pass@k estimator: per problem 1 - C(n-c,k)/C(n,k) via the
     // k-step sequentially-floored e6 product (BIGINT-safe at any n)
     "pass_at_k" -> ((s, dir) =>
@@ -1343,6 +1356,14 @@ object SparkEntry extends SparkEntryOracleMain {
     // mapPartitions with a per-partition word->pieces memo
     "unigram_fertility" -> ((s, dir) =>
       TextAnalysis.unigramFertility(t(s, dir, "documents"))),
+    // LM surprisal under the TRAINED unigram tokenizer (r15 — the CCNet
+    // perplexity-quality discipline with the in-repo LM): per document
+    // the exact-integer −Σ best-segmentation log-prob (e6) plus the
+    // per-word normalization CCNet thresholds on — low = fluent
+    // in-distribution text, high = boilerplate/noise. Same distributed
+    // EM + doc-local application shape as unigram_fertility.
+    "unigram_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"))),
     // exact frequent items above n/100 support, via Misra-Gries candidate
     // pruning (the unbounded-vocabulary guard) — result is exact, so the
     // oracle is the plain HAVING formulation

@@ -648,7 +648,7 @@ private[graft] trait SparkEntryOracleBuilders {
     */
   private[graft] def unigramOracleSql(vocabSize: Int = 256, rounds: Int = 2,
       maxPieceLen: Int = 4, maxWordLen: Int = 16,
-      fertility: Boolean = false): String = {
+      fertility: Boolean = false, surprisal: Boolean = false): String = {
     def dpChain(r: Int, scoreCte: String,
         withScores: Boolean = true): String = {
       val sb = new StringBuilder
@@ -720,7 +720,42 @@ private[graft] trait SparkEntryOracleBuilders {
       |  FROM v0 CROSS JOIN t0)""".stripMargin
     val chains = (1 to rounds)
       .map(r => dpChain(r, s"w${r - 1}")).mkString
-    if (!fertility)
+    if (surprisal) {
+      // `unigram_perplexity`: the application chain's best-segmentation
+      // score per word (= Σ learned piece scores of the argmax seg —
+      // identical to the dp's sc by construction), negated and summed
+      // per document; per-word normalization floors with `//` on
+      // non-negative operands (scores are e6 log-probs, so −Σ ≥ 0).
+      val app = dpChain(rounds + 1, s"w$rounds", withScores = false)
+      head + chains + app + s""",
+        |wpp AS (
+        |  SELECT word, unnest(string_split(seg, ' ')) AS piece
+        |  FROM seg${rounds + 1}),
+        |wsc AS MATERIALIZED (
+        |  SELECT wpp.word, CAST(sum(w.s_e6) AS BIGINT) AS seg_score_e6
+        |  FROM wpp JOIN w$rounds w ON w.piece = wpp.piece
+        |  GROUP BY wpp.word),
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |    AS word
+        |  FROM documents),
+        |dagg AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_words,
+        |    CAST(sum(CASE WHEN s.seg_score_e6 IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_covered,
+        |    CAST(coalesce(sum(-s.seg_score_e6), 0) AS BIGINT) AS nll_e6
+        |  FROM docw LEFT JOIN wsc s USING (word)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(coalesce(a.nll_e6, 0) AS BIGINT) AS nll_e6,
+        |  CAST(CASE WHEN coalesce(a.n_covered, 0) > 0
+        |    THEN a.nll_e6 // a.n_covered END AS BIGINT) AS nll_per_word_e6
+        |FROM documents d LEFT JOIN dagg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    } else if (!fertility)
       head + chains + s"""
         |SELECT u.piece, u.usage, w.s_e6 AS score_e6
         |FROM usage$rounds u JOIN w$rounds w USING (piece)

@@ -655,6 +655,61 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
         |    AS BIGINT) AS rk,
         |  token, n_exact, noisy_e6
         |FROM s ORDER BY rk""".stripMargin,
+    // the numeric DP release: clipped sum + the constant-key seeded
+    // noise, scale b = clip/(n·ε) computed from the released n
+    "dp_mean" ->
+      """WITH v AS (
+        |  SELECT least(CAST(len(regexp_extract_all(text, '[a-z0-9]+'))
+        |    AS BIGINT), 500) AS t
+        |  FROM documents
+        |), a AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS clipped_sum
+        |  FROM v
+        |), n AS (
+        |  SELECT n_docs, clipped_sum,
+        |    (('0x' || substr(md5('dp_mean_release'), 1, 8))::BIGINT
+        |       % 1000000 + 0.5) / 1000000.0 AS u,
+        |    500.0 / 1.0 / n_docs AS b
+        |  FROM a)
+        |SELECT n_docs, clipped_sum,
+        |  CAST((CAST(clipped_sum AS HUGEINT) * 1000000) // n_docs
+        |    AS BIGINT) AS mean_e6,
+        |  CAST(floor((CAST(clipped_sum AS DOUBLE) / n_docs +
+        |    -b * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5)
+        |    AS BIGINT) AS noisy_mean_e6
+        |FROM n""".stripMargin,
+    // three row_number rankings over the customer-cardinality relation
+    // replay the engine's ExactRank passes; quartile tiers are the same
+    // ((rnk-1)*4) // n integer math, recency inverted (4 = most recent)
+    "rfm_segment" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1
+        |), anchor AS (SELECT max(o_orderdate) AS anchor FROM orders
+        |), m AS (
+        |  SELECT custkey,
+        |    CAST(date_diff('day', last_order, anchor) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per CROSS JOIN anchor
+        |), nn AS (SELECT count(*) AS n FROM m
+        |), r AS (
+        |  SELECT m.*,
+        |    row_number() OVER (ORDER BY recency_days, custkey) AS r_rnk,
+        |    row_number() OVER (ORDER BY frequency, custkey) AS f_rnk,
+        |    row_number() OVER (ORDER BY monetary_cents, custkey) AS m_rnk
+        |  FROM m)
+        |SELECT custkey, recency_days, frequency, monetary_cents,
+        |  CAST(4 - ((r_rnk - 1) * 4) // n AS INT) AS r_q,
+        |  CAST(1 + ((f_rnk - 1) * 4) // n AS INT) AS f_q,
+        |  CAST(1 + ((m_rnk - 1) * 4) // n AS INT) AS m_q,
+        |  CAST((4 - ((r_rnk - 1) * 4) // n) * 100 +
+        |    (1 + ((f_rnk - 1) * 4) // n) * 10 +
+        |    (1 + ((m_rnk - 1) * 4) // n) AS INT) AS rfm
+        |FROM r CROSS JOIN nn ORDER BY custkey""".stripMargin,
     // the CMS build/probe is replayed EXACTLY (shared md5 bucket hash):
     // counters = one GROUP BY (seed,bucket); estimate = min over seeds
     "cms_heavy" -> {
@@ -1602,6 +1657,10 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
     // the same chains + a THIRD (application) chain under the learned
     // scores, joined back onto the per-document word occurrences
     "unigram_fertility" -> unigramOracleSql(fertility = true),
+    // the same chains + application chain, word scores joined back from
+    // the learned score table (Σ piece s_e6 = the dp's own sc), negated
+    // and summed per document — the surprisal the engine's Viterbi emits
+    "unigram_perplexity" -> unigramOracleSql(surprisal = true),
     // both tokenizers' FULL oracle chains nested as CTEs (scoped WITHs,
     // no name crosstalk) joined per doc — the bake-off can't drift from
     // either tokenizer's own oracle

@@ -1067,6 +1067,95 @@ object Relational {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** ε-DP MEAN release ([[dpHistogram]]'s numeric sibling — the third
+    * classic Laplace release after count histogram and top-k): the mean
+    * tokens-per-document with per-document contribution CLIPPED to
+    * `clip` — clipping is what bounds the mean's L1 sensitivity at
+    * clip/n, the standard DP-mean recipe. Noise is the same seeded
+    * md5-uniform → inverse-CDF Laplace as the siblings (deterministic,
+    * oracle-replayable; the scale b = clip/(n·ε) is computed in-plan
+    * from the released n). Ships `n_docs`/`clipped_sum`/`mean_e6`
+    * alongside `noisy_mean_e6` under the SAME not-a-private-release
+    * verification contract documented on [[dpHistogram]] — the
+    * mechanism is the operator, the secret seed and the drop-the-exact
+    * projection are policy.
+    *
+    * Scale shape: one partial-aggregable scan (count + clipped sum),
+    * then row-local double math on a 1-row relation. The division of
+    * exact integers and the ln/multiply chain are the same IEEE ops on
+    * both engines; the ×1e6 round absorbs last-ulp libm divergence.
+    */
+  def dpMean(documents: DataFrame, epsilon: Double = 1.0,
+      clip: Long = 500): DataFrame = {
+    require(epsilon > 0 && clip >= 1, "dpMean: epsilon > 0, clip >= 1")
+    val tokens = least(
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .cast("long"), lit(clip))
+    val agg = documents.select(tokens.as("t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("clipped_sum"))
+    val h = conv(substring(md5(lit("dp_mean_release").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val u = (pmod(h, lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val b = lit(clip.toDouble / epsilon) / col("n_docs").cast("double")
+    val noise = -b * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    agg.select(col("n_docs"), col("clipped_sum"),
+      expr("CAST((CAST(clipped_sum AS DECIMAL(38,0)) * 1000000)" +
+        " div n_docs AS BIGINT)").as("mean_e6"),
+      floor((col("clipped_sum").cast("double") / col("n_docs").cast("double")
+        + noise) * 1e6 + 0.5).cast("long").as("noisy_mean_e6"))
+  }
+
+  /** RFM SEGMENTATION (Recency / Frequency / Monetary — the classic
+    * retail customer-value cut, squarely in the reference's
+    * market-basket domain): per customer the days since their last
+    * order (anchored at the corpus max date, so the segmentation is a
+    * pure function of the data), their order count, and their
+    * total spend in exact cents; each dimension scored into EXACT
+    * quartiles 1..4 (4 = best — most recent / most frequent / highest
+    * spend) and composed into the classic 3-digit RFM code.
+    *
+    * Quartiles are the curriculum_order idiom: three window-free
+    * [[ExactRank]] passes over the customer-cardinality relation with
+    * `((rnk−1)·4) div n` integer tier math — boundaries are hash-exact,
+    * no percentile interpolation, no global ORDER BY window.
+    *
+    * Scale shape: one partial-aggregable groupBy(custkey) collapses the
+    * orders scan to customer cardinality; the anchor is a 1-row
+    * broadcast; each ExactRank pass parallelizes at partition width
+    * (single rank group, bounded per-partition offset state).
+    */
+  def rfmSegment(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("monetary_cents"))
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val m = per.crossJoin(broadcast(anchor))
+      .select(col("custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .withColumn("g", lit(0))
+    val r1 = ExactRank.exactRank(m, Seq("g"),
+      Seq("recency_days", "custkey"), rankCol = "r_rnk", totalCol = "n_cust")
+    val r2 = ExactRank.exactRank(r1, Seq("g"),
+      Seq("frequency", "custkey"), rankCol = "f_rnk", totalCol = "n_f")
+    val r3 = ExactRank.exactRank(r2, Seq("g"),
+      Seq("monetary_cents", "custkey"), rankCol = "m_rnk", totalCol = "n_m")
+    r3.select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        // recency ranks ascending (smallest gap first), so tier 0 is the
+        // BEST quartile → score 4 − tier; frequency/monetary rank
+        // ascending too, so their best tier is 3 → score tier + 1
+        expr("CAST(4 - ((r_rnk - 1) * 4) div n_cust AS INT)").as("r_q"),
+        expr("CAST(1 + ((f_rnk - 1) * 4) div n_cust AS INT)").as("f_q"),
+        expr("CAST(1 + ((m_rnk - 1) * 4) div n_cust AS INT)").as("m_q"))
+      .withColumn("rfm",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+      .orderBy(col("custkey"))
+  }
+
   /** THEIL–SEN robust slope (Sen 1968) — the median of pairwise slopes,
     * the outlier-resistant regression [[regressionStats]]' OLS is not
     * (one corrupted row moves OLS arbitrarily; Theil–Sen tolerates 29%

@@ -2129,6 +2129,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** LM SURPRISAL scoring under the trained unigram tokenizer — the
+    * CCNet quality discipline (Wenzek et al., LREC 2020) realized with
+    * the in-repo LM instead of an external KenLM: train with
+    * [[unigramTrainCore]], Viterbi-segment each document's words under
+    * the LEARNED scores, and emit the exact-integer negative
+    * log-likelihood proxy per document — `nll_e6` = −Σ best-segmentation
+    * score over covered words (scores are e6-floored log-probs, so the
+    * sum is the corpus-LM surprisal ×1e6) and `nll_per_word_e6` (the
+    * per-word normalization CCNet thresholds on; NULL when no word is
+    * covered — the degenerate-denominator convention). Low per-word
+    * surprisal ≈ fluent in-distribution text; high ≈ boilerplate/noise.
+    *
+    * Scale shape: [[unigramFertility]]'s exactly — distributed EM
+    * training, then doc-local mapPartitions application with the
+    * ≤vocabSize score table in the task closure and a per-partition
+    * word→score memo; the only exchange is the presentation sort.
+    */
+  def unigramSurprisal(documents: DataFrame, vocabSize: Int = 256,
+      rounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (_, scores) =
+      unigramTrainCore(documents, vocabSize, rounds, maxPieceLen, maxWordLen)
+    val (mpl, mwl) = (maxPieceLen, maxWordLen)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+        // memo value: Long.MinValue = uncovered; else the word's best
+        // dp score (= Σ piece scores of the argmax segmentation)
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          var nW = 0L; var nCov = 0L; var nll = 0L
+          if (text != null) {
+            val m = re.matcher(text)
+            while (m.find()) {
+              val word = m.group()
+              val s = memo.getOrElseUpdate(word,
+                if (word.length > mwl) Long.MinValue
+                else unigramViterbi(word, scores, mpl)
+                  .map(_.map(scores).sum).getOrElse(Long.MinValue))
+              nW += 1
+              if (s != Long.MinValue) { nCov += 1; nll -= s }
+            }
+          }
+          (id, nW, nCov, nll)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_covered", "nll_e6")
+      .withColumn("nll_per_word_e6",
+        when(col("n_covered") > 0, expr("nll_e6 div n_covered")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Max-score segmentation of one word under an e6-integer score
     * table: dp over prefix lengths, pieces capped at `maxPieceLen`
     * chars, ties broken to the lexicographically smallest segmentation

@@ -1621,6 +1621,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0, "zero coverage corpus-wide")
   }
 
+  test("unigram_perplexity: surprisal consistent with fertility; wordless docs emit") {
+    import spark.implicits._
+    // shares the corpus with the budgets test via tbl: n_words/n_covered
+    // must agree exactly between the two application passes, nll is a
+    // non-negative integer (scores are negative log-probs), and the
+    // per-word normalization is the floored integer division
+    val fert = TextAnalysis.unigramFertility(tbl("documents")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sur = TextAnalysis.unigramSurprisal(tbl("documents")).collect()
+    assert(sur.nonEmpty)
+    sur.foreach { r =>
+      val (id, nW, nCov, nll) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(fert(id) == ((nW, nCov)), s"doc $id budgets drifted")
+      assert(nll >= 0, s"doc $id: negative surprisal")
+      if (nCov > 0) assert(r.getLong(4) == nll / nCov,
+        s"doc $id: per-word normalization drifted")
+      else assert(r.isNullAt(4), s"doc $id: uncovered doc got a per-word value")
+    }
+    // a wordless document must appear with zero budgets and a NULL
+    // normalization (the r14 advice guard, pinned on BOTH passes)
+    val docs = Seq((1L, "ab ab ba"), (2L, "???!!!")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(4))).toSeq
+    assert(s2.contains((2L, 0L, true)), s"wordless doc missing/typed: $s2")
+  }
+
+  test("dpMean: exact mean is exact, noise bounded by the Laplace tail") {
+    val docs = tbl("documents")
+    val r = Relational.dpMean(docs).collect()(0)
+    val (n, s, meanE6, noisyE6) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && s > 0)
+    assert(meanE6 == s * 1000000L / n, "exact mean drifted")
+    // |noise| = b·|ln(1−2|u−½|)| with u quantized to (k+0.5)/1e6 is at
+    // most b·ln(1e6) ≈ 13.9·b; b = clip/(n·ε)
+    val bound = (500.0 / n) * 13.9 * 1e6 + 1
+    assert(math.abs(noisyE6 - meanE6) <= bound,
+      s"noise outside the Laplace tail: $noisyE6 vs $meanE6")
+    assert(noisyE6 != meanE6, "noise degenerated to zero")
+  }
+
+  test("rfmSegment scores hand-computed quartiles on an 8-customer fixture") {
+    import spark.implicits._
+    // customer i: i orders all dated 2024-01-0i at 10·i each, so
+    // recency ranks i descending and frequency/monetary rank i
+    // ascending — quartiles of 2, hand-walked below
+    val rows = for (i <- 1 to 8; _ <- 1 to i) yield
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-0$i"), 10.0 * i)
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.rfmSegment(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(7))).toSeq
+    val want = (1 to 8).map { i =>
+      val rfm = i match {
+        case 1 | 2 => 111
+        case 3 | 4 => 222
+        case 5 | 6 => 333
+        case _     => 444
+      }
+      (i.toLong, (8 - i).toLong, i.toLong, i.toLong * i * 1000L, rfm)
+    }
+    assert(got == want, s"RFM drifted: $got")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
