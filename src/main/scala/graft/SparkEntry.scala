@@ -2391,6 +2391,16 @@ object SparkEntry extends SparkEntryOracleMain {
         .select(col("rk_contiguous"), col("one_cluster_per_query"),
           (col("n_hit") >= col("n_true") * 0.1).as("recall_ge_10pct"))
     }),
+    // HASH-EXACT Lloyd's k-means (r15 — the oracle-replayable twin of
+    // ann_ivf_trained's float KMeans): components e6-quantized first,
+    // then every Lloyd round in pure integer arithmetic — BIGINT
+    // squared-L2 argmin, floored-integer centroid means in shifted
+    // space — so assignments AND centroids join the hash gate instead
+    // of hiding behind structural booleans
+    "kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansLloyd(t(s, dir, "embeddings"))),
+    "kmeans_centroids" -> ((s, dir) =>
+      Similarity.kmeansCentroidsLong(t(s, dir, "embeddings"))),
     // SemDeDup corpus verdict — same structural-oracle pattern: n_total is
     // oracle-exact, the invariants are computed from the materialized
     // relations and the oracle emits literal TRUE (see ann_ivf_trained)

@@ -1514,6 +1514,68 @@ private[graft] trait SparkEntryOracleBuilders {
   private[graft] lazy val ivfpqOracleTail = pqDistCtes + ivfpqAdcCtes +
     ivfpqTopSelect(5)
 
+  /** Hash-exact Lloyd's k-means replay (mirrors Similarity.kmeansLloyd):
+    * e6-quantized components in LONG form, `rounds` unrolled
+    * assign→update iterations — BIGINT squared-L2 argmin (ties to the
+    * smaller cent_id), centroid means as floored integer division in
+    * +2e6-shifted space (non-negative operands, so `//` and Spark's
+    * `div` agree). Ends with `c$rounds` (cent_id, j, c) and `ql`
+    * (vec_id, j, x) in scope for the consumers' final joins.
+    */
+  private[graft] def kmeansCte(k: Int = 16, rounds: Int = 2): String = {
+    val head = s"""WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), ql AS MATERIALIZED (
+      |  SELECT vec_id, j, v[j] AS x
+      |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+      |), c0 AS (
+      |  SELECT vec_id AS cent_id, j, x AS c FROM ql WHERE vec_id < $k
+      |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s""",
+      |d$r AS (
+      |  SELECT ql.vec_id, c.cent_id,
+      |    CAST(sum((ql.x - c.c) * (ql.x - c.c)) AS BIGINT) AS d2_q
+      |  FROM ql JOIN c${r - 1} c USING (j) GROUP BY 1, 2
+      |), a$r AS MATERIALIZED (
+      |  SELECT vec_id, cent_id AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2_q, cent_id) AS rk FROM d$r) WHERE rk = 1
+      |), c$r AS MATERIALIZED (
+      |  SELECT a.cluster AS cent_id, ql.j,
+      |    CAST((CAST(sum(ql.x + 2000000) AS BIGINT) // count(*)) - 2000000
+      |      AS BIGINT) AS c
+      |  FROM a$r a JOIN ql ON ql.vec_id = a.vec_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+    }.mkString
+    head + iters
+  }
+
+  /** `kmeans_assign`: the FINAL assignment under the round-`rounds`
+    * centroids — one more argmin pass off [[kmeansCte]]'s chain. */
+  private[graft] def kmeansAssignOracle(k: Int = 16,
+      rounds: Int = 2): String =
+    kmeansCte(k, rounds) + s""",
+      |df AS (
+      |  SELECT ql.vec_id, c.cent_id,
+      |    CAST(sum((ql.x - c.c) * (ql.x - c.c)) AS BIGINT) AS d2_q
+      |  FROM ql JOIN c$rounds c USING (j) GROUP BY 1, 2
+      |)
+      |SELECT vec_id, cent_id AS cluster, d2_q FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d2_q, cent_id) AS rk FROM df) WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** `kmeans_centroids`: the round-`rounds` centroids, long form. */
+  private[graft] def kmeansCentroidsOracle(k: Int = 16,
+      rounds: Int = 2): String =
+    kmeansCte(k, rounds) + s"""
+      |SELECT cent_id AS cluster, j, c AS c_e6 FROM c$rounds
+      |ORDER BY cluster, j""".stripMargin
+
   /** The `*_serve` primaries' oracle wrapper: the FULL serve oracle as a
     * CTE (verbatim — the primary can never drift from its audit twin)
     * joined to the registered ServeHead query head. The engine's

@@ -655,6 +655,10 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
         |    AS BIGINT) AS rk,
         |  token, n_exact, noisy_e6
         |FROM s ORDER BY rk""".stripMargin,
+    // hash-exact Lloyd's k-means: quantized long-form replay, floored
+    // shifted-space centroid means, final argmin pass
+    "kmeans_assign" -> kmeansAssignOracle(),
+    "kmeans_centroids" -> kmeansCentroidsOracle(),
     // the numeric DP release: clipped sum + the constant-key seeded
     // noise, scale b = clip/(n·ε) computed from the released n
     "dp_mean" ->

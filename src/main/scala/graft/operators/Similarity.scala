@@ -1356,6 +1356,102 @@ object Similarity {
   // the ADC ranking is a shortlist that full-precision rerank corrects.
   // ---------------------------------------------------------------------
 
+  /** HASH-EXACT Lloyd's k-means (r15) — the fully oracle-replayable twin
+    * of [[ivfTopKTrained]]'s float KMeans (whose Lloyd iterations are not
+    * SQL-expressible, so its driver row is structural booleans): quantize
+    * every component to an e6 integer FIRST (row-local floor — fixed fold
+    * order, engine-independent), then run `rounds` Lloyd iterations
+    * entirely in integer arithmetic — squared-L2 assignment over BIGINT
+    * components (argmin ties to the smaller cent_id), centroid update as
+    * a floored integer mean computed in SHIFTED space
+    * (`(Σ(x+2e6)) div n − 2e6`: components are bounded by ±1e6 so the
+    * shifted sum is non-negative, and integral division of non-negatives
+    * truncates identically on both engines — the `div`-vs-`//` negative
+    * operand hazard never arises). Every round, every tie, every floored
+    * mean replays row-for-row in DuckDB — k-means clustering joins the
+    * hash gate instead of hiding behind a structural contract. A cluster
+    * that loses all members drops out of the centroid relation (both
+    * engines identically); ties assign to the smaller cent_id.
+    *
+    * Returns the FINAL assignment (vec_id, cluster, d2_q) under the
+    * round-`rounds` centroids; [[kmeansCentroidsLong]] emits those
+    * centroids in long (cluster, j, c_e6) form off the same chain.
+    *
+    * Scale shape: per round one broadcast join of the ≤k-row centroid
+    * relation onto the corpus (d2 is a row-local zip_with fold — no
+    * N×k×dims long-form blowup on the engine side), one 16-row-partition
+    * argmin window, and one (k·dims)-group partial-aggregable update.
+    * The oracle replays the same rounds in long form (its N·dims rows
+    * are the oracle's own cost, not the engine's).
+    */
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 16, rounds: Int = 2,
+      dims: Int = 64): DataFrame = {
+    val (q, cents) = kmeansChain(embeddings, k, rounds, dims)
+    kmeansAssign(q, cents)
+      .select(col("vec_id"), col("cluster"), col("d2_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The final-round centroids of [[kmeansLloyd]] in long form —
+    * (cluster, j, c_e6), one row per surviving centroid component, the
+    * shape the oracle replays component-exactly. */
+  def kmeansCentroidsLong(embeddings: DataFrame, k: Int = 16,
+      rounds: Int = 2, dims: Int = 64): DataFrame = {
+    val (_, cents) = kmeansChain(embeddings, k, rounds, dims)
+    cents.select(col("cent_id").as("cluster"),
+        posexplode(col("cv")).as(Seq("j0", "c_e6")))
+      .select(col("cluster"), (col("j0") + 1).cast("long").as("j"),
+        col("c_e6"))
+      .orderBy(col("cluster"), col("j"))
+  }
+
+  /** Shared quantize → `rounds`×(assign → update) chain behind the two
+    * kmeans registered forms. Returns (quantized corpus, final cents). */
+  private def kmeansChain(embeddings: DataFrame, k: Int, rounds: Int,
+      dims: Int): (DataFrame, DataFrame) = {
+    require(k >= 2 && rounds >= 1 && rounds <= 8 && dims >= 1,
+      s"kmeans: k >= 2, rounds in [1,8], dims >= 1 (got $k/$rounds/$dims)")
+    // quantize once; every round's assign + the final assign re-read it
+    val q = CacheScope.selfReleasing(
+      embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("v")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to rounds) {
+      val assigned = kmeansAssign(q, cents)
+      cents = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cluster"), col("j"))
+        .agg(sum(col("x") + lit(2000000L)).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          struct(col("j"), (expr("sx div n") - lit(2000000L)).as("c"))
+            .as("jc"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(col("jc"))).as("s"))
+        .select(col("cluster").as("cent_id"),
+          expr("transform(s, e -> e.c)").as("cv"))
+    }
+    (q, cents)
+  }
+
+  /** One integer squared-L2 assignment pass: broadcast the ≤k-row
+    * centroid relation, fold d2 row-locally, argmin by (d2_q, cent_id)
+    * over the k-row per-vector partitions. */
+  private def kmeansAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("d2_q", expr(
+        "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2_q"), col("cent_id"))))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
+        col("d2_q"))
+
   /** Residual vectors: each corpus vector minus its assigned cell's
     * centroid — the relation residual PQ encodes. The centroid table
     * broadcasts (≤ numCentroids rows), the join key is the cell id, and

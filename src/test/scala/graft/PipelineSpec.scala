@@ -1686,6 +1686,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"RFM drifted: $got")
   }
 
+  test("kmeansLloyd replays hand-floored integer Lloyd rounds") {
+    import spark.implicits._
+    // two well-separated 4-dim groups; k = 2 seeds at vec_id 0/1 land one
+    // seed in each. Round updates are hand-walked: c0 dim1 =
+    // ((0 + 100000 + 0 + 3·2e6) div 3) − 2e6 = 33333 (floored shifted
+    // mean), c1 dim1 = 466666, dims 3/4 exact 0/500000.
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.4f, 0.5f, 0.5f, 0.5f)),
+      (4L, Seq(0.0f, 0.1f, 0.0f, 0.0f)),
+      (5L, Seq(0.5f, 0.4f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansLloyd(emb, k = 2, rounds = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(assign == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L),
+      (4L, 0L), (5L, 1L)), s"assignments drifted: $assign")
+    val cents = Similarity.kmeansCentroidsLong(emb, k = 2, rounds = 2,
+        dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (0L, 1L, 33333L), (0L, 2L, 33333L), (0L, 3L, 0L), (0L, 4L, 0L),
+      (1L, 1L, 466666L), (1L, 2L, 466666L), (1L, 3L, 500000L),
+      (1L, 4L, 500000L))
+    assert(cents == want, s"centroids drifted: $cents")
+  }
+
   test("bpe_train learns the hand-computed merges on a fixture") {
     import spark.implicits._
     // words: aaab x2, ab x1.
