@@ -868,6 +868,13 @@ object SparkEntry extends SparkEntryOracleMain {
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(t(s, dir, "lineitem"))),
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
+    // mergeable fixed-width CDF sketch + integer-interpolated percentile
+    // estimates, with the EXACT rank-t values joined alongside so the
+    // sketch error is a hash-gated VALUE (r15 — the lsh_recall measured-
+    // quality discipline for quantiles; approx_stats keeps the
+    // structural-boolean form for the built-in KLL/HLL sketches)
+    "quantile_sketch" -> ((s, dir) =>
+      Relational.quantileSketch(t(s, dir, "lineitem"))),
     // the exact-rank primitive as a PUBLIC operator over arbitrary
     // (group, order) columns: row_number + count(*) per group WITHOUT a
     // per-group window task. o_orderstatus has THREE values — a window

@@ -1067,6 +1067,69 @@ object Relational {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** MERGEABLE QUANTILE SKETCH with a MEASURED-ERROR leg (r15 — the
+    * lsh_recall discipline applied to approximate quantiles, where
+    * [[approx_stats]] only ships structural booleans): build a
+    * fixed-width bucket CDF over exact cents (ONE partial-aggregable
+    * pass — per-partition bucket counts merge by addition, the textbook
+    * mergeable summary a 1000-executor quantile query actually ships),
+    * estimate each target percentile by integer linear interpolation
+    * inside its bucket, and join the EXACT rank-t value (one
+    * [[ExactRank]] pass) so the estimate's absolute error is a VALUE in
+    * the hash gate — a sketch-resolution regression fails the driver
+    * compare instead of hiding behind a tolerance boolean.
+    *
+    * All integer: v = round(price·100) cents; bucket = v div W;
+    * target rank t = ⌈n·pct/100⌉ = (n·pct + 99) div 100; estimate =
+    * b·W + ((t − cum_before)·W) div cnt — every operand non-negative,
+    * so `div` and DuckDB `//` agree.
+    *
+    * Scale shape: the sketch leg is one scan + a bucket-cardinality
+    * groupBy (≈ value_range/W rows) with a window only over that tiny
+    * relation; the exact leg is the AUDIT cost (the measured-quality
+    * pattern) and runs as the distributed ExactRank, never a global
+    * window over the data.
+    */
+  def quantileSketch(lineitem: DataFrame, widthCents: Long = 100000L,
+      pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame = {
+    require(widthCents >= 1 && pcts.nonEmpty &&
+      pcts.forall(p => p >= 1 && p <= 100), "degenerate sketch parameters")
+    val v = lineitem.select(
+      round(col("l_extendedprice") * 100).cast("long").as("v"),
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").cast("string").as("pk"))
+    val buckets = v.groupBy(expr(s"v div $widthCents").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = buckets.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val n = v.agg(count(lit(1)).as("n"))
+    val targets = v.sparkSession.range(0, pcts.size)
+      .select(expr(s"array(${pcts.mkString(",")})[CAST(id AS INT)]")
+        .as("pct"))
+      .crossJoin(broadcast(n))
+      .select(col("pct"), col("n").as("n_total"),
+        expr("(n * pct + 99) div 100").as("target_rank"))
+    val est = broadcast(targets).join(cdf,
+        col("target_rank") > col("cum_before") &&
+          col("target_rank") <= col("cum_before") + col("cnt"))
+      .select(col("pct"), col("n_total"), col("target_rank"),
+        (col("b") * widthCents +
+          expr(s"((target_rank - cum_before) * $widthCents) div cnt"))
+          .as("est_cents"))
+    val ranked = ExactRank.exactRank(v.withColumn("g", lit(0)), Seq("g"),
+      Seq("v", "l_orderkey", "l_linenumber", "pk"))
+    val exact = ranked.join(
+        broadcast(targets.select(col("pct").as("p2"),
+          col("target_rank").as("t2"))),
+        col("rnk") === col("t2"))
+      .select(col("p2").as("pct"), col("v").as("exact_cents"))
+    est.join(exact, "pct")
+      .withColumn("abs_err_cents", abs(col("est_cents") - col("exact_cents")))
+      .orderBy(col("pct"))
+  }
+
   /** ε-DP MEAN release ([[dpHistogram]]'s numeric sibling — the third
     * classic Laplace release after count histogram and top-k): the mean
     * tokens-per-document with per-document contribution CLIPPED to

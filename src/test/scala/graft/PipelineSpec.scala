@@ -1686,6 +1686,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"RFM drifted: $got")
   }
 
+  test("quantileSketch: error bounded by bucket width, estimates monotone") {
+    val rows = Relational.quantileSketch(tbl("lineitem")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 7)
+    rows.foreach { case (pct, n, t, est, exact, err) =>
+      // est and the exact rank-t value live in the SAME bucket by
+      // construction, so the error is < one bucket width — the sketch's
+      // a-priori accuracy contract, pinned as an invariant
+      assert(err < 100000L, s"p$pct error $err >= bucket width")
+      assert(err == math.abs(est - exact), s"p$pct error column drifted")
+      assert(t >= 1 && t <= n, s"p$pct rank out of range")
+    }
+    val ests = rows.sortBy(_._1).map(_._4)
+    assert(ests.sameElements(ests.sorted), "estimates not monotone in pct")
+  }
+
   test("kmeansLloyd replays hand-floored integer Lloyd rounds") {
     import spark.implicits._
     // two well-separated 4-dim groups; k = 2 seeds at vec_id 0/1 land one
