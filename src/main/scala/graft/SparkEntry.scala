@@ -875,6 +875,47 @@ object SparkEntry extends SparkEntryOracleMain {
     // structural-boolean form for the built-in KLL/HLL sketches)
     "quantile_sketch" -> ((s, dir) =>
       Relational.quantileSketch(t(s, dir, "lineitem"))),
+    // the MERGE of the sketch driven end-to-end (r15): per-micro-batch
+    // bucket partials written exactly-once (foreachBatch batch_id
+    // partitions, across a forced stop/restart), merged by one
+    // groupBy-sum, and fed to the SAME estimate tail — bit-identical to
+    // the one-shot sketch, so it shares quantile_sketch's oracle text.
+    // This is the sketch's 100 TB selling point made a gate: partials
+    // from any slicing of the data recombine exactly.
+    "quantile_stream" -> ((s, dir) =>
+      withStreamStage("graft_qsk_stream") { stage =>
+        val in = stage + "/in"; val sink = stage + "/sink"
+        val ckpt = stage + "/ckpt"
+        val li = Relational.quantileValues(t(s, dir, "lineitem"))
+        def run(): Unit = {
+          val stream = s.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 2).parquet(in)
+          val q = stream.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.streaming.StreamingOps.writeBatchIdempotent(
+                Relational.quantileBuckets(b, 100000L), sink, id)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        li.filter(col("l_orderkey") % 2 === 0).repartition(2)
+          .write.mode("overwrite").parquet(in)
+        run() // phase 1: drains the even half, clean stop
+        li.filter(col("l_orderkey") % 2 =!= 0).repartition(2)
+          .write.mode("append").parquet(in)
+        run() // phase 2: restart from the checkpoint — new files only
+        // materialize the merged partials before withStreamStage deletes
+        // the staging dir (the returned plan must not scan it lazily)
+        graft.sources.TableSink.saveTable(
+          s.read.parquet(sink).groupBy(col("b"))
+            .agg(sum(col("cnt")).as("cnt")),
+          "graft_quantile_partials")
+        Relational.quantileFromBuckets(li,
+          s.table("graft_quantile_partials"), 100000L,
+          Seq(1, 5, 25, 50, 75, 95, 99))
+      }),
     // the exact-rank primitive as a PUBLIC operator over arbitrary
     // (group, order) columns: row_number + count(*) per group WITHOUT a
     // per-group window task. o_orderstatus has THREE values — a window

@@ -2161,4 +2161,38 @@ private[graft] trait SparkEntryOracleBuilders {
         |  WHERE CAST($agree AS DOUBLE) / ${Dedup.NumHashes}.0 >= 0.25)
         |""".stripMargin
   }
+
+  /** `quantile_sketch` / `quantile_stream` shared oracle: bucket CDF +
+    * integer interpolation + the exact rank-t leg. */
+  private[graft] lazy val quantileSketchOracle: String =
+    """WITH v AS (
+          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |  FROM lineitem
+          |), n AS (SELECT count(*) AS n FROM v
+          |), b AS (SELECT v // 100000 AS b, count(*) AS cnt FROM v GROUP BY 1
+          |), c AS (
+          |  SELECT b, cnt,
+          |    CAST(coalesce(sum(cnt) OVER (ORDER BY b
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_before
+          |  FROM b
+          |), p AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS pct
+          |), t AS (
+          |  SELECT pct, n AS n_total,
+          |    CAST((n * pct + 99) // 100 AS BIGINT) AS target_rank
+          |  FROM p CROSS JOIN n
+          |), est AS (
+          |  SELECT t.pct, t.n_total, t.target_rank,
+          |    CAST(c.b * 100000 +
+          |      ((t.target_rank - c.cum_before) * 100000) // c.cnt
+          |      AS BIGINT) AS est_cents
+          |  FROM t JOIN c ON t.target_rank > c.cum_before
+          |    AND t.target_rank <= c.cum_before + c.cnt
+          |), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+          |), ex AS (
+          |  SELECT t.pct, r.v AS exact_cents FROM t JOIN r
+          |    ON r.rn = t.target_rank)
+          |SELECT e.pct, e.n_total, e.target_rank, e.est_cents,
+          |  x.exact_cents, abs(e.est_cents - x.exact_cents) AS abs_err_cents
+          |FROM est e JOIN ex x USING (pct) ORDER BY e.pct""".stripMargin
 }

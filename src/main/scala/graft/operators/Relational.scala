@@ -1092,19 +1092,43 @@ object Relational {
     */
   def quantileSketch(lineitem: DataFrame, widthCents: Long = 100000L,
       pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame = {
-    require(widthCents >= 1 && pcts.nonEmpty &&
-      pcts.forall(p => p >= 1 && p <= 100), "degenerate sketch parameters")
-    val v = lineitem.select(
+    val v = quantileValues(lineitem)
+    quantileFromBuckets(v, quantileBuckets(v, widthCents), widthCents, pcts)
+  }
+
+  /** The sketch's value relation: exact cents + the deterministic
+    * tie-break key columns the exact-rank leg orders by. */
+  private[graft] def quantileValues(lineitem: DataFrame): DataFrame =
+    lineitem.select(
       round(col("l_extendedprice") * 100).cast("long").as("v"),
       col("l_orderkey"), col("l_linenumber"),
       col("l_partkey").cast("string").as("pk"))
-    val buckets = v.groupBy(expr(s"v div $widthCents").as("b"))
+
+  /** The MERGEABLE summary itself — per-bucket counts (one
+    * partial-aggregable pass). Partial bucket relations from disjoint
+    * slices merge by `groupBy(b).sum(cnt)`; [[quantileFromBuckets]]
+    * produces identical estimates from the merged partials as from a
+    * one-shot build (quantile_stream drives that property end-to-end
+    * through exactly-once micro-batches).
+    */
+  private[graft] def quantileBuckets(v: DataFrame,
+      widthCents: Long): DataFrame =
+    v.groupBy(expr(s"v div $widthCents").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate + measured-error tail shared by the batch and streaming
+    * forms: CDF over the (tiny) bucket relation, integer interpolation,
+    * exact rank-t leg from [[ExactRank]] over the full value relation.
+    */
+  private[graft] def quantileFromBuckets(v: DataFrame, buckets: DataFrame,
+      widthCents: Long, pcts: Seq[Int]): DataFrame = {
+    require(widthCents >= 1 && pcts.nonEmpty &&
+      pcts.forall(p => p >= 1 && p <= 100), "degenerate sketch parameters")
     val w = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cdf = buckets.withColumn("cum_before",
       coalesce(sum(col("cnt")).over(w), lit(0L)))
-    val n = v.agg(count(lit(1)).as("n"))
+    val n = buckets.agg(sum(col("cnt")).as("n"))
     val targets = v.sparkSession.range(0, pcts.size)
       .select(expr(s"array(${pcts.mkString(",")})[CAST(id AS INT)]")
         .as("pct"))
