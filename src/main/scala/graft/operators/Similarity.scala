@@ -1439,18 +1439,21 @@ object Similarity {
 
   /** One integer squared-L2 assignment pass: broadcast the ≤k-row
     * centroid relation, fold d2 row-locally, argmin by (d2_q, cent_id)
-    * over the k-row per-vector partitions. */
+    * as a partial-aggregable `min(struct(...))` — the house hash-argmin:
+    * the ×k candidate expansion combines MAP-SIDE down to one row per
+    * vector before the shuffle (a per-vector rank window would shuffle
+    * all N·k rows first). The struct's (d2_q, cent_id) prefix is unique
+    * per group, so the carried `v` never participates in the ordering.
+    */
   private def kmeansAssign(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
       .withColumn("d2_q", expr(
         "aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), " +
           "CAST(0 AS BIGINT), (a, b) -> a + b)"))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2_q"), col("cent_id"))))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
-        col("d2_q"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2_q"), col("cent_id"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"),
+        col("m.cent_id").as("cluster"), col("m.d2_q").as("d2_q"))
 
   /** Residual vectors: each corpus vector minus its assigned cell's
     * centroid — the relation residual PQ encodes. The centroid table

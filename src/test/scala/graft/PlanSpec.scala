@@ -1092,4 +1092,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank cuts lost their map-side group limit:\n$p")
   }
+
+  test("kmeans_assign combines the x-k candidate expansion map-side") {
+    // the assignment argmin is min(struct(d2, cent_id, v)) — a partial
+    // aggregate, so the N·k crossed rows reduce to one per vector
+    // BEFORE the shuffle; a Window here would shuffle the full
+    // expansion (and did, pre-rewrite: 3.08 -> 1.89 s at sf0.1)
+    val p = planOf("kmeans_assign")
+    assert(!p.contains("Window"),
+      s"kmeans argmin regressed to a window over the x-k expansion:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"no partial aggregate in the assignment:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroid relation is not broadcast:\n$p")
+  }
 }
