@@ -4,10 +4,12 @@ import graft.operators._
 
 /** The primary half of [[SparkEntry.oracleSql]]'s registration list —
   * oracle texts for the relational/co-occurrence/graph/tokenizer/
-  * quality families, composed from [[SparkEntryOracleBuilders]].
-  * `SparkEntry` appends [[SparkEntryOracleRest.oracleSqlRest]] and
-  * guards the concatenation with `distinctKeys` (duplicate keys fail
-  * fast at class-init, exactly as before the r15 file split).
+  * quality families, composed from [[SparkEntryOracleBuilders]] (and a
+  * few shared minhash chains from [[SparkEntryOracleRest]], hence the
+  * extends chain Main → Rest → Builders). `SparkEntry` concatenates
+  * this Seq with `oracleSqlRest` and guards with `distinctKeys`
+  * (duplicate keys fail fast at class-init, exactly as before the r15
+  * file split).
   */
 private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
 
