@@ -782,6 +782,17 @@ object SparkEntry extends SparkEntryOracleMain {
         Graph.lpaConverged(edges), "graft_lpa_labels")
       Graph.modularity(edges, s.table("graft_lpa_labels"))
     }),
+    // LINK PREDICTION (r15 — Liben-Nowell/Kleinberg for the co-purchase
+    // graph): non-edges scored by capped common-neighbor structure —
+    // count, Jaccard, and the integer-exact resource-allocation index
+    // (Σ 1e6 div deg(w), the published Adamic–Adar alternative that
+    // needs no ln). Wedge apexes capped map-side (MaxBandBucket
+    // discipline), existing edges anti-joined out.
+    "link_predict" -> ((s, dir) =>
+      Graph.linkPredict(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // K-CORE decomposition (r14): peel nodes with in-survivor degree < 2
     // to the unique maximal 2-core (the cycle-containing skeleton) — the
     // densification filter before community/centrality passes. k = 2 is

@@ -202,6 +202,42 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
     // same fixed-unroll discipline for the peel: any unroll >= the
     // engine's convergence round (8 at sf0.01) yields the identical core
     "kcore_decompose" -> kcoreSql(2, 16),
+    // capped wedge pairs through each apex (QUALIFY ≤ 64 by neighbor id
+    // — the engine's map-side cut), per-term-floored RA sum, full-degree
+    // Jaccard, existing edges anti-joined
+    "link_predict" -> (cooccurCte +
+      """, e AS (
+        |  SELECT product AS src, neighbor AS dst FROM counts WHERE cnt >= 2
+        |), und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst GROUP BY 1, 2
+        |), adj AS (
+        |  SELECT u AS w, v AS x FROM und
+        |  UNION ALL SELECT v AS w, u AS x FROM und
+        |), deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w
+        |), capped AS (
+        |  SELECT w, x FROM adj
+        |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY x) <= 64
+        |), cand AS (
+        |  SELECT ca.x AS a, cb.x AS b, ca.w
+        |  FROM capped ca JOIN capped cb ON ca.w = cb.w AND ca.x < cb.x
+        |), scored AS (
+        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+        |  FROM cand c JOIN deg d ON d.w = c.w GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |), new_pairs AS (
+        |  SELECT s.* FROM scored s LEFT JOIN und
+        |    ON und.u = s.a AND und.v = s.b
+        |  WHERE und.u IS NULL)
+        |SELECT p.a, p.b, p.common_neighbors,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST((1000000 * p.common_neighbors) //
+        |    (da.deg + db.deg - p.common_neighbors) AS BIGINT) AS jaccard_e6,
+        |  p.ra_e6
+        |FROM new_pairs p
+        |JOIN deg da ON da.w = p.a JOIN deg db ON db.w = p.b
+        |ORDER BY p.a, p.b""".stripMargin),
     // recursive-CTE twin of the frontier BFS: UNION (not UNION ALL)
     // dedupes (node, hop) pairs so the working set stays bounded on the
     // dense graph, and min(hop) reproduces the anti-join's minimality

@@ -235,6 +235,77 @@ object Graph {
     *
     * Emits (node, n_tri) for vertices in at least one triangle.
     */
+  /** LINK PREDICTION over the co-occurrence graph (Liben-Nowell &
+    * Kleinberg, CIKM 2003) — score NON-edges by their common-neighbor
+    * structure, the recommendation staple the reference's domain begs
+    * for ("products that share many co-purchase neighbors but were never
+    * bought together yet"). Per candidate pair: the common-neighbor
+    * count, degree-normalized Jaccard, and the resource-allocation index
+    * (Zhou/Lü/Zhang 2009 — Σ_w 1/deg(w), Adamic–Adar's 1/ln replaced by
+    * the integer-exact 1/deg: ln is libm-dependent and would break the
+    * hash gate; RA is the published alternative that outperforms AA on
+    * dense graphs anyway). All integer: ra_e6 floors 1e6/deg(w) PER TERM
+    * before summing (order-independent), jaccard_e6 is one non-negative
+    * integer division.
+    *
+    * Candidates are wedge pairs through a common neighbor with the hot
+    * apex CAPPED (first `maxAdj` neighbors by id per apex, map-side
+    * WindowGroupLimit — the MaxBandBucket discipline): an uncapped wedge
+    * join is Σ deg² and explodes on exactly the hub products every
+    * co-occurrence graph has. The cap bounds candidates at |V|·maxAdj²/2
+    * and is mirrored in the oracle; common_neighbors is therefore the
+    * capped count (a lower bound on the true one — the estimate's
+    * documented contract), while deg_a/deg_b are FULL degrees. Existing
+    * edges anti-join out (predicting a link that exists is not a
+    * prediction).
+    *
+    * Plan shape: one distinct + one degree agg + the capped self-equi
+    * wedge join + one partial-aggregable score agg + one anti-join +
+    * two vertex-sized degree joins. No window wider than the per-apex
+    * cap cut, no cross product, no collect.
+    */
+  def linkPredict(edges: DataFrame, maxAdj: Int = 64,
+      minCommon: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxAdj >= 2 && minCommon >= 1,
+      s"linkPredict: maxAdj >= 2, minCommon >= 1 (got $maxAdj/$minCommon)")
+    val und = CacheScope.selfReleasing(
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      StorageLevel.DISK_ONLY)
+    val adj = und.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+    val deg = CacheScope.selfReleasing(
+      adj.groupBy(col("w")).agg(count(lit(1)).as("deg")),
+      StorageLevel.DISK_ONLY)
+    val capped = adj
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("x"))))
+      .filter(col("rk") <= maxAdj)
+      .select(col("w"), col("x"))
+    val cand = capped.select(col("w"), col("x").as("a"))
+      .join(capped.select(col("w"), col("x").as("b")), "w")
+      .filter(col("a") < col("b"))
+    val scored = cand
+      .join(deg, "w")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div deg")).as("ra_e6"))
+      .filter(col("common_neighbors") >= minCommon)
+    val newPairs = scored.join(und,
+      col("a") === col("u") && col("b") === col("v"), "left_anti")
+    newPairs
+      .join(deg.select(col("w").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("w").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        expr("(1000000 * common_neighbors) div " +
+          "(deg_a + deg_b - common_neighbors)").as("jaccard_e6"),
+        col("ra_e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // canonical undirected edge set (self-loops dropped, both input

@@ -1686,6 +1686,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"RFM drifted: $got")
   }
 
+  test("linkPredict scores the hand-walked non-edge and drops existing links") {
+    import spark.implicits._
+    // square 2-3 diagonal graph: 1-2, 1-3, 2-3, 2-4, 3-4. The one
+    // predictable non-edge is (1,4): common neighbors {2,3} (cn=2),
+    // identical neighborhoods so Jaccard = 1.0 exactly, RA =
+    // 2·floor(1e6/3) = 666666. (2,3) also shares two neighbors but IS
+    // an edge — the anti-join must drop it; every other pair has cn < 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredict(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq((1L, 4L, 2L, 2L, 2L, 1000000L, 666666L)),
+      s"link prediction drifted: $got")
+  }
+
   test("quantileSketch: error bounded by bucket width, estimates monotone") {
     val rows = Relational.quantileSketch(tbl("lineitem")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
