@@ -1343,6 +1343,16 @@ object SparkEntry extends SparkEntryOracleMain {
     // scored doc-locally by out-of-place distance
     "lang_id_ngram" -> ((s, dir) =>
       TextAnalysis.langIdNgram(t(s, dir, "documents"))),
+    // the measured-quality row for the Cavnar–Trenkle classifier (r15 —
+    // the lsh_recall discipline for language ID): the SAME prediction
+    // relation grouped into the (label, prediction) confusion matrix,
+    // so a profile/scorer regression shows as count drift in the hash
+    // gate, not as a silent accuracy slide
+    "lang_id_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(t(s, dir, "documents"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_label"), col("lang_pred"))),
     "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
     // snapshot-vs-snapshot drift monitor: top KL contributors between
     // the two corpus halves' smoothed unigram distributions (e6 ints)

@@ -2195,4 +2195,46 @@ private[graft] trait SparkEntryOracleBuilders {
           |SELECT e.pct, e.n_total, e.target_rank, e.est_cents,
           |  x.exact_cents, abs(e.est_cents - x.exact_cents) AS abs_err_cents
           |FROM est e JOIN ex x USING (pct) ORDER BY e.pct""".stripMargin
+
+  /** `lang_id_ngram` / `lang_id_confusion` shared oracle: Cavnar-
+    * Trenkle rank profiles + out-of-place argmin, per document. */
+  private[graft] lazy val langIdNgramOracle: String =
+    s"""WITH g AS MATERIALIZED (
+          |  SELECT doc_id, lang, unnest(list_concat(
+          |    CASE WHEN length(text) >= 2 THEN
+          |      list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
+          |      ELSE [] END,
+          |    CASE WHEN length(text) >= 3 THEN
+          |      list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
+          |      ELSE [] END)) AS gram
+          |  FROM documents),
+          |lp AS MATERIALIZED (
+          |  SELECT lang, gram, r FROM (
+          |    SELECT lang, gram,
+          |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS r
+          |    FROM g WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}
+          |    GROUP BY lang, gram) WHERE r <= 100),
+          |dp AS MATERIALIZED (
+          |  SELECT doc_id, gram, r FROM (
+          |    SELECT doc_id, gram,
+          |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r
+          |    FROM g GROUP BY doc_id, gram) WHERE r <= 100),
+          |langs AS (SELECT DISTINCT lang FROM documents
+          |          WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}),
+          |d AS (
+          |  SELECT dp.doc_id, langs.lang,
+          |    sum(CASE WHEN lp.r IS NULL THEN 100 ELSE abs(dp.r - lp.r) END) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (
+          |  SELECT doc_id, lang, dist,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rb
+          |  FROM d)
+          |SELECT documents.doc_id, documents.lang AS lang_label,
+          |  coalesce(best.lang, (SELECT min(lang) FROM langs)) AS lang_pred,
+          |  CAST(coalesce(best.dist, 0) AS BIGINT) AS best_dist
+          |FROM documents
+          |LEFT JOIN best ON best.doc_id = documents.doc_id AND best.rb = 1
+          |ORDER BY documents.doc_id""".stripMargin
 }

@@ -1642,45 +1642,15 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
     // profiles, out-of-place distance, argmin with lexicographic ties
     // lp (profile training) reads only the bounded doc_id < 2000 sample
     // — the engine's LangIdTrainDocs cut, shared verbatim
-    "lang_id_ngram" ->
-      s"""WITH g AS MATERIALIZED (
-        |  SELECT doc_id, lang, unnest(list_concat(
-        |    CASE WHEN length(text) >= 2 THEN
-        |      list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
-        |      ELSE [] END,
-        |    CASE WHEN length(text) >= 3 THEN
-        |      list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
-        |      ELSE [] END)) AS gram
-        |  FROM documents),
-        |lp AS MATERIALIZED (
-        |  SELECT lang, gram, r FROM (
-        |    SELECT lang, gram,
-        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS r
-        |    FROM g WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}
-        |    GROUP BY lang, gram) WHERE r <= 100),
-        |dp AS MATERIALIZED (
-        |  SELECT doc_id, gram, r FROM (
-        |    SELECT doc_id, gram,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r
-        |    FROM g GROUP BY doc_id, gram) WHERE r <= 100),
-        |langs AS (SELECT DISTINCT lang FROM documents
-        |          WHERE doc_id < ${operators.TextAnalysis.LangIdTrainDocs}),
-        |d AS (
-        |  SELECT dp.doc_id, langs.lang,
-        |    sum(CASE WHEN lp.r IS NULL THEN 100 ELSE abs(dp.r - lp.r) END) AS dist
-        |  FROM dp CROSS JOIN langs
-        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
-        |  GROUP BY 1, 2),
-        |best AS (
-        |  SELECT doc_id, lang, dist,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rb
-        |  FROM d)
-        |SELECT documents.doc_id, documents.lang AS lang_label,
-        |  coalesce(best.lang, (SELECT min(lang) FROM langs)) AS lang_pred,
-        |  CAST(coalesce(best.dist, 0) AS BIGINT) AS best_dist
-        |FROM documents
-        |LEFT JOIN best ON best.doc_id = documents.doc_id AND best.rb = 1
-        |ORDER BY documents.doc_id""".stripMargin,
+    "lang_id_ngram" -> langIdNgramOracle,
+    // the measured-quality row: the SAME prediction relation grouped into
+    // the (label, prediction) confusion matrix
+    "lang_id_confusion" ->
+      s"""WITH pred AS ($langIdNgramOracle
+        |)
+        |SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2
+        |ORDER BY lang_label, lang_pred""".stripMargin,
     "token_freq" ->
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
