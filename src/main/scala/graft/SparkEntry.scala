@@ -1095,6 +1095,12 @@ object SparkEntry extends SparkEntryOracleMain {
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),
+    // day-of-week × hour seasonal baseline + per-cell residual extremes
+    // (r15 — the de-seasonalization profile an event-rate monitor needs
+    // before calling anything an anomaly); ≤168 cells, broadcast-joined
+    // back for residuals, all integer cents
+    "seasonal_profile" -> ((s, dir) =>
+      Events.seasonalProfile(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),

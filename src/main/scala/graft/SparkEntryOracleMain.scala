@@ -1222,6 +1222,30 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleRest {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_acctbal > 9000.0
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based — the +1
+    // aligns them. Positive cents, so // and div agree on the mean.
+    "seasonal_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hr,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), p AS (
+        |  SELECT dow, hr, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM c GROUP BY 1, 2
+        |), pm AS (
+        |  SELECT dow, hr, n_events, sum_cents,
+        |    CAST(sum_cents // n_events AS BIGINT) AS mean_cents
+        |  FROM p)
+        |SELECT c.dow, c.hr,
+        |  max(pm.n_events) AS n_events,
+        |  max(pm.sum_cents) AS sum_cents,
+        |  max(pm.mean_cents) AS mean_cents,
+        |  CAST(max(abs(c.cents - pm.mean_cents)) AS BIGINT)
+        |    AS max_abs_residual_cents
+        |FROM c JOIN pm USING (dow, hr)
+        |GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
         |  min(value) AS min_value, max(value) AS max_value

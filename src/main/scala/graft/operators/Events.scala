@@ -339,6 +339,42 @@ object Events {
     * windowed count. date_trunc keeps the group key computable inside the
     * scan's codegen stage; one low-cardinality shuffle.
     */
+  /** SEASONAL PROFILE (r15) — the day-of-week × hour-of-day baseline
+    * every event-rate monitor needs before it can call anything an
+    * anomaly: per (dow, hour) cell the exact event count, total value in
+    * cents, floored mean cents, and the cell's LARGEST absolute residual
+    * against its own mean (the detrended extreme a threshold alarm would
+    * fire on). All integer: per-row cents floor first, mean =
+    * sum div n on non-negative operands, residuals as |cents − mean|.
+    * The week×day grid is the classic multiplicative-seasonality
+    * baseline (dow captures the weekly cycle, hour the daily one);
+    * subtracting the cell mean IS the de-seasonalization.
+    *
+    * Scale shape: one partial-aggregable groupBy to the ≤168-cell
+    * profile, then the events scan re-joined against the BROADCAST
+    * profile for residuals and one more partial agg — no window, no
+    * corpus-sized shuffle (both aggs combine map-side to cell
+    * cardinality).
+    */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val cells = events.select(
+      dayofweek(col("ts")).cast("int").as("dow"),
+      hour(col("ts")).cast("int").as("hr"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val prof = cells.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("mean_cents", expr("sum_cents div n_events"))
+    cells.join(broadcast(prof), Seq("dow", "hr"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_cents")).as("sum_cents"),
+        max(col("mean_cents")).as("mean_cents"),
+        max(abs(col("cents") - col("mean_cents")))
+          .as("max_abs_residual_cents"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   def hourlyCounts(events: DataFrame): DataFrame =
     hourlyCountsPartials(events)
       .select(col("hour"), col("event_type"), col("n"),

@@ -1686,6 +1686,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"RFM drifted: $got")
   }
 
+  test("seasonalProfile: hand-walked cell means and residual extremes") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday (Spark dayofweek = 2). Two events in the
+    // 10:00 cell (100c, 300c → mean 200, max residual 100) and one in
+    // the 11:00 cell (residual 0 by definition).
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1.00),
+      (2L, ts("2024-01-01 10:45:00"), 3.00),
+      (3L, ts("2024-01-01 11:05:00"), 7.00)
+    ).toDF("event_id", "ts", "value")
+    val got = Events.seasonalProfile(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (2, 10, 2L, 400L, 200L, 100L),
+      (2, 11, 1L, 700L, 700L, 0L)), s"profile drifted: $got")
+  }
+
   test("linkPredict scores the hand-walked non-edge and drops existing links") {
     import spark.implicits._
     // square 2-3 diagonal graph: 1-2, 1-3, 2-3, 2-4, 3-4. The one
