@@ -90,6 +90,27 @@ object Bench {
         spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)).count()
       spark.catalog.clearCache()
     }
+    // HOST-DRIFT CALIBRATION (r16, VERDICT r15 item 4): the ±18% uniform
+    // round-over-round swings are background load, not the tree — make
+    // that measurable instead of argued. A fixed CPU-bound probe
+    // (range→sum-of-squares, no IO, no shuffle) is timed at the start,
+    // after every 32 queries, and at the end; its MEDIAN is the run's
+    // host-speed unit, and total_per_calib = total/calib_median is the
+    // load-normalized figure rounds compare. Single runs, not min-of-N —
+    // the probe must REFLECT current load, not hide it. Per-query 1-min
+    // loadavg is recorded alongside so a single slow row can be
+    // attributed to a load spike at its timestamp.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(64000000L).selectExpr("sum(id * id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // JIT warm-up for the probe's own codegen path
+    val calibSecs = scala.collection.mutable.ArrayBuffer[Double](calibOnce())
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadavgs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // shared-JVM hygiene: collect the previous query's garbage BEFORE the
@@ -134,7 +155,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    var sinceCalib = 0
     val results = selected.map { case (name, fn) =>
+      loadavgs(name) = loadavg()
+      sinceCalib += 1
+      if (sinceCalib >= 32) { sinceCalib = 0; calibSecs += calibOnce() }
       val first = timeOnce(name, fn)
       val best =
         if (first < 0) first
@@ -153,11 +178,17 @@ object Bench {
         }
       name -> best
     }
+    calibSecs += calibOnce()
+    val calibMedian = {
+      val s = calibSecs.sorted
+      s(s.size / 2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalPerCalib = if (calibMedian > 0) total / calibMedian else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibMedian,"total_per_calib":$totalPerCalib,"queries":$qs,"sf":"$sfDir"}""")
     // The driver's tail capture truncates the HEAD of long output (the
     // full line above lost its `total` in round 3; name-sorted per-query
     // lines lost everything alphabetically before 'pipeline_clean' in
@@ -170,15 +201,18 @@ object Bench {
     }
     // ...and repeat the totals as a compact map-free line LAST so the
     // summary always survives.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"calib_sec":$calibMedian,"total_per_calib":$totalPerCalib,"sf":"$sfDir"}""")
     // The stdout tail capture keeps only ~the slowest 15% of per-query
     // lines, so cross-round drift for most of the surface was invisible.
     // Persist the FULL name→sec map as a durable artifact in the repo
     // tree (committed per round; BENCH_r{N}.json stays the graded tail).
     val timesPath = sys.env.getOrElse("SPARK_GRAFT_TIMES_OUT", "bench_times.json")
+    val calibJson = calibSecs.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val loadJson = loadavgs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val timesJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString(
-        s"""{"total_sec":$total,"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir","queries":{""",
+        s"""{"total_sec":$total,"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir","calib_sec":$calibMedian,"calib_secs":$calibJson,"total_per_calib":$totalPerCalib,"loadavg":$loadJson,"queries":{""",
         ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(timesPath), timesJson)
     spark.stop()

@@ -207,7 +207,9 @@ object ScaleAudit {
       if (!sys.env.contains("SPARK_GRAFT_SHUFFLE"))
         spark.conf.set("spark.sql.shuffle.partitions",
           Bench.scaledShufflePartitions(dir, cpus.toInt))
-      val fn = SparkEntry.queries(name)
+      // audit-only receipts (serve-everything IVFPQ twins, flat-auto
+      // serve) resolve from the unregistered map — same timing path
+      val fn = SparkEntry.queries.getOrElse(name, SparkEntry.auditQueries(name))
       val runs = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

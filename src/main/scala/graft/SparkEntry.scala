@@ -13,7 +13,8 @@ import graft.operators._
   * is SQL-expressible. Column names are aliased identically on both sides
   * (the driver's compare sorts columns by name before hashing).
   */
-object SparkEntry extends SparkEntryOracleMain {
+object SparkEntry extends SparkEntryOracleMain
+    with SparkEntryQueriesText with SparkEntryQueriesAnn {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline computation: P(neighbor | product) over
@@ -35,50 +36,6 @@ object SparkEntry extends SparkEntryOracleMain {
   /** Flagship: pair-shaped crystal ball over lineitem-derived baskets. */
   private def crystalballPairs(spark: SparkSession, dir: String): DataFrame =
     CrystalBall.pairProbabilities(BasketSource.basketsFromLineitem(spark, dir))
-
-  /** Stage input for a bounded file-source stream, run the body, DELETE
-    * the staging copy. The body returns only after `awaitTermination()`
-    * with its result materialized in the memory sink (driver memory), so
-    * the staged files are dead weight the moment it returns — and
-    * without the cleanup every invocation (Bench times each streaming
-    * query 2-3×) leaks a corpus-sized copy into the system temp dir.
-    */
-  private def withStreamStage(prefix: String)(body: String => DataFrame): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory(prefix)
-    try body(stage.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      // Files.walk holds open directory handles until closed — leak one
-      // per streaming invocation otherwise (Bench runs each query 2-3x)
-      val walk = java.nio.file.Files.walk(stage)
-      try walk.iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
-
-  /** Per-invocation staging for queries whose RESULT still reads the
-    * staged files lazily (orc_roundtrip / schema_evolution) — unlike
-    * [[withStreamStage]], the returned plan scans the directory after
-    * this returns, so it cannot be deleted here. A unique directory per
-    * invocation is the isolation fix: a fixed tmpdir path lets a
-    * concurrent run's read interleave with this run's partial write, and
-    * a killed run's stale generation dirs would satisfy glob reads
-    * (mergeSchema) forever after. A shutdown hook reclaims the space at
-    * JVM exit (Verify/Bench are single-JVM mains, so nothing outlives
-    * the process).
-    */
-  private def freshStageDir(prefix: String): String = {
-    val stage = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(stage)
-      try walk.iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }))
-    stage.toString
-  }
 
   // ---- driver surface ---------------------------------------------------
 
@@ -106,7 +63,27 @@ object SparkEntry extends SparkEntryOracleMain {
   private lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     distinctKeys("queries", queryEntries)
 
-  private lazy val queryEntries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  /** ScaleAudit-only receipts (r16): known-superlinear audit twins kept
+    * OUT of the driver surface — no oracle, no Verify/Bench row — but
+    * still runnable by name through `runMain graft.ScaleAudit` so their
+    * decade rows remain reproducible measurements, not prose. Guarded
+    * against both duplicate keys and collisions with [[queries]] (a name
+    * in both maps would make ScaleAudit's resolution ambiguous).
+    */
+  def auditQueries: Map[String, (SparkSession, String) => DataFrame] = auditQueriesMap
+
+  private lazy val auditQueriesMap: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = distinctKeys("auditQueries", auditQueryEntriesAnn)
+    val overlap = m.keySet.intersect(queriesMap.keySet)
+    require(overlap.isEmpty,
+      s"auditQueries shadow registered queries: ${overlap.toSeq.sorted.mkString(", ")}")
+    m
+  }
+
+  private lazy val queryEntries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    queryEntriesCore ++ queryEntriesText ++ queryEntriesAnn
+
+  private lazy val queryEntriesCore: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // O1–O3: basket source (lineitem-derived, FIXTURES.md §2). The engine
     // API keeps `products` as array<string>; the driver-facing projection
     // serializes it (space-joined, matching the reference's own text
@@ -231,6 +208,10 @@ object SparkEntry extends SparkEntryOracleMain {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the r15 bench flagged a 2x swing on this row — the receipt
+      // (batch count + per-batch ms on stderr) makes the next swing
+      // attributable instead of argued (VERDICT r15 item 3)
+      graft.streaming.StreamingOps.logBatchReceipt("cooccur_stream", q)
       s.table(sink).orderBy(col("product"), col("neighbor"))
     }),
     // event-time WINDOWED AGGREGATION through the streaming engine,
@@ -254,6 +235,58 @@ object SparkEntry extends SparkEntryOracleMain {
       q.awaitTermination()
       s.table(sink).orderBy(col("hour"), col("event_type"))
     }),
+    // MULTI-SOURCE UNION + UPDATE-MODE SINK through the streaming engine
+    // (r16, VERDICT r15 item 8): the events corpus split into two
+    // independent file-source streams (user parity — both span the full
+    // time range, so neither source can hide a windowing bug), unioned
+    // before the watermark + hourly tumbling agg, run in UPDATE mode
+    // through the exactly-once foreachBatch partition sink. Update mode
+    // emits a key each batch it changes; the LAST emission per key is
+    // its final aggregate, recovered by one argmax-by-batch_id — so the
+    // materialized result equals the batch hourly_counts and shares its
+    // oracle text verbatim. The delay is wider than the corpus span
+    // (staged files are not time-ordered; in update mode a late drop is
+    // a real loss) — StreamingSpec pins the tight-delay drop semantics.
+    "hourly_counts_union_stream" -> ((s, dir) =>
+      withStreamStage("graft_union_stream") { stage =>
+        val ev = eventsTable(s, dir)
+        // 6 files a side + maxFilesPerTrigger=2 forces each source
+        // through ≥3 micro-batches, so the union genuinely interleaves
+        // batches from both legs instead of draining in one trigger
+        ev.filter(col("user_id") % 2 === 0).repartition(6)
+          .write.mode("overwrite").parquet(stage + "/a")
+        ev.filter(col("user_id") % 2 =!= 0).repartition(6)
+          .write.mode("overwrite").parquet(stage + "/b")
+        val counts = graft.streaming.StreamingOps.hourlyCountsUnion(
+          graft.streaming.StreamingOps.eventsStreamNormalized(s,
+            stage + "/a", maxFilesPerTrigger = 2),
+          graft.streaming.StreamingOps.eventsStreamNormalized(s,
+            stage + "/b", maxFilesPerTrigger = 2),
+          delay = "3650 days")
+        val sink = stage + "/sink"
+        val q = counts.writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.StreamingOps.writeBatchIdempotent(b, sink, id)
+          }
+          .option("checkpointLocation", stage + "/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingOps.logBatchReceipt(
+          "hourly_counts_union_stream", q)
+        // last emission per key wins (batch_id is unique per key-batch);
+        // materialize before withStreamStage deletes the sink files
+        graft.sources.TableSink.saveTable(
+          s.read.parquet(sink)
+            .groupBy(col("hour"), col("event_type"))
+            .agg(max(struct(col("batch_id"), col("n"), col("sum_value")))
+              .as("m"))
+            .select(col("hour"), col("event_type"),
+              col("m.n").as("n"), col("m.sum_value").as("sum_value")),
+          "graft_union_stream_result")
+        s.table("graft_union_stream_result")
+          .orderBy(col("hour"), col("event_type"))
+      }),
     // SESSION WINDOWS through the streaming engine, driver-checked: the
     // engine's native session_window merges per-user gap sessions
     // incrementally across micro-batches (stateful session coalescing —
@@ -518,6 +551,13 @@ object SparkEntry extends SparkEntryOracleMain {
         "graft_pagerank_converged")
       s.table("graft_pagerank_converged").orderBy(col("node"))
     }),
+    // PPMI/lift association ranking over the pair counts (r16 — Church &
+    // Hanks' PMI with the ln dropped: lift is rational, so ranking and
+    // the PMI>0 cut stay exact integers; top-5 positively-associated
+    // neighbors per product)
+    "ppmi_rank" -> ((s, dir) =>
+      CrystalBall.ppmiRank(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)))),
     // exact triangle counts over the SIGNIFICANT co-occurrence edges
     // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
     // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket
@@ -557,6 +597,12 @@ object SparkEntry extends SparkEntryOracleMain {
       // one-shot parquet write turns every later traversal into a
       // compact columnar scan instead of either a chain recompute or a
       // row-format disk cache read. Same relation, same oracle.
+      // EXECUTE-ON-BUILD (r16 advice): building this DataFrame runs the
+      // chain and writes the fixed-name catalog table — plan-only
+      // consumers pay the execution, and two concurrent runs sharing a
+      // warehouse would race the name. Deliberate: a fixed name is what
+      // keeps the soak's warehouse-steady gate meaningful, and the
+      // engine's mains run serially by contract (ONE sbt/JVM at a time).
       graft.sources.TableSink.saveTable(
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
@@ -774,7 +820,9 @@ object SparkEntry extends SparkEntryOracleMain {
       // consumer — the most expensive audit row in the r14 fleet
       // (149.9 s at x100). A converged labeling is an artifact you
       // store (the pagerank_converged economics): fixpoint once, three
-      // parquet scans. Same labels, same oracle.
+      // parquet scans. Same labels, same oracle. EXECUTE-ON-BUILD — see
+      // ppr_seeded's note: fixed table name + build-time fixpoint are
+      // the deliberate trade; serial-mains contract makes them safe.
       val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
@@ -807,6 +855,19 @@ object SparkEntry extends SparkEntryOracleMain {
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         k = 2)),
+    // k-TRUSS (r16 — Cohen's edge-peeling cohesion, the rung above
+    // k-core): keep edges in >= k-2 surviving triangles, re-peel to the
+    // fixpoint; per-round triangles via the degree-oriented wedge join
+    // (hub-bounded O(m^1.5)). Emits converged edges + in-truss support;
+    // oracle unrolls the peel with id-ordered triangle enumeration.
+    // k = 3 (every edge triangle-supported): the sparse significant
+    // graph's 4-truss is EMPTY at verify scale — 3 keeps the row real
+    "ktruss_edges" -> ((s, dir) =>
+      Graph.ktrussDecompose(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")),
+        k = 3)),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(
@@ -880,11 +941,18 @@ object SparkEntry extends SparkEntryOracleMain {
     "exact_median" -> ((s, dir) => Relational.exactMedian(t(s, dir, "lineitem"))),
     "exact_quantiles" -> ((s, dir) => Relational.exactQuantiles(t(s, dir, "lineitem"))),
     // mergeable fixed-width CDF sketch + integer-interpolated percentile
-    // estimates, with the EXACT rank-t values joined alongside so the
-    // sketch error is a hash-gated VALUE (r15 — the lsh_recall measured-
-    // quality discipline for quantiles; approx_stats keeps the
-    // structural-boolean form for the built-in KLL/HLL sketches)
+    // estimates — the SKETCH-ONLY primary (r16, VERDICT r15 item 2): one
+    // partial-aggregable bucket-count pass, window/join work confined to
+    // the tiny bucket relation. The ExactRank measured-error leg moved
+    // to the `_audit` twin below, where its x100 cost is the audit's by
+    // declaration instead of riding the primary.
     "quantile_sketch" -> ((s, dir) =>
+      Relational.quantileSketchOnly(t(s, dir, "lineitem"))),
+    // the measured-error AUDIT twin (the lsh_recall discipline): same
+    // estimates JOINED with the exact rank-t truth, so the sketch's
+    // absolute error is a hash-gated VALUE — a resolution regression
+    // fails the driver compare instead of hiding behind a tolerance
+    "quantile_sketch_audit" -> ((s, dir) =>
       Relational.quantileSketch(t(s, dir, "lineitem"))),
     // the MERGE of the sketch driven end-to-end (r15): per-micro-batch
     // bucket partials written exactly-once (foreachBatch batch_id
@@ -923,7 +991,9 @@ object SparkEntry extends SparkEntryOracleMain {
           s.read.parquet(sink).groupBy(col("b"))
             .agg(sum(col("cnt")).as("cnt")),
           "graft_quantile_partials")
-        Relational.quantileFromBuckets(li,
+        // estimate tail over the merged partials only — bit-identical to
+        // the one-shot sketch-only primary, whose oracle text it shares
+        Relational.quantileEstimate(
           s.table("graft_quantile_partials"), 100000L,
           Seq(1, 5, 25, 50, 75, 95, 99))
       }),
@@ -1101,6 +1171,11 @@ object SparkEntry extends SparkEntryOracleMain {
     // back for residuals, all integer cents
     "seasonal_profile" -> ((s, dir) =>
       Events.seasonalProfile(eventsTable(s, dir))),
+    // MAD robust outlier profile per event type (r16 — Hampel's
+    // median-absolute-deviation cut): exact lower medians via two
+    // ExactRank passes, 3·MAD outlier counts, all integer cents
+    "mad_outliers" -> ((s, dir) =>
+      Events.madOutliers(eventsTable(s, dir))),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierRevenue(
       t(s, dir, "region"), t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
@@ -1340,1598 +1415,6 @@ object SparkEntry extends SparkEntryOracleMain {
           col("purchase_value"))
         .orderBy(col("user_id"), col("click_id"),
           col("purchase_id").asc_nulls_first)
-    }),
-    // ---- text analysis (LLM-data-pipeline surface) -----------------------
-    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
-    "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
-    // the graduated classifier: Cavnar–Trenkle character-n-gram rank
-    // profiles learned from the labeled corpus in one distributed pass,
-    // scored doc-locally by out-of-place distance
-    "lang_id_ngram" -> ((s, dir) =>
-      TextAnalysis.langIdNgram(t(s, dir, "documents"))),
-    // the measured-quality row for the Cavnar–Trenkle classifier (r15 —
-    // the lsh_recall discipline for language ID): the SAME prediction
-    // relation grouped into the (label, prediction) confusion matrix,
-    // so a profile/scorer regression shows as count drift in the hash
-    // gate, not as a silent accuracy slide
-    "lang_id_confusion" -> ((s, dir) =>
-      TextAnalysis.langIdNgram(t(s, dir, "documents"))
-        .groupBy(col("lang_label"), col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang_label"), col("lang_pred"))),
-    "token_freq" -> ((s, dir) => TextAnalysis.tokenFrequencies(t(s, dir, "documents"))),
-    // snapshot-vs-snapshot drift monitor: top KL contributors between
-    // the two corpus halves' smoothed unigram distributions (e6 ints)
-    "token_drift" -> ((s, dir) => TextAnalysis.tokenDrift(t(s, dir, "documents"))),
-    // BPE merge TRAINING (bpe_tokens applies a table; this learns one):
-    // 64 rounds of pair-count argmax + greedy merge, induced driver-local
-    // over the bounded word-type relation in ONE distributed pass
-    "bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"))),
-    // VOCABULARY-scale induction, exact-parity leg: the documents corpus
-    // has 31 word types (exhausts at 89 merges), so the scale proof runs
-    // on the partkey vocabulary (2000 numeric word types, exhaustion
-    // ~1990) — 256 rounds, right under DuckDB's ~300-round CTE-chain
-    // binder ceiling, every rule hash-checked against the unrolled chain
-    "bpe_train_vocab" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(
-        t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("text")),
-        merges = BpeVocabRounds)),
-    // the REAL-tokenizer merge count (1024), same 1-job induction; the
-    // oracle is structural (n_rules + a single-round-exact first_cnt
-    // anchor + the BPE invariants) because no SQL engine can unroll a
-    // 1024-round dependent chain — see bpeTrainSummary's contract.
-    // CORPUS CONTRACT (the n_rules=1024 literal): the vocabulary's merge
-    // exhaustion must exceed 1024 — true at sf0.01 (2000 partkey types,
-    // exhaustion ~1990) and every larger SF; sf0.001's 200 types exhaust
-    // at ~190, so this row's gate is sf0.01+ by design (bpe_train_vocab's
-    // CHAINED oracle degrades gracefully with the corpus, this structural
-    // one asserts the scale point itself)
-    "bpe_train_1k" -> ((s, dir) =>
-      TextAnalysis.bpeTrainSummary(
-        t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("text")),
-        merges = 1024)),
-    // the induction→application composition: bpe_train's 64 learned
-    // rules feed the greedy encoder over the same word model — the
-    // trained-tokenizer budget a real pipeline runs
-    "pipeline_tokenizer" -> ((s, dir) =>
-      TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))),
-    // the tokenizer BAKE-OFF: BPE (64 learned merges) vs unigram-LM
-    // (2-round hard EM) trained on the SAME corpus, head-to-head on
-    // corpus fertility — exact integer totals + e6 fertilities + the
-    // per-doc win count on fully-covered docs
-    "tokenizer_compare" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val uni = TextAnalysis.unigramFertility(docs)
-        .select(col("doc_id"), col("n_covered"), col("n_pieces"),
-          col("n_words").as("u_words"))
-      val bpe = TextAnalysis.bpeTrainedEncode(docs)
-        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
-      uni.join(bpe, Seq("doc_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("n_words"),
-          sum(col("n_bpe_tokens")).as("bpe_tokens"),
-          sum(col("n_covered")).as("uni_covered"),
-          sum(col("n_pieces")).as("uni_pieces"),
-          expr("sum(n_bpe_tokens) * 1000000 div sum(n_words)")
-            .as("bpe_fert_e6"),
-          expr("sum(n_pieces) * 1000000 div sum(n_covered)")
-            .as("uni_fert_e6"),
-          sum(when(col("n_covered") === col("u_words") &&
-            col("n_pieces") < col("n_bpe_tokens"), 1L).otherwise(0L))
-            .as("n_docs_uni_wins"))
-    }),
-    // SentencePiece-style unigram-LM tokenizer training: substring seed
-    // vocab, 2 hard-EM rounds of distributed Viterbi (score table in
-    // the task closure) + vocab-sized usage aggregates; only
-    // vocab-bounded relations reach the driver
-    "unigram_train" -> ((s, dir) =>
-      TextAnalysis.unigramTrain(t(s, dir, "documents"))),
-    // the unigram induction->application composition (bpeTrainedEncode's
-    // twin): per-doc subword budgets under the LEARNED scores, doc-local
-    // mapPartitions with a per-partition word->pieces memo
-    "unigram_fertility" -> ((s, dir) =>
-      TextAnalysis.unigramFertility(t(s, dir, "documents"))),
-    // LM surprisal under the TRAINED unigram tokenizer (r15 — the CCNet
-    // perplexity-quality discipline with the in-repo LM): per document
-    // the exact-integer −Σ best-segmentation log-prob (e6) plus the
-    // per-word normalization CCNet thresholds on — low = fluent
-    // in-distribution text, high = boilerplate/noise. Same distributed
-    // EM + doc-local application shape as unigram_fertility.
-    "unigram_perplexity" -> ((s, dir) =>
-      TextAnalysis.unigramSurprisal(t(s, dir, "documents"))),
-    // exact frequent items above n/100 support, via Misra-Gries candidate
-    // pruning (the unbounded-vocabulary guard) — result is exact, so the
-    // oracle is the plain HAVING formulation
-    "heavy_hitters" -> ((s, dir) =>
-      HeavyHitters.heavyHitters(t(s, dir, "documents"), d = 100)),
-    // stratified twin: per-language frequent tokens via per-group MG
-    // summaries (groups x capacity driver bound, fail-fast contract) —
-    // result is exact, so the oracle is the grouped HAVING formulation
-    "heavy_hitters_by_lang" -> ((s, dir) =>
-      HeavyHitters.heavyHittersByGroup(t(s, dir, "documents"),
-        groupCol = "lang", d = 60)),
-    // mergeable-sketch discipline, frequency side: Count-Min counter
-    // relation as plain relational algebra (shared md5 hashes, so the
-    // oracle replays the estimates EXACTLY, collisions included)
-    "cms_heavy" -> ((s, dir) =>
-      Sketches.cmsHeavyEstimates(t(s, dir, "lineitem"))),
-    // the production xxhash64 hash path (measured 4x counter build vs
-    // md5); structural oracle since DuckDB cannot replay xxhash64
-    "cms_heavy_fast" -> ((s, dir) =>
-      Sketches.cmsHeavyEstimatesFast(t(s, dir, "lineitem"))),
-    // mergeable-sketch discipline, cardinality side: per-shard
-    // DataSketches HLL union == one-shot sketch (structural oracle —
-    // the merge-transparency contract a persisted-sketch layout serves)
-    "hll_sharded" -> ((s, dir) =>
-      Sketches.hllShardedDistinct(t(s, dir, "lineitem"))),
-    // stratified cardinality: per-(group, shard) sketches union into
-    // per-GROUP estimates (the heavy_hitters_by_lang posture for HLL)
-    "hll_by_group" -> ((s, dir) =>
-      Sketches.hllByGroup(t(s, dir, "lineitem"))),
-    // the sketch-table ingest discipline: shard sketches PERSISTED
-    // bucketed, a second generation APPENDED (sketch relations are
-    // additive — serving unions rows, never rebuilds), serve reads the
-    // table only. Same output contract/oracle as hll_sharded.
-    "hll_persisted" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      graft.sources.TableSink.writeBucketed(
-        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 1)),
-        "graft_hll_shards", "shard", 4)
-      graft.sources.TableSink.appendBucketed(
-        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
-        "graft_hll_shards", "shard", 4)
-      Sketches.hllServe(s.table("graft_hll_shards"), li)
-    }),
-    // the COMPACTION verb on the sketch-table lifecycle: build + append
-    // leave one file-set per generation; OPTIMIZE-style bin-packing
-    // rewrites them to ONE file per bucket (TableSink.compactBucketed),
-    // and the post-compaction serve must be bit-identical to the
-    // pre-compaction one — same output contract/oracle as hll_sharded.
-    // The file-count drop and serve parity are spec-pinned in
-    // TableSinkSpec; this row proves the compacted table still serves.
-    "hll_compacted" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      graft.sources.TableSink.writeBucketed(
-        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 1)),
-        "graft_hll_compact", "shard", 4)
-      graft.sources.TableSink.appendBucketed(
-        Sketches.hllShardSketches(li.filter(col("l_orderkey") % 2 === 0)),
-        "graft_hll_compact", "shard", 4)
-      graft.sources.TableSink.compactBucketed(s, "graft_hll_compact",
-        "shard", 4)
-      Sketches.hllServe(s.table("graft_hll_compact"), li)
-    }),
-    // sketch-set INTERSECTION via inclusion-exclusion over three
-    // one-scan conditional sketches (HLL can't intersect directly —
-    // registers only max-merge into unions); exact count oracle-checked,
-    // the IE accuracy band a structural boolean (r14)
-    "hll_intersect" -> ((s, dir) =>
-      Sketches.hllIntersect(t(s, dir, "lineitem"))),
-    // 2-D Pareto frontier via mergeable per-partition frontiers (linear
-    // scans, frontier-sized merge task; exact-cents dominance)
-    "skyline" -> ((s, dir) => Relational.skyline(t(s, dir, "orders"))),
-    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
-    // Flesch reading ease in exact e6 cross-multiplication (r14 — the
-    // classic difficulty signal corpus filters bucket on); row-local
-    "readability_flesch" -> ((s, dir) =>
-      TextAnalysis.readabilityFlesch(t(s, dir, "documents"))),
-    // columnar-format breadth: ORC sink partitioned by language, read
-    // back through the native ORC source with the lang predicate
-    // landing as PARTITION PRUNING (only the en/ directory is read) —
-    // the write→layout→pruned-scan cycle on the second columnar format
-    "orc_roundtrip" -> ((s, dir) => {
-      val path = freshStageDir("graft_orc_docs")
-      t(s, dir, "documents").write.mode("overwrite")
-        .partitionBy("lang").orc(path)
-      s.read.orc(path).filter(col("lang") === "en")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("source"))
-    }),
-    // schema evolution across producer generations: a v1 writer
-    // without `source` and a v2 writer with it land in one dataset;
-    // mergeSchema reconciles (missing column → NULL), the query
-    // reports legacy coverage — the lake-ingest reality every 100 TB
-    // corpus lives with (generations never rewrite)
-    "schema_evolution" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val path = freshStageDir("graft_schema_evo")
-      docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("lang"))
-        .write.mode("overwrite").parquet(s"$path/gen=1")
-      docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .write.mode("overwrite").parquet(s"$path/gen=2")
-      s.read.option("mergeSchema", "true").parquet(path)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("source").isNull.cast("long")).as("n_legacy"),
-          countDistinct(col("source")).as("n_sources"))
-        .orderBy(col("lang"))
-    }),
-    // snapshot time travel: v1 = base write, v2 = append; the pinned v1
-    // read resolves through its manifest only, so it never sees v2's
-    // files — snapshot isolation from immutability + manifest indirection
-    "table_time_travel" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = freshStageDir("graft_timetravel")
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root, 1)
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0), root, 2)
-      def at(v: Int) = graft.sources.TableSink.readSnapshot(s, root, v)
-        .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"))
-      at(1).unionByName(at(2)).orderBy(col("version"))
-    }),
-    // PSI drift report: baseline quartile edges (ExactRank), smoothed
-    // e6 shares, per-bin terms floored before summation
-    "psi_drift" -> ((s, dir) =>
-      Profile.psiDrift(t(s, dir, "documents"))),
-    // retention close of the time-travel lifecycle: expire v1..v2 (their
-    // manifests delete; data directories survive wherever a live
-    // manifest still references them), newest version stays readable
-    "snapshot_expire" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = freshStageDir("graft_snapexp")
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), root, 1)
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(pmod(col("doc_id"), lit(20)) === 0), root, 2)
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0 &&
-          pmod(col("doc_id"), lit(20)) =!= 0), root, 3)
-      graft.sources.TableSink.expireSnapshots(s, root, 2)
-      graft.sources.TableSink.readSnapshot(s, root, 3)
-        .agg(lit(3).as("version"), count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"))
-    }),
-    // vocab-coverage gate: per-doc out-of-vocabulary fraction against
-    // the corpus top-1000 vocabulary (bounded cut, broadcast probe)
-    "oov_rate" -> ((s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"))),
-    // positional-postings TRIGRAM query (self-derived top trigram) —
-    // r12 accidentally shadowed this under the two-term phrase_search
-    // key; renamed to restore it to the verified surface
-    "phrase_trigram" -> ((s, dir) =>
-      TextAnalysis.phraseSearch(t(s, dir, "documents"))),
-    // unigram entropy quality signal (row-local runs, e6 integer contract)
-    "token_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
-    "quality_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
-    // C4 line-level cleaning. The corpus is unpunctuated single-line text,
-    // so the punctuation rule is switched off and the word-count rule set
-    // to 50 — the line machinery still runs end-to-end and the keep
-    // verdict genuinely splits the corpus; the punctuation/boilerplate
-    // rules are exercised by the PipelineSpec fixture.
-    "c4_line_filter" -> ((s, dir) =>
-      TextAnalysis.c4LineFilter(t(s, dir, "documents"), minLineWords = 50,
-        requireTerminalPunct = false)),
-    // FILTER ABLATION report (r14 — the curation question every gate
-    // pipeline answers first: which filters remove what, exclusively
-    // and jointly?): the three registered doc-level gates — Gopher
-    // keep, C4 line-survival, language-ID correctness — cross-tabbed
-    // into the 8-cell overlap cube. Three row-local gate projections +
-    // two doc_id equi-joins + one partial-aggregable rollup; the
-    // oracle composes the three gates' own oracle texts verbatim, so
-    // the ablation can never drift from the gates it reports on.
-    "quality_ablation" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val g = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
-        .select(col("doc_id"), col("keep").as("gopher_pass"))
-      val c = TextAnalysis.c4LineFilter(docs, minLineWords = 50,
-          requireTerminalPunct = false)
-        .select(col("doc_id"), col("keep").as("c4_pass"))
-      val l = TextAnalysis.langId(docs)
-        .select(col("doc_id"),
-          (col("lang_pred") === col("lang_label")).as("lang_pass"))
-      g.join(c, "doc_id").join(l, "doc_id")
-        .groupBy(col("gopher_pass"), col("c4_pass"), col("lang_pass"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("gopher_pass"), col("c4_pass"), col("lang_pass"))
-    }),
-    // full Gopher ruleset (word/line/symbol/stopword rules + keep verdict).
-    // stopList localized to the synthetic corpus's function words — its
-    // vocabulary contains only 'the'/'a' from any natural stop lexicon, so
-    // the canonical 8-word default could never fire the ≥2 rule here.
-    "gopher_quality" -> ((s, dir) =>
-      TextAnalysis.gopherQuality(t(s, dir, "documents"),
-        stopList = Seq("the", "a"))),
-    "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
-    // Unicode NFC canonicalization ahead of content hashing: both engines
-    // append the same decomposed+precomposed sample (combining acute/ring/
-    // diaeresis) to the ASCII corpus, and the normalizer must fold the
-    // decomposed forms into their precomposed twins (html_extract
-    // synthesis discipline; JDK Normalizer vs DuckDB nfc_normalize — the
-    // same Unicode spec on both sides)
-    "nfc_normalize" -> ((s, dir) => {
-      val mixed = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          lit(" Café école Ångström")).as("text"))
-      TextAnalysis.nfcNormalize(mixed)
-    }),
-    "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(t(s, dir, "documents"))),
-    // encoding-damage gate (ftfy posture): the fixture corpus is clean
-    // ASCII, so the three damage classes are synthesized deterministically
-    // per doc_id residue (nfc_normalize discipline) — a gate that never
-    // fires is untested
-    "mojibake_stats" -> ((s, dir) => {
-      val seeded = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 40 === 0, lit(" cafÃ© Âfoo"))
-            .when(col("doc_id") % 40 === 1, lit(" donâ€™t"))
-            .when(col("doc_id") % 40 === 2, lit(" bad�char"))
-            .otherwise(lit(""))).as("text"))
-      TextAnalysis.mojibakeStats(seeded)
-    }),
-    // script composition over synthesized per-doc script mixes (repeat
-    // counts driven by doc_id so dominance varies): Cyrillic 'а', Latin
-    // 'a', CJK '你', digit '7' — both engines build the identical string
-    "script_profile" -> ((s, dir) => {
-      val mixed = t(s, dir, "documents").select(col("doc_id"), concat(
-        expr("repeat('а', CAST(doc_id % 40 AS INT))"),
-        expr("repeat('a', CAST(doc_id % 23 AS INT))"),
-        expr("repeat('你', CAST(doc_id % 17 AS INT))"),
-        expr("repeat('7', CAST(doc_id % 5 AS INT))")).as("text"))
-      TextAnalysis.scriptProfile(mixed)
-    }),
-    // markup-to-text extraction, the step ahead of every quality filter:
-    // the corpus is wrapped in deterministic real-shaped HTML (head/style/
-    // script/entities/comment, sentences split across <p> blocks) by BOTH
-    // engines, then the extraction chain must recover clean block text.
-    // Row-local regexp chain — no shuffle beyond the presentation sort.
-    "html_extract" -> ((s, dir) => {
-      val pages = t(s, dir, "documents").select(col("doc_id"), concat(
-        lit("<html><head><title>Doc</title><style>body{color:#333} " +
-          ".nav{display:none}</style></head><body>" +
-          "<script type=\"text/javascript\">var lt = 1 < 2 && 3 > 2;</script>" +
-          "<h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"),
-        regexp_replace(col("text"), "\\. ", ".</p><p>"),
-        lit("</p><div class=\"nav\"><ul><li>Home</li><li>About &amp; " +
-          "&lt;contact&gt; &quot;mail&#39;s&quot;&nbsp;here</li></ul></div>" +
-          "<!-- footer\ncomment --></body></html>")).as("html"))
-      TextAnalysis.htmlExtract(pages).orderBy(col("doc_id"))
-    }),
-    "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocuments(t(s, dir, "documents"))),
-    // content-defined chunking (Rabin-style md5 boundary trigger)
-    "cdc_chunks" -> ((s, dir) => TextAnalysis.cdcChunks(t(s, dir, "documents"))),
-    "contamination" -> ((s, dir) => TextAnalysis.contamination(t(s, dir, "documents"))),
-    "contamination_bloom" -> ((s, dir) =>
-      TextAnalysis.contaminationBloom(t(s, dir, "documents"))),
-    "passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(t(s, dir, "documents"))),
-    // global frequent-passage (boilerplate) removal: frequent spans drop
-    // from EVERY document, not just after the first occurrence
-    "boilerplate_filter" -> ((s, dir) =>
-      TextAnalysis.boilerplateFilter(t(s, dir, "documents"))),
-    // subword cost accounting: bounded-merge-table BPE, doc-local
-    "bpe_tokens" -> ((s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"))),
-    // per-language tokens-per-word fertility + chars-per-token
-    // compression from the same doc-local encode (e6 contract)
-    "tokenizer_fertility" -> ((s, dir) =>
-      TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
-    // multi-dimensional data-layout keys: Morton-interleaved z-order
-    // buckets with per-bucket bounding-box spans (the min/max pruning
-    // guarantee, measured as data)
-    "zorder_stats" -> ((s, dir) =>
-      Layout.zorderStats(t(s, dir, "lineitem"))),
-    // corpus-statistics quality: unigram-LM surprisal (join-formulated —
-    // a count-over-token window would single-task the stop words)
-    "unigram_logprob" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
-    // conditional upgrade: bigram-LM cross-entropy (CCNet-style
-    // perplexity quality signal), add-one smoothed, model enriched
-    // model-side so the corpus probe is ONE equi-join
-    "bigram_logprob" -> ((s, dir) =>
-      TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
-    // Kneser-Ney upgrade: absolute-discount interpolation with
-    // CONTINUATION backoff — same one-equi-join probe shape, model
-    // stats partial-aggregable over the bigram-TYPE relation
-    "kn_bigram_logprob" -> ((s, dir) =>
-      TextAnalysis.knBigramLogProb(t(s, dir, "documents"))),
-    // CCNet's bucket step over the bigram scores: exact-rank thirds via
-    // the public ExactRank under a constant group — no corpus ntile
-    "perplexity_buckets" -> ((s, dir) =>
-      TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
-    // CCNet selection end-to-end: per-LANGUAGE bigram LM, documents
-    // scored by their own language's model, per-language thirds via the
-    // window-free ExactRank, keep = head+middle
-    "ccnet_select" -> ((s, dir) =>
-      TextAnalysis.ccnetSelect(t(s, dir, "documents"))),
-    "tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"))),
-    "bm25_rank" -> ((s, dir) => TextAnalysis.bm25(t(s, dir, "documents"))),
-    // RM3-lite pseudo-relevance feedback: pass-1 top-10 docs nominate
-    // 3 expansion terms, pass 2 re-ranks with the expanded set — one
-    // lazy plan, no driver round-trip between passes
-    "bm25_prf" -> ((s, dir) => TextAnalysis.bm25Prf(t(s, dir, "documents"))),
-    // the search-serving complement: FLAT postings (one row per
-    // token x doc — never a per-token array, the stop-word skew bomb)
-    // and exact phrase serving via row-local position intersection.
-    // Registered presentation serializes the position list CSV (the
-    // baskets convention) — the ArrayType relation stays the engine API
-    "inverted_index" -> ((s, dir) =>
-      InvertedIndex.invertedIndexLines(t(s, dir, "documents"))),
-    "phrase_search" -> ((s, dir) =>
-      InvertedIndex.phraseSearch(t(s, dir, "documents"))),
-    // the index PERSISTED bucketed on token and served back: the term
-    // equality filters prune the scan to one bucket's files (Spark
-    // bucket pruning — plan-pinned), bit-identical to the in-flight
-    // serve, same oracle text
-    "phrase_persisted" -> ((s, dir) => {
-      graft.sources.TableSink.writeBucketed(
-        InvertedIndex.postings(t(s, dir, "documents")),
-        "graft_postings", "token", 8)
-      InvertedIndex.phraseFromPostings(s.table("graft_postings"))
-    }),
-    // T5 span corruption: md5-PRNG deterministic masking, numbered
-    // sentinels, (input, target) pair assembly via doc-bounded windows
-    "span_corruption" -> ((s, dir) =>
-      TextAnalysis.spanCorruption(t(s, dir, "documents"))),
-    // fill-in-the-middle: md5 coin picks causal vs FIM per doc, two md5
-    // cuts split prefix/middle/suffix, PSM sentinel reassembly — pure
-    // row-local projection, zero shuffle
-    "fim_transform" -> ((s, dir) =>
-      TextAnalysis.fimTransform(t(s, dir, "documents"))),
-    // BERT masked-LM corruption: 15% positions selected, 80/10/10
-    // mask/random/keep off disjoint windows of ONE md5 per (doc, pos);
-    // row-local (random replacement indexes the SAME doc's tokens)
-    "mlm_mask" -> ((s, dir) =>
-      TextAnalysis.mlmMask(t(s, dir, "documents"))),
-    // hybrid retrieval: RRF over the BM25 and query-cosine top lists —
-    // rank-only signal, two-term INTEGER fusion, bounded final window
-    "rrf_fusion" -> ((s, dir) =>
-      Retrieval.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"))),
-    // the semantic leg served from the PERSISTED bucketed IVF index:
-    // driver-side probe choice → literal cells → statically pruned index
-    // read. numProbes=12: the fixture's embeddings are near-isotropic
-    // (random 64-dim vectors barely cluster), so covering query 0's true
-    // top-20 — which spans cells ranked 1st/2nd/4th/12th by the query —
-    // needs 12 of 16 probes for recall 1; a real embedding corpus
-    // clusters far better and serves from 1-2 probes. Same oracle text
-    // as rrf_fusion — bit-identical at recall 1. The coverage claim is
-    // pinned at the driver's verify scale by PipelineSpec
-    // "rrf_fusion_indexed's numProbes=12 covers recall 1" — a fixture
-    // change fails THERE with a bump-the-probe-count message instead of
-    // an opaque hash mismatch here.
-    "rrf_fusion_indexed" -> ((s, dir) => {
-      val tbl = "graft_ivf_rrf"
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
-        "cluster_b", 8)
-      Retrieval.rrfFusionIndexed(t(s, dir, "documents"), s.table(tbl),
-        numProbes = 12)
-    }),
-    // ---- deduplication ---------------------------------------------------
-    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
-    // the third blocking family (after LSH bands and PassJoin
-    // segments): rank-windowed candidates from a constant-group
-    // ExactRank sort, blocked equi-join — O(n·w), skew-proof
-    "sorted_neighborhood" -> ((s, dir) =>
-      Dedup.sortedNeighborhood(t(s, dir, "documents"))),
-    // end-to-end entity resolution: SNM blocking -> banded-Levenshtein
-    // verification (<=10% edits; the 3-arg threshold form keeps the DP
-    // O(threshold·len) instead of O(len²)) -> the shared CC engine.
-    // The |len_a-len_b| prefilter is lossless (lev >= length gap).
-    "entity_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.sortedNeighborhood(docs)
-      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-      // edit budget = 10% of the longer text, capped at 58 so the DP
-      // band is a constant on any corpus (the cap is shared with the
-      // oracle — the rule, not just the optimization)
-      val budget = least(greatest(length(col("text_a")),
-        length(col("text_b"))), lit(580))
-      // equality short-circuit before the DP: near-dup corpora are
-      // dominated by EXACT duplicates (lev = 0 by definition), and the
-      // banded DP still costs O(58·len) on them — measured 4.3× on the
-      // 10× audit corpus where the planted dup load concentrates
-      val verified = cand.join(ta, "doc_a").join(tb, "doc_b")
-        .filter(abs(length(col("text_a")) - length(col("text_b"))) * 10
-          <= budget)
-        .withColumn("d", when(col("text_a") === col("text_b"), lit(0))
-          .otherwise(levenshtein(col("text_a"), col("text_b"), 58)))
-        .filter(col("d") >= 0 && col("d") * 10 <= budget)
-        .select(col("doc_a"), col("doc_b"))
-      val clusters = Dedup.nearDupClusters(verified)
-      val sizes = clusters.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      clusters.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("n_members"))
-        .orderBy(col("doc_id"))
-    }),
-    // character-level fuzzy dedup: EXACT edit-distance self-join over
-    // 40-char document title prefixes at typo distance 2 — lossless
-    // PassJoin segment blocking (see FuzzyJoin), so the oracle is the
-    // clean all-pairs definition, no blocking heuristic in sight
-    "fuzzy_pairs" -> ((s, dir) =>
-      FuzzyJoin.fuzzyPairs(
-        t(s, dir, "documents").select(col("doc_id"),
-          substring(col("text"), 1, 40).as("title")),
-        "doc_id", "title", 2)
-        .orderBy(col("id_a"), col("id_b"))),
-    "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
-    // asymmetric overlap: |A∩B| / min(|A|,|B|) — catches a short doc
-    // embedded in a long one, which Jaccard's union denominator buries
-    "ngram_containment" -> ((s, dir) =>
-      Dedup.ngramContainment(t(s, dir, "documents"))),
-    // substring-level dedup (the Lee et al. repeated-span shape): corpus
-    // profile of cross-doc repeated k-grams, and the per-doc keep mask
-    "repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"))),
-    "span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
-    // index-quality audit: LSH candidates vs the exact n-gram ground truth
-    "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
-    // the empirical S-curve: one row per banding config of the same
-    // 16 hashes — analytic threshold beside measured volume + recall
-    "lsh_scurve" -> ((s, dir) => Dedup.lshScurve(t(s, dir, "documents"))),
-    "minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
-    // the bounded Jaccard near-dup product: per-doc k nearest by
-    // est_jaccard over the SAME capped band candidates — both cut axes
-    // map-side WindowGroupLimit
-    "minhash_partners" -> ((s, dir) =>
-      Dedup.minhashPartners(t(s, dir, "documents"))),
-    // pair detection → canonical cluster assignment (connected components)
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashLsh(t(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"))
-      // member count via partial-aggregable groupBy joined back, not a
-      // cluster_id window: a web-scale megacluster (identical boilerplate
-      // in 10⁸ docs) must not colocate in one window task. The labels
-      // relation is cached by nearDupClusters, so both consumers reuse it.
-      val clusters = Dedup.nearDupClusters(pairs)
-      val sizes = clusters.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      clusters.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("n_members"))
-        .orderBy(col("doc_id"))
-    }),
-    // the dedup endpoint: corpus minus non-canonical near-dup members
-    "dedup_keep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.keepCanonical(docs,
-          Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-        .orderBy(col("lang"))
-    }),
-    // dedup diagnostics: per-doc novel-shingle counts + the cumulative
-    // novelty curve (first-owner min per shingle type, window-free
-    // prefix sum — a flattening curve says "run dedup")
-    "ngram_coverage" -> ((s, dir) =>
-      Dedup.ngramCoverage(t(s, dir, "documents"))),
-    // quality-aware keep: per cluster the LONGEST member survives
-    // (n_chars argmax, tie min id) via a partial-aggregable
-    // max(struct(quality, -id)) — no per-cluster window, megacluster-safe
-    "dedup_keep_best" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.keepBest(docs,
-          Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"),
-          sum(col("n_chars")).as("kept_chars"))
-        .orderBy(col("lang"))
-    }),
-    // reward-model data prep: per near-dup cluster the (quality argmax,
-    // quality argmin) preference pair — same content both ends, so the
-    // contrast is quality not topic; both extremes one partial-aggregable
-    // groupBy, equal-quality ties (and thus singletons) emit nothing
-    "preference_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.preferencePairs(docs,
-        Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
-    }),
-    // continuous-ingestion dedup: a mod-10 batch probed against the rest
-    // of the corpus as base — no base×base join anywhere in the plan
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.minhashIncremental(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // the dedup base index BUILT ONCE and SERVED from persisted bucketed
-    // tables (bands + signatures via TableSink — the ann_ivf_persisted
-    // build-once/probe-many discipline): true cross-session IVM for
-    // dedup. Result must be bit-identical to dedup_incremental's
-    // in-flight build — the driver checks it against that very oracle.
-    "dedup_persisted" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // DISK_ONLY so the corpus-proportional shingle+minhash pipeline runs
-      // once and feeds BOTH table writes (bands + sigs), not twice — the
-      // same house rule minhashIncremental itself follows.
-      val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      graft.sources.TableSink.writeBucketed(
-        Dedup.minhashBandIndex(sigs), "graft_dedup_bands", "b0", 8)
-      graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs",
-        "doc_id", 8)
-      sigs.unpersist()
-      Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
-        s.table("graft_dedup_bands"), s.table("graft_dedup_sigs"))
-    }),
-    // dedup_persisted's APPEND half: the odd-id half of the base corpus
-    // builds the bucketed band/signature tables, the even-id half is
-    // INSERTed into them (same bucket spec, base untouched), and the
-    // batch probes the combined index — bit-identical to probing an
-    // index built in one shot, which is the dedup_incremental oracle
-    "dedup_appended" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val rest = docs.filter(col("doc_id") % 10 =!= 0)
-      val sigsA = Dedup.minhashSignatures(rest.filter(col("doc_id") % 2 === 1))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      graft.sources.TableSink.writeBucketed(
-        Dedup.minhashBandIndex(sigsA), "graft_dedup_bands_app", "b0", 8)
-      graft.sources.TableSink.writeBucketed(sigsA, "graft_dedup_sigs_app",
-        "doc_id", 8)
-      sigsA.unpersist()
-      val sigsB = Dedup.minhashSignatures(rest.filter(col("doc_id") % 2 === 0))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      graft.sources.TableSink.appendBucketed(
-        Dedup.minhashBandIndex(sigsB), "graft_dedup_bands_app", "b0", 8)
-      graft.sources.TableSink.appendBucketed(sigsB, "graft_dedup_sigs_app",
-        "doc_id", 8)
-      sigsB.unpersist()
-      Dedup.minhashProbeIndex(docs.filter(col("doc_id") % 10 === 0),
-        s.table("graft_dedup_bands_app"), s.table("graft_dedup_sigs_app"))
-    }),
-    // STREAMING × INCREMENTAL DEDUP — the continuous-ingestion
-    // composition the two halves existed for: the base corpus's band +
-    // signature index is built ONCE into persisted bucketed tables
-    // (dedup_persisted's build), then a checkpointed document STREAM
-    // probes it per micro-batch through foreachBatch with idempotent
-    // batch_id partitions (events_table_stream's exactly-once recipe),
-    // across a forced stop/restart. No base×base join ever appears in a
-    // plan, per-batch cost is O(|batch|) against the pre-bucketed index,
-    // and each batch doc's best-match is row-independent — so the
-    // restart-replayed union must be bit-identical to the one-shot
-    // probe, which is exactly dedup_incremental's oracle text.
-    "dedup_incremental_stream" -> ((s, dir) =>
-      withStreamStage("graft_dedup_inc_s") { stage =>
-      val in = stage + "/in"; val sink = stage + "/sink"
-      val ckpt = stage + "/ckpt"
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // base index built once, served from the catalog (never rebuilt
-      // per batch — the entire point of the composition)
-      val sigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      graft.sources.TableSink.writeBucketed(
-        Dedup.minhashBandIndex(sigs), "graft_dedup_bands_strm", "b0", 8)
-      graft.sources.TableSink.writeBucketed(sigs, "graft_dedup_sigs_strm",
-        "doc_id", 8)
-      sigs.unpersist()
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      def run(): Unit = {
-        val stream = s.readStream.schema(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("text",
-                org.apache.spark.sql.types.StringType))))
-          .option("maxFilesPerTrigger", 2).parquet(in)
-        val q = stream.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            graft.streaming.StreamingOps.writeBatchIdempotent(
-              Dedup.minhashProbeIndex(b,
-                s.table("graft_dedup_bands_strm"),
-                s.table("graft_dedup_sigs_strm")), sink, id)
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      batch.filter(col("doc_id") % 20 === 0).repartition(2)
-        .write.mode("overwrite").parquet(in)
-      run() // phase 1: drains the staged half, clean stop
-      batch.filter(col("doc_id") % 20 =!= 0).repartition(2)
-        .write.mode("append").parquet(in)
-      run() // phase 2: restart from the checkpoint — new files only
-      // materialize before withStreamStage deletes the sink files —
-      // into a stable OVERWRITTEN warehouse table, not a cache (a cache
-      // keyed on the per-invocation temp path grows the persist set
-      // every call: the r12 soak's growth class)
-      graft.sources.TableSink.saveTable(
-        s.read.parquet(sink).drop("batch_id"), "graft_dedup_inc_s_result")
-      s.table("graft_dedup_inc_s_result").orderBy(col("doc_id"))
-    }),
-    "simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
-    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
-    // the OUTPUT-BOUNDED pair product (k nearest partners per document;
-    // <= k*n rows at any duplicate-class size — the scale-safe sibling
-    // the r11 x100 probe motivated); WindowGroupLimit plan-pinned
-    "simhash_partners" -> ((s, dir) =>
-      Dedup.simhashPartners(t(s, dir, "documents"))),
-    // image-modality near-dup: dHash through the REAL ImageIO decode
-    // seam (PNG-lossless, so the oracle replays the byte math exactly),
-    // candidates via the same chunk-blocked Hamming band join as simhash.
-    // The corpus's near-dups are token-level (shifted positions), which a
-    // POSITIONAL perceptual hash rightly does not pair — so the fixture
-    // appends a deterministic first-char-perturbed twin per 50th doc
-    // (the nfc_normalize synthesis discipline): each twin must land
-    // within a few gradient bits of its source, exercising the band join
-    // and the Hamming filter on genuinely near (not just identical) images
-    "phash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val twins = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("~"), expr("substring(text, 2)")).as("text"))
-      Multimodal.phashPairs(docs.unionByName(twins))
-    }),
-    // the bounded image near-dup product (simhash_partners' image twin):
-    // per image, k nearest dHash partners over hot-bucket-capped bands
-    "phash_partners" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val twins = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("~"), expr("substring(text, 2)")).as("text"))
-      Multimodal.phashPartners(docs.unionByName(twins))
-    }),
-    // the image-dedup COMPOSITION: phash pairs feed the same
-    // pointer-jumping connected-components engine as text/embedding
-    // dedup (the dedup family is generator-agnostic — cosine_clusters'
-    // exact pattern with the perceptual-hash candidate generator)
-    "phash_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val twins = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("~"), expr("substring(text, 2)")).as("text"))
-      val pairs = Multimodal.phashPairs(docs.unionByName(twins))
-        .select(col("doc_a"), col("doc_b"))
-      val clusters = Dedup.nearDupClusters(pairs)
-      val sizes = clusters.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      clusters.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("n_members"))
-        .orderBy(col("doc_id"))
-    }),
-    // ---- similarity search over embeddings -------------------------------
-    "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
-    // embedding-cosine near-dup, end-to-end: pair detection by cosine
-    // similarity -> connected-component clustering (the same
-    // pointer-jumping engine as dedup_clusters, fed by a different
-    // candidate generator — the dedup family is generator-agnostic)
-    "cosine_clusters" -> ((s, dir) => {
-      val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)
-        .select(col("vec_id").as("doc_a"), col("other_id").as("doc_b"))
-      // member count via partial-aggregable groupBy joined back, not a
-      // cluster_id window — same megacluster reasoning as dedup_clusters:
-      // embedding-cosine dedup is exactly what finds a boilerplate
-      // megacluster, and it must not colocate in one window task. The
-      // labels relation is cached by nearDupClusters, so both sides of
-      // the join reuse it.
-      val clusters = Dedup.nearDupClusters(pairs)
-      val sizes = clusters.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      clusters.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("n_members"))
-        .orderBy(col("doc_id"))
-    }),
-    "ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"))),
-    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"))),
-    // OR-construction: 2 independent 8-plane tables — the scale knob pair
-    // (planes up with log2(corpus) to cap bucket volume, tables up to buy
-    // the recall back)
-    "ann_lsh_multi" -> ((s, dir) =>
-      Similarity.lshTopKMulti(t(s, dir, "embeddings"), numTables = 2)),
-    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"))),
-    // IVF with a PERSISTED bucketed index: the cell-assigned index
-    // relation is built once and written bucketed on the cell id (its one
-    // shuffle happens at WRITE time), read back from the catalog, and the
-    // cell-equi serve join reads it pre-partitioned — the
-    // build-once/probe-many shape of a production ANN service, where the
-    // corpus-sized index side must not reshuffle per query batch.
-    // Results are identical to ann_ivf_topk (same centroids, same
-    // arithmetic) so the driver checks this against that very oracle
-    // text; TableSinkSpec holds the no-exchange bucketed-read guarantee.
-    "ann_ivf_persisted" -> ((s, dir) => {
-      val tbl = "graft_ivf_index"
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
-        "cluster_b", 8)
-      Similarity.ivfTopKFromIndex(t(s, dir, "embeddings"), s.table(tbl))
-    }),
-    // the BATCHED indexed serve (r13 verdict item 7): one plan serves a
-    // query batch from the persisted bucketed index — distributed
-    // bounded probe ranking, union-of-probed-cells literal IN (static
-    // multi-cell bucket pruning, plan-pinned), per-query cell-equi join.
-    // Bit-identical per query to the single-query serve at the same
-    // probe count (spec-pinned).
-    "ann_batch_serve" -> ((s, dir) => {
-      val tbl = "graft_ivf_batch"
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(t(s, dir, "embeddings")), tbl,
-        "cluster_b", 8)
-      Similarity.queryTopKBatchFromIndex(s.table(tbl), maxQueries = 8,
-        numProbes = 2)
-    }),
-    // STREAMING ANN SERVE composition (the dedup_incremental_stream
-    // shape for similarity): the IVF index is built ONCE over the corpus
-    // and persisted bucketed on the cell id; a checkpointed query-vector
-    // stream probes it per micro-batch via exactly-once foreachBatch
-    // batch_id partitions, across a forced stop/restart. Bit-identical
-    // to the one-shot probe of the same query set — the oracle replays
-    // that batch definition. At 100 TB this is the ANN service loop:
-    // index shuffle paid at write time, each query batch reads the
-    // pre-partitioned cells, no base rebuild anywhere in the stream.
-    "ann_ivf_stream" -> ((s, dir) =>
-      withStreamStage("graft_ann_s") { stage =>
-        val in = stage + "/in"; val sink = stage + "/sink"
-        val ckpt = stage + "/ckpt"
-        val emb = t(s, dir, "embeddings")
-        graft.sources.TableSink.writeBucketed(
-          Similarity.ivfIndexRelation(emb), "graft_ann_stream_idx",
-          "cluster_b", 8)
-        val queries = emb.filter(col("vec_id") % 10 === 0)
-        def run(): Unit = {
-          val stream = s.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 2).parquet(in)
-          val q = stream.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              graft.streaming.StreamingOps.writeBatchIdempotent(
-                Similarity.ivfTopKFromIndex(b,
-                  s.table("graft_ann_stream_idx")), sink, id)
-            }
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        queries.filter(col("vec_id") % 20 === 0).repartition(2)
-          .write.mode("overwrite").parquet(in)
-        run() // phase 1: drains the staged half, clean stop
-        queries.filter(col("vec_id") % 20 =!= 0).repartition(2)
-          .write.mode("append").parquet(in)
-        run() // phase 2: restart from the checkpoint — new files only
-        graft.sources.TableSink.saveTable(
-          s.read.parquet(sink).drop("batch_id"), "graft_ann_stream_result")
-        s.table("graft_ann_stream_result").orderBy(col("vec_id"), col("rk"))
-      }),
-    // the bounded embedding k-NN JOIN (simhash_partners' vector twin):
-    // per vector, k nearest by cosine over the whole corpus, blocked by
-    // IVF cell assignment with the index side of each cell capped at
-    // maxCell members — both cut axes on map-side WindowGroupLimit
-    // (plan-pinned). Closes the partners product across all three
-    // modalities: text fingerprints, images, embeddings.
-    "ann_partners" -> ((s, dir) =>
-      Similarity.annPartners(t(s, dir, "embeddings"))),
-    // the auto-sized twin of the partners product (centroidsFor — the
-    // ann_ivfpq_auto discipline applied to the load-bearing k-NN join;
-    // hard_negatives and bitext_mine ride the same cell-blocked core,
-    // so the sizing transfers to them through this measured form)
-    "ann_partners_auto" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.annPartners(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()))
-    }),
-    // the INSERT half of IVF index maintenance (dedup_appended's shape
-    // for ANN): the base four-fifths of the corpus builds the bucketed
-    // index, the remaining fifth is assigned against the centroids
-    // RECOVERED FROM THE INDEX (frozen coarse quantizer — the FAISS
-    // discipline) and APPENDED under the same bucket spec at O(delta)
-    // cost; the serve over the appended table is bit-identical to
-    // probing a one-shot full rebuild, which is exactly the
-    // ann_ivf_persisted oracle text. The base slice keeps every
-    // vec_id < NumCentroids so the recovered quantizer IS the
-    // parameterized full-corpus one.
-    "ann_index_append" -> ((s, dir) => {
-      val tbl = "graft_ivf_index_app"
-      val emb = t(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 5 =!= 4 ||
-        col("vec_id") < Similarity.NumCentroids)
-      val delta = emb.filter(col("vec_id") % 5 === 4 &&
-        col("vec_id") >= Similarity.NumCentroids)
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
-      graft.sources.TableSink.appendBucketed(
-        Similarity.ivfIndexDelta(delta, s.table(tbl)), tbl, "cluster_b", 8)
-      Similarity.ivfTopKFromIndex(emb, s.table(tbl))
-    }),
-    // the COMPACTION close of the ANN index lifecycle (r13 verdict
-    // item 5): base build + TWO delta append generations (3 file sets
-    // per bucket), then compactBucketed rewrites to ONE file per bucket
-    // under the same spec — the serve over the compacted index is
-    // bit-identical to ann_ivf_persisted's one-shot build (same oracle
-    // text); the file-count drop and preserved bucket pruning are
-    // pinned in TableSinkSpec. At 100 TB this is the OPTIMIZE verb a
-    // daily-append vector index needs before scan task count goes
-    // generation-bound.
-    "ann_index_compacted" -> ((s, dir) => {
-      val tbl = "graft_ivf_index_cmp"
-      val emb = t(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 5 < 3 ||
-        col("vec_id") < Similarity.NumCentroids)
-      def gen(r: Int) = emb.filter(col("vec_id") % 5 === r &&
-        col("vec_id") >= Similarity.NumCentroids)
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
-      graft.sources.TableSink.appendBucketed(
-        Similarity.ivfIndexDelta(gen(3), s.table(tbl)), tbl, "cluster_b", 8)
-      graft.sources.TableSink.appendBucketed(
-        Similarity.ivfIndexDelta(gen(4), s.table(tbl)), tbl, "cluster_b", 8)
-      graft.sources.TableSink.compactBucketed(s, tbl, "cluster_b", 8)
-      Similarity.ivfTopKFromIndex(emb, s.table(tbl))
-    }),
-    // the HEAD-BOUNDED audit twin of the index LIFECYCLE (the r13
-    // pq_recall treatment, applied where the r14 x100 notch caught the
-    // serve-everything form going quadratic under a frozen quantizer —
-    // BENCH_NOTES r14): the same base build + two append generations +
-    // compaction as ann_index_compacted, but served through the BOUNDED
-    // batch serve (first-8 query head, 2 probes) instead of probing
-    // every corpus vector. Work is build O(N·nlist) + serve O(head ·
-    // cell-pop), so the lifecycle finally has honest x100 rows. Append
-    // and compaction preserve the index ROWS bit-exactly (frozen
-    // quantizer + rewrite-in-place), so the serve is bit-identical to
-    // ann_batch_serve over the one-shot index — same oracle text.
-    "ann_lifecycle_serve" -> ((s, dir) => {
-      val tbl = "graft_ivf_index_lc"
-      val emb = t(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 5 < 3 ||
-        col("vec_id") < Similarity.NumCentroids)
-      def gen(r: Int) = emb.filter(col("vec_id") % 5 === r &&
-        col("vec_id") >= Similarity.NumCentroids)
-      graft.sources.TableSink.writeBucketed(
-        Similarity.ivfIndexRelation(base), tbl, "cluster_b", 8)
-      graft.sources.TableSink.appendBucketed(
-        Similarity.ivfIndexDelta(gen(3), s.table(tbl)), tbl, "cluster_b", 8)
-      graft.sources.TableSink.appendBucketed(
-        Similarity.ivfIndexDelta(gen(4), s.table(tbl)), tbl, "cluster_b", 8)
-      graft.sources.TableSink.compactBucketed(s, tbl, "cluster_b", 8)
-      Similarity.queryTopKBatchFromIndex(s.table(tbl), maxQueries = 8,
-        numProbes = 2)
-    }),
-    // PQ encoding (Jégou et al.): per (vector, subspace) the nearest
-    // codeword by squared L2 — 8 subspaces × 16 codewords, flat rows,
-    // broadcast codebook, map-side argmin window. The 64×-compression
-    // complement to quantize_embeddings' scalar int8.
-    "pq_encode" -> ((s, dir) =>
-      Similarity.pqEncode(t(s, dir, "embeddings"))),
-    // IVF-PQ (IVFADC) serve: IVF-cell candidates scored from their PQ
-    // CODES via the asymmetric-distance lookup table — every LUT entry an
-    // exact floor(d2·1e6) integer, so the ADC sum and ranking are
-    // hash-exact. The corpus side of the serve join carries 4-byte codes
-    // instead of 256-byte vectors — the index-fits-on-disk path at 100 TB.
-    "ann_ivfpq_topk" -> ((s, dir) =>
-      Similarity.ivfpqTopK(t(s, dir, "embeddings"))),
-    // the CORPUS-ADAPTIVE twin (r13 verdict item 2): centroid count from
-    // centroidsFor(count) so expected cell population stays constant —
-    // the sizing that keeps the in-cell candidate join LINEAR at x100
-    // where the frozen-16-centroid form grows cell populations 100×.
-    // Oracle mirrors the sizing as a scalar subquery over embeddings.
-    "ann_ivfpq_auto" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqTopK(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()))
-    }),
-    // the HIERARCHICAL-assignment twin (FAISS IMI shape): auto nlist +
-    // two-level coarse quantization — once nlist grows with the corpus,
-    // the flat N·nlist assignment is the dominant superlinear stage
-    // (measured, BENCH_NOTES r14) and the √nlist-way hierarchy cuts it
-    // to N·2√nlist. Own oracle (two-level argmax replayed exactly).
-    "ann_ivfpq_imi" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqTopK(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()),
-        twoLevel = true)
-    }),
-    // measured IVFADC retrieval quality: exact counts of true/candidate/
-    // hit pairs over the bounded query head — lsh_recall's discipline for
-    // the PQ serve, so quantization-quality regressions fail the hash gate
-    // k-NN majority-vote label quality over the exact neighbor lists:
-    // exact counts + e6 accuracy, argmin-struct vote (no window)
-    "knn_label_eval" -> ((s, dir) =>
-      Similarity.knnLabelEval(t(s, dir, "embeddings"))),
-    // Matryoshka truncation recall: full-dim exact top-k vs the same
-    // scan on the first 16 dims — the measured-quality row for serving
-    // prefix embeddings (pq_recall's discipline, truncation knob)
-    "matryoshka_recall" -> ((s, dir) =>
-      Similarity.matryoshkaEval(t(s, dir, "embeddings"))),
-    "pq_recall" -> ((s, dir) =>
-      Similarity.pqRecall(t(s, dir, "embeddings"))),
-    // measured quality for the r14 quantizers (the "quality held" leg of
-    // corpus-adaptive sizing): same exact-count recall row, candidates
-    // from the auto-sized flat and two-level IMI serves respectively
-    "pq_recall_auto" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqRecall(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()))
-    }),
-    "pq_recall_imi" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqRecall(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()),
-        twoLevel = true)
-    }),
-    // RESIDUAL PQ (the true FAISS IVFADC): codes encode v − centroid[cell]
-    // — residuals are centered, so the same 4-byte budget spends itself on
-    // a tighter distribution. Codebook = residual slices of vectors 16..31
-    // (the first 16 ARE the centroids; their residuals are zero).
-    "pq_encode_residual" -> ((s, dir) =>
-      Similarity.pqEncodeResidual(t(s, dir, "embeddings"))),
-    // the residual-space IVFADC serve: query LUT and candidate codes both
-    // in residual space — the shared centroid cancels, so the ADC sum
-    // estimates ||q−b||². Wins when the corpus clusters (production
-    // embeddings); measurably loses on the near-isotropic fixture —
-    // pq_residual_gain / pq_recall_residual carry the honest numbers.
-    "ann_ivfpq_residual" -> ((s, dir) =>
-      Similarity.ivfpqResidualTopK(t(s, dir, "embeddings"))),
-    // ADC shortlist (top-20 by codes) + full-precision cosine rerank —
-    // the standard two-stage IVFPQ serve; the rerank join touches kAdc
-    // vectors per query, never the cell population
-    "ann_ivfpq_rerank" -> ((s, dir) =>
-      Similarity.ivfpqRerankTopK(t(s, dir, "embeddings"))),
-    // THE REGISTERED PRIMARIES of the IVFPQ family (r14 verdict item 3):
-    // same index math as the serve-everything twins above, answered for
-    // the bounded first-ServeHead query batch — build O(N·assign) +
-    // serve O(head·cell) instead of the O(N·cell) every-vector-a-query
-    // audit shape (which stays registered for oracle continuity). This
-    // is the 100 TB serving economics: the index side never depends on
-    // how many queries arrive.
-    "ann_ivfpq_serve" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqTopK(emb, queries = Similarity.serveHead(emb))
-    }),
-    "ann_ivfpq_auto_serve" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqTopK(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()),
-        queries = Similarity.serveHead(emb))
-    }),
-    "ann_ivfpq_imi_serve" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqTopK(emb,
-        numCentroids = Similarity.centroidsFor(emb.count()),
-        twoLevel = true, queries = Similarity.serveHead(emb))
-    }),
-    "ann_ivfpq_residual_serve" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqResidualTopK(emb, queries = Similarity.serveHead(emb))
-    }),
-    "ann_ivfpq_rerank_serve" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfpqRerankTopK(emb, queries = Similarity.serveHead(emb))
-    }),
-    // the residual-vs-raw coding tradeoff as ONE row of exact integers:
-    // total reconstruction error under the same codebook budget (raw wins
-    // on the near-isotropic fixture, residual wins on clustered corpora —
-    // the row makes the choice a measurement, not an assumption)
-    "pq_residual_gain" -> ((s, dir) =>
-      Similarity.pqResidualGain(t(s, dir, "embeddings"))),
-    // measured-quality rows for the two new serves (exact presence counts
-    // against the brute-force ground truth, candidates head-restricted)
-    "pq_recall_residual" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqRecallWith(emb,
-        qs => Similarity.ivfpqResidualTopK(emb, queries = qs))
-    }),
-    "pq_recall_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.pqRecallWith(emb,
-        qs => Similarity.ivfpqRerankTopK(emb, queries = qs))
-    }),
-    // hard-negative mining for contrastive training: per anchor, the k
-    // highest-cosine DIFFERENT-label vectors — annPartners' bounded
-    // dataflow with a label-mismatch predicate in the candidate join
-    "hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(t(s, dir, "embeddings"))),
-    // margin-based bitext mining (Artetxe–Schwenk / CCMatrix): best
-    // cross-lingual partner per source doc by cosine normalized against
-    // both sides' k-NN neighborhood averages; IVF-cell-blocked candidate
-    // join, exact-integer margin arithmetic
-    "bitext_mine" -> ((s, dir) =>
-      Similarity.bitextMine(t(s, dir, "documents"), t(s, dir, "embeddings"))),
-    "quantize_embeddings" -> ((s, dir) =>
-      Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
-    // the IVF recall knob: queries probe their top-2 cells (index side
-    // unchanged) — pairs with ann_lsh_multi's OR-construction as the two
-    // standard ways to buy ANN recall without growing the index
-    "ann_ivf_multiprobe" -> ((s, dir) =>
-      Similarity.ivfTopKMultiprobe(t(s, dir, "embeddings"))),
-    // the IVF recall-vs-probe-count curve: exact presence counts per
-    // probe setting vs the brute-force ground truth — recall monotone by
-    // construction, exhaustive at 16 probes (n_hit == n_true, spec-pinned)
-    "ivf_probe_recall" -> ((s, dir) =>
-      Similarity.ivfProbeRecall(t(s, dir, "embeddings"))),
-    // KMeans-trained IVF through the same serving dataflow. Lloyd's
-    // iterations aren't SQL-expressible, so the driver-facing columns are
-    // structural accuracy-contract booleans (approx_stats precedent): the
-    // oracle emits literal TRUE and a malformed/low-recall index flips a
-    // boolean and fails the hash gate. Score-exactness and tighter recall
-    // are asserted in PipelineSpec.
-    "ann_ivf_trained" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // trains on (at most) the first 2000 vectors — deterministic, and at
-      // any sf below that the full corpus, so the sf0.01 gate is unchanged
-      val res = Similarity.ivfTopKTrained(emb, 5, maxTrainVectors = 2000)
-      val perQ = res.groupBy(col("vec_id")).agg(
-        max(col("rk")).as("max_rk"), count(lit(1)).as("n"),
-        countDistinct(col("cluster")).as("n_cl"))
-      val structural = perQ.agg(
-        (max(when(col("max_rk") === col("n") && col("n") <= 5, 0)
-          .otherwise(1)) === 0).as("rk_contiguous"),
-        (max(when(col("n_cl") === 1, 0).otherwise(1)) === 0)
-          .as("one_cluster_per_query"))
-      // recall probed on a deterministic 250-query sample: the exact
-      // ground truth is the expensive part of this row (the full-corpus
-      // brute force is its own registered query, ann_topk) and a fixed
-      // subsample bounds that cost while keeping the boolean meaningful;
-      // PipelineSpec asserts recall on the full query set
-      val trueTopK = Similarity.bruteForceTopK(emb, 5, maxQueries = 250)
-        .select(col("vec_id"), col("other_id"))
-      val nTrue = trueTopK.agg(count(lit(1)).as("n_true"))
-      val nHit = res.select(col("vec_id"), col("other_id"))
-        .join(trueTopK, Seq("vec_id", "other_id"))
-        .agg(count(lit(1)).as("n_hit"))
-      structural.crossJoin(nHit).crossJoin(nTrue)
-        .select(col("rk_contiguous"), col("one_cluster_per_query"),
-          (col("n_hit") >= col("n_true") * 0.1).as("recall_ge_10pct"))
-    }),
-    // HASH-EXACT Lloyd's k-means (r15 — the oracle-replayable twin of
-    // ann_ivf_trained's float KMeans): components e6-quantized first,
-    // then every Lloyd round in pure integer arithmetic — BIGINT
-    // squared-L2 argmin, floored-integer centroid means in shifted
-    // space — so assignments AND centroids join the hash gate instead
-    // of hiding behind structural booleans
-    "kmeans_assign" -> ((s, dir) =>
-      Similarity.kmeansLloyd(t(s, dir, "embeddings"))),
-    "kmeans_centroids" -> ((s, dir) =>
-      Similarity.kmeansCentroidsLong(t(s, dir, "embeddings"))),
-    // SemDeDup corpus verdict — same structural-oracle pattern: n_total is
-    // oracle-exact, the invariants are computed from the materialized
-    // relations and the oracle emits literal TRUE (see ann_ivf_trained)
-    "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), maxTrainVectors = 2000)),
-    // JL dense reduction: pre-sign LSH plane coordinates, exact oracle
-    "random_projection" -> ((s, dir) =>
-      Similarity.randomProjection(t(s, dir, "embeddings"))),
-    // distributed Gram + driver-local spectral solve (structural
-    // oracle; the projection-variance boolean is the distributed
-    // cross-check of the driver algebra)
-    "pca_summary" -> ((s, dir) =>
-      Similarity.pcaSummary(t(s, dir, "embeddings"))),
-    // the LEARNED quality filter layered on the rule filters: hashed-
-    // token logistic regression trained on gopher verdicts, scored
-    // row-locally; structural oracle (ann_ivf_trained pattern) with a
-    // holdout-accuracy + beats-majority contract
-    // the corpus-contract stoplist mirrors gopher_quality's registration
-    "quality_model" -> ((s, dir) =>
-      QualityModel.learnedQuality(t(s, dir, "documents"),
-        stopList = Seq("the", "a"))),
-    // O4 over token sequences + the end-to-end cleaning pipeline
-    "text_cooccur" -> ((s, dir) => TextAnalysis.tokenCoOccurrence(t(s, dir, "documents"))),
-    "pipeline_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(t(s, dir, "documents"))),
-    // ---- unordered association rules (FPGrowth-shaped, 2-itemsets) -------
-    "assoc_rules" -> ((s, dir) => MarketBasket.rules(t(s, dir, "lineitem"))),
-    // SEQUENTIAL rules — the reference domain's temporal extension:
-    // P(next order has b | current has a) over consecutive order pairs
-    // per customer (lead window per customer, basket-bounded transition
-    // join, exact-integer confidence)
-    "next_purchase_rules" -> ((s, dir) => MarketBasket.nextPurchaseRules(
-      t(s, dir, "orders"), t(s, dir, "lineitem"))),
-    // scale-invariant fractional support (r10 audit: the count-2 anchor was
-    // the surface's one superlinear decade row); oracle computes the same
-    // ceil(fraction * n) admission, so parity holds at every SF
-    "fpgrowth_rules" -> ((s, dir) => MarketBasket.fpgrowthRules(t(s, dir, "lineitem"),
-      minSupportFraction = Some(MarketBasket.ScaleInvariantSupport))),
-    "rolling_fingerprint" -> ((s, dir) =>
-      TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
-    // ---- multimodal column plumbing (stubbed decode) ---------------------
-    "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(t(s, dir, "documents"))),
-    "media_frames" -> ((s, dir) => Multimodal.sampleFrames(t(s, dir, "documents"))),
-    // *_stub: self-describing registry names (r13 verdict) — these two
-    // serve DETERMINISTIC STUB kernels whose value is the Spark-side
-    // plumbing (mapPartitions codec seam, batch shape, binary in/out);
-    // their REAL twins are registered alongside: image_embed_real (the
-    // ImageIO-decoded embedding) and media_decode_real (the ImageIO
-    // decode → resize → re-decode round trip)
-    // the stub codecs (embedStub / resizeMedia) stay as TEST SEAMS only —
-    // PipelineSpec pins them against their Catalyst twins; every
-    // REGISTERED media path runs the real kernels (media_decode_real,
-    // audio_decode_real, video_decode_real, media_hamming/cosine families)
-    // the REAL javax.imageio kernels, driver-checked (ann_ivf_trained
-    // accuracy-contract pattern): synthesize a solid PNG per doc_id,
-    // decode → resize → re-decode, emit DECODED dims + exact pixel check;
-    // the oracle recomputes the dims from doc_id and emits literal TRUE
-    "media_decode_real" -> ((s, dir) =>
-      Multimodal.imageRoundTrip(t(s, dir, "documents"), maxDim = 4)),
-    // REAL image embeddings: 8×8 grayscale PNG per doc (positional
-    // downsample), decoded back through ImageIO, quadrant luminance +
-    // gradient-energy features read from the CODEC's raster (PNG is
-    // lossless, so the oracle replays the byte math); presentation is
-    // the 8 scalar features — the ArrayType relation is the engine API
-    "image_embed_real" -> ((s, dir) => {
-      val emb = Multimodal.imageEmbeddings(t(s, dir, "documents"))
-      emb.select(col("vec_id").as("doc_id") +:
-          (0 until 8).map(i =>
-            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
-        .orderBy(col("doc_id"))
-    }),
-    // the multimodal retrieval loop with zero stub in the path: decode →
-    // embed → bounded k-NN join through the ann_partners core (IVF-cell
-    // blocked, capped index side, both cuts map-side WindowGroupLimit)
-    "image_ann_partners" -> ((s, dir) =>
-      Multimodal.imageAnnPartners(t(s, dir, "documents"))),
-    // the AUDIO leg of the same loop: WAV encode→decode energy-profile
-    // embedding (window sums kept as magnitudes, not gradient signs)
-    "audio_embed_real" -> ((s, dir) => {
-      val emb = Multimodal.audioEmbeddings(t(s, dir, "documents"))
-      emb.select(col("vec_id").as("doc_id") +:
-          (0 until 8).map(i =>
-            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
-        .orderBy(col("doc_id"))
-    }),
-    "audio_ann_partners" -> ((s, dir) =>
-      Multimodal.audioAnnPartners(t(s, dir, "documents"))),
-    // the VIDEO leg: Y4M demux temporal luma-profile embedding
-    "video_embed_real" -> ((s, dir) => {
-      val emb = Multimodal.videoEmbeddings(t(s, dir, "documents"))
-      emb.select(col("vec_id").as("doc_id") +:
-          (0 until 8).map(i =>
-            element_at(col("embedding"), i + 1).cast("long").as(s"f$i")): _*)
-        .orderBy(col("doc_id"))
-    }),
-    "video_ann_partners" -> ((s, dir) =>
-      Multimodal.videoAnnPartners(t(s, dir, "documents"))),
-    // REAL audio kernel (javax.sound.sampled WAV round-trip) through the
-    // same mapPartitions codec seam — header decode + lossless-PCM
-    // payload check, oracle recomputes the format from doc_id arithmetic
-    "audio_decode_real" -> ((s, dir) =>
-      Multimodal.audioRoundTrip(t(s, dir, "documents"))),
-    // REAL video kernel (pure-JVM YUV4MPEG2 demux round-trip) through the
-    // same seam — header parse + frame walk + exact constant-plane luma
-    // check, oracle recomputes dims/frames/luma from doc_id arithmetic
-    "video_decode_real" -> ((s, dir) =>
-      Multimodal.videoRoundTrip(t(s, dir, "documents"))),
-    // the bounded VIDEO near-dup product — the partners relation's third
-    // modality: per-doc synthetic C420 stream through the REAL Y4M demux
-    // → per-frame mean luma → 64 temporal gradient bits → the same
-    // generator-agnostic capped partner core as simhash/phash. The
-    // oracle replays every fingerprint bit from doc_id's integer
-    // arithmetic (videoRoundTrip discipline) + the shared partner replay
-    "video_phash_partners" -> ((s, dir) =>
-      Multimodal.videoPhashPartners(t(s, dir, "documents"))),
-    // the audio leg: window-energy gradient bits through the real WAV
-    // encode -> decode seam; oracle replays them from doc_id arithmetic
-    "audio_phash_partners" -> ((s, dir) =>
-      Multimodal.audioPhashPartners(t(s, dir, "documents"))),
-    // ---- deterministic sampling / splits (training-data pipeline) --------
-    "dataset_split" -> ((s, dir) => Sampling.datasetSplit(t(s, dir, "documents"))),
-    // CURRICULUM ordering (r14 — Bengio et al.'s easy-to-hard schedule
-    // as a data-prep relation): documents ranked globally by a
-    // difficulty proxy (subword token count, the house tokenizer
-    // convention), cut into EXACT quartile tiers via the window-free
-    // ExactRank global pass — ((rnk−1)·4) div n is pure integer math, so
-    // tier boundaries are hash-exact — then md5-shuffled WITHIN each
-    // tier (a second ExactRank pass, 4 groups) so each curriculum phase
-    // streams in deterministic shuffled order. No global ORDER BY
-    // window anywhere: both passes parallelize at partition width.
-    "curriculum_order" -> ((s, dir) => {
-      val c = t(s, dir, "documents").select(col("doc_id"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-            .cast("long").as("n_subword_tokens"))
-        .withColumn("g", lit(0))
-      val ranked = ExactRank.exactRank(c, Seq("g"),
-        Seq("n_subword_tokens", "doc_id"))
-      val tiered = ranked
-        .withColumn("tier", expr("CAST(((rnk - 1) * 4) div n_group AS INT)"))
-        .withColumn("k", md5(concat_ws("|", lit("cur"), col("doc_id"))))
-        .select(col("doc_id"), col("n_subword_tokens"), col("tier"), col("k"))
-      ExactRank.exactRank(tiered, Seq("tier"), Seq("k", "doc_id"),
-          rankCol = "pos_in_tier")
-        .select(col("doc_id"), col("n_subword_tokens"), col("tier"),
-          col("pos_in_tier"))
-        .orderBy(col("tier"), col("pos_in_tier"))
-    }),
-    // the curriculum TRAINING LAYOUT (r14 — pack_sequences composed
-    // with curriculum_order): each difficulty tier is its own token
-    // stream, laid in the tier's shuffled order and cut every 512
-    // tokens — the per-phase loader relation a curriculum schedule
-    // consumes. One grouped window-free prefix-sum pass (4 groups).
-    "pack_curriculum" -> ((s, dir) => {
-      val c = t(s, dir, "documents").select(col("doc_id"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-            .cast("long").as("n_subword_tokens"))
-        .withColumn("g", lit(0))
-      val ranked = ExactRank.exactRank(c, Seq("g"),
-        Seq("n_subword_tokens", "doc_id"))
-      val tiered = ranked
-        .withColumn("tier", expr("CAST(((rnk - 1) * 4) div n_group AS INT)"))
-        .withColumn("k", md5(concat_ws("|", lit("cur"), col("doc_id"))))
-        .select(col("doc_id"), col("n_subword_tokens"), col("tier"), col("k"))
-      val cur = ExactRank.exactRank(tiered, Seq("tier"), Seq("k", "doc_id"),
-        rankCol = "pos_in_tier")
-      Packing.packGrouped(cur.select(col("tier").as("grp"),
-        col("pos_in_tier").as("ord"), col("doc_id"),
-        col("n_subword_tokens").as("len")))
-    }),
-    // DSIR importance weighting: hashed-ngram target/raw log ratio — one
-    // scan fits BOTH distributions (conditional agg), 256-row broadcast
-    // model, integer-e6 scores; selection is a bounded TakeOrdered
-    "dsir_weights" -> ((s, dir) => Dsir.dsirWeights(t(s, dir, "documents"))),
-    "dsir_select" -> ((s, dir) => Dsir.dsirSelect(t(s, dir, "documents"))),
-    // GPT-style concat-and-chunk sequence packing over ONE GLOBAL token
-    // stream (pack_sequences is the per-shard layout; this is the
-    // (sequence, doc, span) assignment relation): the global offset is
-    // ONE window-free exactPrefixSum pass; the rest is row-local span
-    // arithmetic + a bounded explode
-    "pack_spans" -> ((s, dir) =>
-      Packing.packSequences(t(s, dir, "documents"))),
-    "pack_summary" -> ((s, dir) =>
-      Packing.packSummary(t(s, dir, "documents"))),
-    // packing on the LEARNED tokenizer's budgets: bpeTrainedEncode's
-    // per-doc BPE token counts feed the same window-free packing core —
-    // the tokenizer-agnostic seam demonstrated with a real tokenizer
-    "pack_bpe" -> ((s, dir) =>
-      Packing.packFromLengths(
-        TextAnalysis.bpeTrainedEncode(t(s, dir, "documents"))
-          .select(col("doc_id"), col("n_bpe_tokens").as("len")))),
-    // THE full pretraining-data pipeline, composed end-to-end: Gopher
-    // gate -> C4 line repair -> MinHash-LSH canonical dedup -> DSIR
-    // selection (target lang + top-k importance-weighted raw docs) ->
-    // sequence packing on the LEARNED tokenizer's real budgets (BPE
-    // trained on the curated corpus itself). Every stage is individually
-    // oracle-checked; this row checks their COMPOSITION. The curated
-    // corpus is operator-scope cached (CacheScope) because the tokenizer
-    // legitimately reads it twice (train + encode) — everything upstream
-    // stays one lazy plan per source.
-    "pipeline_dsir_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gKeep = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
-        .filter(col("keep")).select(col("doc_id"))
-      val repaired = TextAnalysis.c4LineFilter(docs.join(gKeep, Seq("doc_id")),
-          minLineWords = 50, requireTerminalPunct = false)
-        .filter(col("keep"))
-        .select(col("doc_id"), col("clean_text").as("text"))
-      val cleaned = repaired.join(docs.select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
-      val kept = Dedup.keepCanonical(cleaned,
-        Dedup.minhashLsh(cleaned).select(col("doc_a"), col("doc_b")))
-      val sel = Dsir.dsirSelect(kept, k = 100).select(col("doc_id"))
-      // matchingActions = 2: the BPE trainer's word-type collect is a
-      // legitimate internal Dataset action over this relation — releasing
-      // on it (the default first-match) would recompute the entire
-      // curation chain for the encode action that follows
-      val corpus = graft.operators.CacheScope.selfReleasing(
-        kept.filter(col("lang") === "en").select(col("doc_id"), col("text"))
-          .unionByName(
-            kept.select(col("doc_id"), col("text")).join(sel, Seq("doc_id"))),
-        matchingActions = 2)
-      Packing.packFromLengths(
-        TextAnalysis.bpeTrainedEncode(corpus)
-          .select(col("doc_id"), col("n_bpe_tokens").as("len")))
-    }),
-    // continuous-ingestion packing: the delta packs onto the end of the
-    // base stream — base contributes ONE broadcast aggregate, O(|delta|)
-    "pack_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Packing.packIncremental(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // STREAMING PACKING composition: a checkpointed doc stream packs
-    // onto the END of the base corpus's token stream per micro-batch,
-    // across a forced stop/restart. The only cross-batch state is a
-    // batch_id-keyed totals table (#batches rows): batch N's offset =
-    // base total (one pre-stream scalar) + Σ totals[batch < N], written
-    // with the same idempotent-partition recipe as the spans — replay
-    // overwrites both, offsets never double-count. One staged file per
-    // phase + maxFilesPerTrigger=1 pins batch composition, so the
-    // replayed union is deterministic and the oracle replays it as a
-    // (phase, doc_id)-ordered prefix sum.
-    // STREAMING writes into the snapshot-versioned table: base = v1,
-    // each micro-batch upserts version batch_id+2 (idempotent across the
-    // forced restart — a replayed batch overwrites its own version), and
-    // the result reads every version through its manifest. freshStageDir
-    // (not withStreamStage): the returned plan reads the table lazily.
-    "snapshot_stream" -> ((s, dir) => {
-      val stage = freshStageDir("graft_snap_s")
-      val in = stage + "/in"; val ckpt = stage + "/ckpt"
-      val root = stage + "/tbl"
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val delta = docs.filter(col("doc_id") % 10 === 0)
-      graft.sources.TableSink.writeSnapshot(
-        docs.filter(col("doc_id") % 10 =!= 0), root, 1)
-      def run(): Unit = {
-        val stream = s.readStream.schema(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("n_chars",
-                org.apache.spark.sql.types.LongType))))
-          .option("maxFilesPerTrigger", 1).parquet(in)
-        val q = stream.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            graft.sources.TableSink.writeSnapshotUpsert(b, root, id.toInt + 2)
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      delta.filter(col("doc_id") % 20 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(in)
-      run() // phase 1: batch 0 -> v2, clean stop
-      delta.filter(col("doc_id") % 20 =!= 0).coalesce(1)
-        .write.mode("append").parquet(in)
-      run() // phase 2: restart from the checkpoint -> batch 1 -> v3
-      (1 to 3).map(v =>
-          graft.sources.TableSink.readSnapshot(s, root, v)
-            .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
-              sum(col("n_chars")).as("sum_chars")))
-        .reduce(_.unionByName(_)).orderBy(col("version"))
-    }),
-    "pack_stream" -> ((s, dir) =>
-      withStreamStage("graft_pack_s") { stage =>
-      val in = stage + "/in"; val sink = stage + "/sink"
-      val ckpt = stage + "/ckpt"; val totals = stage + "/totals"
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val delta = docs.filter(col("doc_id") % 10 === 0)
-      // the base corpus contributes ONE scalar, computed once before the
-      // stream starts — never rescanned per batch
-      val baseTotal = Packing.totalTokens(
-        docs.filter(col("doc_id") % 10 =!= 0)).collect()(0).getLong(0)
-      def run(): Unit = {
-        val stream = s.readStream.schema(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("text",
-                org.apache.spark.sql.types.StringType))))
-          .option("maxFilesPerTrigger", 1).parquet(in)
-        val q = stream.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            val prior = scala.util.Try(s.read.parquet(totals)).toOption
-              .map(_.filter(col("batch_id") < id)
-                .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("p")))
-              .getOrElse(s.range(1).select(lit(0L).as("p")))
-            val off = prior.select((col("p") + lit(baseTotal)).as("base_off"))
-            graft.streaming.StreamingOps.writeBatchIdempotent(
-              Packing.packOnto(b, off), sink, id)
-            graft.streaming.StreamingOps.writeBatchIdempotent(
-              Packing.totalTokens(b), totals, id)
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      delta.filter(col("doc_id") % 20 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(in)
-      run() // phase 1: drains the staged file, clean stop
-      delta.filter(col("doc_id") % 20 =!= 0).coalesce(1)
-        .write.mode("append").parquet(in)
-      run() // phase 2: restart from the checkpoint — new file only
-      graft.sources.TableSink.saveTable(
-        s.read.parquet(sink).drop("batch_id"), "graft_pack_s_result")
-      s.table("graft_pack_s_result").orderBy(col("seq_id"), col("doc_id"))
-    }),
-    // longest-first round-robin sharding: balanced-bytes output shards
-    // via the window-free ExactRank under a constant group
-    "shard_rebalance" -> ((s, dir) =>
-      Sampling.shardRebalance(t(s, dir, "documents"))),
-    // cluster-aware split: every near-dup cluster member shares one
-    // split, so test can never hold a near-copy of a train document
-    "leakage_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
-      Sampling.leakageSafeSplit(docs, Dedup.nearDupClusters(pairs))
-    }),
-    // exactly k per stratum: md5-ranked window-free cut (the count
-    // request the fraction samplers can't answer)
-    "sample_exact_k" -> ((s, dir) =>
-      Sampling.sampleExactK(t(s, dir, "documents"))),
-    // grouped K-fold: every near-dup cluster in ONE fold (md5 of the
-    // representative, mod 5) — leakage-safe cross-validation splits
-    "group_kfold" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
-      Sampling.groupKFold(docs, Dedup.nearDupClusters(pairs))
-    }),
-    "weighted_sample" -> ((s, dir) =>
-      Sampling.weightedSample(t(s, dir, "documents"))),
-    // the full pretraining-prep chain in ONE lazy plan: sub-document
-    // dedup -> length-weighted corpus mixing -> token-budget packing.
-    // Each stage is individually oracle-checked; this row checks their
-    // COMPOSITION (column contracts between stages hold end-to-end)
-    "pipeline_pretrain" -> ((s, dir) => {
-      val cleaned = TextAnalysis.passageDedup(t(s, dir, "documents"))
-        .select(col("doc_id"), col("clean_text").as("text"))
-      val kept = Sampling.weightedSample(cleaned).select(col("doc_id"))
-      Sampling.packSequences(cleaned.join(kept, Seq("doc_id")))
-    }),
-    // the full QUALITY chain in ONE lazy plan: Gopher document filter ->
-    // C4 line repair -> CCNet perplexity cut (keep head+middle over the
-    // REPAIRED corpus — model, vocab, and rank thirds all computed on the
-    // filtered text, not the raw corpus) -> passage dedup. Each stage is
-    // individually oracle-checked; this row checks their COMPOSITION, and
-    // a PlanSpec pin holds it to one lazy plan (no intermediate
-    // materialization — the pipeline_pretrain discipline).
-    "pipeline_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gKeep = TextAnalysis.gopherQuality(docs, stopList = Seq("the", "a"))
-        .filter(col("keep")).select(col("doc_id"))
-      val repaired = TextAnalysis.c4LineFilter(docs.join(gKeep, Seq("doc_id")),
-          minLineWords = 50, requireTerminalPunct = false)
-        .filter(col("keep"))
-        .select(col("doc_id"), col("clean_text").as("text"))
-      val lmKeep = TextAnalysis.bigramBucketLabels(repaired)
-        .filter(col("bucket") =!= "tail").select(col("doc_id"))
-      TextAnalysis.passageDedup(repaired.join(lmKeep, Seq("doc_id")))
-    }),
-    // per-domain contribution cap (uniform deterministic within-domain pick)
-    "domain_cap" -> ((s, dir) => Sampling.domainCap(t(s, dir, "documents"))),
-    // sqrt-temperature domain rebalancing (multilingual mixing)
-    "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(t(s, dir, "documents"))),
-    // token-budget mixture assembly: each source keeps md5-shuffled docs
-    // until its token budget fills — per-source running totals via the
-    // window-free exactPrefixSum (a hot source must not single-task)
-    "token_budget_mix" -> ((s, dir) =>
-      Sampling.tokenBudgetMix(t(s, dir, "documents"))),
-    // UniMax epoch planning (r14): ascending-size water-fill of a
-    // corpus-derived token budget under a per-domain epoch cap — the
-    // published fair-sampling answer to temperature mixing's unbounded
-    // rare-domain oversampling. Emits the epoch PLAN (one row per
-    // domain); the 1.9×-total budget + 2-epoch cap land 7 of the 20
-    // fixture sources on the cap branch and 13 on the budget branch.
-    // Oracle replays the sequential recurrence as a recursive CTE.
-    "unimax_mix" -> ((s, dir) =>
-      Sampling.unimaxMix(t(s, dir, "documents"))),
-    "stratified_sample" -> ((s, dir) =>
-      Sampling.stratifiedSample(t(s, dir, "documents"))),
-    "pack_sequences" -> ((s, dir) =>
-      Sampling.packSequences(t(s, dir, "documents"))),
-    // exact global shuffle order via uniform md5 buckets (lazy, no hot key)
-    "corpus_shuffle" -> ((s, dir) =>
-      Sampling.corpusShuffle(t(s, dir, "documents"))),
-    // ---- URL canonicalization (host-keyed curation) ----------------------
-    // RFC 3986 syntax-based normalization over deterministically messy
-    // URLs (mixed case, explicit default ports, userinfo, fragments, an
-    // unparseable class -> NULL url_norm). Row-local regex chain shared
-    // verbatim with the oracle — no shuffle beyond the presentation sort.
-    "url_normalize" -> ((s, dir) =>
-      Url.normalize(messyUrls(t(s, dir, "documents"))).orderBy(col("doc_id"))),
-    // per-HOST contribution cap: normalize, quarantine unparseable rows,
-    // then reuse domain_cap's salted two-phase exact rank keyed on the
-    // parsed host — the key real crawls actually cap on
-    "host_cap" -> ((s, dir) =>
-      Url.hostCap(messyUrls(t(s, dir, "documents")), maxPerHost = 10)),
-    // link extraction + canonicalization (crawl-graph step): every href
-    // in deterministic real-shaped HTML becomes a row, absolute targets
-    // normalize to canonical URLs, relative ones surface NULL url_norm
-    "html_links" -> ((s, dir) =>
-      Url.extractLinks(htmlFixturePages(s, dir))
-        .orderBy(col("doc_id"), col("pos"))),
-    // base-URL reference resolution (RFC 3986 §5.2, string-expressible
-    // subset): relative/protocol-relative/fragment links resolve against
-    // each page's base URL to REAL hosts before normalization — most of
-    // a real crawl graph is relative links
-    "html_links_resolved" -> ((s, dir) =>
-      Url.resolveLinks(htmlFixturePages(s, dir))
-        .orderBy(col("doc_id"), col("pos"))),
-    // crawl authority end-to-end: the RESOLVED link edge relation (so
-    // relative links contribute real-host edges) through the SAME
-    // exact-integer rank recurrence as page_rank — the html_extract ->
-    // html_links_resolved -> link_rank -> host_cap chain
-    "link_rank" -> ((s, dir) => {
-      val edges = Url.resolveLinks(htmlFixturePages(s, dir))
-        .filter(col("url_norm").isNotNull)
-        .select(concat(lit("d"), col("doc_id").cast("string")).as("src"),
-          col("host").as("dst"))
-        .distinct()
-      Graph.pageRank(edges)
-    }),
-    // Kleinberg HITS over the SAME resolved doc->host edge relation:
-    // docs are hubs, hosts authorities — unnormalized exact-BIGINT
-    // sweeps (ranking-identical to the L2-normalized form at any fixed
-    // round count), oracle unrolls the two sweeps verbatim
-    "hits_scores" -> ((s, dir) => {
-      val edges = Url.resolveLinks(htmlFixturePages(s, dir))
-        .filter(col("url_norm").isNotNull)
-        .select(concat(lit("d"), col("doc_id").cast("string")).as("src"),
-          col("host").as("dst"))
-        .distinct()
-      Graph.hits(edges)
     }),
   )
 

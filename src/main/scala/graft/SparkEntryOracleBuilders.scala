@@ -527,6 +527,46 @@ private[graft] trait SparkEntryOracleBuilders {
       |GROUP BY a.node ORDER BY a.node""".stripMargin
   }
 
+  /** Oracle for ktruss_edges (Graph.ktrussDecompose): a fixed unroll of
+    * the synchronous edge peel — each round enumerates triangles over
+    * the surviving canonical edge set in the ID-ORDERED a<b<c form (the
+    * triangle_count parity argument: different join order, identical
+    * triangle set as the engine's degree-oriented wedges), explodes
+    * them into per-edge support, and keeps edges with >= k-2. As with
+    * kcoreSql, post-convergence rounds are no-ops, so any unroll at or
+    * above the engine's convergence round is the identical truss.
+    */
+  private[graft] def ktrussSql(k: Int, unrollRounds: Int): String = {
+    val head = cooccurCte +
+      """, e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(product, neighbor) AS u,
+      |    greatest(product, neighbor) AS v
+      |  FROM counts WHERE product <> neighbor AND cnt >= 2)""".stripMargin
+    def triSup(i: Int) = s""",
+      |tri$i AS MATERIALIZED (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e$i e1 JOIN e$i e2 ON e2.u = e1.v
+      |  JOIN e$i e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), sup$i AS MATERIALIZED (
+      |  SELECT x.u, x.v, count(*) AS sup FROM (
+      |    SELECT t.a AS u, t.b AS v FROM tri$i t
+      |    UNION ALL SELECT t.a, t.c FROM tri$i t
+      |    UNION ALL SELECT t.b, t.c FROM tri$i t) x
+      |  GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to unrollRounds).map { i =>
+      triSup(i - 1) + s""",
+      |e$i AS MATERIALIZED (
+      |  SELECT e.u, e.v FROM e${i - 1} e
+      |  LEFT JOIN sup${i - 1} s ON s.u = e.u AND s.v = e.v
+      |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
+    }.mkString
+    head + iters + triSup(unrollRounds) + s"""
+      |SELECT e.u, e.v, CAST(s.sup AS BIGINT) AS support
+      |FROM e$unrollRounds e
+      |JOIN sup$unrollRounds s ON s.u = e.u AND s.v = e.v
+      |ORDER BY e.u, e.v""".stripMargin
+  }
+
   /** Chained-replace BPE encode (mirrors TextAnalysis.bpeEncode): each
     * word becomes ` c1  c2 ... cn ` — single-space borders, double-space
     * separators — the representation in which ONE SQL replace of
@@ -2162,7 +2202,36 @@ private[graft] trait SparkEntryOracleBuilders {
         |""".stripMargin
   }
 
-  /** `quantile_sketch` / `quantile_stream` shared oracle: bucket CDF +
+  /** `quantile_sketch` / `quantile_stream` shared oracle (r16 primary):
+    * bucket CDF + integer interpolation, NO exact leg — the sketch-only
+    * registered form. */
+  private[graft] lazy val quantileSketchOnlyOracle: String =
+    """WITH v AS (
+          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |  FROM lineitem
+          |), n AS (SELECT count(*) AS n FROM v
+          |), b AS (SELECT v // 100000 AS b, count(*) AS cnt FROM v GROUP BY 1
+          |), c AS (
+          |  SELECT b, cnt,
+          |    CAST(coalesce(sum(cnt) OVER (ORDER BY b
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_before
+          |  FROM b
+          |), p AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS pct
+          |), t AS (
+          |  SELECT pct, n AS n_total,
+          |    CAST((n * pct + 99) // 100 AS BIGINT) AS target_rank
+          |  FROM p CROSS JOIN n
+          |)
+          |SELECT t.pct, t.n_total, t.target_rank,
+          |  CAST(c.b * 100000 +
+          |    ((t.target_rank - c.cum_before) * 100000) // c.cnt
+          |    AS BIGINT) AS est_cents
+          |FROM t JOIN c ON t.target_rank > c.cum_before
+          |  AND t.target_rank <= c.cum_before + c.cnt
+          |ORDER BY t.pct""".stripMargin
+
+  /** `quantile_sketch_audit` oracle: bucket CDF +
     * integer interpolation + the exact rank-t leg. */
   private[graft] lazy val quantileSketchOracle: String =
     """WITH v AS (

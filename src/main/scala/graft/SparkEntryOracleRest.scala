@@ -351,12 +351,7 @@ private[graft] trait SparkEntryOracleRest extends SparkEntryOracleBuilders {
     // twin's bounded serve == the one-shot batch serve — same oracle text
     "ann_lifecycle_serve" -> annBatchServeOracle,
     "pq_encode" -> pqEncodeOracle,
-    "ann_ivfpq_topk" -> annIvfpqOracle,
-    "ann_ivfpq_auto" -> annIvfpqAutoOracle,
-    "ann_ivfpq_imi" -> annIvfpqImiOracle,
     "pq_encode_residual" -> pqEncodeResidualOracle,
-    "ann_ivfpq_residual" -> annIvfpqResidualOracle,
-    "ann_ivfpq_rerank" -> annIvfpqRerankOracle,
     "pq_residual_gain" -> pqResidualGainOracle,
     "pq_recall_residual" -> pqRecallOracleWith(annIvfpqResidualOracle),
     "pq_recall_rerank" -> pqRecallOracleWith(annIvfpqRerankOracle),
@@ -388,7 +383,6 @@ private[graft] trait SparkEntryOracleRest extends SparkEntryOracleBuilders {
     // math) and cut to the registered ServeHead query batch — the index
     // side is query-independent, so the head rows are bit-identical
     "ann_ivfpq_serve" -> headServeOracle(annIvfpqOracle, "adc_e6"),
-    "ann_ivfpq_auto_serve" -> headServeOracle(annIvfpqAutoOracle, "adc_e6"),
     "ann_ivfpq_imi_serve" -> headServeOracle(annIvfpqImiOracle, "adc_e6"),
     "ann_ivfpq_residual_serve" ->
       headServeOracle(annIvfpqResidualOracle, "adc_e6"),

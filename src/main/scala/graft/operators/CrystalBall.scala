@@ -72,4 +72,44 @@ object CrystalBall {
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("neighbor"), col("prob")))))
         .as("stripe"))
+
+  /** PPMI / LIFT ranking over the co-occurrence counts (r16 — the
+    * information-theoretic sibling of [[normalize]]'s P(b|a), the
+    * classic word-association statistic of Church & Hanks 1990 applied
+    * to the reference's product domain): lift(a,b) =
+    * N·c(a,b) / (c(a)·c(b)), where PMI = ln(lift). ln is monotone, so
+    * the ranking and the positive-PMI cut need only the RATIONAL lift,
+    * kept exact as lift_e6 = (1e6·N·c(ab)) div (c(a)·c(b)) in
+    * DECIMAL(38,0) — no ln, no libm divergence, the house
+    * integer-ranking discipline. Emits the top-k positively associated
+    * neighbors per product (lift_e6 > 1e6 ⟺ PMI > 0).
+    *
+    * Scale shape: both marginals are partial-aggregable groupBys over
+    * the ALREADY-AGGREGATED pair relation; N is a 1-row broadcast; the
+    * rank window partitions per product (neighbor-catalog-bounded, with
+    * the rank cut pushed map-side by WindowGroupLimit) — nothing here
+    * touches raw observations.
+    */
+  def ppmiRank(counts: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"ppmiRank: k must be >= 1, got $k")
+    val c = CacheScope.selfReleasing(
+      counts.select(col("product"), col("neighbor"), col("cnt")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val rowM = c.groupBy(col("product")).agg(sum(col("cnt")).as("c_a"))
+    val colM = c.groupBy(col("neighbor")).agg(sum(col("cnt")).as("c_b"))
+    val n = c.agg(sum(col("cnt")).as("n_total"))
+    val scored = c.join(rowM, "product").join(colM, "neighbor")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_e6", expr(
+        "CAST((CAST(cnt AS DECIMAL(38,0)) * n_total * 1000000)" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"))
+      .filter(col("lift_e6") > lit(1000000L))
+    val w = Window.partitionBy(col("product"))
+      .orderBy(col("lift_e6").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("product"), col("neighbor"), col("cnt"),
+        col("n_total"), col("lift_e6"), col("rk"))
+      .orderBy(col("product"), col("rk"))
+  }
 }

@@ -361,10 +361,18 @@ object Events {
       dayofweek(col("ts")).cast("int").as("dow"),
       hour(col("ts")).cast("int").as("hr"),
       floor(col("value") * 100).cast("long").as("cents"))
+    // floored mean via the shifted-space idiom (r16 advice): floor(v*100)
+    // admits NEGATIVE cents for negative event values, where Spark `div`
+    // (truncate) and DuckDB `//` (floor) diverge — shifting each row's
+    // contribution by +1e7 cents (values ≥ −1e5 covered; the generator's
+    // are non-negative) keeps both operands non-negative so the result
+    // IS the floor division the oracle's `//` computes, for any sign
+    val shift = 10000000L
     val prof = cells.groupBy(col("dow"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("cents")).as("sum_cents"))
-      .withColumn("mean_cents", expr("sum_cents div n_events"))
+      .withColumn("mean_cents",
+        expr(s"(sum_cents + $shift * n_events) div n_events - $shift"))
     cells.join(broadcast(prof), Seq("dow", "hr"))
       .groupBy(col("dow"), col("hr"))
       .agg(max(col("n_events")).as("n_events"),
@@ -373,6 +381,52 @@ object Events {
         max(abs(col("cents") - col("mean_cents")))
           .as("max_abs_residual_cents"))
       .orderBy(col("dow"), col("hr"))
+  }
+
+  /** MAD ROBUST OUTLIER PROFILE per event type (r16 — the
+    * median-absolute-deviation cut every metrics pipeline reaches for
+    * once it learns mean±kσ folds under the very outliers it hunts;
+    * Hampel's estimator): per type the exact LOWER median of value
+    * cents, the exact median absolute deviation around it, and the
+    * count of |x − med| > 3·MAD rows. Medians are deterministic —
+    * rank t = (n+1) div 2 under the (cents, event_id) total order —
+    * via TWO [[ExactRank]] passes, never a corpus-wide window (the
+    * event_type partition count is a handful: a window would be a
+    * few-task ceiling at any cluster size, the order_rank rationale).
+    * All integer: floor cents first, |·| and 3·MAD in BIGINT.
+    *
+    * Scale shape: two range-partitioned rank passes + one broadcast
+    * join of the ≤|types| median relation + one partial-aggregable
+    * count — rank state is partitions×types with ExactRank's
+    * fail-fast cardinality guard.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val cents = CacheScope.selfReleasing(
+      events.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_id")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val med = ExactRank.exactRank(cents, Seq("event_type"),
+        Seq("cents", "event_id"))
+      .filter(expr("rnk = (n_group + 1) div 2"))
+      .select(col("event_type"), col("n_group").as("n_events"),
+        col("cents").as("med_cents"))
+    val devs = CacheScope.selfReleasing(
+      cents.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("cents") - col("med_cents"))
+          .as("dev"), col("event_id")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val mad = ExactRank.exactRank(devs, Seq("event_type"),
+        Seq("dev", "event_id"))
+      .filter(expr("rnk = (n_group + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    devs.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("med_cents"),
+        col("mad_cents"))
+      .agg(sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
   }
 
   def hourlyCounts(events: DataFrame): DataFrame =

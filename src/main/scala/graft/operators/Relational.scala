@@ -1096,6 +1096,21 @@ object Relational {
     quantileFromBuckets(v, quantileBuckets(v, widthCents), widthCents, pcts)
   }
 
+  /** The SKETCH-ONLY primary (r16, VERDICT r15 item 2): bucket CDF +
+    * integer-interpolated estimates WITHOUT the exact rank-t audit leg.
+    * The registered `quantile_sketch` primary is this form — one
+    * partial-aggregable bucket-count pass over the data plus window/join
+    * work on the tiny (≈ value_range/W rows) bucket relation, the shape
+    * that actually ships at 100 TB. [[quantileSketch]] (estimates JOINED
+    * with the exact rank-t truth, ExactRank pass over the full corpus)
+    * stays registered as the measured-error audit twin — its x100 cost
+    * is entirely the audit's, by design.
+    */
+  def quantileSketchOnly(lineitem: DataFrame, widthCents: Long = 100000L,
+      pcts: Seq[Int] = Seq(1, 5, 25, 50, 75, 95, 99)): DataFrame =
+    quantileEstimate(
+      quantileBuckets(quantileValues(lineitem), widthCents), widthCents, pcts)
+
   /** The sketch's value relation: exact cents + the deterministic
     * tie-break key columns the exact-rank leg orders by. */
   private[graft] def quantileValues(lineitem: DataFrame): DataFrame =
@@ -1120,7 +1135,14 @@ object Relational {
     * forms: CDF over the (tiny) bucket relation, integer interpolation,
     * exact rank-t leg from [[ExactRank]] over the full value relation.
     */
-  private[graft] def quantileFromBuckets(v: DataFrame, buckets: DataFrame,
+  /** Estimate tail shared by the sketch-only primary, the audit twin,
+    * and the streaming merge: CDF + integer interpolation over the
+    * (tiny) bucket relation. Returns (pct, n_total, target_rank,
+    * est_cents) ordered by pct — the `quantile_sketch` primary's exact
+    * driver surface. The global window is over the bucket relation
+    * only (≈ value_range/W rows), never the data.
+    */
+  private[graft] def quantileEstimate(buckets: DataFrame,
       widthCents: Long, pcts: Seq[Int]): DataFrame = {
     require(widthCents >= 1 && pcts.nonEmpty &&
       pcts.forall(p => p >= 1 && p <= 100), "degenerate sketch parameters")
@@ -1129,23 +1151,29 @@ object Relational {
     val cdf = buckets.withColumn("cum_before",
       coalesce(sum(col("cnt")).over(w), lit(0L)))
     val n = buckets.agg(sum(col("cnt")).as("n"))
-    val targets = v.sparkSession.range(0, pcts.size)
+    val targets = buckets.sparkSession.range(0, pcts.size)
       .select(expr(s"array(${pcts.mkString(",")})[CAST(id AS INT)]")
         .as("pct"))
       .crossJoin(broadcast(n))
       .select(col("pct"), col("n").as("n_total"),
         expr("(n * pct + 99) div 100").as("target_rank"))
-    val est = broadcast(targets).join(cdf,
+    broadcast(targets).join(cdf,
         col("target_rank") > col("cum_before") &&
           col("target_rank") <= col("cum_before") + col("cnt"))
       .select(col("pct"), col("n_total"), col("target_rank"),
         (col("b") * widthCents +
           expr(s"((target_rank - cum_before) * $widthCents) div cnt"))
           .as("est_cents"))
+      .orderBy(col("pct"))
+  }
+
+  private[graft] def quantileFromBuckets(v: DataFrame, buckets: DataFrame,
+      widthCents: Long, pcts: Seq[Int]): DataFrame = {
+    val est = quantileEstimate(buckets, widthCents, pcts)
     val ranked = ExactRank.exactRank(v.withColumn("g", lit(0)), Seq("g"),
       Seq("v", "l_orderkey", "l_linenumber", "pk"))
     val exact = ranked.join(
-        broadcast(targets.select(col("pct").as("p2"),
+        broadcast(est.select(col("pct").as("p2"),
           col("target_rank").as("t2"))),
         col("rnk") === col("t2"))
       .select(col("p2").as("pct"), col("v").as("exact_cents"))
@@ -1175,9 +1203,12 @@ object Relational {
   def dpMean(documents: DataFrame, epsilon: Double = 1.0,
       clip: Long = 500): DataFrame = {
     require(epsilon > 0 && clip >= 1, "dpMean: epsilon > 0, clip >= 1")
-    val tokens = least(
+    // coalesce BEFORE least (r16 advice): for a NULL text the regex size
+    // is NULL and least() would skip the NULL in both engines — making a
+    // null document contribute the full clip to clipped_sum instead of 0
+    val tokens = least(coalesce(
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
-        .cast("long"), lit(clip))
+        .cast("long"), lit(0L)), lit(clip))
     val agg = documents.select(tokens.as("t"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("clipped_sum"))
     val h = conv(substring(md5(lit("dp_mean_release").cast("binary")),

@@ -1411,6 +1411,17 @@ object Similarity {
       dims: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && rounds >= 1 && rounds <= 8 && dims >= 1,
       s"kmeans: k >= 2, rounds in [1,8], dims >= 1 (got $k/$rounds/$dims)")
+    // the deterministic seed rule assumes DENSE 0-based vec_ids (the
+    // corpus convention shared with the PQ/IVF stub quantizers); on a
+    // 1-based or sparse corpus `vec_id < k` silently yields fewer seeds
+    // and a degenerate clustering — fail fast instead (r16 advice).
+    // One pushed-filter count over ≤k candidate rows, on the RAW input
+    // (never the CacheScope'd relation — a build-time action on that
+    // would consume its one-shot release listener).
+    val seedCount = embeddings.filter(col("vec_id") < k).count()
+    require(seedCount == k,
+      s"kmeans seeds: expected $k vectors with vec_id in [0, $k) — found " +
+        s"$seedCount; the seed rule requires dense 0-based vec_ids")
     // quantize once; every round's assign + the final assign re-read it
     val q = CacheScope.selfReleasing(
       embeddings.select(col("vec_id"),

@@ -16,6 +16,26 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Receipt for streaming bench rows (r16, VERDICT r15 item 3): after a
+    * bounded (availableNow) run terminates, print the micro-batch count
+    * and per-batch trigger durations to stderr. A 2× swing in a
+    * streaming row then attributes itself: batch count changed → the
+    * tree/staging layout moved; same count, per-batch time up → host
+    * drift at the micro-batch floor. stderr, not stdout — Bench's JSON
+    * protocol owns stdout.
+    */
+  def logBatchReceipt(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    val parts = ps.map { p =>
+      val ms = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+      s"b${p.batchId}=${ms}ms(${p.numInputRows}r)"
+    }
+    System.err.println(
+      s"[stream] $name batches=${ps.length} ${parts.mkString(" ")}")
+  }
+
   /** Canonical events shape (ts as the legacy long-nanos placeholder —
     * [[eventsStreamNormalized]] and the specs swap it for TimestampType).
     */
@@ -83,6 +103,34 @@ object StreamingOps {
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** MULTI-SOURCE UNION into the watermarked hourly window (r16,
+    * VERDICT r15 item 8 — the streaming section's first multi-stream
+    * plan): two independent file-source streams union BEFORE the
+    * watermark + tumbling aggregation, so the engine tracks ONE global
+    * watermark as the MINIMUM across sources — a lagging source holds
+    * results back instead of losing rows, the semantics a multi-region
+    * ingest actually needs. `delay` is the caller's contract with the
+    * arrival order: the registered driver row stages files with no
+    * time ordering and runs in UPDATE mode (drops are a real loss
+    * there), so it passes a delay wider than the corpus span;
+    * StreamingSpec drives a tight delay against a crafted straggler
+    * and pins both the drop and the min-watermark hold.
+    */
+  def hourlyCountsUnion(a: DataFrame, b: DataFrame,
+      delay: String = "2 hours"): DataFrame =
+    // PER-LEG watermarks, then union: one post-union watermark would be
+    // computed from the max event time across ALL rows (a fast source
+    // closes windows the slow one still owes rows to); two watermark
+    // nodes engage the engine's multipleWatermarkPolicy=min default,
+    // which is the hold-back semantics a multi-source ingest needs
+    a.withWatermark("ts", delay)
+      .unionByName(b.withWatermark("ts", delay))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -4000,6 +4000,99 @@ class PipelineSpec extends AnyFunSuite {
       "fixpoint violated: a core member with degree < 2")
   }
 
+  test("ktrussDecompose peels weak edges, cascades, keeps clique support") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // 4-clique + a pendant triangle {4,5,6} + a dangling edge (6,7):
+    // under k=4 every clique edge sits in 2 surviving triangles; the
+    // pendant triangle's edges have support 1 → peel; (6,7) support 0
+    val g = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val got = Graph.ktrussDecompose(g, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == clique(Seq(1L, 2L, 3L, 4L)).map(_ -> 2L).toMap,
+      s"4-truss of clique+pendant: $got")
+
+    // CASCADE: triangle {1,2,5} hangs off the clique; peeling (1,5) and
+    // (2,5) must NOT take (1,2) with it — its clique support keeps it —
+    // and the re-check loop must run more than one round to settle
+    val g2 = (clique(Seq(1L, 2L, 3L, 4L)) ++ Seq((1L, 5L), (2L, 5L)))
+      .toDF("src", "dst")
+    val got2 = Graph.ktrussDecompose(g2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == clique(Seq(1L, 2L, 3L, 4L)).map(_ -> 2L).toMap,
+      s"cascade peel: $got2")
+
+    // a cap below the cascade depth throws rather than serving a
+    // half-peeled truss
+    val chain = (1L to 6L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .toDF("src", "dst") // triangle ladder: peels end-in
+    val e = intercept[IllegalStateException](
+      Graph.ktrussDecompose(chain, k = 4, maxRounds = 1))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+
+    // oracle-unroll pin (the kcoreSql contract): the registered query
+    // unrolls ktrussSql(3, 12) rounds — maxRounds=12 on the sf0.01
+    // graph THROWS if the engine needs more; raise both together.
+    // k = 3 matches the registration (the 4-truss is empty there)
+    val dir = "/root/testdata/sf0.01"
+    val edges = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .filter(col("cnt") >= 2)
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    val truss = Graph.ktrussDecompose(edges, k = 3, maxRounds = 12)
+    assert(truss.count() > 0, "sf0.01 3-truss unexpectedly empty")
+    assert(truss.filter(col("support") < 1).count() == 0,
+      "fixpoint violated: a truss edge with support < 1")
+  }
+
+  test("ppmiRank matches a brute-force lift computation and cuts at PMI>0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a,b co-occur MORE than independence predicts; a,c LESS (lift
+    // 800_000 <= 1e6 → PMI <= 0 → cut)
+    val counts = Seq(("a", "b", 8L), ("b", "a", 8L), ("a", "c", 2L),
+      ("c", "a", 2L), ("b", "c", 6L), ("c", "b", 6L))
+    val df = counts.toDF("product", "neighbor", "cnt")
+    val n = counts.map(_._3).sum
+    val cA = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cB = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lifts = counts.map { case (a, b, c) =>
+      (a, b) -> (BigInt(c) * n * 1000000 / (BigInt(cA(a)) * cB(b))).toLong
+    }.toMap
+    val expected = lifts.filter(_._2 > 1000000L)
+      .groupBy(_._1._1).flatMap { case (_, m) =>
+        m.toSeq.sortBy { case ((_, b), l) => (-l, b) }.take(5)
+      }
+    val got = operators.CrystalBall.ppmiRank(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got == expected, s"lift drift: got $got expected $expected")
+    // hand values: lift(a,b) = 8·32e6/(10·14) = 1_828_571 (floored);
+    // lift(a,c) = 2·32e6/(10·8) = 800_000 → cut, both directions
+    assert(got(("a", "b")) == 1828571L, s"hand value drift: $got")
+    assert(!got.contains(("a", "c")) && !got.contains(("c", "a")),
+      s"PMI<=0 pair not cut: $got")
+  }
+
+  test("madOutliers: hand-walked medians, MAD, and the 3-MAD cut") {
+    import spark.implicits._
+    // type x: cents 100,200,300,400,10000 → med=300 (rank 3 of 5);
+    // devs 200,100,0,100,9700 → sorted 0,100,100,200,9700 → MAD=100
+    // (rank 3); outliers dev > 300: only 9700 → 1
+    // type y: single row → med = its value, MAD = 0, outlier iff dev>0
+    // (dev of the only row is 0) → 0
+    val ev = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0), (5L, "x", 100.0), (6L, "y", 7.5))
+      .toDF("event_id", "event_type", "value")
+    val got = operators.Events.madOutliers(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("x" -> ((5L, 300L, 100L, 1L)),
+      "y" -> ((1L, 750L, 0L, 0L))), s"MAD profile drift: $got")
+  }
+
   test("two-level IMI assignment serves with recall comparable to flat") {
     import org.apache.spark.sql.functions.col
     // quality guard for the hierarchical coarse quantizer: the IMI

@@ -1077,11 +1077,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"no hash join on the bucket key:\n$p")
   }
 
-  test("ann_ivfpq_rerank's second stage is equi-joined, shortlist-bounded") {
+  test("ann_ivfpq_rerank_serve's second stage is equi-joined, shortlist-bounded") {
     // the rerank joins full-precision vectors back by ID onto the ADC
     // shortlist — equi hash joins only; a nested-loop or cartesian here
     // means the shortlist bound was lost and the stage is corpus²
-    val p = planOf("ann_ivfpq_rerank")
+    // (pinned on the registered serve primary; the serve-everything twin
+    // moved to the ScaleAudit-only registry in r16)
+    val p = planOf("ann_ivfpq_rerank_serve")
     // broadcast crosses (the ≤16-centroid assignment) are designed; a
     // CartesianProduct means the shortlist bound was lost
     assert(!p.contains("CartesianProduct"),
@@ -1091,6 +1093,20 @@ class PlanSpec extends AnyFunSuite {
     // WindowGroupLimit must push the rank cut map-side
     assert(p.contains("WindowGroupLimit"),
       s"rank cuts lost their map-side group limit:\n$p")
+  }
+
+  test("ann_ivfpq_imi_serve assigns through the two-level hierarchy, not flat") {
+    // the auto-sized serve PRIMARY must route assignment through
+    // twoLevelAssign (N·2√nlist — x100 2.8×), never the flat N·nlist
+    // quadratic (x100 7.1×, now an audit-only receipt). The two-level
+    // plan is recognizable by its parent equi-key: vectors join their
+    // chosen super's children on `parent`, an attribute the flat
+    // assignment never produces.
+    val p = planOf("ann_ivfpq_imi_serve")
+    assert(p.contains("parent#"),
+      s"two-level assignment lost its parent equi-join — flat quadratic?\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment degenerated to a cartesian:\n$p")
   }
 
   test("kmeans_assign combines the x-k candidate expansion map-side") {

@@ -683,6 +683,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("union watermark is the MIN across sources: lagging leg holds, late row drops") {
+    import spark.implicits._
+    // the two union-specific semantics the driver's parity row (wide
+    // delay, update mode) deliberately avoids exercising: (1) a lagging
+    // source HOLDS the global watermark — windows the fast source alone
+    // would close stay open until the slow leg catches up; (2) once the
+    // union watermark does advance, a late row in EITHER leg drops.
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, seconds
+    def ns(offsetMin: Long) = (base + offsetMin * 60L) * 1000000000L
+    def rows(ids: Seq[(Long, Long, String)]) =
+      ids.map { case (id, m, t) => (id, ns(m), 1L, t, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_union_a")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_union_b")
+    def addFile(dir: java.nio.file.Path,
+        df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_union_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // A: two on-time "a"s in [00:00,01:00) + a head event at 05:00 —
+    // alone, A's watermark candidate (03:00) would close that window
+    addFile(dirA, rows(Seq((1L, 10L, "a"), (2L, 20L, "a"),
+      (3L, 300L, "x"))), "a1.parquet")
+    // B lags: one "b" in the same window, max event time 01:00 —
+    // B's candidate is 23:00 YESTERDAY, so the union watermark is held
+    addFile(dirB, rows(Seq((4L, 30L, "b"), (5L, 60L, "b"))), "b1.parquet")
+    val q = StreamingOps.hourlyCountsUnion(
+        StreamingOps.eventsStream(spark, dirA.toString),
+        StreamingOps.eventsStream(spark, dirB.toString))
+      .writeStream.format("memory").queryName("union_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("union_stream").isEmpty,
+        "lagging source must hold the union watermark — a window closed " +
+          s"early: ${spark.table("union_stream").collect().mkString}")
+      // B catches up to 06:00 → union watermark = min(03:00, 04:00) =
+      // 03:00 → the [00:00,01:00) window closes with BOTH legs' rows
+      addFile(dirB, rows(Seq((6L, 360L, "y"))), "b2.parquet")
+      q.processAllAvailable()
+      // a late "a" at 00:40 in A — behind the 03:00 union watermark —
+      // must drop (the closed window's count must not change, and
+      // append mode can never re-emit it)
+      addFile(dirA, rows(Seq((7L, 40L, "a"))), "a2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("union_stream").collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+          r.getString(1)) -> r.getLong(2)).toMap
+      assert(got((base, "a")) == 2L,
+        s"union window lost or double-counted a leg (or admitted the late row): $got")
+      assert(got((base, "b")) == 1L, s"second leg's rows missing: $got")
+      assert(got((base + 3600L, "b")) == 1L, s"01:00 window missing: $got")
+      assert(!got.keys.exists(_._2 == "x") && !got.keys.exists(_._2 == "y"),
+        s"open head windows emitted early: $got")
+    } finally q.stop()
+  }
+
   test("pack_stream's offset state never double-counts a replayed batch") {
     import spark.implicits._
     // the streaming-packing invariant beyond generic sink idempotence:

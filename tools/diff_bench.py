@@ -38,6 +38,18 @@ def main(old_path, new_path, top_n=15):
           f"({old['total_sec']/max(1,old['n_queries']):.3f} s/q)  sf={old.get('sf','?')}")
     print(f"new: {new['total_sec']:8.1f} s / {new['n_queries']} queries "
           f"({new['total_sec']/max(1,new['n_queries']):.3f} s/q)  sf={new.get('sf','?')}")
+    # r16: calib-normalized comparison when both maps carry the probe.
+    # calib_sec is the median of a fixed CPU-bound spark probe — a pure
+    # host-speed unit, so new*cal_old/cal_new removes uniform load drift
+    # and what remains is attributable to the tree.
+    cal_o, cal_n = old.get("calib_sec"), new.get("calib_sec")
+    host = None
+    if cal_o and cal_n:
+        host = cal_n / cal_o
+        print(f"calib: {cal_o:.4f} s -> {cal_n:.4f} s  (host x{host:.3f}; "
+              f"normalized new total = {new['total_sec']/host:.1f} s, "
+              f"work/calib {old.get('total_per_calib',0):.0f} -> "
+              f"{new.get('total_per_calib',0):.0f})")
     of = {k for k, v in old["queries"].items() if v < 0}
     nf = {k for k, v in new["queries"].items() if v < 0}
     if of or nf:
@@ -61,10 +73,13 @@ def main(old_path, new_path, top_n=15):
         if a < NOISE_FLOOR_SEC and b < NOISE_FLOOR_SEC:
             tiny += 1
             continue
-        ratio = b / a if a > 0 else float("inf")
-        moves.append((ratio, b - a, k, a, b))
+        bn = b / host if host else b  # calib-normalized when available
+        ratio = bn / a if a > 0 else float("inf")
+        moves.append((ratio, bn - a, k, a, bn))
     if tiny:
         print(f"(skipped {tiny} queries under {NOISE_FLOOR_SEC} s both sides)")
+    if host:
+        print(f"(ratios/deltas below are calib-normalized: new/{host:.3f})")
 
     def show(title, rows):
         if not rows:
