@@ -554,10 +554,17 @@ object SparkEntry extends SparkEntryOracleMain
     // PPMI/lift association ranking over the pair counts (r16 — Church &
     // Hanks' PMI with the ln dropped: lift is rational, so ranking and
     // the PMI>0 cut stay exact integers; top-5 positively-associated
-    // neighbors per product)
-    "ppmi_rank" -> ((s, dir) =>
-      CrystalBall.ppmiRank(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)))),
+    // neighbors per product). Counts MATERIALIZED to a catalog table
+    // first (the ppr_seeded economics — the operator traverses the pair
+    // relation four times, and a one-shot parquet write beats both a
+    // chain recompute and a row-format disk cache; EXECUTE-ON-BUILD,
+    // see ppr_seeded's note)
+    "ppmi_rank" -> ((s, dir) => {
+      graft.sources.TableSink.saveTable(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)),
+        "graft_ppmi_counts")
+      CrystalBall.ppmiRank(s.table("graft_ppmi_counts"))
+    }),
     // exact triangle counts over the SIGNIFICANT co-occurrence edges
     // (cnt >= 2 — noise pruning is standard before cohesion analysis on a
     // co-occurrence graph; the once-seen pairs at cnt=1 are mostly basket

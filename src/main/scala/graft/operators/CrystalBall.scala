@@ -92,13 +92,21 @@ object CrystalBall {
     */
   def ppmiRank(counts: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"ppmiRank: k must be >= 1, got $k")
-    val c = CacheScope.selfReleasing(
-      counts.select(col("product"), col("neighbor"), col("cnt")),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // NO operator-scoped cache: the pair relation is traversed four
+    // times (two marginals, the total, the scored join) and a DISK_ONLY
+    // row-format cache of a corpus-scale relation loses to columnar
+    // scans (the ppr_seeded r15 measurement) — the registered query
+    // materializes its counts chain to a parquet table first, so each
+    // traversal here is a compact columnar scan
+    val c = counts.select(col("product"), col("neighbor"), col("cnt"))
     val rowM = c.groupBy(col("product")).agg(sum(col("cnt")).as("c_a"))
     val colM = c.groupBy(col("neighbor")).agg(sum(col("cnt")).as("c_b"))
     val n = c.agg(sum(col("cnt")).as("n_total"))
-    val scored = c.join(rowM, "product").join(colM, "neighbor")
+    // colM first, rowM second: the last equi-join leaves the relation
+    // partitioned by PRODUCT, which is exactly the rank window's
+    // requirement — Catalyst reuses that exchange, so the pair relation
+    // shuffles twice (neighbor, product), not three times
+    val scored = c.join(colM, "neighbor").join(rowM, "product")
       .crossJoin(broadcast(n))
       .withColumn("lift_e6", expr(
         "CAST((CAST(cnt AS DECIMAL(38,0)) * n_total * 1000000)" +
