@@ -1169,6 +1169,10 @@ object SparkEntry extends SparkEntryOracleMain
       Scd.upsertApply(oldSnap, feed, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     }),
+    // join-key skew profile (r16): top-20 hottest keys, exact share,
+    // uniformity factor — the pre-shuffle diagnostic for salted joins
+    "skew_profile" -> ((s, dir) =>
+      Relational.skewProfile(t(s, dir, "lineitem"), "l_partkey")),
     "string_agg" -> ((s, dir) =>
       Relational.stringAgg(t(s, dir, "supplier"), t(s, dir, "nation"))),
     "value_histogram" -> ((s, dir) => Relational.valueHistogram(eventsTable(s, dir))),

@@ -48,6 +48,101 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the full prefix-filter chain replayed: df order, per-doc prefix
+    // cut, length filter, exact verify — losslessness itself is the
+    // SPEC's claim (brute-force fixture), the oracle checks the chain
+    "setsim_join" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1
+        |), ord AS (
+        |  SELECT t.doc_id, t.token,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.df, t.token) AS pos,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+        |  FROM tok t JOIN dfq d USING (token)
+        |), pre AS MATERIALIZED (
+        |  SELECT doc_id, token, sz FROM ord
+        |  WHERE pos <= sz - (600000 * sz + 999999) // 1000000 + 1
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sz AS sz_a, b.sz AS sz_b
+        |  FROM pre a JOIN pre b ON a.token = b.token
+        |    AND a.doc_id < b.doc_id
+        |    AND (600000 * greatest(a.sz, b.sz) + 999999) // 1000000
+        |      <= least(a.sz, b.sz)
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(sz_a AS BIGINT) AS sz_a,
+        |  CAST(sz_b AS BIGINT) AS sz_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST((n_common * 1000000) // (sz_a + sz_b - n_common) AS BIGINT)
+        |    AS jaccard_e6
+        |FROM inter
+        |WHERE (n_common * 1000000) // (sz_a + sz_b - n_common) >= 600000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // RAKE replay: gaps-and-islands phrases over the shared token
+    // pattern, deg/freq word scores, phrase sums — all integer
+    "rake_keywords" ->
+      (s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'), 1) - 1 AS pos
+        |  FROM documents
+        |), ns AS (
+        |  SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM tk WHERE w NOT IN (${operators.TextAnalysis.stopwords
+             .map(w => s"'$w'").mkString(", ")})
+        |), pt AS MATERIALIZED (
+        |  SELECT doc_id, island, pos, w,
+        |    count(*) OVER (PARTITION BY doc_id, island) AS plen
+        |  FROM ns
+        |), wsc AS (
+        |  SELECT w, CAST((sum(plen) * 1000000) // count(*) AS BIGINT)
+        |    AS ws_e6
+        |  FROM pt GROUP BY 1
+        |), ph AS (
+        |  SELECT pt.doc_id, pt.island,
+        |    string_agg(pt.w, ' ' ORDER BY pt.pos) AS phrase,
+        |    CAST(max(pt.plen) AS BIGINT) AS n_words,
+        |    CAST(sum(wsc.ws_e6) AS BIGINT) AS score_e6
+        |  FROM pt JOIN wsc USING (w) GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |    max(n_words) AS n_words, max(score_e6) AS score_e6
+        |  FROM ph GROUP BY 1
+        |), top AS (SELECT * FROM bt ORDER BY score_e6 DESC, phrase LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, phrase)
+        |    AS INT) AS rk,
+        |  phrase, n_words, n_occ, score_e6
+        |FROM top ORDER BY rk""".stripMargin),
+    // top-k via ORDER BY/LIMIT on the aggregated key relation; skew
+    // factor in HUGEINT cross-multiplication
+    "skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM c
+        |), top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY top.cnt DESC, top.key)
+        |    AS INT) AS rk,
+        |  top.key, CAST(top.cnt AS BIGINT) AS cnt,
+        |  CAST((top.cnt * 1000000) // t.n_total AS BIGINT) AS pct_e6,
+        |  t.n_total, t.n_keys,
+        |  CAST((CAST(t.max_cnt AS HUGEINT) * t.n_keys * 1000000)
+        |    // t.n_total AS BIGINT) AS skew_e6
+        |FROM top CROSS JOIN t ORDER BY rk""".stripMargin,
     // lift kept rational (no ln): ranking and the PMI>0 cut replay as
     // exact HUGEINT division, top-5 per product
     "ppmi_rank" ->

@@ -16,6 +16,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
   private[graft] lazy val queryEntriesText: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // ---- text analysis (LLM-data-pipeline surface) -----------------------
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+    // RAKE keyword extraction (r16 — stopword-delimited phrase scoring,
+    // deg/freq word scores, all integer e6; top-20 corpus keyphrases)
+    "rake_keywords" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,
@@ -525,6 +529,11 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
         "doc_id", "title", 2)
         .orderBy(col("id_a"), col("id_b"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
+    // EXACT set-similarity join, LOSSLESS (r16 — PPJoin prefix
+    // filtering): word-set Jaccard >= 0.6 with candidates bounded by
+    // rarest-first prefixes instead of ngram_jaccard's lossy df cap;
+    // spec pins the no-pair-missed claim against brute force
+    "setsim_join" -> ((s, dir) => Dedup.setsimJoin(t(s, dir, "documents"))),
     // asymmetric overlap: |A∩B| / min(|A|,|B|) — catches a short doc
     // embedded in a long one, which Jaccard's union denominator buries
     "ngram_containment" -> ((s, dir) =>

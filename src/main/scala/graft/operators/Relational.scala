@@ -1242,6 +1242,40 @@ object Relational {
     * broadcast; each ExactRank pass parallelizes at partition width
     * (single rank group, bounded per-partition offset state).
     */
+  /** JOIN-KEY SKEW PROFILE (r16 — the diagnostic every 100 TB shuffle
+    * plan needs BEFORE it hits the straggler: is this key distribution
+    * salted-join territory?): per key the exact count, its share of all
+    * rows (pct_e6), and a fleet-level skew factor — max_cnt·n_keys/n
+    * scaled e6, which reads 1e6 for a perfectly uniform distribution
+    * and max_cnt/mean_cnt multiples above it. Emits the top-k hottest
+    * keys by (cnt desc, key).
+    *
+    * Scale shape: one partial-aggregable groupBy to key cardinality; the
+    * top-k is orderBy+limit (TakeOrdered — a bounded heap per partition
+    * + one k-row merge, NEVER a global rank window over the key
+    * relation); the totals are a 1-row broadcast; the final rank window
+    * orders k ≤ topK rows.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20)
+      : DataFrame = {
+    require(topK >= 1, s"skewProfile: topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("pct_e6", expr("(cnt * 1000000) div n_total"))
+      .withColumn("skew_e6", expr(
+        "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000)" +
+          " div n_total AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key"))))
+      .select(col("rk"), col("key"), col("cnt"), col("pct_e6"),
+        col("n_total"), col("n_keys"), col("skew_e6"))
+      .orderBy(col("rk"))
+  }
+
   def rfmSegment(orders: DataFrame): DataFrame = {
     val per = orders.groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),

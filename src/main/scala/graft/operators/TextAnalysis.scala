@@ -203,6 +203,58 @@ object TextAnalysis {
     *         + 0.3·distinct_ratio, computed in this exact operand order on
     * both engines so the doubles are bit-identical.
     */
+  /** RAKE keyword extraction (Rose et al. 2010 — the classic
+    * stopword-delimited co-occurrence scorer, and the one every corpus
+    * triage reaches for before training a keyphrase model): candidate
+    * phrases are maximal runs of consecutive NON-stopword tokens;
+    * word score = deg(w)/freq(w) where deg sums the lengths of phrases
+    * containing w and freq counts w's phrase occurrences; a phrase
+    * scores the sum of its members' scores. All integer —
+    * word_score_e6 = (deg·1e6) div freq, phrase score the BIGINT sum of
+    * floored member scores — so the oracle replays every row.
+    *
+    * Phrase segmentation is the gaps-and-islands idiom over the shared
+    * `[a-z0-9]+` token relation (token position − rank among non-stop
+    * tokens = island id), NOT a bespoke split regex — both engines
+    * already agree on the token pattern, and islands are pure integer
+    * window math. Per-doc windows only (document-length bounded); the
+    * word-stat aggregations are partial-aggregable; the final top-k is
+    * orderBy+limit (TakeOrdered) + a k-row rank window.
+    */
+  def rakeKeywords(documents: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+        posexplode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w")))
+    val nonStop = toks.filter(!col("w").isInCollection(stopwords))
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phraseTok = CacheScope.selfReleasing(nonStop
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("island"))))
+      .select(col("doc_id"), col("island"), col("pos"), col("w"),
+        col("plen")))
+    val wordScore = phraseTok.groupBy(col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("ws_e6"))
+    val phrases = phraseTok.join(wordScore, "w")
+      .groupBy(col("doc_id"), col("island"))
+      .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(pos, w))), e -> e.w)"), " ").as("phrase"),
+        max(col("plen")).as("n_words"),
+        sum(col("ws_e6")).as("score_e6"))
+    val byText = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"),
+        max(col("score_e6")).as("score_e6"))
+    byText.orderBy(col("score_e6").desc, col("phrase")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("phrase"))))
+      .select(col("rk"), col("phrase"), col("n_words"), col("n_occ"),
+        col("score_e6"))
+      .orderBy(col("rk"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -4093,6 +4093,75 @@ class PipelineSpec extends AnyFunSuite {
       "y" -> ((1L, 750L, 0L, 0L))), s"MAD profile drift: $got")
   }
 
+  test("setsimJoin's prefix filter is LOSSLESS vs brute-force Jaccard") {
+    import spark.implicits._
+    // the operator's whole claim: rarest-first prefixes never miss a
+    // qualifying pair. Brute-force every pair's word-set Jaccard on a
+    // fixture with near-dups, partial overlaps, and disjoint docs, and
+    // demand set equality with the prefix-filtered join at e6 precision
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),      // J=4/6 with doc 1
+      (3L, "alpha beta gamma delta epsilon"),   // exact dup of doc 1
+      (4L, "omega psi chi phi"),                // disjoint
+      (5L, "alpha omega psi chi phi upsilon"),  // J=5/7 w/ 4? no: 4/7? check brute
+      (6L, "the a of and to alpha"),            // stopword-heavy
+      (7L, "beta gamma"),                       // small subset
+      (8L, "beta gamma")                        // dup of 7
+    ).toDF("doc_id", "text")
+    val t = 600000L
+    def wordSet(s: String) = s.split(" ").toSet
+    val raw = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",
+      3L -> "alpha beta gamma delta epsilon",
+      4L -> "omega psi chi phi",
+      5L -> "alpha omega psi chi phi upsilon",
+      6L -> "the a of and to alpha",
+      7L -> "beta gamma", 8L -> "beta gamma")
+    val brute = (for {
+      (a, ta) <- raw; (b, tb) <- raw if a < b
+      sa = wordSet(ta); sb = wordSet(tb)
+      inter = (sa & sb).size
+      j = inter.toLong * 1000000 / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b) -> j).toMap
+    val got = operators.Dedup.setsimJoin(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == brute, s"prefix filter lost or invented pairs:\n" +
+      s"got $got\nbrute $brute")
+    assert(brute.nonEmpty && brute.size < raw.size * (raw.size - 1) / 2,
+      "fixture degenerate: brute force matched nothing or everything")
+  }
+
+  test("rakeKeywords: hand-walked deg/freq scores over stopword islands") {
+    import spark.implicits._
+    // doc 1: "red apple of red apple pie" → phrases [red apple],
+    // [red apple pie] (split on 'of'); deg(red)=2+3=5 freq=2 → 2_500_000;
+    // deg(apple)=5 freq=2 → 2_500_000; deg(pie)=3 freq=1 → 3_000_000.
+    // scores: "red apple" = 5_000_000; "red apple pie" = 8_000_000
+    val docs = Seq((1L, "red apple of red apple pie")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.rakeKeywords(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == Map(
+      "red apple pie" -> ((3L, 1L, 8000000L)),
+      "red apple" -> ((2L, 1L, 5000000L))), s"RAKE drift: $got")
+  }
+
+  test("skewProfile: exact shares and uniformity factor, top-k cut") {
+    import spark.implicits._
+    // key 1 ×6, key 2 ×3, key 3 ×1 → n=10, n_keys=3, max=6 →
+    // skew_e6 = 6·3·1e6/10 = 1_800_000; pct: 600000/300000/100000
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .map(k => (k, "x")).toDF("k", "pad")
+    val got = operators.Relational.skewProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6)))
+    assert(got.toSeq == Seq((1, 1L, 6L, 600000L, 1800000L),
+      (2, 2L, 3L, 300000L, 1800000L)), s"skew profile drift: ${got.toSeq}")
+  }
+
   test("two-level IMI assignment serves with recall comparable to flat") {
     import org.apache.spark.sql.functions.col
     // quality guard for the hierarchical coarse quantizer: the IMI
