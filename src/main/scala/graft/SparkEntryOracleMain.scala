@@ -52,39 +52,53 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
     // cut, length filter, exact verify — losslessness itself is the
     // SPEC's claim (brute-force fixture), the oracle checks the chain
     "setsim_join" ->
-      """WITH tok AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      """WITH sig AS (
+        |  SELECT doc_id, md5(list_aggregate(list_sort(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))),
+        |    'string_agg', ' ')) AS sg
         |  FROM documents
+        |), reps AS (
+        |  SELECT sg, min(doc_id) AS rep_id, count(*) AS n_docs
+        |  FROM sig GROUP BY 1
+        |), tok AS MATERIALIZED (
+        |  SELECT d.doc_id, r.n_docs,
+        |    unnest(list_distinct(regexp_extract_all(lower(d.text),
+        |      '[a-z0-9]+'))) AS token
+        |  FROM documents d JOIN reps r ON d.doc_id = r.rep_id
         |), dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1
         |), ord AS (
-        |  SELECT t.doc_id, t.token,
+        |  SELECT t.doc_id, t.n_docs, t.token,
         |    row_number() OVER (PARTITION BY t.doc_id
         |      ORDER BY d.df, t.token) AS pos,
         |    count(*) OVER (PARTITION BY t.doc_id) AS sz
         |  FROM tok t JOIN dfq d USING (token)
         |), pre AS MATERIALIZED (
-        |  SELECT doc_id, token, sz FROM ord
-        |  WHERE pos <= sz - (600000 * sz + 999999) // 1000000 + 1
+        |  SELECT doc_id, token, sz, n_docs FROM ord
+        |  WHERE pos <= sz - (900000 * sz + 999999) // 1000000 + 1
         |), cand AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.sz AS sz_a, b.sz AS sz_b
+        |    a.sz AS sz_a, b.sz AS sz_b,
+        |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
         |  FROM pre a JOIN pre b ON a.token = b.token
         |    AND a.doc_id < b.doc_id
-        |    AND (600000 * greatest(a.sz, b.sz) + 999999) // 1000000
+        |    AND (900000 * greatest(a.sz, b.sz) + 999999) // 1000000
         |      <= least(a.sz, b.sz)
         |), inter AS (
-        |  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*) AS n_common
+        |  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b,
+        |    c.n_docs_a, c.n_docs_b, count(*) AS n_common
         |  FROM cand c
         |  JOIN tok ta ON ta.doc_id = c.doc_a
         |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
-        |  GROUP BY 1, 2, 3, 4)
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
         |SELECT doc_a, doc_b, CAST(sz_a AS BIGINT) AS sz_a,
-        |  CAST(sz_b AS BIGINT) AS sz_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sz_b AS BIGINT) AS sz_b,
+        |  CAST(n_docs_a AS BIGINT) AS n_docs_a,
+        |  CAST(n_docs_b AS BIGINT) AS n_docs_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
         |  CAST((n_common * 1000000) // (sz_a + sz_b - n_common) AS BIGINT)
         |    AS jaccard_e6
         |FROM inter
-        |WHERE (n_common * 1000000) // (sz_a + sz_b - n_common) >= 600000
+        |WHERE (n_common * 1000000) // (sz_a + sz_b - n_common) >= 900000
         |ORDER BY doc_a, doc_b""".stripMargin,
     // RAKE replay: gaps-and-islands phrases over the shared token
     // pattern, deg/freq word scores, phrase sums — all integer

@@ -529,10 +529,14 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
         "doc_id", "title", 2)
         .orderBy(col("id_a"), col("id_b"))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"))),
-    // EXACT set-similarity join, LOSSLESS (r16 — PPJoin prefix
-    // filtering): word-set Jaccard >= 0.6 with candidates bounded by
-    // rarest-first prefixes instead of ngram_jaccard's lossy df cap;
-    // spec pins the no-pair-missed claim against brute force
+    // EXACT set-similarity join, LOSSLESS at the class level (r16 —
+    // PPJoin prefix filtering over exact-dup class representatives):
+    // word-set Jaccard >= 0.9 with candidates bounded by rarest-first
+    // prefixes instead of ngram_jaccard's lossy df cap; the exact-class
+    // collapse keeps the result linear in DISTINCT content (this
+    // corpus's dup classes grow with the corpus — doc-level pair
+    // enumeration is Θ(class²), measured fatal at sf0.1). Spec pins the
+    // no-pair-missed claim against brute force.
     "setsim_join" -> ((s, dir) => Dedup.setsimJoin(t(s, dir, "documents"))),
     // asymmetric overlap: |A∩B| / min(|A|,|B|) — catches a short doc
     // embedded in a long one, which Jaccard's union denominator buries

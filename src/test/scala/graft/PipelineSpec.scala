@@ -4119,19 +4119,28 @@ class PipelineSpec extends AnyFunSuite {
       5L -> "alpha omega psi chi phi upsilon",
       6L -> "the a of and to alpha",
       7L -> "beta gamma", 8L -> "beta gamma")
+    // exact-class collapse first (identical word sets → min-id rep):
+    // docs 1+3 form a class (rep 1, n=2), docs 7+8 (rep 7, n=2)
+    val classes = raw.groupBy { case (_, tx) => wordSet(tx) }
+      .map { case (ws, ds) => (ds.map(_._1).min, ws, ds.size.toLong) }
+      .toSeq
     val brute = (for {
-      (a, ta) <- raw; (b, tb) <- raw if a < b
-      sa = wordSet(ta); sb = wordSet(tb)
+      (a, sa, _) <- classes; (b, sb, _) <- classes if a < b
       inter = (sa & sb).size
       j = inter.toLong * 1000000 / (sa.size + sb.size - inter)
       if j >= t
     } yield (a, b) -> j).toMap
-    val got = operators.Dedup.setsimJoin(docs, t).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val rows = operators.Dedup.setsimJoin(docs, t).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(7)).toMap
     assert(got == brute, s"prefix filter lost or invented pairs:\n" +
       s"got $got\nbrute $brute")
-    assert(brute.nonEmpty && brute.size < raw.size * (raw.size - 1) / 2,
+    assert(brute.nonEmpty && brute.size < classes.size * (classes.size - 1) / 2,
       "fixture degenerate: brute force matched nothing or everything")
+    // class sizes ride along so doc-level pairs stay recoverable
+    val nd = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(4), r.getLong(5))).toMap
+    assert(nd.getOrElse((1L, 2L), (0L, 0L)) == ((2L, 1L)),
+      s"class sizes lost: $nd")
   }
 
   test("rakeKeywords: hand-walked deg/freq scores over stopword islands") {
