@@ -102,7 +102,11 @@ object Bench {
     // attributed to a load spike at its timestamp.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(64000000L).selectExpr("sum(id * id)").collect()
+      // double-space product: the BIGINT sum of id² overflows long at
+      // this range under ANSI (Σ ≈ 8.7e22), and the probe must never
+      // be able to kill a bench run
+      spark.range(64000000L)
+        .selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibOnce() // JIT warm-up for the probe's own codegen path
