@@ -1169,6 +1169,11 @@ object SparkEntry extends SparkEntryOracleMain
       Scd.upsertApply(oldSnap, feed, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     }),
+    // exact Gini coefficient of customer spend (r16 — rank-weighted
+    // closed form over ONE ExactRank pass, all integer/decimal; the
+    // concentration diagnostic for sampling/capping decisions)
+    "gini_concentration" -> ((s, dir) =>
+      Relational.giniConcentration(t(s, dir, "orders"))),
     // join-key skew profile (r16): top-20 hottest keys, exact share,
     // uniformity factor — the pre-shuffle diagnostic for salted joins
     "skew_profile" -> ((s, dir) =>

@@ -138,6 +138,32 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    AS INT) AS rk,
         |  phrase, n_words, n_occ, score_e6
         |FROM top ORDER BY rk""".stripMargin),
+    // rank-weighted closed form replayed with HUGEINT
+    // cross-multiplication; ranks under the (cents, custkey) total order
+    "gini_concentration" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+        |  FROM per
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    sum(CAST(rnk AS HUGEINT) * cents) AS rw
+        |  FROM r)
+        |SELECT n_customers, total_cents,
+        |  CAST(2 * rw - (n_customers + 1) * CAST(total_cents AS HUGEINT)
+        |    AS BIGINT) AS gini_num,
+        |  CAST(CAST(n_customers AS HUGEINT) * total_cents AS BIGINT)
+        |    AS gini_den,
+        |  CAST(((2 * rw - (n_customers + 1) * CAST(total_cents AS HUGEINT))
+        |    * 1000000) // (CAST(n_customers AS HUGEINT) * total_cents)
+        |    AS BIGINT) AS gini_e6
+        |FROM a""".stripMargin,
     // top-k via ORDER BY/LIMIT on the aggregated key relation; skew
     // factor in HUGEINT cross-multiplication
     "skew_profile" ->

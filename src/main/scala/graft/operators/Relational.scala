@@ -1276,6 +1276,45 @@ object Relational {
       .orderBy(col("rk"))
   }
 
+  /** EXACT GINI CONCENTRATION of customer spend (r16 — the classic
+    * inequality coefficient, here as a data-curation diagnostic: how
+    * concentrated is a distribution before you sample/cap it): with
+    * per-customer totals x_1 ≤ … ≤ x_n (ties broken by custkey),
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — the rank-weighted
+    * closed form, every term an integer. Emits the exact numerator and
+    * denominator in DECIMAL-safe cross-multiplication plus the floored
+    * g_e6, so the oracle replays it bit-for-bit (no doubles anywhere).
+    *
+    * Scale shape: one partial-aggregable groupBy to customer totals,
+    * ONE [[ExactRank]] pass for the ranks (never a global window), one
+    * final aggregate. Rank state is partitions×1 with the fail-fast
+    * guard.
+    */
+  def giniConcentration(orders: DataFrame): DataFrame = {
+    val totals = orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val ranked = ExactRank.exactRank(totals.withColumn("g", lit(0)),
+      Seq("g"), Seq("cents", "o_custkey"))
+    ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("CAST(rnk AS DECIMAL(38,0)) * cents")).as("rank_weighted"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("CAST(2 * rank_weighted - (n_customers + 1)" +
+          " * CAST(total_cents AS DECIMAL(38,0)) AS DECIMAL(38,0))")
+          .as("gini_num"),
+        expr("CAST(CAST(n_customers AS DECIMAL(38,0)) * total_cents" +
+          " AS DECIMAL(38,0))").as("gini_den"))
+      .select(col("n_customers"), col("total_cents"),
+        col("gini_num").cast("long").as("gini_num"),
+        col("gini_den").cast("long").as("gini_den"),
+        // the ×1e6 product stays in DECIMAL(38,0): num·1e6 passes the
+        // long ceiling two decades before num itself would
+        expr("CAST((gini_num * 1000000) div gini_den AS BIGINT)")
+          .as("gini_e6"))
+  }
+
   def rfmSegment(orders: DataFrame): DataFrame = {
     val per = orders.groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),

@@ -4158,6 +4158,24 @@ class PipelineSpec extends AnyFunSuite {
       "red apple" -> ((2L, 1L, 5000000L))), s"RAKE drift: $got")
   }
 
+  test("giniConcentration: hand-walked rank-weighted closed form") {
+    import spark.implicits._
+    // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,
+    // ranks 1,2,3: Σx=600, Σi·x=1400, num = 2·1400 − 4·600 = 400,
+    // den = 3·600 = 1800 → G = 2/9, g_e6 = 222_222 (floored)
+    val orders = Seq((1L, 1.00), (2L, 2.00), (3L, 3.00))
+      .toDF("o_custkey", "o_totalprice")
+    val r = operators.Relational.giniConcentration(orders).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 600L, 400L, 1800L, 222222L)),
+      s"gini drift: $r")
+    // perfectly equal spend → G = 0 exactly
+    val eq = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0))
+      .toDF("o_custkey", "o_totalprice")
+    val r2 = operators.Relational.giniConcentration(eq).collect().head
+    assert(r2.getLong(2) == 0L && r2.getLong(4) == 0L, s"equal-spend: $r2")
+  }
+
   test("skewProfile: exact shares and uniformity factor, top-k cut") {
     import spark.implicits._
     // key 1 ×6, key 2 ×3, key 3 ×1 → n=10, n_keys=3, max=6 →
