@@ -37,6 +37,12 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
     // the streaming run must equal the batch computation — same oracle text
     "cooccur_stream" ->
       (cooccurCte + "\nSELECT product, neighbor, cnt FROM counts ORDER BY product, neighbor"),
+    // transformWithState running totals across real micro-batches must
+    // equal the batch marginal — DuckDB widens sum to HUGEINT, so CAST
+    "cooccur_totals_tws" ->
+      (cooccurCte + """
+        |SELECT product, CAST(sum(cnt) AS BIGINT) AS total
+        |FROM counts GROUP BY product ORDER BY product""".stripMargin),
     // stream->table ingest across a restart must equal the batch
     // aggregate — same oracle text as hourly_counts
     "events_table_stream" ->
@@ -138,6 +144,46 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    AS INT) AS rk,
         |  phrase, n_words, n_occ, score_e6
         |FROM top ORDER BY rk""".stripMargin),
+    // per-document RAKE replay: identical islands, word stats grouped by
+    // (doc_id, w), per-doc top-5 rank
+    "rake_keywords_doc" ->
+      (s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'), 1) - 1 AS pos
+        |  FROM documents
+        |), ns AS (
+        |  SELECT doc_id, pos, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM tk WHERE w NOT IN (${operators.TextAnalysis.stopwords
+             .map(w => s"'$w'").mkString(", ")})
+        |), pt AS MATERIALIZED (
+        |  SELECT doc_id, island, pos, w,
+        |    count(*) OVER (PARTITION BY doc_id, island) AS plen
+        |  FROM ns
+        |), wsc AS (
+        |  SELECT doc_id, w,
+        |    CAST((sum(plen) * 1000000) // count(*) AS BIGINT) AS ws_e6
+        |  FROM pt GROUP BY 1, 2
+        |), ph AS (
+        |  SELECT pt.doc_id, pt.island,
+        |    string_agg(pt.w, ' ' ORDER BY pt.pos) AS phrase,
+        |    CAST(max(pt.plen) AS BIGINT) AS n_words,
+        |    CAST(sum(wsc.ws_e6) AS BIGINT) AS score_e6
+        |  FROM pt JOIN wsc USING (doc_id, w) GROUP BY 1, 2
+        |), bd AS (
+        |  SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |    max(n_words) AS n_words, max(score_e6) AS score_e6
+        |  FROM ph GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_e6 DESC, phrase) AS rk
+        |  FROM bd)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, phrase, n_words, n_occ,
+        |  score_e6
+        |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin),
     // rank-weighted closed form replayed with HUGEINT
     // cross-multiplication; ranks under the (cents, custkey) total order
     "gini_concentration" ->
@@ -184,7 +230,9 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    // t.n_total AS BIGINT) AS skew_e6
         |FROM top CROSS JOIN t ORDER BY rk""".stripMargin,
     // lift kept rational (no ln): ranking and the PMI>0 cut replay as
-    // exact HUGEINT division, top-5 per product
+    // exact HUGEINT division, top-5 per product; marginals are TRUE
+    // (full-count) while the scored relation carries the Church–Hanks
+    // support floor cnt >= 2 (r17)
     "ppmi_rank" ->
       (cooccurCte + """, ra AS (SELECT product, sum(cnt) AS c_a FROM counts GROUP BY 1
         |), rb AS (SELECT neighbor, sum(cnt) AS c_b FROM counts GROUP BY 1
@@ -195,6 +243,7 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |      // (CAST(ra.c_a AS HUGEINT) * rb.c_b) AS BIGINT) AS lift_e6
         |  FROM counts m JOIN ra USING (product) JOIN rb USING (neighbor)
         |  CROSS JOIN tot
+        |  WHERE m.cnt >= 2
         |), rk AS (
         |  SELECT *, row_number() OVER (PARTITION BY product
         |    ORDER BY lift_e6 DESC, neighbor) AS rk

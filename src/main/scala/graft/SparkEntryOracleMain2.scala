@@ -1175,6 +1175,41 @@ private[graft] trait SparkEntryOracleMain2 extends SparkEntryOracleRest {
           |FROM documents d
           |LEFT JOIN per USING (doc_id) LEFT JOIN repc USING (doc_id)
           |ORDER BY doc_id""".stripMargin),
+    // positional spans regenerated WITH positions (the shared spansCte
+    // drops them), repeated-gram runs chained by island = pos − rank,
+    // run length in tokens = consecutive positions + 7
+    "span_dedup_50" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), px AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+        |  FROM px
+        |), rep AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), rg AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM rg
+        |), runs AS (
+        |  SELECT doc_id, island, count(*) + 7 AS run_tokens
+        |  FROM isl GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(count(CASE WHEN run_tokens >= 50 THEN 1 END) AS BIGINT)
+        |      AS n_long_runs,
+        |    CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+        |  FROM runs GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_long_runs, 0) AS BIGINT) AS n_long_runs,
+        |  CAST(coalesce(per.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+        |  coalesce(per.n_long_runs, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       (shinglesCte +
         s""", dfreq AS (SELECT shingle FROM sh GROUP BY shingle

@@ -20,6 +20,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // deg/freq word scores, all integer e6; top-20 corpus keyphrases)
     "rake_keywords" -> ((s, dir) =>
       TextAnalysis.rakeKeywords(t(s, dir, "documents"))),
+    // the textbook per-document form (r17 — word stats within each doc,
+    // doc_id-partitioned end to end, top-5 phrases per document)
+    "rake_keywords_doc" -> ((s, dir) =>
+      TextAnalysis.rakeKeywordsDoc(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,
@@ -546,6 +550,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // profile of cross-doc repeated k-grams, and the per-doc keep mask
     "repeated_spans" -> ((s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"))),
     "span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
+    // the PUBLISHED threshold (r17 — Lee et al. cut repeats >= 50
+    // tokens): repeated 8-gram positions chained by gaps-and-islands
+    // into runs; keep = no run reaching 50 tokens
+    "span_dedup_50" -> ((s, dir) => Dedup.spanDedupLong(t(s, dir, "documents"))),
     // index-quality audit: LSH candidates vs the exact n-gram ground truth
     "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
     // the empirical S-curve: one row per banding config of the same

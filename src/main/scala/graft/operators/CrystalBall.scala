@@ -89,9 +89,23 @@ object CrystalBall {
     * rank window partitions per product (neighbor-catalog-bounded, with
     * the rank cut pushed map-side by WindowGroupLimit) — nothing here
     * touches raw observations.
+    *
+    * minCount (r17, the Church & Hanks support floor): PMI is famously
+    * unstable on rare pairs — a once-seen pair with two rare members
+    * posts an enormous lift that is pure noise, and at corpus scale the
+    * once-seen tail IS most of the pair relation. Every PMI
+    * implementation since the original applies a minimum-count floor
+    * before ranking; here the floor is applied to the SCORED relation
+    * only (`cnt >= minCount` before the two marginal joins, so the
+    * relation that shuffles twice and feeds the rank window shrinks at
+    * the source), while the marginals c(a), c(b) and N stay TRUE
+    * marginals over the full pair relation — floors must not bias the
+    * independence model, only prune what gets ranked. Both are cheap:
+    * the marginals are map-side-combining groupBys that never join.
     */
-  def ppmiRank(counts: DataFrame, k: Int = 5): DataFrame = {
+  def ppmiRank(counts: DataFrame, k: Int = 5, minCount: Long = 2L): DataFrame = {
     require(k >= 1, s"ppmiRank: k must be >= 1, got $k")
+    require(minCount >= 1, s"ppmiRank: minCount must be >= 1, got $minCount")
     // NO operator-scoped cache: the pair relation is traversed four
     // times (two marginals, the total, the scored join) and a DISK_ONLY
     // row-format cache of a corpus-scale relation loses to columnar
@@ -105,8 +119,11 @@ object CrystalBall {
     // colM first, rowM second: the last equi-join leaves the relation
     // partitioned by PRODUCT, which is exactly the rank window's
     // requirement — Catalyst reuses that exchange, so the pair relation
-    // shuffles twice (neighbor, product), not three times
-    val scored = c.join(colM, "neighbor").join(rowM, "product")
+    // shuffles twice (neighbor, product), not three times. The support
+    // floor lands BEFORE either join: only pairs that can be ranked
+    // enter the shuffles.
+    val support = c.filter(col("cnt") >= lit(minCount))
+    val scored = support.join(colM, "neighbor").join(rowM, "product")
       .crossJoin(broadcast(n))
       .withColumn("lift_e6", expr(
         "CAST((CAST(cnt AS DECIMAL(38,0)) * n_total * 1000000)" +

@@ -255,6 +255,61 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** PER-DOCUMENT RAKE (r17 — the textbook form of Rose et al. 2010;
+    * [[rakeKeywords]] keeps the corpus-global deg/freq as the triage
+    * view): word statistics are computed WITHIN each document
+    * (groupBy doc_id, w), so a word that is promiscuous corpus-wide but
+    * focused inside one document scores on its local behavior — the
+    * two rankings genuinely differ, which the spec pins on a two-doc
+    * fixture. Emits each document's top-k phrases.
+    *
+    * Same islands, same integer discipline (ws_e6 = (deg·1e6) div freq
+    * per doc, phrase = BIGINT sum of floored member scores). Scale
+    * shape is BETTER than the corpus form: every aggregation and the
+    * rank window are doc_id-partitioned (document-length bounded, the
+    * per-doc cut pushed map-side by WindowGroupLimit) — no corpus-wide
+    * word relation, no global top-k sort; output is docs × k, the
+    * operator's contract.
+    */
+  def rakeKeywordsDoc(documents: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+        posexplode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w")))
+    val nonStop = toks.filter(!col("w").isInCollection(stopwords))
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phraseTok = CacheScope.selfReleasing(nonStop
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("island"))))
+      .select(col("doc_id"), col("island"), col("pos"), col("w"),
+        col("plen")))
+    val wordScore = phraseTok.groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("w"),
+        expr("(deg * 1000000) div freq").as("ws_e6"))
+    val phrases = phraseTok.join(wordScore, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(array_join(expr("transform(array_sort(" +
+          "collect_list(struct(pos, w))), e -> e.w)"), " ").as("phrase"),
+        max(col("plen")).as("n_words"),
+        sum(col("ws_e6")).as("score_e6"))
+    // the same phrase text can repeat inside one document: collapse to
+    // one row per (doc, phrase) — per-doc word stats make every
+    // occurrence score identically, so max is that value
+    val byDoc = phrases.groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"),
+        max(col("score_e6")).as("score_e6"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+    byDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("phrase"), col("n_words"),
+        col("n_occ"), col("score_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -468,4 +468,104 @@ object StreamingOps {
           closed.iterator
       }
   }
+
+  final case class ProductTotal(product: String, total: Long)
+
+  /** Per-product running co-occurrence totals as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] — Spark 4's
+    * transformWithState, the arbitrary-stateful API that supersedes
+    * map/flatMapGroupsWithState (typed named state with native TTL,
+    * timers, and evolvable schemas; requires the RocksDB state store).
+    * State is one ValueState[Long] per product; each batch adds the
+    * batch's pair count and emits the running total (update-mode
+    * semantics: last emission per product is the answer).
+    *
+    * `ttl` bounds state lifetime in PROCESSING time — the production
+    * knob for unbounded key spaces (a product not seen for `ttl` is
+    * evicted and restarts from zero; StreamingSpec pins exactly that
+    * across a stop/restart). `None` = no eviction, which is what the
+    * registered batch-oracled query runs (totals must equal the batch
+    * marginals regardless of batch layout).
+    */
+  final class CoOccurTotalsProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, graft.CoPair, ProductTotal] {
+    @transient private var totalState:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      totalState = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[graft.CoPair],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ProductTotal] = {
+      val prev = if (totalState.exists()) totalState.get() else 0L
+      var added = 0L
+      while (rows.hasNext) { rows.next(); added += 1L }
+      val now = prev + added
+      totalState.update(now)
+      Iterator.single(ProductTotal(key, now))
+    }
+  }
+
+  /** The flagship's marginal totals over a basket-line text stream via
+    * [[CoOccurTotalsProcessor]]: parse → repeat-terminated window
+    * flatMap → groupByKey(product) → transformWithState.
+    * `maxFilesPerTrigger` splits the bounded run into real
+    * micro-batches so the state genuinely accumulates across triggers.
+    *
+    * TimeMode is `None` UNLESS a ttl is given (TTL requires
+    * ProcessingTime) — and the distinction is not cosmetic: under
+    * ProcessingTime, `TransformWithStateExec.shouldRunAnotherBatch`
+    * answers true on EVERY batch (the processing clock always
+    * advances, so expired timers/TTL must be re-checked), which makes
+    * `Trigger.AvailableNow` never reach its termination condition —
+    * measured 3,000+ EMPTY micro-batches before this was caught. A
+    * ttl!=None run therefore must NOT drain via AvailableNow; poll the
+    * sink and `stop()` the query (the StreamingSpec TTL test's
+    * discipline).
+    */
+  def cooccurTotalsTws(spark: SparkSession, textDir: String,
+      ttl: Option[java.time.Duration] = None,
+      maxFilesPerTrigger: Int = 1): Dataset[ProductTotal] = {
+    import spark.implicits._
+    val pairs = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .textFile(textDir)
+      .flatMap(graft.sources.BasketSource.parseLine _)
+      .flatMap(b =>
+        graft.operators.CoOccurrence.windowPairs(b.products))
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    pairs.groupByKey(_.product)
+      .transformWithState(new CoOccurTotalsProcessor(ttl),
+        timeMode,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** transformWithState requires the RocksDB state store provider; set
+    * it for the duration of `body` and restore the prior provider after
+    * (the rest of the streaming family runs the default HDFS-backed
+    * store — a query reads the provider once at start, so scoping the
+    * conf change to the run keeps the families independent).
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -3229,6 +3229,40 @@ class PipelineSpec extends AnyFunSuite {
       "keep mask must flag exactly the hot-span docs")
   }
 
+  test("spanDedupLong: a 49-token repeat survives, a 50-token repeat is cut") {
+    import spark.implicits._
+    // shared blocks embedded with doc-unique context on both sides so
+    // the repeated run is EXACTLY the block's interior windows:
+    // an L-token repeat → L−8+1 consecutive repeated positions →
+    // run_tokens = (L−7) + 7 = L. Boundary: 49 keeps, 50 cuts.
+    val c50 = (1 to 50).map(i => s"c$i").mkString(" ")
+    val c49 = (1 to 49).map(i => s"k$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"ua1 ua2 $c50 va1 va2"),
+      (2L, s"ub1 ub2 $c50 vb1 vb2"),
+      (3L, s"uc1 uc2 $c49 vc1 vc2"),
+      (4L, s"ud1 ud2 $c49 vd1 vd2"),
+      (5L, "no repeats here at all beyond nothing shared ever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupLong(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1L, 50L, false)) && got(2L) == ((1L, 50L, false)),
+      s"50-token repeat must cut: $got")
+    assert(got(3L) == ((0L, 49L, true)) && got(4L) == ((0L, 49L, true)),
+      s"49-token repeat must keep (max run still reported): $got")
+    assert(got(5L) == ((0L, 0L, true)), s"clean doc: ${got(5L)}")
+    // the default spanDedup verdict cuts ALL FOUR — the published
+    // threshold is what separates the operators
+    val strict = Dedup.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(!strict(_)) && strict(5L),
+      s"8-gram verdict drifted: $strict")
+    // parameter guard
+    intercept[IllegalArgumentException](
+      Dedup.spanDedupLong(docs, k = 8, minSpanTokens = 7))
+  }
+
   test("spanDedup span counts agree with the whitespace tokenizer corpus-wide") {
     import org.apache.spark.sql.functions._
     // cross-operator consistency on real data: every doc's span count is
@@ -4048,18 +4082,64 @@ class PipelineSpec extends AnyFunSuite {
       "fixpoint violated: a truss edge with support < 1")
   }
 
+  test("ktrussDecomposeInc: maintained support == full recount, all fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // the cascade fixture is the sharp one: round 1 deletes (1,5)/(2,5)
+    // which DESTROYS triangle {1,2,5} — the decrement must land on the
+    // surviving (1,2) exactly once (the triangle is reached from BOTH
+    // deleted edges; the triple dedupe is what keeps it single), and
+    // (1,2)'s clique support must still hold it in the truss
+    val g2 = (clique(Seq(1L, 2L, 3L, 4L)) ++ Seq((1L, 5L), (2L, 5L)))
+      .toDF("src", "dst")
+    assert(dump(Graph.ktrussDecomposeInc(g2, k = 4)) ==
+      dump(Graph.ktrussDecompose(g2, k = 4)), "cascade parity")
+    // pendant + dangling fixture
+    val g = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))).toDF("src", "dst")
+    assert(dump(Graph.ktrussDecomposeInc(g, k = 4)) ==
+      dump(Graph.ktrussDecompose(g, k = 4)), "pendant parity")
+    // triangle ladder end-in peel: same cascade depth, same throw
+    val chain = (1L to 6L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .toDF("src", "dst")
+    assert(dump(Graph.ktrussDecomposeInc(chain, k = 4)) ==
+      dump(Graph.ktrussDecompose(chain, k = 4)), "ladder parity")
+    val e = intercept[IllegalStateException](
+      Graph.ktrussDecomposeInc(chain, k = 4, maxRounds = 1))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+    // organic graph: the registered query's exact input — the whole
+    // claim is IDENTICAL output, so demand map equality incl. support
+    val dir = "/root/testdata/sf0.01"
+    val edges = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .filter(col("cnt") >= 2)
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    assert(dump(Graph.ktrussDecomposeInc(edges, k = 3, maxRounds = 12)) ==
+      dump(Graph.ktrussDecompose(edges, k = 3, maxRounds = 12)),
+      "sf0.01 organic parity")
+  }
+
   test("ppmiRank matches a brute-force lift computation and cuts at PMI>0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     // a,b co-occur MORE than independence predicts; a,c LESS (lift
-    // 800_000 <= 1e6 → PMI <= 0 → cut)
+    // 800_000 <= 1e6 → PMI <= 0 → cut); a,d is a ONCE-seen pair with
+    // huge lift — exactly the rare-pair noise the r17 support floor
+    // exists to cut (cnt=1 < minCount=2, despite lift > 1e6)
     val counts = Seq(("a", "b", 8L), ("b", "a", 8L), ("a", "c", 2L),
-      ("c", "a", 2L), ("b", "c", 6L), ("c", "b", 6L))
+      ("c", "a", 2L), ("b", "c", 6L), ("c", "b", 6L),
+      ("a", "d", 1L), ("d", "a", 1L))
     val df = counts.toDF("product", "neighbor", "cnt")
+    // brute force replays the operator's contract: marginals and N over
+    // the FULL relation, the floor only on what gets scored
     val n = counts.map(_._3).sum
     val cA = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val cB = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    val lifts = counts.map { case (a, b, c) =>
+    val lifts = counts.filter(_._3 >= 2L).map { case (a, b, c) =>
       (a, b) -> (BigInt(c) * n * 1000000 / (BigInt(cA(a)) * cB(b))).toLong
     }.toMap
     val expected = lifts.filter(_._2 > 1000000L)
@@ -4069,11 +4149,21 @@ class PipelineSpec extends AnyFunSuite {
     val got = operators.CrystalBall.ppmiRank(df).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
     assert(got == expected, s"lift drift: got $got expected $expected")
-    // hand values: lift(a,b) = 8·32e6/(10·14) = 1_828_571 (floored);
-    // lift(a,c) = 2·32e6/(10·8) = 800_000 → cut, both directions
-    assert(got(("a", "b")) == 1828571L, s"hand value drift: $got")
+    // hand values (N=34, cA(a)=11, cB(b)=14): lift(a,b) =
+    // 8·34e6/(11·14) = 1_766_233 (floored); lift(a,c) = 2·34e6/(11·8)
+    // = 772_727 → PMI<=0 cut; lift(a,d) = 1·34e6/(11·1) = 3_090_909 —
+    // POSITIVE, but once-seen → support-floor cut
+    assert(got(("a", "b")) == 1766233L, s"hand value drift: $got")
     assert(!got.contains(("a", "c")) && !got.contains(("c", "a")),
       s"PMI<=0 pair not cut: $got")
+    assert(!got.contains(("a", "d")) && !got.contains(("d", "a")),
+      s"once-seen pair survived the support floor: $got")
+    // floor at 1 restores the rare pair — the floor is the ONLY cut
+    val unfloored = operators.CrystalBall.ppmiRank(df, minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(unfloored.contains(("a", "d")) && unfloored(("a", "d")) == 3090909L,
+      s"minCount=1 should admit the once-seen pair: $unfloored")
   }
 
   test("madOutliers: hand-walked medians, MAD, and the 3-MAD cut") {
@@ -4156,6 +4246,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(
       "red apple pie" -> ((3L, 1L, 8000000L)),
       "red apple" -> ((2L, 1L, 5000000L))), s"RAKE drift: $got")
+  }
+
+  test("rakeKeywordsDoc: per-doc word stats genuinely re-rank vs global") {
+    import spark.implicits._
+    // doc 1 reuses the corpus-form hand-walk; doc 2 = "red car of blue
+    // sky". PER-DOC doc 2: every word deg=2 freq=1 → ws 2M, both
+    // phrases tie at 4M → phrase tiebreak puts "blue sky" rk1 ABOVE
+    // "red car" rk2. GLOBAL: 'red' drags doc 1's stats — deg=5+2=7,
+    // freq=3 → ws 2_333_333, so "red car" (4_333_333) ranks ABOVE
+    // "blue sky" (4_000_000): a genuine inversion between the forms.
+    val docs = Seq((1L, "red apple of red apple pie"),
+      (2L, "red car of blue sky")).toDF("doc_id", "text")
+    val perDoc = operators.TextAnalysis.rakeKeywordsDoc(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(5)))
+      .toMap
+    assert(perDoc == Map(
+      (1L, 1) -> (("red apple pie", 8000000L)),
+      (1L, 2) -> (("red apple", 5000000L)),
+      (2L, 1) -> (("blue sky", 4000000L)),
+      (2L, 2) -> (("red car", 4000000L))), s"per-doc RAKE drift: $perDoc")
+    val global = operators.TextAnalysis.rakeKeywords(docs).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(global(3) == (("red car", 4333333L)) &&
+      global(4) == (("blue sky", 4000000L)),
+      s"global form should rank red car above blue sky: $global")
   }
 
   test("giniConcentration: hand-walked rank-weighted closed form") {

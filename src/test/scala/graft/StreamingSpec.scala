@@ -208,6 +208,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == batch.size)
   }
 
+  test("transformWithState totals accumulate across micro-batches to batch marginals") {
+    import scala.jdk.CollectionConverters._
+    val fixture = Seq(
+      "Mary 34 56 29 12 34 56 92 29 34 12",
+      "Kelly 92 29 12 34 79 29 56 12 34 18")
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_acc")
+    val in = stage.resolve("in"); java.nio.file.Files.createDirectories(in)
+    // one basket per file + maxFilesPerTrigger=1 → two REAL triggers:
+    // shared products must accumulate in RocksDB state across them
+    java.nio.file.Files.write(in.resolve("a.txt"), Seq(fixture.head).asJava)
+    java.nio.file.Files.write(in.resolve("b.txt"), Seq(fixture(1)).asJava)
+    val sink = stage.resolve("sink").toString
+    StreamingOps.withRocksDbStateStore(spark) {
+      val q = StreamingOps.cooccurTotalsTws(spark, in.toString).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.writeBatchIdempotent(b, sink, id)
+        }
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "fixture must drain in exactly two micro-batches")
+    }
+    val emitted = spark.read.parquet(sink)
+    val got = emitted.groupBy(col("product"))
+      .agg(max(struct(col("batch_id"), col("total"))).as("m"))
+      .select(col("product"), col("m.total").as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.operators.CoOccurrence.counts(
+        graft.sources.BasketSource.fromLines(spark, fixture))
+      .groupBy(col("product")).agg(sum(col("cnt")).as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"TWS totals drift: got $got want $want")
+    // the cross-batch receipt: a product present in BOTH baskets must
+    // have been emitted twice with strictly increasing running totals
+    val runs34 = emitted.filter(col("product") === "34")
+      .orderBy(col("batch_id")).collect().map(_.getAs[Long]("total"))
+    assert(runs34.length == 2 && runs34(0) < runs34(1),
+      s"state did not accumulate across triggers: ${runs34.toSeq}")
+  }
+
+  test("transformWithState TTL evicts idle product state across restarts") {
+    import scala.jdk.CollectionConverters._
+    // basket "u 11 22" yields exactly the pair (11,22) → total(11) = 1
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_ttl")
+    val in = stage.resolve("in"); java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.write(in.resolve("a.txt"), Seq("u1 11 22").asJava)
+    // ttl != None forces TimeMode.ProcessingTime, under which
+    // shouldRunAnotherBatch never goes false — AvailableNow never
+    // reaches its termination condition and the default trigger spins
+    // empty micro-batches that processAllAvailable ALSO never outwaits
+    // (both observed live: 1,200–3,200 empty batches before the kill;
+    // see cooccurTotalsTws's scaladoc). Trigger.Once is the
+    // deterministic drain for a ProcessingTime-mode stateful stream:
+    // exactly one micro-batch per restart, then a clean stop.
+    def drain(ttl: Option[java.time.Duration], tag: String): Unit =
+      StreamingOps.withRocksDbStateStore(spark) {
+        val q = StreamingOps.cooccurTotalsTws(spark, in.toString, ttl)
+          .toDF().writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            StreamingOps.writeBatchIdempotent(b,
+              stage.resolve(s"sink_$tag").toString, id)
+          }
+          .option("checkpointLocation", stage.resolve(s"ckpt_$tag").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+      }
+    def finalTotal(tag: String): Long =
+      spark.read.parquet(stage.resolve(s"sink_$tag").toString)
+        .filter(col("product") === "11")
+        .groupBy(col("product"))
+        .agg(max(struct(col("batch_id"), col("total"))).as("m"))
+        .select(col("m.total")).collect().head.getLong(0)
+    val ttl = Some(java.time.Duration.ofSeconds(1))
+    drain(None, "ctl"); drain(ttl, "ttl") // phase 1: both see total 1
+    Thread.sleep(3000) // processing-time TTL (1 s) passes for product 11
+    java.nio.file.Files.write(in.resolve("b.txt"), Seq("u2 11 33").asJava)
+    drain(None, "ctl"); drain(ttl, "ttl") // phase 2: one more pair each
+    // control (no TTL) accumulates across the restart; the TTL run's
+    // state for product 11 expired while idle and restarts from zero
+    assert(finalTotal("ctl") == 2L,
+      s"no-TTL control must accumulate: ${finalTotal("ctl")}")
+    assert(finalTotal("ttl") == 1L,
+      s"1 s TTL state must have been evicted: ${finalTotal("ttl")}")
+  }
+
   test("streaming dedup admits each key exactly once across files") {
     // two copies of the same events file: every event_id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
