@@ -78,6 +78,28 @@ object Soak {
       val heapMB = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
       println(f"""{"soak_pass":$p,"n_queries":${SparkEntry.queries.size},"failed":$failed,"secs":$secs%.1f,"heap_mb":$heapMB,"persistent_rdds":${spark.sparkContext.getPersistentRDDs.size},"scratch_mb":$scratchMB,"warehouse_mb":$warehouseMB}""")
     }
+    // AUDIT-QUERY ROT GUARD (r17, VERDICT r16 item 5): the
+    // `auditQueries` counter-receipts have no oracle row, no bench row,
+    // and no unit test — a refactor could break them silently and their
+    // ScaleAudit evidentiary value with them. Every soak therefore
+    // executes each one once at the soak SF and FAILS the process on a
+    // throw or an empty result (an audit query that returns nothing is
+    // as rotten as one that crashes — its receipt would compare noise).
+    var auditFailed = 0
+    SparkEntry.auditQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, sfDir).count()
+        if (n == 0L) {
+          auditFailed += 1
+          System.err.println(s"[soak-audit] $name returned 0 rows")
+        } else println(s"[soak-audit] $name ok ($n rows)")
+      } catch { case e: Throwable =>
+        auditFailed += 1
+        System.err.println(s"[soak-audit] $name failed: ${e.getMessage}")
+      }
+    }
+    println(s"""{"soak_audit_queries":${SparkEntry.auditQueries.size},"audit_failed":$auditFailed}""")
     spark.stop()
+    if (auditFailed > 0) sys.exit(1)
   }
 }

@@ -256,6 +256,69 @@ object SparkEntry extends SparkEntryOracleMain
           s.table("graft_tws_result").orderBy(col("product"))
         }
       }),
+    // EVENT-TIME TIMERS via transformWithState (r17 — the timer surface
+    // the running-totals query doesn't touch): gap sessionization where
+    // the FINAL session of every user is closed by a registered
+    // event-time timer firing when the watermark passes lastEvent+gap —
+    // the closure flatMapGroupsWithState structurally cannot perform
+    // (it only sees a key when new data for it arrives). One sorted
+    // single-file stage (the ewma_stream order contract), watermark
+    // delay 0, and a far-future SENTINEL row whose watermark push fires
+    // every real timer in the post-data micro-batch; append-mode
+    // exactly-once sink; session ids assigned per user by start time.
+    // Integer outputs (µs duration, cents sum) — the ewma cents
+    // discipline. Oracle = the batch gaps-and-islands sessionize
+    // relation with the same quantization.
+    "sessionize_tws" -> ((s, dir) =>
+      withStreamStage("graft_sess_tws") { stage =>
+        graft.streaming.StreamingOps.withRocksDbStateStore(s) {
+          val ev = eventsTable(s, dir).select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          ev.orderBy(col("ts"), col("event_id")).coalesce(1)
+            .write.mode("overwrite").parquet(stage + "/in")
+          val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+          // sentinel: 30-min gap + 2 s margin past the last real event;
+          // its own session never closes (timer past the final
+          // watermark) and is filtered by user_id below
+          s.range(1).select(
+              lit(-1L).as("event_id"),
+              timestamp_micros(lit(maxUs + 30L * 60L * 1000000L +
+                2000000L)).as("ts"),
+              lit(-1L).as("user_id"),
+              lit("sentinel").as("event_type"),
+              lit(0.0).as("value"))
+            .write.mode("append").parquet(stage + "/in")
+          val sessions = graft.streaming.StreamingOps.sessionizeTws(
+            graft.streaming.StreamingOps
+              .eventsStreamNormalized(s, stage + "/in")
+              .withWatermark("ts", "0 seconds"))
+          val sink = stage + "/sink"
+          val q = sessions.toDF().writeStream.outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.streaming.StreamingOps.writeBatchIdempotent(b, sink, id)
+            }
+            .option("checkpointLocation", stage + "/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.StreamingOps.logBatchReceipt(
+            "sessionize_tws", q)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("start_us"))
+          graft.sources.TableSink.saveTable(
+            s.read.parquet(sink).filter(col("user_id") >= 0L)
+              .withColumn("session_id",
+                row_number().over(w).cast("long"))
+              .select(col("user_id"), col("session_id"), col("n_events"),
+                timestamp_micros(col("start_us")).as("session_start"),
+                timestamp_micros(col("end_us")).as("session_end"),
+                (col("end_us") - col("start_us")).as("duration_us"),
+                col("sum_cents")),
+            "graft_sess_tws_result")
+          s.table("graft_sess_tws_result")
+            .orderBy(col("user_id"), col("session_id"))
+        }
+      }),
     // event-time WINDOWED AGGREGATION through the streaming engine,
     // driver-checked: normalized events staged to a temp dir, read back as
     // a bounded parquet file-source stream (availableNow), watermarked +
@@ -921,6 +984,15 @@ object SparkEntry extends SparkEntryOracleMain
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         k = 3)),
+    // per-node transitivity over the same significant graph (r17):
+    // Watts–Strogatz local clustering coefficient as exact e6 rationals
+    // off one degree-oriented triangle pass; oracle re-enumerates
+    // triangles id-ordered (a<b<c) — different join order, same set
+    "local_clustering" -> ((s, dir) =>
+      Graph.localClustering(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(

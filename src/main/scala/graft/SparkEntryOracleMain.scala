@@ -398,6 +398,37 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |SELECT node, count(*) AS n_tri FROM (
         |  SELECT unnest([a, b, c]) AS node FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin),
+    // Watts–Strogatz local clustering: triangles re-enumerated
+    // id-ordered, corners unnested per node, exact e6 rational —
+    // degree-1 nodes pinned to 0, triangle-free nodes kept via the
+    // left join
+    "local_clustering" ->
+      (cooccurCte +
+        """, und AS (
+        |  SELECT DISTINCT least(product, neighbor) AS u,
+        |    greatest(product, neighbor) AS v
+        |  FROM counts WHERE product <> neighbor AND cnt >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), tn AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT unnest([a, b, c]) AS node FROM tri)
+        |  GROUP BY node
+        |)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN (2 * coalesce(t.triangles, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_e6
+        |FROM deg d LEFT JOIN tn t USING (node) ORDER BY node""".stripMargin),
     // unrolled synchronous LPA twin: same undirected significant-edge
     // graph, 3 rounds, QUALIFY row_number argmax = the engine's
     // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)
@@ -1542,6 +1573,25 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
         |  CAST((max(us) - min(us)) / 1000000 AS DOUBLE) AS duration_sec,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // the timer-closed streaming sessions must equal the batch
+    // gaps-and-islands relation under the same cents quantization
+    // (floor(value·100+0.5), identical IEEE ops both engines); every
+    // sum CAST back from DuckDB's HUGEINT widening
+    "sessionize_tws" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g
+        |), sid AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name, count(*) AS n_lineitems,

@@ -1180,7 +1180,13 @@ object Graph {
     * bounded), triangle edges canonicalized back to (min, max). Shared
     * by the full-recount and incremental k-truss peels.
     */
-  private def trussSupport(e: DataFrame): DataFrame = {
+  /** Every triangle of a canonical (u < v) edge relation, exactly once,
+    * as (apex, a, b): oriented wedges at the low-degree apex
+    * (degree-then-id order — O(m^1.5) total wedge volume, hubs
+    * bounded), closed by an equi-join back onto the oriented edges.
+    * Shared by the truss peels and [[localClustering]].
+    */
+  private def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -1197,12 +1203,16 @@ object Graph {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
     val x = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val y = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
-    val tri = x.join(y, "s")
+    x.join(y, "s")
       .filter(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")))
       .select(col("s").as("apex"), col("a"), col("b"))
       .join(oriented.select(col("s").as("a"), col("t").as("b")),
         Seq("a", "b"))
+  }
+
+  private def trussSupport(e: DataFrame): DataFrame = {
+    val tri = orientedTriangles(e)
     tri.select(explode(array(
         struct(least(col("apex"), col("a")).as("u"),
           greatest(col("apex"), col("a")).as("v")),
@@ -1382,6 +1392,44 @@ object Graph {
       StorageLevel.MEMORY_AND_DISK, eager = true)
     persisted.unpersist(false)
     out
+  }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), where T(v) counts the
+    * triangles through v — the node-granularity transitivity diagnostic
+    * next to [[triangleCount]]'s global count and the truss family's
+    * per-edge support. Emitted as exact e6 integers
+    * (`(2·T·1e6) div (d·(d−1))`, non-negative operands, 0 for degree-1
+    * nodes), the house rational discipline — no doubles anywhere.
+    *
+    * Scale shape: one [[orientedTriangles]] pass (degree-oriented
+    * wedges, O(m^1.5) total volume, hubs bounded), then the triangle
+    * relation explodes to its three corners and partial-aggregates per
+    * node — every shuffle is on node id, nothing corpus-global. The
+    * left join keeps triangle-free nodes at T=0 so the relation is the
+    * full degree table, not just the transitive core.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    // one cached copy: the degree table and the wedge join both
+    // traverse it inside the SAME consumer action (matchingActions=1)
+    val e = CacheScope.selfReleasing(
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val triNode = orientedTriangles(e)
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(triNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_e6",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node"))
   }
 
   /** Bounded k-hop reachability (multi-source BFS): every node within k

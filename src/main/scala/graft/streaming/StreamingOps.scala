@@ -551,6 +551,115 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class TwsSession(startUs: Long, lastUs: Long, n: Long,
+      sumCents: Long, timerMs: Long)
+  final case class TwsClosedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Long, sum_cents: Long)
+
+  /** Gap sessionization as a [[org.apache.spark.sql.streaming
+    * .StatefulProcessor]] with EVENT-TIME TIMERS — the
+    * transformWithState surface [[CoOccurTotalsProcessor]] doesn't
+    * touch: TimeMode.EventTime, a registered per-key timer at
+    * lastEvent + gap, and `handleExpiredTimer` closing the session when
+    * the WATERMARK (not an arriving event) passes that instant. This is
+    * the piece [[sessionizeStream]] explicitly left out of scope —
+    * flatMapGroupsWithState can only close a session when a LATER event
+    * for the same user arrives; the timer closes the final session of
+    * every user once the stream's event time moves on.
+    *
+    * Exactness discipline: cents quantization (the [[ewmaStream]]
+    * convention — `floor(value·100 + 0.5)`, same IEEE ops as the
+    * oracle), fold ordered by (event-time µs, event_id), strict-`>` gap
+    * — so emissions are the batch sessionize relation exactly, in
+    * integers. One live timer per key: the state carries its expiry and
+    * re-registration deletes the stale one; a fired timer is honored
+    * only if it IS the current one (`getExpiryTimeInMs` equality), so a
+    * racing stale timer can never close a session early. Append-mode
+    * output: each closed session is emitted exactly once.
+    */
+  final class SessionizeTwsProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, TwsClosedSession] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[TwsSession] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[TwsSession]("session",
+        org.apache.spark.sql.Encoders.product[TwsSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsClosedSession] = {
+      val evs = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val closed = scala.collection.mutable.Buffer[TwsClosedSession]()
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      for (e <- evs) {
+        val us = micros(e.ts)
+        val cents = math.floor(e.value * 100.0 + 0.5).toLong
+        cur match {
+          case Some(s) if us - s.lastUs > gapUs =>
+            closed += TwsClosedSession(key, s.startUs, s.lastUs, s.n,
+              s.sumCents)
+            cur = Some(TwsSession(us, us, 1L, cents, s.timerMs))
+          case Some(s) =>
+            cur = Some(TwsSession(s.startUs, us, s.n + 1,
+              s.sumCents + cents, s.timerMs))
+          case None =>
+            cur = Some(TwsSession(us, us, 1L, cents, 0L))
+        }
+      }
+      cur.foreach { s =>
+        // ceil-to-ms so the ms-resolution timer never fires before the
+        // µs-resolution gap has strictly elapsed
+        val timerMs = (s.lastUs + gapUs) / 1000L + 1L
+        if (s.timerMs != timerMs) {
+          if (s.timerMs != 0L) getHandle.deleteTimer(s.timerMs)
+          getHandle.registerTimer(timerMs)
+        }
+        sess.update(s.copy(timerMs = timerMs))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsClosedSession] = {
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
+      if (expiredTimerInfo.getExpiryTimeInMs() != s.timerMs)
+        return Iterator.empty // stale timer for an already-extended session
+      sess.clear()
+      Iterator.single(TwsClosedSession(key, s.startUs, s.lastUs, s.n,
+        s.sumCents))
+    }
+  }
+
+  /** Timer-closed gap sessions over a normalized events stream (see
+    * [[SessionizeTwsProcessor]]). The caller owns watermarking the
+    * input — the registered query runs `withWatermark("ts", "0
+    * seconds")` plus a far-future SENTINEL row, so the final watermark
+    * passes every real session's close timer and the bounded run emits
+    * the COMPLETE batch sessionize relation (the sentinel's own session
+    * stays un-emittable in state and is filtered by user_id).
+    */
+  def sessionizeTws(events: DataFrame,
+      gapMinutes: Int = 30): Dataset[TwsClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeTwsProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** transformWithState requires the RocksDB state store provider; set
     * it for the duration of `body` and restore the prior provider after
     * (the rest of the streaming family runs the default HDFS-backed

@@ -4123,6 +4123,47 @@ class PipelineSpec extends AnyFunSuite {
       "sf0.01 organic parity")
   }
 
+  test("localClustering: hand-walked coefficients + triangle parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // triangle {a,b,c} + pendant c-d + disconnected pair e-f:
+    // cc(a)=cc(b)=2·1/(2·1)=1e6; cc(c)=2·1/(3·2)=333333 (floored);
+    // degree-1 nodes pinned to 0, including the triangle-free pair
+    val g1 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("e", "f")).toDF("src", "dst")
+    assert(dump(Graph.localClustering(g1)) == Map(
+      "a" -> ((2L, 1L, 1000000L)), "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((3L, 1L, 333333L)), "d" -> ((1L, 0L, 0L)),
+      "e" -> ((1L, 0L, 0L)), "f" -> ((1L, 0L, 0L))), "fixture drift")
+    // two triangles sharing edge (1,2): T(1)=T(2)=2 at degree 3 →
+    // 4e6/6 = 666666; duplicate + reversed input edges collapse
+    val g2 = Seq(("1", "2"), ("2", "1"), ("1", "3"), ("2", "3"),
+      ("1", "4"), ("4", "2"), ("1", "2")).toDF("src", "dst")
+    assert(dump(Graph.localClustering(g2)) == Map(
+      "1" -> ((3L, 2L, 666666L)), "2" -> ((3L, 2L, 666666L)),
+      "3" -> ((2L, 1L, 1000000L)), "4" -> ((2L, 1L, 1000000L))),
+      "shared-edge fixture drift")
+    // organic cross-operator parity: the triangles column must equal
+    // triangleCounts' independent degree-oriented enumeration wherever
+    // that relation has a row (it omits triangle-free nodes)
+    val dir = "/root/testdata/sf0.01"
+    val edges = operators.CoOccurrence.counts(
+        graft.sources.BasketSource.basketsFromLineitem(spark, dir))
+      .filter(col("cnt") >= 2)
+      .select(col("product").as("src"), col("neighbor").as("dst"))
+    val cc = Graph.localClustering(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tc = Graph.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc.forall { case (n, t) => cc.get(n).contains(t) },
+      "organic triangle parity with triangleCounts")
+    assert(cc.filterNot { case (n, _) => tc.contains(n) }
+      .forall(_._2 == 0L), "nodes absent from triangleCounts must be T=0")
+  }
+
   test("ppmiRank matches a brute-force lift computation and cuts at PMI>0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -297,6 +297,60 @@ class StreamingSpec extends AnyFunSuite {
       s"1 s TTL state must have been evicted: ${finalTotal("ttl")}")
   }
 
+  test("sessionizeTws: gap closes in-batch, the FINAL session closes by event-time timer") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Int) = t0.getTime * 1000L + min * 60000000L
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_sess")
+    val in = stage.resolve("in").toString
+    // user 7: two sessions (40-min gap splits in-batch); user 8: one
+    // event whose session ONLY a timer can close — no later event ever
+    // arrives for that user, the exact case flatMapGroupsWithState
+    // cannot handle
+    Seq((1L, ts(0), 7L, "view", 1.25), (2L, ts(10), 7L, "view", 2.00),
+      (3L, ts(50), 7L, "buy", 0.75), (4L, ts(5), 8L, "view", 3.50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    // sentinel at +82 min: watermark (delay 0) lands past every real
+    // timer (latest = 50+30 min) but short of its own (82+30)
+    Seq((-1L, ts(82), -1L, "sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(in)
+    val sink = stage.resolve("sink").toString
+    StreamingOps.withRocksDbStateStore(spark) {
+      val q = StreamingOps.sessionizeTws(
+          StreamingOps.eventsStreamNormalized(spark, in)
+            .withWatermark("ts", "0 seconds"))
+        .toDF().writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.writeBatchIdempotent(b, sink, id)
+        }
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the batch_id partition column round-trips as an inferred INT
+    val rows = spark.read.parquet(sink)
+      .withColumn("batch_id", col("batch_id").cast("long")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+        ((r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("sum_cents"), r.getAs[Long]("batch_id")))).toMap
+    // cents: 125+200 = 325 / 75 / 350 — the ewma quantization
+    assert(rows.keySet == Set((7L, us(0)), (7L, us(50)), (8L, us(5))),
+      s"session set drift (sentinel must not emit): $rows")
+    val (e1, n1, c1, b1) = rows((7L, us(0)))
+    assert((e1, n1, c1) == ((us(10), 2L, 325L)), s"user7 S1: $rows")
+    assert(b1 == 0L, "the 40-min gap must close S1 IN-BATCH (batch 0)")
+    val (e2, n2, c2, b2) = rows((7L, us(50)))
+    assert((e2, n2, c2) == ((us(50), 1L, 75L)), s"user7 S2: $rows")
+    val (e3, n3, c3, b3) = rows((8L, us(5)))
+    assert((e3, n3, c3) == ((us(5), 1L, 350L)), s"user8 S1: $rows")
+    assert(b2 >= 1L && b3 >= 1L,
+      s"final sessions must close in a LATER timer batch: b2=$b2 b3=$b3")
+  }
+
   test("streaming dedup admits each key exactly once across files") {
     // two copies of the same events file: every event_id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
