@@ -319,6 +319,79 @@ object SparkEntry extends SparkEntryOracleMain
             .orderBy(col("user_id"), col("session_id"))
         }
       }),
+    // MAP STATE via transformWithState (r17 — the keyed-sub-map
+    // primitive: one point-updatable RocksDB map per user, one cell per
+    // event type): running (user, type) counts across 4 real
+    // micro-batches; final = max-batch emission per cell. Oracle = the
+    // batch group-count.
+    "user_type_counts_tws" -> ((s, dir) =>
+      withStreamStage("graft_utc_tws") { stage =>
+        graft.streaming.StreamingOps.withRocksDbStateStore(s) {
+          eventsTable(s, dir).select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .repartition(4).write.mode("overwrite").parquet(stage + "/in")
+          val totals = graft.streaming.StreamingOps.userTypeCountsTws(
+            graft.streaming.StreamingOps.eventsStreamNormalized(
+              s, stage + "/in", maxFilesPerTrigger = 1))
+          val sink = stage + "/sink"
+          val q = totals.toDF().writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.streaming.StreamingOps.writeBatchIdempotent(b, sink, id)
+            }
+            .option("checkpointLocation", stage + "/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.StreamingOps.logBatchReceipt(
+            "user_type_counts_tws", q)
+          graft.sources.TableSink.saveTable(
+            s.read.parquet(sink)
+              .groupBy(col("user_id"), col("event_type"))
+              .agg(max(struct(col("batch_id"), col("n"))).as("m"))
+              .select(col("user_id"), col("event_type"),
+                col("m.n").as("n")),
+            "graft_utc_tws_result")
+          s.table("graft_utc_tws_result")
+            .orderBy(col("user_id"), col("event_type"))
+        }
+      }),
+    // LIST STATE via transformWithState (r17 — the bounded-list
+    // primitive): a deterministic BOTTOM-K sketch reservoir per event
+    // type (k smallest md5(event_id), ties by id — mergeable and batch-
+    // split-insensitive, so the streamed reservoir equals the batch
+    // QUALIFY top-k row for row). State per key is k entries no matter
+    // the stream length. Final = the key's max-batch reservoir.
+    "reservoir_bottomk_tws" -> ((s, dir) =>
+      withStreamStage("graft_resv_tws") { stage =>
+        graft.streaming.StreamingOps.withRocksDbStateStore(s) {
+          eventsTable(s, dir).select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .repartition(4).write.mode("overwrite").parquet(stage + "/in")
+          val resv = graft.streaming.StreamingOps.bottomkReservoirTws(
+            graft.streaming.StreamingOps.eventsStreamNormalized(
+              s, stage + "/in", maxFilesPerTrigger = 1))
+          val sink = stage + "/sink"
+          val q = resv.toDF().writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.streaming.StreamingOps.writeBatchIdempotent(b, sink, id)
+            }
+            .option("checkpointLocation", stage + "/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.StreamingOps.logBatchReceipt(
+            "reservoir_bottomk_tws", q)
+          val emitted = s.read.parquet(sink)
+          val lastBatch = emitted.groupBy(col("event_type"))
+            .agg(max(col("batch_id")).as("batch_id"))
+          graft.sources.TableSink.saveTable(
+            emitted.join(lastBatch, Seq("event_type", "batch_id"))
+              .select(col("event_type"), col("rk"), col("event_id")),
+            "graft_resv_tws_result")
+          s.table("graft_resv_tws_result")
+            .orderBy(col("event_type"), col("rk"))
+        }
+      }),
     // event-time WINDOWED AGGREGATION through the streaming engine,
     // driver-checked: normalized events staged to a temp dir, read back as
     // a bounded parquet file-source stream (availableNow), watermarked +
@@ -990,6 +1063,14 @@ object SparkEntry extends SparkEntryOracleMain
     // triangles id-ordered (a<b<c) — different join order, same set
     "local_clustering" -> ((s, dir) =>
       Graph.localClustering(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // Newman degree-mixing coefficient over the same graph (r17):
+    // exact decimal sums, one double ratio operand-shared with the
+    // oracle, NULL on degree-regular degeneracy
+    "assortativity" -> ((s, dir) =>
+      Graph.assortativity(
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),

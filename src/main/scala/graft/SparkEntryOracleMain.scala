@@ -144,6 +144,40 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    AS INT) AS rk,
         |  phrase, n_words, n_occ, score_e6
         |FROM top ORDER BY rk""".stripMargin),
+    // t-score collocations: integral numerator f(ab)·N − f(a)·f(b) in
+    // HUGEINT, the one double expression operand-identical to the
+    // engine (sqrt is correctly rounded — portable; ln would not be)
+    "collocations_tscore" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+'), 1) - 1 AS pos
+        |  FROM documents
+        |), bg AS (
+        |  SELECT w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk
+        |), fab AS (
+        |  SELECT w1, w2, count(*) AS n_ab FROM bg
+        |  WHERE w2 IS NOT NULL GROUP BY w1, w2 HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT w, count(*) AS f FROM tk GROUP BY w
+        |), tot AS (SELECT count(*) AS n_tok FROM tk
+        |), sc AS (
+        |  SELECT w1, w2, n_ab,
+        |    CAST(CAST(n_ab AS HUGEINT) * n_tok
+        |        - CAST(a.f AS HUGEINT) * b.f AS DOUBLE)
+        |      / (CAST(n_tok AS DOUBLE) * sqrt(CAST(n_ab AS DOUBLE)))
+        |      AS t_score
+        |  FROM fab JOIN uni a ON a.w = fab.w1
+        |  JOIN uni b ON b.w = fab.w2 CROSS JOIN tot
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY t_score DESC, w1, w2)
+        |    AS rk FROM sc)
+        |SELECT CAST(rk AS INT) AS rk, w1, w2,
+        |  CAST(n_ab AS BIGINT) AS n_ab, t_score
+        |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // per-document RAKE replay: identical islands, word stats grouped by
     // (doc_id, w), per-doc top-5 rank
     "rake_keywords_doc" ->
@@ -429,6 +463,42 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |      // (d.degree * (d.degree - 1))
         |    ELSE 0 END AS BIGINT) AS cc_e6
         |FROM deg d LEFT JOIN tn t USING (node) ORDER BY node""".stripMargin),
+    // Newman assortativity: HUGEINT moment sums over the both-
+    // orientations degree-pair relation, the one double ratio built
+    // from the same cast-to-double operands as the engine, integer
+    // degeneracy test
+    "assortativity" ->
+      (cooccurCte +
+        """, und AS (
+        |  SELECT DISTINCT least(product, neighbor) AS u,
+        |    greatest(product, neighbor) AS v
+        |  FROM counts WHERE product <> neighbor AND cnt >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node
+        |), pr AS (
+        |  SELECT d1.d AS j, d2.d AS k
+        |  FROM und JOIN deg d1 ON d1.node = und.u
+        |  JOIN deg d2 ON d2.node = und.v
+        |  UNION ALL
+        |  SELECT d2.d AS j, d1.d AS k
+        |  FROM und JOIN deg d1 ON d1.node = und.u
+        |  JOIN deg d2 ON d2.node = und.v
+        |), ag AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(j AS HUGEINT)) AS sj,
+        |    sum(CAST(j AS HUGEINT) * j) AS sjj,
+        |    sum(CAST(j AS HUGEINT) * k) AS sjk
+        |  FROM pr)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN CAST(n AS HUGEINT) * sjj = sj * sj THEN NULL
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sjk AS DOUBLE)
+        |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE)
+        |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+        |  END AS assortativity
+        |FROM ag""".stripMargin),
     // unrolled synchronous LPA twin: same undirected significant-edge
     // graph, 3 rounds, QUALIFY row_number argmax = the engine's
     // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)
@@ -1574,6 +1644,23 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |  CAST((max(us) - min(us)) / 1000000 AS DOUBLE) AS duration_sec,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // MapState running counts across real micro-batches must equal the
+    // batch group-count
+    "user_type_counts_tws" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the streamed bottom-k reservoir is batch-split-insensitive: it
+    // must equal the batch k-smallest-md5 relation row for row (same
+    // hex md5 of the decimal id rendering, same id tie-break)
+    "reservoir_bottomk_tws" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, CAST(rk AS INT) AS rk, event_id
+        |FROM r WHERE rk <= 32 ORDER BY event_type, rk""".stripMargin,
     // the timer-closed streaming sessions must equal the batch
     // gaps-and-islands relation under the same cents quantization
     // (floor(value·100+0.5), identical IEEE ops both engines); every

@@ -24,6 +24,11 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // doc_id-partitioned end to end, top-5 phrases per document)
     "rake_keywords_doc" -> ((s, dir) =>
       TextAnalysis.rakeKeywordsDoc(t(s, dir, "documents"))),
+    // Manning–Schütze t-score bigram collocations (r17 — the frequent-
+    // collocation complement to ppmi_rank's lift; sqrt-only statistic,
+    // bit-identical cross-engine where log-likelihood would not be)
+    "collocations_tscore" -> ((s, dir) =>
+      TextAnalysis.collocationsTscore(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,

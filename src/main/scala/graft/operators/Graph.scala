@@ -1432,6 +1432,54 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all edges, both orientations — the one-number
+    * mixing diagnostic next to [[localClustering]]'s per-node
+    * transitivity (r < 0: hubs attach to leaves, the co-occurrence
+    * graph's typical shape; r > 0: hubs attach to hubs).
+    *
+    * With both orientations in the pair relation the two marginals
+    * coincide, so Pearson collapses to
+    * r = (n·Σjk − (Σj)²) / (n·Σjj − (Σj)²) — three DECIMAL(38,0) sums
+    * and a count (all partial-aggregable; the corr_stats integer
+    * discipline), cast to double only for the final ratio with the
+    * SAME operand tree as the oracle. A degree-regular graph has zero
+    * variance → NULL (the regressionStats degenerate convention, exact
+    * integer equality test, never a double compare).
+    *
+    * Scale shape: two vertex-sized degree joins + one global agg —
+    * no wedges, no windows; the cheapest operator in the graph family.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val und = CacheScope.selfReleasing(
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val pairs = withDeg.select(col("du").as("j"), col("dv").as("k"))
+      .unionAll(withDeg.select(col("dv").as("j"), col("du").as("k")))
+    val agg = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("j").cast(d38)).as("sj"),
+      sum((col("j") * col("j")).cast(d38)).as("sjj"),
+      sum((col("j") * col("k")).cast(d38)).as("sjk"))
+    val nd = col("n").cast("double")
+    val (sj, sjj, sjk) = (col("sj").cast("double"),
+      col("sjj").cast("double"), col("sjk").cast("double"))
+    val degenerate =
+      col("n").cast(d38) * col("sjj") === col("sj") * col("sj")
+    agg.select(expr("n div 2").as("n_edges"),
+      when(degenerate, lit(null))
+        .otherwise((nd * sjk - sj * sj) / (nd * sjj - sj * sj))
+        .as("assortativity"))
+  }
+
   /** Bounded k-hop reachability (multi-source BFS): every node within k
     * directed hops of the seed set, labeled with its MINIMUM hop count.
     *

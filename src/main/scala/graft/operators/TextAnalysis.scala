@@ -310,6 +310,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** BIGRAM COLLOCATIONS by t-score (Manning & Schütze 1999 §5.3.1):
+    * t = (f(ab) − f(a)·f(b)/N) / sqrt(f(ab)) — the classic
+    * hypothesis-test ranking for adjacent word pairs, the BIGRAM
+    * sibling of the basket-pair [[CrystalBall.ppmiRank]] lift (t-score
+    * favors frequent collocations where PMI favors rare sharp ones).
+    *
+    * Cross-engine determinism is why t-score and not log-likelihood:
+    * the statistic needs only sqrt — correctly rounded in IEEE, hence
+    * bit-identical across engines — where Dunning's G² needs ln, which
+    * is merely faithfully rounded. The numerator is kept integral to
+    * the end (num = f(ab)·N − f(a)·f(b), DECIMAL(38,0)); the one
+    * double expression `num / (N · sqrt(f(ab)))` is operand-identical
+    * in the oracle.
+    *
+    * minCount is the standard support floor (the ppmi_rank argument:
+    * the once-seen tail is noise AND most of the relation — the floor
+    * lands before the unigram joins so only rankable bigrams shuffle).
+    * Top-k by (t desc, words) via sort-limit (TakeOrdered — no global
+    * window over the bigram relation); the rank column is assigned on
+    * the k-row result.
+    */
+  def collocationsTscore(documents: DataFrame, minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && topK >= 1,
+      s"collocationsTscore: minCount >= 1, topK >= 1 (got $minCount/$topK)")
+    val d38 = "decimal(38,0)"
+    val toks = CacheScope.selfReleasing(
+      documents.select(col("doc_id"),
+        posexplode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w"))))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val nTok = toks.agg(count(lit(1)).cast(d38).as("n_tok"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= lit(minCount))
+    val scored = bigrams
+      .join(uni.select(col("w").as("w1"), col("f").as("fa")), "w1")
+      .join(uni.select(col("w").as("w2"), col("f").as("fb")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("t_score",
+        (col("n_ab").cast(d38) * col("n_tok") -
+          col("fa").cast(d38) * col("fb")).cast("double") /
+        (col("n_tok").cast("double") * sqrt(col("n_ab").cast("double"))))
+      .orderBy(col("t_score").desc, col("w1"), col("w2"))
+      .limit(topK)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("t_score").desc, col("w1"), col("w2"))))
+      .select(col("rk"), col("w1"), col("w2"), col("n_ab"),
+        col("t_score"))
+      .orderBy(col("rk"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -660,6 +660,125 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  final case class UserTypeCount(user_id: Long, event_type: String,
+      n: Long)
+
+  /** Per-user per-event-type running counts on a
+    * [[org.apache.spark.sql.streaming.MapState]] — the KEYED-map state
+    * primitive of transformWithState (one RocksDB sub-map per user,
+    * point-updatable per event type: the state shape a per-key
+    * aggregation over a SECONDARY dimension wants at scale — updating
+    * one (user, type) cell touches that cell, not a serialized blob of
+    * all the user's types, which is exactly what a ValueState[Map]
+    * would re-encode wholesale on every event). Update-mode emissions
+    * re-emit the user's full (small, type-cardinality-bounded) map per
+    * batch; final answer per (user, type) is the max-batch emission.
+    */
+  final class UserTypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserTypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTypeCount] = {
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      counts.iterator().map { case (t, n) => UserTypeCount(key, t, n) }
+    }
+  }
+
+  /** (user, event_type) running counts over a normalized events stream
+    * via [[UserTypeCountsProcessor]]. */
+  def userTypeCountsTws(events: DataFrame): Dataset[UserTypeCount] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  final case class ReservoirEntry(h: String, event_id: Long)
+  final case class ReservoirRow(event_type: String, rk: Int,
+      event_id: Long)
+
+  /** Streaming BOTTOM-K SKETCH per stratum on a
+    * [[org.apache.spark.sql.streaming.ListState]] — the list state
+    * primitive of transformWithState, carrying a bounded DETERMINISTIC
+    * reservoir: per event_type, the k events with the smallest
+    * md5(event_id) (ties by id). Bottom-k over a uniform hash is the
+    * mergeable, order-insensitive exact-sample sketch (Cohen & Kaplan
+    * 2007 — the md5-determinism sibling of [[graft.operators.Sampling]]
+    * .bucket100): any batch split folds to the same final reservoir,
+    * so the bounded streaming run equals the batch QUALIFY-top-k
+    * relation row for row. State per key is k entries, NO MATTER how
+    * many events stream through — the 100 TB shape for "keep a sample
+    * per stratum forever".
+    */
+  final class BottomKReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, UserEvent, ReservoirRow] {
+    @transient private var res:
+      org.apache.spark.sql.streaming.ListState[ReservoirEntry] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      res = getHandle.getListState[ReservoirEntry]("reservoir",
+        org.apache.spark.sql.Encoders.product[ReservoirEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ReservoirRow] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fresh = rows.map { e =>
+        md.reset()
+        val h = md.digest(e.event_id.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        ReservoirEntry(h, e.event_id)
+      }
+      val merged = (res.get().toSeq ++ fresh)
+        .sortBy(e => (e.h, e.event_id)).take(k)
+      res.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        ReservoirRow(key, i + 1, e.event_id)
+      }
+    }
+  }
+
+  /** Per-event-type bottom-k reservoir over a normalized events stream
+    * via [[BottomKReservoirProcessor]]. */
+  def bottomkReservoirTws(events: DataFrame,
+      k: Int = 32): Dataset[ReservoirRow] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new BottomKReservoirProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** transformWithState requires the RocksDB state store provider; set
     * it for the duration of `body` and restore the prior provider after
     * (the rest of the streaming family runs the default HDFS-backed

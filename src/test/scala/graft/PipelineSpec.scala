@@ -4314,6 +4314,53 @@ class PipelineSpec extends AnyFunSuite {
       s"global form should rank red car above blue sky: $global")
   }
 
+  test("assortativity: star/path −1, regular graphs NULL, mixed hand-walk") {
+    import spark.implicits._
+    def one(edges: Seq[(String, String)]): (Long, Option[Double]) = {
+      val r = Graph.assortativity(edges.toDF("src", "dst")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    // star K1,3: every edge joins the hub (d=3) to a leaf (d=1) —
+    // perfectly disassortative
+    assert(one(Seq(("h", "a"), ("h", "b"), ("h", "c"))) ==
+      ((3L, Some(-1.0))), "star must be r = -1")
+    // triangle: degree-regular → zero variance → NULL by the integer
+    // degeneracy test (n·Σjj == (Σj)²), never a 0/0 double
+    assert(one(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == ((3L, None)),
+      "regular graph must be NULL")
+    // triangle {a,b,c} + pendant c-d: n=8 oriented pairs, Σj=18,
+    // Σjj=44, Σjk=38 → r = (8·38−324)/(8·44−324) = −20/28, computed
+    // through the same double operand tree
+    val expected = (8.0 * 38.0 - 18.0 * 18.0) / (8.0 * 44.0 - 18.0 * 18.0)
+    assert(one(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))) ==
+      ((4L, Some(expected))), "mixed fixture drift")
+  }
+
+  test("collocationsTscore: hand-walked t-scores, floor and ordering") {
+    import spark.implicits._
+    // N=13 tokens; f(new york)=3, f(york is)=2, every other bigram 1;
+    // f(new)=3, f(york)=4, f(is)=2 — minCount=2 keeps exactly two
+    // bigrams; t = (f_ab·N − f_a·f_b) / (N·sqrt(f_ab)) in the same
+    // IEEE operand order as the operator
+    val docs = Seq((1L, "new york is big new york is cold"),
+      (2L, "new york and old york")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .collocationsTscore(docs, minCount = 2L, topK = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val t1 = (3.0 * 13.0 - 3.0 * 4.0) / (13.0 * math.sqrt(3.0))
+    val t2 = (2.0 * 13.0 - 4.0 * 2.0) / (13.0 * math.sqrt(2.0))
+    assert(got == Seq((1, "new", "york", 3L, t1), (2, "york", "is", 2L, t2)),
+      s"t-score drift: $got (expected t1=$t1 t2=$t2)")
+    // bigrams never span documents: "cold new" (doc1 end → doc1 start
+    // would need wraparound) and "cold"→doc2's "new" must not exist
+    val all = operators.TextAnalysis
+      .collocationsTscore(docs, minCount = 1L, topK = 100).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(!all.contains(("cold", "new")),
+      "bigram leaked across document boundary")
+  }
+
   test("giniConcentration: hand-walked rank-weighted closed form") {
     import spark.implicits._
     // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,

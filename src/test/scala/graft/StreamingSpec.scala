@@ -297,6 +297,92 @@ class StreamingSpec extends AnyFunSuite {
       s"1 s TTL state must have been evicted: ${finalTotal("ttl")}")
   }
 
+  test("MapState type counts accumulate per cell across micro-batches") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_utc")
+    val in = stage.resolve("in").toString
+    // file 1: user 7 {view, view, buy}; file 2: user 7 {view}, user 8
+    // {buy} — the (7, view) CELL must accumulate 2+1 across batches
+    // while (7, buy) stays untouched by batch 2's point updates
+    Seq((1L, t0, 7L, "view", 1.0), (2L, t0, 7L, "view", 1.0),
+      (3L, t0, 7L, "buy", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    Seq((4L, t0, 7L, "view", 1.0), (5L, t0, 8L, "buy", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    val sink = stage.resolve("sink").toString
+    StreamingOps.withRocksDbStateStore(spark) {
+      val q = StreamingOps.userTypeCountsTws(
+          StreamingOps.eventsStreamNormalized(spark, in,
+            maxFilesPerTrigger = 1))
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.writeBatchIdempotent(b, sink, id)
+        }
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "fixture must drain in exactly two micro-batches")
+    }
+    val got = spark.read.parquet(sink)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("batch_id"), col("n"))).as("m"))
+      .select(col("user_id"), col("event_type"), col("m.n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((7L, "view") -> 3L, (7L, "buy") -> 1L,
+      (8L, "buy") -> 1L), s"MapState cell drift: $got")
+  }
+
+  test("ListState bottom-k reservoir evicts on better hashes and is split-insensitive") {
+    import spark.implicits._
+    def md5hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val ids = (1L to 10L).toSeq
+    val expected = ids.sortBy(i => (md5hex(i), i)).take(3)
+    // both halves carry reservoir-worthy ids in every layout tried —
+    // assert the stronger property directly: ANY 2-way file split must
+    // fold to the batch bottom-3 (merge + trim is order-insensitive)
+    for (splitAt <- Seq(3, 7)) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_tws_res")
+      val in = stage.resolve("in").toString
+      val (h1, h2) = ids.splitAt(splitAt)
+      h1.map(i => (i, t0, i, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      h2.map(i => (i, t0, i, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      val sink = stage.resolve("sink").toString
+      StreamingOps.withRocksDbStateStore(spark) {
+        val q = StreamingOps.bottomkReservoirTws(
+            StreamingOps.eventsStreamNormalized(spark, in,
+              maxFilesPerTrigger = 1), k = 3)
+          .toDF().writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            StreamingOps.writeBatchIdempotent(b, sink, id)
+          }
+          .option("checkpointLocation", stage.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val emitted = spark.read.parquet(sink)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val lastBatch = emitted.agg(max(col("batch_id"))).head.getLong(0)
+      val got = emitted.filter(col("batch_id") === lastBatch)
+        .orderBy(col("rk")).collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(got == expected,
+        s"split@$splitAt reservoir drift: got $got expected $expected")
+    }
+  }
+
   test("sessionizeTws: gap closes in-batch, the FINAL session closes by event-time timer") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
