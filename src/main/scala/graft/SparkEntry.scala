@@ -319,6 +319,64 @@ object SparkEntry extends SparkEntryOracleMain
             .orderBy(col("user_id"), col("session_id"))
         }
       }),
+    // BATCH-BOOTSTRAPPED STATE via StatefulProcessorWithInitialState
+    // (r17 — the backfill→stream migration surface): baskets split
+    // deterministically (md5 customer bucket), the first half's totals
+    // computed IN BATCH and handed to transformWithState as initial
+    // state, only the second half streamed; the serving view overlays
+    // stream emissions on the backfill table (a key the stream never
+    // touches keeps its backfill value — handleInitialState cannot
+    // emit). Final totals must equal the FULL batch marginals — the
+    // same oracle text as cooccur_totals_tws, which is the entire
+    // point: the split is invisible to the answer.
+    "cooccur_totals_tws_boot" -> ((s, dir) =>
+      withStreamStage("graft_twsb_stream") { stage =>
+        graft.streaming.StreamingOps.withRocksDbStateStore(s) {
+          import s.implicits._
+          val baskets = BasketSource.fromLineitem(s, dir)
+            .withColumn("bkt", Sampling.bucket100(col("customer")))
+          val backfill = CoOccurrence.counts(
+              baskets.filter(col("bkt") < 50)
+                .select(col("customer"), col("products")).as[Basket])
+            .groupBy(col("product"))
+            .agg(sum(col("cnt")).as("total"))
+            .as[graft.streaming.StreamingOps.ProductTotal]
+          graft.sources.TableSink.saveTable(backfill.toDF(),
+            "graft_twsb_backfill")
+          baskets.filter(col("bkt") >= 50)
+            .select(concat_ws(" ", col("customer"),
+              array_join(col("products"), " ")).as("value"))
+            .repartition(2)
+            .write.mode("overwrite").text(stage + "/in")
+          val totals = graft.streaming.StreamingOps.cooccurTotalsTwsBoot(
+            s, stage + "/in",
+            s.table("graft_twsb_backfill")
+              .as[graft.streaming.StreamingOps.ProductTotal])
+          val sink = stage + "/sink"
+          val q = totals.toDF().writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.streaming.StreamingOps.writeBatchIdempotent(b, sink, id)
+            }
+            .option("checkpointLocation", stage + "/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.streaming.StreamingOps.logBatchReceipt(
+            "cooccur_totals_tws_boot", q)
+          val streamed = s.read.parquet(sink)
+            .groupBy(col("product"))
+            .agg(max(struct(col("batch_id"), col("total"))).as("m"))
+            .select(col("product"), col("m.total").as("s_total"))
+          graft.sources.TableSink.saveTable(
+            s.table("graft_twsb_backfill")
+              .select(col("product"), col("total").as("b_total"))
+              .join(streamed, Seq("product"), "full_outer")
+              .select(col("product"),
+                coalesce(col("s_total"), col("b_total")).as("total")),
+            "graft_twsb_result")
+          s.table("graft_twsb_result").orderBy(col("product"))
+        }
+      }),
     // MAP STATE via transformWithState (r17 — the keyed-sub-map
     // primitive: one point-updatable RocksDB map per user, one cell per
     // event type): running (user, type) counts across 4 real

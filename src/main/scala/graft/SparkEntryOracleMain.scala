@@ -43,6 +43,12 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
       (cooccurCte + """
         |SELECT product, CAST(sum(cnt) AS BIGINT) AS total
         |FROM counts GROUP BY product ORDER BY product""".stripMargin),
+    // backfill-seeded state + streamed second half must equal the FULL
+    // batch marginal — the md5-bucket split is invisible to the answer
+    "cooccur_totals_tws_boot" ->
+      (cooccurCte + """
+        |SELECT product, CAST(sum(cnt) AS BIGINT) AS total
+        |FROM counts GROUP BY product ORDER BY product""".stripMargin),
     // stream->table ingest across a restart must equal the batch
     // aggregate — same oracle text as hourly_counts
     "events_table_stream" ->
@@ -144,6 +150,21 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    AS INT) AS rk,
         |  phrase, n_words, n_occ, score_e6
         |FROM top ORDER BY rk""".stripMargin),
+    // raw Turing r* = (r+1)·N(r+1)/N(r) over the count-of-counts,
+    // HUGEINT floor-div, gap rows (no N(r+1)) at 0
+    "good_turing" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS w FROM documents
+        |), fr AS (
+        |  SELECT w, count(*) AS r FROM tk GROUP BY w
+        |), coc AS (
+        |  SELECT r, count(*) AS n_r FROM fr GROUP BY r)
+        |SELECT c.r, CAST(c.n_r AS BIGINT) AS n_r,
+        |  CAST((CAST(c.r + 1 AS HUGEINT) * coalesce(c2.n_r, 0)
+        |    * 1000000) // c.n_r AS BIGINT) AS r_star_e6
+        |FROM coc c LEFT JOIN coc c2 ON c2.r = c.r + 1
+        |ORDER BY c.r""".stripMargin,
     // t-score collocations: integral numerator f(ab)·N − f(a)·f(b) in
     // HUGEINT, the one double expression operand-identical to the
     // engine (sqrt is correctly rounded — portable; ln would not be)

@@ -29,6 +29,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // bit-identical cross-engine where log-likelihood would not be)
     "collocations_tscore" -> ((s, dir) =>
       TextAnalysis.collocationsTscore(t(s, dir, "documents"))),
+    // raw Turing adjusted counts off the count-of-counts relation
+    // (r17 — exact e6 rationals; the unseen-mass diagnostic)
+    "good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,

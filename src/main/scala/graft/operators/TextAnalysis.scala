@@ -369,6 +369,46 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** GOOD–TURING frequency re-estimation (Good 1953, the Turing
+    * estimator; Gale & Sampson 1995 popularized the smoothed variant):
+    * a word type observed r times should be credited an adjusted count
+    * r* = (r+1)·N(r+1)/N(r), where N(r) is the COUNT OF COUNTS — the
+    * number of types seen exactly r times. The classic unseen-mass
+    * diagnostic for n-gram LMs (total probability shifted to unseen
+    * events is N(1)/N — readable off the r=1 row) and the integer
+    * sibling of [[unigramLogprob]]'s MLE.
+    *
+    * Deliberately the RAW Turing estimator, not Gale–Sampson's
+    * log-log-regression smoothing: the smoothing needs ln (merely
+    * faithfully rounded — not portable cross-engine), while the raw
+    * estimator is one exact rational per row, emitted as e6 integers
+    * under the house `DECIMAL(38,0) … div` discipline. Rows where
+    * N(r+1) = 0 (gaps in the count-of-counts — the reason Gale &
+    * Sampson smooth at the tail) emit r* = 0, the honest raw value.
+    *
+    * Scale shape: two partial-aggregable groupBys (tokens → type
+    * frequencies → count-of-counts) + one self-join on the
+    * count-of-counts relation, which has at most O(√tokens) rows
+    * (Σ r·N(r) = N bounds distinct r) — the join is a broadcast at any
+    * corpus size.
+    */
+  def goodTuring(documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val coc = CacheScope.selfReleasing(
+      freq.groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+    coc.join(
+        broadcast(coc.select((col("r") - 1).as("r"),
+          col("n_r").as("n_r1"))),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        expr("CAST((CAST(r + 1 AS DECIMAL(38,0)) * coalesce(n_r1, 0)" +
+          " * 1000000) div n_r AS BIGINT)").as("r_star_e6"))
+      .orderBy(col("r"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -660,6 +660,65 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** [[CoOccurTotalsProcessor]] with BATCH-BOOTSTRAPPED state — the
+    * StatefulProcessorWithInitialState surface: `handleInitialState`
+    * seeds each key's ValueState from a batch relation BEFORE the first
+    * micro-batch, the exactly-once migration story for "backfill
+    * computed in batch, continuation streamed" (state upsert serving: a
+    * key the stream never touches keeps its backfill value — which is
+    * why the registered query's final read overlays stream emissions on
+    * the backfill table rather than expecting silent re-emission;
+    * handleInitialState cannot emit).
+    */
+  final class CoOccurTotalsBootProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, graft.CoPair, ProductTotal, ProductTotal] {
+    @transient private var totalState:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totalState = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: ProductTotal,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totalState.update(initial.total)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[graft.CoPair],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ProductTotal] = {
+      val prev = if (totalState.exists()) totalState.get() else 0L
+      var added = 0L
+      while (rows.hasNext) { rows.next(); added += 1L }
+      val now = prev + added
+      totalState.update(now)
+      Iterator.single(ProductTotal(key, now))
+    }
+  }
+
+  /** [[cooccurTotalsTws]] warm-started from a batch totals relation via
+    * [[CoOccurTotalsBootProcessor]]. */
+  def cooccurTotalsTwsBoot(spark: SparkSession, textDir: String,
+      initial: Dataset[ProductTotal],
+      maxFilesPerTrigger: Int = 1): Dataset[ProductTotal] = {
+    import spark.implicits._
+    val pairs = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .textFile(textDir)
+      .flatMap(graft.sources.BasketSource.parseLine _)
+      .flatMap(b =>
+        graft.operators.CoOccurrence.windowPairs(b.products))
+    pairs.groupByKey(_.product)
+      .transformWithState(new CoOccurTotalsBootProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        initial.groupByKey(_.product))
+  }
+
   final case class UserTypeCount(user_id: Long, event_type: String,
       n: Long)
 

@@ -4361,6 +4361,28 @@ class PipelineSpec extends AnyFunSuite {
       "bigram leaked across document boundary")
   }
 
+  test("goodTuring: hand-walked Turing adjusted counts with a gap row") {
+    import spark.implicits._
+    // tokens: a×3 b×2 c×1 d×1 → N(1)=2, N(2)=1, N(3)=1.
+    // r=1: r* = 2·N(2)/N(1) = 1 → 1e6; r=2: 3·N(3)/N(2) = 3 → 3e6;
+    // r=3: N(4)=0 → raw estimator 0 (the gap Gale–Sampson smooths)
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.goodTuring(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1000000L)), 2L -> ((1L, 3000000L)),
+      3L -> ((1L, 0L))), s"Turing drift: $got")
+    // conservation sanity on organic data: Σ r·N(r) = total tokens
+    val dir = "/root/testdata/sf0.01"
+    val realDocs = sources.Tables.load(spark, dir, "documents")
+    val gt = operators.TextAnalysis.goodTuring(realDocs)
+    val massFromCoc = gt.selectExpr("sum(r * n_r)").head.getLong(0)
+    val totalToks = realDocs.selectExpr(
+      "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))")
+      .head.getLong(0)
+    assert(massFromCoc == totalToks,
+      s"count-of-counts mass $massFromCoc != token total $totalToks")
+  }
+
   test("giniConcentration: hand-walked rank-weighted closed form") {
     import spark.implicits._
     // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,

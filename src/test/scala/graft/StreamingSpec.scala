@@ -383,6 +383,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state bootstrap: backfill seeds state, overlay equals full batch") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val leg1 = Seq("u1 11 22 33") // batch backfill half
+    val leg2 = Seq("u2 22 44") // streamed half
+    def totals(lines: Seq[String]): Map[String, Long] =
+      graft.operators.CoOccurrence.counts(
+          graft.sources.BasketSource.fromLines(spark, lines))
+        .groupBy(col("product")).agg(sum(col("cnt")).as("total"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val backfill = totals(leg1)
+    val full = totals(leg1 ++ leg2)
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_boot")
+    val in = stage.resolve("in"); java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.write(in.resolve("a.txt"), leg2.asJava)
+    val sink = stage.resolve("sink").toString
+    StreamingOps.withRocksDbStateStore(spark) {
+      val q = StreamingOps.cooccurTotalsTwsBoot(spark, in.toString,
+          backfill.toSeq.map { case (p, t) =>
+            StreamingOps.ProductTotal(p, t) }.toDS())
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.writeBatchIdempotent(b, sink, id)
+        }
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val emitted = spark.read.parquet(sink)
+      .groupBy(col("product"))
+      .agg(max(struct(col("batch_id"), col("total"))).as("m"))
+      .select(col("product"), col("m.total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the SEED receipt: a product in both halves emits initial+adds on
+    // its FIRST stream sighting — already the full-batch value
+    assert(emitted("22") == full("22") && emitted("22") > totals(leg2)("22"),
+      s"initial state not seeded: $emitted vs full $full")
+    // a backfill-only product is never emitted (handleInitialState
+    // cannot emit) — the overlay is what serves it
+    assert(!emitted.contains("11") && backfill.contains("11"),
+      s"backfill-only key unexpectedly emitted: $emitted")
+    val overlay = backfill ++ emitted
+    assert(overlay == full, s"overlay drift: $overlay vs $full")
+  }
+
   test("sessionizeTws: gap closes in-batch, the FINAL session closes by event-time timer") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
