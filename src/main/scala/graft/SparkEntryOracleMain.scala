@@ -165,6 +165,37 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    * 1000000) // c.n_r AS BIGINT) AS r_star_e6
         |FROM coc c LEFT JOIN coc c2 ON c2.r = c.r + 1
         |ORDER BY c.r""".stripMargin,
+    // Heaps curve: first-doc type attribution, prefix sums along
+    // doc_id, power-of-two ranks + the full-corpus point
+    "heaps_curve" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), pd AS (
+        |  SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY doc_id
+        |), nt AS (
+        |  SELECT doc_id, count(*) AS n_new FROM (
+        |    SELECT w, min(doc_id) AS doc_id FROM tk GROUP BY w)
+        |  GROUP BY doc_id
+        |), base AS (
+        |  SELECT d.doc_id, coalesce(pd.n_tok, 0) AS n_tok,
+        |    coalesce(nt.n_new, 0) AS n_new
+        |  FROM documents d LEFT JOIN pd USING (doc_id)
+        |  LEFT JOIN nt USING (doc_id)
+        |), cum AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk,
+        |    count(*) OVER () AS n_docs,
+        |    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum_tokens,
+        |    sum(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum_types
+        |  FROM base)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_types AS BIGINT) AS cum_types
+        |FROM cum WHERE (rk & (rk - 1)) = 0 OR rk = n_docs
+        |ORDER BY rk""".stripMargin,
     // t-score collocations: integral numerator f(ab)·N − f(a)·f(b) in
     // HUGEINT, the one double expression operand-identical to the
     // engine (sqrt is correctly rounded — portable; ln would not be)

@@ -1175,6 +1175,24 @@ private[graft] trait SparkEntryOracleMain2 extends SparkEntryOracleRest {
           |FROM documents d
           |LEFT JOIN per USING (doc_id) LEFT JOIN repc USING (doc_id)
           |ORDER BY doc_id""".stripMargin),
+    // min-doc first-occurrence attribution over the shared span
+    // relation; novelty as an exact e6 ratio
+    "span_novelty" ->
+      (spansCte.stripSuffix("\n") +
+        """, fd AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+        |), per AS (
+        |  SELECT g.doc_id, count(*) AS n_spans,
+        |    count(CASE WHEN g.doc_id = fd.first_doc THEN 1 END) AS n_novel
+        |  FROM g JOIN fd USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN coalesce(per.n_spans, 0) > 0
+        |    THEN (per.n_novel * 1000000) // per.n_spans
+        |    ELSE 0 END AS BIGINT) AS novelty_e6
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // positional spans regenerated WITH positions (the shared spansCte
     // drops them), repeated-gram runs chained by island = pos − rank,
     // run length in tokens = consecutive positions + 7

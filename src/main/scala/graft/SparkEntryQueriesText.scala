@@ -33,6 +33,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // (r17 — exact e6 rationals; the unseen-mass diagnostic)
     "good_turing" -> ((s, dir) =>
       TextAnalysis.goodTuring(t(s, dir, "documents"))),
+    // Heaps-law vocabulary growth at power-of-two doc ranks (r17 —
+    // first-doc type attribution + window-free exact prefix sums)
+    "heaps_curve" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,
@@ -563,6 +567,9 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // tokens): repeated 8-gram positions chained by gaps-and-islands
     // into runs; keep = no run reaching 50 tokens
     "span_dedup_50" -> ((s, dir) => Dedup.spanDedupLong(t(s, dir, "documents"))),
+    // redundancy growth along ingestion order (r17): fraction of each
+    // doc's spans first seen IN that doc (min-doc attribution)
+    "span_novelty" -> ((s, dir) => Dedup.spanNovelty(t(s, dir, "documents"))),
     // index-quality audit: LSH candidates vs the exact n-gram ground truth
     "lsh_recall" -> ((s, dir) => Dedup.lshRecall(t(s, dir, "documents"))),
     // the empirical S-curve: one row per banding config of the same

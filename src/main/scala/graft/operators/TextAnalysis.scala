@@ -409,6 +409,50 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** HEAPS-LAW VOCABULARY GROWTH (Heaps 1978): cumulative distinct
+    * types vs cumulative tokens along the doc_id ingestion order,
+    * sampled at power-of-two document ranks (plus the full-corpus
+    * point) — the vocabulary scaling curve (V ≈ K·nᵝ) that sizes
+    * tokenizer vocabularies and detects corpus saturation.
+    *
+    * The distributed trick: "cumulative distinct" is NOT a distinct
+    * over prefixes — each type is attributed to its FIRST document
+    * (min doc_id, one partial-aggregable groupBy), so the curve is two
+    * EXCLUSIVE PREFIX SUMS over the per-doc (new-types, tokens)
+    * relation — [[ExactRank.exactPrefixSum]] passes (window-free: no
+    * single-task global window at any scale), plus one rank pass for
+    * the power-of-two cut. Everything integer; the #docs-sized
+    * intermediate never reaches the driver.
+    */
+  def heapsCurve(documents: DataFrame): DataFrame = {
+    val toks = CacheScope.selfReleasing(documents.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("w")))
+    val perDocToks = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    val newTypes = toks.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val base = documents.select(col("doc_id"))
+      .join(perDocToks, Seq("doc_id"), "left")
+      .join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(0).as("g"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cumTok = ExactRank.exactPrefixSum(base, Seq("g"), Seq("doc_id"),
+      "n_tok", beforeCol = "tok_before", totalCol = "tok_total")
+    val cumBoth = ExactRank.exactPrefixSum(cumTok, Seq("g"), Seq("doc_id"),
+      "n_new", beforeCol = "new_before", totalCol = "new_total")
+    val ranked = ExactRank.exactRank(cumBoth, Seq("g"), Seq("doc_id"),
+      rankCol = "rk", totalCol = "n_docs")
+    ranked
+      .filter(expr("(rk & (rk - 1)) = 0") || col("rk") === col("n_docs"))
+      .select(col("rk"), col("doc_id"),
+        (col("tok_before") + col("n_tok")).as("cum_tokens"),
+        (col("new_before") + col("n_new")).as("cum_types"))
+      .orderBy(col("rk"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -4383,6 +4383,52 @@ class PipelineSpec extends AnyFunSuite {
       s"count-of-counts mass $massFromCoc != token total $totalToks")
   }
 
+  test("spanNovelty: min-doc attribution, self-repeats novel, empty docs zero") {
+    import spark.implicits._
+    // k=2 grams — doc1 first sees "a b","b c"; doc2 shares "a b";
+    // doc3 repeats doc1 exactly; doc4 too short for any span;
+    // doc5 self-repeats its own gram (still NOVEL: cross-doc metric)
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "a b c"),
+      (4L, "z"), (5L, "q q q")).toDF("doc_id", "text")
+    val got = Dedup.spanNovelty(docs, k = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1000000L)), 2L -> ((2L, 1L, 500000L)),
+      3L -> ((2L, 0L, 0L)), 4L -> ((0L, 0L, 0L)),
+      5L -> ((2L, 2L, 1000000L))), s"novelty drift: $got")
+  }
+
+  test("heapsCurve: hand-walked growth at power-of-two ranks") {
+    import spark.implicits._
+    // per-doc (tokens, new types): d1 (3, {a,b}=2), d2 (2, {c}=1),
+    // d3 (2, 0), d4 (1, {d}=1) → cum tokens 3,5,7,8; types 2,3,3,4;
+    // emitted ranks: 1, 2, 4 (rank 4 is both 2² and the corpus point)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c a"),
+      (4L, "d")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.heapsCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 1L, 3L, 2L), (2L, 2L, 5L, 3L),
+      (4L, 4L, 8L, 4L)), s"Heaps curve drift: $got")
+    // growth-law sanity on organic data: cum_types is nondecreasing,
+    // concave-ish (each doubling adds fewer types per token), and the
+    // final point's cum_types equals the corpus vocabulary exactly
+    val dir = "/root/testdata/sf0.01"
+    val realDocs = sources.Tables.load(spark, dir, "documents")
+    val curve = operators.TextAnalysis.heapsCurve(realDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(curve.sliding(2).forall {
+      case Seq((_, t1, v1), (_, t2, v2)) => t2 >= t1 && v2 >= v1
+      case _ => true
+    }, s"non-monotone curve: $curve")
+    val vocab = realDocs.selectExpr(
+      "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w")
+      .distinct().count()
+    assert(curve.last._3 == vocab,
+      s"final point ${curve.last._3} != vocabulary $vocab")
+  }
+
   test("giniConcentration: hand-walked rank-weighted closed form") {
     import spark.implicits._
     // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,
