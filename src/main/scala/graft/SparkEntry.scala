@@ -1444,6 +1444,11 @@ object SparkEntry extends SparkEntryOracleMain
     // back for residuals, all integer cents
     "seasonal_profile" -> ((s, dir) =>
       Events.seasonalProfile(eventsTable(s, dir))),
+    // hourly Fano factor per type (r17 — overdispersion vs Poisson,
+    // zero hours entering through the span length alone; exact
+    // decimal moments, e6 floor division)
+    "burstiness" -> ((s, dir) =>
+      Events.burstiness(eventsTable(s, dir))),
     // MAD robust outlier profile per event type (r16 — Hampel's
     // median-absolute-deviation cut): exact lower medians via two
     // ExactRank passes, 3·MAD outlier counts, all integer cents

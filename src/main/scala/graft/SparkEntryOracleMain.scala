@@ -165,6 +165,27 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |    * 1000000) // c.n_r AS BIGINT) AS r_star_e6
         |FROM coc c LEFT JOIN coc c2 ON c2.r = c.r + 1
         |ORDER BY c.r""".stripMargin,
+    // token-frequency Gini: ascending (f, w) ranks, the
+    // gini_concentration closed form in HUGEINT
+    "vocab_gini" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS w FROM documents
+        |), fr AS (
+        |  SELECT w, count(*) AS f FROM tk GROUP BY w
+        |), rk AS (
+        |  SELECT f, row_number() OVER (ORDER BY f, w) AS rnk FROM fr
+        |), ag AS (
+        |  SELECT count(*) AS n_types, sum(f) AS total_tokens,
+        |    sum(CAST(rnk AS HUGEINT) * f) AS rank_weighted
+        |  FROM rk)
+        |SELECT CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(((2 * rank_weighted - (n_types + 1)
+        |      * CAST(total_tokens AS HUGEINT)) * 1000000)
+        |    // (CAST(n_types AS HUGEINT) * total_tokens) AS BIGINT)
+        |    AS gini_e6
+        |FROM ag""".stripMargin,
     // Heaps curve: first-doc type attribution, prefix sums along
     // doc_id, power-of-two ranks + the full-corpus point
     "heaps_curve" ->
@@ -1590,6 +1611,24 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based — the +1
     // aligns them. Positive cents, so // and div agree on the mean.
+    // hourly Fano factor: integer hour buckets (epoch-µs floor-div),
+    // HUGEINT moments, zero hours through the span length
+    "burstiness" ->
+      """WITH ph AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, h
+        |), ag AS (
+        |  SELECT event_type, max(h) - min(h) + 1 AS n_hours,
+        |    sum(c) AS n_events, sum(CAST(c AS HUGEINT) * c) AS scc
+        |  FROM ph GROUP BY event_type)
+        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(((CAST(n_hours AS HUGEINT) * scc
+        |      - CAST(n_events AS HUGEINT) * n_events) * 1000000)
+        |    // (CAST(n_hours AS HUGEINT) * n_events) AS BIGINT)
+        |    AS fano_e6
+        |FROM ag ORDER BY event_type""".stripMargin,
     "seasonal_profile" ->
       """WITH c AS (
         |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,

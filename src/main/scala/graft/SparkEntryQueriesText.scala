@@ -37,6 +37,10 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // first-doc type attribution + window-free exact prefix sums)
     "heaps_curve" -> ((s, dir) =>
       TextAnalysis.heapsCurve(t(s, dir, "documents"))),
+    // Zipf-skew one-number summary (r17 — exact rank-weighted Gini of
+    // the token-frequency distribution, gini_concentration closed form)
+    "vocab_gini" -> ((s, dir) =>
+      TextAnalysis.vocabGini(t(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     // the graduated classifier: Cavnar–Trenkle character-n-gram rank
     // profiles learned from the labeled corpus in one distributed pass,

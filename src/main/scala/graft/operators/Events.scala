@@ -356,6 +356,35 @@ object Events {
     * corpus-sized shuffle (both aggs combine map-side to cell
     * cardinality).
     */
+  /** PER-TYPE BURSTINESS as the hourly Fano factor (index of
+    * dispersion, Fano 1947): F = Var(c)/Mean(c) over hourly event
+    * counts spanning the type's FULL observed hour range — zero hours
+    * included (they enter through n alone, no scaffold relation
+    * needed): with T = Σc and n = max_h − min_h + 1,
+    * F = (n·Σc² − T²) / (n·T). F ≈ 1 is Poisson arrival; F ≫ 1 is
+    * bursty (overdispersed) — the routing/backpressure diagnostic for
+    * a streaming ingest plan. Exact DECIMAL(38,0) moments, e6 floor
+    * division (numerator non-negative by Cauchy–Schwarz).
+    *
+    * Scale shape: one partial-aggregable groupBy to (type, hour), one
+    * to the per-type moments — no window, no scaffold explode.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val perHour = events.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    perHour.groupBy(col("event_type"))
+      .agg((max(col("h")) - min(col("h")) + lit(1L)).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("CAST(((CAST(n_hours AS DECIMAL(38,0)) * scc" +
+          " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000)" +
+          " div (CAST(n_hours AS DECIMAL(38,0)) * n_events) AS BIGINT)")
+          .as("fano_e6"))
+      .orderBy(col("event_type"))
+  }
+
   def seasonalProfile(events: DataFrame): DataFrame = {
     val cells = events.select(
       dayofweek(col("ts")).cast("int").as("dow"),

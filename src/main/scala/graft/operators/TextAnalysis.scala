@@ -453,6 +453,36 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** VOCABULARY CONCENTRATION as an exact rank-weighted Gini over the
+    * token-frequency distribution (the Zipf-skew one-number summary
+    * next to [[heapsCurve]]'s growth curve and [[goodTuring]]'s
+    * unseen-mass row): types ranked ascending by (frequency, word),
+    * G = (2·Σ rnk·f − (V+1)·N) / (V·N) in e6 — the
+    * `gini_concentration` closed form applied to tokens. High G =
+    * the token mass sits in a stopword head (every natural corpus);
+    * a fallen G flags tokenizer or boilerplate drift.
+    *
+    * One groupBy + one window-free [[ExactRank]] pass + one global
+    * agg; DECIMAL(38,0) throughout.
+    */
+  def vocabGini(documents: DataFrame): DataFrame = {
+    val freq = documents.select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ranked = ExactRank.exactRank(freq.withColumn("g", lit(0)),
+      Seq("g"), Seq("f", "w"))
+    ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("f")).as("total_tokens"),
+        sum(expr("CAST(rnk AS DECIMAL(38,0)) * f")).as("rank_weighted"))
+      .select(col("n_types"), col("total_tokens"),
+        expr("CAST(((2 * rank_weighted - (n_types + 1)" +
+          " * CAST(total_tokens AS DECIMAL(38,0))) * 1000000)" +
+          " div (CAST(n_types AS DECIMAL(38,0)) * total_tokens)" +
+          " AS BIGINT)").as("gini_e6"))
+  }
+
   def textStats(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
     val nStop = countIn(stopwords)

@@ -4429,6 +4429,42 @@ class PipelineSpec extends AnyFunSuite {
       s"final point ${curve.last._3} != vocabulary $vocab")
   }
 
+  test("burstiness: hand-walked Fano factors incl. zero-hour span") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(h: Int, m: Int = 0) =
+      new java.sql.Timestamp(t0.getTime + h * 3600000L + m * 60000L)
+    // x: hours {0,0,0,2} → n=3 (hour 1 is a ZERO hour counted via the
+    // span), T=4, Σc²=10 → F = (30−16)/12 → 1_166_666 e6 (floored);
+    // y: single event → F = 0; z: one per hour → Poisson-flat 0
+    val events = (Seq((1L, ts(0, 1)), (2L, ts(0, 2)), (3L, ts(0, 3)),
+        (4L, ts(2))).map { case (i, t) => (i, t, 1L, "x", 0.0) } ++
+      Seq((5L, ts(0), 2L, "y", 0.0)) ++
+      Seq((6L, ts(0)), (7L, ts(1)), (8L, ts(2)))
+        .map { case (i, t) => (i, t, 3L, "z", 0.0) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = operators.Events.burstiness(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("x" -> ((3L, 4L, 1166666L)),
+      "y" -> ((1L, 1L, 0L)), "z" -> ((3L, 3L, 0L))),
+      s"Fano drift: $got")
+  }
+
+  test("vocabGini: hand-walked token concentration") {
+    import spark.implicits._
+    // freqs a=3, b=1 → ascending ranks b:1, a:2; Σ rnk·f = 7;
+    // G = (2·7 − 3·4)/(2·4) = 2/8 → 250000 e6
+    val skewed = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val g1 = operators.TextAnalysis.vocabGini(skewed).collect().head
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2)) ==
+      ((2L, 4L, 250000L)), s"skewed gini drift: $g1")
+    // uniform frequencies → G = 0 exactly
+    val uniform = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val g2 = operators.TextAnalysis.vocabGini(uniform).collect().head
+    assert(g2.getLong(2) == 0L, s"uniform gini must be 0: $g2")
+  }
+
   test("giniConcentration: hand-walked rank-weighted closed form") {
     import spark.implicits._
     // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,
