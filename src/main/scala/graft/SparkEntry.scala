@@ -1132,6 +1132,13 @@ object SparkEntry extends SparkEntryOracleMain
         CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
+    // hub-interconnection density at doubling degree thresholds (r17):
+    // one conditional aggregation against a ≤63-row broadcast spine
+    "rich_club" -> ((s, dir) =>
+      Graph.richClub(
+        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          .filter(col("cnt") >= 2)
+          .select(col("product").as("src"), col("neighbor").as("dst")))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(t(s, dir, "lineitem"))),
     "q3_topk" -> ((s, dir) => Relational.revenueTopK(

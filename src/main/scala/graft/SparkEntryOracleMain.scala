@@ -572,6 +572,42 @@ private[graft] trait SparkEntryOracleMain extends SparkEntryOracleMain2 {
         |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
         |  END AS assortativity
         |FROM ag""".stripMargin),
+    // rich club: power-of-two threshold spine, club membership by
+    // min(endpoint degree) > k, exact e6 density
+    "rich_club" ->
+      (cooccurCte +
+        """, und AS (
+        |  SELECT DISTINCT least(product, neighbor) AS u,
+        |    greatest(product, neighbor) AS v
+        |  FROM counts WHERE product <> neighbor AND cnt >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node
+        |), th AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(list_transform(range(0, 63),
+        |      i -> CAST(1 AS BIGINT) << i)) AS k), (
+        |    SELECT max(d) AS md FROM deg)
+        |  WHERE k <= md
+        |), em AS (
+        |  SELECT least(d1.d, d2.d) AS m
+        |  FROM und JOIN deg d1 ON d1.node = und.u
+        |  JOIN deg d2 ON d2.node = und.v
+        |), ek AS (
+        |  SELECT k, count(CASE WHEN m > k THEN 1 END) AS n_edges
+        |  FROM em CROSS JOIN th GROUP BY k
+        |), nk AS (
+        |  SELECT k, count(CASE WHEN d > k THEN 1 END) AS n_nodes
+        |  FROM deg CROSS JOIN th GROUP BY k
+        |)
+        |SELECT nk.k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(ek.n_edges AS BIGINT) AS n_edges,
+        |  CAST(CASE WHEN nk.n_nodes >= 2
+        |    THEN (2 * ek.n_edges * 1000000)
+        |      // (nk.n_nodes * (nk.n_nodes - 1))
+        |    ELSE 0 END AS BIGINT) AS phi_e6
+        |FROM nk JOIN ek USING (k) ORDER BY nk.k""".stripMargin),
     // unrolled synchronous LPA twin: same undirected significant-edge
     // graph, 3 rounds, QUALIFY row_number argmax = the engine's
     // min(struct(-cnt, lbl)) (max count, smallest-label tie-break)

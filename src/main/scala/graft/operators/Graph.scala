@@ -1480,6 +1480,53 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004): for each degree
+    * threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) — the edge density
+    * among the N_k nodes of degree > k. Rising φ(k) = hubs form a
+    * club; the hub-interconnection diagnostic next to
+    * [[assortativity]]'s global mixing number. Thresholds are the
+    * powers of two up to the max degree (the heaps_curve doubling
+    * discipline), exact e6 rationals, φ undefined (N_k < 2) emitted
+    * as 0 rows kept for the threshold spine.
+    *
+    * Scale shape: degrees once; an edge joins the club relation via
+    * min(d_u, d_v) > k, so per-threshold counts are ONE conditional
+    * aggregation over the edge relation broadcast-crossed with the
+    * ≤63-row threshold spine — no per-k scan, no window.
+    */
+  def richClub(edges: DataFrame): DataFrame = {
+    val und = CacheScope.selfReleasing(
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = CacheScope.selfReleasing(
+      und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")),
+      matchingActions = 1)
+    val ths = deg.agg(max(col("d")).as("md"))
+      .select(explode(expr(
+        "transform(filter(sequence(0, 62)," +
+          " i -> shiftleft(1L, int(i)) <= md)," +
+          " i -> shiftleft(1L, int(i)))")).as("k"))
+    val edgeMin = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(least(col("du"), col("dv")).as("m"))
+    val ek = edgeMin.crossJoin(broadcast(ths))
+      .groupBy(col("k"))
+      .agg(sum(when(col("m") > col("k"), 1L).otherwise(0L)).as("n_edges"))
+    val nk = deg.crossJoin(broadcast(ths))
+      .groupBy(col("k"))
+      .agg(sum(when(col("d") > col("k"), 1L).otherwise(0L)).as("n_nodes"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2L, expr(
+          "(2 * n_edges * 1000000) div (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(0L)).as("phi_e6"))
+      .orderBy(col("k"))
+  }
+
   /** Bounded k-hop reachability (multi-source BFS): every node within k
     * directed hops of the seed set, labeled with its MINIMUM hop count.
     *

@@ -4465,6 +4465,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(g2.getLong(2) == 0L, s"uniform gini must be 0: $g2")
   }
 
+  test("richClub: hand-walked club densities on the doubling spine") {
+    import spark.implicits._
+    // K4 clique (deg 3) + two pendants on node 4 (deg 5; pendants 1):
+    // max degree 5 → spine {1, 2, 4}. k=1 and k=2 both admit exactly
+    // the clique (every degree > 2 except the pendants) → φ = 12/12 =
+    // 1e6; k=4 admits node 4 alone → N_k = 1 → φ pinned 0
+    val g = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .++(Seq((4L, 5L), (4L, 6L))).toDF("src", "dst")
+    val got = Graph.richClub(g).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((4L, 6L, 1000000L)),
+      2L -> ((4L, 6L, 1000000L)), 4L -> ((1L, 0L, 0L))),
+      s"rich-club drift: $got")
+  }
+
   test("giniConcentration: hand-walked rank-weighted closed form") {
     import spark.implicits._
     // three customers spending 1.00 / 2.00 / 3.00 → cents 100,200,300,
