@@ -47,6 +47,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort planned:\n$p")
   }
 
+  test("collocations_tscore plans distributed top-k, not a global sort") {
+    val p = planOf("collocations_tscore")
+    // the bigram relation is corpus-shaped: the top-20 cut must be
+    // TakeOrderedAndProject (map-side partial top-k), with the rank
+    // window running over only the 20-row result
+    assert(p.contains("TakeOrderedAndProject"), s"global sort planned:\n$p")
+    // formatted explain prints parents first: the rank window must be
+    // the top-k cut's PARENT (operates on 20 rows), i.e. appear before
+    // it in the text
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window must sit ABOVE the top-k cut, not under it:\n$p")
+  }
+
+  test("assortativity ends in one exchange to a 1-row final aggregate") {
+    val p = planOf("assortativity")
+    // moments are partial-aggregable: exactly one exchange may follow
+    // the last (partial) HashAggregate of the moment sums — a second
+    // would mean the map-side combine was lost
+    val lines = p.linesIterator.toSeq
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    val exchAfter = lines.drop(lastAgg).count(_.trim.startsWith("Exchange"))
+    assert(exchAfter == 0,
+      s"exchange AFTER the final aggregate (combine lost):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"degree join missing:\n$p")
+  }
+
+  test("rich_club crosses the threshold spine by broadcast only") {
+    val p = planOf("rich_club")
+    // the ≤63-row spine must reach both conditional aggregations as a
+    // BroadcastNestedLoopJoin/cartesian over a broadcast side — a
+    // shuffled cross join over the edge relation would be the exact
+    // per-k-scan shape the operator exists to avoid
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct") == false && p.contains("Broadcast"),
+      s"spine not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"shuffled cartesian over the spine:\n$p")
+  }
+
   test("crystalball_pairs has exactly the expected exchanges") {
     val p = planOf("crystalball_pairs")
     // basket build (orderkey), pair count (product,neighbor), window
