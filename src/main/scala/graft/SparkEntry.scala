@@ -138,10 +138,11 @@ object SparkEntry extends SparkEntryOracleMain
     // hash gate proves merge == recompute end-to-end. Window semantics
     // are per-basket (row-local), so any basket-disjoint split is exact.
     "cooccur_incremental" -> ((s, dir) => {
-      val b = BasketSource.basketsFromLineitem(s, dir)
+      val b = BasketSource.fromLineitem(s, dir)
       val existing = b.filter(crc32(col("customer").cast("binary")) % 2 === 0)
       val delta = b.filter(crc32(col("customer").cast("binary")) % 2 === 1)
-      CoOccurrence.counts(existing).unionByName(CoOccurrence.counts(delta))
+      CoOccurrence.countsFused(existing)
+        .unionByName(CoOccurrence.countsFused(delta))
         .groupBy(col("product"), col("neighbor"))
         .agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("product"), col("neighbor"))
@@ -155,13 +156,13 @@ object SparkEntry extends SparkEntryOracleMain
     // the table alone; merge(persisted, delta) == full recompute is the
     // driver's hash gate (same oracle text as cooccur_counts).
     "cooccur_persisted" -> ((s, dir) => {
-      val b = BasketSource.basketsFromLineitem(s, dir)
+      val b = BasketSource.fromLineitem(s, dir)
       val existing = b.filter(crc32(col("customer").cast("binary")) % 2 === 0)
       val delta = b.filter(crc32(col("customer").cast("binary")) % 2 === 1)
       val tbl = "graft_cooccur_partials"
       graft.sources.TableSink.writeBucketed(
-        CoOccurrence.counts(existing), tbl, "product", 8)
-      CoOccurrence.mergeCounts(s.table(tbl), CoOccurrence.counts(delta))
+        CoOccurrence.countsFused(existing), tbl, "product", 8)
+      CoOccurrence.mergeCounts(s.table(tbl), CoOccurrence.countsFused(delta))
         .orderBy(col("product"), col("neighbor"))
     }),
     // the APPEND half of the build-once discipline: generation 0's
@@ -173,15 +174,15 @@ object SparkEntry extends SparkEntryOracleMain
     // gate (same oracle text); PlanSpec pins the single corpus scan and
     // the cross-session resume
     "cooccur_appended" -> ((s, dir) => {
-      val b = BasketSource.basketsFromLineitem(s, dir)
+      val b = BasketSource.fromLineitem(s, dir)
       val gen = crc32(col("customer").cast("binary")) % 3
       val tbl = "graft_cooccur_appended"
       graft.sources.TableSink.writeBucketed(
-        CoOccurrence.counts(b.filter(gen === 0)), tbl, "product", 8)
+        CoOccurrence.countsFused(b.filter(gen === 0)), tbl, "product", 8)
       graft.sources.TableSink.appendBucketed(
-        CoOccurrence.counts(b.filter(gen === 1)), tbl, "product", 8)
+        CoOccurrence.countsFused(b.filter(gen === 1)), tbl, "product", 8)
       CoOccurrence.mergeCounts(s.table(tbl),
-          CoOccurrence.counts(b.filter(gen === 2)))
+          CoOccurrence.countsFused(b.filter(gen === 2)))
         .orderBy(col("product"), col("neighbor"))
     }),
     // the flagship THROUGH THE STREAMING ENGINE, driver-checked: basket
@@ -195,7 +196,7 @@ object SparkEntry extends SparkEntryOracleMain
     // sink bounds this ARTIFACT to driver memory; production would swap
     // in the parquet foreachBatch sink (StreamingOps
     // .writePartitionedStream) — the dataflow upstream is identical.
-    "cooccur_stream" -> ((s, dir) => withStreamStage("graft_cooccur_stream") { stage =>
+    "cooccur_stream" -> ((s, dir) => withStreamStage(dir, "graft_cooccur_stream") { stage =>
       BasketSource.fromLineitem(s, dir)
         .select(concat_ws(" ", col("customer"),
           array_join(col("products"), " ")).as("value"))
@@ -227,7 +228,7 @@ object SparkEntry extends SparkEntryOracleMain
     // surface, visible to the hash gate. TTL eviction semantics are
     // StreamingSpec's (a gate hash can't see processing-time decay).
     "cooccur_totals_tws" -> ((s, dir) =>
-      withStreamStage("graft_tws_stream") { stage =>
+      withStreamStage(dir, "graft_tws_stream") { stage =>
         graft.streaming.StreamingOps.withRocksDbStateStore(s) {
           BasketSource.fromLineitem(s, dir)
             .select(concat_ws(" ", col("customer"),
@@ -270,7 +271,7 @@ object SparkEntry extends SparkEntryOracleMain
     // discipline. Oracle = the batch gaps-and-islands sessionize
     // relation with the same quantization.
     "sessionize_tws" -> ((s, dir) =>
-      withStreamStage("graft_sess_tws") { stage =>
+      withStreamStage(dir, "graft_sess_tws") { stage =>
         graft.streaming.StreamingOps.withRocksDbStateStore(s) {
           val ev = eventsTable(s, dir).select(col("event_id"), col("ts"),
             col("user_id"), col("event_type"), col("value"))
@@ -330,14 +331,13 @@ object SparkEntry extends SparkEntryOracleMain
     // same oracle text as cooccur_totals_tws, which is the entire
     // point: the split is invisible to the answer.
     "cooccur_totals_tws_boot" -> ((s, dir) =>
-      withStreamStage("graft_twsb_stream") { stage =>
+      withStreamStage(dir, "graft_twsb_stream") { stage =>
         graft.streaming.StreamingOps.withRocksDbStateStore(s) {
           import s.implicits._
           val baskets = BasketSource.fromLineitem(s, dir)
             .withColumn("bkt", Sampling.bucket100(col("customer")))
-          val backfill = CoOccurrence.counts(
-              baskets.filter(col("bkt") < 50)
-                .select(col("customer"), col("products")).as[Basket])
+          val backfill = CoOccurrence.countsFused(
+              baskets.filter(col("bkt") < 50))
             .groupBy(col("product"))
             .agg(sum(col("cnt")).as("total"))
             .as[graft.streaming.StreamingOps.ProductTotal]
@@ -383,7 +383,7 @@ object SparkEntry extends SparkEntryOracleMain
     // micro-batches; final = max-batch emission per cell. Oracle = the
     // batch group-count.
     "user_type_counts_tws" -> ((s, dir) =>
-      withStreamStage("graft_utc_tws") { stage =>
+      withStreamStage(dir, "graft_utc_tws") { stage =>
         graft.streaming.StreamingOps.withRocksDbStateStore(s) {
           eventsTable(s, dir).select(col("event_id"), col("ts"),
               col("user_id"), col("event_type"), col("value"))
@@ -420,7 +420,7 @@ object SparkEntry extends SparkEntryOracleMain
     // QUALIFY top-k row for row). State per key is k entries no matter
     // the stream length. Final = the key's max-batch reservoir.
     "reservoir_bottomk_tws" -> ((s, dir) =>
-      withStreamStage("graft_resv_tws") { stage =>
+      withStreamStage(dir, "graft_resv_tws") { stage =>
         graft.streaming.StreamingOps.withRocksDbStateStore(s) {
           eventsTable(s, dir).select(col("event_id"), col("ts"),
               col("user_id"), col("event_type"), col("value"))
@@ -458,7 +458,7 @@ object SparkEntry extends SparkEntryOracleMain
     // date_trunc('hour', ts), so the batch hourly_counts oracle applies
     // verbatim — windowing parity visible to the hash gate (StreamingSpec
     // holds the late-drop/append-closure guarantees the gate can't see).
-    "hourly_counts_stream" -> ((s, dir) => withStreamStage("graft_hourly_stream") { stage =>
+    "hourly_counts_stream" -> ((s, dir) => withStreamStage(dir, "graft_hourly_stream") { stage =>
       eventsTable(s, dir).write.mode("overwrite").parquet(stage)
       val counts = graft.streaming.StreamingOps.hourlyCounts(
         graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
@@ -484,7 +484,7 @@ object SparkEntry extends SparkEntryOracleMain
     // (staged files are not time-ordered; in update mode a late drop is
     // a real loss) — StreamingSpec pins the tight-delay drop semantics.
     "hourly_counts_union_stream" -> ((s, dir) =>
-      withStreamStage("graft_union_stream") { stage =>
+      withStreamStage(dir, "graft_union_stream") { stage =>
         val ev = eventsTable(s, dir)
         // 6 files a side + maxFilesPerTrigger=2 forces each source
         // through ≥3 micro-batches, so the union genuinely interleaves
@@ -529,7 +529,7 @@ object SparkEntry extends SparkEntryOracleMain
     // the semantics StreamingSpec can poke at batch-boundary level, here
     // made visible to the driver's hash gate). Same oracle text as the
     // batch session_window_agg twin.
-    "session_window_stream" -> ((s, dir) => withStreamStage("graft_session_stream") { stage =>
+    "session_window_stream" -> ((s, dir) => withStreamStage(dir, "graft_session_stream") { stage =>
       eventsTable(s, dir).write.mode("overwrite").parquet(stage)
       val sessions = graft.streaming.StreamingOps.sessionWindows(
         graft.streaming.StreamingOps.eventsStreamNormalized(s, stage))
@@ -551,7 +551,7 @@ object SparkEntry extends SparkEntryOracleMain
     // oracle text. Update-mode emissions re-emit a user's running state
     // per batch; the final state per user is the max-n_events row
     // (n strictly grows), a deterministic pick at any batch split.
-    "ewma_stream" -> ((s, dir) => withStreamStage("graft_ewma_stream") { stage =>
+    "ewma_stream" -> ((s, dir) => withStreamStage(dir, "graft_ewma_stream") { stage =>
       // coalesce(1): the state fold is order-sensitive, and a multi-file
       // range-partitioned stage has no pinned mtime order — one staged
       // file makes the cross-batch replay order contract hold under ANY
@@ -580,7 +580,7 @@ object SparkEntry extends SparkEntryOracleMain
     // offline-derived reference (train-in-batch / monitor-in-stream,
     // the production deploy shape). Shares cusum_alerts' oracle text:
     // the bounded replay must reproduce the batch fold exactly.
-    "cusum_stream" -> ((s, dir) => withStreamStage("graft_cusum_stream") { stage =>
+    "cusum_stream" -> ((s, dir) => withStreamStage(dir, "graft_cusum_stream") { stage =>
       val ev = eventsTable(s, dir)
       // the offline baseline: same k derivation as the batch twin
       val k = ev.agg(
@@ -617,7 +617,7 @@ object SparkEntry extends SparkEntryOracleMain
     // offsets are never re-read, so any duplicate or lost row breaks the
     // batch hourly_counts oracle this query shares. The production
     // stream->table ingest shape, hash-gated end to end.
-    "events_table_stream" -> ((s, dir) => withStreamStage("graft_evt_table") { stage =>
+    "events_table_stream" -> ((s, dir) => withStreamStage(dir, "graft_evt_table") { stage =>
       val in = stage + "/in"; val sink = stage + "/sink"
       val ckpt = stage + "/ckpt"
       val ev = eventsTable(s, dir)
@@ -653,7 +653,7 @@ object SparkEntry extends SparkEntryOracleMain
     // rows emit as they are first admitted). Bounded-state production
     // variant (dropDuplicatesWithinWatermark) is eviction/readmission-
     // tested in StreamingSpec.
-    "dedup_stream" -> ((s, dir) => withStreamStage("graft_dedup_stream") { stage =>
+    "dedup_stream" -> ((s, dir) => withStreamStage(dir, "graft_dedup_stream") { stage =>
       t(s, dir, "documents").select(md5(col("text")).as("fp"))
         .write.mode("overwrite").parquet(stage)
       val fpSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -676,7 +676,7 @@ object SparkEntry extends SparkEntryOracleMain
     // inside one watermark window, so the admitted set equals the
     // unbounded form's and the oracle text is shared; the state-TTL
     // distinction across windows is StreamingSpec's job.
-    "dedup_stream_bounded" -> ((s, dir) => withStreamStage("graft_dedup_bnd") { stage =>
+    "dedup_stream_bounded" -> ((s, dir) => withStreamStage(dir, "graft_dedup_bnd") { stage =>
       val ev = eventsTable(s, dir)
         .select(md5(col("event_type").cast("string")).as("fp"), col("ts"))
       // the shared batch-DISTINCT oracle holds iff every duplicate key
@@ -725,7 +725,7 @@ object SparkEntry extends SparkEntryOracleMain
     // path): same result as the window formulation, benched side-by-side
     "crystalball_totals" -> ((s, dir) =>
       CrystalBall.normalizeViaTotalsJoin(
-          CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)))
+          CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir)))
         .select(col("product"), col("neighbor"), col("cnt"), col("prob"))
         .orderBy(col("product"), col("neighbor"))),
     // O8/O14: stripe shape. The stripe aggregation (sorted struct array)
@@ -734,8 +734,8 @@ object SparkEntry extends SparkEntryOracleMain
     // the stripe size, so the array semantics are still fully checked
     // without array-typed output columns (driver compare limitation).
     "crystalball_stripes" -> ((s, dir) =>
-      CrystalBall.stripeProbabilities(
-          BasketSource.basketsFromLineitem(s, dir))
+      CrystalBall.stripeShape(CrystalBall.normalize(
+          CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))))
         .select(col("product"), size(col("stripe")).cast("long").as("n_neighbors"),
           posexplode(col("stripe")))
         .select(col("product"), col("n_neighbors"),
@@ -746,7 +746,8 @@ object SparkEntry extends SparkEntryOracleMain
     // a map, driver-checked through scalar projections (map lookup via
     // element_at — null when the neighbor is absent — plus map_keys size)
     "stripe_lookup" -> ((s, dir) =>
-      CrystalBall.stripeMap(BasketSource.basketsFromLineitem(s, dir))
+      CrystalBall.stripeMapShape(CrystalBall.normalize(
+          CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))))
         .select(col("product"),
           size(map_keys(col("stripe"))).cast("long").as("n_neighbors"),
           element_at(col("stripe"), "34").as("p34"))
@@ -756,7 +757,7 @@ object SparkEntry extends SparkEntryOracleMain
     // same iterations and hash-matches, which float ranks never could)
     "page_rank" -> ((s, dir) =>
       Graph.pageRank(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // the CONVERGENCE-TERMINATED fixpoint pageRank's guard rail defers
     // to (r14): same exact integer recurrence, run until NO rank_e9
@@ -780,7 +781,7 @@ object SparkEntry extends SparkEntryOracleMain
     "pagerank_converged" -> ((s, dir) => {
       graft.sources.TableSink.saveTable(
         Graph.pageRankConverged(
-          CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+          CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
             .filter(col("cnt") >= 2)
             .select(col("product").as("src"), col("neighbor").as("dst")),
           maxRounds = 80),
@@ -797,7 +798,7 @@ object SparkEntry extends SparkEntryOracleMain
     // see ppr_seeded's note)
     "ppmi_rank" -> ((s, dir) => {
       graft.sources.TableSink.saveTable(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir)),
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir)),
         "graft_ppmi_counts")
       CrystalBall.ppmiRank(s.table("graft_ppmi_counts"))
     }),
@@ -809,14 +810,14 @@ object SparkEntry extends SparkEntryOracleMain
     // path is exercised against brute force in PipelineSpec.
     "triangle_count" -> ((s, dir) =>
       Graph.triangleCounts(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))
         .orderBy(col("node"))),
     // bounded multi-source BFS over the same significant-edge graph:
     // seeds are the round-hundred products, 3 hops, minimal hop labels
     "khop_reach" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -847,7 +848,7 @@ object SparkEntry extends SparkEntryOracleMain
       // keeps the soak's warehouse-steady gate meaningful, and the
       // engine's mains run serially by contract (ONE sbt/JVM at a time).
       graft.sources.TableSink.saveTable(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         "graft_ppr_edges")
@@ -864,7 +865,7 @@ object SparkEntry extends SparkEntryOracleMain
     // DECIMAL(38,0) estimate floor), so the oracle replays every row.
     "hyperanf" -> ((s, dir) =>
       Graph.hyperAnf(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // the neighborhood function + effective-diameter flag over those
@@ -872,7 +873,7 @@ object SparkEntry extends SparkEntryOracleMain
     // cross-multiplication — one tiny broadcast join, window-free)
     "anf_function" -> ((s, dir) =>
       Graph.anfFunction(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // the PRODUCTION register count (r14 verdict item 4): 256 registers
@@ -884,13 +885,13 @@ object SparkEntry extends SparkEntryOracleMain
     // tightening vs the 16-register miniature.
     "hyperanf_256" -> ((s, dir) =>
       Graph.hyperAnf(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         registers = 256)),
     "anf_function_256" -> ((s, dir) =>
       Graph.anfFunction(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         registers = 256)),
@@ -900,7 +901,7 @@ object SparkEntry extends SparkEntryOracleMain
     // over constant 4-row per-node partitions, the safe window shape
     "harmonic_centrality" -> ((s, dir) =>
       Graph.harmonicCentrality(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // DETERMINISTIC random walks (r14 — DeepWalk/node2vec corpus prep):
@@ -910,7 +911,7 @@ object SparkEntry extends SparkEntryOracleMain
     // fan-out never single-tasks the step (the LPA argmax discipline);
     // the oracle replays the walk verbatim.
     "random_walks" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -925,7 +926,7 @@ object SparkEntry extends SparkEntryOracleMain
     // of the edge set. One candidates join + one adjacency-flag join +
     // a ≤4-way row-local explode per step.
     "node2vec_walks" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -937,7 +938,7 @@ object SparkEntry extends SparkEntryOracleMain
     // positions — the bounded per-walk self-join, output linear in the
     // walk corpus. The relation a graph-embedding trainer consumes.
     "walk_skipgram" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -948,7 +949,7 @@ object SparkEntry extends SparkEntryOracleMain
     // context distribution (sqrt-composed — IEEE-exact), md5 uniforms
     // inverted through the exact CDF ladder as a bucketized EQUI-join
     "skipgram_negatives" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -1024,7 +1025,7 @@ object SparkEntry extends SparkEntryOracleMain
     // recursion bounded at the shared 60-round cap (engine throws
     // beyond it rather than serving a truncated closure)
     "reach_converged" -> ((s, dir) => {
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       val seeds = edges.filter(col("src").cast("long") % 100 === 0)
@@ -1037,7 +1038,7 @@ object SparkEntry extends SparkEntryOracleMain
     // oracle unrolls the identical rounds with a QUALIFY argmax
     "communities_lpa" -> ((s, dir) =>
       Graph.labelPropagation(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         iterations = 3)),
@@ -1047,7 +1048,7 @@ object SparkEntry extends SparkEntryOracleMain
     // unroll (post-convergence rounds are no-ops under monotonicity)
     "lpa_converged" -> ((s, dir) =>
       Graph.lpaConverged(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // Newman modularity of those converged communities (r14 — the
@@ -1066,7 +1067,7 @@ object SparkEntry extends SparkEntryOracleMain
       // parquet scans. Same labels, same oracle. EXECUTE-ON-BUILD — see
       // ppr_seeded's note: fixed table name + build-time fixpoint are
       // the deliberate trade; serial-mains contract makes them safe.
-      val edges = CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+      val edges = CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
         .filter(col("cnt") >= 2)
         .select(col("product").as("src"), col("neighbor").as("dst"))
       graft.sources.TableSink.saveTable(
@@ -1081,7 +1082,7 @@ object SparkEntry extends SparkEntryOracleMain
     // discipline), existing edges anti-joined out.
     "link_predict" -> ((s, dir) =>
       Graph.linkPredict(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // K-CORE decomposition (r14): peel nodes with in-survivor degree < 2
@@ -1094,7 +1095,7 @@ object SparkEntry extends SparkEntryOracleMain
     // post-convergence rounds are no-ops
     "kcore_decompose" -> ((s, dir) =>
       Graph.kcoreDecompose(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         k = 2)),
@@ -1111,7 +1112,7 @@ object SparkEntry extends SparkEntryOracleMain
     // receipt x10 6.04 vs 8.93 s, x100 36.5 vs 46.4 s (BENCH_NOTES r17)
     "ktruss_edges" -> ((s, dir) =>
       Graph.ktrussDecomposeInc(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")),
         k = 3)),
@@ -1121,7 +1122,7 @@ object SparkEntry extends SparkEntryOracleMain
     // triangles id-ordered (a<b<c) — different join order, same set
     "local_clustering" -> ((s, dir) =>
       Graph.localClustering(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // Newman degree-mixing coefficient over the same graph (r17):
@@ -1129,14 +1130,14 @@ object SparkEntry extends SparkEntryOracleMain
     // oracle, NULL on degree-regular degeneracy
     "assortativity" -> ((s, dir) =>
       Graph.assortativity(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // hub-interconnection density at doubling degree thresholds (r17):
     // one conditional aggregation against a ≤63-row broadcast spine
     "rich_club" -> ((s, dir) =>
       Graph.richClub(
-        CoOccurrence.counts(BasketSource.basketsFromLineitem(s, dir))
+        CoOccurrence.countsFused(BasketSource.fromLineitem(s, dir))
           .filter(col("cnt") >= 2)
           .select(col("product").as("src"), col("neighbor").as("dst")))),
     // ---- relational breadth (SURVEY.md §2.1 — absent from the reference) --
@@ -1233,7 +1234,7 @@ object SparkEntry extends SparkEntryOracleMain
     // This is the sketch's 100 TB selling point made a gate: partials
     // from any slicing of the data recombine exactly.
     "quantile_stream" -> ((s, dir) =>
-      withStreamStage("graft_qsk_stream") { stage =>
+      withStreamStage(dir, "graft_qsk_stream") { stage =>
         val in = stage + "/in"; val sink = stage + "/sink"
         val ckpt = stage + "/ckpt"
         val li = Relational.quantileValues(t(s, dir, "lineitem"))
@@ -1638,7 +1639,7 @@ object SparkEntry extends SparkEntryOracleMain
     // in-window matches of this historical replay while the read still
     // parallelizes across files — and the result equals the batch twin
     // bit-for-bit: same oracle text as interval_join.
-    "interval_join_stream" -> ((s, dir) => withStreamStage("graft_ij_stream") { stage =>
+    "interval_join_stream" -> ((s, dir) => withStreamStage(dir, "graft_ij_stream") { stage =>
       // each side staged into its own directory: a stream's source filter
       // does not prune the file scan (the source reads the whole
       // directory, the filter runs post-read), so splitting at stage time
@@ -1676,7 +1677,7 @@ object SparkEntry extends SparkEntryOracleMain
     // can arrive; the tail still in state at termination is withheld
     // (the oracle encodes the W − window cutoff — the part a batch
     // left join gets wrong about a live stream)
-    "interval_join_stream_outer" -> ((s, dir) => withStreamStage("graft_ijo_stream") { stage =>
+    "interval_join_stream_outer" -> ((s, dir) => withStreamStage(dir, "graft_ijo_stream") { stage =>
       // same one-scan partitionBy staging as interval_join_stream
       eventsTable(s, dir)
         .filter(col("event_type").isin("click", "purchase"))

@@ -83,7 +83,7 @@ private[graft] trait SparkEntryQueriesAnn extends SparkEntryStaging {
     // index shuffle paid at write time, each query batch reads the
     // pre-partitioned cells, no base rebuild anywhere in the stream.
     "ann_ivf_stream" -> ((s, dir) =>
-      withStreamStage("graft_ann_s") { stage =>
+      withStreamStage(dir, "graft_ann_s") { stage =>
         val in = stage + "/in"; val sink = stage + "/sink"
         val ckpt = stage + "/ckpt"
         val emb = t(s, dir, "embeddings")
@@ -648,7 +648,7 @@ private[graft] trait SparkEntryQueriesAnn extends SparkEntryStaging {
         .reduce(_.unionByName(_)).orderBy(col("version"))
     }),
     "pack_stream" -> ((s, dir) =>
-      withStreamStage("graft_pack_s") { stage =>
+      withStreamStage(dir, "graft_pack_s") { stage =>
       val in = stage + "/in"; val sink = stage + "/sink"
       val ckpt = stage + "/ckpt"; val totals = stage + "/totals"
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

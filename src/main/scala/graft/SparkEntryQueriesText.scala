@@ -701,7 +701,7 @@ private[graft] trait SparkEntryQueriesText extends SparkEntryStaging {
     // restart-replayed union must be bit-identical to the one-shot
     // probe, which is exactly dedup_incremental's oracle text.
     "dedup_incremental_stream" -> ((s, dir) =>
-      withStreamStage("graft_dedup_inc_s") { stage =>
+      withStreamStage(dir, "graft_dedup_inc_s") { stage =>
       val in = stage + "/in"; val sink = stage + "/sink"
       val ckpt = stage + "/ckpt"
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -19,10 +19,19 @@ private[graft] trait SparkEntryStaging {
     * the staged files are dead weight the moment it returns — and
     * without the cleanup every invocation (Bench times each streaming
     * query 2-3×) leaks a corpus-sized copy into the system temp dir.
+    *
+    * r17 optimization: the body runs under
+    * [[graft.streaming.StreamingOps.withStatePartitions]] — stateful
+    * streaming shuffle partitions (= state-store instance count, a
+    * per-micro-batch fixed cost) are sized by the data-proportional
+    * rule with the state floor (8) instead of inheriting the batch
+    * session default's core-count floor; `sfDir` feeds that rule. See
+    * the scaladoc there for the A/B receipt and the scale posture.
     */
-  private[graft] def withStreamStage(prefix: String)(body: String => DataFrame): DataFrame = {
+  private[graft] def withStreamStage(sfDir: String, prefix: String)(body: String => DataFrame): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory(prefix)
-    try body(stage.toString)
+    try graft.streaming.StreamingOps.withStatePartitions(
+      org.apache.spark.sql.SparkSession.active, sfDir) { body(stage.toString) }
     finally {
       import scala.jdk.CollectionConverters._
       // Files.walk holds open directory handles until closed — leak one

@@ -84,6 +84,25 @@ object CoOccurrence {
     pairs(baskets, maxWindow).groupBy(col("product"), col("neighbor"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[counts]] computed through the whole-stage-codegen custom plan node
+    * ([[graft.plans.CoOccurWindow]]) instead of the typed flatMap — the
+    * SAME relation (the plan node is held to cooccur_counts' oracle hash
+    * via the registered cooccur_counts_plan twin), with no encoder round
+    * trip: scan → window-pairs → partial aggregate fuse into one codegen
+    * stage. r17 optimization (guide §1.2 "per-task work"): the default
+    * pair source for DOWNSTREAM consumers (graph edge builders, PPMI,
+    * stripe/totals normalizations) — measured 1.80 s (flatMap) vs 1.07 s
+    * (plan node) for the identical counts query at sf0.1. The four
+    * registered O4 forms (flatMap / SQL / UDTF / plan) keep their own
+    * implementations; uncapped window only (the capped twin stays on
+    * [[counts]], whose maxWindow the plan node deliberately doesn't
+    * carry).
+    */
+  def countsFused(basketsDf: DataFrame): DataFrame =
+    graft.plans.CoOccurWindow.pairs(basketsDf.select(col("products")))
+      .groupBy(col("product"), col("neighbor"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Incremental-view-maintenance merge: persisted partial counts (a
     * prior session's [[counts]] output, e.g. read back from a bucketed
     * catalog table) plus a delta batch's counts. Counts are additive over

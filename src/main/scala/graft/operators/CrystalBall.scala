@@ -57,7 +57,15 @@ object CrystalBall {
     * reference's map iteration order is Java HashMap order — SURVEY.md §5).
     */
   def stripeProbabilities(baskets: Dataset[Basket]): DataFrame =
-    normalize(CoOccurrence.counts(baskets))
+    stripeShape(normalize(CoOccurrence.counts(baskets)))
+
+  /** The stripe aggregation over an already-normalized (product,
+    * neighbor, cnt, prob) relation — split out (r17 optimization) so the
+    * registered stripe queries can feed it from
+    * [[CoOccurrence.countsFused]] without re-stating the shape.
+    */
+  def stripeShape(probs: DataFrame): DataFrame =
+    probs
       .groupBy(col("product"))
       .agg(sort_array(collect_list(struct(col("neighbor"), col("prob"))))
         .as("stripe"))
@@ -67,7 +75,11 @@ object CrystalBall {
     * for users who want `stripe['34']` lookups.
     */
   def stripeMap(baskets: Dataset[Basket]): DataFrame =
-    normalize(CoOccurrence.counts(baskets))
+    stripeMapShape(normalize(CoOccurrence.counts(baskets)))
+
+  /** MapType twin of [[stripeShape]] (see its r17 note). */
+  def stripeMapShape(probs: DataFrame): DataFrame =
+    probs
       .groupBy(col("product"))
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("neighbor"), col("prob")))))

@@ -838,6 +838,48 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Stateful-stream shuffle sizing (r17 optimization, guide §2): a
+    * streaming query's `spark.sql.shuffle.partitions` is ALSO its
+    * state-store instance count — pinned into the checkpoint at first
+    * start, and paid as per-store fixed cost (open/commit/snapshot;
+    * RocksDB instance lifecycle for the transformWithState family) on
+    * EVERY micro-batch. Inheriting the batch session default — which
+    * [[graft.Bench.scaledShufflePartitions]] floors at the CORE count
+    * for scan/shuffle parallelism — is wrong for state: at bench scale
+    * it means 32 stores × #stateful-operators × #micro-batches of pure
+    * fixed cost over kilobytes of state. The state floor is lower (8)
+    * because a store's fixed cost dominates until its partition carries
+    * real volume; the same 45 MB/partition data-proportional rule takes
+    * over beyond ~360 MB of source and rises to the 1024 cap — on a
+    * 100 TB stream this yields the cap, so the production posture is
+    * unchanged; only the small-state floor moves. Same-session A/B at
+    * sf0.1 (10-query stateful slice, this host): 65.1 s at 32 → 48.6 s
+    * at 8 — with the 8-run measured under WORSE background load
+    * (calib 0.325 vs 0.225). `SPARK_GRAFT_STREAM_SHUFFLE` overrides for
+    * experiments, mirroring SPARK_GRAFT_SHUFFLE.
+    *
+    * Results are partitioning-invariant: state keying is logical
+    * (groupBy/dropDuplicates/join keys), watermarks are global, and
+    * every registered streaming query's output is an orderBy'd
+    * aggregate or admitted set — the driver hash gate sees no change.
+    */
+  def scaledStatePartitions(sfDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt).getOrElse(
+      math.max(8, math.min(1024L, graft.Bench.dirMB(sfDir) / 45L).toInt))
+
+  /** Run `body` (which builds AND drains a bounded streaming query) with
+    * shuffle partitions sized by [[scaledStatePartitions]]; restore the
+    * session default after. The conf is read at query start, so the
+    * bracket scopes the state sizing to this run.
+    */
+  def withStatePartitions[T](spark: SparkSession, sfDir: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, scaledStatePartitions(sfDir).toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   /** transformWithState requires the RocksDB state store provider; set
     * it for the duration of `body` and restore the prior provider after
     * (the rest of the streaming family runs the default HDFS-backed
